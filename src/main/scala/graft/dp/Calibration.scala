@@ -1,0 +1,258 @@
+package graft.dp
+
+/** Which C-fold composition theorem derives the per-round key-selection budget
+  * of Algorithm 1 from the total budget (ε_k, δ_k). Mirrors the reference's
+  * `CompositionMode` (confidentialstorm/common/.../dp/CompositionMode.java:29-36).
+  */
+sealed trait CompositionMode
+object CompositionMode {
+  /** Dwork–Rothblum–Vadhan advanced composition over (ε, δ)-DP. */
+  case object DworkAnalytical extends CompositionMode
+  /** Kairouz–Oh–Viswanath optimal k-fold composition over (ε, δ)-DP. */
+  case object OptimalKov extends CompositionMode
+  /** Direct ρ-zCDP conversion with linear split across rounds (tightest; default). */
+  case object ZcdpLinear extends CompositionMode
+}
+
+/** Derived DP-SQLP §4.4 calibration outputs consumed by the mechanism. */
+final case class DpCalibration(
+    epsilonKeyRound: Double,
+    deltaKeyRound: Double,
+    rhoKeyRound: Double,
+    sigmaKey: Double,
+    rhoHist: Double,
+    sigmaHist: Double,
+    beta: Double,
+    thresholdQuantile: Double)
+
+/** Privacy-budget calibration pipeline for DP-SQLP (paper §4.4) — a from-
+  * scratch Scala restatement of the reference's `DPUtil`
+  * (confidentialstorm/enclave/.../util/DPUtil.java:12-703). All formulas are
+  * published: tight zCDP↔DP conversion after Bun & Steinke 2016 (and IBM's
+  * public discrete-gaussian cdp2adp.py), Dwork advanced composition, the
+  * Kairouz–Oh–Viswanath optimal k-fold composition theorem, and tree-noise
+  * calibration from the paper's Theorem C.1.
+  */
+object Calibration {
+
+  private val BudgetSearchSteps = 1024
+
+  final case class PerRoundBudget(epsilon: Double, delta: Double)
+  final case class KeySelectionRoundBudget(epsilon: Double, delta: Double, rho: Double)
+
+  /** Tight (ε, δ)-DP → ρ-zCDP conversion: largest ρ such that ρ-zCDP implies
+    * (ε, δ)-DP, by binary search on [[cdpDelta]]. */
+  def cdpRho(eps: Double, delta: Double): Double = {
+    require(eps >= 0 && delta > 0, "epsilon must be non-negative and delta must be positive")
+    if (delta >= 1) return 0.0
+    var rhoMin = 0.0
+    var rhoMax = eps + 1
+    var i = 0
+    while (i < 1000) {
+      val rho = (rhoMin + rhoMax) / 2
+      if (cdpDelta(rho, eps) <= delta) rhoMin = rho else rhoMax = rho
+      i += 1
+    }
+    rhoMin
+  }
+
+  /** δ achieved by ρ-zCDP at privacy-loss bound ε (tight Rényi conversion,
+    * optimizing the Rényi order α by binary search on the derivative). */
+  def cdpDelta(rho: Double, eps: Double): Double = {
+    require(rho >= 0 && eps >= 0, "rho and epsilon must be non-negative")
+    if (rho == 0) return 0.0
+    var amin = 1.01
+    var amax = (eps + 1) / (2 * rho) + 2
+    var i = 0
+    while (i < 1000) {
+      val alpha = (amin + amax) / 2
+      val derivative = (2 * alpha - 1) * rho - eps + math.log1p(-1.0 / alpha)
+      if (derivative < 0) amin = alpha else amax = alpha
+      i += 1
+    }
+    val alpha = (amin + amax) / 2
+    val delta = math.exp((alpha - 1) * (alpha * rho - eps) + alpha * math.log1p(-1.0 / alpha)) / (alpha - 1.0)
+    math.min(delta, 1.0)
+  }
+
+  /** ρ recovered from the standard zCDP → (ε, δ)-DP upper bound:
+    * ρ = (sqrt(ε + ln(1/δ)) − sqrt(ln(1/δ)))². Used as the search score. */
+  private def rhoFromDpUpperBound(epsilon: Double, delta: Double): Double = {
+    if (epsilon <= 0 || delta <= 0 || delta >= 1) 0.0
+    else {
+      val l = math.log(1.0 / delta)
+      math.pow(math.sqrt(epsilon + l) - math.sqrt(l), 2)
+    }
+  }
+
+  /** Advanced-composition cost of k rounds at ε_round with slack δ'. */
+  private def advancedCompositionEpsilon(epsilonRound: Double, k: Long, deltaPrime: Double): Double =
+    math.sqrt(2.0 * k * math.log(1.0 / deltaPrime)) * epsilonRound +
+      k * epsilonRound * (math.exp(epsilonRound) - 1.0)
+
+  private def solveRoundEpsilon(epsilonTotal: Double, k: Long, cost: Double => Double): Double = {
+    var lower = 0.0
+    var upper = epsilonTotal
+    if (cost(upper) <= epsilonTotal) return upper
+    var i = 0
+    while (i < 200) {
+      val mid = (lower + upper) / 2.0
+      if (cost(mid) <= epsilonTotal) lower = mid else upper = mid
+      i += 1
+    }
+    lower
+  }
+
+  /** Per-round budget via Dwork advanced composition: search over δ' maximizing
+    * the implied ρ (= least noise). */
+  def keySelectionPerRoundBudget(epsilonTotal: Double, deltaTotal: Double, c: Long): PerRoundBudget = {
+    require(epsilonTotal >= 0 && deltaTotal > 0, "epsilonTotal must be non-negative and deltaTotal positive")
+    require(c > 0, "rounds must be positive")
+    if (c == 1) return PerRoundBudget(epsilonTotal, deltaTotal)
+    if (epsilonTotal == 0.0) return PerRoundBudget(0.0, deltaTotal / c)
+
+    var bestEps = 0.0
+    var bestDelta = deltaTotal / c
+    var bestScore = -1.0
+    var i = 1
+    while (i < BudgetSearchSteps) {
+      val deltaPrime = deltaTotal * i / BudgetSearchSteps
+      val deltaRound = (deltaTotal - deltaPrime) / c
+      if (deltaRound > 0) {
+        val epsRound = solveRoundEpsilon(epsilonTotal, c, advancedCompositionEpsilon(_, c, deltaPrime))
+        val score = rhoFromDpUpperBound(epsRound, deltaRound)
+        if (score > bestScore) { bestScore = score; bestEps = epsRound; bestDelta = deltaRound }
+      }
+      i += 1
+    }
+    PerRoundBudget(bestEps, bestDelta)
+  }
+
+  /** Homogeneous KOV bound (Kairouz et al. 2015, Thm 3.4): min of plain
+    * sequential composition and the two tighter closed forms. */
+  private def kovCompositionEpsilon(epsilonRound: Double, k: Long, dPrime: Double): Double = {
+    if (epsilonRound <= 0.0) return 0.0
+    val expEps = math.exp(epsilonRound)
+    val leading = (expEps - 1.0) * epsilonRound * k / (expEps + 1.0)
+    val kEpsSq = k * epsilonRound * epsilonRound
+    val boundA = k * epsilonRound
+    val boundB = leading + epsilonRound * math.sqrt(2.0 * k * math.log(math.E + math.sqrt(kEpsSq) / dPrime))
+    val boundC = leading + epsilonRound * math.sqrt(2.0 * k * math.log(1.0 / dPrime))
+    math.min(boundA, math.min(boundB, boundC))
+  }
+
+  /** Per-round budget via the KOV optimal composition theorem. */
+  def keySelectionPerRoundBudgetOptimal(epsilonTotal: Double, deltaTotal: Double, c: Long): PerRoundBudget = {
+    require(epsilonTotal >= 0 && deltaTotal > 0, "epsilonTotal must be non-negative and deltaTotal positive")
+    require(c > 0, "rounds must be positive")
+    if (c == 1) return PerRoundBudget(epsilonTotal, deltaTotal)
+    if (epsilonTotal == 0.0) return PerRoundBudget(0.0, deltaTotal / c)
+
+    var bestEps = 0.0
+    var bestDelta = deltaTotal / c
+    var bestScore = -1.0
+    var i = 1
+    while (i < BudgetSearchSteps) {
+      val dPrime = deltaTotal * i / BudgetSearchSteps
+      if (dPrime > 0.0 && dPrime < 1.0) {
+        // invert δ_g = 1 − (1−δ)^k (1−δ') stably in log space
+        val logRatio = math.log1p(-deltaTotal) - math.log1p(-dPrime)
+        val deltaRound = -math.expm1(logRatio / c)
+        if (java.lang.Double.isFinite(deltaRound) && deltaRound > 0.0) {
+          val epsRound = solveRoundEpsilon(epsilonTotal, c, kovCompositionEpsilon(_, c, dPrime))
+          if (epsRound > 0.0) {
+            val score = rhoFromDpUpperBound(epsRound, deltaRound)
+            if (score > bestScore) { bestScore = score; bestEps = epsRound; bestDelta = deltaRound }
+          }
+        }
+      }
+      i += 1
+    }
+    PerRoundBudget(bestEps, bestDelta)
+  }
+
+  /** σ for tree aggregation under ρ-zCDP (paper Thm C.1):
+    * σ = L · sqrt(ceil(log2 T) / (2ρ)). */
+  def calculateSigma(rho: Double, t: Double, l: Double): Double = {
+    val log2T = math.ceil(math.log(t) / math.log(2))
+    math.sqrt((log2T * l * l) / (2 * rho))
+  }
+
+  /** User-level L1 sensitivity C · L_m. */
+  def l1Sensitivity(maxContributionsPerUser: Long, perRecordClamp: Double): Double =
+    maxContributionsPerUser * perRecordClamp
+
+  /** Accuracy parameter β = α · δ_round / (e^ε_round + 1). */
+  def computeBeta(epsilonRound: Double, deltaRound: Double, alpha: Double): Double = {
+    require(epsilonRound >= 0 && deltaRound > 0, "epsilonRound must be non-negative and deltaRound positive")
+    require(alpha > 0 && alpha < 1, "alpha must lie in (0, 1)")
+    (alpha * deltaRound) / (math.exp(epsilonRound) + 1.0)
+  }
+
+  /** Gaussian-noise share (1 − α) · δ_round of the per-round delta budget. */
+  def gaussianShareDelta(deltaRound: Double, alpha: Double): Double = {
+    require(deltaRound > 0, "deltaRound must be positive")
+    require(alpha > 0 && alpha < 1, "alpha must lie in (0, 1)")
+    (1.0 - alpha) * deltaRound
+  }
+
+  /** Threshold quantile Φ⁻¹(1 − β). */
+  def thresholdQuantile(beta: Double): Double = {
+    require(beta > 0.0 && beta < 1.0, s"beta must lie in (0, 1); got $beta")
+    Stats.inverseNormalCdf(1.0 - beta)
+  }
+
+  /** Per-round key-selection budget + calibration ρ for the chosen mode. */
+  def keySelectionRoundBudget(
+      composition: CompositionMode,
+      epsilonK: Double,
+      deltaK: Double,
+      c: Long,
+      alpha: Double): KeySelectionRoundBudget = composition match {
+    case CompositionMode.DworkAnalytical =>
+      val b = keySelectionPerRoundBudget(epsilonK, deltaK, c)
+      KeySelectionRoundBudget(b.epsilon, b.delta, cdpRho(b.epsilon, gaussianShareDelta(b.delta, alpha)))
+    case CompositionMode.OptimalKov =>
+      val b = keySelectionPerRoundBudgetOptimal(epsilonK, deltaK, c)
+      KeySelectionRoundBudget(b.epsilon, b.delta, cdpRho(b.epsilon, gaussianShareDelta(b.delta, alpha)))
+    case CompositionMode.ZcdpLinear =>
+      val rhoRound = cdpRho(epsilonK, deltaK) / c
+      val deltaRound = deltaK / c
+      // ρ-zCDP ⇒ (ρ + 2·sqrt(ρ·ln(1/δ)), δ)-DP (Bun–Steinke Prop. 1.3)
+      val epsRound = rhoRound + 2.0 * math.sqrt(rhoRound * math.log(1.0 / deltaRound))
+      // Calibration ρ: convert the per-round (ε, (1−α)δ) budget back through
+      // the tight conversion, as in the other two modes. This recovers more ρ
+      // than the linear share (the Prop-1.3 ε_round is conservative, cdpRho is
+      // tight) and is what the reference's committed utility CSVs embody:
+      // σ_key=27.8508 at T=100 ⇔ ρ_cal=cdpRho(0.6064, 0.5·δ_round)=4.512e-3,
+      // vs 3.692e-3 for the raw linear share (benchmark_T100_20260610_010459.csv).
+      KeySelectionRoundBudget(epsRound, deltaRound, cdpRho(epsRound, gaussianShareDelta(deltaRound, alpha)))
+  }
+
+  /** Full §4.4 calibration: (composition, budgets, C, T, L_m, α) →
+    * (σ_key, σ_hist, threshold quantile, per-round budgets). */
+  def calibrate(
+      composition: CompositionMode,
+      epsilonK: Double,
+      deltaK: Double,
+      epsilonH: Double,
+      deltaH: Double,
+      c: Long,
+      t: Int,
+      perRecordClamp: Double,
+      thresholdFailureFraction: Double): DpCalibration = {
+    val alpha = thresholdFailureFraction
+    require(alpha > 0.0 && alpha < 1.0, s"thresholdFailureFraction (alpha) must lie in (0, 1); got $alpha")
+    require(c > 0, s"maxUserContributions (C) must be positive; got $c")
+    require(t > 0, s"maxTimeSteps (T) must be positive; got $t")
+
+    val keyRound = keySelectionRoundBudget(composition, epsilonK, deltaK, c, alpha)
+    val sigmaKey = calculateSigma(keyRound.rho, t, 1.0)
+    val beta = computeBeta(keyRound.epsilon, keyRound.delta, alpha)
+    val quantile = thresholdQuantile(beta)
+    val rhoHist = cdpRho(epsilonH, deltaH)
+    val sigmaHist = calculateSigma(rhoHist, t, l1Sensitivity(c, perRecordClamp))
+
+    DpCalibration(keyRound.epsilon, keyRound.delta, keyRound.rho, sigmaKey, rhoHist, sigmaHist, beta, quantile)
+  }
+}

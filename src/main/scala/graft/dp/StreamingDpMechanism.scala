@@ -1,0 +1,215 @@
+package graft.dp
+
+import scala.collection.mutable
+
+/** DP-SQLP parameters consumed by the mechanism (already calibrated). */
+final case class DpParams(
+    sigmaKey: Double,
+    sigmaHist: Double,
+    thresholdQuantile: Double,
+    maxTimeSteps: Int,
+    mu: Long,
+    maxContributionsPerUser: Long) {
+  require(mu >= 0, "mu must be non-negative")
+  require(maxContributionsPerUser > 0, "maxContributionsPerUser must be positive")
+  require(java.lang.Double.isFinite(thresholdQuantile) && thresholdQuantile > 0,
+    "thresholdQuantile must be a positive finite value")
+}
+
+object DpParams {
+  /** Zero-noise deterministic mode — the reference's own test strategy
+    * (StreamingDPMechanismTest.java:92-138) and the oracle-comparable mode.
+    * quantile = Φ⁻¹(1 − 1e-5), but τ = σ·q = 0 anyway. */
+  def zeroNoise(maxTimeSteps: Int, mu: Long = 0L, c: Long = Long.MaxValue / 2): DpParams =
+    DpParams(0.0, 0.0, Stats.inverseNormalCdf(1.0 - 1e-5), maxTimeSteps, mu, c)
+
+  /** Calibrated from a privacy budget via [[Calibration.calibrate]]. */
+  def calibrated(
+      composition: CompositionMode,
+      epsilonK: Double, deltaK: Double,
+      epsilonH: Double, deltaH: Double,
+      maxTimeSteps: Int, mu: Long,
+      maxContributionsPerUser: Long,
+      perRecordClamp: Double,
+      thresholdFailureFraction: Double): DpParams = {
+    val cal = Calibration.calibrate(composition, epsilonK, deltaK, epsilonH, deltaH,
+      maxContributionsPerUser, maxTimeSteps, perRecordClamp, thresholdFailureFraction)
+    DpParams(cal.sigmaKey, cal.sigmaHist, cal.thresholdQuantile, maxTimeSteps, mu, maxContributionsPerUser)
+  }
+}
+
+/** Per-key DP-SQLP state machine — Algorithms 1 (streaming private key
+  * selection), 2 (hierarchical perturbation), and 3 (empty-key release
+  * prediction) for ONE aggregation key, stepped once per epoch.
+  *
+  * This is the unit that lives inside Spark keyed state
+  * (`flatMapGroupsWithState` / `transformWithState`, keyed by the aggregation
+  * key); [[StreamingDpMechanism]] drives a map of these for single-node use.
+  * Behavior mirrors the reference's per-key slice of
+  * confidentialstorm/enclave/.../dp/StreamingDPMechanism.java:297-561:
+  *
+  *   - selection tree accumulates NEW unique users per round (dedup against
+  *     `observedUsers`, sensitivity 1 per user-key pair);
+  *   - gate: tree prefix sum ≥ μ + τ, τ = sqrt(Honaker variance) · Φ⁻¹(1−β);
+  *   - on release: buffered ΔV joins the histogram tree at the current leaf,
+  *     the released noisy prefix sum becomes `currentSum`, and the selection
+  *     round resets (tree + observed users dropped);
+  *   - if not selected but the key appeared: simulate future steps with no new
+  *     data and record the earliest predicted noise-alone release epoch;
+  *   - a key must be re-processed at its predicted epoch even with no data —
+  *     the caller (epoch loop or state-store timer) guarantees that via
+  *     [[predictedRelease]].
+  */
+final class DpKeyState(
+    params: DpParams,
+    newKeyTree: () => BinaryAggregationTree,
+    newHistTree: () => BinaryAggregationTree)
+    extends Serializable {
+
+  private var keyTree: BinaryAggregationTree = _
+  private var histTree: BinaryAggregationTree = _
+  private val observedUsers = mutable.HashSet.empty[String]
+  private var unreleasedBuffer: Double = 0.0
+  private var predictedReleaseTime: Int = -1
+  private var released: Boolean = false
+  private var currentSumValue: Double = 0.0
+
+  /** Latest released noisy sum, if this key was ever selected. */
+  def currentSum: Option[Double] = if (released) Some(currentSumValue) else None
+
+  /** Predicted noise-alone release epoch from Algorithm 3, if any. */
+  def predictedRelease: Option[Int] = if (predictedReleaseTime >= 0) Some(predictedReleaseTime) else None
+
+  /** Step this key through epoch `timeStep`.
+    *
+    * @param timeStep    current epoch index (0-based, < maxTimeSteps)
+    * @param windowUsers unique users contributing to this key this epoch
+    * @param deltaV      sum of clamped contributions for this key this epoch
+    * @param appeared    whether the key had data this epoch (vs. forced
+    *                    processing at a predicted release time)
+    * @return the newly released noisy sum, if the key was selected this epoch
+    */
+  def processEpoch(timeStep: Int, windowUsers: Iterable[String], deltaV: Double, appeared: Boolean): Option[Double] = {
+    require(timeStep >= 0 && timeStep < params.maxTimeSteps, s"timeStep $timeStep out of range")
+
+    // Algo 2 step 7: accumulate ΔV since last release.
+    unreleasedBuffer += deltaV
+
+    // Algo 3 case 1: key appeared before its predicted time — drop prediction.
+    if (appeared && predictedReleaseTime > timeStep) predictedReleaseTime = -1
+    // Being processed at (or past) the predicted time consumes the prediction.
+    if (predictedReleaseTime >= 0 && predictedReleaseTime <= timeStep) predictedReleaseTime = -1
+
+    // Algo 1 step 5: lazily (re-)create the selection tree; fresh round ⇒
+    // fresh observed-user tracking.
+    if (keyTree == null) {
+      keyTree = newKeyTree()
+      observedUsers.clear()
+    }
+
+    // Algo 1 step 7: only NEW unique users this round count (sensitivity 1).
+    var newUniqueUsers = 0
+    windowUsers.foreach { u => if (observedUsers.add(u)) newUniqueUsers += 1 }
+    keyTree.addToTree(timeStep, newUniqueUsers.toDouble)
+
+    // Algo 1 steps 8-9: gate on the noisy unique-user prefix sum.
+    val noisyUniqueUsers = keyTree.getTotalSum(timeStep)
+    val tau = math.sqrt(keyTree.getHonakerVariance(timeStep)) * params.thresholdQuantile
+    if (noisyUniqueUsers >= params.mu.toDouble + tau) {
+      // Selected: Algo 2 hierarchical perturbation over the histogram tree.
+      if (histTree == null) histTree = newHistTree()
+      histTree.addToTree(timeStep, unreleasedBuffer)
+      val noisySum = histTree.getTotalSum(timeStep)
+      currentSumValue = noisySum
+      released = true
+      unreleasedBuffer = 0.0
+      // §4.4: restart the key-selection round after a release.
+      keyTree = null
+      observedUsers.clear()
+      predictedReleaseTime = -1
+      Some(noisySum)
+    } else {
+      // Algo 3: for unselected keys that appeared, predict the earliest
+      // epoch at which noise alone crosses the gate (no new data assumed).
+      if (appeared && predictedReleaseTime < 0) {
+        var trP = timeStep + 1
+        var found = false
+        while (!found && trP < params.maxTimeSteps) {
+          val predicted = keyTree.getTotalSum(trP)
+          val futureTau = math.sqrt(keyTree.getHonakerVariance(trP)) * params.thresholdQuantile
+          if (predicted >= params.mu.toDouble + futureTau) {
+            predictedReleaseTime = trP
+            found = true
+          }
+          trP += 1
+        }
+      }
+      None
+    }
+  }
+}
+
+/** Single-node DP-SQLP mechanism: drives a forest of [[DpKeyState]] across
+  * epochs and produces the carried-forward noisy histogram each epoch —
+  * behavioral equivalent of the reference's `StreamingDPMechanism`
+  * (confidentialstorm/enclave/.../dp/StreamingDPMechanism.java). The staging
+  * double-buffer + lock of the reference is unnecessary here: ingestion
+  * batches are handed to [[snapshot]] directly (in Spark, the shuffle and the
+  * micro-batch barrier play that role).
+  */
+final class StreamingDpMechanism(
+    params: DpParams,
+    noiseFor: (String, String) => NoiseSource = (_, _) => NoiseSource.secure()) extends Serializable {
+
+  private val states = mutable.HashMap.empty[String, DpKeyState]
+  private val staging = mutable.HashMap.empty[String, (Double, mutable.HashSet[String])]
+  private var timeStep = 0
+
+  def currentTimeStep: Int = timeStep
+
+  private def stateFor(key: String): DpKeyState =
+    states.getOrElseUpdate(key, new DpKeyState(
+      params,
+      () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaKey, noiseFor(key, "key")),
+      () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaHist, noiseFor(key, "hist"))))
+
+  /** Records one bounded, clamped contribution in the current window. */
+  def addContribution(userId: String, key: String, clampedCount: Double): Unit = {
+    val entry = staging.getOrElseUpdate(key, (0.0, mutable.HashSet.empty[String]))
+    staging.update(key, (entry._1 + clampedCount, entry._2 += userId))
+  }
+
+  /** Advances one epoch: processes the window's keys plus any keys whose
+    * predicted release falls on this epoch, then emits the full
+    * carried-forward histogram (desc by count, negatives clamped to 0). */
+  def snapshot(): Seq[(String, Long)] = {
+    val window = staging.toMap
+    staging.clear()
+
+    if (timeStep >= params.maxTimeSteps) {
+      states.filterInPlace((_, st) => st.currentSum.isDefined)
+      return produceHistogram()
+    }
+
+    val keysToProcess = mutable.HashSet.empty[String]
+    keysToProcess ++= window.keys
+    states.foreach { case (k, st) => if (st.predictedRelease.contains(timeStep)) keysToProcess += k }
+
+    keysToProcess.foreach { key =>
+      val (deltaV, users) = window.getOrElse(key, (0.0, mutable.HashSet.empty[String]))
+      stateFor(key).processEpoch(timeStep, users, deltaV, appeared = window.contains(key))
+    }
+
+    timeStep += 1
+    produceHistogram()
+  }
+
+  /** Carried-forward histogram: every ever-released key at its latest noisy
+    * sum, rounded, clamped at 0, sorted by count desc (ties by key asc for
+    * deterministic output — the reference leaves tie order unspecified). */
+  def produceHistogram(): Seq[(String, Long)] =
+    states.iterator
+      .flatMap { case (k, st) => st.currentSum.map(s => (k, math.max(0L, math.round(s)))) }
+      .toSeq
+      .sortBy { case (k, c) => (-c, k) }
+}
