@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity relational operators, expressed as declarative DataFrame
+  * transforms so Catalyst keeps pushdown/pruning/whole-stage codegen. Each maps
+  * to a SURVEY §2 inventory item (P1, P3, P4, B1, A2, A6, M3, T1/T2, §2.7).
+  */
+object CoreOps {
+
+  /** P1 — tokenizer flatMap (SplitSentenceServiceProvider.java:36-92): lower,
+    * split on the separator regex, drop empties. Stays inside codegen — no UDF. */
+  def tokenize(df: DataFrame, textCol: String, sep: String = " "): DataFrame =
+    df.withColumn("word", explode(split(lower(col(textCol)), sep)))
+      .where(col("word") =!= "")
+
+  /** P3 — per-record clamp to [-l, l]
+    * (AbstractUserContributionBoundingServiceProvider.java:91-92). */
+  def clamp(c: Column, l: Double): Column = greatest(lit(-l), least(lit(l), c))
+
+  /** P3 baseline variant — clamp to [0, l]
+    * (BaselineContributionBoundingBolt.java:306). */
+  def clampNonNegative(c: Column, l: Double): Column = greatest(lit(0.0), least(lit(l), c))
+
+  /** P4 — SHA-256 routing keys ("word:"/"user:" prefixes). The engine shuffles
+    * by key natively; exposed for reference parity
+    * (AbstractUserContributionBoundingServiceProvider.java:103-105). */
+  def wordRoutingKey(c: Column): Column = sha2(concat(lit("word:"), c), 256)
+  def userRoutingKey(c: Column): Column = sha2(concat(lit("user:"), c), 256)
+
+  /** B1 — batch-mode per-user contribution bounding: the first `c`
+    * contributions per user in deterministic `orderCol` order survive
+    * (UserContributionLimiter.java:22-66 as row_number semantics; the
+    * streaming equivalent lives in [[graft.streaming.StreamingPipelines]]). */
+  def boundContributions(df: DataFrame, userCol: String, orderCol: String, c: Long): DataFrame =
+    df.withColumn("rn", row_number().over(Window.partitionBy(col(userCol)).orderBy(col(orderCol))))
+      .where(col("rn") <= c)
+      .drop("rn")
+
+  /** A2 — per-(key, epoch) pre-aggregation feeding the DP mechanism:
+    * ΔV and the exact distinct-user count. Spark's partial/final hash
+    * aggregate replaces the reference's lock-guarded staging buffers
+    * (StreamingDPMechanism.java:276-283). Exact distinct (not HLL) is required
+    * for the sensitivity-1 guarantee (A6, StreamingDPMechanism.java:378-390). */
+  def preAggregate(df: DataFrame, keyCol: String, epochCol: String, userCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"), col(epochCol).as("epoch"))
+      .agg(
+        sum(col(valueCol)).as("delta_v"),
+        collect_set(col(userCol)).as("users"))
+
+  /** T1 — histogram ordering: count desc, key asc tiebreak, negatives clamped
+    * (StreamingDPMechanism.java:517-531). */
+  def sortHistogram(df: DataFrame, keyCol: String = "key", countCol: String = "count"): DataFrame =
+    df.withColumn(countCol, greatest(lit(0L), col(countCol)))
+      .orderBy(col(countCol).desc, col(keyCol))
+
+  /** §2.7 — utility metrics between a released histogram and ground truth over
+    * the union of key sets (SyntheticHistogramAggregationBolt.java:110-129):
+    * L0 = released key count, L∞/L1/L2 over per-key absolute differences.
+    * A single full-outer equi-join; both sides pre-aggregated, so the join
+    * inputs are at key cardinality (small) even at 100 TB input. */
+  def utilityMetrics(dp: DataFrame, groundTruth: DataFrame,
+      keyCol: String = "key", countCol: String = "count"): DataFrame = {
+    val d = dp.select(col(keyCol).as("key"), col(countCol).cast("double").as("dp_count"))
+    val g = groundTruth.select(col(keyCol).as("key"), col(countCol).cast("double").as("gt_count"))
+    d.join(g, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        coalesce(col("dp_count"), lit(0.0)).as("dp_count"),
+        coalesce(col("gt_count"), lit(0.0)).as("gt_count"))
+      .agg(
+        sum(when(col("dp_count") =!= 0.0, 1L).otherwise(0L)).as("l0"),
+        max(abs(col("dp_count") - col("gt_count"))).as("linf"),
+        sum(abs(col("dp_count") - col("gt_count"))).as("l1"),
+        sqrt(sum(pow(col("dp_count") - col("gt_count"), 2.0))).as("l2"))
+  }
+
+  /** Carry-forward epoch timeline (σ=0, μ=0 semantics): each key's cumulative
+    * sum at every epoch where it has appeared so far — what the streaming
+    * pipeline emits per trigger, expressed as a running window so batch and
+    * streaming agree (StreamingDPMechanism.java:44-50 carried-forward sums). */
+  def carryForwardTimeline(preAgg: DataFrame): DataFrame =
+    preAgg.withColumn("cum_sum",
+      sum(col("delta_v")).over(Window.partitionBy(col("key")).orderBy(col("epoch"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("epoch"), col("key"), col("cum_sum"))
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dp._
+
+/** Distributed batch execution of the DP-SQLP mechanism over an epoched
+  * dataset — the Spark-native restatement of the reference's
+  * DataPerturbation → HistogramAggregation stages (SURVEY §2.4/§2.5).
+  *
+  * Plan shape (designed for 100 TB):
+  *
+  *  1. `groupBy(key, epoch)` pre-aggregation (ΔV + exact user set) — Spark
+  *     runs partial aggregation map-side, so the shuffle carries one row per
+  *     (key, epoch, distinct-users) not one per input record.
+  *  2. `groupByKey(key).flatMapGroups` — one shuffle by key; each key's ≤T
+  *     epoch rows are folded through [[graft.dp.DpKeyState]] in epoch order.
+  *     The per-key timeline (tree state, Algo 3 predicted silent-epoch
+  *     releases) is processed entirely inside the group, so no driver-side
+  *     loop and no cross-key coordination — the reference's ZooKeeper epoch
+  *     barrier (EpochBarrierCoordinator.java) has no residue here.
+  *
+  * State is O(keys × T); data volume only affects stage 1, which scales
+  * linearly and shuffles pre-aggregated rows.
+  */
+object DpHistogram {
+
+  /** Final released histogram after running all epochs: (key, count), count
+    * desc / key asc, negatives clamped — matching
+    * StreamingDPMechanism.produceHistogram (:517-531).
+    *
+    * @param preAgg  output of [[CoreOps.preAggregate]]: (key, epoch, delta_v, users)
+    * @param params  calibrated or zero-noise DP parameters
+    * @param runSeed seed for deterministic noise (ignored when σ=0)
+    */
+  def run(spark: SparkSession, preAgg: DataFrame, params: DpParams, runSeed: Long = 42L): DataFrame = {
+    import spark.implicits._
+
+    val result = preAgg
+      .select(col("key").cast("string"), col("epoch").cast("int"),
+        col("delta_v").cast("double"), col("users").cast("array<string>"))
+      .as[(String, Int, Double, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        val state = new DpKeyState(
+          params,
+          () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaKey,
+            NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
+          () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaHist,
+            NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist"))))
+        val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
+        var epoch = 0
+        while (epoch < params.maxTimeSteps) {
+          byEpoch.get(epoch) match {
+            case Some((deltaV, users)) =>
+              state.processEpoch(epoch, users, deltaV, appeared = true)
+            case None =>
+              // Algo 3: predicted noise-alone releases fire on silent epochs.
+              if (state.predictedRelease.contains(epoch))
+                state.processEpoch(epoch, Nil, 0.0, appeared = false)
+          }
+          epoch += 1
+        }
+        state.currentSum.map(s => (key, math.max(0L, math.round(s)))).iterator
+      }
+      .toDF("key", "count")
+
+    result.orderBy(col("count").desc, col("key"))
+  }
+
+  /** Per-epoch released timeline: (epoch, key, count) for every epoch at which
+    * the key's released sum changes — the batch replay of what the streaming
+    * pipeline emits per trigger. */
+  def timeline(spark: SparkSession, preAgg: DataFrame, params: DpParams, runSeed: Long = 42L): DataFrame = {
+    import spark.implicits._
+
+    preAgg
+      .select(col("key").cast("string"), col("epoch").cast("int"),
+        col("delta_v").cast("double"), col("users").cast("array<string>"))
+      .as[(String, Int, Double, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        val state = new DpKeyState(
+          params,
+          () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaKey,
+            NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
+          () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaHist,
+            NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist"))))
+        val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
+        val out = Seq.newBuilder[(Int, String, Long)]
+        var epoch = 0
+        while (epoch < params.maxTimeSteps) {
+          val released = byEpoch.get(epoch) match {
+            case Some((deltaV, users)) => state.processEpoch(epoch, users, deltaV, appeared = true)
+            case None if state.predictedRelease.contains(epoch) =>
+              state.processEpoch(epoch, Nil, 0.0, appeared = false)
+            case None => None
+          }
+          released.foreach(s => out += ((epoch, key, math.max(0L, math.round(s)))))
+          epoch += 1
+        }
+        out.result().iterator
+      }
+      .toDF("epoch", "key", "count")
+  }
+}
