@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dp.DpParams
-import graft.operators.{CoreOps, DpHistogram}
+import graft.operators.{CoreOps, Dedup, DpHistogram, Multimodal, Similarity, TextOps}
 
 /** Driver contract: one entry per implemented operator from SURVEY §2, each
   * paired (where SQL-expressible) with an equivalent DuckDB oracle query in
@@ -37,7 +37,9 @@ object SparkEntry {
   private def withEpoch(events: DataFrame): DataFrame =
     events.withColumn("epoch", dayofmonth(col("ts")).cast("long"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ llmQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- P1: tokenizer flatMap over documents ----
     "p1_tokenize_wordcount" -> ((s, d) => {
@@ -219,10 +221,286 @@ object SparkEntry {
     })
   )
 
+  // LLM-training-data pipeline operators over documents/embeddings.
+  private val ShingleK = 3
+  private val NumMinHashes = 8
+  private val NumBands = 4
+  private val JaccardThreshold = 0.5
+  private val CosineNearDupThreshold = 0.4
+  private val TopK = 5
+
+  private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact dedup: content-fingerprint groups ----
+    "d1_exact_dedup_groups" -> ((s, d) => {
+      Dedup.exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
+    // ---- MinHash signatures (long format) ----
+    "d2_minhash_signatures" -> ((s, d) => {
+      Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text", ShingleK, NumMinHashes)
+        .orderBy("doc_id", "j")
+    }),
+
+    // ---- MinHash + LSH banding + exact-Jaccard verification ----
+    "d2_minhash_lsh_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
+      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      val verified = Dedup.jaccardPairs(docs, "doc_id", "text", ShingleK, JaccardThreshold)
+      candidates.join(verified, Seq("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- SimHash fingerprints ----
+    "d3_simhash" -> ((s, d) => {
+      Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- n-gram Jaccard near-dup pairs (exact) ----
+    "d4_jaccard_pairs" -> ((s, d) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", ShingleK, JaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- brute-force cosine top-k (ANN correctness baseline) ----
+    "d5_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queries, TopK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- embedding-cosine near-dup pairs via LSH buckets (scale path) ----
+    "d6_cosine_neardup_pairs" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), CosineNearDupThreshold)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // ---- token statistics ----
+    "x1_token_stats" -> ((s, d) => {
+      TextOps.tokenStats(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- quality scoring ----
+    "x2_quality_score" -> ((s, d) => {
+      TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- language identification (stopword profiles) ----
+    "x3_language_id" -> ((s, d) => {
+      TextOps.languageId(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- content fingerprint ----
+    "x4_fingerprint" -> ((s, d) => {
+      TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- winnowing fingerprints (rolling-hash local dedup keys) ----
+    "x5_winnowing_fingerprints" -> ((s, d) => {
+      TextOps.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "fingerprint")
+    }),
+
+    // ---- multimodal: binary column metadata (decode-free relational path) ----
+    "mm_binary_meta" -> ((s, d) => {
+      val assets = Multimodal.syntheticAssets(s, Tables.documents(s, d)).toDF()
+      Multimodal.binaryMeta(assets)
+        .withColumn("header_hex", lower(col("header_hex")))
+        .orderBy("asset_id")
+    }),
+
+    // ---- multimodal: batched decode + feature extraction (stubbed codec) ----
+    "mm_features" -> ((s, d) => {
+      val assets = Multimodal.syntheticAssets(s, Tables.documents(s, d))
+      Multimodal.extractFeatures(s, assets).toDF()
+        .select(col("asset_id"), col("media_type"), col("n_bytes"), col("sha"))
+        .orderBy("asset_id")
+    }),
+
+    // ---- multimodal: frame sampling over binary payloads ----
+    "mm_frame_sample" -> ((s, d) => {
+      val assets = Multimodal.syntheticAssets(s, Tables.documents(s, d))
+      Multimodal.sampleFrames(s, assets, frameBytes = 64, stride = 2)
+        .orderBy("asset_id", "frame_idx")
+    }),
+
+    // ---- ANN LSH top-k (approximate; rows-only — compared to brute force in tests) ----
+    "d7_ann_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshBucketTopK(emb, queries, TopK)
+        .orderBy("query_id", "rank")
+    })
+  )
+
   /** DuckDB-equivalent SQL per query; column names and ordering must match the
     * Spark result exactly (the driver sorts columns by name and hash-compares
-    * values). */
-  def oracleSql: Map[String, String] = Map(
+    * values). Queries without an entry (LSH near-dup variants, multimodal
+    * decode, ANN) get the driver's rows-only check and are pinned against
+    * exact baselines in ScalaTest instead. */
+  def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql
+
+  /** Shared DuckDB fragment: distinct word-k-shingles per document, matching
+    * [[Dedup.shingles]] (k=3). */
+  private val DuckShingles =
+    """SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+      |       i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+      |FROM documents""".stripMargin
+
+  private def llmOracleSql: Map[String, String] = {
+    val paramValues = Dedup.minHashParams(NumMinHashes)
+      .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+    val sigCte =
+      s"""sh AS ($DuckShingles),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM sh),
+         |params(j, a, b) AS (VALUES $paramValues),
+         |sigs AS (SELECT doc_id, j, min((a * h + b) % ${Dedup.MinHashPrime}) AS minhash
+         |         FROM h CROSS JOIN params GROUP BY doc_id, j)""".stripMargin
+    val jaccardCte =
+      s"""jsh AS ($DuckShingles),
+         |jh AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM jsh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM jh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |          FROM jh x JOIN jh y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold)""".stripMargin
+    val langProfiles = TextOps.DefaultLangProfiles.toSeq.sortBy(_._1)
+    val langScoreCols = langProfiles.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"round(len(list_filter(toks, x -> list_contains($arr, x)))::DOUBLE / len(toks), 6) AS score_$lang"
+    }.mkString(",\n  ")
+    val greatestAll = langProfiles.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+    val langCase = langProfiles.map { case (l, _) => s"WHEN score_$l = $greatestAll THEN '$l'" }
+      .mkString("\n       ")
+
+    Map(
+      "d1_exact_dedup_groups" ->
+        """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS copies
+          |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+
+      "d2_minhash_signatures" ->
+        s"""WITH $sigCte
+           |SELECT doc_id, j, minhash FROM sigs ORDER BY doc_id, j""".stripMargin,
+
+      "d2_minhash_lsh_pairs" ->
+        s"""WITH $sigCte,
+           |banded AS (
+           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+           |  FROM sigs GROUP BY doc_id, band),
+           |cands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |$jaccardCte
+           |SELECT c.doc_a, c.doc_b, v.jaccard
+           |FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+           |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+      "d3_simhash" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token FROM documents),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(token),1,8))::BIGINT AS h FROM toks),
+          |votes AS (
+          |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits GROUP BY doc_id, b)
+          |SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "d4_jaccard_pairs" ->
+        s"""WITH $jaccardCte
+           |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin,
+
+      "d5_cosine_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    round(
+           |      list_reduce(list_transform(range(1, 65), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 6) AS cos
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id AS neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+           |ORDER BY query_id, rank""".stripMargin,
+
+      "x1_token_stats" ->
+        """SELECT doc_id,
+          |       len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens,
+          |       length(text) AS n_chars,
+          |       len(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS n_distinct_tokens,
+          |       round(length(replace(text, ' ', ''))::DOUBLE /
+          |             len(list_filter(string_split(text,' '), t -> t <> ''))::DOUBLE, 4) AS mean_token_len
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "x2_quality_score" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |raw AS (
+           |  SELECT doc_id,
+           |         least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |         len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |         len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |  FROM t)
+           |SELECT doc_id, round(ls, 4) AS length_score, round(ttr, 4) AS type_token_ratio,
+           |       round(sr, 4) AS stopword_ratio,
+           |       round(0.4 * ls + 0.3 * ttr + 0.3 * sr, 4) AS quality
+           |FROM raw ORDER BY doc_id""".stripMargin
+      },
+
+      "x3_language_id" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |s AS (
+           |  SELECT doc_id,
+           |  $langScoreCols
+           |  FROM t)
+           |SELECT doc_id, ${langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")},
+           |  CASE WHEN $greatestAll <= 0.0 THEN 'und'
+           |       $langCase
+           |       ELSE 'und' END AS predicted_lang
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+      "x4_fingerprint" ->
+        """SELECT doc_id, substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "x5_winnowing_fingerprints" ->
+        """WITH sh AS (
+          |  SELECT doc_id, u.pos, u.h FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+          |        i -> struct_pack(pos := i - 1,
+          |          h := ('0x' || substr(md5(array_to_string((string_split(text,' '))[i:i+2], ' ')),1,8))::BIGINT))) AS u
+          |    FROM documents)),
+          |win AS (
+          |  SELECT doc_id, pos, min(h) OVER (
+          |    PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS winmin
+          |  FROM sh)
+          |SELECT DISTINCT doc_id, winmin AS fingerprint FROM win WHERE pos >= 3
+          |ORDER BY doc_id, fingerprint""".stripMargin,
+
+      "mm_binary_meta" ->
+        """SELECT doc_id AS asset_id,
+          |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          |       octet_length(encode(text)) AS n_bytes,
+          |       lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+          |       sha256(text) AS sha
+          |FROM documents ORDER BY asset_id""".stripMargin
+    )
+  }
+
+  private def coreOracleSql: Map[String, String] = Map(
 
     "p1_tokenize_wordcount" ->
       """SELECT word, count(*) AS cnt

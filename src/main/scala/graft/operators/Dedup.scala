@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are built from codegen-friendly built-ins (no UDFs) and are
+  * shaped for 100 TB:
+  *
+  *   - exact dedup groups on a 128-bit content fingerprint, so the shuffle
+  *     carries (fingerprint, doc_id), never the document text;
+  *   - MinHash/LSH finds near-duplicate *candidates* via band buckets — an
+  *     equi-join on (band, band_hash) — avoiding the O(n²) all-pairs compare;
+  *     only in-bucket pairs are verified;
+  *   - n-gram Jaccard verification joins on shingle hashes (64-bit), again
+  *     never shipping text;
+  *   - SimHash gives a 32-bit locality-sensitive fingerprint whose Hamming
+  *     neighborhoods can be banded the same way.
+  *
+  * Hash derivation uses md5 prefixes (`conv(substr(md5(s),1,8),16,10)`) rather
+  * than Spark's internal hash so every step is reproducible in any engine —
+  * which is also what makes the DuckDB oracles in [[graft.SparkEntry]] possible.
+  */
+object Dedup {
+
+  /** 32-bit integer hash of a string column, engine-portable (md5 prefix). */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Word k-shingles of a text column: array of space-joined k-grams
+    * (tokens[i..i+k-1] for i in [0, size−k]); docs shorter than k tokens yield
+    * an empty array. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
+  }
+
+  /** Exact duplicate grouping: one row per distinct content fingerprint with
+    * the survivor (min doc_id) and the number of copies. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("fingerprint"), col(idCol).cast("long").as("doc_id"))
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Exact dedup: keeps the min-id document per distinct text. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** MinHash permutation parameters: (j, a_j, b_j) with odd multipliers,
+    * deterministic in the seed; p = 2^31 − 1 keeps (a·h + b) within Long. */
+  val MinHashPrime: Long = 2147483647L
+  def minHashParams(numHashes: Int, seed: Long = 42L): Seq[(Int, Long, Long)] =
+    (0 until numHashes).map { j =>
+      val a = (graft.dp.Mix.mix64(seed + 2L * j) & 0x7FFFFFFFL) | 1L
+      val b = graft.dp.Mix.mix64(seed + 2L * j + 1) & 0x7FFFFFFFL
+      (j, a, b)
+    }
+
+  /** Long-format MinHash signatures: (doc_id, j, minhash) for j in
+    * [0, numHashes). Implemented as explode(shingles) → hash → min per
+    * (doc, j); the (j, a, b) parameter table is broadcast. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val params = broadcast(minHashParams(numHashes, seed).toDF("j", "a", "b"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(shingles(col(textCol), k)).as("shingle"))
+      .distinct() // shingle *sets*, per MinHash definition
+      .withColumn("h", hash32(col("shingle")))
+      .crossJoin(params)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min((col("a") * col("h") + col("b")) % lit(MinHashPrime)).as("minhash"))
+  }
+
+  /** LSH candidate pairs: signatures banded into `numBands` rows-per-band
+    * groups; docs sharing any band bucket are candidates. Returns distinct
+    * (doc_a < doc_b) pairs. The band bucket is an equi-join key, so candidate
+    * generation is a shuffle on (band, bucket) — never all-pairs. */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into equal bands")
+    val rowsPerBand = numHashes / numBands
+    val banded = signatures
+      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      // deterministic band bucket: minhashes concatenated in j order
+      .agg(sort_array(collect_list(struct(col("j"), col("minhash")))).as("sig"))
+      .select(col("doc_id"), col("band"),
+        md5(array_join(expr("transform(sig, s -> cast(s.minhash as string))"), ",")).as("bucket"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard similarity over shingle-hash sets for given pairs or for
+    * all pairs sharing ≥1 shingle (set `pairs = None` for the self-join form).
+    * Join happens on 64-bit shingle hashes; |A|,|B| are pre-aggregated. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(shingles(col(textCol), k)).as("shingle"))
+      .distinct()
+      .withColumn("h", hash32(col("shingle")))
+      .select("doc_id", "h")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.h") === col("y.h"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over token occurrences: bit b set iff the sum of ±1 votes
+    * (tokens whose hash has bit b set vote +1) is positive. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bits = broadcast((0 until 32).toDF("b"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .withColumn("h", hash32(col("token")))
+      .crossJoin(bits)
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *
+  *   - [[bruteForceTopK]] — exact cosine top-k, the correctness baseline:
+  *     O(queries × corpus) dot products via `zip_with`/`aggregate` (codegen'd
+  *     higher-order functions, left-fold in index order so the result is
+  *     bit-reproducible across engines).
+  *   - [[lshBucketTopK]] — the scale path: random-hyperplane LSH buckets the
+  *     corpus, candidates are the query's bucket (plus probes), and only
+  *     candidates get exact scoring. At 100 TB the bucket join replaces the
+  *     all-pairs cross join; recall is tunable via bits/probes.
+  *
+  * An IVF refinement (k-means coarse quantizer) follows the same skeleton with
+  * learned centroids instead of random hyperplanes; hyperplanes need no
+  * training pass, which keeps this operator deterministic and self-contained.
+  */
+object Similarity {
+
+  /** Cosine similarity between two double-array columns, left-fold order.
+    * All arithmetic in double; engine-portable bit-for-bit. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param queries   (query_id, embedding) — small side, broadcast
+    * @param corpus    (vec_id, embedding)
+    * @param k         neighbors per query (query itself excluded)
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb")))
+    val scored = c.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `bits` vectors of ±1-ish doubles per
+    * dimension, seeded. Returned as a literal array-of-arrays column. */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (b, i) =>
+      // symmetric deterministic pseudo-noise in [-1, 1)
+      (graft.dp.Mix.mix64(seed + b * 1024L + i) >>> 11) * (2.0 / (1L << 53)) - 1.0
+    }
+
+  /** Sign-bucket signature: bit b = 1 iff dot(plane_b, v) > 0. */
+  def lshSignature(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bitCols = planes.zipWithIndex.map { case (p, b) =>
+      val planeCol = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(planeCol, emb, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Multi-table bucket column: array of (table, bucket) structs, one per
+    * hash table, each table using its own `bitsPerTable` hyperplanes.
+    * OR-amplification: a pair is a candidate if it collides in ANY table —
+    * recall 1 − (1 − p^b)^T for per-bit agreement probability p. A single
+    * table's recall collapses for moderate-cosine pairs (p^bits); multiple
+    * smaller tables fix that at the cost of more candidates. */
+  private def tableBuckets(emb: Column, dim: Int, bitsPerTable: Int, numTables: Int, seed: Long): Column =
+    array((0 until numTables).map { t =>
+      val planes = hyperplanes(dim, bitsPerTable, seed + 7919L * t)
+      struct(lit(t).as("tbl"), lshSignature(emb, planes).as("bucket"))
+    }: _*)
+
+  /** LSH-bucketed approximate top-k: candidates collide with the query in at
+    * least one hash table; exact cosine on candidates only. Same schema as
+    * [[bruteForceTopK]]; queries whose buckets hold fewer than k distinct
+    * candidates return fewer rows — the recall/cost trade-off of the scale
+    * path. At 100 TB the (tbl, bucket) equi-join replaces the cross join. */
+  def lshBucketTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("tb", explode(tableBuckets(col("emb"), dim, bitsPerTable, numTables, seed)))
+      .select(col("vec_id"), col("emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("tb", explode(tableBuckets(col("q_emb"), dim, bitsPerTable, numTables, seed)))
+      .select(col("query_id"), col("q_emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    val candidates = c.join(q, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("emb"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = candidates.withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold — the
+    * embedding-space analogue of [[Dedup.jaccardPairs]]. Multi-table LSH
+    * generates candidates; only colliding pairs are scored exactly. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("tb", explode(tableBuckets(col("emb"), dim, bitsPerTable, numTables, seed)))
+      .select(col("vec_id"), col("emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = c.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("tbl"), col("bucket"))
+    val b = c.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+}

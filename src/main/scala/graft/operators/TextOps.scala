@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token statistics,
+  * quality scoring, language identification, and content fingerprinting.
+  * All codegen-friendly built-ins; every step is reproducible in plain SQL
+  * (and therefore DuckDB-oracle-checkable).
+  */
+object TextOps {
+
+  /** Whitespace tokens (empties dropped). */
+  def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+
+  /** Per-document token statistics: token count, char count, distinct tokens,
+    * mean token length. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(array_distinct(tokens(col(textCol)))).cast("long").as("n_distinct_tokens"),
+      round(length(replace(col(textCol), lit(" "), lit(""))).cast("double") /
+        size(tokens(col(textCol))).cast("double"), 4).as("mean_token_len"))
+
+  /** Quality heuristics in [0,1]: length score (saturating at `goodLen`
+    * tokens), type-token ratio, stopword ratio against a profile list, and a
+    * blended quality score. Mirrors the common pre-training quality filters
+    * (length/stopword/repetition heuristics). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = DefaultStopwords, goodLen: Int = 50): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(toks).cast("double")
+    val lengthScore = least(lit(1.0), nTok / lit(goodLen.toDouble))
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      round(lengthScore, 4).as("length_score"),
+      round(ttr, 4).as("type_token_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * stopRatio, 4).as("quality"))
+  }
+
+  /** Stopword-profile language identification: score = fraction of tokens in
+    * each language's profile; prediction = argmax (ties → lexicographically
+    * first language, 'und' when nothing matches). The classic trigram/stopword
+    * n-gram heuristic, expressed relationally. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+      profiles: Map[String, Seq[String]] = DefaultLangProfiles): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val scoreCols = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      (lang, size(filter(toks, t => array_contains(arr, t))).cast("double") / nTok)
+    }
+    val scored = docs.select(
+      (col(idCol).cast("long").as("doc_id") +: scoreCols.map { case (l, c) =>
+        round(c, 6).as(s"score_$l")
+      }): _*)
+    // argmax with deterministic tie-break: fold over languages in sorted order
+    val (bestLang, _) = scoreCols.foldLeft((lit("und"), lit(0.0))) {
+      case ((bl, bs), (lang, _)) =>
+        val sc = col(s"score_$lang")
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    scored.withColumn("predicted_lang", bestLang)
+  }
+
+  /** Content fingerprint: 16-hex-char prefix of md5 over the normalized text
+    * (lower, trimmed, whitespace-collapsed). The cheap exact-dedup key; a
+    * rolling/winnowing variant lives in [[TextOps.winnowingFingerprints]]. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      substring(md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")), 1, 16)
+        .as("fingerprint"))
+
+  /** Winnowing-style fingerprints: minimum shingle hash per sliding window of
+    * `w` consecutive k-shingles — the standard local fingerprinting scheme
+    * (Schleimer et al.), giving position-robust dedup keys. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(Dedup.shingles(col(textCol), k)).as(Seq("pos", "shingle")))
+      .withColumn("h", Dedup.hash32(col("shingle")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sh.withColumn("winmin", min(col("h")).over(win))
+      .where(col("pos") >= w - 1)
+      .select(col("doc_id"), col("winmin").as("fingerprint"))
+      .distinct()
+  }
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Tiny illustrative stopword profiles (en/es/de/fr). Real deployments load
+    * larger profiles; the operator shape is identical. */
+  val DefaultLangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "en", "que"))
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, Tables}
+import graft.dp.{DpParams, NoiseSource, StreamingDpMechanism}
+
+/** Spark-level operator tests: pins the distributed operators against
+  * single-node baselines (the DP batch operator vs the in-memory mechanism,
+  * LSH ANN vs brute force) and exercises the plumbing that has no DuckDB
+  * oracle (multimodal codec path). Uses sf0.001 for speed. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("DpHistogram.run matches the single-node mechanism, sigma=0 with mu gate") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
+        col("user_id").cast("string").as("user_id"), col("value"))
+    val params = DpParams.zeroNoise(32, mu = 40)
+
+    // distributed
+    val preAgg = CoreOps.preAggregate(events.toDF(), "key", "epoch", "user_id", "value")
+    val distributed = DpHistogram.run(spark, preAgg, params)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    // single-node replay in epoch order
+    val mech = new StreamingDpMechanism(params, (_, _) => NoiseSource.Zero)
+    val rows = events.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    for (epoch <- 0 until 32) {
+      rows.filter(_._2 == epoch).foreach { case (k, _, u, v) => mech.addContribution(u, k, v) }
+      mech.snapshot()
+    }
+    val single = mech.produceHistogram()
+    assert(distributed === single)
+  }
+
+  test("DpHistogram.run with seeded noise is deterministic across runs") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
+        col("user_id").cast("string").as("user_id"), col("value"))
+    val preAgg = CoreOps.preAggregate(events.toDF(), "key", "epoch", "user_id", "value")
+    val params = DpParams(5.0, 10.0, graft.dp.Stats.inverseNormalCdf(1 - 1e-4), 32, 5, 50)
+    val a = DpHistogram.run(spark, preAgg, params, runSeed = 7L).collect().toSeq
+    val b = DpHistogram.run(spark, preAgg, params, runSeed = 7L).collect().toSeq
+    val c = DpHistogram.run(spark, preAgg, params, runSeed = 8L).collect().toSeq
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("LSH top-k cosine scores are exact and ranks are bucket-consistent") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    // exact all-pairs scores as ground truth for score correctness
+    val allScores = Similarity.bruteForceTopK(emb, queries, Int.MaxValue - 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val lsh = Similarity.lshBucketTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(lsh.nonEmpty)
+    // every LSH candidate's cosine must equal the exact score, and ranks must
+    // be strictly ordered within a query
+    lsh.foreach { case (q, _, n, cos) => assert(allScores((q, n)) === cos, s"score mismatch for ($q,$n)") }
+    lsh.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall(w => w.length < 2 || w(0)._4 >= w(1)._4))
+    }
+  }
+
+  test("LSH recall at the near-dup threshold: bucketed pairs find the high-cosine pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // brute-force ground truth above threshold
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val truth = a.crossJoin(b).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(Similarity.cosine(
+        transform(col("ea"), x => x.cast("double")), transform(col("eb"), x => x.cast("double"))), 6))
+      .where(col("cos") >= 0.4)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Similarity.cosineNearDupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth), "LSH reported a pair below threshold")
+    if (truth.nonEmpty) {
+      val recall = found.size.toDouble / truth.size
+      // multi-table OR-amplification: p≈0.63/bit at cos 0.4, 1-(1-p^4)^8 ≈ 0.74
+      assert(recall >= 0.5, s"LSH recall $recall too low (found ${found.size}/${truth.size})")
+    }
+  }
+
+  test("MinHash-LSH candidates achieve full recall on the planted near-duplicates") {
+    val docs = Tables.documents(spark, sfDir)
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
+    val cands = Dedup.lshCandidatePairs(sigs, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain planted near-duplicates")
+    val missed = truth -- cands
+    assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
+  }
+
+  test("multimodal: feature extraction is deterministic and batch shape is correct") {
+    val assets = Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir))
+    val f1 = Multimodal.extractFeatures(spark, assets, featureDim = 8).collect()
+    val f2 = Multimodal.extractFeatures(spark, assets, featureDim = 8).collect()
+    assert(f1.length === assets.count())
+    assert(f1.map(_.asset_id).toSeq === f2.map(_.asset_id).toSeq)
+    assert(f1.head.feature.length === 8)
+    val byId1 = f1.map(f => f.asset_id -> f.feature.toSeq).toMap
+    val byId2 = f2.map(f => f.asset_id -> f.feature.toSeq).toMap
+    assert(byId1 === byId2)
+  }
+
+  test("multimodal: frame sampling slices stride-aligned fixed windows") {
+    val assets = Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir))
+    val frames = Multimodal.sampleFrames(spark, assets, frameBytes = 64, stride = 2)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) === 64))
+    assert(rows.forall(_.getInt(1) % 2 === 0))
+  }
+
+  test("multimodal: resize preserves aspect ratio and caps the long side") {
+    val assets = Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir)).toDF()
+    val resized = Multimodal.resizeMeta(assets, maxSide = 64).collect()
+    assert(resized.forall(r => r.getInt(1) <= 64 && r.getInt(2) <= 64))
+  }
+
+  test("every declared query runs and every oracle name has a query") {
+    val qs = SparkEntry.queries
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
+    // smoke the flagship
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
