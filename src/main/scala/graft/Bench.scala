@@ -1,23 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.dp.DpParams
+import graft.operators.{CoreOps, DpHistogram}
+import graft.sources.SyntheticSource
+
+/** Per-round benchmark main: times every declared query on
+  * `SPARK_GRAFT_SF_DIR` plus two synthetic DP-SQLP workloads mirroring the
+  * reference's benchmark harnesses (BASELINE.md):
+  *
+  *   - `synthetic_dp_t20`: Zipf-keyed contributions → bounding-shaped
+  *     pre-aggregation → full DP mechanism over 20 epochs (the §5.1 workload
+  *     shape at reduced scale);
+  *   - `microbatch_0_1gb`: byte-budget batch (0.1 GB at the reference's
+  *     31 B/tuple accounting) through generate → clamp → histogram, the
+  *     baseline micro-batch throughput measure (GB/s = size/duration).
+  *
+  * Prints exactly one JSON line: {"metric":"total","value":…,"unit":"sec",
+  * "queries":{…},"sf":…}.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(body: => Long): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 })
+    }
+
+    val synthetic = Seq(
+      "synthetic_dp_t20" -> (try time {
+        val contrib = SyntheticSource.zipfContributions(spark, 2000000L, 100000, 50000, 20)
+        val preAgg = CoreOps.preAggregate(contrib.toDF(), "key", "epoch", "userId", "value")
+        DpHistogram.run(spark, preAgg, DpParams.zeroNoise(20, mu = 10)).count()
+      } catch { case _: Throwable => -1.0 }),
+      "microbatch_0_1gb" -> (try time {
+        val n = SyntheticSource.recordsForGb(0.1)
+        val contrib = SyntheticSource.zipfContributions(spark, n, 100000, 50000, 1)
+        contrib.toDF()
+          .withColumn("value", CoreOps.clamp(col("value"), 1.0))
+          .groupBy("key").agg(sum(col("value")).as("count"))
+          .count()
+      } catch { case _: Throwable => -1.0 }))
+
+    val all = queryTimes ++ synthetic
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -327,6 +327,15 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- S3: seeded Zipf-Mandelbrot synthetic workload (rows-only; golden-
+    //      pinned in SyntheticSourceSpec — no input table, so no SQL oracle) ----
+    "s3_zipf_freq" -> ((s, d) => {
+      graft.sources.SyntheticSource.zipfContributions(s, 100000L, 1000, 500, 4).toDF()
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("key"))
+        .limit(50)
+    }),
+
     // ---- ANN LSH top-k (approximate; rows-only — compared to brute force in tests) ----
     "d7_ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.dp._
+
+/** A bounded, clamped contribution flowing through the streaming pipeline. */
+final case class Contribution(key: String, epoch: Int, userId: String, value: Double)
+
+/** A released histogram update: the key's new noisy sum as of `epoch`. */
+final case class Release(key: String, epoch: Int, count: Long)
+
+/** Structured Streaming restatement of the reference topology (SURVEY §3.1):
+  *
+  * {{{
+  * source → tokenize → boundContributions (keyed by user)
+  *        → dpHistogram (keyed by aggregation key) → sink carry-forward
+  * }}}
+  *
+  * The driver's micro-batch barrier replaces the reference's entire ZooKeeper
+  * epoch coordination (EpochBarrierCoordinator.java:40-271) — every trigger is
+  * a globally-consistent epoch. Keyed state replaces per-enclave state:
+  *
+  *   - contribution bounding: `flatMapGroupsWithState` keyed by user holding
+  *     one Long (contributions used) — the streaming form of
+  *     UserContributionLimiter (B1);
+  *   - DP histogram: `flatMapGroupsWithState` keyed by aggregation key
+  *     holding a [[graft.dp.DpKeyState]] (selection + histogram trees, Algo
+  *     1-4). Epochs ride on the data (`Contribution.epoch`), so batch replay
+  *     and live triggers agree; a key processes its silent predicted-release
+  *     epochs (Algo 3) lazily when next observed, and eagerly via processing-
+  *     time timeout when it goes quiet.
+  *
+  * Emitted [[Release]] rows are deltas; the sink keeps the carried-forward
+  * full histogram (SURVEY §7.5.4 — at key cardinality, driver-side is cheap).
+  */
+object StreamingPipelines {
+
+  private implicit def stateEncoder: Encoder[BoundingState] = Encoders.kryo[BoundingState]
+  private implicit def dpStateEncoder: Encoder[DpStreamState] = Encoders.kryo[DpStreamState]
+
+  final case class BoundingState(var used: Long)
+
+  /** Per-key streaming DP state: the key's DP-SQLP state machine plus the last
+    * epoch it processed (for catching up silent predicted releases). */
+  final case class DpStreamState(state: DpKeyState, var lastEpoch: Int)
+
+  /** Streaming contribution bounding: admits each user's first `c`
+    * contributions across the whole stream (cross-epoch, like the reference's
+    * never-resetting limiter — UserContributionLimiter.java:12). */
+  def boundContributions(input: Dataset[Contribution], c: Long): Dataset[Contribution] = {
+    import input.sparkSession.implicits._
+    input
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Contribution], state: GroupState[BoundingState]) => {
+          val st = state.getOption.getOrElse(BoundingState(0L))
+          val admitted = rows.toSeq.sortBy(r => (r.epoch, r.value)).iterator.takeWhile { _ =>
+            if (st.used < c) { st.used += 1; true } else false
+          }.toList
+          state.update(st)
+          admitted.iterator
+        })
+  }
+
+  /** Streaming DP-SQLP histogram over data-carried epochs. Feed triggers in
+    * epoch order (one or more epochs per trigger); emits a [[Release]] for
+    * every epoch at which a key's noisy sum is (re)released.
+    *
+    * Algo 3 silent releases are caught up lazily: a key's pending predicted
+    * release fires when the key is next observed (the reference discards or
+    * consumes predictions the same way when a key reappears —
+    * StreamingDPMechanism.java:331-365). A key that NEVER reappears only
+    * releases in the batch replay ([[graft.operators.DpHistogram]]), which is
+    * the exact path; a state timer (`transformWithState` timers) is the
+    * planned upgrade. We deliberately avoid `GroupStateTimeout.
+    * ProcessingTimeTimeout` here: registering timeouts makes the micro-batch
+    * engine trigger continuously even with no data (measured: thousands of
+    * empty batches), which is wasteful at any scale. */
+  def dpHistogram(input: Dataset[Contribution], params: DpParams, runSeed: Long = 42L): Dataset[Release] = {
+    import input.sparkSession.implicits._
+    input
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Contribution], state: GroupState[DpStreamState]) => {
+          val st = state.getOption.getOrElse(
+            DpStreamState(new DpKeyState(
+              params,
+              () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaKey,
+                NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
+              () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaHist,
+                NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist")))), -1))
+
+          val out = Seq.newBuilder[Release]
+
+          def processSilentUpTo(epoch: Int): Unit = {
+            // Algo 3: fire any predicted releases strictly before `epoch`.
+            var p = st.state.predictedRelease
+            while (p.exists(pr => pr > st.lastEpoch && pr < epoch)) {
+              val pr = p.get
+              st.state.processEpoch(pr, Nil, 0.0, appeared = false)
+                .foreach(s => out += Release(key, pr, math.max(0L, math.round(s))))
+              st.lastEpoch = pr
+              p = st.state.predictedRelease
+            }
+          }
+
+          val byEpoch = rows.toSeq.groupBy(_.epoch).toSeq.sortBy(_._1)
+          byEpoch.foreach { case (epoch, rs) =>
+            if (epoch > st.lastEpoch && epoch < params.maxTimeSteps) {
+              processSilentUpTo(epoch)
+              st.state.processEpoch(epoch, rs.map(_.userId), rs.map(_.value).sum, appeared = true)
+                .foreach(s => out += Release(key, epoch, math.max(0L, math.round(s))))
+              st.lastEpoch = epoch
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
+  /** Tokenize a raw text stream into contributions (P1 streaming form). */
+  def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap { case (text, epoch, userId) =>
+      text.toLowerCase.split("\\W+").iterator.filter(_.nonEmpty)
+        .map(w => Contribution(w, epoch, userId, 1.0))
+    }
+  }
+
+  /** Runs the full streaming pipeline over a memory-sink query and returns the
+    * carried-forward histogram map maintained at the sink. Intended for tests
+    * and local replays (epoch-ordered feeding). */
+  def carryForwardSink(releases: Dataset[Release], queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    releases.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Tables
+import graft.dp.DpParams
+import graft.operators.{CoreOps, DpHistogram}
+
+/** Streaming/batch agreement: the streaming DP pipeline replayed epoch-by-
+  * epoch must produce the same final histogram as the batch operator — the
+  * invariant the reference pins with its zero-noise tests, plus seeded-noise
+  * equality (same trees, same noise, same releases). */
+class StreamingSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.checkpointLocation", s"/tmp/graft_ckpt_${System.nanoTime()}")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def eventContributions(): Seq[Contribution] = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), dayofmonth(col("ts")).cast("int"), col("user_id").cast("string"), col("value"))
+      .collect()
+      .map(r => Contribution(r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+  }
+
+  private def streamHistogram(params: DpParams, contributions: Seq[Contribution], queryName: String): Map[String, Long] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Contribution]
+    val releases = StreamingPipelines.dpHistogram(mem.toDS(), params)
+    val q = StreamingPipelines.carryForwardSink(releases, queryName)
+    try {
+      contributions.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        mem.addData(rows)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // carry-forward: latest release per key
+    spark.table(queryName)
+      .orderBy(col("epoch"))
+      .collect()
+      .foldLeft(Map.empty[String, Long]) { (acc, r) => acc + (r.getString(0) -> r.getLong(2)) }
+  }
+
+  test("streaming sigma=0 mu=0 equals batch DP histogram") {
+    val params = DpParams.zeroNoise(32)
+    val contrib = eventContributions()
+    val streamed = streamHistogram(params, contrib, "s0")
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
+        col("user_id").cast("string").as("user_id"), col("value"))
+    val preAgg = CoreOps.preAggregate(events, "key", "epoch", "user_id", "value")
+    val batch = DpHistogram.run(spark, preAgg, params)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    assert(streamed === batch)
+  }
+
+  test("streaming seeded noise with mu gate equals batch run (same trees, same releases)") {
+    val params = DpParams(3.0, 6.0, graft.dp.Stats.inverseNormalCdf(1 - 1e-3), 32, 20, 50)
+    val contrib = eventContributions()
+    val streamed = streamHistogram(params, contrib, "s1")
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
+        col("user_id").cast("string").as("user_id"), col("value"))
+    val preAgg = CoreOps.preAggregate(events, "key", "epoch", "user_id", "value")
+    val batch = DpHistogram.run(spark, preAgg, params)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    assert(streamed === batch)
+  }
+
+  test("streaming contribution bounding admits exactly C per user across epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Contribution]
+    val bounded = StreamingPipelines.boundContributions(mem.toDS(), c = 3)
+    val q = bounded.writeStream.outputMode("append").format("memory").queryName("bnd").start()
+    try {
+      mem.addData(Seq(
+        Contribution("k1", 0, "u1", 1.0), Contribution("k2", 0, "u1", 1.0),
+        Contribution("k1", 0, "u2", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        Contribution("k3", 1, "u1", 1.0), Contribution("k4", 1, "u1", 1.0),
+        Contribution("k5", 1, "u2", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.table("bnd").collect()
+    val perUser = admitted.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(perUser("u1") === 3) // 2 in epoch 0 + first 1 of epoch 1
+    assert(perUser("u2") === 2)
+  }
+
+  test("streaming word-count pipeline end to end (tokenize -> bound -> dp)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, String)]
+    val pipeline = StreamingPipelines.dpHistogram(
+      StreamingPipelines.boundContributions(
+        StreamingPipelines.tokenize(mem.toDS()), c = 100),
+      DpParams.zeroNoise(8))
+    val q = StreamingPipelines.carryForwardSink(pipeline, "wc")
+    try {
+      mem.addData(("spark makes storms look easy", 0, "alice"))
+      q.processAllAvailable()
+      mem.addData(("spark spark again", 1, "bob"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = spark.table("wc").orderBy(col("epoch")).collect()
+      .foldLeft(Map.empty[String, Long]) { (acc, r) => acc + (r.getString(0) -> r.getLong(2)) }
+    assert(hist("spark") === 3L)
+    assert(hist("easy") === 1L)
+    assert(hist("again") === 1L)
+  }
+}
