@@ -243,13 +243,12 @@ object SparkEntry {
         .orderBy("doc_id", "j")
     }),
 
-    // ---- MinHash + LSH banding + exact-Jaccard verification ----
+    // ---- MinHash + LSH banding + candidates-only exact-Jaccard verification ----
     "d2_minhash_lsh_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
       val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
-      val verified = Dedup.jaccardPairs(docs, "doc_id", "text", ShingleK, JaccardThreshold)
-      candidates.join(verified, Seq("doc_a", "doc_b"))
+      Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", ShingleK, candidates, JaccardThreshold)
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -124,6 +124,25 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact Jaccard verification restricted to candidate pairs: joins each
+    * side's distinct shingle-hash set (one array per doc) and intersects
+    * in-memory — no shingle-level self-join. At scale this is the correct
+    * second stage after [[lshCandidatePairs]]: work is O(|candidates| ×
+    * shingles/doc), independent of the corpus pair count. */
+  def verifyCandidatesJaccard(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      candidates: DataFrame, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).cast("long").as("doc_id"),
+      sort_array(array_distinct(transform(shingles(col(textCol), k), s => hash32(s)))).as("hs"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** 32-bit SimHash over token occurrences: bit b set iff the sum of ±1 votes
     * (tokens whose hash has bit b set vote +1) is positive. */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -34,6 +34,18 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** L2-normalized copy of a double-array column: pre-normalizing once per
+    * vector turns every pairwise cosine into a single dot product — 3× less
+    * arithmetic on the pair path, which is what dominates bucketed scoring. */
+  private def normalized(c: Column): Column = {
+    val n = sqrt(aggregate(c, lit(0.0), (acc, v) => acc + v * v))
+    transform(c, x => x / n)
+  }
+
+  /** Dot product of two equal-length double arrays (left-fold order). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param queries   (query_id, embedding) — small side, broadcast
@@ -111,15 +123,15 @@ object Similarity {
     * generates candidates; only colliding pairs are scored exactly. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val c = corpus.select(col("vec_id"), normalized(asDouble(col("embedding"))).as("emb"))
       .withColumn("tb", explode(tableBuckets(col("emb"), dim, bitsPerTable, numTables, seed)))
       .select(col("vec_id"), col("emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val a = c.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("tbl"), col("bucket"))
     val b = c.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket"))
+    c.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("tbl"), col("bucket"))
+      .join(b, Seq("tbl", "bucket"))
       .where(col("vec_a") < col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos", round(dot(col("emb_a"), col("emb_b")), 6))
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
