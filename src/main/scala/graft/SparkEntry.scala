@@ -326,6 +326,50 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // ---- P6+P7+P1 composed: confidential word count. Documents are sealed
+    //      with routing AAD (spout→split), route-validated, unsealed, then
+    //      tokenized — the sigma=0 pipeline is the identity through the
+    //      crypto layer, so the plaintext word-count SQL is the oracle and
+    //      the DuckDB gate itself verifies the AEAD roundtrip. ----
+    "p6_confidential_wordcount" -> ((s, d) => {
+      val codec = new operators.SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
+      val sealedDocs = Tables.documents(s, d).select(
+        col("doc_id"),
+        operators.SealedColumns.sealColumn(col("text"), col("doc_id"), "spout", "split",
+          concat(lit("p"), col("doc_id") % 4), codec).as("payload"))
+      val unsealed = sealedDocs.select(col("doc_id"),
+        operators.SealedColumns.unsealColumn(col("payload"), "spout", "split", codec).as("text"))
+        .where(col("text").isNotNull)
+      CoreOps.tokenize(unsealed, "text")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    }),
+
+    // ---- P7 negative path: wrong expected route drops everything ----
+    "p7_route_validation" -> ((s, d) => {
+      val codec = new operators.SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
+      val sealedDocs = Tables.documents(s, d).select(
+        col("doc_id"),
+        operators.SealedColumns.sealColumn(col("text"), col("doc_id"), "spout", "split",
+          concat(lit("p"), col("doc_id") % 4), codec).as("payload"))
+      val good = operators.SealedColumns.unsealColumn(col("payload"), "spout", "split", codec)
+      val badRoute = operators.SealedColumns.unsealColumn(col("payload"), "spout", "perturbation", codec)
+      sealedDocs.agg(
+        sum(when(good.isNotNull, 1L).otherwise(0L)).as("valid_route"),
+        sum(when(badRoute.isNotNull, 1L).otherwise(0L)).as("invalid_route"))
+    }),
+
+    // ---- P8: replay filter (first occurrence per producer+seq survives) ----
+    "p8_replay_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        concat(lit("p"), col("doc_id") % 4).as("producer"),
+        (col("doc_id") % 100).as("seq"), col("doc_id"))
+      val replayed = docs.union(docs) // every record delivered twice
+      operators.SealedColumns.replayFilter(replayed, "producer", "seq", "doc_id")
+        .groupBy("producer").agg(count(lit(1)).as("accepted"))
+        .orderBy("producer")
+    }),
+
     // ---- S3: seeded Zipf-Mandelbrot synthetic workload (rows-only; golden-
     //      pinned in SyntheticSourceSpec — no input table, so no SQL oracle) ----
     "s3_zipf_freq" -> ((s, d) => {
@@ -388,6 +432,19 @@ object SparkEntry {
       .mkString("\n       ")
 
     Map(
+      // identity-through-crypto: plaintext word count IS the oracle (see query doc)
+      "p6_confidential_wordcount" ->
+        """SELECT word, count(*) AS cnt
+          |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+      "p7_route_validation" ->
+        """SELECT count(*) AS valid_route, CAST(0 AS BIGINT) AS invalid_route FROM documents""".stripMargin,
+
+      "p8_replay_filter" ->
+        """SELECT 'p' || (doc_id % 4) AS producer, count(DISTINCT doc_id % 100) AS accepted
+          |FROM documents GROUP BY producer ORDER BY producer""".stripMargin,
+
       "d1_exact_dedup_groups" ->
         """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS copies
           |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.crypto._
+
+/** Confidential-mode column operators: AEAD-sealed `binary` columns with
+  * AAD-bound routing validation — the Spark-native form of the reference's
+  * sealed tuple envelope (P6/P7/P8, SURVEY §2.2). Payloads move between
+  * pipeline stages as (aad, nonce, ciphertext) struct columns; every stage
+  * verifies the AAD route before unsealing, exactly like
+  * ConfidentialBoltService.verify (ConfidentialBoltService.java:191-281).
+  *
+  * Crypto runs in Scala UDFs (SURVEY §4.3.3: a custom codegen Expression is
+  * only warranted if sealing shows up in profiles — AES-GCM dominates either
+  * way). One [[SealedPayload]] codec per executor via lazy transient init.
+  *
+  * Replay protection in batch mode is relational: a record is accepted if it
+  * is the first occurrence of its (producer, seq) — semantically the
+  * reference's per-producer window with an unbounded horizon
+  * (ReplayWindow.java:44-105); the streaming form keeps the actual bounded
+  * window in keyed state.
+  */
+object SealedColumns {
+
+  /** Serializable codec factory; the Cipher machinery is per-JVM transient. */
+  final class Codec(keyBytes: Array[Byte], schemeName: String) extends Serializable {
+    @transient lazy val payload: SealedPayload = new SealedPayload(keyBytes, schemeName match {
+      case "chacha20" => Scheme.ChaCha20Poly1305
+      case "aes-gcm" => Scheme.Aes256Gcm
+      case _ => Scheme.None
+    })
+  }
+
+  /** Seals a string column into an (aad, nonce, ciphertext) struct with
+    * routing AAD. Nonce is derived deterministically from (seed, seq) — at
+    * scale this keeps sealing retry-idempotent; uniqueness per (key, seq) is
+    * the caller's contract, as with any counter-based AEAD nonce. */
+  def sealColumn(text: Column, seq: Column, source: String, destination: String,
+      producer: Column, codec: Codec, nonceSeed: Long = 42L): Column = {
+    val sealUdf = udf { (t: String, sq: Long, prod: String) =>
+      val nonce = new Array[Byte](12)
+      var x = graft.dp.Mix.mix64(nonceSeed ^ sq)
+      var i = 0
+      while (i < 12) { nonce(i) = (x >>> ((i % 8) * 8)).toByte; if (i == 7) x = graft.dp.Mix.mix64(x); i += 1 }
+      val aad = Aad(source = Some(source), destination = Some(destination),
+        producerId = Some(prod), seq = Some(sq))
+      val ev = codec.payload.sealWithNonce(t.getBytes("UTF-8"), aad, nonce)
+      (ev.associatedData, ev.nonce, ev.ciphertext)
+    }
+    sealUdf(text, seq, producer).cast("struct<aad:binary,nonce:binary,ciphertext:binary>")
+  }
+
+  /** Route-validates and unseals; returns null for invalid routes or failed
+    * authentication (callers filter, mirroring the reference's drop-on-
+    * SecurityException behavior). */
+  def unsealColumn(sealedCol: Column, expectedSource: String, expectedDestination: String,
+      codec: Codec): Column = {
+    val unsealUdf = udf { (aad: Array[Byte], nonce: Array[Byte], ct: Array[Byte]) =>
+      val ev = EncryptedValue(aad, nonce, ct)
+      if (!codec.payload.isRouteValid(ev, expectedSource, expectedDestination)) null
+      else try new String(codec.payload.unseal(ev), "UTF-8")
+      catch { case _: SecurityException => null }
+    }
+    unsealUdf(sealedCol.getField("aad"), sealedCol.getField("nonce"), sealedCol.getField("ciphertext"))
+  }
+
+  /** Batch replay filter: keeps the first occurrence of each (producer, seq),
+    * dropping duplicates/replays deterministically (earliest by `orderCol`). */
+  def replayFilter(df: DataFrame, producerCol: String, seqCol: String, orderCol: String): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(producerCol), col(seqCol)).orderBy(col(orderCol))))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+}
