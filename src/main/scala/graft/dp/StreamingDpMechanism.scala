@@ -38,6 +38,12 @@ object DpParams {
   }
 }
 
+/** Serializable recipe for building a noisy aggregation tree — plain data
+  * (no closures) so per-key state survives Kryo/state-store round trips. */
+final case class TreeSpec(steps: Int, sigma: Double, noise: NoiseSource) extends Serializable {
+  def build(): BinaryAggregationTree = BinaryAggregationTree(steps, sigma, noise)
+}
+
 /** Per-key DP-SQLP state machine — Algorithms 1 (streaming private key
   * selection), 2 (hierarchical perturbation), and 3 (empty-key release
   * prediction) for ONE aggregation key, stepped once per epoch.
@@ -62,8 +68,8 @@ object DpParams {
   */
 final class DpKeyState(
     params: DpParams,
-    newKeyTree: () => BinaryAggregationTree,
-    newHistTree: () => BinaryAggregationTree)
+    keyTreeSpec: TreeSpec,
+    histTreeSpec: TreeSpec)
     extends Serializable {
 
   private var keyTree: BinaryAggregationTree = _
@@ -103,7 +109,7 @@ final class DpKeyState(
     // Algo 1 step 5: lazily (re-)create the selection tree; fresh round ⇒
     // fresh observed-user tracking.
     if (keyTree == null) {
-      keyTree = newKeyTree()
+      keyTree = keyTreeSpec.build()
       observedUsers.clear()
     }
 
@@ -117,7 +123,7 @@ final class DpKeyState(
     val tau = math.sqrt(keyTree.getHonakerVariance(timeStep)) * params.thresholdQuantile
     if (noisyUniqueUsers >= params.mu.toDouble + tau) {
       // Selected: Algo 2 hierarchical perturbation over the histogram tree.
-      if (histTree == null) histTree = newHistTree()
+      if (histTree == null) histTree = histTreeSpec.build()
       histTree.addToTree(timeStep, unreleasedBuffer)
       val noisySum = histTree.getTotalSum(timeStep)
       currentSumValue = noisySum
@@ -170,8 +176,8 @@ final class StreamingDpMechanism(
   private def stateFor(key: String): DpKeyState =
     states.getOrElseUpdate(key, new DpKeyState(
       params,
-      () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaKey, noiseFor(key, "key")),
-      () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaHist, noiseFor(key, "hist"))))
+      TreeSpec(params.maxTimeSteps, params.sigmaKey, noiseFor(key, "key")),
+      TreeSpec(params.maxTimeSteps, params.sigmaHist, noiseFor(key, "hist"))))
 
   /** Records one bounded, clamped contribution in the current window. */
   def addContribution(userId: String, key: String, clampedCount: Double): Unit = {

@@ -44,9 +44,9 @@ object DpHistogram {
       .flatMapGroups { (key, rows) =>
         val state = new DpKeyState(
           params,
-          () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaKey,
+          TreeSpec(params.maxTimeSteps, params.sigmaKey,
             NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
-          () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaHist,
+          TreeSpec(params.maxTimeSteps, params.sigmaHist,
             NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist"))))
         val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
         var epoch = 0
@@ -82,9 +82,9 @@ object DpHistogram {
       .flatMapGroups { (key, rows) =>
         val state = new DpKeyState(
           params,
-          () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaKey,
+          TreeSpec(params.maxTimeSteps, params.sigmaKey,
             NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
-          () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaHist,
+          TreeSpec(params.maxTimeSteps, params.sigmaHist,
             NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist"))))
         val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
         val out = Seq.newBuilder[(Int, String, Long)]

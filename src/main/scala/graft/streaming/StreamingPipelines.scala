@@ -86,9 +86,9 @@ object StreamingPipelines {
           val st = state.getOption.getOrElse(
             DpStreamState(new DpKeyState(
               params,
-              () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaKey,
+              TreeSpec(params.maxTimeSteps, params.sigmaKey,
                 NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
-              () => BinaryAggregationTree(params.maxTimeSteps, params.sigmaHist,
+              TreeSpec(params.maxTimeSteps, params.sigmaHist,
                 NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist")))), -1))
 
           val out = Seq.newBuilder[Release]

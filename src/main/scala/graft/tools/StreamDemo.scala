@@ -11,15 +11,20 @@ import graft.streaming.{Contribution, StreamingPipelines}
 /** End-to-end streaming replay: feeds the events table epoch-by-epoch through
   * the streaming DP pipeline (bound → dp → carry-forward sink) and prints the
   * final histogram next to the batch operator's result. Exit code 1 on
-  * divergence. Run: sbt 'runMain graft.tools.StreamDemo [sfDir]' */
+  * divergence. Run: sbt 'runMain graft.tools.StreamDemo [sfDir] [fmgws|tws]'
+  * — `tws` uses the transformWithState operator on the RocksDB state store. */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val useTws = args.lift(1).contains("tws")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.checkpointLocation", s"/tmp/graft_demo_ckpt_${System.nanoTime()}")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (useTws) "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,8 +39,11 @@ object StreamDemo {
       .toSeq
 
     val mem = MemoryStream[Contribution]
-    val releases = StreamingPipelines.dpHistogram(
-      StreamingPipelines.boundContributions(mem.toDS(), c = 1000), params)
+    val boundedStream = StreamingPipelines.boundContributions(mem.toDS(), c = 1000)
+    val releases =
+      if (useTws) graft.streaming.DpStatefulProcessor.dpHistogram(boundedStream, params)
+      else StreamingPipelines.dpHistogram(boundedStream, params)
+    println(s"[stream] operator=${if (useTws) "transformWithState+RocksDB" else "flatMapGroupsWithState"}")
     val q = StreamingPipelines.carryForwardSink(releases, "demo")
     val epochs = contributions.groupBy(_.epoch).toSeq.sortBy(_._1)
     try {
