@@ -1,0 +1,185 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot paths.
+  *
+  * Why custom expressions (SURVEY §4.3 preference order): Spark's
+  * higher-order functions (`zip_with` + `aggregate`) are `CodegenFallback` —
+  * every pairwise dot product in the similarity operators runs interpreted,
+  * allocating a lambda evaluation per element. [[DotProduct]] compiles to a
+  * tight primitive loop inside whole-stage codegen. [[L2Normalize]] stays
+  * `CodegenFallback` deliberately: it runs once per vector (cold), not once
+  * per pair, and producing arrays in generated code buys little.
+  *
+  * Left-fold evaluation order is preserved exactly, so results are
+  * bit-identical to the higher-order-function formulation (and to the DuckDB
+  * oracle's `list_reduce`).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2-normalizes a double array (zero-norm arrays pass through unchanged). */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2_normalize"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); ss += v * v; i += 1 }
+    val norm = math.sqrt(ss)
+    if (norm == 0.0) x
+    else {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = x.getDouble(i) / norm; i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+/** AEAD unseal as an expression: (aad, nonce, ciphertext) binary columns →
+  * plaintext string, or null on route mismatch / authentication failure
+  * (drop-on-tamper, matching ConfidentialBoltService's SecurityException
+  * path). The codec rides along as a codegen reference object, so the
+  * expression stays inside whole-stage codegen as a method invocation. */
+case class AeadUnseal(
+    aadExpr: Expression, nonceExpr: Expression, ctExpr: Expression,
+    keyBytes: Array[Byte], schemeName: String,
+    expectedSource: String, expectedDestination: String)
+    extends TernaryExpression {
+
+  override def first: Expression = aadExpr
+  override def second: Expression = nonceExpr
+  override def third: Expression = ctExpr
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_unseal"
+
+  @transient private lazy val helper = new AeadHelper(keyBytes, schemeName, expectedSource, expectedDestination)
+
+  override def nullSafeEval(aad: Any, nonce: Any, ct: Any): Any =
+    helper.unseal(aad.asInstanceOf[Array[Byte]], nonce.asInstanceOf[Array[Byte]], ct.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("aeadHelper", helper, classOf[AeadHelper].getName)
+    nullSafeCodeGen(ctx, ev, (aad, nonce, ct) => {
+      s"""
+         |${ev.value} = $helperRef.unseal($aad, $nonce, $ct);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): AeadUnseal =
+    copy(aadExpr = f, nonceExpr = s, ctExpr = t)
+}
+
+/** Serializable unseal helper invoked from generated code. */
+final class AeadHelper(keyBytes: Array[Byte], schemeName: String,
+    expectedSource: String, expectedDestination: String) extends Serializable {
+  @transient private lazy val payload = new graft.crypto.SealedPayload(keyBytes, schemeName match {
+    case "chacha20" => graft.crypto.Scheme.ChaCha20Poly1305
+    case "aes-gcm" => graft.crypto.Scheme.Aes256Gcm
+    case _ => graft.crypto.Scheme.None
+  })
+
+  def unseal(aad: Array[Byte], nonce: Array[Byte], ct: Array[Byte]): UTF8String = {
+    val ev = graft.crypto.EncryptedValue(aad, nonce, ct)
+    if (!payload.isRouteValid(ev, expectedSource, expectedDestination)) null
+    else
+      try UTF8String.fromBytes(payload.unseal(ev))
+      catch { case _: SecurityException => null }
+  }
+}
+
+/** Column-level entry points for the native expressions. */
+object GraftExpressions {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2Normalize(a: Column): Column =
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(a)))
+
+  def unseal(sealedStruct: Column, keyBytes: Array[Byte], scheme: String,
+      expectedSource: String, expectedDestination: String): Column =
+    ColumnBridge.column(AeadUnseal(
+      ColumnBridge.expression(sealedStruct.getField("aad")),
+      ColumnBridge.expression(sealedStruct.getField("nonce")),
+      ColumnBridge.expression(sealedStruct.getField("ciphertext")),
+      keyBytes, scheme, expectedSource, expectedDestination))
+
+  /** SQL registration (`graft_dot`, `graft_l2_normalize`), usable from any
+    * `spark.sql(...)` query; also injectable via [[GraftSessionExtensions]]. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2_normalize", exprs => L2Normalize(exprs.head), "scala_udf")
+  }
+}
+
+/** `SparkSessionExtensions` hook: `--conf spark.sql.extensions=
+  * graft.expressions.GraftSessionExtensions` exposes the native functions to
+  * pure-SQL users at session build time. */
+class GraftSessionExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2_normalize"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2_normalize"),
+      (exprs: Seq[Expression]) => L2Normalize(exprs.head)))
+  }
+}

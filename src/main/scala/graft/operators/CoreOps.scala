@@ -50,6 +50,20 @@ object CoreOps {
         sum(col(valueCol)).as("delta_v"),
         collect_set(col(userCol)).as("users"))
 
+  /** Skew-safe variant of [[preAggregate]] for Zipf-hot keys at scale: stage 1
+    * dedups at (key, epoch, user) granularity — that shuffle spreads a hot
+    * key across partitions proportionally to its distinct users instead of
+    * funneling every raw record into one reducer — and stage 2 collects the
+    * already-deduped users per (key, epoch). Output is identical to
+    * [[preAggregate]]; only the shuffle shape changes. */
+  def preAggregateSkewSafe(df: DataFrame, keyCol: String, epochCol: String, userCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"), col(epochCol).as("epoch"), col(userCol).as("user"))
+      .agg(sum(col(valueCol)).as("user_sum"))
+      .groupBy(col("key"), col("epoch"))
+      .agg(
+        sum(col("user_sum")).as("delta_v"),
+        collect_set(col("user")).as("users"))
+
   /** T1 — histogram ordering: count desc, key asc tiebreak, negatives clamped
     * (StreamingDPMechanism.java:517-531). */
   def sortHistogram(df: DataFrame, keyCol: String = "key", countCol: String = "count"): DataFrame =

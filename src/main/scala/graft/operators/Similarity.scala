@@ -26,10 +26,8 @@ object Similarity {
   /** Cosine similarity between two double-array columns, left-fold order.
     * All arithmetic in double; engine-portable bit-for-bit. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
-    dot / (sqrt(na) * sqrt(nb))
+    import graft.expressions.GraftExpressions.{dot => ndot}
+    ndot(a, b) / (sqrt(ndot(a, a)) * sqrt(ndot(b, b)))
   }
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -37,14 +35,10 @@ object Similarity {
   /** L2-normalized copy of a double-array column: pre-normalizing once per
     * vector turns every pairwise cosine into a single dot product — 3× less
     * arithmetic on the pair path, which is what dominates bucketed scoring. */
-  private def normalized(c: Column): Column = {
-    val n = sqrt(aggregate(c, lit(0.0), (acc, v) => acc + v * v))
-    transform(c, x => x / n)
-  }
+  private def normalized(c: Column): Column = graft.expressions.GraftExpressions.l2Normalize(c)
 
   /** Dot product of two equal-length double arrays (left-fold order). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column = graft.expressions.GraftExpressions.dot(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -76,8 +70,8 @@ object Similarity {
   def lshSignature(emb: Column, planes: Array[Array[Double]]): Column = {
     val bitCols = planes.zipWithIndex.map { case (p, b) =>
       val planeCol = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(planeCol, emb, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      val d = graft.expressions.GraftExpressions.dot(planeCol, emb)
+      when(d > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }

@@ -1,0 +1,85 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SealedColumns
+
+class GraftExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("DotProduct matches the higher-order-function formulation bit for bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.5, 2.5, -3.0), Seq(2.0, 0.5, 4.0)),
+      (Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0)),
+      (Seq(1e-8, 1e8, -1e-8), Seq(1e8, 1e-8, 1e8))).toDF("a", "b")
+    val rows = df.select(
+      GraftExpressions.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("DotProduct participates in whole-stage codegen (no fallback)") {
+    // a local literal relation constant-folds to LocalTableScan; use a real
+    // computed input so a codegen stage exists
+    val df = spark.range(0, 100)
+      .selectExpr("transform(sequence(0, 3), i -> cast(id + i as double)) AS a",
+        "transform(sequence(0, 3), i -> cast(id * i as double)) AS b")
+      .select(GraftExpressions.dot(col("a"), col("b")).as("d"), col("a"))
+      .where(col("d") > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the '*(n)' node prefix marks a whole-stage-codegen span; graft_dot must
+    // sit inside one (the surrounding HOF transform stays interpreted — that
+    // asymmetry is the reason this expression exists)
+    assert(plan.linesIterator.exists(l => l.trim.startsWith("*(") && l.contains("graft_dot")), plan)
+    assert(df.count() > 0)
+  }
+
+  test("DotProduct null propagation") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    val r = df.select(GraftExpressions.dot(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("L2Normalize produces unit vectors and handles zero vectors") {
+    import spark.implicits._
+    val df = Seq(Seq(3.0, 4.0), Seq(0.0, 0.0)).toDF("a")
+    val out = df.select(GraftExpressions.l2Normalize(col("a")).as("n")).collect()
+    assert(out(0).getSeq[Double](0) === Seq(0.6, 0.8))
+    assert(out(1).getSeq[Double](0) === Seq(0.0, 0.0))
+  }
+
+  test("SQL registration: graft_dot usable from spark.sql") {
+    GraftExpressions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
+    assert(r.getDouble(0) === 11.0)
+  }
+
+  test("AeadUnseal expression: roundtrip, wrong route null, tampered null") {
+    import spark.implicits._
+    val codec = new SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
+    val df = Seq(("hello enclave", 7L, "p0")).toDF("text", "seq", "producer")
+      .select(SealedColumns.sealColumn(col("text"), col("seq"), "spout", "split", col("producer"), codec).as("payload"))
+    val ok = df.select(GraftExpressions.unseal(col("payload"),
+      graft.crypto.SealedPayload.testKey, "aes-gcm", "spout", "split").as("t")).collect()(0)
+    assert(ok.getString(0) === "hello enclave")
+    val badRoute = df.select(GraftExpressions.unseal(col("payload"),
+      graft.crypto.SealedPayload.testKey, "aes-gcm", "spout", "elsewhere")).collect()(0)
+    assert(badRoute.isNullAt(0))
+    val wrongKey = df.select(GraftExpressions.unseal(col("payload"),
+      Array.fill[Byte](32)(9), "aes-gcm", "spout", "split")).collect()(0)
+    assert(wrongKey.isNullAt(0))
+  }
+}
