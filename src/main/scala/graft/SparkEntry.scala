@@ -132,6 +132,18 @@ object SparkEntry {
         .orderBy("epoch", "key")
     }),
 
+    // ---- A3/A4 timeline operator: per-epoch released sums (sigma=0 mu=0 ⇒
+    //      every epoch with data releases the cumulative sum) ----
+    "dp_timeline_releases" -> ((s, d) => {
+      // unit counts (not `value`): fractional sums can land exactly on a .5
+      // rounding boundary where a 1-ulp cross-engine difference flips the
+      // integer — integer-valued sums are exact in both engines
+      val unit = withEpoch(Tables.events(s, d)).withColumn("one", lit(1.0))
+      val preAgg = CoreOps.preAggregate(unit, "event_type", "epoch", "user_id", "one")
+      DpHistogram.timeline(s, preAgg, DpParams.zeroNoise(Epochs))
+        .orderBy("epoch", "key")
+    }),
+
     // ---- M3: partial-histogram merge (two-phase aggregation) ----
     "m3_partial_merge" -> ((s, d) => {
       Tables.events(s, d)
@@ -620,6 +632,14 @@ object SparkEntry {
         |  SELECT event_type AS key, CAST(EXTRACT(day FROM ts) AS BIGINT) AS epoch, sum(value) AS delta_v
         |  FROM events GROUP BY key, epoch)
         |SELECT epoch, key, round(sum(delta_v) OVER (PARTITION BY key ORDER BY epoch), 2) AS cum_sum
+        |FROM pre ORDER BY epoch, key""".stripMargin,
+
+    "dp_timeline_releases" ->
+      """WITH pre AS (
+        |  SELECT event_type AS key, CAST(EXTRACT(day FROM ts) AS BIGINT) AS epoch, count(*) AS delta_v
+        |  FROM events GROUP BY key, epoch)
+        |SELECT CAST(epoch AS INT) AS epoch, key,
+        |       CAST(sum(delta_v) OVER (PARTITION BY key ORDER BY epoch) AS BIGINT) AS "count"
         |FROM pre ORDER BY epoch, key""".stripMargin,
 
     "m3_partial_merge" ->
