@@ -230,6 +230,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
         .orderBy("yr", "mo")
+    }),
+
+    "q_rollup_order_priority" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     })
   )
 
@@ -697,6 +705,13 @@ object SparkEntry {
         |         PARTITION BY l_suppkey
         |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_partkey) AS DOUBLE) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+
+    "q_rollup_order_priority" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(yr, o_orderpriority)
+        |ORDER BY yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_pushdown_filtered_agg" ->
       """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,

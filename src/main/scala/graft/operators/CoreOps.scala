@@ -50,6 +50,18 @@ object CoreOps {
         sum(col(valueCol)).as("delta_v"),
         collect_set(col(userCol)).as("users"))
 
+  /** Approximation mode for the unique-user statistic (A6): HLL-based
+    * `approx_count_distinct`. ONLY for monitoring/estimation — the DP
+    * sensitivity-1 guarantee of Algorithm 1 requires EXACT per-round user
+    * dedup (StreamingDPMechanism.java:378-390), so the mechanism never
+    * consumes this (SURVEY §2.4 A6: "default must stay exact"). */
+  def preAggregateApproxUsers(df: DataFrame, keyCol: String, epochCol: String,
+      userCol: String, valueCol: String, rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(keyCol).as("key"), col(epochCol).as("epoch"))
+      .agg(
+        sum(col(valueCol)).as("delta_v"),
+        approx_count_distinct(col(userCol), rsd).as("approx_users"))
+
   /** Skew-safe variant of [[preAggregate]] for Zipf-hot keys at scale: stage 1
     * dedups at (key, epoch, user) granularity — that shuffle spreads a hot
     * key across partitions proportionally to its distinct users instead of
