@@ -30,7 +30,10 @@ final class NaiveTree(n: Int, noiseValues: Int => Double) {
     estimate
   }
 
-  def getTotalSum(i: Int): Double = {
+  /** Canonical prefix decomposition with a pluggable per-node estimator
+    * ((nodeIndex, kappa) → estimate), so the Honaker and raw-node variants
+    * share one bit-walk. */
+  def getTotalSumWith(i: Int)(nodeEstimate: (Int, Int) => Double): Double = {
     val indexBinary = i + 1
     var nodeIndex = 0
     var sPriv = 0.0
@@ -41,7 +44,7 @@ final class NaiveTree(n: Int, noiseValues: Int => Double) {
           if (nodeIndex == 0) 0
           else if (nodeIndex % 2 == 0) nodeIndex - 1
           else nodeIndex
-        sPriv += honakerEstimate(leftSibling, height - j + 1)
+        sPriv += nodeEstimate(leftSibling, height - j + 1)
       }
       if (j < height) {
         val pathBit = (i >> (height - 1 - j)) & 1
@@ -50,6 +53,11 @@ final class NaiveTree(n: Int, noiseValues: Int => Double) {
     }
     sPriv
   }
+
+  def getTotalSum(i: Int): Double = getTotalSumWith(i)(honakerEstimate)
+
+  /** Naive canonical sum: raw stored node values, no variance reduction. */
+  def getTotalSumRaw(i: Int): Double = getTotalSumWith(i)((node, _) => tree(node))
 }
 
 class BinaryAggregationTreeSpec extends AnyFunSuite {

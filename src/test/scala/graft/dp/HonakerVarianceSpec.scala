@@ -40,23 +40,10 @@ class HonakerVarianceSpec extends AnyFunSuite {
       val tree = BinaryAggregationTree(t, sigma, noise)
       val h = tree.getTotalSum(leaf)
       honakerSq += h * h
-      // naive estimator: sum the canonical nodes' raw stored values — in the
-      // reference this is what Algorithm 4 would do WITHOUT Appendix C
+      // naive estimator: sum the canonical nodes' raw stored values — what
+      // Algorithm 4 would do WITHOUT Appendix C; same decomposition walk
       val naive = new NaiveTree(t, i => noise.standardGaussian(i) * sigma)
-      var s = 0.0
-      val height = naive.height
-      val indexBinary = leaf + 1
-      var nodeIndex = 0
-      for (j <- 0 to height) {
-        if (((indexBinary >> (height - j)) & 1) == 1) {
-          val sib = if (nodeIndex == 0) 0 else if (nodeIndex % 2 == 0) nodeIndex - 1 else nodeIndex
-          s += naive.tree(sib)
-        }
-        if (j < height) {
-          val pathBit = (leaf >> (height - 1 - j)) & 1
-          nodeIndex = if (pathBit == 0) 2 * nodeIndex + 1 else 2 * nodeIndex + 2
-        }
-      }
+      val s = naive.getTotalSumRaw(leaf)
       naiveSq += s * s
     }
     val honakerVar = honakerSq / runs

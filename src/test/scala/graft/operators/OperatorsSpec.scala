@@ -140,6 +140,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(resized.forall(r => r.getInt(1) <= 64 && r.getInt(2) <= 64))
   }
 
+  test("approx unique-user pre-aggregation tracks the exact counts (monitoring mode)") {
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("event_type").as("k"), dayofmonth(col("ts")).cast("long").as("e"),
+        col("user_id").cast("string").as("u"), col("value").as("v"))
+    val exact = CoreOps.preAggregate(events, "k", "e", "u", "v")
+      .select(col("key"), col("epoch"), size(col("users")).cast("long").as("exact_users"))
+    val approx = CoreOps.preAggregateApproxUsers(events, "k", "e", "u", "v")
+      .select(col("key"), col("epoch"), col("approx_users"))
+    val joined = exact.join(approx, Seq("key", "epoch")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val ex = r.getLong(2).toDouble
+      val ap = r.getLong(3).toDouble
+      assert(math.abs(ap - ex) / math.max(ex, 1.0) < 0.25, s"exact=$ex approx=$ap")
+    }
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
