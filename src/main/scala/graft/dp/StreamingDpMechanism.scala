@@ -44,6 +44,41 @@ final case class TreeSpec(steps: Int, sigma: Double, noise: NoiseSource) extends
   def build(): BinaryAggregationTree = BinaryAggregationTree(steps, sigma, noise)
 }
 
+/** Earliest-crossing index over a fixed curve: segment max-tree answering
+  * "smallest t ≥ from with g(t) ≥ x" in O(log n). Backs the O(log T)
+  * Algorithm-3 prediction (see [[DpKeyState]]); the tree is rebuilt lazily
+  * after state-store deserialization. */
+final class PredictionIndex(g: Array[Double]) extends Serializable {
+  private val n = g.length
+  @transient private lazy val seg: Array[Double] = {
+    var size = 1
+    while (size < n) size *= 2
+    val t = Array.fill(2 * size)(Double.NegativeInfinity)
+    var i = 0
+    while (i < n) { t(size + i) = g(i); i += 1 }
+    i = size - 1
+    while (i >= 1) { t(i) = math.max(t(2 * i), t(2 * i + 1)); i -= 1 }
+    t
+  }
+  @transient private lazy val size: Int = seg.length / 2
+
+  /** Smallest index in [from, n) with g(idx) ≥ x, or -1. */
+  def earliestAtLeast(from: Int, x: Double): Int = {
+    if (from >= n) return -1
+    def descend(node: Int, lo: Int, hi: Int): Int = {
+      if (hi < from || seg(node) < x) -1
+      else if (lo == hi) lo
+      else {
+        val mid = (lo + hi) / 2
+        val left = descend(2 * node, lo, mid)
+        if (left >= 0) left else descend(2 * node + 1, mid + 1, hi)
+      }
+    }
+    val r = descend(1, 0, size - 1)
+    if (r >= n) -1 else r
+  }
+}
+
 /** Per-key DP-SQLP state machine — Algorithms 1 (streaming private key
   * selection), 2 (hierarchical perturbation), and 3 (empty-key release
   * prediction) for ONE aggregation key, stepped once per epoch.
@@ -79,6 +114,20 @@ final class DpKeyState(
   private var predictedReleaseTime: Int = -1
   private var released: Boolean = false
   private var currentSumValue: Double = 0.0
+  /** Users counted into the selection tree this round (Σ new unique users). */
+  private var roundUsers: Long = 0L
+  /** O(log T) Algorithm-3 prediction support. Every datum of the current
+    * round sits at leaves ≤ the current epoch, so for any future step trP the
+    * noisy statistic decomposes as `roundUsers + N₀(trP)` with N₀ the tree's
+    * data-free (noise-only) prefix estimate. The gate
+    * `roundUsers + N₀(trP) ≥ μ + τ(trP)` is therefore
+    * `G(trP) ≥ μ − roundUsers` over the FIXED per-round curve
+    * `G = N₀ − τ`, and the earliest crossing is a segment-tree descent.
+    * The reference rescans all future steps on every unselected appearance
+    * (runEmptyKeyPrediction, StreamingDPMechanism.java:465-496) — the CPU
+    * hotspot it documents for T=1000; this replaces each O(T·log T) rescan
+    * with O(log T), bit-identically. */
+  private var predictionCurve: PredictionIndex = _
 
   /** Latest released noisy sum, if this key was ever selected. */
   def currentSum: Option[Double] = if (released) Some(currentSumValue) else None
@@ -111,12 +160,15 @@ final class DpKeyState(
     if (keyTree == null) {
       keyTree = keyTreeSpec.build()
       observedUsers.clear()
+      roundUsers = 0L
+      predictionCurve = null
     }
 
     // Algo 1 step 7: only NEW unique users this round count (sensitivity 1).
     var newUniqueUsers = 0
     windowUsers.foreach { u => if (observedUsers.add(u)) newUniqueUsers += 1 }
     keyTree.addToTree(timeStep, newUniqueUsers.toDouble)
+    roundUsers += newUniqueUsers
 
     // Algo 1 steps 8-9: gate on the noisy unique-user prefix sum.
     val noisyUniqueUsers = keyTree.getTotalSum(timeStep)
@@ -133,22 +185,30 @@ final class DpKeyState(
       keyTree = null
       observedUsers.clear()
       predictedReleaseTime = -1
+      predictionCurve = null
+      roundUsers = 0L
       Some(noisySum)
     } else {
       // Algo 3: for unselected keys that appeared, predict the earliest
-      // epoch at which noise alone crosses the gate (no new data assumed).
+      // epoch at which noise alone crosses the gate (no new data assumed) —
+      // O(log T) via the per-round noise curve (see predictionCurve doc).
+      // The curve builds lazily on the first unselected appearance, so hot
+      // keys (always released) and zero-noise runs never pay for it:
+      // N0(t) = getTotalSum(t) − roundUsers recovers the data-free prefix at
+      // any point in the round (all round data sits below every future leaf).
       if (appeared && predictedReleaseTime < 0) {
-        var trP = timeStep + 1
-        var found = false
-        while (!found && trP < params.maxTimeSteps) {
-          val predicted = keyTree.getTotalSum(trP)
-          val futureTau = math.sqrt(keyTree.getHonakerVariance(trP)) * params.thresholdQuantile
-          if (predicted >= params.mu.toDouble + futureTau) {
-            predictedReleaseTime = trP
-            found = true
+        if (predictionCurve == null) {
+          val g = new Array[Double](params.maxTimeSteps)
+          var t = 0
+          while (t < params.maxTimeSteps) {
+            g(t) = (keyTree.getTotalSum(t) - roundUsers) -
+              math.sqrt(keyTree.getHonakerVariance(t)) * params.thresholdQuantile
+            t += 1
           }
-          trP += 1
+          predictionCurve = new PredictionIndex(g)
         }
+        val idx = predictionCurve.earliestAtLeast(timeStep + 1, params.mu.toDouble - roundUsers)
+        if (idx >= 0) predictedReleaseTime = idx
       }
       None
     }
