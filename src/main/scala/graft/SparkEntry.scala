@@ -79,6 +79,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // C/L_m sweep variant (SURVEY §7.3): tighter bound + non-negative clamp
+    "b1_bounding_sweep_c10" -> ((s, d) => {
+      CoreOps.boundContributions(Tables.events(s, d), "user_id", "event_id", 10L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(CoreOps.clampNonNegative(col("value"), 50.0)), 2).as("clamped_sum"))
+        .orderBy("event_type")
+    }),
+
     "b1_user_admitted_counts" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy("user_id")
@@ -608,6 +617,12 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum
          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events)
          |WHERE rn <= $BoundC GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "b1_bounding_sweep_c10" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       round(sum(greatest(0.0, least(50.0, value))), 2) AS clamped_sum
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events)
+        |WHERE rn <= 10 GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "b1_user_admitted_counts" ->
       s"""SELECT user_id, least(count(*), $BoundC) AS admitted

@@ -37,6 +37,16 @@ class SyntheticSourceSpec extends AnyFunSuite {
     assert(head > tail, s"head=$head tail=$tail")
   }
 
+  test("golden pin: seed-42 frequency head is stable across code changes") {
+    // pins the exact generator output (any RNG/derivation change breaks this
+    // deliberately — the s3_zipf_freq query has no SQL oracle)
+    val top = SyntheticSource.zipfContributions(spark, 100000L, 1000, 500, 4).toDF()
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(3).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top === Seq(("55", 293L), ("37", 292L), ("14", 288L)))
+  }
+
   test("epochs cover the requested range uniformly-ish") {
     val epochs = SyntheticSource.zipfContributions(spark, 20000L, 1000, 500, 8).toDF()
       .groupBy("epoch").count().collect().map(r => (r.getInt(0), r.getLong(1))).toMap
