@@ -43,22 +43,34 @@ object Bench {
       name -> (try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 })
     }
 
+    def microbatch(s: org.apache.spark.sql.SparkSession, gb: Double): Double = try time {
+      val n = SyntheticSource.recordsForGb(gb)
+      val contrib = SyntheticSource.zipfContributions(s, n, 100000, 50000, 1)
+      contrib.toDF()
+        .withColumn("value", CoreOps.clamp(col("value"), 1.0))
+        .groupBy("key").agg(sum(col("value")).as("count"))
+        .count()
+    } catch { case _: Throwable => -1.0 }
+
     val synthetic = Seq(
       "synthetic_dp_t20" -> (try time {
         val contrib = SyntheticSource.zipfContributions(spark, 2000000L, 100000, 50000, 20)
         val preAgg = CoreOps.preAggregate(contrib.toDF(), "key", "epoch", "userId", "value")
         DpHistogram.run(spark, preAgg, DpParams.zeroNoise(20, mu = 10)).count()
       } catch { case _: Throwable => -1.0 }),
-      "microbatch_0_1gb" -> (try time {
-        val n = SyntheticSource.recordsForGb(0.1)
-        val contrib = SyntheticSource.zipfContributions(spark, n, 100000, 50000, 1)
-        contrib.toDF()
-          .withColumn("value", CoreOps.clamp(col("value"), 1.0))
-          .groupBy("key").agg(sum(col("value")).as("count"))
-          .count()
-      } catch { case _: Throwable => -1.0 }))
+      "microbatch_0_1gb" -> microbatch(spark, 0.1),
+      // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
+      // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)
+      "microbatch_0_5gb" -> microbatch(spark, 0.5),
+      "microbatch_1gb" -> microbatch(spark, 1.0))
 
-    val all = queryTimes ++ synthetic
+    def microbatchGbPerSec(name: String, gb: Double): Option[(String, Double)] =
+      synthetic.toMap.get(name).filter(_ > 0).map(sec => (name + "_gbps", gb / sec))
+
+    val gbps = Seq(("microbatch_0_1gb", 0.1), ("microbatch_0_5gb", 0.5), ("microbatch_1gb", 1.0))
+      .flatMap { case (n, g) => microbatchGbPerSec(n, g) }
+
+    val all = queryTimes ++ synthetic ++ gbps
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -414,6 +414,14 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshBucketTopK(emb, queries, TopK)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- ANN IVF top-k (trained coarse quantizer; rows-only) ----
+    "d8_ann_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, TopK)
+        .orderBy("query_id", "rank")
     })
   )
 

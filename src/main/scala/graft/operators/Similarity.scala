@@ -112,6 +112,94 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained with
+    * deterministic seeding (k-means|| style init from seeded picks, fixed
+    * iteration count), assignments as the bucket key. The trained counterpart
+    * of the random-hyperplane tables: one extra training pass buys better-
+    * shaped cells. Training runs on a sample collected to the driver — the
+    * centroid table is tiny (nlist × dim) and broadcast back. */
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int, dim: Int,
+      iterations: Int = 8, sampleSize: Int = 4096, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = corpus
+      .select(asDouble(col("embedding")).as("emb"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    // deterministic init: spread picks over the sample
+    var centroids = Array.tabulate(math.min(nlist, sample.length)) { c =>
+      sample(((graft.dp.Mix.mix64(seed + c) >>> 33) % sample.length).toInt).clone()
+    }
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      val ctr = centroids(c)
+      while (i < v.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF approximate top-k: corpus rows live in their nearest centroid's
+    * list; each query probes its `nprobe` nearest lists and exact-scores only
+    * those candidates. The (cell) equi-join replaces the cross join, same as
+    * the LSH path, but with data-adapted cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(corpus, nlist, dim, seed = seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assignCell = udf { (emb: Seq[Double]) => nearestCentroid(emb.toArray, bc.value) }
+    val probeCells = udf { (emb: Seq[Double]) =>
+      val v = emb.toArray
+      bc.value.indices
+        .map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { val x = v(i) - bc.value(c)(i); d += x * x; i += 1 }
+          (c, d)
+        }
+        .sortBy(_._2).take(nprobe).map(_._1)
+    }
+
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("cell", assignCell(col("emb")))
+    val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("cell", explode(probeCells(col("q_emb")))))
+    val scored = c.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold — the
     * embedding-space analogue of [[Dedup.jaccardPairs]]. Multi-table LSH
     * generates candidates; only colliding pairs are scored exactly. */

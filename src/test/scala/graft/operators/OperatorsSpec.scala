@@ -140,6 +140,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(resized.forall(r => r.getInt(1) <= 64 && r.getInt(2) <= 64))
   }
 
+  test("IVF top-k: scores exact, recall competitive with nprobe/nlist fraction") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val bruteTop = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val allScores = Similarity.bruteForceTopK(emb, queries, Int.MaxValue - 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, cos) => assert(allScores((q, n)) === cos, s"score mismatch ($q,$n)") }
+    val hit = ivf.map(t => (t._1, t._2)).toSet.intersect(bruteTop).size
+    val recall = hit.toDouble / bruteTop.size
+    assert(recall >= 0.2, s"IVF recall@5 too low: $recall") // nprobe=4/nlist=16 ⇒ ≥25% of cells probed
+  }
+
+  test("IVF training is deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.trainIvfCentroids(emb, 8, 64)
+    val b = Similarity.trainIvfCentroids(emb, 8, 64)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("approx unique-user pre-aggregation tracks the exact counts (monitoring mode)") {
     val events = graft.Tables.events(spark, sfDir)
       .select(col("event_type").as("k"), dayofmonth(col("ts")).cast("long").as("e"),
