@@ -119,6 +119,29 @@ object StreamingPipelines {
         })
   }
 
+  /** Confidential mode, streaming: sealed (aad, nonce, ciphertext) payloads
+    * carrying JSON contributions are route-validated and unsealed mid-stream
+    * by the native [[graft.expressions.GraftExpressions.unseal]] expression,
+    * then parsed declaratively — invalid routes / failed authentication
+    * become nulls and are dropped, the reference's discard-on-
+    * SecurityException behavior. Everything downstream (bounding, DP) is the
+    * plaintext pipeline. */
+  def unsealContributions(sealedStream: org.apache.spark.sql.DataFrame,
+      keyBytes: Array[Byte], scheme: String,
+      expectedSource: String, expectedDestination: String): Dataset[Contribution] = {
+    import sealedStream.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    sealedStream
+      .withColumn("plain", graft.expressions.GraftExpressions.unseal(
+        col("payload"), keyBytes, scheme, expectedSource, expectedDestination))
+      .where(col("plain").isNotNull)
+      .select(from_json(col("plain"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, epoch INT, userId STRING, value DOUBLE")).as("c"))
+      .select(col("c.key"), col("c.epoch"), col("c.userId"), col("c.value"))
+      .as[Contribution]
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

@@ -11,8 +11,18 @@ import graft.streaming.{Contribution, StreamingPipelines}
 /** End-to-end streaming replay: feeds the events table epoch-by-epoch through
   * the streaming DP pipeline (bound → dp → carry-forward sink) and prints the
   * final histogram next to the batch operator's result. Exit code 1 on
-  * divergence. Run: sbt 'runMain graft.tools.StreamDemo [sfDir] [fmgws|tws]'
-  * — `tws` uses the transformWithState operator on the RocksDB state store. */
+  * divergence. Run: sbt 'runMain graft.tools.StreamDemo [sfDir] [mode]'
+  * where mode ∈ {fmgws (default), tws, sealed} — `tws` uses
+  * transformWithState on RocksDB; `sealed` runs the confidential pipeline
+  * (AES-GCM-sealed tuples unsealed mid-stream). */
+private object SealedColumnsJson {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  def render(key: Column, epoch: Column, userId: Column, value: Column): Column =
+    concat(lit("""{"key":""""), key, lit("""","epoch":"""), epoch,
+      lit(""","userId":""""), userId, lit("""","value":"""), value, lit("}"))
+}
+
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -38,12 +48,27 @@ object StreamDemo {
       .map(r => Contribution(r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
       .toSeq
 
+    val useSealed = args.lift(1).contains("sealed")
     val mem = MemoryStream[Contribution]
-    val boundedStream = StreamingPipelines.boundContributions(mem.toDS(), c = 1000)
+    val inputStream =
+      if (useSealed) {
+        // confidential mode: seal each contribution as routed JSON, then
+        // route-validate + unseal mid-stream via the native expression
+        val codec = new graft.operators.SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
+        val sealedDf = mem.toDS().toDF()
+          .select(SealedColumnsJson.render(col("key"), col("epoch"), col("userId"), col("value")).as("plainJson"),
+            (col("epoch").cast("long") * 1000000L + abs(hash(col("key"), col("userId"))).cast("long")).as("seq"))
+          .select(graft.operators.SealedColumns.sealColumn(col("plainJson"), col("seq"),
+            "spout", "dp", concat(lit("p"), col("seq") % 4), codec).as("payload"))
+        StreamingPipelines.unsealContributions(sealedDf,
+          graft.crypto.SealedPayload.testKey, "aes-gcm", "spout", "dp")
+      } else mem.toDS()
+    val boundedStream = StreamingPipelines.boundContributions(inputStream, c = 1000)
     val releases =
       if (useTws) graft.streaming.DpStatefulProcessor.dpHistogram(boundedStream, params)
       else StreamingPipelines.dpHistogram(boundedStream, params)
-    println(s"[stream] operator=${if (useTws) "transformWithState+RocksDB" else "flatMapGroupsWithState"}")
+    println(s"[stream] operator=${if (useTws) "transformWithState+RocksDB" else "flatMapGroupsWithState"}" +
+      (if (useSealed) " mode=confidential(sealed AES-GCM)" else ""))
     val q = StreamingPipelines.carryForwardSink(releases, "demo")
     val epochs = contributions.groupBy(_.epoch).toSeq.sortBy(_._1)
     try {

@@ -107,6 +107,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(perUser("u2") === 2)
   }
 
+  test("confidential streaming pipeline: sealed tuples -> route-validate -> unseal -> dp equals plaintext run") {
+    import spark.implicits._
+    import graft.operators.SealedColumns
+    implicit val sqlCtx = spark.sqlContext
+    val params = graft.dp.DpParams.zeroNoise(8)
+    val contrib = Seq(
+      Contribution("spark", 0, "u1", 2.0), Contribution("storm", 0, "u2", 1.0),
+      Contribution("spark", 1, "u3", 3.0))
+    val codec = new SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
+
+    val mem = MemoryStream[(String, Long)] // (json contribution, seq)
+    val sealedStream = mem.toDS().toDF("plainJson", "seq")
+      .select(SealedColumns.sealColumn(col("plainJson"), col("seq"), "spout", "dp",
+        concat(lit("p"), col("seq") % 2), codec).as("payload"))
+    val pipeline = StreamingPipelines.dpHistogram(
+      StreamingPipelines.unsealContributions(sealedStream,
+        graft.crypto.SealedPayload.testKey, "aes-gcm", "spout", "dp"), params)
+    val q = StreamingPipelines.carryForwardSink(pipeline, "sealedwc")
+    try {
+      contrib.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        mem.addData(rows.zipWithIndex.map { case (c, i) =>
+          (s"""{"key":"${c.key}","epoch":${c.epoch},"userId":"${c.userId}","value":${c.value}}""",
+            c.epoch * 100L + i)
+        })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val hist = spark.table("sealedwc").orderBy(col("epoch")).collect()
+      .foldLeft(Map.empty[String, Long]) { (acc, r) => acc + (r.getString(0) -> r.getLong(2)) }
+    assert(hist === Map("spark" -> 5L, "storm" -> 1L))
+  }
+
   test("streaming word-count pipeline end to end (tokenize -> bound -> dp)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
