@@ -512,7 +512,7 @@ object SparkEntry {
           |votes AS (
           |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
           |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits GROUP BY doc_id, b)
-          |SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+          |SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
           |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "d4_jaccard_pairs" ->
@@ -677,7 +677,7 @@ object SparkEntry {
       """WITH partials AS (
         |  SELECT event_type AS key, user_id % 4 AS shard, count(*) AS pc
         |  FROM events GROUP BY key, shard)
-        |SELECT key, sum(pc) AS "count" FROM partials GROUP BY key ORDER BY key""".stripMargin,
+        |SELECT key, CAST(sum(pc) AS BIGINT) AS "count" FROM partials GROUP BY key ORDER BY key""".stripMargin,
 
     "t2_topk_words" ->
       """SELECT word, count(*) AS cnt
@@ -695,7 +695,7 @@ object SparkEntry {
          |j AS (
          |  SELECT coalesce(CAST(bounded.c AS DOUBLE), 0.0) AS d, coalesce(CAST(truth.c AS DOUBLE), 0.0) AS g
          |  FROM bounded FULL OUTER JOIN truth ON bounded.key = truth.key)
-         |SELECT sum(CASE WHEN d <> 0.0 THEN 1 ELSE 0 END) AS l0,
+         |SELECT CAST(sum(CASE WHEN d <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS l0,
          |       round(max(abs(d - g)), 2) AS linf,
          |       round(sum(abs(d - g)), 2) AS l1,
          |       round(sqrt(sum((d - g) * (d - g))), 4) AS l2
@@ -717,8 +717,8 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_semi_anti_counts" ->
-      """SELECT sum(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS with_orders,
-        |       sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS without_orders
+      """SELECT CAST(sum(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+        |       CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
         |FROM customer c LEFT OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
         |  ON c.c_custkey = o.o_custkey""".stripMargin,
 
