@@ -1,10 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.graftbridge.ListenerBridge
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
 import graft.dp.DpParams
 import graft.operators.{CoreOps, DpHistogram}
 import graft.sources.SyntheticSource
+import graft.tools.QueryProfiler
+
+import scala.util.control.NonFatal
 
 /** Per-round benchmark main: times every declared query on
   * `SPARK_GRAFT_SF_DIR` plus two synthetic DP-SQLP workloads mirroring the
@@ -17,13 +22,22 @@ import graft.sources.SyntheticSource
   *     31 B/tuple accounting) through generate → clamp → histogram, the
   *     baseline micro-batch throughput measure (GB/s = size/duration).
   *
-  * Prints exactly one JSON line: {"metric":"total","value":…,"unit":"sec",
-  * "queries":{…},"sf":…}.
+  * Measurement notes:
+  *   - each query is forced with a `noop`-format write (full materialization
+  *     of every row and column — `.count()` lets Catalyst elide sorts and
+  *     answer some aggregates from parquet footers);
+  *   - per-query stage/task/shuffle metrics are collected by [[QueryProfiler]]
+  *     (job-group attribution) and emitted under `"profile"` — the K5
+  *     per-bolt-profiler parity;
+  *   - the one-line JSON result is printed to stdout AND written to
+  *     `bench.json` (override with `SPARK_GRAFT_BENCH_OUT`) so the driver
+  *     never has to fish it out of sbt log noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,48 +46,78 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val profiler = new QueryProfiler
+    spark.sparkContext.addSparkListener(profiler)
 
-    def time(body: => Long): Double = {
-      val t0 = System.nanoTime()
-      body
-      (System.nanoTime() - t0) / 1e9
+    /** Force full materialization: every row/column flows to the noop sink. */
+    def force(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    /** Time one named workload under a job group (for profiler attribution);
+      * failures are surfaced on stderr, never silently -1'd away. */
+    def timed(name: String)(body: => Unit): Double = {
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+      try {
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(s"[bench] query '$name' FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0
+      } finally spark.sparkContext.clearJobGroup()
     }
 
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 })
+      name -> timed(name)(force(fn(spark, sfDir)))
     }
 
-    def microbatch(s: org.apache.spark.sql.SparkSession, gb: Double): Double = try time {
-      val n = SyntheticSource.recordsForGb(gb)
-      val contrib = SyntheticSource.zipfContributions(s, n, 100000, 50000, 1)
-      contrib.toDF()
-        .withColumn("value", CoreOps.clamp(col("value"), 1.0))
-        .groupBy("key").agg(sum(col("value")).as("count"))
-        .count()
-    } catch { case _: Throwable => -1.0 }
+    def microbatch(gb: Double): Double = {
+      val name = s"microbatch_${gb.toString.replace('.', '_')}gb"
+      timed(name) {
+        val n = SyntheticSource.recordsForGb(gb)
+        val contrib = SyntheticSource.zipfContributions(spark, n, 100000, 50000, 1)
+        force(contrib.toDF()
+          .withColumn("value", CoreOps.clamp(col("value"), 1.0))
+          .groupBy("key").agg(sum(col("value")).as("count")))
+      }
+    }
 
     val synthetic = Seq(
-      "synthetic_dp_t20" -> (try time {
+      "synthetic_dp_t20" -> timed("synthetic_dp_t20") {
         val contrib = SyntheticSource.zipfContributions(spark, 2000000L, 100000, 50000, 20)
         val preAgg = CoreOps.preAggregate(contrib.toDF(), "key", "epoch", "userId", "value")
-        DpHistogram.run(spark, preAgg, DpParams.zeroNoise(20, mu = 10)).count()
-      } catch { case _: Throwable => -1.0 }),
-      "microbatch_0_1gb" -> microbatch(spark, 0.1),
+        force(DpHistogram.run(spark, preAgg, DpParams.zeroNoise(20, mu = 10)))
+      },
+      "microbatch_0_1gb" -> microbatch(0.1),
       // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)
-      "microbatch_0_5gb" -> microbatch(spark, 0.5),
-      "microbatch_1gb" -> microbatch(spark, 1.0))
+      "microbatch_0_5gb" -> microbatch(0.5),
+      "microbatch_1_0gb" -> microbatch(1.0))
 
-    def microbatchGbPerSec(name: String, gb: Double): Option[(String, Double)] =
-      synthetic.toMap.get(name).filter(_ > 0).map(sec => (name + "_gbps", gb / sec))
+    val gbps = Seq(("microbatch_0_1gb", 0.1), ("microbatch_0_5gb", 0.5), ("microbatch_1_0gb", 1.0))
+      .flatMap { case (n, g) =>
+        synthetic.toMap.get(n).filter(_ > 0).map(sec => (n + "_gbps", g / sec))
+      }
 
-    val gbps = Seq(("microbatch_0_1gb", 0.1), ("microbatch_0_5gb", 0.5), ("microbatch_1gb", 1.0))
-      .flatMap { case (n, g) => microbatchGbPerSec(n, g) }
+    ListenerBridge.waitUntilEmpty(spark.sparkContext)
+    val profile = profiler.snapshot.toSeq.sortBy(_._1)
+      .map { case (name, m) => "\"" + name + "\":{" + m.jsonFields + "}" }
+      .mkString("{", ",", "}")
 
     val all = queryTimes ++ synthetic ++ gbps
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = all.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"profile":$profile,"sf":"$sfDir"}"""
+
+    // Stdout line for humans/legacy parsing, plus a file the driver can read
+    // without scraping sbt's [info]-prefixed log stream (BENCH_r01 parsed:null).
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] JSON written to $outPath")
     spark.stop()
   }
 }
