@@ -172,13 +172,16 @@ object SparkEntry {
 
     // ---- §2.7: utility metrics L0/Linf/L1/L2 via full-outer join ----
     "utility_metrics" -> ((s, d) => {
+      // floor(x+0.5) on BOTH sides: pins one rounding semantics (java
+      // Math.round) — SQL round() half-away-from-zero can differ on
+      // negative .5 sums between engines
       val bounded = CoreOps.boundContributions(Tables.events(s, d), "user_id", "event_id", BoundC)
         .withColumn("value", CoreOps.clamp(col("value"), ClampL))
         .groupBy(col("event_type").as("key"))
-        .agg(round(sum(col("value"))).cast("long").as("count"))
+        .agg(floor(sum(col("value")) + lit(0.5)).cast("long").as("count"))
       val truth = Tables.events(s, d)
         .groupBy(col("event_type").as("key"))
-        .agg(round(sum(col("value"))).cast("long").as("count"))
+        .agg(floor(sum(col("value")) + lit(0.5)).cast("long").as("count"))
       CoreOps.utilityMetrics(bounded, truth)
         .select(col("l0"), round(col("linf"), 2).as("linf"),
           round(col("l1"), 2).as("l1"), round(col("l2"), 4).as("l2"))
@@ -472,7 +475,7 @@ object SparkEntry {
       // identity-through-crypto: plaintext word count IS the oracle (see query doc)
       "p6_confidential_wordcount" ->
         """SELECT word, count(*) AS cnt
-          |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
           |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
 
       "p7_route_validation" ->
@@ -598,15 +601,26 @@ object SparkEntry {
           |       octet_length(encode(text)) AS n_bytes,
           |       lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
           |       sha256(text) AS sha
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // feature outputs minus the stubbed decode column: n_bytes and the
+      // 8-byte content-hash prefix are deterministic functions of text
+      "mm_features" ->
+        """SELECT doc_id AS asset_id,
+          |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          |       octet_length(encode(text)) AS n_bytes,
+          |       substr(sha256(text), 1, 16) AS sha
           |FROM documents ORDER BY asset_id""".stripMargin
     )
   }
 
   private def coreOracleSql: Map[String, String] = Map(
 
+    // lower() mirrors CoreOps.tokenize — the generated docs are all-lowercase,
+    // but the oracle must agree on mixed-case inputs too
     "p1_tokenize_wordcount" ->
       """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
 
     "p3_clamp_histogram" ->
@@ -650,7 +664,9 @@ object SparkEntry {
          |  SELECT event_type, greatest(-$ClampL, least($ClampL, value)) AS v
          |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events)
          |  WHERE rn <= $BoundC)
-         |SELECT event_type AS key, CAST(round(sum(v)) AS BIGINT) AS "count"
+         |-- floor(x+0.5) == java Math.round: DuckDB round() is half-AWAY-FROM-ZERO,
+         |-- which differs from the mechanism's math.round on negative .5 sums
+         |SELECT event_type AS key, CAST(floor(sum(v) + 0.5) AS BIGINT) AS "count"
          |FROM bounded GROUP BY key ORDER BY "count" DESC, key""".stripMargin,
 
     "dp_sigma0_mu_gate" ->
@@ -681,16 +697,16 @@ object SparkEntry {
 
     "t2_topk_words" ->
       """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
         |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
 
     "utility_metrics" ->
       s"""WITH bounded AS (
-         |  SELECT event_type AS key, CAST(round(sum(greatest(-$ClampL, least($ClampL, value)))) AS BIGINT) AS c
+         |  SELECT event_type AS key, CAST(floor(sum(greatest(-$ClampL, least($ClampL, value))) + 0.5) AS BIGINT) AS c
          |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events)
          |  WHERE rn <= $BoundC GROUP BY event_type),
          |truth AS (
-         |  SELECT event_type AS key, CAST(round(sum(value)) AS BIGINT) AS c
+         |  SELECT event_type AS key, CAST(floor(sum(value) + 0.5) AS BIGINT) AS c
          |  FROM events GROUP BY event_type),
          |j AS (
          |  SELECT coalesce(CAST(bounded.c AS DOUBLE), 0.0) AS d, coalesce(CAST(truth.c AS DOUBLE), 0.0) AS g
