@@ -85,11 +85,17 @@ final class SealedPayload(keyBytes: Array[Byte], val scheme: Scheme = Scheme.Cha
   def unsealDouble(sealedValue: EncryptedValue): Double = unsealString(sealedValue).toDouble
 
   /** Route validation: decoded AAD must name the expected edge — reference
-    * SealedPayload.isRouteValid:150-161 + ConfidentialBoltService.verify:216-234. */
-  def isRouteValid(sealedValue: EncryptedValue, expectedSource: String, expectedDestination: String): Boolean = {
-    val aad = Aad.fromBytes(sealedValue.associatedData)
-    aad.matchesSource(expectedSource) && aad.matchesDestination(expectedDestination)
-  }
+    * SealedPayload.isRouteValid:150-161 + ConfidentialBoltService.verify:216-234.
+    *
+    * The AAD is parsed BEFORE AEAD authentication, so the bytes are untrusted:
+    * any parse failure (malformed JSON, non-numeric seq, truncation) means
+    * route-invalid — a corrupted or adversarial record must become a dropped
+    * record, never a task-killing exception. */
+  def isRouteValid(sealedValue: EncryptedValue, expectedSource: String, expectedDestination: String): Boolean =
+    try {
+      val aad = Aad.fromBytes(sealedValue.associatedData)
+      aad.matchesSource(expectedSource) && aad.matchesDestination(expectedDestination)
+    } catch { case scala.util.control.NonFatal(_) => false }
 }
 
 object SealedPayload {

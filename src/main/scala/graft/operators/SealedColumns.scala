@@ -34,14 +34,20 @@ object SealedColumns {
   }
 
   /** Seals a string column into an (aad, nonce, ciphertext) struct with
-    * routing AAD. Nonce is derived deterministically from (seed, seq) — at
-    * scale this keeps sealing retry-idempotent; uniqueness per (key, seq) is
-    * the caller's contract, as with any counter-based AEAD nonce. */
+    * routing AAD. Nonce is derived deterministically from
+    * (seed, producer, seq) — at scale this keeps sealing retry-idempotent;
+    * mixing the producer (and route, via the seed) into the derivation means
+    * two producers with overlapping seq ranges under the same key never reuse
+    * a (nonce, key) pair, the catastrophic AES-GCM/ChaCha20 failure mode.
+    * Uniqueness of seq WITHIN one producer remains the caller's contract, as
+    * with any counter-based AEAD nonce. */
   def sealColumn(text: Column, seq: Column, source: String, destination: String,
       producer: Column, codec: Codec, nonceSeed: Long = 42L): Column = {
     val sealUdf = udf { (t: String, sq: Long, prod: String) =>
+      val prodHash = java.nio.ByteBuffer
+        .wrap(RoutingHash.sha256(prod.getBytes("UTF-8"))).getLong
       val nonce = new Array[Byte](12)
-      var x = graft.dp.Mix.mix64(nonceSeed ^ sq)
+      var x = graft.dp.Mix.mix64(graft.dp.Mix.mix64(nonceSeed ^ prodHash) ^ sq)
       var i = 0
       while (i < 12) { nonce(i) = (x >>> ((i % 8) * 8)).toByte; if (i == 7) x = graft.dp.Mix.mix64(x); i += 1 }
       val aad = Aad(source = Some(source), destination = Some(destination),

@@ -127,4 +127,20 @@ class CryptoSpec extends AnyFunSuite {
     assert(w.accept(3))
     assert(w.accept(5))
   }
+
+  test("malformed AAD bytes are route-invalid, never an exception") {
+    val sp = new SealedPayload(key, Scheme.Aes256Gcm)
+    val good = sp.sealString("x", aad)
+    val malformed = Seq(
+      "not json at all",
+      "{\"seq\":not-a-number}",
+      "{\"source\":\"split\"",         // truncated: parser runs off the end
+      "{\"source\":\"split\",}",       // dangling comma
+      "{:}",
+      "{\"seq\":\"NaNBOGUS\",\"source\":\"split\",\"destination\":\"bounding\"}")
+    for (bad <- malformed) {
+      val ev = EncryptedValue(bad.getBytes("UTF-8"), good.nonce, good.ciphertext)
+      assert(!sp.isRouteValid(ev, "split", "bounding"), s"should be invalid: $bad")
+    }
+  }
 }

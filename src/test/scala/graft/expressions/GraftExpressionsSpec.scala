@@ -82,4 +82,20 @@ class GraftExpressionsSpec extends AnyFunSuite {
       Array.fill[Byte](32)(9), "aes-gcm", "spout", "split")).collect()(0)
     assert(wrongKey.isNullAt(0))
   }
+
+  test("seal nonces are distinct across producers sharing a seq") {
+    import spark.implicits._
+    val codec = new SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
+    // same seq for every producer: without producer mixing these would all
+    // reuse one (nonce, key) pair — the catastrophic GCM failure mode
+    val df = (0 until 16).map(i => (s"msg-$i", 7L, s"p$i")).toDF("text", "seq", "producer")
+      .select(col("text"),
+        SealedColumns.sealColumn(col("text"), col("seq"), "spout", "split", col("producer"), codec).as("payload"))
+    val nonces = df.select(hex(col("payload.nonce"))).collect().map(_.getString(0))
+    assert(nonces.distinct.length === 16)
+    val back = df.select(col("text"),
+        SealedColumns.unsealColumn(col("payload"), "spout", "split", codec).as("t"))
+      .collect()
+    back.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
 }
