@@ -258,6 +258,9 @@ object SparkEntry {
   private val NumMinHashes = 8
   private val NumBands = 4
   private val JaccardThreshold = 0.5
+  // skew guard for d4: shingles in more docs than this generate no candidates
+  // (verification still uses full sets — see Dedup.jaccardPairs)
+  private val JaccardMaxDf = 10L
   private val CosineNearDupThreshold = 0.4
   private val TopK = 5
 
@@ -289,9 +292,10 @@ object SparkEntry {
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
-    // ---- n-gram Jaccard near-dup pairs (exact) ----
+    // ---- n-gram Jaccard near-dup pairs (exact values, df-capped candidates) ----
     "d4_jaccard_pairs" -> ((s, d) => {
-      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", ShingleK, JaccardThreshold)
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", ShingleK, JaccardThreshold,
+          maxDocFrequency = JaccardMaxDf)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -518,9 +522,27 @@ object SparkEntry {
           |SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
           |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      // mirrors the df-capped candidate generation: shingles with df >
+      // JaccardMaxDf produce no candidates; intersections still use ALL
+      // shingles, so emitted jaccard values are exact
       "d4_jaccard_pairs" ->
-        s"""WITH $jaccardCte
-           |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin,
+        s"""WITH csh AS ($DuckShingles),
+           |ch AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
+           |cdf AS (SELECT h, count(*) AS df FROM ch GROUP BY h),
+           |rare AS (SELECT ch.doc_id, ch.h FROM ch JOIN cdf USING (h) WHERE cdf.df <= $JaccardMaxDf),
+           |ccands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+           |csizes AS (SELECT doc_id, count(*) AS sz FROM ch GROUP BY doc_id),
+           |cinter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM ccands c JOIN ch a ON a.doc_id = c.doc_a JOIN ch b ON b.doc_id = c.doc_b AND a.h = b.h
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |       round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+           |FROM cinter JOIN csizes sa ON doc_a = sa.doc_id JOIN csizes sb ON doc_b = sb.doc_id
+           |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin,
 
       "d5_cosine_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

@@ -99,29 +99,33 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact Jaccard similarity over shingle-hash sets for given pairs or for
-    * all pairs sharing ≥1 shingle (set `pairs = None` for the self-join form).
-    * Join happens on 64-bit shingle hashes; |A|,|B| are pre-aggregated. */
+  /** Exact n-gram Jaccard pairs with a document-frequency skew guard.
+    *
+    * Candidate pairs come from a self-join on shingle hashes — but only over
+    * shingles appearing in at most `maxDocFrequency` documents: a boilerplate
+    * shingle shared by n docs would otherwise emit n²/2 join rows (the skew
+    * bomb at 100 TB), while the capped join is bounded by C²/2 rows per
+    * shingle. Verification then computes TRUE Jaccard over each candidate's
+    * FULL shingle set (hot shingles included), so emitted values are exact;
+    * only a pair whose shared shingles are ALL above the cap can be missed —
+    * at a 0.8 threshold such pairs share dozens of shingles, making that
+    * practically empty (and the DuckDB oracle mirrors the same cap, so the
+    * gate pins the semantics). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxDocFrequency: Long = 1000L): DataFrame = {
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(shingles(col(textCol), k)).as("shingle"))
       .distinct()
       .withColumn("h", hash32(col("shingle")))
       .select("doc_id", "h")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"), col("x.h") === col("y.h"))
+    val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val rare = sh.join(docFreq.where(col("df") <= maxDocFrequency), "h")
+      .select("doc_id", "h")
+    val candidates = rare.as("x").join(rare.as("y"), "h")
       .where(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyCandidatesJaccard(docs, idCol, textCol, k, candidates, threshold)
   }
 
   /** Exact Jaccard verification restricted to candidate pairs: joins each
@@ -144,20 +148,23 @@ object Dedup {
   }
 
   /** 32-bit SimHash over token occurrences: bit b set iff the sum of ±1 votes
-    * (tokens whose hash has bit b set vote +1) is positive. */
+    * (tokens whose hash has bit b set vote +1) is positive.
+    *
+    * The 32 bit votes are 32 aggregate columns of ONE groupBy(doc_id) — all
+    * map-side combinable, so the shuffle carries one 32-long row per doc per
+    * partition. (An earlier form crossJoined tokens with a 32-row bits table,
+    * inflating the pre-aggregate shuffle 32×.) */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bits = broadcast((0 until 32).toDF("b"))
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
       .withColumn("h", hash32(col("token")))
-      .crossJoin(bits)
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 until 32).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 }
