@@ -117,14 +117,20 @@ object Similarity {
     * iteration count), assignments as the bucket key. The trained counterpart
     * of the random-hyperplane tables: one extra training pass buys better-
     * shaped cells. Training runs on a sample collected to the driver — the
-    * centroid table is tiny (nlist × dim) and broadcast back. */
+    * centroid table is tiny (nlist × dim) and broadcast back.
+    *
+    * The sample is the `sampleSize` rows minimizing a seeded hash of vec_id
+    * (a TakeOrdered top-n, no full sort) — deterministic under any file
+    * layout or repartitioning, unlike a bare `limit` which takes whatever
+    * partitions answer first and silently changes the centroids. */
   def trainIvfCentroids(corpus: DataFrame, nlist: Int, dim: Int,
       iterations: Int = 8, sampleSize: Int = 4096, seed: Long = 42L): Array[Array[Double]] = {
     val sample = corpus
-      .select(asDouble(col("embedding")).as("emb"))
+      .select(col("vec_id").cast("long").as("vid"), asDouble(col("embedding")).as("emb"))
+      .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
       .limit(sampleSize)
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "empty corpus")
     // deterministic init: spread picks over the sample
     var centroids = Array.tabulate(math.min(nlist, sample.length)) { c =>
@@ -162,34 +168,33 @@ object Similarity {
     best
   }
 
+  /** Per-centroid (distance, index) structs as a literal-backed column:
+    * d(v, c) = c·c − 2·v·c, the squared distance minus the per-row constant
+    * ‖v‖² — same argmin/ordering, one native dot per centroid, all codegen
+    * (no UDF). Struct ordering is lexicographic (d, then c), so ties break
+    * to the lowest centroid index, matching [[nearestCentroid]]. */
+  private def centroidDists(emb: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (ctr, i) =>
+      val cNormSq = ctr.map(x => x * x).sum
+      val cc = array(ctr.map(lit): _*)
+      struct((lit(cNormSq) - lit(2.0) * dot(cc, emb)).as("d"), lit(i).as("c"))
+    }: _*)
+
   /** IVF approximate top-k: corpus rows live in their nearest centroid's
     * list; each query probes its `nprobe` nearest lists and exact-scores only
     * those candidates. The (cell) equi-join replaces the cross join, same as
-    * the LSH path, but with data-adapted cells. */
+    * the LSH path, but with data-adapted cells. Assignment and probing are
+    * native expressions over the broadcast-literal centroid table. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centroids = trainIvfCentroids(corpus, nlist, dim, seed = seed)
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    val assignCell = udf { (emb: Seq[Double]) => nearestCentroid(emb.toArray, bc.value) }
-    val probeCells = udf { (emb: Seq[Double]) =>
-      val v = emb.toArray
-      bc.value.indices
-        .map { c =>
-          var d = 0.0
-          var i = 0
-          while (i < v.length) { val x = v(i) - bc.value(c)(i); d += x * x; i += 1 }
-          (c, d)
-        }
-        .sortBy(_._2).take(nprobe).map(_._1)
-    }
 
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("cell", assignCell(col("emb")))
+      .withColumn("cell", array_min(centroidDists(col("emb"), centroids)).getField("c"))
     val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
-      .withColumn("cell", explode(probeCells(col("q_emb")))))
+      .withColumn("cell", explode(transform(
+        slice(sort_array(centroidDists(col("q_emb"), centroids)), 1, nprobe),
+        s => s.getField("c")))))
     val scored = c.join(q, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")

@@ -156,11 +156,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall@5 too low: $recall") // nprobe=4/nlist=16 ⇒ ≥25% of cells probed
   }
 
-  test("IVF training is deterministic") {
+  test("IVF training is deterministic, including under repartitioning") {
     val emb = Tables.embeddings(spark, sfDir)
     val a = Similarity.trainIvfCentroids(emb, 8, 64)
     val b = Similarity.trainIvfCentroids(emb, 8, 64)
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // different physical layouts must not change the training sample
+    val c = Similarity.trainIvfCentroids(emb.repartition(7), 8, 64)
+    val d = Similarity.trainIvfCentroids(emb.repartition(3, col("vec_id")), 8, 64)
+    assert(a.map(_.toSeq).toSeq === c.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq === d.map(_.toSeq).toSeq)
+  }
+
+  test("IVF top-k rows are stable under repartitioning") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(corpus, queries, 5)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(emb) === rows(emb.repartition(5)))
   }
 
   test("approx unique-user pre-aggregation tracks the exact counts (monitoring mode)") {
