@@ -142,6 +142,81 @@ final class AeadHelper(keyBytes: Array[Byte], schemeName: String,
   }
 }
 
+/** AEAD seal as an expression — the mirror of [[AeadUnseal]]: (text, seq,
+  * producer) → (aad, nonce, ciphertext) struct with routing AAD bound in.
+  * Nonce derivation is deterministic in (nonceSeed, producer, seq): retry-
+  * idempotent at scale, and producer mixing prevents (nonce, key) reuse
+  * across producers with overlapping seq ranges (see
+  * [[graft.operators.SealedColumns.sealColumn]]). */
+case class AeadSeal(
+    textExpr: Expression, seqExpr: Expression, producerExpr: Expression,
+    keyBytes: Array[Byte], schemeName: String,
+    source: String, destination: String, nonceSeed: Long)
+    extends TernaryExpression {
+
+  override def first: Expression = textExpr
+  override def second: Expression = seqExpr
+  override def third: Expression = producerExpr
+  override def dataType: DataType = AeadSeal.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_seal"
+
+  @transient private lazy val helper =
+    new AeadSealHelper(keyBytes, schemeName, source, destination, nonceSeed)
+
+  override def nullSafeEval(text: Any, seq: Any, producer: Any): Any =
+    helper.seal(text.asInstanceOf[UTF8String], seq.asInstanceOf[Long],
+      producer.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("sealHelper", helper, classOf[AeadSealHelper].getName)
+    nullSafeCodeGen(ctx, ev, (text, seq, producer) => {
+      s"${ev.value} = $helperRef.seal($text, $seq, $producer);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): AeadSeal =
+    copy(textExpr = f, seqExpr = s, producerExpr = t)
+}
+
+object AeadSeal {
+  val schema: StructType = StructType(Seq(
+    StructField("aad", BinaryType, nullable = true),
+    StructField("nonce", BinaryType, nullable = true),
+    StructField("ciphertext", BinaryType, nullable = true)))
+}
+
+/** Serializable seal helper invoked from generated code. */
+final class AeadSealHelper(keyBytes: Array[Byte], schemeName: String,
+    source: String, destination: String, nonceSeed: Long) extends Serializable {
+  @transient private lazy val payload = new graft.crypto.SealedPayload(keyBytes, schemeName match {
+    case "chacha20" => graft.crypto.Scheme.ChaCha20Poly1305
+    case "aes-gcm" => graft.crypto.Scheme.Aes256Gcm
+    case _ => graft.crypto.Scheme.None
+  })
+
+  /** 12-byte nonce from mix64 over (seed, producer-hash, seq). */
+  def deriveNonce(producer: String, seq: Long): Array[Byte] = {
+    val prodHash = java.nio.ByteBuffer
+      .wrap(graft.crypto.RoutingHash.sha256(producer.getBytes("UTF-8"))).getLong
+    val nonce = new Array[Byte](12)
+    var x = graft.dp.Mix.mix64(graft.dp.Mix.mix64(nonceSeed ^ prodHash) ^ seq)
+    var i = 0
+    while (i < 12) { nonce(i) = (x >>> ((i % 8) * 8)).toByte; if (i == 7) x = graft.dp.Mix.mix64(x); i += 1 }
+    nonce
+  }
+
+  def seal(text: UTF8String, seq: Long, producer: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val prod = producer.toString
+    val aad = graft.crypto.Aad(source = Some(source), destination = Some(destination),
+      producerId = Some(prod), seq = Some(seq))
+    val ev = payload.sealWithNonce(text.getBytes, aad, deriveNonce(prod, seq))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ev.associatedData, ev.nonce, ev.ciphertext))
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object GraftExpressions {
   def dot(a: Column, b: Column): Column =
@@ -157,6 +232,15 @@ object GraftExpressions {
       ColumnBridge.expression(sealedStruct.getField("nonce")),
       ColumnBridge.expression(sealedStruct.getField("ciphertext")),
       keyBytes, scheme, expectedSource, expectedDestination))
+
+  def seal(text: Column, seq: Column, producer: Column,
+      keyBytes: Array[Byte], scheme: String,
+      source: String, destination: String, nonceSeed: Long = 42L): Column =
+    ColumnBridge.column(AeadSeal(
+      ColumnBridge.expression(text),
+      ColumnBridge.expression(seq),
+      ColumnBridge.expression(producer),
+      keyBytes, scheme, source, destination, nonceSeed))
 
   /** SQL registration (`graft_dot`, `graft_l2_normalize`), usable from any
     * `spark.sql(...)` query; also injectable via [[GraftSessionExtensions]]. */

@@ -12,9 +12,10 @@ import graft.crypto._
   * verifies the AAD route before unsealing, exactly like
   * ConfidentialBoltService.verify (ConfidentialBoltService.java:191-281).
   *
-  * Crypto runs in Scala UDFs (SURVEY §4.3.3: a custom codegen Expression is
-  * only warranted if sealing shows up in profiles — AES-GCM dominates either
-  * way). One [[SealedPayload]] codec per executor via lazy transient init.
+  * Both directions run as native codegen Catalyst expressions
+  * ([[graft.expressions.AeadSeal]] / [[graft.expressions.AeadUnseal]]) — a
+  * method invocation inside whole-stage codegen, no UDF serialization. One
+  * [[SealedPayload]] codec per executor via lazy transient init.
   *
   * Replay protection in batch mode is relational: a record is accepted if it
   * is the first occurrence of its (producer, seq) — semantically the
@@ -25,7 +26,7 @@ import graft.crypto._
 object SealedColumns {
 
   /** Serializable codec factory; the Cipher machinery is per-JVM transient. */
-  final class Codec(keyBytes: Array[Byte], schemeName: String) extends Serializable {
+  final class Codec(val keyBytes: Array[Byte], val schemeName: String) extends Serializable {
     @transient lazy val payload: SealedPayload = new SealedPayload(keyBytes, schemeName match {
       case "chacha20" => Scheme.ChaCha20Poly1305
       case "aes-gcm" => Scheme.Aes256Gcm
@@ -42,35 +43,17 @@ object SealedColumns {
     * Uniqueness of seq WITHIN one producer remains the caller's contract, as
     * with any counter-based AEAD nonce. */
   def sealColumn(text: Column, seq: Column, source: String, destination: String,
-      producer: Column, codec: Codec, nonceSeed: Long = 42L): Column = {
-    val sealUdf = udf { (t: String, sq: Long, prod: String) =>
-      val prodHash = java.nio.ByteBuffer
-        .wrap(RoutingHash.sha256(prod.getBytes("UTF-8"))).getLong
-      val nonce = new Array[Byte](12)
-      var x = graft.dp.Mix.mix64(graft.dp.Mix.mix64(nonceSeed ^ prodHash) ^ sq)
-      var i = 0
-      while (i < 12) { nonce(i) = (x >>> ((i % 8) * 8)).toByte; if (i == 7) x = graft.dp.Mix.mix64(x); i += 1 }
-      val aad = Aad(source = Some(source), destination = Some(destination),
-        producerId = Some(prod), seq = Some(sq))
-      val ev = codec.payload.sealWithNonce(t.getBytes("UTF-8"), aad, nonce)
-      (ev.associatedData, ev.nonce, ev.ciphertext)
-    }
-    sealUdf(text, seq, producer).cast("struct<aad:binary,nonce:binary,ciphertext:binary>")
-  }
+      producer: Column, codec: Codec, nonceSeed: Long = 42L): Column =
+    graft.expressions.GraftExpressions.seal(text, seq, producer,
+      codec.keyBytes, codec.schemeName, source, destination, nonceSeed)
 
   /** Route-validates and unseals; returns null for invalid routes or failed
     * authentication (callers filter, mirroring the reference's drop-on-
     * SecurityException behavior). */
   def unsealColumn(sealedCol: Column, expectedSource: String, expectedDestination: String,
-      codec: Codec): Column = {
-    val unsealUdf = udf { (aad: Array[Byte], nonce: Array[Byte], ct: Array[Byte]) =>
-      val ev = EncryptedValue(aad, nonce, ct)
-      if (!codec.payload.isRouteValid(ev, expectedSource, expectedDestination)) null
-      else try new String(codec.payload.unseal(ev), "UTF-8")
-      catch { case _: SecurityException => null }
-    }
-    unsealUdf(sealedCol.getField("aad"), sealedCol.getField("nonce"), sealedCol.getField("ciphertext"))
-  }
+      codec: Codec): Column =
+    graft.expressions.GraftExpressions.unseal(sealedCol,
+      codec.keyBytes, codec.schemeName, expectedSource, expectedDestination)
 
   /** Batch replay filter: keeps the first occurrence of each (producer, seq),
     * dropping duplicates/replays deterministically (earliest by `orderCol`). */

@@ -83,6 +83,29 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(wrongKey.isNullAt(0))
   }
 
+  test("AeadSeal expression: native both directions, stays in codegen") {
+    // spark.range (not a local Seq): ConvertToLocalRelation would eval a
+    // LocalRelation projection eagerly and leave no codegen span to assert on
+    val df = spark.range(2)
+      .select(concat(lit("msg-"), col("id")).cast("string").as("text"),
+        col("id").as("seq"), concat(lit("p"), col("id")).as("producer"))
+      .select(col("text"),
+        GraftExpressions.seal(col("text"), col("seq"), col("producer"),
+          graft.crypto.SealedPayload.testKey, "aes-gcm", "spout", "split").as("payload"))
+    val round = df.select(col("text"),
+      GraftExpressions.unseal(col("payload"),
+        graft.crypto.SealedPayload.testKey, "aes-gcm", "spout", "split").as("back"))
+    round.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+    // both expressions implement doGenCode — the projection must compile
+    // into a whole-stage-codegen span, not fall back to interpreted eval
+    val codegenSpans = round.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty, round.queryExecution.executedPlan.toString)
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[AeadSeal]))
+  }
+
   test("seal nonces are distinct across producers sharing a seq") {
     import spark.implicits._
     val codec = new SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
