@@ -381,18 +381,27 @@ object SparkEntry {
         .orderBy("word")
     }),
 
-    // ---- P7 negative path: wrong expected route drops everything ----
+    // ---- P7: routes resolved from the sealed topology graph; negative paths
+    //      are a stage absent from the graph (fail-closed, no upstreams) and
+    //      a registered stage the payload is not addressed to ----
     "p7_route_validation" -> ((s, d) => {
       val codec = new operators.SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
+      val topoKey = graft.crypto.SealedPayload.testKey
+      val sealedTopo = graft.crypto.PipelineTopology(
+        "spout" -> Seq("split"), "split" -> Seq("bounding"), "bounding" -> Seq("aggregation"))
+        .sealWith(topoKey)
+      val topo = graft.crypto.PipelineTopology.loadSealed(sealedTopo, topoKey)
       val sealedDocs = Tables.documents(s, d).select(
         col("doc_id"),
         operators.SealedColumns.sealColumn(col("text"), col("doc_id"), "spout", "split",
           concat(lit("p"), col("doc_id") % 4), codec).as("payload"))
-      val good = operators.SealedColumns.unsealColumn(col("payload"), "spout", "split", codec)
-      val badRoute = operators.SealedColumns.unsealColumn(col("payload"), "spout", "perturbation", codec)
+      val good = operators.SealedColumns.unsealForStage(col("payload"), "split", codec, topo)
+      val unknownStage = operators.SealedColumns.unsealForStage(col("payload"), "perturbation", codec, topo)
+      val wrongStage = operators.SealedColumns.unsealForStage(col("payload"), "bounding", codec, topo)
       sealedDocs.agg(
         sum(when(good.isNotNull, 1L).otherwise(0L)).as("valid_route"),
-        sum(when(badRoute.isNotNull, 1L).otherwise(0L)).as("invalid_route"))
+        sum(when(unknownStage.isNotNull, 1L).otherwise(0L)).as("invalid_route"),
+        sum(when(wrongStage.isNotNull, 1L).otherwise(0L)).as("wrong_stage"))
     }),
 
     // ---- P8: replay filter (first occurrence per producer+seq survives) ----
@@ -483,7 +492,8 @@ object SparkEntry {
           |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
 
       "p7_route_validation" ->
-        """SELECT count(*) AS valid_route, CAST(0 AS BIGINT) AS invalid_route FROM documents""".stripMargin,
+        """SELECT count(*) AS valid_route, CAST(0 AS BIGINT) AS invalid_route,
+          |       CAST(0 AS BIGINT) AS wrong_stage FROM documents""".stripMargin,
 
       "p8_replay_filter" ->
         """SELECT 'p' || (doc_id % 4) AS producer, count(DISTINCT doc_id % 100) AS accepted

@@ -55,6 +55,21 @@ object SealedColumns {
     graft.expressions.GraftExpressions.unseal(sealedCol,
       codec.keyBytes, codec.schemeName, expectedSource, expectedDestination)
 
+  /** Unseals for a named pipeline stage, accepting any upstream the route
+    * topology registers for it: a record is valid iff its AAD destination is
+    * `stage` and its AAD source is one of `topology.upstream(stage)` — the
+    * reference's per-bolt check against the decrypted topology graph
+    * (ConfidentialBoltService.java:216-234 consulting
+    * EncryptedTopologyProvider.java:37-64). A stage absent from the graph has
+    * no upstreams, so every record drops: fail-closed, like the reference's
+    * refusal to start without its topology resource. */
+  def unsealForStage(sealedCol: Column, stage: String, codec: Codec,
+      topology: PipelineTopology): Column = {
+    val ups = topology.upstream(stage)
+    if (ups.isEmpty) lit(null).cast("string")
+    else coalesce(ups.map(u => unsealColumn(sealedCol, u, stage, codec)): _*)
+  }
+
   /** Batch replay filter: keeps the first occurrence of each (producer, seq),
     * dropping duplicates/replays deterministically (earliest by `orderCol`). */
   def replayFilter(df: DataFrame, producerCol: String, seqCol: String, orderCol: String): DataFrame =

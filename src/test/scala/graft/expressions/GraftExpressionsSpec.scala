@@ -106,6 +106,26 @@ class GraftExpressionsSpec extends AnyFunSuite {
       .isAssignableFrom(classOf[AeadSeal]))
   }
 
+  test("unsealForStage validates against the sealed topology graph") {
+    import spark.implicits._
+    val key = graft.crypto.SealedPayload.testKey
+    val codec = new SealedColumns.Codec(key, "aes-gcm")
+    val topo = graft.crypto.PipelineTopology.loadSealed(
+      graft.crypto.PipelineTopology("spout" -> Seq("split"), "split" -> Seq("bounding"))
+        .sealWith(key), key)
+    val sealedDf = Seq(("route me", 1L, "p0")).toDF("text", "seq", "producer")
+      .select(SealedColumns.sealColumn(col("text"), col("seq"), "spout", "split",
+        col("producer"), codec).as("payload"))
+    val out = sealedDf.select(
+      SealedColumns.unsealForStage(col("payload"), "split", codec, topo).as("ok"),
+      SealedColumns.unsealForStage(col("payload"), "bounding", codec, topo).as("wrong_stage"),
+      SealedColumns.unsealForStage(col("payload"), "nowhere", codec, topo).as("unknown_stage"))
+      .collect()(0)
+    assert(out.getString(0) === "route me")
+    assert(out.isNullAt(1)) // registered stage, but payload addressed elsewhere
+    assert(out.isNullAt(2)) // stage not in graph: fail-closed
+  }
+
   test("seal nonces are distinct across producers sharing a seq") {
     import spark.implicits._
     val codec = new SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
