@@ -10,8 +10,18 @@ object CompositionMode {
   case object DworkAnalytical extends CompositionMode
   /** Kairouz–Oh–Viswanath optimal k-fold composition over (ε, δ)-DP. */
   case object OptimalKov extends CompositionMode
-  /** Direct ρ-zCDP conversion with linear split across rounds (tightest; default). */
+  /** Direct ρ-zCDP conversion with linear split across rounds (default):
+    * ρ_round = cdpRho(ε_k, δ_k) / C, so C-fold zCDP composition meets the
+    * total budget exactly. Matches the reference's DPUtil ZCDP_LINEAR. */
   case object ZcdpLinear extends CompositionMode
+  /** Reproduces the reference's COMMITTED benchmark CSVs, which recover the
+    * calibration ρ by re-converting the conservative Prop-1.3 per-round
+    * (ε, (1−α)δ) through the tight cdpRho — recovering MORE ρ than the linear
+    * share (σ_key 27.8508 vs 30.79 at T=100), so C-fold composition exceeds
+    * the total (ε_k, δ_k) budget by ~11% in ε. Kept ONLY for apples-to-apples
+    * utility/throughput comparison against those CSVs; use [[ZcdpLinear]] for
+    * a sound budget. */
+  case object ZcdpLinearCsvCompat extends CompositionMode
 }
 
 /** Derived DP-SQLP §4.4 calibration outputs consumed by the mechanism. */
@@ -218,14 +228,20 @@ object Calibration {
     case CompositionMode.ZcdpLinear =>
       val rhoRound = cdpRho(epsilonK, deltaK) / c
       val deltaRound = deltaK / c
-      // ρ-zCDP ⇒ (ρ + 2·sqrt(ρ·ln(1/δ)), δ)-DP (Bun–Steinke Prop. 1.3)
+      // ρ-zCDP ⇒ (ρ + 2·sqrt(ρ·ln(1/δ)), δ)-DP (Bun–Steinke Prop. 1.3);
+      // ε/δ round values feed β and the release threshold only — the
+      // calibration ρ IS the linear share, so C rounds compose to exactly
+      // cdpRho(ε_k, δ_k) and the total budget holds (DPUtil ZCDP_LINEAR).
       val epsRound = rhoRound + 2.0 * math.sqrt(rhoRound * math.log(1.0 / deltaRound))
-      // Calibration ρ: convert the per-round (ε, (1−α)δ) budget back through
-      // the tight conversion, as in the other two modes. This recovers more ρ
-      // than the linear share (the Prop-1.3 ε_round is conservative, cdpRho is
-      // tight) and is what the reference's committed utility CSVs embody:
-      // σ_key=27.8508 at T=100 ⇔ ρ_cal=cdpRho(0.6064, 0.5·δ_round)=4.512e-3,
-      // vs 3.692e-3 for the raw linear share (benchmark_T100_20260610_010459.csv).
+      KeySelectionRoundBudget(epsRound, deltaRound, rhoRound)
+    case CompositionMode.ZcdpLinearCsvCompat =>
+      val rhoRound = cdpRho(epsilonK, deltaK) / c
+      val deltaRound = deltaK / c
+      val epsRound = rhoRound + 2.0 * math.sqrt(rhoRound * math.log(1.0 / deltaRound))
+      // The committed CSVs re-convert the conservative Prop-1.3 (ε, (1−α)δ)
+      // through the tight cdpRho, recovering ρ_cal=4.512e-3 > linear share
+      // 3.692e-3 at T=100 (benchmark_T100_20260610_010459.csv ⇒ σ=27.8508).
+      // Over-budget by construction — comparison baseline only (see mode doc).
       KeySelectionRoundBudget(epsRound, deltaRound, cdpRho(epsRound, gaussianShareDelta(deltaRound, alpha)))
   }
 

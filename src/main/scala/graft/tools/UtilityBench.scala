@@ -36,7 +36,11 @@ object UtilityBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val params = DpParams.calibrated(CompositionMode.ZcdpLinear,
+    // CsvCompat on purpose: UTILITY.md compares l0/l1/l2/linf against the
+    // reference's committed CSV bands, which embody this calibration (σ_key
+    // 27.8508 at T=100). The privacy-sound default is CompositionMode.
+    // ZcdpLinear (linear ρ share, σ_key 30.79) — see Calibration.scala.
+    val params = DpParams.calibrated(CompositionMode.ZcdpLinearCsvCompat,
       3.0, 2.0 / 3.0 * 1e-9, 3.0, 1.0 / 3.0 * 1e-9,
       maxTimeSteps = t, mu = 0L, maxContributionsPerUser = c,
       perRecordClamp = 1.0, thresholdFailureFraction = 0.5)

@@ -13,8 +13,30 @@ class CalibrationSpec extends AnyFunSuite {
   private val epsH = 3.0
   private val deltaH = 1.0 / 3.0 * 1e-9
 
-  test("T=100 ZCDP_LINEAR matches committed baseline: sigma_key, sigma_hist, quantile, eps/delta round") {
+  test("ZCDP_LINEAR rho is the exact linear share: C rounds compose to the total budget") {
+    val lin = Calibration.keySelectionRoundBudget(CompositionMode.ZcdpLinear, epsK, deltaK, 32, 0.5)
+    val total = Calibration.cdpRho(epsK, deltaK)
+    assert(math.abs(32 * lin.rho - total) < 1e-12, s"32*rho=${32 * lin.rho} total=$total")
+    // the CSV-compat mode over-recovers rho (that is WHY it is quarantined)
+    val csv = Calibration.keySelectionRoundBudget(CompositionMode.ZcdpLinearCsvCompat, epsK, deltaK, 32, 0.5)
+    assert(csv.rho > lin.rho)
+    // eps/delta round (and hence beta/threshold) are shared between the modes
+    assert(csv.epsilon === lin.epsilon && csv.delta === lin.delta)
+  }
+
+  test("T=100 ZCDP_LINEAR (sound linear share): sigma_key 30.79, same threshold") {
     val cal = Calibration.calibrate(CompositionMode.ZcdpLinear, epsK, deltaK, epsH, deltaH,
+      c = 32, t = 100, perRecordClamp = 1.0, thresholdFailureFraction = 0.5)
+    assert(math.abs(cal.sigmaKey - 30.7901) < 0.01, s"sigmaKey=${cal.sigmaKey}")
+    assert(math.abs(cal.sigmaHist - 177.1696) < 0.01, s"sigmaHist=${cal.sigmaHist}")
+    assert(math.abs(cal.thresholdQuantile - 6.8506) < 0.001, s"quantile=${cal.thresholdQuantile}")
+    val cal1000 = Calibration.calibrate(CompositionMode.ZcdpLinear, epsK, deltaK, epsH, deltaH,
+      c = 32, t = 1000, perRecordClamp = 1.0, thresholdFailureFraction = 0.5)
+    assert(math.abs(cal1000.sigmaKey - 36.8012) < 0.01, s"sigmaKey(T=1000)=${cal1000.sigmaKey}")
+  }
+
+  test("T=100 CSV-compat matches committed baseline: sigma_key, sigma_hist, quantile, eps/delta round") {
+    val cal = Calibration.calibrate(CompositionMode.ZcdpLinearCsvCompat, epsK, deltaK, epsH, deltaH,
       c = 32, t = 100, perRecordClamp = 1.0, thresholdFailureFraction = 0.5)
     assert(math.abs(cal.sigmaKey - 27.8508) < 0.01, s"sigmaKey=${cal.sigmaKey}")
     assert(math.abs(cal.sigmaHist - 177.1696) < 0.01, s"sigmaHist=${cal.sigmaHist}")
@@ -24,7 +46,7 @@ class CalibrationSpec extends AnyFunSuite {
   }
 
   test("T=100: diagnostic tau-at-last-step matches committed 358.35") {
-    val cal = Calibration.calibrate(CompositionMode.ZcdpLinear, epsK, deltaK, epsH, deltaH,
+    val cal = Calibration.calibrate(CompositionMode.ZcdpLinearCsvCompat, epsK, deltaK, epsH, deltaH,
       c = 32, t = 100, perRecordClamp = 1.0, thresholdFailureFraction = 0.5)
     // CSV diagnostic (UtilityBenchmarkTest.java:476-478): kappa full-subtree
     // Honaker node variances, tau = sqrt(kappa · sigma²/(2(1−2^−kappa))) · quantile
@@ -34,8 +56,8 @@ class CalibrationSpec extends AnyFunSuite {
     assert(math.abs(tauT - 358.35) < 0.5, s"tau(T)=$tauT")
   }
 
-  test("T=1000 ZCDP_LINEAR matches committed baseline") {
-    val cal = Calibration.calibrate(CompositionMode.ZcdpLinear, epsK, deltaK, epsH, deltaH,
+  test("T=1000 CSV-compat matches committed baseline") {
+    val cal = Calibration.calibrate(CompositionMode.ZcdpLinearCsvCompat, epsK, deltaK, epsH, deltaH,
       c = 32, t = 1000, perRecordClamp = 1.0, thresholdFailureFraction = 0.5)
     assert(math.abs(cal.sigmaKey - 33.2881) < 0.01, s"sigmaKey=${cal.sigmaKey}")
     assert(math.abs(cal.sigmaHist - 211.7581) < 0.01, s"sigmaHist=${cal.sigmaHist}")
