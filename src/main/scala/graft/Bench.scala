@@ -86,7 +86,7 @@ object Bench {
     val synthetic = Seq(
       "synthetic_dp_t20" -> timed("synthetic_dp_t20") {
         val contrib = SyntheticSource.zipfContributions(spark, 2000000L, 100000, 50000, 20)
-        val preAgg = CoreOps.preAggregate(contrib.toDF(), "key", "epoch", "userId", "value")
+        val preAgg = CoreOps.preAggregatePrevEpoch(contrib.toDF(), "key", "epoch", "userId", "value")
         force(DpHistogram.run(spark, preAgg, DpParams.zeroNoise(20, mu = 10)))
       },
       "microbatch_0_1gb" -> microbatch(0.1),

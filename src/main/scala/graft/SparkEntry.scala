@@ -29,7 +29,7 @@ object SparkEntry {
         (col("doc_id") % 8).cast("int").as("epoch"), lit(1.0).as("value"))
     val bounded = CoreOps.boundContributions(words, "user_id", "word", 1000L)
       .withColumn("value", CoreOps.clamp(col("value"), 1.0))
-    val preAgg = CoreOps.preAggregate(bounded, "word", "epoch", "user_id", "value")
+    val preAgg = CoreOps.preAggregatePrevEpoch(bounded, "word", "epoch", "user_id", "value")
     DpHistogram.run(spark, preAgg, DpParams.zeroNoise(8))
   }
 
@@ -115,7 +115,7 @@ object SparkEntry {
     "dp_sigma0_mu0_histogram" -> ((s, d) => {
       val bounded = CoreOps.boundContributions(Tables.events(s, d), "user_id", "event_id", BoundC)
         .withColumn("value", CoreOps.clamp(col("value"), ClampL))
-      val preAgg = CoreOps.preAggregate(withEpoch(bounded), "event_type", "epoch", "user_id", "value")
+      val preAgg = CoreOps.preAggregatePrevEpoch(withEpoch(bounded), "event_type", "epoch", "user_id", "value")
       DpHistogram.run(s, preAgg, DpParams.zeroNoise(Epochs))
     }),
 
@@ -124,7 +124,7 @@ object SparkEntry {
       val keyed = Tables.events(s, d)
         .select(get_json_object(col("props"), "$.k").cast("long").cast("string").as("key"),
           col("user_id").cast("string").as("user_id"), lit(0L).as("epoch"), lit(1.0).as("value"))
-      val preAgg = CoreOps.preAggregate(keyed, "key", "epoch", "user_id", "value")
+      val preAgg = CoreOps.preAggregatePrevEpoch(keyed, "key", "epoch", "user_id", "value")
       DpHistogram.run(s, preAgg, DpParams.zeroNoise(1, mu = MuGate))
         // key is numeric-as-string; order numerically for a stable compare
         .select(col("key").cast("long").as("key"), col("count"))
@@ -148,7 +148,7 @@ object SparkEntry {
       // rounding boundary where a 1-ulp cross-engine difference flips the
       // integer — integer-valued sums are exact in both engines
       val unit = withEpoch(Tables.events(s, d)).withColumn("one", lit(1.0))
-      val preAgg = CoreOps.preAggregate(unit, "event_type", "epoch", "user_id", "one")
+      val preAgg = CoreOps.preAggregatePrevEpoch(unit, "event_type", "epoch", "user_id", "one")
       DpHistogram.timeline(s, preAgg, DpParams.zeroNoise(Epochs))
         .orderBy("epoch", "key")
     }),

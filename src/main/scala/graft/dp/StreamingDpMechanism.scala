@@ -116,6 +116,12 @@ final class DpKeyState(
   private var currentSumValue: Double = 0.0
   /** Users counted into the selection tree this round (Σ new unique users). */
   private var roundUsers: Long = 0L
+  /** First epoch of the current selection round: a user counts as new iff
+    * their previous appearance (if any) predates this. Advanced to
+    * `releaseEpoch + 1` on every release — the epoch-indexed equivalent of
+    * clearing `observedUsers`, and the state that lets callers feed
+    * pre-deduplicated prev-epoch counts instead of user identities. */
+  private var roundStartEpoch: Int = 0
   /** O(log T) Algorithm-3 prediction support. Every datum of the current
     * round sits at leaves ≤ the current epoch, so for any future step trP the
     * noisy statistic decomposes as `roundUsers + N₀(trP)` with N₀ the tree's
@@ -145,6 +151,31 @@ final class DpKeyState(
     * @return the newly released noisy sum, if the key was selected this epoch
     */
   def processEpoch(timeStep: Int, windowUsers: Iterable[String], deltaV: Double, appeared: Boolean): Option[Double] = {
+    // Algo 1 step 7 (identity form): only NEW unique users this round count.
+    // O(round users) state — fine for single-node/monitoring use; the
+    // distributed path feeds [[processEpochPrevCounts]] instead.
+    if (keyTree == null) observedUsers.clear()
+    var newUniqueUsers = 0L
+    windowUsers.foreach { u => if (observedUsers.add(u)) newUniqueUsers += 1 }
+    processEpochCore(timeStep, newUniqueUsers, deltaV, appeared)
+  }
+
+  /** Step this key through epoch `timeStep` with the window's users given as
+    * previous-appearance-epoch counts instead of identities: `prevCounts`
+    * holds (prev, n) = n distinct users of this key whose latest appearance
+    * before this epoch was at `prev` (−1 = never). A user is NEW to the round
+    * iff `prev < roundStartEpoch` — exactly the `observedUsers` semantics,
+    * because `prev` is the LATEST prior appearance. State stays O(T); the
+    * caller computes prev epochs relationally (a lag window over (key, user))
+    * so no user identity ever reaches per-key state — the hot-key fix:
+    * a Zipf-hot key with 10M users previously held all 10M strings here. */
+  def processEpochPrevCounts(timeStep: Int, prevCounts: Iterable[(Int, Long)], deltaV: Double, appeared: Boolean): Option[Double] = {
+    var newUniqueUsers = 0L
+    prevCounts.foreach { case (prev, n) => if (prev < roundStartEpoch) newUniqueUsers += n }
+    processEpochCore(timeStep, newUniqueUsers, deltaV, appeared)
+  }
+
+  private def processEpochCore(timeStep: Int, newUniqueUsers: Long, deltaV: Double, appeared: Boolean): Option[Double] = {
     require(timeStep >= 0 && timeStep < params.maxTimeSteps, s"timeStep $timeStep out of range")
 
     // Algo 2 step 7: accumulate ΔV since last release.
@@ -155,18 +186,13 @@ final class DpKeyState(
     // Being processed at (or past) the predicted time consumes the prediction.
     if (predictedReleaseTime >= 0 && predictedReleaseTime <= timeStep) predictedReleaseTime = -1
 
-    // Algo 1 step 5: lazily (re-)create the selection tree; fresh round ⇒
-    // fresh observed-user tracking.
+    // Algo 1 step 5: lazily (re-)create the selection tree for a fresh round.
     if (keyTree == null) {
       keyTree = keyTreeSpec.build()
-      observedUsers.clear()
       roundUsers = 0L
       predictionCurve = null
     }
 
-    // Algo 1 step 7: only NEW unique users this round count (sensitivity 1).
-    var newUniqueUsers = 0
-    windowUsers.foreach { u => if (observedUsers.add(u)) newUniqueUsers += 1 }
     keyTree.addToTree(timeStep, newUniqueUsers.toDouble)
     roundUsers += newUniqueUsers
 
@@ -181,9 +207,11 @@ final class DpKeyState(
       currentSumValue = noisySum
       released = true
       unreleasedBuffer = 0.0
-      // §4.4: restart the key-selection round after a release.
+      // §4.4: restart the key-selection round after a release. Appearances at
+      // or before this epoch are forgotten: roundStartEpoch = timeStep + 1.
       keyTree = null
       observedUsers.clear()
+      roundStartEpoch = timeStep + 1
       predictedReleaseTime = -1
       predictionCurve = null
       roundUsers = 0L

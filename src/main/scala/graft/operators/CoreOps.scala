@@ -62,6 +62,34 @@ object CoreOps {
         sum(col(valueCol)).as("delta_v"),
         approx_count_distinct(col(userCol), rsd).as("approx_users"))
 
+  /** Scale-default pre-aggregation for the DP mechanism: per (key, epoch),
+    * ΔV plus a histogram of the users' PREVIOUS-appearance epochs —
+    * `prev_counts` = [(prev, n)] with n distinct users whose latest earlier
+    * appearance on this key was at epoch `prev` (−1 = first ever). This is
+    * all [[graft.dp.DpKeyState.processEpochPrevCounts]] needs to count
+    * new-to-the-round users EXACTLY (a user is new iff prev < round start,
+    * since prev is the latest prior appearance), so no user identity crosses
+    * into per-key state and the terminal row is O(T) instead of O(users).
+    *
+    * Shuffle shape at 100 TB: stage 1 dedups at (key, epoch, user) — a
+    * Zipf-hot key spreads across partitions by user; the lag window runs at
+    * (key, user) granularity (same property); the final rows are at
+    * (key, epoch) with ≤ T+1 entries each. Replaces the collect_set design
+    * whose hot-key row held every user string. */
+  def preAggregatePrevEpoch(df: DataFrame, keyCol: String, epochCol: String, userCol: String, valueCol: String): DataFrame = {
+    val perUser = df
+      .groupBy(col(keyCol).as("key"), col(epochCol).cast("int").as("epoch"), col(userCol).as("user"))
+      .agg(sum(col(valueCol)).as("user_sum"))
+    val w = Window.partitionBy(col("key"), col("user")).orderBy(col("epoch"))
+    perUser
+      .withColumn("prev", coalesce(lag(col("epoch"), 1).over(w), lit(-1)))
+      .groupBy(col("key"), col("epoch"), col("prev"))
+      .agg(sum(col("user_sum")).as("v_part"), count(lit(1)).as("n"))
+      .groupBy(col("key"), col("epoch"))
+      .agg(sum(col("v_part")).as("delta_v"),
+        collect_list(struct(col("prev"), col("n"))).as("prev_counts"))
+  }
+
   /** Skew-safe variant of [[preAggregate]] for Zipf-hot keys at scale: stage 1
     * dedups at (key, epoch, user) granularity — that shuffle spreads a hot
     * key across partitions proportionally to its distinct users instead of

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dp._
 
@@ -10,54 +10,58 @@ import graft.dp._
   *
   * Plan shape (designed for 100 TB):
   *
-  *  1. `groupBy(key, epoch)` pre-aggregation (ΔV + exact user set) — Spark
-  *     runs partial aggregation map-side, so the shuffle carries one row per
-  *     (key, epoch, distinct-users) not one per input record.
+  *  1. [[CoreOps.preAggregatePrevEpoch]] — per (key, epoch): ΔV plus the
+  *     previous-appearance-epoch histogram of its users. Every shuffle up to
+  *     here runs at (key, user) or finer granularity, so a Zipf-hot key
+  *     spreads across partitions; the terminal row is O(T), never O(users) —
+  *     no user identity reaches per-key state.
   *  2. `groupByKey(key).flatMapGroups` — one shuffle by key; each key's ≤T
-  *     epoch rows are folded through [[graft.dp.DpKeyState]] in epoch order.
-  *     The per-key timeline (tree state, Algo 3 predicted silent-epoch
-  *     releases) is processed entirely inside the group, so no driver-side
-  *     loop and no cross-key coordination — the reference's ZooKeeper epoch
-  *     barrier (EpochBarrierCoordinator.java) has no residue here.
+  *     epoch rows are folded through [[graft.dp.DpKeyState]] in epoch order
+  *     via `processEpochPrevCounts` (exact new-user counting against the
+  *     round-start epoch). The per-key timeline (tree state, Algo 3 predicted
+  *     silent-epoch releases) is processed entirely inside the group, so no
+  *     driver-side loop and no cross-key coordination — the reference's
+  *     ZooKeeper epoch barrier (EpochBarrierCoordinator.java) has no residue
+  *     here.
   *
   * State is O(keys × T); data volume only affects stage 1, which scales
   * linearly and shuffles pre-aggregated rows.
   */
 object DpHistogram {
 
+  private type EpochRow = (String, Int, Double, Seq[(Int, Long)])
+
+  private def toEpochRows(preAgg: DataFrame) =
+    preAgg.select(col("key").cast("string"), col("epoch").cast("int"),
+      col("delta_v").cast("double"), col("prev_counts").cast("array<struct<prev:int,n:bigint>>"))
+
   /** Final released histogram after running all epochs: (key, count), count
     * desc / key asc, negatives clamped — matching
     * StreamingDPMechanism.produceHistogram (:517-531).
     *
-    * @param preAgg  output of [[CoreOps.preAggregate]]: (key, epoch, delta_v, users)
+    * @param preAgg  output of [[CoreOps.preAggregatePrevEpoch]]:
+    *                (key, epoch, delta_v, prev_counts)
     * @param params  calibrated or zero-noise DP parameters
     * @param runSeed seed for deterministic noise (ignored when σ=0)
     */
   def run(spark: SparkSession, preAgg: DataFrame, params: DpParams, runSeed: Long = 42L): DataFrame = {
     import spark.implicits._
 
-    val result = preAgg
-      .select(col("key").cast("string"), col("epoch").cast("int"),
-        col("delta_v").cast("double"), col("users").cast("array<string>"))
-      .as[(String, Int, Double, Seq[String])]
+    val result = toEpochRows(preAgg)
+      .as[EpochRow]
       .groupByKey(_._1)
       .flatMapGroups { (key, rows) =>
-        val state = new DpKeyState(
-          params,
-          TreeSpec(params.maxTimeSteps, params.sigmaKey,
-            NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
-          TreeSpec(params.maxTimeSteps, params.sigmaHist,
-            NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist"))))
+        val state = stateFor(key, params, runSeed)
         val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
         var epoch = 0
         while (epoch < params.maxTimeSteps) {
           byEpoch.get(epoch) match {
-            case Some((deltaV, users)) =>
-              state.processEpoch(epoch, users, deltaV, appeared = true)
+            case Some((deltaV, prevCounts)) =>
+              state.processEpochPrevCounts(epoch, prevCounts, deltaV, appeared = true)
             case None =>
               // Algo 3: predicted noise-alone releases fire on silent epochs.
               if (state.predictedRelease.contains(epoch))
-                state.processEpoch(epoch, Nil, 0.0, appeared = false)
+                state.processEpochPrevCounts(epoch, Nil, 0.0, appeared = false)
           }
           epoch += 1
         }
@@ -74,26 +78,20 @@ object DpHistogram {
   def timeline(spark: SparkSession, preAgg: DataFrame, params: DpParams, runSeed: Long = 42L): DataFrame = {
     import spark.implicits._
 
-    preAgg
-      .select(col("key").cast("string"), col("epoch").cast("int"),
-        col("delta_v").cast("double"), col("users").cast("array<string>"))
-      .as[(String, Int, Double, Seq[String])]
+    toEpochRows(preAgg)
+      .as[EpochRow]
       .groupByKey(_._1)
       .flatMapGroups { (key, rows) =>
-        val state = new DpKeyState(
-          params,
-          TreeSpec(params.maxTimeSteps, params.sigmaKey,
-            NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
-          TreeSpec(params.maxTimeSteps, params.sigmaHist,
-            NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist"))))
+        val state = stateFor(key, params, runSeed)
         val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
         val out = Seq.newBuilder[(Int, String, Long)]
         var epoch = 0
         while (epoch < params.maxTimeSteps) {
           val released = byEpoch.get(epoch) match {
-            case Some((deltaV, users)) => state.processEpoch(epoch, users, deltaV, appeared = true)
+            case Some((deltaV, prevCounts)) =>
+              state.processEpochPrevCounts(epoch, prevCounts, deltaV, appeared = true)
             case None if state.predictedRelease.contains(epoch) =>
-              state.processEpoch(epoch, Nil, 0.0, appeared = false)
+              state.processEpochPrevCounts(epoch, Nil, 0.0, appeared = false)
             case None => None
           }
           released.foreach(s => out += ((epoch, key, math.max(0L, math.round(s)))))
@@ -103,4 +101,12 @@ object DpHistogram {
       }
       .toDF("epoch", "key", "count")
   }
+
+  private def stateFor(key: String, params: DpParams, runSeed: Long): DpKeyState =
+    new DpKeyState(
+      params,
+      TreeSpec(params.maxTimeSteps, params.sigmaKey,
+        NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
+      TreeSpec(params.maxTimeSteps, params.sigmaHist,
+        NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist"))))
 }

@@ -10,6 +10,11 @@ final case class Contribution(key: String, epoch: Int, userId: String, value: Do
 /** A released histogram update: the key's new noisy sum as of `epoch`. */
 final case class Release(key: String, epoch: Int, count: Long)
 
+/** Stage-A output of the two-level DP design: one row per (key, user, epoch)
+  * carrying the user's previous-appearance epoch on this key (−1 = first
+  * ever) — user identity itself goes no further. */
+final case class PrevMarked(key: String, epoch: Int, prev: Int, value: Double)
+
 /** Structured Streaming restatement of the reference topology (SURVEY §3.1):
   *
   * {{{
@@ -38,8 +43,12 @@ object StreamingPipelines {
 
   private implicit def stateEncoder: Encoder[BoundingState] = Encoders.kryo[BoundingState]
   private implicit def dpStateEncoder: Encoder[DpStreamState] = Encoders.kryo[DpStreamState]
+  private implicit def lastSeenEncoder: Encoder[LastSeen] = Encoders.kryo[LastSeen]
 
   final case class BoundingState(var used: Long)
+
+  /** Stage-A state: the last epoch this (key, user) pair contributed. */
+  final case class LastSeen(var epoch: Int)
 
   /** Per-key streaming DP state: the key's DP-SQLP state machine plus the last
     * epoch it processed (for catching up silent predicted releases). */
@@ -110,6 +119,82 @@ object StreamingPipelines {
             if (epoch > st.lastEpoch && epoch < params.maxTimeSteps) {
               processSilentUpTo(epoch)
               st.state.processEpoch(epoch, rs.map(_.userId), rs.map(_.value).sum, appeared = true)
+                .foreach(s => out += Release(key, epoch, math.max(0L, math.round(s))))
+              st.lastEpoch = epoch
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
+  /** Stage A of the two-level exact-dedup design (the hot-key fix): keyed
+    * state on (key, user) holding ONE int — the pair's last-seen epoch. Each
+    * (key, user, epoch) emits a [[PrevMarked]] row carrying that previous
+    * epoch, so stage B (per-key DP state) never receives user identities and
+    * its state stays O(T) regardless of how many users a Zipf-hot key has;
+    * the (key, user) state itself spreads across the state store by user.
+    * Semantically: `prev < roundStart ⟺ user not seen since the key's last
+    * release` — exactly the reference's per-round `observedUsers` dedup
+    * (StreamingDPMechanism.java:377-390), kept EXACT as the sensitivity-1
+    * guarantee requires. */
+  def markPrevEpoch(input: Dataset[Contribution]): Dataset[PrevMarked] = {
+    import input.sparkSession.implicits._
+    input
+      .groupByKey(c => (c.key, c.userId))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (ku: (String, String), rows: Iterator[Contribution], state: GroupState[LastSeen]) => {
+          val st = state.getOption.getOrElse(LastSeen(-1))
+          val out = rows.toSeq.groupBy(_.epoch).toSeq.sortBy(_._1).map { case (epoch, rs) =>
+            val prev = st.epoch
+            if (epoch > st.epoch) st.epoch = epoch
+            PrevMarked(ku._1, epoch, prev, rs.map(_.value).sum)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Stage B: the [[dpHistogram]] logic fed with [[PrevMarked]] rows — per
+    * epoch it folds (prev → distinct-user count) histograms into
+    * [[graft.dp.DpKeyState.processEpochPrevCounts]]. Together with
+    * [[markPrevEpoch]] this is the scale form of the streaming DP pipeline. */
+  def dpHistogramTwoLevel(input: Dataset[Contribution], params: DpParams, runSeed: Long = 42L): Dataset[Release] =
+    dpHistogramPrevMarked(markPrevEpoch(input), params, runSeed)
+
+  def dpHistogramPrevMarked(input: Dataset[PrevMarked], params: DpParams, runSeed: Long = 42L): Dataset[Release] = {
+    import input.sparkSession.implicits._
+    input
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[PrevMarked], state: GroupState[DpStreamState]) => {
+          val st = state.getOption.getOrElse(
+            DpStreamState(new DpKeyState(
+              params,
+              TreeSpec(params.maxTimeSteps, params.sigmaKey,
+                NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
+              TreeSpec(params.maxTimeSteps, params.sigmaHist,
+                NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist")))), -1))
+
+          val out = Seq.newBuilder[Release]
+
+          def processSilentUpTo(epoch: Int): Unit = {
+            var p = st.state.predictedRelease
+            while (p.exists(pr => pr > st.lastEpoch && pr < epoch)) {
+              val pr = p.get
+              st.state.processEpochPrevCounts(pr, Nil, 0.0, appeared = false)
+                .foreach(s => out += Release(key, pr, math.max(0L, math.round(s))))
+              st.lastEpoch = pr
+              p = st.state.predictedRelease
+            }
+          }
+
+          val byEpoch = rows.toSeq.groupBy(_.epoch).toSeq.sortBy(_._1)
+          byEpoch.foreach { case (epoch, rs) =>
+            if (epoch > st.lastEpoch && epoch < params.maxTimeSteps) {
+              processSilentUpTo(epoch)
+              val prevCounts = rs.groupBy(_.prev).view.mapValues(_.size.toLong).toSeq
+              st.state.processEpochPrevCounts(epoch, prevCounts, rs.map(_.value).sum, appeared = true)
                 .foreach(s => out += Release(key, epoch, math.max(0L, math.round(s))))
               st.lastEpoch = epoch
             }

@@ -87,7 +87,7 @@ object StreamDemo {
       .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
         col("user_id").cast("string").as("user_id"), col("value"))
     val bounded = CoreOps.boundContributions(events, "user_id", "epoch", 1000L)
-    val batch = DpHistogram.run(spark, CoreOps.preAggregate(bounded, "key", "epoch", "user_id", "value"), params)
+    val batch = DpHistogram.run(spark, CoreOps.preAggregatePrevEpoch(bounded, "key", "epoch", "user_id", "value"), params)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
 
     println(s"[stream] final histogram: ${streamed.toSeq.sortBy(-_._2)}")

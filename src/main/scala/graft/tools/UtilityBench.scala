@@ -68,7 +68,7 @@ object UtilityBench {
     contributions.cache()
     val nContrib = contributions.count()
 
-    val preAgg = CoreOps.preAggregate(contributions, "key", "epoch", "user_id", "value")
+    val preAgg = CoreOps.preAggregatePrevEpoch(contributions, "key", "epoch", "user_id", "value")
     val dp = DpHistogram.run(spark, preAgg, params, runSeed)
 
     val truth = contributions.groupBy("key").agg(sum("value").cast("long").as("count"))

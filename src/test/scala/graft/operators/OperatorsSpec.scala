@@ -32,7 +32,7 @@ class OperatorsSpec extends AnyFunSuite {
     val params = DpParams.zeroNoise(32, mu = 40)
 
     // distributed
-    val preAgg = CoreOps.preAggregate(events.toDF(), "key", "epoch", "user_id", "value")
+    val preAgg = CoreOps.preAggregatePrevEpoch(events.toDF(), "key", "epoch", "user_id", "value")
     val distributed = DpHistogram.run(spark, preAgg, params)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
@@ -51,13 +51,39 @@ class OperatorsSpec extends AnyFunSuite {
     val events = Tables.events(spark, sfDir)
       .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
         col("user_id").cast("string").as("user_id"), col("value"))
-    val preAgg = CoreOps.preAggregate(events.toDF(), "key", "epoch", "user_id", "value")
+    val preAgg = CoreOps.preAggregatePrevEpoch(events.toDF(), "key", "epoch", "user_id", "value")
     val params = DpParams(5.0, 10.0, graft.dp.Stats.inverseNormalCdf(1 - 1e-4), 32, 5, 50)
     val a = DpHistogram.run(spark, preAgg, params, runSeed = 7L).collect().toSeq
     val b = DpHistogram.run(spark, preAgg, params, runSeed = 7L).collect().toSeq
     val c = DpHistogram.run(spark, preAgg, params, runSeed = 8L).collect().toSeq
     assert(a === b)
     assert(a !== c)
+  }
+
+  test("hot-key pre-aggregation: per-key rows stay O(T) with 1M users, results exact") {
+    // one Zipf-hot key, 1M contributions, 600k distinct users, revisits across
+    // 4 epochs — the round-1 collect_set design would materialize one row
+    // holding 600k user strings; prev_counts must stay <= epochs+1 entries
+    val n = 1000000L
+    val contrib = spark.range(n).select(
+      lit("hot").as("key"),
+      (col("id") / 250000).cast("int").as("epoch"),
+      concat(lit("u"), col("id") % 600000).as("user_id"),
+      lit(1.0).as("value"))
+    val preAgg = CoreOps.preAggregatePrevEpoch(contrib, "key", "epoch", "user_id", "value")
+    val rows = preAgg.collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val prevCounts = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("prev_counts"))
+      assert(prevCounts.size <= 5, s"prev_counts blew up: ${prevCounts.size}")
+    }
+    // exact semantics through the gate INCLUDING a round reset: mu=500k
+    // releases at epoch 1 (500k cumulative new users), the round restarts,
+    // epochs 2-3 re-count returning users as new, releasing the rest — the
+    // final carried-forward sum must be the exact total.
+    val hist = DpHistogram.run(spark, preAgg, DpParams.zeroNoise(4, mu = 500000L)).collect()
+    assert(hist.length === 1)
+    assert(hist(0).getLong(1) === n)
   }
 
   test("LSH top-k cosine scores are exact and ranks are bucket-consistent") {

@@ -36,11 +36,14 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq
   }
 
-  private def streamHistogram(params: DpParams, contributions: Seq[Contribution], queryName: String): Map[String, Long] = {
+  private def streamHistogram(params: DpParams, contributions: Seq[Contribution], queryName: String,
+      twoLevel: Boolean = false): Map[String, Long] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Contribution]
-    val releases = StreamingPipelines.dpHistogram(mem.toDS(), params)
+    val releases =
+      if (twoLevel) StreamingPipelines.dpHistogramTwoLevel(mem.toDS(), params)
+      else StreamingPipelines.dpHistogram(mem.toDS(), params)
     val q = StreamingPipelines.carryForwardSink(releases, queryName)
     try {
       contributions.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (_, rows) =>
@@ -63,7 +66,7 @@ class StreamingSpec extends AnyFunSuite {
     val events = Tables.events(spark, sfDir)
       .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
         col("user_id").cast("string").as("user_id"), col("value"))
-    val preAgg = CoreOps.preAggregate(events, "key", "epoch", "user_id", "value")
+    val preAgg = CoreOps.preAggregatePrevEpoch(events, "key", "epoch", "user_id", "value")
     val batch = DpHistogram.run(spark, preAgg, params)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
 
@@ -78,11 +81,28 @@ class StreamingSpec extends AnyFunSuite {
     val events = Tables.events(spark, sfDir)
       .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
         col("user_id").cast("string").as("user_id"), col("value"))
-    val preAgg = CoreOps.preAggregate(events, "key", "epoch", "user_id", "value")
+    val preAgg = CoreOps.preAggregatePrevEpoch(events, "key", "epoch", "user_id", "value")
     val batch = DpHistogram.run(spark, preAgg, params)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
 
     assert(streamed === batch)
+  }
+
+  test("two-level streaming (prev-epoch marking, no user ids in key state) equals batch") {
+    val contrib = eventContributions()
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
+        col("user_id").cast("string").as("user_id"), col("value"))
+    val preAgg = CoreOps.preAggregatePrevEpoch(events, "key", "epoch", "user_id", "value")
+    // zero noise and a seeded-noise + mu-gate run (releases + round resets)
+    for ((params, name) <- Seq(
+        (DpParams.zeroNoise(32), "tl0"),
+        (DpParams(3.0, 6.0, graft.dp.Stats.inverseNormalCdf(1 - 1e-3), 32, 20, 50), "tl1"))) {
+      val streamed = streamHistogram(params, contrib, name, twoLevel = true)
+      val batch = DpHistogram.run(spark, preAgg, params)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(streamed === batch, s"two-level mismatch in $name")
+    }
   }
 
   test("streaming contribution bounding admits exactly C per user across epochs") {

@@ -56,7 +56,7 @@ class TransformWithStateSpec extends AnyFunSuite {
     val events = Tables.events(spark, sfDir)
       .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
         col("user_id").cast("string").as("user_id"), col("value"))
-    val batch = DpHistogram.run(spark, CoreOps.preAggregate(events, "key", "epoch", "user_id", "value"), params)
+    val batch = DpHistogram.run(spark, CoreOps.preAggregatePrevEpoch(events, "key", "epoch", "user_id", "value"), params)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
 
     assert(streamed === batch)
