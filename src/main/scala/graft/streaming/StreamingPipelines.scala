@@ -44,6 +44,8 @@ object StreamingPipelines {
   private implicit def stateEncoder: Encoder[BoundingState] = Encoders.kryo[BoundingState]
   private implicit def dpStateEncoder: Encoder[DpStreamState] = Encoders.kryo[DpStreamState]
   private implicit def lastSeenEncoder: Encoder[LastSeen] = Encoders.kryo[LastSeen]
+  private implicit def replayWindowEncoder: Encoder[graft.crypto.ReplayWindow] =
+    Encoders.kryo[graft.crypto.ReplayWindow]
 
   final case class BoundingState(var used: Long)
 
@@ -204,22 +206,51 @@ object StreamingPipelines {
         })
   }
 
+  /** An authenticated-but-not-yet-replay-checked record: producer and seq
+    * come from the AEAD-verified AAD, plain is the unsealed payload. */
+  final case class UnsealedEnvelope(producer: String, seq: Long, plain: String)
+
   /** Confidential mode, streaming: sealed (aad, nonce, ciphertext) payloads
     * carrying JSON contributions are route-validated and unsealed mid-stream
     * by the native [[graft.expressions.GraftExpressions.unseal]] expression,
-    * then parsed declaratively — invalid routes / failed authentication
-    * become nulls and are dropped, the reference's discard-on-
-    * SecurityException behavior. Everything downstream (bounding, DP) is the
-    * plaintext pipeline. */
+    * then replay-filtered per producer, then parsed declaratively.
+    *
+    *   - invalid routes / failed authentication become nulls and are dropped
+    *     (the reference's discard-on-SecurityException behavior);
+    *   - a [[graft.crypto.ReplayWindow]] in keyed state per `producer_id`
+    *     (state = maxSeen + window bits, O(windowSize) per producer) drops
+    *     replayed sealed tuples MID-STREAM, like the reference's per-producer
+    *     check inside the enclave (ReplayWindow.java:44-105, wired at
+    *     ConfidentialBoltService.java:178-183,236-279). producer/seq are read
+    *     from the AAD only AFTER authentication, so a forged seq cannot
+    *     displace the window.
+    *
+    * Everything downstream (bounding, DP) is the plaintext pipeline. */
   def unsealContributions(sealedStream: org.apache.spark.sql.DataFrame,
       keyBytes: Array[Byte], scheme: String,
-      expectedSource: String, expectedDestination: String): Dataset[Contribution] = {
+      expectedSource: String, expectedDestination: String,
+      replayWindowSize: Int = 128): Dataset[Contribution] = {
     import sealedStream.sparkSession.implicits._
     import org.apache.spark.sql.functions._
-    sealedStream
+    val unsealed = sealedStream
       .withColumn("plain", graft.expressions.GraftExpressions.unseal(
         col("payload"), keyBytes, scheme, expectedSource, expectedDestination))
       .where(col("plain").isNotNull)
+      .select(
+        get_json_object(col("payload").getField("aad").cast("string"), "$.producer_id").as("producer"),
+        get_json_object(col("payload").getField("aad").cast("string"), "$.seq").cast("long").as("seq"),
+        col("plain"))
+      .as[UnsealedEnvelope]
+    val accepted = unsealed
+      .groupByKey(_.producer)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[UnsealedEnvelope], state: GroupState[graft.crypto.ReplayWindow]) => {
+          val w = state.getOption.getOrElse(new graft.crypto.ReplayWindow(replayWindowSize))
+          val out = rows.filter(r => w.accept(r.seq)).map(_.plain).toList
+          state.update(w)
+          out.iterator
+        })
+    accepted.toDF("plain")
       .select(from_json(col("plain"),
         org.apache.spark.sql.types.StructType.fromDDL(
           "key STRING, epoch INT, userId STRING, value DOUBLE")).as("c"))

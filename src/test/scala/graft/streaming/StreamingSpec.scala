@@ -159,6 +159,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(hist === Map("spark" -> 5L, "storm" -> 1L))
   }
 
+  test("replayed sealed tuples are dropped mid-stream; histogram matches batch replay-filter semantics") {
+    import spark.implicits._
+    import graft.operators.SealedColumns
+    implicit val sqlCtx = spark.sqlContext
+    val params = graft.dp.DpParams.zeroNoise(8)
+    val codec = new SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
+
+    // (key, epoch, user, value, producer, seq); seqs repeat across batches —
+    // only the first delivery of each (producer, seq) may count
+    val rows = Seq(
+      ("spark", 0, "u1", 2.0, "p0", 0L), ("storm", 0, "u2", 1.0, "p1", 0L),
+      ("spark", 1, "u3", 3.0, "p0", 1L), ("flink", 1, "u4", 4.0, "p1", 1L))
+
+    val mem = MemoryStream[(String, Long, String)] // (json, seq, producer)
+    val sealedStream = mem.toDS().toDF("plainJson", "seq", "producer")
+      .select(SealedColumns.sealColumn(col("plainJson"), col("seq"), "spout", "dp",
+        col("producer"), codec).as("payload"))
+    val pipeline = StreamingPipelines.dpHistogram(
+      StreamingPipelines.unsealContributions(sealedStream,
+        graft.crypto.SealedPayload.testKey, "aes-gcm", "spout", "dp"), params)
+    val q = StreamingPipelines.carryForwardSink(pipeline, "replaydp")
+    try {
+      rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+        val batchRows = rs.map { case (k, e, u, v, prod, seq) =>
+          (s"""{"key":"$k","epoch":$e,"userId":"$u","value":$v}""", seq, prod)
+        }
+        // every sealed tuple delivered twice within the batch AND re-delivered
+        // in a later batch: byte-identical replays, all must be dropped
+        mem.addData(batchRows ++ batchRows)
+        q.processAllAvailable()
+        mem.addData(batchRows.take(1)) // cross-batch replay of an old tuple
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val hist = spark.table("replaydp").orderBy(col("epoch")).collect()
+      .foldLeft(Map.empty[String, Long]) { (acc, r) => acc + (r.getString(0) -> r.getLong(2)) }
+    // equals the batch replay-filter semantics: first occurrence per
+    // (producer, seq) survives -> each logical contribution counted once
+    assert(hist === Map("spark" -> 5L, "storm" -> 1L, "flink" -> 4L))
+  }
+
   test("streaming word-count pipeline end to end (tokenize -> bound -> dp)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
