@@ -44,10 +44,11 @@ object SyntheticSource {
       ids.map { id =>
         val uKey = Mix.uniform01(Mix.mix64(seed ^ Mix.mix64(id)))
         val uUser = Mix.uniform01(Mix.mix64(seed ^ Mix.mix64(id + numRows)))
-        val epoch = (Mix.mix64(seed ^ Mix.mix64(id + 2 * numRows)) >>> 33 % Int.MaxValue).toInt % numEpochs
+        // >>> 33 leaves a non-negative 31-bit value, so % is enough
+        val epoch = (Mix.mix64(seed ^ Mix.mix64(id + 2 * numRows)) >>> 33).toInt % numEpochs
         Contribution(
           key = keyDist.sample(uKey).toString,
-          epoch = math.floorMod(epoch, numEpochs),
+          epoch = epoch,
           userId = (1 + (uUser * numUsers).toInt.min(numUsers - 1)).toString,
           value = 1.0)
       }
