@@ -68,9 +68,14 @@ object Bench {
       } finally spark.sparkContext.clearJobGroup()
     }
 
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed(name)(force(fn(spark, sfDir)))
-    }
+    // Optional comma-separated workload filter for local iteration
+    // (unset in the driver's per-round run → full suite).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted(name) }
+      .map { case (name, fn) => name -> timed(name)(force(fn(spark, sfDir))) }
 
     def microbatch(gb: Double): Double = {
       val name = s"microbatch_${gb.toString.replace('.', '_')}gb"
@@ -83,17 +88,19 @@ object Bench {
       }
     }
 
-    val synthetic = Seq(
-      "synthetic_dp_t20" -> timed("synthetic_dp_t20") {
+    val synthetic = Seq[(String, () => Double)](
+      "synthetic_dp_t20" -> (() => timed("synthetic_dp_t20") {
         val contrib = SyntheticSource.zipfContributions(spark, 2000000L, 100000, 50000, 20)
         val preAgg = CoreOps.preAggregatePrevEpoch(contrib.toDF(), "key", "epoch", "userId", "value")
         force(DpHistogram.run(spark, preAgg, DpParams.zeroNoise(20, mu = 10)))
-      },
-      "microbatch_0_1gb" -> microbatch(0.1),
+      }),
+      "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)
-      "microbatch_0_5gb" -> microbatch(0.5),
-      "microbatch_1_0gb" -> microbatch(1.0))
+      "microbatch_0_5gb" -> (() => microbatch(0.5)),
+      "microbatch_1_0gb" -> (() => microbatch(1.0)))
+      .filter { case (name, _) => wanted(name) }
+      .map { case (name, run) => name -> run() }
 
     val gbps = Seq(("microbatch_0_1gb", 0.1), ("microbatch_0_5gb", 0.5), ("microbatch_1_0gb", 1.0))
       .flatMap { case (n, g) =>
@@ -106,18 +113,26 @@ object Bench {
       .mkString("{", ",", "}")
 
     val all = queryTimes ++ synthetic ++ gbps
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Failed (-1) entries live ONLY in "failed": a consumer summing "queries"
+    // then always gets back "value".
+    val qs = all.collect { case (k, v) if v >= 0 => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val failed = all.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val json =
+    // Compact summary WITHOUT the multi-KB "profile" payload: the driver reads
+    // the process-output tail and truncated the ~8 KB profiled line mid-JSON
+    // two rounds running (BENCH_r01/r02 parsed:null). Keep the summary ~2 KB.
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"profile":$profile,"sf":"$sfDir"}"""
 
-    // Stdout line for humans/legacy parsing, plus a file the driver can read
-    // without scraping sbt's [info]-prefixed log stream (BENCH_r01 parsed:null).
-    println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.println(s"[bench] JSON written to $outPath")
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full JSON (with profile) written to $outPath")
     spark.stop()
+    // The compact line is the VERY LAST stdout write (after spark.stop so no
+    // Spark shutdown chatter can land after it in the captured tail).
+    println(compact)
   }
 }

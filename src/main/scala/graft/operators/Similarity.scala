@@ -96,15 +96,21 @@ object Similarity {
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 8, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val cIds = c
       .withColumn("tb", explode(tableBuckets(col("emb"), dim, bitsPerTable, numTables, seed)))
-      .select(col("vec_id"), col("emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
+    val qIds = broadcast(q
       .withColumn("tb", explode(tableBuckets(col("q_emb"), dim, bitsPerTable, numTables, seed)))
-      .select(col("query_id"), col("q_emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
-    val candidates = c.join(q, Seq("tbl", "bucket"))
+      .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    // ids-only through the bucket join + dedup; embeddings join back once per
+    // unique (query, candidate) pair — never per bucket collision.
+    val candidates = cIds.join(qIds, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("vec_id"), col("emb"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("vec_id"))
     val scored = candidates.withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -205,19 +211,43 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Bucket-signature bits for a corpus of `n` vectors: enough hyperplanes
+    * that the EXPECTED bucket occupancy is ≤ `targetBucket`, floored at 4.
+    * Per-table candidate volume is Σ n_b² ≈ n·occupancy, so fixing occupancy
+    * (instead of fixing bits) keeps the candidate join LINEAR in corpus size —
+    * 4 fixed bits made it n²/16 (952 MB shuffled for a 2 k corpus at r2). */
+  def bitsForCorpus(n: Long, targetBucket: Int = 64): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   /** Embedding-cosine near-duplicate pairs above a threshold — the
     * embedding-space analogue of [[Dedup.jaccardPairs]]. Multi-table LSH
-    * generates candidates; only colliding pairs are scored exactly. */
+    * generates candidates; only colliding pairs are scored exactly.
+    *
+    * Scale shape: the (tbl, bucket) self-join carries IDS ONLY — candidate
+    * pairs are deduplicated as bare (vec_a, vec_b) longs, and the 64-double
+    * embeddings are joined back ONCE per side afterwards, so each unique pair
+    * costs one dot product and the shuffle never moves an embedding per
+    * candidate. `bitsPerTable = 0` (default) derives the signature width from
+    * the corpus size via [[bitsForCorpus]] so bucket occupancy — and with it
+    * the candidate count — stays bounded as the corpus grows.
+    *
+    * @param bitsPerTable hyperplanes per hash table; 0 = auto from corpus size
+    */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-      dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col("vec_id"), normalized(asDouble(col("embedding"))).as("emb"))
-      .withColumn("tb", explode(tableBuckets(col("emb"), dim, bitsPerTable, numTables, seed)))
-      .select(col("vec_id"), col("emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val b = c.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("tbl"), col("bucket"))
-    c.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("tbl"), col("bucket"))
-      .join(b, Seq("tbl", "bucket"))
+      dim: Int = 64, bitsPerTable: Int = 0, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val bits = if (bitsPerTable > 0) bitsPerTable else bitsForCorpus(corpus.count())
+    val norm = corpus.select(col("vec_id"), normalized(asDouble(col("embedding"))).as("emb"))
+    val ids = norm
+      .withColumn("tb", explode(tableBuckets(col("emb"), dim, bits, numTables, seed)))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val pairs = ids.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+      .join(ids.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
+    pairs
+      .join(norm.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), Seq("vec_a"))
+      .join(norm.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), Seq("vec_b"))
       .withColumn("cos", round(dot(col("emb_a"), col("emb_b")), 6))
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
