@@ -424,7 +424,9 @@ object SparkEntry {
         .limit(50)
     }),
 
-    // ---- ANN LSH top-k (approximate; rows-only — compared to brute force in tests) ----
+    // ---- ANN LSH top-k (approximate; DuckDB oracle mirrors the md5-derived
+    //      hyperplanes, buckets, and candidate scoring; recall floor vs brute
+    //      force is additionally pinned in OperatorsSpec) ----
     "d7_ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
@@ -432,7 +434,8 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- ANN IVF top-k (trained coarse quantizer; rows-only) ----
+    // ---- ANN IVF top-k (trained coarse quantizer; rows-only — the k-means
+    //      training loop is not SQL-expressible; pinned in OperatorsSpec) ----
     "d8_ann_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
@@ -443,9 +446,9 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query; column names and ordering must match the
     * Spark result exactly (the driver sorts columns by name and hash-compares
-    * values). Queries without an entry (LSH near-dup variants, multimodal
-    * decode, ANN) get the driver's rows-only check and are pinned against
-    * exact baselines in ScalaTest instead. */
+    * values). The only queries without an entry are d8 (IVF — the k-means
+    * training loop is not SQL-expressible) and s3 (no input table); both get
+    * the driver's rows-only check and are pinned in ScalaTest instead. */
   def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql
 
   /** Shared DuckDB fragment: distinct word-k-shingles per document, matching
@@ -570,13 +573,16 @@ object SparkEntry {
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin,
 
+      // floor(x·10⁴ + 0.5)/10⁴ == TextOps.round4: same IEEE ops both engines,
+      // immune to the round() half-boundary divergence (Spark rounds the
+      // exact binary value, DuckDB rounds x·10⁴ computed in floats)
       "x1_token_stats" ->
         """SELECT doc_id,
           |       len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens,
           |       length(text) AS n_chars,
           |       len(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS n_distinct_tokens,
-          |       round(length(replace(text, ' ', ''))::DOUBLE /
-          |             len(list_filter(string_split(text,' '), t -> t <> ''))::DOUBLE, 4) AS mean_token_len
+          |       floor(length(replace(text, ' ', ''))::DOUBLE /
+          |             len(list_filter(string_split(text,' '), t -> t <> ''))::DOUBLE * 10000.0 + 0.5) / 10000.0 AS mean_token_len
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "x2_quality_score" -> {
@@ -589,9 +595,11 @@ object SparkEntry {
            |         len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
            |         len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
            |  FROM t)
-           |SELECT doc_id, round(ls, 4) AS length_score, round(ttr, 4) AS type_token_ratio,
-           |       round(sr, 4) AS stopword_ratio,
-           |       round(0.4 * ls + 0.3 * ttr + 0.3 * sr, 4) AS quality
+           |SELECT doc_id,
+           |       floor(ls * 10000.0 + 0.5) / 10000.0 AS length_score,
+           |       floor(ttr * 10000.0 + 0.5) / 10000.0 AS type_token_ratio,
+           |       floor(sr * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+           |       floor((0.4 * ls + 0.3 * ttr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS quality
            |FROM raw ORDER BY doc_id""".stripMargin
       },
 
@@ -642,7 +650,91 @@ object SparkEntry {
           |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
           |       octet_length(encode(text)) AS n_bytes,
           |       substr(sha256(text), 1, 16) AS sha
-          |FROM documents ORDER BY asset_id""".stripMargin
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // byte-range frame slices: frame f covers bytes [f·64, (f+1)·64) with
+      // stride 2; document text is ASCII so VARCHAR substr == byte slicing
+      // (the same equivalence mm_binary_meta's header_hex relies on)
+      "mm_frame_sample" ->
+        """WITH fr AS (
+          |  SELECT doc_id, text,
+          |         unnest(range(0, octet_length(encode(text)) // 64, 2)) AS f
+          |  FROM documents)
+          |SELECT doc_id AS asset_id, CAST(f AS INTEGER) AS frame_idx,
+          |       CAST(64 AS INTEGER) AS frame_bytes,
+          |       substr(sha256(substr(text, CAST(f * 64 + 1 AS INTEGER), 64)), 1, 16) AS frame_sha
+          |FROM fr ORDER BY asset_id, frame_idx""".stripMargin,
+
+      // mirrors cosineNearDupPairs end-to-end: md5-derived hyperplanes
+      // (Similarity.planeWeight — first 52 md5 bits scaled to [-1,1), exact
+      // IEEE both engines), corpus-scaled signature width (min b in [4,20]
+      // with 64·2^b >= n == Similarity.bitsForCorpus), L2-normalized
+      // embeddings, per-table sign buckets, candidate id pairs, exact dot.
+      // All folds are ordered list_reduce == the native DotProduct loop.
+      "d6_cosine_neardup_pairs" ->
+        s"""WITH nbits AS (
+           |  SELECT min(b) AS bits FROM range(4, 21) tb(b)
+           |  WHERE 64 * (1::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
+           |planes AS (
+           |  SELECT t.t AS tbl, b.b AS bit,
+           |         list_transform(range(0, 64), i ->
+           |           ('0x' || substr(md5('42:' || t.t || ':' || b.b || ':' || i), 1, 13))::BIGINT
+           |           * (2.0 / 4503599627370496.0) - 1.0) AS w
+           |  FROM range(0, 8) t(t), range(0, 20) b(b), nbits WHERE b.b < nbits.bits),
+           |nrm AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS emb
+           |  FROM (SELECT vec_id, embedding,
+           |               sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS n
+           |        FROM embeddings)),
+           |sigs AS (
+           |  SELECT v.vec_id, p.tbl,
+           |         CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> p.w[i] * v.emb[i]), (a, b) -> a + b) > 0
+           |                       THEN (1::BIGINT << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM nrm v CROSS JOIN planes p GROUP BY 1, 2),
+           |cands AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |scored AS (
+           |  SELECT c.vec_a, c.vec_b,
+           |         round(list_reduce(list_transform(range(1, 65), i -> na.emb[i] * nb.emb[i]), (a, b) -> a + b), 6) AS cos
+           |  FROM cands c JOIN nrm na ON na.vec_id = c.vec_a JOIN nrm nb ON nb.vec_id = c.vec_b)
+           |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $CosineNearDupThreshold
+           |ORDER BY vec_a, vec_b""".stripMargin,
+
+      // mirrors lshBucketTopK: fixed 4-bit × 8-table signatures over the RAW
+      // double-cast embeddings (d6 buckets the normalized copies — d7 scores
+      // cosine directly so it never normalizes), candidates joined back to
+      // embeddings, d5-style exact cosine + row_number ranking
+      "d7_ann_lsh_topk" ->
+        s"""WITH planes AS (
+           |  SELECT t.t AS tbl, b.b AS bit,
+           |         list_transform(range(0, 64), i ->
+           |           ('0x' || substr(md5('42:' || t.t || ':' || b.b || ':' || i), 1, 13))::BIGINT
+           |           * (2.0 / 4503599627370496.0) - 1.0) AS w
+           |  FROM range(0, 8) t(t), range(0, 4) b(b)),
+           |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+           |sigs AS (
+           |  SELECT v.vec_id, p.tbl,
+           |         CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> p.w[i] * v.emb[i]), (a, b) -> a + b) > 0
+           |                       THEN (1::BIGINT << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM corp v CROSS JOIN planes p GROUP BY 1, 2),
+           |cands AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+           |  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10),
+           |scored AS (
+           |  SELECT cd.query_id, cd.vec_id,
+           |    round(
+           |      list_reduce(list_transform(range(1, 65), i -> qq.emb[i] * ee.emb[i]), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(range(1, 65), i -> qq.emb[i] * qq.emb[i]), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(range(1, 65), i -> ee.emb[i] * ee.emb[i]), (x, y) -> x + y))), 6) AS cos
+           |  FROM cands cd JOIN corp qq ON qq.vec_id = cd.query_id JOIN corp ee ON ee.vec_id = cd.vec_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id AS neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+           |ORDER BY query_id, rank""".stripMargin
     )
   }
 

@@ -58,13 +58,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
-  /** Deterministic random hyperplanes: `bits` vectors of ±1-ish doubles per
-    * dimension, seeded. Returned as a literal array-of-arrays column. */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
-    Array.tabulate(bits, dim) { (b, i) =>
-      // symmetric deterministic pseudo-noise in [-1, 1)
-      (graft.dp.Mix.mix64(seed + b * 1024L + i) >>> 11) * (2.0 / (1L << 53)) - 1.0
-    }
+  /** Deterministic hyperplane weight in [-1, 1), shared bit-for-bit with the
+    * DuckDB oracle: the first 52 bits of md5("seed:tbl:bit:i") scaled by the
+    * exact power of two 2/2^52. md5 (not mix64) because the oracle has to
+    * recompute it and DuckDB lacks wraparound 64-bit multiply; 52 bits so the
+    * integer→double conversion is exact; the scale and shift are exact IEEE
+    * ops, so both engines produce the identical double. */
+  private[operators] def planeWeight(seed: Long, tbl: Int, bit: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$tbl:$bit:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(7).map(b => f"$b%02x").mkString.take(13)
+    java.lang.Long.parseLong(hex, 16) * (2.0 / (1L << 52)) - 1.0
+  }
+
+  /** Deterministic random hyperplanes for hash table `tbl`: `bits` vectors of
+    * [[planeWeight]] doubles per dimension. Returned as plan literals. */
+  private def hyperplanes(dim: Int, bits: Int, tbl: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits, dim)((b, i) => planeWeight(seed, tbl, b, i))
 
   /** Sign-bucket signature: bit b = 1 iff dot(plane_b, v) > 0. */
   def lshSignature(emb: Column, planes: Array[Array[Double]]): Column = {
@@ -84,7 +94,7 @@ object Similarity {
     * smaller tables fix that at the cost of more candidates. */
   private def tableBuckets(emb: Column, dim: Int, bitsPerTable: Int, numTables: Int, seed: Long): Column =
     array((0 until numTables).map { t =>
-      val planes = hyperplanes(dim, bitsPerTable, seed + 7919L * t)
+      val planes = hyperplanes(dim, bitsPerTable, t, seed)
       struct(lit(t).as("tbl"), lshSignature(emb, planes).as("bucket"))
     }: _*)
 
@@ -216,8 +226,14 @@ object Similarity {
     * Per-table candidate volume is Σ n_b² ≈ n·occupancy, so fixing occupancy
     * (instead of fixing bits) keeps the candidate join LINEAR in corpus size —
     * 4 fixed bits made it n²/16 (952 MB shuffled for a 2 k corpus at r2). */
-  def bitsForCorpus(n: Long, targetBucket: Int = 64): Int =
-    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+  def bitsForCorpus(n: Long, targetBucket: Int = 64): Int = {
+    // integer-exact (no float log2 whose 1-ulp error could flip the ceil at
+    // power-of-two corpus sizes) — the DuckDB oracle mirrors this as
+    // min(b in [4,20]) with targetBucket·2^b >= n
+    var b = 4
+    while (b < 20 && (targetBucket.toLong << b) < n) b += 1
+    b
+  }
 
   /** Embedding-cosine near-duplicate pairs above a threshold — the
     * embedding-space analogue of [[Dedup.jaccardPairs]]. Multi-table LSH

@@ -13,6 +13,16 @@ object TextOps {
   /** Whitespace tokens (empties dropped). */
   def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
 
+  /** Half-up rounding to 4 decimals IN DOUBLE SPACE: floor(x·10⁴ + 0.5)/10⁴.
+    * `round(x, 4)` is engine-divergent on half-boundaries — Spark rounds the
+    * exact binary value via BigDecimal while DuckDB rounds x·10⁴ computed in
+    * floats — and these ratio scores (small integer denominators) hit exact
+    * .00005 boundaries often enough to flip a digit. This formulation is the
+    * same IEEE ops on both sides, so results are bit-identical. Non-negative
+    * inputs only. */
+  private[operators] def round4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
   /** Per-document token statistics: token count, char count, distinct tokens,
     * mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -21,8 +31,8 @@ object TextOps {
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
       length(col(textCol)).cast("long").as("n_chars"),
       size(array_distinct(tokens(col(textCol)))).cast("long").as("n_distinct_tokens"),
-      round(length(replace(col(textCol), lit(" "), lit(""))).cast("double") /
-        size(tokens(col(textCol))).cast("double"), 4).as("mean_token_len"))
+      round4(length(replace(col(textCol), lit(" "), lit(""))).cast("double") /
+        size(tokens(col(textCol))).cast("double")).as("mean_token_len"))
 
   /** Quality heuristics in [0,1]: length score (saturating at `goodLen`
     * tokens), type-token ratio, stopword ratio against a profile list, and a
@@ -38,10 +48,10 @@ object TextOps {
     val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
     docs.select(
       col(idCol).cast("long").as("doc_id"),
-      round(lengthScore, 4).as("length_score"),
-      round(ttr, 4).as("type_token_ratio"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * stopRatio, 4).as("quality"))
+      round4(lengthScore).as("length_score"),
+      round4(ttr).as("type_token_ratio"),
+      round4(stopRatio).as("stopword_ratio"),
+      round4(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * stopRatio).as("quality"))
   }
 
   /** Stopword-profile language identification: score = fraction of tokens in
