@@ -35,6 +35,36 @@ object DpHistogram {
     preAgg.select(col("key").cast("string"), col("epoch").cast("int"),
       col("delta_v").cast("double"), col("prev_counts").cast("array<struct<prev:int,n:bigint>>"))
 
+  /** Event-driven epoch walk for one key: processes the appearance epochs in
+    * order plus, between them, the (at most one outstanding) Algorithm-3
+    * predicted-release epoch. Exactly equivalent to stepping 0..T — every
+    * other epoch is a no-op there by construction (no data, no prediction
+    * due, and a prediction is only ever set by an unselected APPEARANCE and
+    * consumed at its epoch) — but O(appearances + releases) instead of O(T)
+    * per key, which matters once T is large and keys are sparse. */
+  private def walkEpochs(state: DpKeyState, byEpoch: Map[Int, (Double, Seq[(Int, Long)])],
+      maxTimeSteps: Int)(emit: (Int, Option[Double]) => Unit): Unit = {
+    val epochs = byEpoch.keysIterator.toArray
+    java.util.Arrays.sort(epochs)
+    var i = 0
+    while (i < epochs.length) {
+      val e = epochs(i)
+      var p = state.predictedRelease.getOrElse(-1)
+      while (p >= 0 && p < e) {
+        emit(p, state.processEpochPrevCounts(p, Nil, 0.0, appeared = false))
+        p = state.predictedRelease.getOrElse(-1)
+      }
+      val (deltaV, prevCounts) = byEpoch(e)
+      emit(e, state.processEpochPrevCounts(e, prevCounts, deltaV, appeared = true))
+      i += 1
+    }
+    var p = state.predictedRelease.getOrElse(-1)
+    while (p >= 0 && p < maxTimeSteps) {
+      emit(p, state.processEpochPrevCounts(p, Nil, 0.0, appeared = false))
+      p = state.predictedRelease.getOrElse(-1)
+    }
+  }
+
   /** Final released histogram after running all epochs: (key, count), count
     * desc / key asc, negatives clamped — matching
     * StreamingDPMechanism.produceHistogram (:517-531).
@@ -53,18 +83,7 @@ object DpHistogram {
       .flatMapGroups { (key, rows) =>
         val state = stateFor(key, params, runSeed)
         val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
-        var epoch = 0
-        while (epoch < params.maxTimeSteps) {
-          byEpoch.get(epoch) match {
-            case Some((deltaV, prevCounts)) =>
-              state.processEpochPrevCounts(epoch, prevCounts, deltaV, appeared = true)
-            case None =>
-              // Algo 3: predicted noise-alone releases fire on silent epochs.
-              if (state.predictedRelease.contains(epoch))
-                state.processEpochPrevCounts(epoch, Nil, 0.0, appeared = false)
-          }
-          epoch += 1
-        }
+        walkEpochs(state, byEpoch, params.maxTimeSteps)((_, _) => ())
         state.currentSum.map(s => (key, math.max(0L, math.round(s)))).iterator
       }
       .toDF("key", "count")
@@ -85,17 +104,8 @@ object DpHistogram {
         val state = stateFor(key, params, runSeed)
         val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
         val out = Seq.newBuilder[(Int, String, Long)]
-        var epoch = 0
-        while (epoch < params.maxTimeSteps) {
-          val released = byEpoch.get(epoch) match {
-            case Some((deltaV, prevCounts)) =>
-              state.processEpochPrevCounts(epoch, prevCounts, deltaV, appeared = true)
-            case None if state.predictedRelease.contains(epoch) =>
-              state.processEpochPrevCounts(epoch, Nil, 0.0, appeared = false)
-            case None => None
-          }
+        walkEpochs(state, byEpoch, params.maxTimeSteps) { (epoch, released) =>
           released.foreach(s => out += ((epoch, key, math.max(0L, math.round(s)))))
-          epoch += 1
         }
         out.result().iterator
       }
