@@ -110,9 +110,20 @@ object Dedup {
     * only a pair whose shared shingles are ALL above the cap can be missed —
     * at a 0.8 threshold such pairs share dozens of shingles, making that
     * practically empty (and the DuckDB oracle mirrors the same cap, so the
-    * gate pins the semantics). */
+    * gate pins the semantics).
+    *
+    * Choosing `maxDocFrequency` is a recall/cost dial with no universal
+    * default, which is why it is REQUIRED: per-shingle candidate fan-out is
+    * bounded by df², so the cap is the worst-case join blow-up you accept
+    * per shingle. Measured at sf0.1 (2 000 docs): cap 10 keeps the whole
+    * query at 25 candidate pairs / ~24 MB shuffle (r2 bench profile) and
+    * still finds every planted near-duplicate, because true near-dups share
+    * many RARE shingles; an uncapped run admits every boilerplate shingle's
+    * n²/2 pairs. Raise toward ~100 only when near-dups share nothing but
+    * common shingles; beyond that prefer [[lshCandidatePairs]], whose
+    * candidate volume is independent of shingle document frequency. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      threshold: Double, maxDocFrequency: Long = 1000L): DataFrame = {
+      threshold: Double, maxDocFrequency: Long): DataFrame = {
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(shingles(col(textCol), k)).as("shingle"))
       .distinct()

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.dp._
 
+import scala.collection.mutable
+
 /** A bounded, clamped contribution flowing through the streaming pipeline. */
 final case class Contribution(key: String, epoch: Int, userId: String, value: Double)
 
@@ -44,6 +46,7 @@ object StreamingPipelines {
   private implicit def stateEncoder: Encoder[BoundingState] = Encoders.kryo[BoundingState]
   private implicit def dpStateEncoder: Encoder[DpStreamState] = Encoders.kryo[DpStreamState]
   private implicit def lastSeenEncoder: Encoder[LastSeen] = Encoders.kryo[LastSeen]
+  private implicit def shardStatesEncoder: Encoder[ShardStates] = Encoders.kryo[ShardStates]
   private implicit def replayWindowEncoder: Encoder[graft.crypto.ReplayWindow] =
     Encoders.kryo[graft.crypto.ReplayWindow]
 
@@ -205,6 +208,107 @@ object StreamingPipelines {
           out.result().iterator
         })
   }
+
+  /** Epoch-completion marker, fed once per epoch by the source/driver — the
+    * data form of the reference's micro-batch marker flush (M4) / epoch
+    * barrier (M2): tick(e) asserts "epoch e's data is complete". */
+  final case class EpochTick(epoch: Int)
+
+  /** Internal row of the sharded DP stage: data and ticks share one stream. */
+  final case class ShardRow(shard: Int, key: String, epoch: Int, prev: Int, value: Double, tick: Boolean)
+
+  /** Per-shard state: every resident key's DP state machine. */
+  final case class ShardStates(states: mutable.HashMap[String, DpStreamState])
+
+  /** [[dpHistogramPrevMarked]] with EAGER Algorithm-3 silent releases: a key
+    * that never reappears still releases at its predicted epoch MID-STREAM,
+    * matching the reference's force-processing of predicted keys at each
+    * epoch (StreamingDPMechanism.java:331-340) — the lazy variant defers
+    * those to the batch replay.
+    *
+    * Why sharded state + a tick stream: `flatMapGroupsWithState` only
+    * invokes keys PRESENT in the batch, so per-key state cannot act on a
+    * silent key, and registering processing-time timeouts makes the
+    * micro-batch engine trigger continuously even with no data (measured in
+    * round 1: thousands of empty batches). The reference's own unit of state
+    * is not the key but the TASK — one StreamingDPMechanism holds every key
+    * routed to it and the epoch barrier forces predicted keys through
+    * `snapshot()`. This operator restates exactly that: the group key is a
+    * shard (hash of the aggregation key), shard state holds its keys' state
+    * machines, and one [[EpochTick]] row per epoch — replicated to all
+    * shards, `numShards` rows per epoch, negligible — plays the barrier:
+    * on tick(e), every resident key with a pending predicted release ≤ e is
+    * force-processed at its predicted epoch.
+    *
+    * Trade-off vs per-key state: the state store serializes a whole shard on
+    * every update, so size `numShards` to keep shards small (≈ keys/1000 at
+    * scale); hot shards spread by key hash. The per-key lazy variant remains
+    * the default where downstream consumers tolerate deferred silent
+    * releases. */
+  def dpHistogramEagerPrevMarked(input: Dataset[PrevMarked], ticks: Dataset[EpochTick],
+      params: DpParams, runSeed: Long = 42L, numShards: Int = 64): Dataset[Release] = {
+    import input.sparkSession.implicits._
+    val data = input.map(p =>
+      ShardRow(math.floorMod(p.key.hashCode, numShards), p.key, p.epoch, p.prev, p.value, tick = false))
+    val tickRows = ticks.flatMap(t =>
+      (0 until numShards).iterator.map(s => ShardRow(s, "", t.epoch, -1, 0.0, tick = true)))
+    data.union(tickRows)
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[ShardRow], state: GroupState[ShardStates]) => {
+          val st = state.getOption.getOrElse(ShardStates(mutable.HashMap.empty))
+          val out = Seq.newBuilder[Release]
+
+          def keyState(key: String): DpStreamState =
+            st.states.getOrElseUpdate(key, DpStreamState(new DpKeyState(
+              params,
+              TreeSpec(params.maxTimeSteps, params.sigmaKey,
+                NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "key"))),
+              TreeSpec(params.maxTimeSteps, params.sigmaHist,
+                NoiseSource.seeded(NoiseSource.seedFor(runSeed, key, "hist")))), -1))
+
+          /** Fire pending predicted releases at their own epochs, up to
+            * `bound` ([inclusive] for ticks, exclusive before an appearance —
+            * an appearance AT the predicted epoch consumes it itself). */
+          def fireSilent(key: String, ks: DpStreamState, bound: Int, inclusive: Boolean): Unit = {
+            var p = ks.state.predictedRelease
+            while (p.exists(pr => pr > ks.lastEpoch && pr < params.maxTimeSteps &&
+                (pr < bound || (inclusive && pr == bound)))) {
+              val pr = p.get
+              ks.state.processEpochPrevCounts(pr, Nil, 0.0, appeared = false)
+                .foreach(s => out += Release(key, pr, math.max(0L, math.round(s))))
+              ks.lastEpoch = pr
+              p = ks.state.predictedRelease
+            }
+          }
+
+          rows.toSeq.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (epoch, rs) =>
+            // data first: an appearance at its predicted epoch handles it
+            rs.filter(!_.tick).groupBy(_.key).toSeq.sortBy(_._1).foreach { case (key, krs) =>
+              val ks = keyState(key)
+              if (epoch > ks.lastEpoch && epoch < params.maxTimeSteps) {
+                fireSilent(key, ks, epoch, inclusive = false)
+                val prevCounts = krs.groupBy(_.prev).view.mapValues(_.size.toLong).toSeq
+                ks.state.processEpochPrevCounts(epoch, prevCounts, krs.map(_.value).sum, appeared = true)
+                  .foreach(s => out += Release(key, epoch, math.max(0L, math.round(s))))
+                ks.lastEpoch = epoch
+              }
+            }
+            // the barrier: every resident key's due predictions fire now
+            if (rs.exists(_.tick))
+              st.states.toSeq.sortBy(_._1).foreach { case (key, ks) =>
+                fireSilent(key, ks, epoch, inclusive = true)
+              }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
+  /** [[dpHistogramEagerPrevMarked]] over raw contributions (stage A + B). */
+  def dpHistogramEager(input: Dataset[Contribution], ticks: Dataset[EpochTick],
+      params: DpParams, runSeed: Long = 42L, numShards: Int = 64): Dataset[Release] =
+    dpHistogramEagerPrevMarked(markPrevEpoch(input), ticks, params, runSeed, numShards)
 
   /** An authenticated-but-not-yet-replay-checked record: producer and seq
     * come from the AEAD-verified AAD, plain is the unsealed payload. */

@@ -129,7 +129,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("MinHash-LSH candidates achieve full recall on the planted near-duplicates") {
     val docs = Tables.documents(spark, sfDir)
-    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDocFrequency = 1000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
     val cands = Dedup.lshCandidatePairs(sigs, 8, 4)

@@ -105,6 +105,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("eager Algo-3: a silent key releases at its predicted epoch mid-stream, matching batch") {
+    import spark.implicits._
+    import graft.dp._
+    implicit val sqlCtx = spark.sqlContext
+    val T = 32
+    // loose threshold (β = 0.3) so the noise-alone curve plausibly crosses
+    // the gate within T epochs — predictions are a noise phenomenon
+    val params = DpParams(3.0, 6.0, Stats.inverseNormalCdf(1 - 0.3), T, 20, 50)
+
+    // Probe (pure Scala, same seeds as the operator): find a seed and a
+    // below-gate user count whose single appearance at epoch 0 leaves a
+    // pending Algorithm-3 prediction — so the scenario provably exercises
+    // the eager path.
+    val (runSeed, nUsers, predicted) = (1L to 200L).view.flatMap { seed =>
+      (1 to 19).view.flatMap { n =>
+        val st = new DpKeyState(params,
+          TreeSpec(T, params.sigmaKey, NoiseSource.seeded(NoiseSource.seedFor(seed, "lonely", "key"))),
+          TreeSpec(T, params.sigmaHist, NoiseSource.seeded(NoiseSource.seedFor(seed, "lonely", "hist"))))
+        val released = st.processEpochPrevCounts(0, Seq((-1, n.toLong)), n.toDouble, appeared = true)
+        if (released.isEmpty) st.predictedRelease.map(p => (seed, n, p)) else None
+      }
+    }.headOption.getOrElse(fail("no (seed, users, prediction) combination found — tune params"))
+    assert(predicted > 0 && predicted < T)
+
+    // Stream: the key appears ONCE at epoch 0, then only epoch ticks arrive.
+    val data = MemoryStream[Contribution]
+    val ticks = MemoryStream[StreamingPipelines.EpochTick]
+    val releases = StreamingPipelines.dpHistogramEager(data.toDS(), ticks.toDS(), params, runSeed, numShards = 4)
+    val q = releases.writeStream.outputMode("append").format("memory").queryName("eager").start()
+    try {
+      data.addData((0 until nUsers).map(u => Contribution("lonely", 0, s"u$u", 1.0)))
+      q.processAllAvailable()
+      (1 until T).foreach { e =>
+        ticks.addData(StreamingPipelines.EpochTick(e))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("eager").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // the silent release fired mid-stream at exactly the predicted epoch
+    assert(streamed.exists { case (k, e, _) => k == "lonely" && e == predicted },
+      s"no mid-stream release at predicted epoch $predicted; got ${streamed.toSeq}")
+
+    // and the final histogram equals the exact batch replay
+    val preAgg = CoreOps.preAggregatePrevEpoch(
+      (0 until nUsers).map(u => ("lonely", 0, s"u$u", 1.0)).toDF("key", "epoch", "user_id", "value"),
+      "key", "epoch", "user_id", "value")
+    val batch = DpHistogram.run(spark, preAgg, params, runSeed)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val streamedFinal = streamed.sortBy(_._2).foldLeft(Map.empty[String, Long]) {
+      (acc, r) => acc + (r._1 -> r._3)
+    }
+    assert(streamedFinal === batch)
+  }
+
   test("streaming contribution bounding admits exactly C per user across epochs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
