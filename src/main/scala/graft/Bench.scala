@@ -94,6 +94,26 @@ object Bench {
         val preAgg = CoreOps.preAggregatePrevEpoch(contrib.toDF(), "key", "epoch", "userId", "value")
         force(DpHistogram.run(spark, preAgg, DpParams.zeroNoise(20, mu = 10)))
       }),
+      // A/B comparator: identical workload + mechanism through the identity-
+      // carrying collect_set pre-aggregation (O(round users) per-key state) —
+      // tracks what the O(T)-state prev-epoch design costs/saves per round.
+      "synthetic_dp_t20_identity_state" -> (() => timed("synthetic_dp_t20_identity_state") {
+        val contrib = SyntheticSource.zipfContributions(spark, 2000000L, 100000, 50000, 20)
+        val preAgg = CoreOps.preAggregate(contrib.toDF(), "key", "epoch", "userId", "value")
+        force(DpHistogram.runUsers(spark, preAgg, DpParams.zeroNoise(20, mu = 10)))
+      }),
+      // Mechanism-level wall-clock tracked per round: the §5.1 utility
+      // workload at reduced scale (T=100, 1M users, 100k keys), calibrated
+      // CSV-compat like UTILITY.md's full-scale runs.
+      "utility_t100_reduced" -> (() => timed("utility_t100_reduced") {
+        val params = DpParams.calibrated(graft.dp.CompositionMode.ZcdpLinearCsvCompat,
+          3.0, 2.0 / 3.0 * 1e-9, 3.0, 1.0 / 3.0 * 1e-9,
+          maxTimeSteps = 100, mu = 0L, maxContributionsPerUser = 32L,
+          perRecordClamp = 1.0, thresholdFailureFraction = 0.5)
+        val contrib = graft.tools.UtilityBench.workload(spark, 1000000, 100000, 100, 42L, 32L, cpus.toInt * 4)
+        val preAgg = CoreOps.preAggregatePrevEpoch(contrib, "key", "epoch", "user_id", "value")
+        force(DpHistogram.run(spark, preAgg, params, 42L))
+      }),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)

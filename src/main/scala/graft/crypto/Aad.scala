@@ -43,7 +43,9 @@ final case class Aad(
 
 object Aad {
 
-  private[crypto] def jsonString(s: String): String = {
+  /** Canonical JSON string rendering (quoted, escaped) — shared by every
+    * sealing site that builds JSON payloads by hand. */
+  def jsonString(s: String): String = {
     val sb = new StringBuilder(s.length + 2)
     sb += '"'
     s.foreach {

@@ -196,16 +196,10 @@ final class AeadSealHelper(keyBytes: Array[Byte], schemeName: String,
     case _ => graft.crypto.Scheme.None
   })
 
-  /** 12-byte nonce from mix64 over (seed, producer-hash, seq). */
-  def deriveNonce(producer: String, seq: Long): Array[Byte] = {
-    val prodHash = java.nio.ByteBuffer
-      .wrap(graft.crypto.RoutingHash.sha256(producer.getBytes("UTF-8"))).getLong
-    val nonce = new Array[Byte](12)
-    var x = graft.dp.Mix.mix64(graft.dp.Mix.mix64(nonceSeed ^ prodHash) ^ seq)
-    var i = 0
-    while (i < 12) { nonce(i) = (x >>> ((i % 8) * 8)).toByte; if (i == 7) x = graft.dp.Mix.mix64(x); i += 1 }
-    nonce
-  }
+  /** 12-byte nonce from mix64 over (seed, producer-hash, seq) — see
+    * [[graft.crypto.Nonces.derive]] (shared, byte-identical). */
+  def deriveNonce(producer: String, seq: Long): Array[Byte] =
+    graft.crypto.Nonces.derive(nonceSeed, producer, seq)
 
   def seal(text: UTF8String, seq: Long, producer: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val prod = producer.toString

@@ -42,8 +42,8 @@ object DpHistogram {
     * due, and a prediction is only ever set by an unselected APPEARANCE and
     * consumed at its epoch) — but O(appearances + releases) instead of O(T)
     * per key, which matters once T is large and keys are sparse. */
-  private def walkEpochs(state: DpKeyState, byEpoch: Map[Int, (Double, Seq[(Int, Long)])],
-      maxTimeSteps: Int)(emit: (Int, Option[Double]) => Unit): Unit = {
+  private def walkEpochs[D](state: DpKeyState, byEpoch: Map[Int, D], maxTimeSteps: Int,
+      processData: (Int, D) => Option[Double])(emit: (Int, Option[Double]) => Unit): Unit = {
     val epochs = byEpoch.keysIterator.toArray
     java.util.Arrays.sort(epochs)
     var i = 0
@@ -54,8 +54,7 @@ object DpHistogram {
         emit(p, state.processEpochPrevCounts(p, Nil, 0.0, appeared = false))
         p = state.predictedRelease.getOrElse(-1)
       }
-      val (deltaV, prevCounts) = byEpoch(e)
-      emit(e, state.processEpochPrevCounts(e, prevCounts, deltaV, appeared = true))
+      emit(e, processData(e, byEpoch(e)))
       i += 1
     }
     var p = state.predictedRelease.getOrElse(-1)
@@ -83,11 +82,39 @@ object DpHistogram {
       .flatMapGroups { (key, rows) =>
         val state = stateFor(key, params, runSeed)
         val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
-        walkEpochs(state, byEpoch, params.maxTimeSteps)((_, _) => ())
+        walkEpochs(state, byEpoch, params.maxTimeSteps,
+          (e: Int, d: (Double, Seq[(Int, Long)])) =>
+            state.processEpochPrevCounts(e, d._2, d._1, appeared = true))((_, _) => ())
         state.currentSum.map(s => (key, math.max(0L, math.round(s)))).iterator
       }
       .toDF("key", "count")
 
+    result.orderBy(col("count").desc, col("key"))
+  }
+
+  /** [[run]] over the identity-carrying pre-aggregation
+    * ([[CoreOps.preAggregate]]: (key, epoch, delta_v, users)): per-key state
+    * dedups user IDENTITIES against the round's observed set — O(round
+    * users) state, the design [[CoreOps.preAggregatePrevEpoch]] replaced as
+    * the scale default because a Zipf-hot key's row carries every user
+    * string. Kept as the small-data fast path (one aggregation, no lag
+    * window) and as the A/B comparator the bench tracks; mechanism
+    * semantics and released values are identical. */
+  def runUsers(spark: SparkSession, preAgg: DataFrame, params: DpParams, runSeed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val result = preAgg.select(col("key").cast("string"), col("epoch").cast("int"),
+        col("delta_v").cast("double"), col("users").cast("array<string>"))
+      .as[(String, Int, Double, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        val state = stateFor(key, params, runSeed)
+        val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
+        walkEpochs(state, byEpoch, params.maxTimeSteps,
+          (e: Int, d: (Double, Seq[String])) =>
+            state.processEpoch(e, d._2, d._1, appeared = true))((_, _) => ())
+        state.currentSum.map(s => (key, math.max(0L, math.round(s)))).iterator
+      }
+      .toDF("key", "count")
     result.orderBy(col("count").desc, col("key"))
   }
 
@@ -104,7 +131,9 @@ object DpHistogram {
         val state = stateFor(key, params, runSeed)
         val byEpoch = rows.map(r => (r._2, (r._3, r._4))).toMap
         val out = Seq.newBuilder[(Int, String, Long)]
-        walkEpochs(state, byEpoch, params.maxTimeSteps) { (epoch, released) =>
+        walkEpochs(state, byEpoch, params.maxTimeSteps,
+          (e: Int, d: (Double, Seq[(Int, Long)])) =>
+            state.processEpochPrevCounts(e, d._2, d._1, appeared = true)) { (epoch, released) =>
           released.foreach(s => out += ((epoch, key, math.max(0L, math.round(s)))))
         }
         out.result().iterator

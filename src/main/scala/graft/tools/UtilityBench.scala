@@ -19,6 +19,30 @@ import graft.operators.{CoreOps, DpHistogram}
   * Prints one JSON line with metrics + wall-clock.
   */
 object UtilityBench {
+
+  /** Paper §5.1 workload at arbitrary scale: one row per contribution,
+    * key ~ ZipfMandelbrot(numKeys, 1000, 1.4), per-user budget ~
+    * min(ZipfMandelbrot(1e5, 26, 6.738), c), epochs uniform over T. All
+    * randomness derives per (user, contribution-index) — deterministic under
+    * retries and any partitioning. */
+  def workload(spark: SparkSession, numUsers: Int, numKeys: Int, t: Int,
+      runSeed: Long, c: Long, partitions: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, numUsers, 1, partitions).mapPartitions { users =>
+      val budgetDist = new ZipfMandelbrot(100000, 26.0, 6.738)
+      val keyDist = new ZipfMandelbrot(numKeys, 1000.0, 1.4)
+      users.flatMap { u =>
+        val budget = math.min(budgetDist.sample(Mix.uniform01(Mix.mix64(runSeed ^ Mix.mix64(u)))), c).toInt
+        (0 until budget).iterator.map { ci =>
+          val h = Mix.mix64(runSeed ^ Mix.mix64(u * 64L + ci + 1))
+          val epoch = math.floorMod(h, t)
+          val key = keyDist.sample(Mix.uniform01(Mix.mix64(h)))
+          (key.toString, epoch.toInt, u.toString, 1.0)
+        }
+      }
+    }.toDF("key", "epoch", "user_id", "value")
+  }
+
   def main(args: Array[String]): Unit = {
     val t = args.headOption.map(_.toInt).getOrElse(100)
     val numUsers = args.lift(1).map(_.toInt).getOrElse(10000000)
@@ -49,21 +73,7 @@ object UtilityBench {
 
     val t0 = System.nanoTime()
 
-    // Workload: one row per contribution, all randomness derived per
-    // (user, contribution-index) — deterministic under retries/partitioning.
-    val contributions = spark.range(0, numUsers, 1, cpus.toInt * 4).mapPartitions { users =>
-      val budgetDist = new ZipfMandelbrot(100000, 26.0, 6.738)
-      val keyDist = new ZipfMandelbrot(numKeys, 1000.0, 1.4)
-      users.flatMap { u =>
-        val budget = math.min(budgetDist.sample(Mix.uniform01(Mix.mix64(runSeed ^ Mix.mix64(u)))), c).toInt
-        (0 until budget).iterator.map { ci =>
-          val h = Mix.mix64(runSeed ^ Mix.mix64(u * 64L + ci + 1))
-          val epoch = math.floorMod(h, t)
-          val key = keyDist.sample(Mix.uniform01(Mix.mix64(h)))
-          (key.toString, epoch.toInt, u.toString, 1.0)
-        }
-      }
-    }.toDF("key", "epoch", "user_id", "value")
+    val contributions = workload(spark, numUsers, numKeys, t, runSeed, c, cpus.toInt * 4)
 
     contributions.cache()
     val nContrib = contributions.count()

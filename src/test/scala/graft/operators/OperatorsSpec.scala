@@ -47,6 +47,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(distributed === single)
   }
 
+  test("runUsers (identity-state A/B path) releases exactly what run releases") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),
+        col("user_id").cast("string").as("user_id"), col("value"))
+    // zero-noise + seeded-noise with gate: releases AND round resets exercised
+    for (params <- Seq(
+        DpParams.zeroNoise(32, mu = 40),
+        DpParams(5.0, 10.0, graft.dp.Stats.inverseNormalCdf(1 - 1e-4), 32, 5, 50))) {
+      val viaPrev = DpHistogram.run(spark,
+        CoreOps.preAggregatePrevEpoch(events.toDF(), "key", "epoch", "user_id", "value"), params, 7L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val viaUsers = DpHistogram.runUsers(spark,
+        CoreOps.preAggregate(events.toDF(), "key", "epoch", "user_id", "value"), params, 7L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(viaPrev === viaUsers)
+    }
+  }
+
   test("DpHistogram.run with seeded noise is deterministic across runs") {
     val events = Tables.events(spark, sfDir)
       .select(col("event_type").as("key"), dayofmonth(col("ts")).cast("int").as("epoch"),

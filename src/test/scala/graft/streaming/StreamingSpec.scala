@@ -160,6 +160,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedFinal === batch)
   }
 
+  test("M1 dummy shaping: constant cadence, equal ciphertext sizes, dummies discarded at merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = graft.crypto.SealedPayload.testKey
+    val rel = MemoryStream[Release]
+    val ticks = MemoryStream[StreamingPipelines.EpochTick]
+    val shaped = DummyTraffic.shapeConstantRate(rel.toDS(), ticks.toDS(), key, numShards = 3, padTo = 512)
+    val q = shaped.writeStream.outputMode("append").format("memory").queryName("shaped").start()
+    try {
+      rel.addData(Seq(Release("alpha", 0, 5L), Release("beta", 0, 7L)))
+      ticks.addData(StreamingPipelines.EpochTick(0)); q.processAllAvailable()
+      // epochs 1..3: no real data anywhere — the channel still emits
+      (1 to 3).foreach { e => ticks.addData(StreamingPipelines.EpochTick(e)); q.processAllAvailable() }
+      rel.addData(Seq(Release("alpha", 4, 9L)))
+      ticks.addData(StreamingPipelines.EpochTick(4)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("shaped").collect()
+
+    // constant cadence: exactly numShards emissions per epoch, one per producer
+    val perEpoch = rows.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(perEpoch === (0 to 4).map(_ -> 3).toMap)
+    rows.groupBy(r => (r.getString(0), r.getInt(1))).foreach { case (pe, g) =>
+      assert(g.length === 1, s"producer/epoch $pe emitted ${g.length} partials")
+    }
+    // size-indistinguishable: every ciphertext (real or dummy) has one length
+    assert(rows.map(_.getAs[Array[Byte]]("ciphertext").length).toSet.size === 1)
+
+    // merge discards dummies and recovers exactly the real releases
+    val merged = DummyTraffic.mergeShapedPartials(spark.table("shaped"), key)
+      .collect().map(r => (r.key, r.epoch, r.count)).toSet
+    assert(merged === Set(("alpha", 0, 5L), ("beta", 0, 7L), ("alpha", 4, 9L)))
+  }
+
   test("streaming contribution bounding admits exactly C per user across epochs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
