@@ -362,6 +362,37 @@ object StreamingPipelines {
       .as[Contribution]
   }
 
+  /** Event-time tumbling-window aggregation with watermark-bounded state:
+    * per (window, key) count / sum / exact unique users, late rows beyond
+    * the watermark dropped and window state evicted once the watermark
+    * passes — the wall-clock-time form of the epoch histogram (the DP
+    * pipeline carries epochs ON the data instead precisely so replay and
+    * live runs agree; use this one for operational analytics over
+    * unbounded streams where state must not grow with stream length).
+    * Append mode: a window's single final row emits only after the
+    * watermark passes its end — the micro-batch form of the reference's
+    * epoch close.
+    *
+    * Users are HLL-approximate here: Spark refuses exact distinct over
+    * streaming aggregates (unbounded per-group state). When the EXACT count
+    * is the point — it is for the DP sensitivity-1 guarantee — use the
+    * keyed-state pipeline ([[markPrevEpoch]] + [[dpHistogramPrevMarked]]),
+    * which counts new users exactly in O(T) state. */
+  def windowedAggregate(events: org.apache.spark.sql.DataFrame,
+      tsCol: String, keyCol: String, userCol: String, valueCol: String,
+      windowLength: String = "1 day", watermarkDelay: String = "1 day"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength).as("win"), col(keyCol).as("key"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col(valueCol)).as("value_sum"),
+        approx_count_distinct(col(userCol)).as("approx_users"))
+      .select(col("win.start").as("window_start"), col("key"),
+        col("cnt"), col("value_sum"), col("approx_users"))
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

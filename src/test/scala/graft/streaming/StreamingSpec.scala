@@ -193,6 +193,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged === Set(("alpha", 0, 5L), ("beta", 0, 7L), ("alpha", 4, 9L)))
   }
 
+  test("watermarked window agg: windows finalize once, late data beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String, Double)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+    val agg = StreamingPipelines.windowedAggregate(
+      mem.toDF().toDF("ts", "key", "user", "value"), "ts", "key", "user", "value",
+      windowLength = "1 hour", watermarkDelay = "30 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("winagg").start()
+    try {
+      mem.addData(Seq((ts(0), "a", "u1", 1.0), (ts(0), "a", "u2", 2.0), (ts(1), "b", "u1", 5.0)))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0 and 1 → both windows finalize
+      mem.addData(Seq((ts(6), "c", "u3", 1.0)))
+      q.processAllAvailable()
+      // LATE: hour-0 row arrives with watermark at ~05:30 → dropped, no update
+      mem.addData(Seq((ts(0), "a", "u9", 100.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((ts(9), "c", "u3", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("winagg").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // each finalized window emitted exactly once, late row absent everywhere
+    assert(rows.count(r => r._2 == "a") === 1)
+    assert(rows.find(r => r._2 == "a").get === (("2026-01-01 00:00:00.0", "a", 2L, 3.0, 2L)))
+    assert(rows.find(r => r._2 == "b").map(_._3) === Some(1L))
+    assert(!rows.exists(_._4 == 100.0), s"late row leaked into $rows")
+  }
+
   test("streaming contribution bounding admits exactly C per user across epochs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
