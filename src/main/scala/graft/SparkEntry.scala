@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dp.DpParams
-import graft.operators.{CoreOps, Dedup, DpHistogram, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOfJoin, CoreOps, Dedup, DpHistogram, Multimodal, RangeJoin, Similarity, TextOps}
 
 /** Driver contract: one entry per implemented operator from SURVEY §2, each
   * paired (where SQL-expressible) with an equivalent DuckDB oracle query in
@@ -18,6 +18,7 @@ object SparkEntry {
   private val ClampL = 100.0 // per-record clamp (P3)
   private val MuGate = 72L // unique-user release threshold for the T=1 gate query
   private val Epochs = 32 // day-of-month epochs for events (1..30 used)
+  private val RangeWindowUs = 21600000000L // 6h attribution window for j2 (µs)
 
   /** Flagship on sf0.001 (driver smoke-checks rows > 0): the full σ=0 DP-SQLP
     * word-count pipeline — tokenize → bound → clamp → epoched DP histogram. */
@@ -250,6 +251,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- temporal as-of join: each click ⇒ most recent prior purchase ----
+    // µs longs on BOTH engines (`div`/`//` exact integer truncation): the
+    // double-division path in Tables.events.ts loses ns precision above 2^53.
+    "j1_asof_click_purchase" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      // unique right rows per (user, instant): keep the max event_id, so the
+      // match is deterministic in both engines
+      val w = Window.partitionBy(col("user_id"), col("p_ts_us"))
+        .orderBy(col("p_event_id").desc)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("ts_us").as("p_ts_us"), col("value").as("p_value"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts_us", "p_ts_us")
+        .orderBy("event_id")
+    }),
+
+    // ---- bucketed range join: clicks within 6h after each error event ----
+    "j2_range_clicks_near_error" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts_us").as("start_us"), (col("ts_us") + RangeWindowUs).as("end_us"))
+      val pairs = RangeJoin.pointsInIntervals(clicks, errors, Seq("user_id"),
+        "ts_us", "start_us", "end_us", RangeWindowUs)
+      errors.join(pairs.groupBy("err_id").agg(count(lit(1)).as("n")), Seq("err_id"), "left_outer")
+        .select(col("err_id"), col("user_id"), col("start_us"),
+          coalesce(col("n"), lit(0L)).as("n_clicks"))
+        .orderBy("err_id")
     })
   )
 
@@ -875,6 +912,32 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(yr, o_orderpriority)
         |ORDER BY yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // epoch_ns(ts)//1000 == Spark's `ts_ns div 1000` (exact integer µs)
+    "j1_asof_click_purchase" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS p_ts_us,
+        |         event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ns(ts)//1000
+        |                             ORDER BY event_id DESC) = 1
+        |)
+        |SELECT c.event_id, c.user_id, c.ts_us, p.p_event_id, p.p_ts_us, p.p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
+        |ORDER BY c.event_id""".stripMargin,
+
+    "j2_range_clicks_near_error" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type FROM events),
+         |err AS (SELECT event_id AS err_id, user_id, ts_us AS start_us FROM e WHERE event_type = 'error'),
+         |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click')
+         |SELECT err.err_id, err.user_id, err.start_us, count(c.ts_us) AS n_clicks
+         |FROM err LEFT JOIN c ON c.user_id = err.user_id
+         |  AND c.ts_us >= err.start_us AND c.ts_us < err.start_us + $RangeWindowUs
+         |GROUP BY 1, 2, 3
+         |ORDER BY err.err_id""".stripMargin,
 
     "q_pushdown_filtered_agg" ->
       """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
