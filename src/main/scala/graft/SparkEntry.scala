@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dp.DpParams
-import graft.operators.{AsOfJoin, CoreOps, Dedup, DpHistogram, Multimodal, RangeJoin, Similarity, TextOps}
+import graft.operators.{AsOfJoin, CoreOps, Dedup, DpHistogram, Multimodal, RangeJoin, Similarity, SkewOps, TextOps}
 
 /** Driver contract: one entry per implemented operator from SURVEY §2, each
   * paired (where SQL-expressible) with an equivalent DuckDB oracle query in
@@ -251,6 +251,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- skew-safe exact distinct: per-type unique users via value shards ----
+    "q_salted_distinct_users" -> ((s, d) => {
+      SkewOps.saltedDistinctCount(Tables.events(s, d), Seq("event_type"),
+          "user_id", shards = 16, out = "unique_users")
+        .orderBy("event_type")
     }),
 
     // ---- temporal as-of join: each click ⇒ most recent prior purchase ----
@@ -912,6 +919,10 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(yr, o_orderpriority)
         |ORDER BY yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_salted_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // epoch_ns(ts)//1000 == Spark's `ts_ns div 1000` (exact integer µs)
     "j1_asof_click_purchase" ->

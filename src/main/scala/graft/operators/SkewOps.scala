@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hot-key (skew) mitigation operators.
+  *
+  * What is NOT here, deliberately: a "salted sum/count" — Spark's partial
+  * (map-side) aggregation already collapses a hot key to one row per task
+  * before the shuffle, so salting decomposable aggregates buys nothing.
+  * Salting pays exactly where partial aggregation cannot compress:
+  *   - JOINS: every row of a hot key lands on one reducer
+  *     ([[saltedJoin]]; AQE's skew-join split covers sort-merge joins at
+  *     runtime, but only per-partition — salting also spreads a single
+  *     monster key and works for any join shape);
+  *   - EXACT DISTINCT: count_distinct keeps every distinct value in the
+  *     hot key's single aggregation state ([[saltedDistinctCount]]).
+  *
+  * The DP pipeline's per-key exact unique-user counts (SURVEY §2 A6) are
+  * the in-repo motivation: one viral key at 100 TB must not serialize all
+  * its users through one task.
+  */
+object SkewOps {
+
+  /** Equi-join where `large`'s hot keys are spread over `salts` reducers:
+    * each large row gets a deterministic pseudo-random salt (xxhash64 of
+    * the whole row — layout-independent), and `small` is replicated once
+    * per salt value, so the join key becomes (keys..., salt) and a hot
+    * key's rows split across `salts` tasks. Use when the small side is too
+    * big to broadcast but the large side has keys hot enough to break a
+    * task. `joinType` is from `large`'s perspective ("inner", "left").
+    * Replication multiplies the small side's shuffle volume by `salts` —
+    * size it to the skew factor, not higher.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"unsupported joinType $joinType: small-side rows are replicated, so " +
+        "right/full outer would duplicate unmatched small rows")
+    val l = large.withColumn("__salt",
+      pmod(xxhash64(large.columns.map(col): _*), lit(salts)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Exact distinct count per key that never concentrates a key's values in
+    * one task: stage 1 groups by (keys..., hash(value) % shards) and counts
+    * distinct values within the shard, stage 2 sums the shard counts. Each
+    * distinct value maps to exactly ONE shard, so the sum is exact — unlike
+    * salting with a random salt, which would double-count a value appearing
+    * under two salts. Output column is named `out`.
+    */
+  def saltedDistinctCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      shards: Int, out: String): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    df.withColumn("__shard", pmod(xxhash64(col(valueCol)), lit(shards)).cast("int"))
+      .groupBy((keys :+ "__shard").map(col): _*)
+      .agg(count_distinct(col(valueCol)).as("__n"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as(out))
+  }
+}
