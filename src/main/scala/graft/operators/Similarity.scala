@@ -51,6 +51,11 @@ object Similarity {
     val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb")))
     val scored = c.join(q, col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+    // row_number + rank<=k compiles to WindowGroupLimit(Partial) BEFORE the
+    // shuffle: each map task keeps only its k best rows per query, so the
+    // exchange carries O(tasks·queries·k), not all |corpus|·|queries| scores.
+    // A hand-rolled bounded-heap aggregate would not beat this (and would
+    // leave whole-stage codegen). Pinned by SimilarityPlanSpec.
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
