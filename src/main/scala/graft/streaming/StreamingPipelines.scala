@@ -393,6 +393,27 @@ object StreamingPipelines {
         col("cnt"), col("value_sum"), col("approx_users"))
   }
 
+  /** Streaming exact dedup with BOUNDED state — the unbounded-stream form of
+    * batch d1 ([[graft.operators.Dedup.exactDuplicateGroups]]).
+    *
+    * `dropDuplicatesWithinWatermark` keeps a fingerprint in state only until
+    * the watermark passes its event time + delay, then evicts it; rows older
+    * than the watermark are dropped outright. The guarantee is therefore
+    * scoped: duplicates arriving within `watermarkDelay` of the original are
+    * suppressed, a copy arriving later than that re-emits (its state is
+    * gone). That scope is what makes 100 TB/day streams feasible — state is
+    * O(rows per watermark window), not O(all fingerprints ever) — and
+    * near-dup copies in crawl/training feeds cluster in time. For global
+    * exactness run batch d1 over the deduped sink.
+    */
+  def dedupDocuments(docs: org.apache.spark.sql.DataFrame, tsCol: String,
+      textCol: String, watermarkDelay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withColumn("fingerprint", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

@@ -223,6 +223,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.exists(_._4 == 100.0), s"late row leaked into $rows")
   }
 
+  test("streaming dedup: in-window duplicates dropped, state evicted after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val deduped = StreamingPipelines.dedupDocuments(
+      mem.toDF().toDF("ts", "text"), "ts", "text", watermarkDelay = "1 hour")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedupstream").start()
+    try {
+      // duplicate within the same batch and a fresh doc
+      mem.addData(Seq((ts(0), "alpha"), (ts(0), "alpha"), (ts(0), "beta")))
+      q.processAllAvailable()
+      // duplicate across batches, still inside the watermark window
+      mem.addData(Seq((ts(1), "alpha"), (ts(1), "gamma")))
+      q.processAllAvailable()
+      // push the watermark far ahead -> alpha's fingerprint state evicts
+      mem.addData(Seq((ts(12), "delta")))
+      q.processAllAvailable()
+      // same content re-appearing AFTER eviction emits again (bounded-state
+      // trade-off, documented on the operator)
+      mem.addData(Seq((ts(13), "alpha")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val texts = spark.table("dedupstream").select("text").as[String].collect()
+    assert(texts.count(_ == "alpha") === 2, s"expected pre+post-eviction alpha: ${texts.toSeq}")
+    assert(texts.count(_ == "beta") === 1 && texts.count(_ == "gamma") === 1)
+    assert(texts.length === 5, s"unexpected rows: ${texts.toSeq}")
+  }
+
   test("streaming contribution bounding admits exactly C per user across epochs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
