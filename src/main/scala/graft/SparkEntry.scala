@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dp.DpParams
-import graft.operators.{AsOfJoin, CoreOps, Dedup, DpHistogram, Multimodal, RangeJoin, Similarity, SkewOps, TextOps}
+import graft.operators.{AsOfJoin, CoreOps, Dedup, DpHistogram, Multimodal, RangeJoin, Sessionize, Similarity, SkewOps, TextOps}
 
 /** Driver contract: one entry per implemented operator from SURVEY §2, each
   * paired (where SQL-expressible) with an equivalent DuckDB oracle query in
@@ -19,6 +19,7 @@ object SparkEntry {
   private val MuGate = 72L // unique-user release threshold for the T=1 gate query
   private val Epochs = 32 // day-of-month epochs for events (1..30 used)
   private val RangeWindowUs = 21600000000L // 6h attribution window for j2 (µs)
+  private val SessionGapUs = 43200000000L // 12h inactivity gap for s4 (µs)
 
   /** Flagship on sf0.001 (driver smoke-checks rows > 0): the full σ=0 DP-SQLP
     * word-count pipeline — tokenize → bound → clamp → epoched DP histogram. */
@@ -251,6 +252,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- gap-based sessionization over the event log ----
+    "s4_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("event_id", "user_id", "ts_us")
+      Sessionize.sessions(ev, "user_id", "ts_us", "event_id", SessionGapUs)
+        .orderBy("user_id", "session_id")
     }),
 
     // ---- skew-safe exact distinct: per-type unique users via value shards ----
@@ -923,6 +932,17 @@ object SparkEntry {
     "q_salted_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS unique_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s4_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+         |x AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+         |y AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > $SessionGapUs THEN 1 ELSE 0 END AS nw FROM x),
+         |z AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y)
+         |SELECT user_id, session_id, min(ts_us) AS session_start,
+         |       max(ts_us) AS session_end, count(*) AS n_events
+         |FROM z GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
 
     // epoch_ns(ts)//1000 == Spark's `ts_ns div 1000` (exact integer µs)
     "j1_asof_click_purchase" ->
