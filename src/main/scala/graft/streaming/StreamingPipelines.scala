@@ -393,6 +393,33 @@ object StreamingPipelines {
         col("cnt"), col("value_sum"), col("approx_users"))
   }
 
+  /** Stream-stream interval join with bounded state: each left event joins
+    * right events of the same key whose event time lies in
+    * [left.ts, left.ts + joinWindow] — the streaming form of
+    * [[graft.operators.RangeJoin]] (attribution: impression → click).
+    *
+    * BOTH sides carry a watermark and the join condition bounds event-time
+    * distance in BOTH directions, which is what lets Spark evict buffered
+    * rows: a right row is held only until the watermark says no future left
+    * row can still reach back to it (and vice versa), so state is
+    * O(rows per watermark+window horizon), not O(stream). Inner join:
+    * unmatched rows simply age out.
+    *
+    * Column naming: pass disjoint column names on the two sides (Spark
+    * stream-stream joins reject ambiguous references).
+    */
+  def intervalJoin(lhs: org.apache.spark.sql.DataFrame, rhs: org.apache.spark.sql.DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      joinWindow: String, watermarkDelay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = lhs.withWatermark(leftTs, watermarkDelay)
+    val r = rhs.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $joinWindow"))
+  }
+
   /** Streaming exact dedup with BOUNDED state — the unbounded-stream form of
     * batch d1 ([[graft.operators.Dedup.exactDuplicateGroups]]).
     *

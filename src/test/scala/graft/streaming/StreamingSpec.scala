@@ -253,6 +253,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.length === 5, s"unexpected rows: ${texts.toSeq}")
   }
 
+  test("stream-stream interval join: in-window pairs matched, out-of-window and late rows never join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(java.sql.Timestamp, String, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, String, String)]
+    def ts(h: Int, m: Int = 0) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val joined = StreamingPipelines.intervalJoin(
+      imps.toDF().toDF("imp_ts", "imp_user", "imp_id"),
+      clicks.toDF().toDF("clk_ts", "clk_user", "clk_id"),
+      "imp_user", "clk_user", "imp_ts", "clk_ts",
+      joinWindow = "1 hour", watermarkDelay = "30 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").start()
+    try {
+      imps.addData(Seq((ts(1), "u1", "i1"), (ts(1), "u2", "i2")))
+      clicks.addData(Seq(
+        (ts(1, 30), "u1", "c1"), // in window -> match
+        (ts(3), "u2", "c2"), // 2h after imp -> outside window
+        (ts(1, 15), "u9", "c3"))) // no impression for u9
+      q.processAllAvailable()
+      // advance both watermarks far ahead (watermark moves at END of batch)...
+      imps.addData(Seq((ts(9), "zz", "i9")))
+      clicks.addData(Seq((ts(9), "zz", "c9")))
+      q.processAllAvailable()
+      // ...then a click that WOULD match i1 arrives behind the watermark ->
+      // i1's buffered state is already evicted, the row is dropped
+      clicks.addData(Seq((ts(1, 45), "u1", "late")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("ssjoin")
+      .select("imp_id", "clk_id").as[(String, String)].collect().toSet
+    assert(pairs.contains(("i1", "c1")))
+    assert(pairs.contains(("i9", "c9")))
+    assert(!pairs.exists(_._2 == "c2"), s"out-of-window click joined: $pairs")
+    assert(!pairs.exists(_._2 == "late"), s"late click joined after eviction: $pairs")
+    assert(pairs.size === 2, s"unexpected pairs: $pairs")
+  }
+
   test("streaming contribution bounding admits exactly C per user across epochs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
