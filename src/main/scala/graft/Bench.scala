@@ -88,6 +88,21 @@ object Bench {
       }
     }
 
+    // per-run table names: a killed run's orphaned warehouse directory must
+    // not fail the next run's CREATE (in-memory catalog dies with the JVM)
+    val benchRunId = System.nanoTime()
+    val benchLiTable = s"bench_li_b_$benchRunId"
+    val benchOrdTable = s"bench_ord_b_$benchRunId"
+    def joinAgg(li: DataFrame, ord: DataFrame): DataFrame =
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+    def noBroadcast(body: => Double): Double = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+
     val synthetic = Seq[(String, () => Double)](
       "synthetic_dp_t20" -> (() => timed("synthetic_dp_t20") {
         val contrib = SyntheticSource.zipfContributions(spark, 2000000L, 100000, 50000, 20)
@@ -114,6 +129,32 @@ object Bench {
         val preAgg = CoreOps.preAggregatePrevEpoch(contrib, "key", "epoch", "user_id", "value")
         force(DpHistogram.run(spark, preAgg, params, 42L))
       }),
+      // Bucketed-storage A/B: the same lineitem⋈orders aggregation as a
+      // plain shuffled join vs over bucketed tables (pay the shuffle once at
+      // write time). Broadcast is disabled inside both join entries so they
+      // measure the shuffle-join path — at 100 TB neither side broadcasts.
+      // Run order matters: bucket_write creates the tables the bucketed
+      // entry reads (include it when using SPARK_GRAFT_BENCH_ONLY).
+      "colocated_join_bucket_write" -> (() => timed("colocated_join_bucket_write") {
+        graft.operators.Bucketing.writeBucketed(
+          Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+          benchLiTable, buckets = cpus.toInt, Seq("l_orderkey"), Seq("l_orderkey"))
+        graft.operators.Bucketing.writeBucketed(
+          Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+          benchOrdTable, buckets = cpus.toInt, Seq("o_orderkey"), Seq("o_orderkey"))
+      }),
+      "colocated_join_plain" -> (() => noBroadcast {
+        timed("colocated_join_plain") {
+          force(joinAgg(
+            Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+            Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")))
+        }
+      }),
+      "colocated_join_bucketed" -> (() => noBroadcast {
+        timed("colocated_join_bucketed") {
+          force(joinAgg(spark.table(benchLiTable), spark.table(benchOrdTable)))
+        }
+      }),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)
@@ -121,6 +162,9 @@ object Bench {
       "microbatch_1_0gb" -> (() => microbatch(1.0)))
       .filter { case (name, _) => wanted(name) }
       .map { case (name, run) => name -> run() }
+
+    Seq(benchLiTable, benchOrdTable)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
     val gbps = Seq(("microbatch_0_1gb", 0.1), ("microbatch_0_5gb", 0.5), ("microbatch_1_0gb", 1.0))
       .flatMap { case (n, g) =>
