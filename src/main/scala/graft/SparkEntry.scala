@@ -371,6 +371,11 @@ object SparkEntry {
       TextOps.tokenStats(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- BPE-ish pre-token counting (training-token accounting) ----
+    "x6_bpe_token_count" -> ((s, d) => {
+      TextOps.bpeTokenCount(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
     // ---- quality scoring ----
     "x2_quality_score" -> ((s, d) => {
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -637,6 +642,15 @@ object SparkEntry {
       // floor(x·10⁴ + 0.5)/10⁴ == TextOps.round4: same IEEE ops both engines,
       // immune to the round() half-boundary divergence (Spark rounds the
       // exact binary value, DuckDB rounds x·10⁴ computed in floats)
+      "x6_bpe_token_count" -> {
+        val p = TextOps.BpePretokenPattern.replace("'", "''")
+        s"""SELECT doc_id,
+           |       len(list_filter(string_split(text,' '), t -> t <> '')) AS n_ws_tokens,
+           |       len(regexp_extract_all(lower(text), '$p')) AS n_bpe_tokens,
+           |       len(list_distinct(regexp_extract_all(lower(text), '$p'))) AS n_bpe_distinct
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
       "x1_token_stats" ->
         """SELECT doc_id,
           |       len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens,

@@ -34,6 +34,27 @@ object TextOps {
       round4(length(replace(col(textCol), lit(" "), lit(""))).cast("double") /
         size(tokens(col(textCol))).cast("double")).as("mean_token_len"))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs Java regex
+    * and RE2 (the DuckDB oracle) evaluate identically: contraction
+    * suffixes, then space-prefixed letter runs, digit runs, and punctuation
+    * runs — leftmost-first alternation, NO lookahead (RE2 has none). The
+    * token COUNT approximates a BPE tokenizer's pre-split sequence length,
+    * the standard proxy for training-token accounting before the merges. */
+  val BpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** Per-document token accounting: whitespace tokens vs BPE-ish pre-tokens
+    * (and distinct pre-tokens — a cheap repetitiveness signal). Pure codegen
+    * (`regexp_extract_all`), integer outputs only. */
+  def bpeTokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pretoks = regexp_extract_all(lower(col(textCol)), lit(BpePretokenPattern), lit(0))
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+      size(pretoks).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(pretoks)).cast("long").as("n_bpe_distinct"))
+  }
+
   /** Quality heuristics in [0,1]: length score (saturating at `goodLen`
     * tokens), type-token ratio, stopword ratio against a profile list, and a
     * blended quality score. Mirrors the common pre-training quality filters
