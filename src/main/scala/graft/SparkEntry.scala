@@ -254,6 +254,17 @@ object SparkEntry {
         .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // ---- exact interpolated percentiles (monitoring/quality dashboards) ----
+    "q_value_percentiles" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          percentile(col("value"), lit(0.25)).as("p25"),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+        .orderBy("event_type")
+    }),
+
     // ---- gap-based sessionization over the event log ----
     "s4_sessionize" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
@@ -983,6 +994,13 @@ object SparkEntry {
 
     "q_salted_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.25) AS p25,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.95) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s4_sessionize" ->
