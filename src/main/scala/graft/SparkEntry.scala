@@ -351,6 +351,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- dedup survivor selection: components over verified LSH pairs ----
+    "d10_dedup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
+      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      val pairs = Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", ShingleK,
+        candidates, JaccardThreshold)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
+    }),
+
     // ---- SimHash fingerprints ----
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -601,6 +611,29 @@ object SparkEntry {
            |SELECT c.doc_a, c.doc_b, v.jaccard
            |FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
            |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+      "d10_dedup_components" ->
+        s"""WITH RECURSIVE $sigCte,
+           |banded AS (
+           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+           |  FROM sigs GROUP BY doc_id, band),
+           |cands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |$jaccardCte,
+           |pairs AS (
+           |  SELECT c.doc_a, c.doc_b FROM cands c
+           |  JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b),
+           |edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(v, l) AS (
+           |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+           |  UNION
+           |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v)
+           |SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+           |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
       "d3_simhash" ->
         """WITH toks AS (

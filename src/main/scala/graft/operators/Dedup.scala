@@ -158,6 +158,50 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over near-duplicate pairs — the survivor-selection
+    * step a real dedup pipeline needs after d2/d4/d6: pairs chain (A~B, B~C)
+    * into clusters, and each document's component label IS its canonical
+    * survivor (the minimum doc id reachable from it).
+    *
+    * Min-label propagation: every vertex starts labeled with itself; each
+    * round pulls the minimum label across its neighbors; fixpoint after
+    * O(cluster diameter) rounds. Each round is one distributed join +
+    * map-side-combinable min aggregate over the edge list — the driver only
+    * orchestrates the loop and reads a scalar convergence count, so the
+    * per-round cost is O(|edges|) shuffle regardless of cluster count.
+    * Near-dup clusters in practice have tiny diameters (dupes of a common
+    * original), so rounds ≈ 2–4; `maxIter` bounds pathological chains.
+    *
+    * Only documents appearing in some pair are returned — a singleton is
+    * trivially its own survivor.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("v"), col(bCol).as("u"))
+      .unionByName(pairs.select(col(bCol).as("v"), col(aCol).as("u")))
+      .distinct().cache()
+    var labels = edges.select("v").distinct().withColumn("l", col("v"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val pulled = edges
+        .join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
+        .groupBy("v").agg(min(col("ul")).as("nl"))
+      val next = labels.join(pulled, Seq("v"), "left_outer")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .cache()
+      next.count() // materialize before comparing against the old labels
+      val changed = next.join(labels.select(col("v"), col("l").as("old")), "v")
+        .where(col("l") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("l").as("component"))
+  }
+
   /** 32-bit SimHash over token occurrences: bit b set iff the sum of ±1 votes
     * (tokens whose hash has bit b set vote +1) is positive.
     *

@@ -177,6 +177,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed near-dup pairs: $missed")
   }
 
+  test("connected components: chains collapse to min label, independent clusters stay apart") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), pair (10,11), triangle (20,21),(21,22),(20,22)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("multimodal: feature extraction is deterministic and batch shape is correct") {
     val assets = Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir))
     val f1 = Multimodal.extractFeatures(spark, assets, featureDim = 8).collect()
