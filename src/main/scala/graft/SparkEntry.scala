@@ -254,6 +254,21 @@ object SparkEntry {
         .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // ---- deterministic per-key sampling: at most 5 events per user ----
+    "q_capped_sample" -> ((s, d) => {
+      CoreOps.sampleDeterministicPerKey(Tables.events(s, d), "user_id", "event_id", 5L)
+        .select("user_id", "event_id")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- deterministic train/val/test split by id hash ----
+    "q_hash_split" -> ((s, d) => {
+      CoreOps.hashSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+        .orderBy("split")
+    }),
+
     // ---- exact interpolated percentiles (monitoring/quality dashboards) ----
     "q_value_percentiles" -> ((s, d) => {
       Tables.events(s, d)
@@ -1028,6 +1043,20 @@ object SparkEntry {
     "q_salted_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS unique_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_capped_sample" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS r
+        |  FROM events) WHERE r <= 5 ORDER BY user_id, event_id""".stripMargin,
+
+    "q_hash_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS cnt
+        |FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q_value_percentiles" ->
       """SELECT event_type,

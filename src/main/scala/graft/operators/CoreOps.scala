@@ -39,6 +39,37 @@ object CoreOps {
       .where(col("rn") <= c)
       .drop("rn")
 
+  /** Deterministic uniform-ish per-key sampling: keep the `n` rows with the
+    * smallest md5(id) per key. Unlike [[boundContributions]] (which keeps
+    * the FIRST `n` in a natural order — the DP semantics), the hash rank is
+    * uncorrelated with ingest order or any column, so the kept rows are an
+    * unbiased fixed-size sample — "at most N documents per domain" for
+    * training mixes. md5 (not xxhash64) so the DuckDB oracle can recompute
+    * the identical rank; WindowGroupLimit prunes map-side like any rank
+    * filter. */
+  def sampleDeterministicPerKey(df: DataFrame, keyCol: String, idCol: String,
+      n: Long): DataFrame =
+    df.withColumn("__rank", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .where(col("__rank") <= n)
+      .drop("__rank")
+
+  /** Deterministic train/val/test assignment: bucket = first 8 hex chars of
+    * md5(id) mod 100, split by cumulative percentage thresholds. Stable
+    * across runs, layouts, and engines — the property a training split must
+    * have so no example ever migrates between splits as data grows. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val cums = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.init.zip(cums.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cum), acc) => when(bucket < cum, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** A2 — per-(key, epoch) pre-aggregation feeding the DP mechanism:
     * ΔV and the exact distinct-user count. Spark's partial/final hash
     * aggregate replaces the reference's lock-guarded staging buffers
