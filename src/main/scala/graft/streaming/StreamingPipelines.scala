@@ -393,6 +393,23 @@ object StreamingPipelines {
         col("cnt"), col("value_sum"), col("approx_users"))
   }
 
+  /** Streaming gap-based sessionization — the unbounded form of batch
+    * [[graft.operators.Sessionize]]: Spark's `session_window` merges events
+    * of one key into a window that extends `gap` past the latest event and
+    * closes when the watermark passes it (append mode emits each session
+    * exactly once, finalized). State per key is the open session only —
+    * bounded by the watermark horizon like every operator in this file. */
+  def sessionize(events: org.apache.spark.sql.DataFrame, tsCol: String,
+      keyCol: String, gap: String, watermarkDelay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("session_start"), col("win.end").as("session_end"),
+        col("key"), col("n_events"))
+  }
+
   /** Stream-stream interval join with bounded state: each left event joins
     * right events of the same key whose event time lies in
     * [left.ts, left.ts + joinWindow] — the streaming form of

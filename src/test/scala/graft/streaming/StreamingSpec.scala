@@ -253,6 +253,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts.length === 5, s"unexpected rows: ${texts.toSeq}")
   }
 
+  test("streaming sessionization: gap merges events, sessions finalize once after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(h: Int, m: Int = 0) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val sess = StreamingPipelines.sessionize(
+      mem.toDF().toDF("ts", "user"), "ts", "user",
+      gap = "30 minutes", watermarkDelay = "10 minutes")
+    val q = sess.writeStream.outputMode("append").format("memory")
+      .queryName("sessstream").start()
+    try {
+      // u1: 1:00, 1:20 chain (gap 20m < 30m); 2:30 opens a second session
+      mem.addData(Seq((ts(1), "u1"), (ts(1, 20), "u1"), (ts(2, 30), "u1")))
+      q.processAllAvailable()
+      // advance watermark far past everything -> all sessions finalize
+      // (watermark moves at end of batch; the NEXT batch emits the closures)
+      mem.addData(Seq((ts(9), "zz")))
+      q.processAllAvailable()
+      mem.addData(Seq((ts(11), "zz")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessstream")
+      .select("key", "n_events").as[(String, Long)].collect()
+      .filter(_._1 == "u1").sortBy(-_._2)
+    assert(rows.toSeq === Seq(("u1", 2L), ("u1", 1L)),
+      s"expected one 2-event and one 1-event session: ${rows.toSeq}")
+  }
+
   test("stream-stream interval join: in-window pairs matched, out-of-window and late rows never join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
