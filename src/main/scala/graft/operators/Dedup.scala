@@ -184,17 +184,18 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // min over neighbors' labels UNION own label: one join, one combinable
+      // aggregate, and the convergence count rides the same cached frame —
+      // a single Spark action per round
       val pulled = edges
         .join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
+        .select(col("v"), col("ul"))
+        .unionByName(labels.select(col("v"), col("l").as("ul")))
         .groupBy("v").agg(min(col("ul")).as("nl"))
-      val next = labels.join(pulled, Seq("v"), "left_outer")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .cache()
-      next.count() // materialize before comparing against the old labels
-      val changed = next.join(labels.select(col("v"), col("l").as("old")), "v")
-        .where(col("l") < col("old")).count()
+      val joined = labels.join(pulled, "v").cache()
+      val changed = joined.where(col("nl") < col("l")).count()
       labels.unpersist()
-      labels = next
+      labels = joined.select(col("v"), col("nl").as("l"))
       converged = changed == 0
       iter += 1
     }
