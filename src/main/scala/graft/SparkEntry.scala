@@ -342,6 +342,8 @@ object SparkEntry {
   private val JaccardMaxDf = 10L
   private val CosineNearDupThreshold = 0.4
   private val TopK = 5
+  /** ivfTopK's nprobe default, mirrored in the d8 oracle SQL. */
+  private val IvfNprobe = 4
 
   private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -528,8 +530,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- ANN IVF top-k (trained coarse quantizer; rows-only — the k-means
-    //      training loop is not SQL-expressible; pinned in OperatorsSpec) ----
+    // ---- ANN IVF top-k (trained coarse quantizer; oracle gets the trained
+    //      centroids as a VALUES table — see d8OracleSql — and re-derives
+    //      assignment/probing/ranking in SQL; training itself is pinned by
+    //      OperatorsSpec determinism+recall) ----
     "d8_ann_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
@@ -548,10 +552,57 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query; column names and ordering must match the
     * Spark result exactly (the driver sorts columns by name and hash-compares
-    * values). The only queries without an entry are d8 (IVF — the k-means
-    * training loop is not SQL-expressible) and s3 (no input table); both get
-    * the driver's rows-only check and are pinned in ScalaTest instead. */
-  def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql
+    * values). The only query without an entry is s3 (no input table — the
+    * generator is golden-pinned in ScalaTest instead). d8's entry appears
+    * once its query has run in this JVM: the deterministically-trained
+    * centroids are exported as a VALUES table and everything downstream of
+    * training (assignment, probing, scoring, ranking) is re-derived in SQL. */
+  def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql ++ d8OracleSql
+
+  /** IVF oracle, available after [[Similarity.trainIvfCentroids]] has run
+    * (Verify runs every query before dumping oracle SQL, so the dump always
+    * includes it). The VALUES table carries, per centroid: its index, its
+    * norm-squared EXACTLY as the Spark plan embeds it (`ctr.map(x*x).sum`
+    * spliced as a literal — `Double.toString` round-trips, so DuckDB parses
+    * back the identical double), and its weights. Distance, argmin
+    * assignment (ties to lowest index, matching the struct ordering of
+    * `centroidDists`), nprobe probing, candidate join, exact cosine, and
+    * row_number ranking all mirror [[Similarity.ivfTopK]] operation by
+    * operation; folds are ordered `list_reduce` == the native dot loop. */
+  private def d8OracleSql: Map[String, String] =
+    Similarity.lastIvfCentroids.map { cs =>
+      val values = cs.zipWithIndex.map { case (w, i) =>
+        val nsq = w.map(x => x * x).sum
+        s"($i, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      def dotq(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+      val cosq = s"${dotq("qq.emb", "ee.emb")} / (sqrt(${dotq("qq.emb", "qq.emb")}) * sqrt(${dotq("ee.emb", "ee.emb")}))"
+      "d8_ann_ivf_topk" ->
+        s"""WITH centroids(c, nsq, w) AS (VALUES $values),
+           |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+           |dists AS (
+           |  SELECT v.vec_id, ct.c,
+           |         ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d
+           |  FROM corp v CROSS JOIN centroids ct),
+           |ranked_cells AS (
+           |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+           |assign AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE rn = 1),
+           |probes AS (SELECT vec_id AS query_id, c AS cell FROM ranked_cells
+           |           WHERE vec_id < 10 AND rn <= $IvfNprobe),
+           |cands AS (
+           |  SELECT DISTINCT p.query_id, a.vec_id
+           |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+           |scored AS (
+           |  SELECT cd.query_id, cd.vec_id, round($cosq, 6) AS cos
+           |  FROM cands cd JOIN corp qq ON qq.vec_id = cd.query_id JOIN corp ee ON ee.vec_id = cd.vec_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id AS neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+           |ORDER BY query_id, rank""".stripMargin
+    }.toMap
 
   /** Shared DuckDB fragment: distinct word-k-shingles per document, matching
     * [[Dedup.shingles]] (k=3). */

@@ -185,6 +185,14 @@ object Similarity {
     * (a TakeOrdered top-n, no full sort) — deterministic under any file
     * layout or repartitioning, unlike a bare `limit` which takes whatever
     * partitions answer first and silently changes the centroids. */
+  /** Centroids from the most recent [[trainIvfCentroids]] call in this JVM.
+    * Training is deterministic given the corpus, so these ARE the model for
+    * the current dataset; [[graft.SparkEntry.oracleSql]] exports them into
+    * the DuckDB oracle as a VALUES table (the query run always precedes the
+    * oracle dump in [[graft.Verify]]). Only the trained parameters cross the
+    * boundary — assignment, probing, and ranking are re-derived in SQL. */
+  @volatile private[graft] var lastIvfCentroids: Option[Array[Array[Double]]] = None
+
   def trainIvfCentroids(corpus: DataFrame, nlist: Int, dim: Int,
       iterations: Int = 8, sampleSize: Int = 4096, seed: Long = 42L): Array[Array[Double]] = {
     val sample = corpus
@@ -212,6 +220,7 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
+    lastIvfCentroids = Some(centroids)
     centroids
   }
 
