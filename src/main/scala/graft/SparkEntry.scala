@@ -886,17 +886,22 @@ object SparkEntry {
            |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $CosineNearDupThreshold
            |ORDER BY vec_a, vec_b""".stripMargin,
 
-      // mirrors lshBucketTopK: fixed 4-bit × 8-table signatures over the RAW
-      // double-cast embeddings (d6 buckets the normalized copies — d7 scores
-      // cosine directly so it never normalizes), candidates joined back to
-      // embeddings, d5-style exact cosine + row_number ranking
+      // mirrors lshBucketTopK: corpus-scaled signature width (min b in [4,20]
+      // with 64·2^b >= n == Similarity.bitsForCorpus) × 8-table signatures
+      // over the RAW double-cast embeddings (d6 buckets the normalized
+      // copies — d7 scores cosine directly so it never normalizes),
+      // candidates joined back to embeddings, d5-style exact cosine +
+      // row_number ranking
       "d7_ann_lsh_topk" ->
-        s"""WITH planes AS (
+        s"""WITH nbits AS (
+           |  SELECT min(b) AS bits FROM range(4, 21) tb(b)
+           |  WHERE 64 * (1::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
+           |planes AS (
            |  SELECT t.t AS tbl, b.b AS bit,
            |         list_transform(range(0, 64), i ->
            |           ('0x' || substr(md5('42:' || t.t || ':' || b.b || ':' || i), 1, 13))::BIGINT
            |           * (2.0 / 4503599627370496.0) - 1.0) AS w
-           |  FROM range(0, 8) t(t), range(0, 4) b(b)),
+           |  FROM range(0, 8) t(t), range(0, 20) b(b), nbits WHERE b.b < nbits.bits),
            |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
            |sigs AS (
            |  SELECT v.vec_id, p.tbl,

@@ -185,8 +185,7 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       // min over neighbors' labels UNION own label: one join, one combinable
-      // aggregate, and the convergence count rides the same cached frame —
-      // a single Spark action per round
+      // aggregate, and the convergence count rides the same cached frame
       val pulled = edges
         .join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
         .select(col("v"), col("ul"))
@@ -194,8 +193,26 @@ object Dedup {
         .groupBy("v").agg(min(col("ul")).as("nl"))
       val joined = labels.join(pulled, "v").cache()
       val changed = joined.where(col("nl") < col("l")).count()
-      labels.unpersist()
-      labels = joined.select(col("v"), col("nl").as("l"))
+      // Eager per-round lineage truncation, then release the round's cache.
+      // `labels` feeds the next round's plan THREE times (twice via `pulled`,
+      // once via the join), so without truncation the logical plan tree
+      // grows 3^rounds — a diameter-15 chain OOMs the driver on plan
+      // stringification alone. The checkpoint reads the still-cached frame
+      // (no recompute), and storage stays at one O(|V|) snapshot per round
+      // overlap instead of one cached join per round for the operator's
+      // lifetime (the previous code unpersisted `labels`, a select OVER the
+      // cached frame — a no-op; superseded checkpoints are reclaimed by the
+      // ContextCleaner once unreferenced).
+      val next = joined.select(col("v"), col("nl").as("l")).localCheckpoint()
+      joined.unpersist()
+      // the superseded snapshot is never read again (the new checkpoint is
+      // self-contained): free its blocks now rather than waiting for the
+      // ContextCleaner's GC-driven reclaim
+      labels.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => // round 0: labels is a plain plan, nothing persisted
+      }
+      labels = next
       converged = changed == 0
       iter += 1
     }

@@ -148,16 +148,25 @@ object Similarity {
     * least one hash table; exact cosine on candidates only. Same schema as
     * [[bruteForceTopK]]; queries whose buckets hold fewer than k distinct
     * candidates return fewer rows — the recall/cost trade-off of the scale
-    * path. At 100 TB the (tbl, bucket) equi-join replaces the cross join. */
+    * path. At 100 TB the (tbl, bucket) equi-join replaces the cross join.
+    *
+    * `bitsPerTable = 0` (default) derives the signature width from the
+    * corpus size via [[bitsForCorpus]] — per-query candidate volume is
+    * |queries| × occupancy, so fixing occupancy (instead of bits) keeps
+    * cost AND recall stable as the corpus grows.
+    *
+    * @param bitsPerTable hyperplanes per hash table; 0 = auto from corpus size
+    */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+      dim: Int = 64, bitsPerTable: Int = 0, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val bits = if (bitsPerTable > 0) bitsPerTable else bitsForCorpus(corpus.count())
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val cIds = c
-      .withColumn("tb", explode(tableBuckets(col("emb"), dim, bitsPerTable, numTables, seed)))
+      .withColumn("tb", explode(tableBuckets(col("emb"), dim, bits, numTables, seed)))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
     val qIds = broadcast(q
-      .withColumn("tb", explode(tableBuckets(col("q_emb"), dim, bitsPerTable, numTables, seed)))
+      .withColumn("tb", explode(tableBuckets(col("q_emb"), dim, bits, numTables, seed)))
       .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
     // ids-only through the bucket join + dedup; embeddings join back once per
     // unique (query, candidate) pair — never per bucket collision.

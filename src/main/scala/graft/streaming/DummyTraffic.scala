@@ -67,7 +67,9 @@ object DummyTraffic {
       if (releases.isEmpty) s"""{"$DummyMarkerKey":true}"""
       else releases.map(r => s"""{"key":${Aad.jsonString(r.key)},"epoch":${r.epoch},"count":${r.count}}""")
         .mkString("""{"releases":[""", ",", "]}")
-    val padLen = padTo - base.length - 11 // ,"_pad":"<n>"} replaces }
+    // `,"_pad":"…"}` replaces the closing `}`: net added length is
+    // 10 + padLen (9 for `,"_pad":"`, 2 for `"}`, minus the replaced `}`)
+    val padLen = padTo - base.length - 10
     if (padLen < 0) base
     else base.dropRight(1) + ",\"_pad\":\"" + "#" * padLen + "\"}"
   }

@@ -188,6 +188,23 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: deep chain converges without leaking cache or exploding the plan") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // path 0-1-…-15: needs ~16 label-propagation rounds — without per-round
+    // lineage truncation the plan tree grows 3^rounds and the driver OOMs
+    // on plan stringification alone before any cache-leak shows up
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === (0L to 15L).map(_ -> 0L).toMap)
+    // one cached frame per round would leak ~16 persistent RDDs here; the
+    // operator unpersists superseded snapshots itself, so only the final
+    // checkpoint (plus an in-flight async removal) may remain
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3, s"persistent RDDs grew $before -> $after")
+  }
+
   test("multimodal: feature extraction is deterministic and batch shape is correct") {
     val assets = Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir))
     val f1 = Multimodal.extractFeatures(spark, assets, featureDim = 8).collect()

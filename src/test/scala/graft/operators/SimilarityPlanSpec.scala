@@ -36,4 +36,22 @@ class SimilarityPlanSpec extends AnyFunSuite {
         s"$name top-k lost the WindowGroupLimit rewrite:\n$plan")
     }
   }
+
+  test("LSH candidate volume stays bounded when the corpus doubles (auto-derived bits)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // k = MaxValue disables the rank cut, so the row count IS the number of
+    // distinct (query, candidate) pairs the bucket join produced
+    def candidates(n: Int): Long =
+      Similarity.lshBucketTopK(emb.where(col("vec_id") < n), queries, Int.MaxValue).count()
+    val at1k = candidates(1000)
+    val at2k = candidates(2000)
+    // fixed 4-bit signatures would double the volume here (1000 → 4 bits,
+    // 2000 → 5 via bitsForCorpus); occupancy-targeted bits keep it flat
+    // modulo bucket skew
+    assert(at2k <= at1k * 1.6,
+      s"candidate volume grew with the corpus: $at1k -> $at2k")
+    assert(at1k > 0)
+  }
 }

@@ -193,6 +193,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged === Set(("alpha", 0, 5L), ("beta", 0, 7L), ("alpha", 4, 9L)))
   }
 
+  test("M1 padding: payload JSON is exactly padTo bytes for real and dummy emissions") {
+    val dummy = DummyTraffic.payloadJson(Nil, 256)
+    val real = DummyTraffic.payloadJson(Seq(Release("alpha", 0, 5L), Release("beta", 1, 7L)), 256)
+    assert(dummy.length === 256)
+    assert(real.length === 256)
+    // oversized payloads are sealed unpadded, never truncated
+    val big = DummyTraffic.payloadJson(Seq.tabulate(50)(i => Release(s"k$i", i, i.toLong)), 64)
+    assert(big.length > 64)
+  }
+
   test("watermarked window agg: windows finalize once, late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -279,6 +289,49 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_._1 == "u1").sortBy(-_._2)
     assert(rows.toSeq === Seq(("u1", 2L), ("u1", 1L)),
       s"expected one 2-event and one 1-event session: ${rows.toSeq}")
+  }
+
+  test("sessionization: streaming session_window output equals the batch operator on a replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic replay; no inter-event gap is exactly == maxGap, where
+    // the two formulations legitimately differ (batch merges at diff == gap,
+    // session_window's [ts, ts+gap) windows no longer overlap there)
+    val events: Seq[(String, Long)] = Seq(
+      "a" -> 0L, "a" -> 10L, "a" -> 25L, "a" -> 100L, "a" -> 129L, "a" -> 250L,
+      "b" -> 5L, "b" -> 40L, "b" -> 66L, "b" -> 300L,
+      "c" -> 7L)
+    val gapSec = 30L
+
+    val batch = graft.operators.Sessionize.sessions(
+        events.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }.toDF("key", "ts", "id"),
+        "key", "ts", "id", gapSec)
+      .select("key", "session_start", "session_end", "n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val sess = StreamingPipelines.sessionize(
+      mem.toDF().toDF("ts", "key"), "ts", "key",
+      gap = "30 seconds", watermarkDelay = "0 seconds")
+    val q = sess.writeStream.outputMode("append").format("memory").queryName("sesseq").start()
+    try {
+      mem.addData(events.map { case (k, t) => (new java.sql.Timestamp(t * 1000), k) })
+      q.processAllAvailable()
+      // two flush batches: the first advances the watermark past every real
+      // event, the second emits the finalized sessions
+      mem.addData(Seq((new java.sql.Timestamp(100000L * 1000), "zz")))
+      q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(200000L * 1000), "zz")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // session_window's end is last-event + gap; map back to the batch form
+    val streamed = spark.table("sesseq")
+      .where(col("key") =!= "zz")
+      .select(col("key"), col("session_start").cast("long"),
+        col("session_end").cast("long") - gapSec, col("n_events"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
   }
 
   test("stream-stream interval join: in-window pairs matched, out-of-window and late rows never join") {
