@@ -547,6 +547,17 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.quantizedTopK(emb, queries, TopK, rescoreFactor = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- quantized ranking over LSH-bucketed candidates — the composed
+    //      form a 100 TB corpus uses: the bucket join bounds candidates,
+    //      int8 codes rank them, exact cosine rescores the survivors ----
+    "d9b_quantized_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      val cands = Similarity.lshCandidates(emb, queries)
+      Similarity.quantizedTopK(emb, queries, TopK, rescoreFactor = 4, candidates = Some(cands))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -942,6 +953,52 @@ object SparkEntry {
            |approx AS (
            |  SELECT q.query_id, c.vec_id, c.e, q.q_e, ${cos("q.q_r", "c.r")} AS acos
            |  FROM pr c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+           |cand AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS arank
+           |  FROM approx),
+           |exact AS (
+           |  SELECT query_id, vec_id AS neighbor_id, round(${cos("q_e", "e")}, 6) AS cos
+           |  FROM cand WHERE arank <= ${TopK * 4}),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM exact)
+           |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+           |ORDER BY query_id, rank""".stripMargin
+      },
+
+      // d7's candidate stage (corpus-scaled bits, raw embeddings) feeding
+      // d9's quantized ranking + exact rescore
+      "d9b_quantized_lsh_topk" -> {
+        def dot(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+        def cos(a: String, b: String) =
+          s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+        s"""WITH nbits AS (
+           |  SELECT min(b) AS bits FROM range(4, 21) tb(b)
+           |  WHERE 64 * (1::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
+           |planes AS (
+           |  SELECT t.t AS tbl, b.b AS bit,
+           |         list_transform(range(0, 64), i ->
+           |           ('0x' || substr(md5('42:' || t.t || ':' || b.b || ':' || i), 1, 13))::BIGINT
+           |           * (2.0 / 4503599627370496.0) - 1.0) AS w
+           |  FROM range(0, 8) t(t), range(0, 20) b(b), nbits WHERE b.b < nbits.bits),
+           |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+           |sigs AS (
+           |  SELECT v.vec_id, p.tbl,
+           |         CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> p.w[i] * v.emb[i]), (a, b) -> a + b) > 0
+           |                       THEN (1::BIGINT << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM corp v CROSS JOIN planes p GROUP BY 1, 2),
+           |cands AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+           |  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10),
+           |ps AS (SELECT vec_id, emb AS e, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s FROM corp),
+           |pr AS (SELECT vec_id, e, list_transform(e, x -> floor(x / s + 0.5) * s) AS r FROM ps),
+           |q AS (SELECT vec_id AS query_id, e AS q_e, r AS q_r FROM pr WHERE vec_id < 10),
+           |approx AS (
+           |  SELECT cd.query_id, cd.vec_id, c.e, q.q_e, ${cos("q.q_r", "c.r")} AS acos
+           |  FROM cands cd JOIN pr c ON c.vec_id = cd.vec_id JOIN q ON q.query_id = cd.query_id),
            |cand AS (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS arank
            |  FROM approx),

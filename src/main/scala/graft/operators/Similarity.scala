@@ -75,14 +75,15 @@ object Similarity {
     * The scale story is bandwidth: the codes are small ints (int8 on the
     * wire/disk, 8× smaller than float64), so scans and shuffles of the
     * corpus shrink 8× while the exact-rescore stage touches only
-    * `rescoreFactor·k` full vectors per query. Candidate generation here is
-    * still exhaustive (it's the measured-recall baseline); at scale it
-    * composes with [[lshBucketTopK]]/[[ivfTopK]] — quantize the bucketed
-    * candidates instead of the whole corpus. Requires non-zero vectors
-    * (an all-zero embedding has no scale).
+    * `rescoreFactor·k` full vectors per query. Without `candidates`,
+    * generation is exhaustive (the measured-recall baseline); pass
+    * [[lshCandidates]] output — distinct (query_id, vec_id) pairs — to run
+    * the int8 ranking over bucketed candidates only, the form a 100 TB
+    * corpus actually uses. Requires non-zero vectors (an all-zero embedding
+    * has no scale).
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      rescoreFactor: Int = 4): DataFrame = {
+      rescoreFactor: Int = 4, candidates: Option[DataFrame] = None): DataFrame = {
     require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
     def prep(df: DataFrame, idAs: String): DataFrame =
       df.select(col(df.columns.head).as(idAs), asDouble(col("embedding")).as("e"))
@@ -91,8 +92,11 @@ object Similarity {
     val c = prep(corpus.select("vec_id", "embedding"), "vec_id")
     val q = broadcast(prep(queries.select("query_id", "embedding"), "query_id")
       .select(col("query_id"), col("e").as("q_e"), col("r").as("q_r")))
-    val approx = c.join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("acos", cosine(col("q_r"), col("r")))
+    val paired = candidates match {
+      case Some(cd) => cd.select("query_id", "vec_id").join(q, Seq("query_id")).join(c, Seq("vec_id"))
+      case None => c.join(q, col("vec_id") =!= col("query_id"))
+    }
+    val approx = paired.withColumn("acos", cosine(col("q_r"), col("r")))
     // both rank filters compile to partial WindowGroupLimit pruning
     val w1 = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("vec_id"))
     val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -144,6 +148,29 @@ object Similarity {
       struct(lit(t).as("tbl"), lshSignature(emb, planes).as("bucket"))
     }: _*)
 
+  /** Distinct (query_id, vec_id) candidate pairs colliding with the query in
+    * at least one LSH hash table — the candidate stage shared by
+    * [[lshBucketTopK]] and candidate-fed [[quantizedTopK]]. Ids only through
+    * the bucket join + dedup; callers join embeddings (or codes) back once
+    * per unique pair, never per bucket collision.
+    *
+    * @param bitsPerTable hyperplanes per hash table; 0 = auto from corpus size
+    */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+      dim: Int = 64, bitsPerTable: Int = 0, numTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val bits = if (bitsPerTable > 0) bitsPerTable else bitsForCorpus(corpus.count())
+    val cIds = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("tb", explode(tableBuckets(col("emb"), dim, bits, numTables, seed)))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qIds = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("tb", explode(tableBuckets(col("q_emb"), dim, bits, numTables, seed)))
+      .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    cIds.join(qIds, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+  }
+
   /** LSH-bucketed approximate top-k: candidates collide with the query in at
     * least one hash table; exact cosine on candidates only. Same schema as
     * [[bruteForceTopK]]; queries whose buckets hold fewer than k distinct
@@ -159,21 +186,9 @@ object Similarity {
     */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, bitsPerTable: Int = 0, numTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val bits = if (bitsPerTable > 0) bitsPerTable else bitsForCorpus(corpus.count())
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val cIds = c
-      .withColumn("tb", explode(tableBuckets(col("emb"), dim, bits, numTables, seed)))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
-    val qIds = broadcast(q
-      .withColumn("tb", explode(tableBuckets(col("q_emb"), dim, bits, numTables, seed)))
-      .select(col("query_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
-    // ids-only through the bucket join + dedup; embeddings join back once per
-    // unique (query, candidate) pair — never per bucket collision.
-    val candidates = cIds.join(qIds, Seq("tbl", "bucket"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"))
-      .dropDuplicates("query_id", "vec_id")
+    val candidates = lshCandidates(corpus, queries, dim, bitsPerTable, numTables, seed)
       .join(broadcast(q), Seq("query_id"))
       .join(c, Seq("vec_id"))
     val scored = candidates.withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))

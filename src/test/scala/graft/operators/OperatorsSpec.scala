@@ -248,6 +248,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall@5 too low: $recall") // nprobe=4/nlist=16 ⇒ ≥25% of cells probed
   }
 
+  test("quantized-over-LSH-candidates: exact rescored scores, recall tracks the bucketed path") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val allScores = Similarity.bruteForceTopK(emb, queries, Int.MaxValue - 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val cands = Similarity.lshCandidates(emb, queries)
+    val composed = Similarity.quantizedTopK(emb, queries, 5, rescoreFactor = 4,
+        candidates = Some(cands))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(composed.nonEmpty)
+    // rescored scores are EXACT cosines (quantization only ranks candidates)
+    composed.foreach { case (q, n, cos) => assert(allScores((q, n)) === cos, s"score mismatch ($q,$n)") }
+    // candidate set == lshBucketTopK's, so recall is bounded by the bucketed
+    // path's; quantized ranking on top must not collapse it
+    val recall = composed.map(t => (t._1, t._2)).toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"composed recall@5 too low: $recall")
+  }
+
   test("IVF training is deterministic, including under repartitioning") {
     val emb = Tables.embeddings(spark, sfDir)
     val a = Similarity.trainIvfCentroids(emb, 8, 64)
