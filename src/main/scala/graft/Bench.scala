@@ -129,6 +129,41 @@ object Bench {
         val preAgg = CoreOps.preAggregatePrevEpoch(contrib, "key", "epoch", "user_id", "value")
         force(DpHistogram.run(spark, preAgg, params, 42L))
       }),
+      // Eager Algorithm-3 A/B: sharded-state EpochTick barrier vs per-key
+      // transformWithState timers, identical seeded workload and params
+      // (graft.tools.EagerBench documents what each measurement includes).
+      // Release counts must agree — a mismatch prints to stderr.
+      "eager_dp_sharded_t20" -> (() => timed("eager_dp_sharded_t20") {
+        val byEpoch = graft.tools.EagerBench.workload(spark, 200000L, 20000, 5000, 20)
+        val n = graft.tools.EagerBench.runSharded(spark, byEpoch, 20, 42L,
+          graft.streaming.StreamingPipelines.shardsForKeys(5000))
+        System.err.println(s"[bench] eager_dp_sharded_t20 releases=$n")
+      }),
+      "eager_dp_tws_timers_t20" -> (() => timed("eager_dp_tws_timers_t20") {
+        val byEpoch = graft.tools.EagerBench.workload(spark, 200000L, 20000, 5000, 20)
+        val n = graft.tools.EagerBench.runTwsTimers(spark, byEpoch, 20, 42L)
+        System.err.println(s"[bench] eager_dp_tws_timers_t20 releases=$n")
+      }),
+      // the lazy floor: timers off, no barriers — what eagerness costs
+      // (fewer releases surface mid-stream; the rest defer to reappearance)
+      "eager_dp_lazy_t20" -> (() => timed("eager_dp_lazy_t20") {
+        val byEpoch = graft.tools.EagerBench.workload(spark, 200000L, 20000, 5000, 20)
+        val n = graft.tools.EagerBench.runLazy(spark, byEpoch, 20, 42L)
+        System.err.println(s"[bench] eager_dp_lazy_t20 releases=$n")
+      }),
+      // Second scale point along T: regression-guards the Algorithm-3
+      // event-driven epoch walk's O(appearances) behavior per round — if a
+      // change reintroduces an O(T) scan per key, this entry blows up ~10×
+      // relative to utility_t100_reduced while the T=100 entry barely moves.
+      "utility_t1000_reduced" -> (() => timed("utility_t1000_reduced") {
+        val params = DpParams.calibrated(graft.dp.CompositionMode.ZcdpLinearCsvCompat,
+          3.0, 2.0 / 3.0 * 1e-9, 3.0, 1.0 / 3.0 * 1e-9,
+          maxTimeSteps = 1000, mu = 0L, maxContributionsPerUser = 32L,
+          perRecordClamp = 1.0, thresholdFailureFraction = 0.5)
+        val contrib = graft.tools.UtilityBench.workload(spark, 1000000, 100000, 1000, 42L, 32L, cpus.toInt * 4)
+        val preAgg = CoreOps.preAggregatePrevEpoch(contrib, "key", "epoch", "user_id", "value")
+        force(DpHistogram.run(spark, preAgg, params, 42L))
+      }),
       // Bucketed-storage A/B: the same lineitem⋈orders aggregation as a
       // plain shuffled join vs over bucketed tables (pay the shuffle once at
       // write time). Broadcast is disabled inside both join entries so they

@@ -214,6 +214,16 @@ object StreamingPipelines {
     * barrier (M2): tick(e) asserts "epoch e's data is complete". */
   final case class EpochTick(epoch: Int)
 
+  /** Shard count for [[dpHistogramEagerPrevMarked]] keeping state-store
+    * writes bounded: the store re-serializes a WHOLE shard per update, so
+    * shards should hold ≈`targetKeysPerShard` keys each (two O(T) trees per
+    * key ⇒ tens of KB per shard at T=100) regardless of corpus key count.
+    * Callers know the expected key cardinality; the operator, mid-stream,
+    * cannot — so sizing is explicit: pass `shardsForKeys(expectedKeys)`. */
+  def shardsForKeys(expectedKeys: Long, targetKeysPerShard: Int = 1000): Int =
+    math.max(4L, math.min(65536L,
+      (expectedKeys + targetKeysPerShard - 1) / targetKeysPerShard)).toInt
+
   /** Internal row of the sharded DP stage: data and ticks share one stream. */
   final case class ShardRow(shard: Int, key: String, epoch: Int, prev: Int, value: Double, tick: Boolean)
 
@@ -241,10 +251,15 @@ object StreamingPipelines {
     * force-processed at its predicted epoch.
     *
     * Trade-off vs per-key state: the state store serializes a whole shard on
-    * every update, so size `numShards` to keep shards small (≈ keys/1000 at
-    * scale); hot shards spread by key hash. The per-key lazy variant remains
-    * the default where downstream consumers tolerate deferred silent
-    * releases. */
+    * every update — size `numShards` via [[shardsForKeys]] (≈ keys/1000);
+    * hot shards spread by key hash. NOT the default eager path: the A/B in
+    * [[graft.tools.EagerBench]] (bench entries `eager_dp_*_t20`) measured
+    * [[DpStatefulProcessor]] with timers ~6× faster at identical output, so
+    * prefer that unless silent-release timing must be deterministic in
+    * epoch terms (this form's tick is data, so a replay fires silents at
+    * exactly the same points; timers are wall-clock). The per-key lazy
+    * variant remains the default where downstream consumers tolerate
+    * deferred silent releases. */
   def dpHistogramEagerPrevMarked(input: Dataset[PrevMarked], ticks: Dataset[EpochTick],
       params: DpParams, runSeed: Long = 42L, numShards: Int = 64): Dataset[Release] = {
     import input.sparkSession.implicits._
