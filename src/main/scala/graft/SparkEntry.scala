@@ -269,6 +269,14 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // ---- deterministic contiguous global row index without a global sort ----
+    "q_global_index" -> ((s, d) => {
+      CoreOps.globalRowIndex(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("idx"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- exact interpolated percentiles (monitoring/quality dashboards) ----
     "q_value_percentiles" -> ((s, d) => {
       Tables.events(s, d)
@@ -433,6 +441,28 @@ object SparkEntry {
     "x5_winnowing_fingerprints" -> ((s, d) => {
       TextOps.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id", "fingerprint")
+    }),
+
+    // ---- PII scrubbing: planted emails/digit runs masked at scan speed ----
+    "x7_redact_pii" -> ((s, d) => {
+      val dirty = Tables.documents(s, d).withColumn("dirty",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id") % 100,
+            lit("@mail.example.com or call 12345678")))
+          .otherwise(col("text")))
+      dirty.select(col("doc_id"), TextOps.redactPii(col("dirty")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination: corpus docs sharing >= 2 distinct
+    //      shingles with an eval-set document (doc_id % 97 == 0 plays the
+    //      benchmark side) ----
+    "d11_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(
+          docs.where(col("doc_id") % 97 =!= 0), docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", ShingleK, minOverlap = 2L)
+        .orderBy("doc_id", "bench_id")
     }),
 
     // ---- multimodal: binary column metadata (decode-free relational path) ----
@@ -967,6 +997,29 @@ object SparkEntry {
            |ORDER BY query_id, rank""".stripMargin
       },
 
+      // same DISTINCT (doc, shingle) sets split by the benchmark predicate,
+      // exact string equi-join, count >= minOverlap
+      "d11_contamination" ->
+        s"""WITH sh AS ($DuckShingles),
+           |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+           |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0)
+           |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+           |FROM c JOIN b USING (shingle)
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY doc_id, bench_id""".stripMargin,
+
+      // identical planted PII and identical RE2-safe patterns; DuckDB needs
+      // the explicit 'g' flag to match Spark's replace-all default
+      "x7_redact_pii" ->
+        """SELECT doc_id,
+          |  regexp_replace(regexp_replace(
+          |    CASE WHEN doc_id % 10 = 0
+          |         THEN text || ' contact u' || CAST(doc_id % 100 AS VARCHAR) || '@mail.example.com or call 12345678'
+          |         ELSE text END,
+          |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |    '[0-9]{6,}', '<NUM>', 'g') AS clean
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
       // d7's candidate stage (corpus-scaled bits, raw embeddings) feeding
       // d9's quantized ranking + exact rescore
       "d9b_quantized_lsh_topk" -> {
@@ -1177,6 +1230,10 @@ object SparkEntry {
         |       quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.95) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_global_index" ->
+      """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "s4_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us FROM events),

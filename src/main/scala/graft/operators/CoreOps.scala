@@ -162,6 +162,29 @@ object CoreOps {
         sqrt(sum(pow(col("dp_count") - col("gt_count"), 2.0))).as("l2"))
   }
 
+  /** Deterministic contiguous global row index (0..n−1) in `order` sort
+    * order WITHOUT a single-partition global sort: range repartitioning plus
+    * local sort establishes a total order across partitions, and
+    * `zipWithIndex` assigns per-partition offsets from one tiny O(P) count
+    * job. The window form — `row_number() OVER (ORDER BY …)` with an empty
+    * partitionBy — collapses every row into ONE task and is the classic
+    * 100 TB killer this operator replaces. `order` must be a unique total
+    * order (include a tiebreak column) or the index is nondeterministic.
+    * The one RDD hop in this codebase: partition-offset assignment is
+    * genuinely per-partition imperative, and the op is terminal (no further
+    * Catalyst optimization to preserve below it). */
+  def globalRowIndex(df: DataFrame, order: Seq[String], idxCol: String = "idx"): DataFrame = {
+    val cols = order.map(col)
+    val sorted = df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(idxCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Carry-forward epoch timeline (σ=0, μ=0 semantics): each key's cumulative
     * sum at every epoch where it has appeared so far — what the streaming
     * pipeline emits per trigger, expressed as a running window so batch and

@@ -220,6 +220,30 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("l").as("component"))
   }
 
+  /** Benchmark decontamination — the training-pipeline step that flags
+    * corpus documents overlapping an evaluation set: a (corpus_doc, bench
+    * _doc) pair is contaminated when the two share at least `minOverlap`
+    * DISTINCT word k-shingles.
+    *
+    * Scale shape: the benchmark side is small by definition (an eval suite,
+    * not a corpus), so its distinct shingles BROADCAST and the corpus-side
+    * shingle explosion joins map-side — no shuffle carries text; the only
+    * exchange is the (doc_id, bench_id) count aggregate, partial-aggregated
+    * map-side. Joining on the shingle STRING (not a hash) keeps the overlap
+    * count exact. */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int, minOverlap: Long = 1L): DataFrame = {
+    def sh(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).cast("long").as(idAs),
+          explode(shingles(col(textCol), k)).as("shingle"))
+        .dropDuplicates(idAs, "shingle")
+    sh(corpus, "doc_id")
+      .join(broadcast(sh(bench, "bench_id")), Seq("shingle"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+  }
+
   /** 32-bit SimHash over token occurrences: bit b set iff the sum of ±1 votes
     * (tokens whose hash has bit b set vote +1) is positive.
     *

@@ -23,6 +23,18 @@ object TextOps {
   private[operators] def round4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
 
+  /** PII scrubbing for training corpora: masks email-shaped tokens and long
+    * digit runs (ids, phone numbers). Pure `regexp_replace` — codegen'd,
+    * scan-speed, no UDF — with patterns chosen to behave identically under
+    * Java regex and RE2-style engines (character classes and bounded
+    * quantifiers only, no backtracking constructs), so the DuckDB oracle
+    * replays them verbatim. Order matters: emails first, then digit runs
+    * (an email's digits are already masked with it). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      "[0-9]{6,}", "<NUM>")
+
   /** Per-document token statistics: token count, char count, distinct tokens,
     * mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -205,6 +205,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after - before <= 3, s"persistent RDDs grew $before -> $after")
   }
 
+  test("contamination: shared-shingle pairs found, below-threshold pairs excluded, text never required on the wire") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"), // shares 2 shingles with bench 100
+      (2L, "a completely different document body"), // shares none
+      (3L, "the quick brown fox sleeps all day")) // shares 1 shingle ("the quick brown", k=3 window overlap: "the quick brown","quick brown fox")
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val pairs = Dedup.contaminationPairs(corpus, bench, "doc_id", "text", k = 3, minOverlap = 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps" = 3
+    // doc 3 shares "the quick brown", "quick brown fox" = 2 < 3 -> excluded
+    assert(pairs === Set((1L, 100L, 3L)))
+  }
+
+  test("redactPii masks emails and long digit runs, leaves clean text alone") {
+    import spark.implicits._
+    val out = Seq(
+      "write to alice.smith+x@mail.example.com today",
+      "id 123456789 and id 987654 but not 12345",
+      "nothing to redact here").toDF("text")
+      .select(TextOps.redactPii(col("text")).as("clean"))
+      .as[String].collect().toSeq
+    assert(out === Seq(
+      "write to <EMAIL> today",
+      "id <NUM> and id <NUM> but not 12345",
+      "nothing to redact here"))
+  }
+
+  test("globalRowIndex: contiguous, matches the window form, stable under physical layout") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select((col("id") * 37 % 1000).as("k"), col("id").as("payload"))
+    val idx = CoreOps.globalRowIndex(df.repartition(7), Seq("k"))
+      .select("k", "idx").as[(Long, Long)].collect().sortBy(_._2)
+    assert(idx.map(_._2).toSeq === (0L until 1000L))
+    // k is unique here (37 coprime to 1000), so idx == rank of k
+    assert(idx.map(_._1).toSeq === (0L until 1000L))
+    val again = CoreOps.globalRowIndex(df.repartition(3), Seq("k"))
+      .select("k", "idx").as[(Long, Long)].collect().sortBy(_._2)
+    assert(idx.toSeq === again.toSeq)
+  }
+
   test("multimodal: feature extraction is deterministic and batch shape is correct") {
     val assets = Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir))
     val f1 = Multimodal.extractFeatures(spark, assets, featureDim = 8).collect()
