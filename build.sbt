@@ -17,6 +17,9 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 ThisBuild / showSuccess := false
+// both keys are consumed by the `run` command path, not other tasks — the
+// unused-key lint can't see that
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -277,6 +277,14 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- z-order clustering key (multi-dimensional layout locality) ----
+    "q_zorder_keys" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      li.select(col("l_orderkey"), col("l_partkey"),
+          operators.ZOrder.normalizedZValue(li, Seq("l_orderkey", "l_partkey"), 16).as("z"))
+        .orderBy("l_orderkey", "l_partkey", "z")
+    }),
+
     // ---- exact interpolated percentiles (monitoring/quality dashboards) ----
     "q_value_percentiles" -> ((s, d) => {
       Tables.events(s, d)
@@ -1234,6 +1242,19 @@ object SparkEntry {
     "q_global_index" ->
       """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // range-normalized exactly like normalizedZValue: integer rescale to the
+    // 16-bit code range (// == Spark's DIV on non-negative longs), then the
+    // same bit interleave
+    "q_zorder_keys" ->
+      s"""WITH mm AS (SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+         |                   min(l_partkey) AS mnp, max(l_partkey) AS mxp FROM lineitem),
+         |s AS (SELECT l_orderkey, l_partkey,
+         |             ((l_orderkey - mno) * 65535) // (mxo - mno) AS so,
+         |             ((l_partkey - mnp) * 65535) // (mxp - mnp) AS sp
+         |      FROM lineitem, mm)
+         |SELECT l_orderkey, l_partkey, ${operators.ZOrder.zValueSql(Seq("so", "sp"), 16)} AS z
+         |FROM s ORDER BY l_orderkey, l_partkey, z""".stripMargin,
 
     "s4_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us FROM events),
