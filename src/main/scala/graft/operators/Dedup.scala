@@ -229,14 +229,17 @@ object Dedup {
     * not a corpus), so its distinct shingles BROADCAST and the corpus-side
     * shingle explosion joins map-side — no shuffle carries text; the only
     * exchange is the (doc_id, bench_id) count aggregate, partial-aggregated
-    * map-side. Joining on the shingle STRING (not a hash) keeps the overlap
-    * count exact. */
+    * map-side. Per-document shingle dedup happens INSIDE the array before
+    * the explode (`array_distinct`) — a document's shingles are co-located
+    * by construction, so a global dropDuplicates would shuffle every
+    * (doc, shingle) string to deduplicate sets that are already local.
+    * Joining on the shingle STRING (not a hash) keeps the overlap count
+    * exact. */
   def contaminationPairs(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, k: Int, minOverlap: Long = 1L): DataFrame = {
     def sh(df: DataFrame, idAs: String): DataFrame =
       df.select(col(idCol).cast("long").as(idAs),
-          explode(shingles(col(textCol), k)).as("shingle"))
-        .dropDuplicates(idAs, "shingle")
+          explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
     sh(corpus, "doc_id")
       .join(broadcast(sh(bench, "bench_id")), Seq("shingle"))
       .groupBy("doc_id", "bench_id")
