@@ -181,30 +181,33 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("v"), col(aCol).as("u")))
       .distinct().cache()
     var labels = edges.select("v").distinct().withColumn("l", col("v"))
+    // Convergence via the label-sum invariant: min-label propagation only
+    // ever DECREASES labels, so Σl is strictly decreasing while any vertex
+    // still changes and exactly stable at the fixpoint — one tiny scan over
+    // the fresh snapshot replaces a labels⋈newLabels join + count per
+    // round. Decimal sum: Σ(doc_id) over billions of 64-bit ids can
+    // overflow a long.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min over neighbors' labels UNION own label: one join, one combinable
-      // aggregate, and the convergence count rides the same cached frame
-      val pulled = edges
+      // min over neighbors' labels UNION own label: one join, one
+      // map-side-combinable aggregate per round.
+      //
+      // Eager per-round lineage truncation: `labels` feeds this plan twice,
+      // so without truncation the logical tree grows 2^rounds — a
+      // diameter-15 chain OOMs the driver on plan stringification alone.
+      // The localCheckpoint both materializes the round (one action) and
+      // keeps every recompute path one round deep.
+      val next = edges
         .join(labels.select(col("v").as("u"), col("l").as("ul")), "u")
         .select(col("v"), col("ul"))
         .unionByName(labels.select(col("v"), col("l").as("ul")))
-        .groupBy("v").agg(min(col("ul")).as("nl"))
-      val joined = labels.join(pulled, "v").cache()
-      val changed = joined.where(col("nl") < col("l")).count()
-      // Eager per-round lineage truncation, then release the round's cache.
-      // `labels` feeds the next round's plan THREE times (twice via `pulled`,
-      // once via the join), so without truncation the logical plan tree
-      // grows 3^rounds — a diameter-15 chain OOMs the driver on plan
-      // stringification alone. The checkpoint reads the still-cached frame
-      // (no recompute), and storage stays at one O(|V|) snapshot per round
-      // overlap instead of one cached join per round for the operator's
-      // lifetime (the previous code unpersisted `labels`, a select OVER the
-      // cached frame — a no-op; superseded checkpoints are reclaimed by the
-      // ContextCleaner once unreferenced).
-      val next = joined.select(col("v"), col("nl").as("l")).localCheckpoint()
-      joined.unpersist()
+        .groupBy("v").agg(min(col("ul")).as("l"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
       // the superseded snapshot is never read again (the new checkpoint is
       // self-contained): free its blocks now rather than waiting for the
       // ContextCleaner's GC-driven reclaim
@@ -213,7 +216,8 @@ object Dedup {
         case _ => // round 0: labels is a plain plan, nothing persisted
       }
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
