@@ -214,14 +214,18 @@ object StreamingPipelines {
     * barrier (M2): tick(e) asserts "epoch e's data is complete". */
   final case class EpochTick(epoch: Int)
 
-  /** Shard count for [[dpHistogramEagerPrevMarked]] keeping state-store
-    * writes bounded: the store re-serializes a WHOLE shard per update, so
-    * shards should hold ≈`targetKeysPerShard` keys each (two O(T) trees per
-    * key ⇒ tens of KB per shard at T=100) regardless of corpus key count.
-    * Callers know the expected key cardinality; the operator, mid-stream,
-    * cannot — so sizing is explicit: pass `shardsForKeys(expectedKeys)`. */
-  def shardsForKeys(expectedKeys: Long, targetKeysPerShard: Int = 1000): Int =
-    math.max(4L, math.min(65536L,
+  /** Shard count for [[dpHistogramEagerPrevMarked]] balancing two bounds:
+    * the state store re-serializes a WHOLE shard per update, so shards
+    * should hold ≈`targetKeysPerShard` keys each (two O(T) trees per key ⇒
+    * tens of KB per shard at T=100) — but the stateful stage's parallelism
+    * IS the shard count, so it must not drop below the cluster's task
+    * slots either (`minShards`, default sized for a 32-core local run;
+    * pass executors×cores on a cluster). Callers know the expected key
+    * cardinality; the operator, mid-stream, cannot — so sizing is
+    * explicit: pass `shardsForKeys(expectedKeys)`. */
+  def shardsForKeys(expectedKeys: Long, targetKeysPerShard: Int = 1000,
+      minShards: Int = 64): Int =
+    math.max(minShards.toLong, math.min(65536L,
       (expectedKeys + targetKeysPerShard - 1) / targetKeysPerShard)).toInt
 
   /** Internal row of the sharded DP stage: data and ticks share one stream. */
