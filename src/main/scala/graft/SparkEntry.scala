@@ -277,6 +277,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- stratified Bernoulli sampling (training-mix balancing) ----
+    "q_stratified_sample" -> ((s, d) => {
+      CoreOps.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 50), defaultPct = 10)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    }),
+
+    // ---- per-group winsorization (outlier-robust feature clamping) ----
+    "q_winsorize" -> ((s, d) => {
+      val w = CoreOps.winsorize(Tables.events(s, d).select("event_type", "value"),
+        "event_type", "value", 0.05, 0.95)
+      w.groupBy("event_type").agg(
+          count(lit(1)).as("cnt"), min("value").as("min_v"), max("value").as("max_v"))
+        .orderBy("event_type")
+    }),
+
     // ---- z-order clustering key (multi-dimensional layout locality) ----
     "q_zorder_keys" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -1242,6 +1259,25 @@ object SparkEntry {
     "q_global_index" ->
       """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // exact interpolated percentiles (quantile_cont == Spark percentile,
+    // the equivalence q_value_percentiles pins); min/max of identically
+    // clamped doubles are bit-exact, no rounding needed
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |                  quantile_cont(value, 0.95) AS hi
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS cnt,
+        |       min(greatest(b.lo, least(b.hi, e.value))) AS min_v,
+        |       max(greatest(b.lo, least(b.hi, e.value))) AS max_v
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     // range-normalized exactly like normalizedZValue: integer rescale to the
     // 16-bit code range (// == Spark's DIV on non-negative longs), then the

@@ -54,6 +54,40 @@ object CoreOps {
       .where(col("__rank") <= n)
       .drop("__rank")
 
+  /** Deterministic stratified Bernoulli sampling: a row survives iff its
+    * md5-derived bucket (salted, so it cannot correlate with [[hashSplit]]
+    * assignments) falls under its stratum's integer percentage — "50 % of
+    * English, 10 % of everything else" training-mix balancing. Pure filter:
+    * no shuffle, engine-portable coin, stable as data grows (a row's fate
+    * never changes when other rows arrive). */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require((pctByStratum.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "percentages must be in [0, 100]")
+    val bucket = conv(substring(md5(concat(lit("strat:"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.where(bucket < pct)
+  }
+
+  /** Winsorization: clamps a numeric column to its [pLo, pHi] exact
+    * interpolated percentiles computed PER GROUP — the outlier-robust
+    * normalization step of feature pipelines. Two declarative passes: one
+    * aggregate at group cardinality (map-side partial, tiny result), one
+    * broadcast join + clamp at scan speed. Replaces `valueCol` in place. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "need 0 <= pLo <= pHi <= 1")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(pLo)).as("__lo"),
+      percentile(col(valueCol), lit(pHi)).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(valueCol, greatest(col("__lo"), least(col("__hi"), col(valueCol))))
+      .drop("__lo", "__hi")
+  }
+
   /** Deterministic train/val/test assignment: bucket = first 8 hex chars of
     * md5(id) mod 100, split by cumulative percentage thresholds. Stable
     * across runs, layouts, and engines — the property a training split must

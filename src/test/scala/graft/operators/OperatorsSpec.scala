@@ -234,6 +234,39 @@ class OperatorsSpec extends AnyFunSuite {
       "nothing to redact here"))
   }
 
+  test("stratifiedSample: per-stratum rates respected, row fate stable as data grows") {
+    import spark.implicits._
+    val docs = spark.range(0, 4000)
+      .select(col("id").as("doc_id"), when(col("id") % 2 === 0, "en").otherwise("fr").as("lang"))
+    val kept = CoreOps.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 50), defaultPct = 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 2000 per stratum; Bernoulli at 50%/10% with a uniform hash coin
+    assert(math.abs(kept("en") - 1000L) < 150, s"en rate off: ${kept("en")}")
+    assert(math.abs(kept("fr") - 200L) < 80, s"fr rate off: ${kept("fr")}")
+    // growing the data never changes an existing row's fate
+    val keptIds = CoreOps.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 50), 10)
+      .select("doc_id").as[Long].collect().toSet
+    val grown = spark.range(0, 8000)
+      .select(col("id").as("doc_id"), when(col("id") % 2 === 0, "en").otherwise("fr").as("lang"))
+    val keptGrown = CoreOps.stratifiedSample(grown, "lang", "doc_id", Map("en" -> 50), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptGrown.filter(_ < 4000) === keptIds)
+  }
+
+  test("winsorize clamps to per-group percentile bounds and preserves interior values") {
+    import spark.implicits._
+    val df = (Seq.tabulate(99)(i => ("a", (i + 1).toDouble)) :+ ("a", 1000.0))
+      .toDF("grp", "v")
+    val w = CoreOps.winsorize(df, "grp", "v", 0.05, 0.95).select("v").as[Double].collect()
+    assert(w.length === 100)
+    // bounds are interpolated percentiles: lo ≈ 5.95, hi ≈ 95.05
+    assert(w.max < 96.0, s"extreme outlier must be clamped, got ${w.max}")
+    assert(w.min > 5.0, s"low tail must be clamped, got ${w.min}")
+    // original integer values 6..95 lie strictly inside the bounds and must
+    // pass through untouched (the clamps themselves are non-integers)
+    assert(w.count(x => x == math.floor(x)) === 90)
+  }
+
   test("globalRowIndex: contiguous, matches the window form, stable under physical layout") {
     import spark.implicits._
     val df = spark.range(0, 1000).select((col("id") * 37 % 1000).as("k"), col("id").as("payload"))
