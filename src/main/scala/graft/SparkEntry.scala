@@ -479,6 +479,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- TF-IDF top terms (keyword extraction / relevance primitive) ----
+    "x8_tfidf_topterms" -> ((s, d) => {
+      TextOps.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", TopK)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing >= 2 distinct
     //      shingles with an eval-set document (doc_id % 97 == 0 plays the
     //      benchmark side) ----
@@ -1032,6 +1038,25 @@ object SparkEntry {
            |FROM c JOIN b USING (shingle)
            |GROUP BY 1, 2 HAVING count(*) >= 2
            |ORDER BY doc_id, bench_id""".stripMargin,
+
+      // same tokenization as x1 (whitespace, empties dropped, NO lowering),
+      // smooth idf ln((1+N)/(1+df))+1, round4's engine-stable floor rounding
+      "x8_tfidf_topterms" ->
+        s"""WITH tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  WHERE term <> '' GROUP BY doc_id, term),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           |         floor(tf.tf * (ln((1 + n.n) / (1 + dfreq.df)) + 1) * 10000 + 0.5) / 10000 AS score
+           |  FROM tf JOIN dfreq USING (term), n),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           |  FROM scored)
+           |SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= $TopK
+           |ORDER BY doc_id, rank""".stripMargin,
 
       // identical planted PII and identical RE2-safe patterns; DuckDB needs
       // the explicit 'g' flag to match Spark's replace-all default

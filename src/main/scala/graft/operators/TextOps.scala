@@ -67,6 +67,34 @@ object TextOps {
       size(array_distinct(pretoks)).cast("long").as("n_bpe_distinct"))
   }
 
+  /** TF-IDF top terms per document — the classic relevance/keyword-
+    * extraction primitive: tf = term count within the doc, df = number of
+    * docs containing the term, idf = ln((1+N)/(1+df)) + 1 (sklearn-style
+    * smooth idf), score = tf·idf.
+    *
+    * Scale shape: one explode + (doc, term) count (map-side combinable),
+    * one term-level df aggregate (term cardinality — vocabulary-sized, tiny
+    * next to the corpus), joined back BROADCAST, and the per-doc top-k
+    * rank rides WindowGroupLimit's partial pruning like every top-k here.
+    * Scored in double with [[round4]]'s engine-stable half-up rounding so
+    * the DuckDB oracle reproduces the exact values (ln outputs never sit on
+    * rounding boundaries the way small-denominator ratios do). */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("score", round4(col("tf") *
+        (log((lit(1L) + lit(n)) / (lit(1L) + col("df"))) + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Quality heuristics in [0,1]: length score (saturating at `goodLen`
     * tokens), type-token ratio, stopword ratio against a profile list, and a
     * blended quality score. Mirrors the common pre-training quality filters

@@ -234,6 +234,18 @@ class OperatorsSpec extends AnyFunSuite {
       "nothing to redact here"))
   }
 
+  test("tfIdf: rare terms outrank common ones, repeated terms outrank singletons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare rare"), // rare repeated, common everywhere
+      (2L, "common other"),
+      (3L, "common third")).toDF("doc_id", "text")
+    val top = TextOps.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // doc 1: "rare" (tf=2, df=1) must beat "common" (tf=1, df=3)
+    assert(top.contains((1L, 1, "rare")) && top.contains((1L, 2, "common")), s"got $top")
+  }
+
   test("stratifiedSample: per-stratum rates respected, row fate stable as data grows") {
     import spark.implicits._
     val docs = spark.range(0, 4000)
