@@ -619,6 +619,15 @@ object SparkEntry {
       val cands = Similarity.lshCandidates(emb, queries)
       Similarity.quantizedTopK(emb, queries, TopK, rescoreFactor = 4, candidates = Some(cands))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- same quantized scorer over the trained IVF cells ----
+    "d9c_quantized_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      val cands = Similarity.ivfCandidates(emb, queries)
+      Similarity.quantizedTopK(emb, queries, TopK, rescoreFactor = 4, candidates = Some(cands))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -642,15 +651,18 @@ object SparkEntry {
     * row_number ranking all mirror [[Similarity.ivfTopK]] operation by
     * operation; folds are ordered `list_reduce` == the native dot loop. */
   private def d8OracleSql: Map[String, String] =
-    Similarity.lastIvfCentroids.map { cs =>
+    Similarity.lastIvfCentroids.toSeq.flatMap { cs =>
       val values = cs.zipWithIndex.map { case (w, i) =>
         val nsq = w.map(x => x * x).sum
         s"($i, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
       }.mkString(", ")
       def dotq(a: String, b: String) =
         s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-      val cosq = s"${dotq("qq.emb", "ee.emb")} / (sqrt(${dotq("qq.emb", "qq.emb")}) * sqrt(${dotq("ee.emb", "ee.emb")}))"
-      "d8_ann_ivf_topk" ->
+      def cosq(a: String, b: String) =
+        s"${dotq(a, b)} / (sqrt(${dotq(a, a)}) * sqrt(${dotq(b, b)}))"
+      // shared prefix: centroid table, assignment (argmin, ties to lowest
+      // index), nprobe probing, distinct candidate pairs
+      val candCtes =
         s"""WITH centroids(c, nsq, w) AS (VALUES $values),
            |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
            |dists AS (
@@ -664,16 +676,40 @@ object SparkEntry {
            |           WHERE vec_id < 10 AND rn <= $IvfNprobe),
            |cands AS (
            |  SELECT DISTINCT p.query_id, a.vec_id
-           |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-           |scored AS (
-           |  SELECT cd.query_id, cd.vec_id, round($cosq, 6) AS cos
-           |  FROM cands cd JOIN corp qq ON qq.vec_id = cd.query_id JOIN corp ee ON ee.vec_id = cd.vec_id),
-           |ranked AS (
-           |  SELECT query_id, vec_id AS neighbor_id, cos,
-           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-           |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
-           |ORDER BY query_id, rank""".stripMargin
+           |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id)""".stripMargin
+      Seq(
+        "d8_ann_ivf_topk" ->
+          s"""$candCtes,
+             |scored AS (
+             |  SELECT cd.query_id, cd.vec_id, round(${cosq("qq.emb", "ee.emb")}, 6) AS cos
+             |  FROM cands cd JOIN corp qq ON qq.vec_id = cd.query_id JOIN corp ee ON ee.vec_id = cd.vec_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id AS neighbor_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+             |ORDER BY query_id, rank""".stripMargin,
+        // d9's quantized ranking + exact rescore over the same IVF candidates
+        "d9c_quantized_ivf_topk" ->
+          s"""$candCtes,
+             |ps AS (SELECT vec_id, emb AS e, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s FROM corp),
+             |pr AS (SELECT vec_id, e, list_transform(e, x -> floor(x / s + 0.5) * s) AS r FROM ps),
+             |q AS (SELECT vec_id AS query_id, e AS q_e, r AS q_r FROM pr WHERE vec_id < 10),
+             |approx AS (
+             |  SELECT cd.query_id, cd.vec_id, c.e, q.q_e, ${cosq("q.q_r", "c.r")} AS acos
+             |  FROM cands cd JOIN pr c ON c.vec_id = cd.vec_id JOIN q ON q.query_id = cd.query_id),
+             |cand AS (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS arank
+             |  FROM approx),
+             |exact AS (
+             |  SELECT query_id, vec_id AS neighbor_id, round(${cosq("q_e", "e")}, 6) AS cos
+             |  FROM cand WHERE arank <= ${TopK * 4}),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM exact)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+             |ORDER BY query_id, rank""".stripMargin)
     }.toMap
 
   /** Shared DuckDB fragment: distinct word-k-shingles per document, matching

@@ -300,6 +300,30 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Distinct (query_id, vec_id) candidate pairs from the IVF cells: corpus
+    * rows living in any of the query's `nprobe` nearest cells — the
+    * trained-quantizer analogue of [[lshCandidates]], for feeding
+    * candidate-consuming scorers like [[quantizedTopK]]. Training is the
+    * same deterministic [[trainIvfCentroids]], so a given (corpus, seed)
+    * yields the same cells as [[ivfTopK]]. ([[ivfTopK]] itself keeps its
+    * single-pass cell join — embeddings ride the broadcast join there, so
+    * an ids-only detour would only add a corpus shuffle; candidate feeds
+    * are for scorers that join their own compact representation back.) */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+      dim: Int = 64, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nlist, dim, seed = seed)
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("cell", array_min(centroidDists(col("emb"), centroids)).getField("c"))
+    val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("cell", explode(transform(
+        slice(sort_array(centroidDists(col("q_emb"), centroids)), 1, nprobe),
+        s => s.getField("c")))))
+    c.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+  }
+
   /** Bucket-signature bits for a corpus of `n` vectors: enough hyperplanes
     * that the EXPECTED bucket occupancy is ≤ `targetBucket`, floored at 4.
     * Per-table candidate volume is Σ n_b² ≈ n·occupancy, so fixing occupancy

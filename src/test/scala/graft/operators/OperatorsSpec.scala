@@ -355,6 +355,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"composed recall@5 too low: $recall")
   }
 
+  test("quantized-over-IVF-candidates: exact rescored scores, candidates within the probed cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val allScores = Similarity.bruteForceTopK(emb, queries, Int.MaxValue - 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val cands = Similarity.ivfCandidates(emb, queries)
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = Similarity.quantizedTopK(emb, queries, 5, rescoreFactor = 4,
+        candidates = Some(cands))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(composed.nonEmpty)
+    composed.foreach { case (q, n, cos) =>
+      assert(allScores((q, n)) === cos, s"score mismatch ($q,$n)")
+      assert(candSet.contains((q, n)), s"result outside probed cells ($q,$n)")
+    }
+  }
+
   test("IVF training is deterministic, including under repartitioning") {
     val emb = Tables.embeddings(spark, sfDir)
     val a = Similarity.trainIvfCentroids(emb, 8, 64)
