@@ -190,6 +190,25 @@ object Bench {
           force(joinAgg(spark.table(benchLiTable), spark.table(benchOrdTable)))
         }
       }),
+      // AQE skew-join A/B: one hot key owns ~30% of a 5M-row fact side;
+      // with AQE skew handling the hot sort-merge partition is split at
+      // runtime, without it one straggler task serializes the stage. The
+      // thresholds are lowered to make the 24MB hot partition count as
+      // skewed at bench scale — at 100TB the defaults (256MB) fire on
+      // their own. Broadcast disabled: at scale neither side broadcasts.
+      // off first: any residual warmup bias then favors the baseline, so
+      // the measured AQE win is conservative
+      "skew_join_aqe_off" -> (() => noBroadcast { timed("skew_join_aqe_off") {
+        val prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try force(graft.operators.SkewOps.skewBenchJoin(spark))
+        finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }}),
+      "skew_join_aqe_on" -> (() => noBroadcast { timed("skew_join_aqe_on") {
+        graft.operators.SkewOps.withSkewTuning(spark, "8MB", "4MB") {
+          force(graft.operators.SkewOps.skewBenchJoin(spark))
+        }
+      }}),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)

@@ -45,6 +45,40 @@ object SkewOps {
     l.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Runs `body` with AQE skew-join thresholds lowered so bench/spec-scale
+    * hot partitions count as skewed (the production defaults — 256 MB — are
+    * right at 100 TB and fire on their own there). Restores prior values. */
+  def withSkewTuning[A](spark: org.apache.spark.sql.SparkSession,
+      skewThreshold: String, advisorySize: String)(body: => A): A = {
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> skewThreshold,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisorySize)
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The skew A/B workload: a fact side where key 0 owns ~60 % of all rows
+    * (default 20 M — the hot task must dominate the stage for the A/B to
+    * measure the straggler, not fixed overheads), sort-merge-joined
+    * (broadcast disabled by the caller) to a 100 k-key dim side, then
+    * aggregated. Deterministic — the skew comes from the id space, not
+    * rand(). */
+  def skewBenchJoin(spark: org.apache.spark.sql.SparkSession,
+      rows: Long = 20000000L): DataFrame = {
+    val fact = spark.range(0, rows)
+      .select(when(col("id") % 10 < 6, 0L).otherwise(col("id") % 100000).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(0, 100000L).select(col("id").as("k"), (col("id") * 2).as("dval"))
+    fact.join(dim, "k")
+      .groupBy(col("k") % 64)
+      .agg(sum(col("payload") + col("dval")).as("s"), count(lit(1)).as("n"))
+  }
+
   /** Exact distinct count per key that never concentrates a key's values in
     * one task: stage 1 groups by (keys..., hash(value) % shards) and counts
     * distinct values within the shard, stage 2 sums the shard counts. Each

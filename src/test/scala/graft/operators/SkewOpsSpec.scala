@@ -74,4 +74,16 @@ class SkewOpsSpec extends AnyFunSuite {
       .select(pmod(xxhash64(col("user_id")), lit(16)).as("s")).distinct().count()
     assert(shardsUsed === 16)
   }
+
+  test("AQE marks the hot sort-merge partition skewed and splits it at runtime") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try SkewOps.withSkewTuning(spark, "256KB", "128KB") {
+      val df = SkewOps.skewBenchJoin(spark, rows = 500000L)
+      df.collect() // drive THIS queryExecution so the AQE final plan is inspectable
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not flag the hot partition as skewed:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
 }
