@@ -277,6 +277,28 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- key-level upsert (incremental corpus refresh) ----
+    "q_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val updates = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(lit("updated-"), col("doc_id").cast("string")).as("text"))
+      CoreOps.upsertByKey(docs, updates, Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic negative sampling (contrastive pairs; same-label
+    //      pairs are the forbidden positives) ----
+    "q_negative_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+      val positives = queries.select(col("vec_id").as("ql"), col("label"))
+        .join(emb.select(col("vec_id").as("pr"), col("label")), "label")
+        .select(col("ql"), col("pr"))
+      CoreOps.negativeSamples(queries, "vec_id", emb, "vec_id",
+          positives, "ql", "pr", k = 8)
+        .orderBy("query_id", "slot", "neg_id")
+    }),
+
     // ---- stratified Bernoulli sampling (training-mix balancing) ----
     "q_stratified_sample" -> ((s, d) => {
       CoreOps.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
@@ -1320,6 +1342,36 @@ object SparkEntry {
     "q_global_index" ->
       """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_upsert" ->
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'updated-' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same md5 draw into the row_number index space, same exclusions
+    "q_negative_pairs" ->
+      """WITH idxd AS (
+        |  SELECT vec_id AS neg_id,
+        |         row_number() OVER (ORDER BY vec_id) - 1 AS idx
+        |  FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, s.slot,
+        |         ('0x' || substr(md5(CAST(q.vec_id AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR)), 1, 8))::BIGINT % n.n AS idx
+        |  FROM embeddings q, range(0, 8) s(slot), n WHERE q.vec_id < 10),
+        |pos AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neg_id
+        |  FROM embeddings q JOIN embeddings e ON q.label = e.label
+        |  WHERE q.vec_id < 10)
+        |SELECT c.query_id, c.slot, i.neg_id
+        |FROM cand c JOIN idxd i USING (idx)
+        |WHERE i.neg_id <> c.query_id
+        |  AND NOT EXISTS (SELECT 1 FROM pos p
+        |                  WHERE p.query_id = c.query_id AND p.neg_id = i.neg_id)
+        |ORDER BY query_id, slot, neg_id""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS cnt FROM documents

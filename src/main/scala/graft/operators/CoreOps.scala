@@ -196,6 +196,51 @@ object CoreOps {
         sqrt(sum(pow(col("dp_count") - col("gt_count"), 2.0))).as("l2"))
   }
 
+  /** Key-level upsert for parquet-backed corpora without a transactional
+    * table format: rows of `updates` replace same-key rows of `existing`,
+    * everything else passes through — the incremental-refresh primitive
+    * (re-crawled documents, corrected labels). The anti-join's build side
+    * is just the update KEYS, so when updates are small (the common case)
+    * it broadcasts and the existing corpus streams through map-side;
+    * schemas must match (`unionByName`). Pair with
+    * [[graft.streaming.ExactlyOnceSink]] / partition overwrite to make the
+    * rewrite itself idempotent. */
+  def upsertByKey(existing: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
+    existing.join(broadcast(updates.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti")
+      .unionByName(updates)
+
+  /** Deterministic negative sampling for contrastive training pairs: each
+    * left id draws `k` pseudo-random corpus rows by hashing (id, slot) into
+    * the corpus's [[globalRowIndex]] space, then drops draws that collide
+    * with the forbidden `positives` pairs or with the query itself — so a
+    * query can yield slightly fewer than `k` negatives (document the
+    * shortfall rather than resample: resampling would make a row's fate
+    * depend on OTHER rows and break determinism under growth). The md5
+    * coin is engine-portable; `hash % n` bias is ≤ n/2^32, negligible for
+    * any real corpus. */
+  def negativeSamples(left: DataFrame, leftIdCol: String,
+      corpus: DataFrame, corpusIdCol: String,
+      positives: DataFrame, posLeftCol: String, posRightCol: String,
+      k: Int): DataFrame = {
+    val n = corpus.count()
+    val indexed = globalRowIndex(corpus.select(col(corpusIdCol).as("neg_id")), Seq("neg_id"))
+    val cand = left.select(col(leftIdCol).cast("long").as("query_id"))
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("idx", conv(substring(md5(
+          concat(col("query_id").cast("string"), lit(":"), col("slot").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % n)
+    // ids-only equi-join on the index (no hint: the candidate side is
+    // |left|·k rows and the index map is two longs per corpus row — let
+    // AQE pick broadcast vs shuffle by actual sizes)
+    cand.join(indexed, Seq("idx"))
+      .where(col("neg_id") =!= col("query_id"))
+      .join(positives.select(col(posLeftCol).cast("long").as("query_id"),
+          col(posRightCol).cast("long").as("neg_id")),
+        Seq("query_id", "neg_id"), "left_anti")
+      .select(col("query_id"), col("slot"), col("neg_id"))
+  }
+
   /** Deterministic contiguous global row index (0..n−1) in `order` sort
     * order WITHOUT a single-partition global sort: range repartitioning plus
     * local sort establishes a total order across partitions, and

@@ -234,6 +234,34 @@ class OperatorsSpec extends AnyFunSuite {
       "nothing to redact here"))
   }
 
+  test("upsertByKey replaces updated keys, passes others through, adds new keys") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("k", "v")
+    val out = CoreOps.upsertByKey(existing, updates, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+  }
+
+  test("negativeSamples: no positives, no self-pairs, deterministic, ≤ k per query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10)
+    val positives = queries.select(col("vec_id").as("ql"), col("label"))
+      .join(emb.select(col("vec_id").as("pr"), col("label")), "label")
+      .select("ql", "pr")
+    val posSet = positives.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = CoreOps.negativeSamples(queries, "vec_id", emb, "vec_id",
+      positives, "ql", "pr", k = 8).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run()
+    assert(a.nonEmpty)
+    a.foreach { case (q, _, neg) =>
+      assert(q != neg, s"self pair $q")
+      assert(!posSet.contains((q, neg)), s"positive leaked: ($q,$neg)")
+    }
+    assert(a.groupBy(_._1).values.forall(_.length <= 8))
+    assert(a.toSeq === run().toSeq, "sampling must be deterministic")
+  }
+
   test("tfIdf: rare terms outrank common ones, repeated terms outrank singletons") {
     import spark.implicits._
     val docs = Seq(
