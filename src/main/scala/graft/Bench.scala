@@ -88,6 +88,9 @@ object Bench {
       }
     }
 
+    // release counts of the two eager designs, compared after the suite
+    val eagerReleases = scala.collection.mutable.Map.empty[String, Long]
+
     // per-run table names: a killed run's orphaned warehouse directory must
     // not fail the next run's CREATE (in-memory catalog dies with the JVM)
     val benchRunId = System.nanoTime()
@@ -132,16 +135,19 @@ object Bench {
       // Eager Algorithm-3 A/B: sharded-state EpochTick barrier vs per-key
       // transformWithState timers, identical seeded workload and params
       // (graft.tools.EagerBench documents what each measurement includes).
-      // Release counts must agree — a mismatch prints to stderr.
+      // Both record their release count; a mismatch is flagged after the
+      // suite (below).
       "eager_dp_sharded_t20" -> (() => timed("eager_dp_sharded_t20") {
         val byEpoch = graft.tools.EagerBench.workload(spark, 200000L, 20000, 5000, 20)
         val n = graft.tools.EagerBench.runSharded(spark, byEpoch, 20, 42L,
           graft.streaming.StreamingPipelines.shardsForKeys(5000))
+        eagerReleases("sharded") = n
         System.err.println(s"[bench] eager_dp_sharded_t20 releases=$n")
       }),
       "eager_dp_tws_timers_t20" -> (() => timed("eager_dp_tws_timers_t20") {
         val byEpoch = graft.tools.EagerBench.workload(spark, 200000L, 20000, 5000, 20)
         val n = graft.tools.EagerBench.runTwsTimers(spark, byEpoch, 20, 42L)
+        eagerReleases("tws") = n
         System.err.println(s"[bench] eager_dp_tws_timers_t20 releases=$n")
       }),
       // the lazy floor: timers off, no barriers — what eagerness costs
@@ -190,12 +196,13 @@ object Bench {
           force(joinAgg(spark.table(benchLiTable), spark.table(benchOrdTable)))
         }
       }),
-      // AQE skew-join A/B: one hot key owns ~30% of a 5M-row fact side;
-      // with AQE skew handling the hot sort-merge partition is split at
-      // runtime, without it one straggler task serializes the stage. The
-      // thresholds are lowered to make the 24MB hot partition count as
-      // skewed at bench scale — at 100TB the defaults (256MB) fire on
-      // their own. Broadcast disabled: at scale neither side broadcasts.
+      // AQE skew-join A/B: one hot key owns ~60% of a 20M-row fact side
+      // (SkewOps.skewBenchJoin); with AQE skew handling the hot sort-merge
+      // partition is split at runtime, without it one straggler task
+      // serializes the stage. Thresholds are lowered so the ~190MB hot
+      // partition counts as skewed at bench scale — at 100TB the 256MB
+      // defaults fire on their own. Broadcast disabled: at scale neither
+      // side broadcasts.
       // off first: any residual warmup bias then favors the baseline, so
       // the measured AQE win is conservative
       "skew_join_aqe_off" -> (() => noBroadcast { timed("skew_join_aqe_off") {
@@ -219,6 +226,11 @@ object Bench {
 
     Seq(benchLiTable, benchOrdTable)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    for (s <- eagerReleases.get("sharded"); t <- eagerReleases.get("tws"))
+      if (s != t) System.err.println(
+        s"[bench] WARN: eager A/B release counts differ (sharded=$s, tws=$t) — " +
+          "check the tws quiescence log before reading the timings as a design difference")
 
     val gbps = Seq(("microbatch_0_1gb", 0.1), ("microbatch_0_5gb", 0.5), ("microbatch_1_0gb", 1.0))
       .flatMap { case (n, g) =>

@@ -673,7 +673,13 @@ object SparkEntry {
     * row_number ranking all mirror [[Similarity.ivfTopK]] operation by
     * operation; folds are ordered `list_reduce` == the native dot loop. */
   private def d8OracleSql: Map[String, String] =
-    Similarity.lastIvfCentroids.toSeq.flatMap { cs =>
+    Similarity.lastIvfCentroids.toSeq.flatMap {
+      case (nlist, dim, seed, _) if nlist != 16 || dim != 64 || seed != 42L =>
+        // some other training overwrote the slot since the d8/d9c queries
+        // ran — omit the oracle (driver falls back to rows-only) rather
+        // than dump centroids that don't match the query's model
+        Nil
+      case (_, _, _, cs) =>
       val values = cs.zipWithIndex.map { case (w, i) =>
         val nsq = w.map(x => x * x).sum
         s"($i, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
@@ -1124,7 +1130,7 @@ object SparkEntry {
           |    CASE WHEN doc_id % 10 = 0
           |         THEN text || ' contact u' || CAST(doc_id % 100 AS VARCHAR) || '@mail.example.com or call 12345678'
           |         ELSE text END,
-          |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
           |    '[0-9]{6,}', '<NUM>', 'g') AS clean
           |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -188,7 +188,9 @@ object Dedup {
     // round. Decimal sum: Σ(doc_id) over billions of 64-bit ids can
     // overflow a long.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+      // sum over zero rows is NULL — an empty pair set must converge, not NPE
+      Option(df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

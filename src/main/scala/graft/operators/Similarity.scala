@@ -154,7 +154,10 @@ object Similarity {
     * the bucket join + dedup; callers join embeddings (or codes) back once
     * per unique pair, never per bucket collision.
     *
-    * @param bitsPerTable hyperplanes per hash table; 0 = auto from corpus size
+    * @param bitsPerTable hyperplanes per hash table; 0 = auto from corpus
+    *   size. Auto-derivation runs one count() job over the corpus — at
+    *   scale, count once per dataset and pass `bitsForCorpus(n)` (or the
+    *   known row count's bits) explicitly across queries.
     */
   def lshCandidates(corpus: DataFrame, queries: DataFrame,
       dim: Int = 64, bitsPerTable: Int = 0, numTables: Int = 8, seed: Long = 42L): DataFrame = {
@@ -209,13 +212,18 @@ object Similarity {
     * (a TakeOrdered top-n, no full sort) — deterministic under any file
     * layout or repartitioning, unlike a bare `limit` which takes whatever
     * partitions answer first and silently changes the centroids. */
-  /** Centroids from the most recent [[trainIvfCentroids]] call in this JVM.
-    * Training is deterministic given the corpus, so these ARE the model for
-    * the current dataset; [[graft.SparkEntry.oracleSql]] exports them into
-    * the DuckDB oracle as a VALUES table (the query run always precedes the
-    * oracle dump in [[graft.Verify]]). Only the trained parameters cross the
-    * boundary — assignment, probing, and ranking are re-derived in SQL. */
-  @volatile private[graft] var lastIvfCentroids: Option[Array[Array[Double]]] = None
+  /** Centroids from the most recent [[trainIvfCentroids]] call in this JVM,
+    * KEYED by the training params so an oracle consumer can verify it is
+    * reading the model it expects (a later call with different nlist/dim/
+    * seed overwrites the slot — the key turns that into a detectable miss
+    * instead of a silently wrong VALUES table). Training is deterministic
+    * given the corpus, so these ARE the model for the current dataset;
+    * [[graft.SparkEntry.oracleSql]] exports them into the DuckDB oracle as
+    * a VALUES table (the query run always precedes the oracle dump in
+    * [[graft.Verify]], and Verify processes one dataset per JVM). Only the
+    * trained parameters cross the boundary — assignment, probing, and
+    * ranking are re-derived in SQL. */
+  @volatile private[graft] var lastIvfCentroids: Option[(Int, Int, Long, Array[Array[Double]])] = None
 
   def trainIvfCentroids(corpus: DataFrame, nlist: Int, dim: Int,
       iterations: Int = 8, sampleSize: Int = 4096, seed: Long = 42L): Array[Array[Double]] = {
@@ -244,7 +252,7 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    lastIvfCentroids = Some(centroids)
+    lastIvfCentroids = Some((nlist, dim, seed, centroids))
     centroids
   }
 

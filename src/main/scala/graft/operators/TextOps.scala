@@ -32,7 +32,7 @@ object TextOps {
     * (an email's digits are already masked with it). */
   def redactPii(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      regexp_replace(text, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
       "[0-9]{6,}", "<NUM>")
 
   /** Per-document token statistics: token count, char count, distinct tokens,

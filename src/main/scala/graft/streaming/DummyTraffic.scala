@@ -34,10 +34,11 @@ final case class ShapedPartial(producer: String, epoch: Int, seq: Long,
   * Strengthening over the reference: payloads are PADDED to `padTo` bytes
   * before sealing, so real and dummy ciphertexts also match in LENGTH (the
   * reference matches envelope structure only; a length-observer could still
-  * distinguish a 2-key partial from a dummy there). The guarantee holds as
-  * long as real payloads fit in `padTo` — size it to the max releases per
-  * shard per epoch; oversized payloads are sealed unpadded rather than
-  * truncated (correctness over shaping).
+  * distinguish a 2-key partial from a dummy there). Payloads that fit seal
+  * at exactly `padTo`; oversized ones round up to the next multiple of
+  * `padTo` (bucketed padding — never truncated, never an exact-length
+  * leak). Size `padTo` to the max releases per shard per epoch so the
+  * single-bucket guarantee holds.
   */
 object DummyTraffic {
 
@@ -61,7 +62,12 @@ object DummyTraffic {
   }
 
   /** JSON payload for one emission; `_pad` fills the plaintext to exactly
-    * `padTo` bytes (ASCII payloads, so chars == bytes). */
+    * `padTo` bytes (ASCII payloads, so chars == bytes) — or, when the
+    * payload cannot fit, to the next MULTIPLE of `padTo` (bucketed
+    * padding): every emission length is k·padTo, so an oversized batch
+    * leaks only its coarse size bucket, never an exact byte length. A
+    * previous form emitted payloads in (padTo−10, padTo] unpadded — nine
+    * distinguishable lengths right at the boundary. */
   private[streaming] def payloadJson(releases: Seq[Release], padTo: Int): String = {
     val base =
       if (releases.isEmpty) s"""{"$DummyMarkerKey":true}"""
@@ -69,9 +75,9 @@ object DummyTraffic {
         .mkString("""{"releases":[""", ",", "]}")
     // `,"_pad":"…"}` replaces the closing `}`: net added length is
     // 10 + padLen (9 for `,"_pad":"`, 2 for `"}`, minus the replaced `}`)
-    val padLen = padTo - base.length - 10
-    if (padLen < 0) base
-    else base.dropRight(1) + ",\"_pad\":\"" + "#" * padLen + "\"}"
+    val target = ((base.length + 10 + padTo - 1) / padTo) * padTo
+    val padLen = target - base.length - 10
+    base.dropRight(1) + ",\"_pad\":\"" + "#" * padLen + "\"}"
   }
 
   /** Shapes a release stream to constant rate: one sealed partial per shard

@@ -78,21 +78,21 @@ object EagerBench {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[Contribution]
-    val name = s"eager_lazy_${System.nanoTime()}"
-    val q = DpStatefulProcessor.dpHistogram(mem.toDS(), params(t), runSeed, timers = false)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ckptDir("lazy")).start()
     try {
-      byEpoch.foreach { case (_, rows) => mem.addData(rows) }
-      q.processAllAvailable()
-    } finally q.stop()
-    val n = spark.table(name).count()
-    prev match {
+      val mem = MemoryStream[Contribution]
+      val name = s"eager_lazy_${System.nanoTime()}"
+      val q = DpStatefulProcessor.dpHistogram(mem.toDS(), params(t), runSeed, timers = false)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir("lazy")).start()
+      try {
+        byEpoch.foreach { case (_, rows) => mem.addData(rows) }
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).count()
+    } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
-    n
   }
 
   def runTwsTimers(spark: SparkSession, byEpoch: Seq[(Int, Seq[Contribution])],
@@ -102,30 +102,35 @@ object EagerBench {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[Contribution]
-    val name = s"eager_tws_${System.nanoTime()}"
-    val q = DpStatefulProcessor.dpHistogram(mem.toDS(), params(t), runSeed, timers = true)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ckptDir("tws")).start()
     try {
-      // no barrier: the engine consumes at its own cadence (with timers
-      // pending it triggers continuously, so processAllAvailable would
-      // never settle — poll the sink for quiescence instead)
-      byEpoch.foreach { case (_, rows) => mem.addData(rows) }
-      val deadline = System.currentTimeMillis() + deadlineMs
-      var last = -1L
-      var stable = 0
-      while (stable < 5 && System.currentTimeMillis() < deadline) {
-        Thread.sleep(300)
-        val c = spark.table(name).count()
-        if (c == last) stable += 1 else { stable = 0; last = c }
-      }
-    } finally q.stop()
-    val n = spark.table(name).count()
-    prev match {
+      val mem = MemoryStream[Contribution]
+      val name = s"eager_tws_${System.nanoTime()}"
+      val q = DpStatefulProcessor.dpHistogram(mem.toDS(), params(t), runSeed, timers = true)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir("tws")).start()
+      try {
+        // no barrier: the engine consumes at its own cadence (with timers
+        // pending it triggers continuously, so processAllAvailable would
+        // never settle — poll the sink for quiescence instead)
+        byEpoch.foreach { case (_, rows) => mem.addData(rows) }
+        val deadline = System.currentTimeMillis() + deadlineMs
+        var last = -1L
+        var stable = 0
+        while (stable < 5 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(300)
+          val c = spark.table(name).count()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        if (stable < 5)
+          // a deadline exit means the count below may be partial — say so
+          // loudly instead of letting it masquerade as an A/B difference
+          System.err.println(s"[eagerbench] WARN: quiescence deadline hit after ${deadlineMs}ms; " +
+            s"release count may be partial (last=$last)")
+      } finally q.stop()
+      spark.table(name).count()
+    } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
-    n
   }
 }

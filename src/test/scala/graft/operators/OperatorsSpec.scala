@@ -224,14 +224,22 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val out = Seq(
       "write to alice.smith+x@mail.example.com today",
+      "or John.Doe@Gmail.COM works too",
       "id 123456789 and id 987654 but not 12345",
       "nothing to redact here").toDF("text")
       .select(TextOps.redactPii(col("text")).as("clean"))
       .as[String].collect().toSeq
     assert(out === Seq(
       "write to <EMAIL> today",
+      "or <EMAIL> works too",
       "id <NUM> and id <NUM> but not 12345",
       "nothing to redact here"))
+  }
+
+  test("connected components: empty pair set returns empty, no NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() === 0L)
   }
 
   test("upsertByKey replaces updated keys, passes others through, adds new keys") {

@@ -193,14 +193,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged === Set(("alpha", 0, 5L), ("beta", 0, 7L), ("alpha", 4, 9L)))
   }
 
-  test("M1 padding: payload JSON is exactly padTo bytes for real and dummy emissions") {
+  test("M1 padding: every payload length is an exact multiple of padTo") {
     val dummy = DummyTraffic.payloadJson(Nil, 256)
     val real = DummyTraffic.payloadJson(Seq(Release("alpha", 0, 5L), Release("beta", 1, 7L)), 256)
     assert(dummy.length === 256)
     assert(real.length === 256)
-    // oversized payloads are sealed unpadded, never truncated
+    // the boundary window (padTo-10, padTo] must round up, not leak raw:
+    // base = 45 + keyLen = 250 here, and 250 + 10 > 256
+    val nearBoundary = DummyTraffic.payloadJson(Seq(Release("k" * 205, 0, 1L)), 256)
+    assert(nearBoundary.length === 512, s"got ${nearBoundary.length}")
+    // oversized payloads land on the next multiple — never truncated,
+    // never an exact length
     val big = DummyTraffic.payloadJson(Seq.tabulate(50)(i => Release(s"k$i", i, i.toLong)), 64)
-    assert(big.length > 64)
+    assert(big.length % 64 === 0 && big.length > 64)
   }
 
   test("watermarked window agg: windows finalize once, late data beyond the watermark is dropped") {
