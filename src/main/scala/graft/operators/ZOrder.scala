@@ -31,7 +31,8 @@ object ZOrder {
     * their low bits. Requires `bits·dims ≤ 63`. */
   def zValue(cols: Seq[Column], bits: Int): Column = {
     val dims = cols.length
-    require(dims >= 1 && bits * dims <= 63, s"bits*dims must fit a long, got $bits*$dims")
+    require(dims >= 1 && bits >= 1 && bits * dims <= 63,
+      s"need bits >= 1 and bits*dims <= 63 to fit a long, got $bits*$dims")
     val terms = for {
       i <- 0 until bits
       (c, d) <- cols.zipWithIndex

@@ -13,10 +13,12 @@ import graft.dp._
   * With `timers = true` this is the DEFAULT eager path. The A/B against the
   * sharded-state EpochTick barrier ([[graft.tools.EagerBench]], bench
   * entries `eager_dp_*_t20`) on an identical seeded workload (200 k
-  * contributions, 5 k keys, T=20) produced identical release counts with
-  * timers ~6× faster (8.2 s vs 48.2 s): per-key state writes O(key) per
-  * update where the shard design re-serializes a whole shard, and timer
-  * latency costs less than two synchronous barriers per epoch. Keep the
+  * contributions, 5 k keys, T=20), with BOTH arms pinned to the RocksDB
+  * state store so the comparison isolates operator design from provider,
+  * produced identical release counts with timers ~5× faster (13.6 s vs
+  * 68.8 s): per-key state writes O(key) per update where the shard design
+  * re-serializes a whole shard, and timer latency costs less than two
+  * synchronous barriers per epoch. Keep the
   * sharded form where release timing must be DETERMINISTIC in epoch terms
   * (its tick is data, so a replay fires silents at exactly the same points;
   * timers are wall-clock).

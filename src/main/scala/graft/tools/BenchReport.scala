@@ -1,0 +1,73 @@
+package graft.tools
+
+/** Renders the one-line compact benchmark JSON printed as the very last
+  * stdout line of [[graft.Bench]].
+  *
+  * The driver captures only the LAST ~2000 characters of the process output
+  * and parses the final line as JSON. Rounds 1–4 all failed that gate
+  * (`BENCH_r0{1..4}.json` `"parsed": null`): first on sbt log decoration,
+  * then — after `build.sbt` fixed that — simply on length: the full
+  * per-query map grew past the tail window, so the captured text began
+  * mid-line. The fix is structural, not cosmetic: the stdout line carries a
+  * bounded payload and the complete result always lives in `bench.json`.
+  *
+  * Budgeting: the entries named in `headline` (the BASELINE.md-comparable
+  * workloads — DP utility runs, eager A/B, co-location/skew A/Bs,
+  * micro-batch GB/s) are emitted first, in the order given; the remaining
+  * budget is filled with the slowest other queries (the ones a reader
+  * triaging performance wants first). `"n_all"` and `"omitted"` say how
+  * much of the suite the line covers; `"value"` is ALWAYS the total over
+  * every successful entry, shown or omitted.
+  */
+object BenchReport {
+
+  def r3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Build the capped compact line.
+    *
+    * @param all      every (name, seconds) measurement; negative = failed
+    * @param headline names that must appear in `"queries"` (when present in
+    *                 `all` and successful), in this order
+    * @param sfDir    the scale-factor directory the suite ran against
+    * @param maxLen   hard cap on the rendered line length (chars); the
+    *                 driver's tail window is 2000, so default leaves slack
+    *                 for a trailing newline plus any stray shutdown chatter
+    */
+  def compactLine(
+      all: Seq[(String, Double)],
+      headline: Seq[String],
+      sfDir: String,
+      maxLen: Int = 1800): String = {
+    val ok = all.filter(_._2 >= 0)
+    val okMap = ok.toMap
+    val failed = all.collect { case (k, v) if v < 0 => k }
+    val total = ok.map(_._2).sum
+
+    val head = headline.filter(okMap.contains).map(k => k -> okMap(k))
+    val headSet = head.map(_._1).toSet
+    val rest = ok.filterNot { case (k, _) => headSet.contains(k) }
+      .sortBy { case (k, v) => (-v, k) }
+
+    def render(entries: Seq[(String, Double)]): String = {
+      val qs = entries
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+        s""""n_all":${ok.size},"omitted":${ok.size - entries.size},""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
+    }
+
+    // Greedy fill: headline first (dropped from the tail only if even they
+    // overflow), then slowest-first for the rest.
+    var kept = head
+    while (kept.nonEmpty && render(kept).length > maxLen) kept = kept.init
+    var line = render(kept)
+    for (e <- rest) {
+      val candidate = render(kept :+ e)
+      if (candidate.length <= maxLen) { kept = kept :+ e; line = candidate }
+    }
+    line
+  }
+}

@@ -46,8 +46,23 @@ object EagerBench {
   private def ckptDir(tag: String): String =
     s"/tmp/graft_eagerbench_${tag}_${System.nanoTime()}"
 
+  /** All three arms run under the SAME state-store backend (RocksDB) so the
+    * A/B isolates operator design from provider choice — runSharded on the
+    * session-default HDFS-backed store while the other arms pinned RocksDB
+    * would conflate the two. */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def runSharded(spark: SparkSession, byEpoch: Seq[(Int, Seq[Contribution])],
-      t: Int, runSeed: Long, numShards: Int): Long = {
+      t: Int, runSeed: Long, numShards: Int): Long = withRocksDb(spark) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Contribution]
@@ -72,65 +87,49 @@ object EagerBench {
     * barriers — the floor that the eager designs' coordination overhead is
     * measured against. */
   def runLazy(spark: SparkSession, byEpoch: Seq[(Int, Seq[Contribution])],
-      t: Int, runSeed: Long): Long = {
+      t: Int, runSeed: Long): Long = withRocksDb(spark) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Contribution]
+    val name = s"eager_lazy_${System.nanoTime()}"
+    val q = DpStatefulProcessor.dpHistogram(mem.toDS(), params(t), runSeed, timers = false)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckptDir("lazy")).start()
     try {
-      val mem = MemoryStream[Contribution]
-      val name = s"eager_lazy_${System.nanoTime()}"
-      val q = DpStatefulProcessor.dpHistogram(mem.toDS(), params(t), runSeed, timers = false)
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .option("checkpointLocation", ckptDir("lazy")).start()
-      try {
-        byEpoch.foreach { case (_, rows) => mem.addData(rows) }
-        q.processAllAvailable()
-      } finally q.stop()
-      spark.table(name).count()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+      byEpoch.foreach { case (_, rows) => mem.addData(rows) }
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).count()
   }
 
   def runTwsTimers(spark: SparkSession, byEpoch: Seq[(Int, Seq[Contribution])],
-      t: Int, runSeed: Long, deadlineMs: Long = 180000L): Long = {
+      t: Int, runSeed: Long, deadlineMs: Long = 180000L): Long = withRocksDb(spark) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Contribution]
+    val name = s"eager_tws_${System.nanoTime()}"
+    val q = DpStatefulProcessor.dpHistogram(mem.toDS(), params(t), runSeed, timers = true)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckptDir("tws")).start()
     try {
-      val mem = MemoryStream[Contribution]
-      val name = s"eager_tws_${System.nanoTime()}"
-      val q = DpStatefulProcessor.dpHistogram(mem.toDS(), params(t), runSeed, timers = true)
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .option("checkpointLocation", ckptDir("tws")).start()
-      try {
-        // no barrier: the engine consumes at its own cadence (with timers
-        // pending it triggers continuously, so processAllAvailable would
-        // never settle — poll the sink for quiescence instead)
-        byEpoch.foreach { case (_, rows) => mem.addData(rows) }
-        val deadline = System.currentTimeMillis() + deadlineMs
-        var last = -1L
-        var stable = 0
-        while (stable < 5 && System.currentTimeMillis() < deadline) {
-          Thread.sleep(300)
-          val c = spark.table(name).count()
-          if (c == last) stable += 1 else { stable = 0; last = c }
-        }
-        if (stable < 5)
-          // a deadline exit means the count below may be partial — say so
-          // loudly instead of letting it masquerade as an A/B difference
-          System.err.println(s"[eagerbench] WARN: quiescence deadline hit after ${deadlineMs}ms; " +
-            s"release count may be partial (last=$last)")
-      } finally q.stop()
-      spark.table(name).count()
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+      // no barrier: the engine consumes at its own cadence (with timers
+      // pending it triggers continuously, so processAllAvailable would
+      // never settle — poll the sink for quiescence instead)
+      byEpoch.foreach { case (_, rows) => mem.addData(rows) }
+      val deadline = System.currentTimeMillis() + deadlineMs
+      var last = -1L
+      var stable = 0
+      while (stable < 5 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        val c = spark.table(name).count()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      if (stable < 5)
+        // a deadline exit means the count below may be partial — say so
+        // loudly instead of letting it masquerade as an A/B difference
+        System.err.println(s"[eagerbench] WARN: quiescence deadline hit after ${deadlineMs}ms; " +
+          s"release count may be partial (last=$last)")
+    } finally q.stop()
+    spark.table(name).count()
   }
 }

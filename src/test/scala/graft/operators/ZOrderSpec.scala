@@ -32,6 +32,17 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z === 27L)
   }
 
+  test("zValue rejects bits=0 and bit widths that overflow a long") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      df.select(ZOrder.zValue(Seq(col("x"), col("y")), 0))
+    }
+    intercept[IllegalArgumentException] {
+      df.select(ZOrder.zValue(Seq(col("x"), col("y")), 32))
+    }
+  }
+
   test("partkey box query touches a fraction of the files a 1-D orderkey layout needs") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_partkey", "l_quantity")

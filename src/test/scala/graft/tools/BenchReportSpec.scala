@@ -1,0 +1,88 @@
+package graft.tools
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import scala.jdk.CollectionConverters._
+
+/** The compact bench line is parsed from the last ~2000 chars of process
+  * output by the driver; these tests pin the properties that gate held
+  * against for four rounds: bounded length, valid JSON, headline coverage,
+  * and a total that reflects ALL successful entries (shown or omitted).
+  */
+class BenchReportSpec extends AnyFunSuite with Matchers {
+
+  private val mapper = new ObjectMapper
+
+  private def parse(line: String) = mapper.readTree(line)
+
+  // A suite shaped like the real one: ~90 entries with realistic name
+  // lengths, a handful of headline workloads, one failure.
+  private val headline = Seq(
+    "synthetic_dp_t20", "synthetic_dp_t20_identity_state",
+    "utility_t100_reduced", "utility_t1000_reduced",
+    "eager_dp_sharded_t20", "eager_dp_tws_timers_t20", "eager_dp_lazy_t20",
+    "colocated_join_bucket_write", "colocated_join_plain", "colocated_join_bucketed",
+    "skew_join_aqe_off", "skew_join_aqe_on",
+    "microbatch_0_1gb", "microbatch_0_5gb", "microbatch_1_0gb",
+    "microbatch_0_1gb_gbps", "microbatch_0_5gb_gbps", "microbatch_1_0gb_gbps")
+  private val suite: Seq[(String, Double)] =
+    (1 to 70).map(i => f"q_some_realistically_named_query_$i%02d" -> (i * 0.137)) ++
+      headline.map(h => h -> 7.5) :+ ("q_broken_entry" -> -1.0)
+
+  test("line fits the driver tail window and parses as JSON") {
+    val line = BenchReport.compactLine(suite, headline, "/root/testdata/sf0.1")
+    line.length should be <= 1800
+    val node = parse(line)
+    node.get("metric").asText() shouldBe "total"
+    node.get("unit").asText() shouldBe "sec"
+    node.get("sf").asText() shouldBe "/root/testdata/sf0.1"
+  }
+
+  test("headline workloads are always present") {
+    val node = parse(BenchReport.compactLine(suite, headline, "sf"))
+    val qs = node.get("queries")
+    headline.foreach(h => withClue(h)(qs.has(h) shouldBe true))
+  }
+
+  test("value totals every successful entry, including omitted ones") {
+    val node = parse(BenchReport.compactLine(suite, headline, "sf"))
+    val expected = suite.collect { case (_, v) if v >= 0 => v }.sum
+    node.get("value").asDouble() shouldBe expected +- 0.001
+    node.get("n_all").asInt() shouldBe suite.count(_._2 >= 0)
+    val shown = node.get("queries").size()
+    node.get("omitted").asInt() shouldBe node.get("n_all").asInt() - shown
+  }
+
+  test("failed entries are listed, not silently dropped") {
+    val node = parse(BenchReport.compactLine(suite, headline, "sf"))
+    val failed = node.get("failed").elements().asScala.map(_.asText()).toSeq
+    failed shouldBe Seq("q_broken_entry")
+  }
+
+  test("omission prefers keeping the slowest non-headline queries") {
+    val node = parse(BenchReport.compactLine(suite, headline, "sf"))
+    val qs = node.get("queries")
+    // slowest non-headline entry (i=70) must be in; if anything was omitted
+    // it should be from the fast end
+    qs.has("q_some_realistically_named_query_70") shouldBe true
+    if (node.get("omitted").asInt() > 0)
+      qs.has("q_some_realistically_named_query_01") shouldBe false
+  }
+
+  test("a pathologically large suite still renders under the cap") {
+    val big = (1 to 500).map(i => f"q_extremely_long_query_name_padding_padding_$i%03d" -> i.toDouble)
+    val line = BenchReport.compactLine(big, Seq.empty, "sf")
+    line.length should be <= 1800
+    parse(line).get("n_all").asInt() shouldBe 500
+  }
+
+  test("real Bench suite shape stays well under the cap") {
+    // mirror of the actual r4 suite size (64 queries + 21 synthetic/gbps)
+    val real = (1 to 64).map(i => f"d9b_quantized_lsh_topk_alias_$i%02d" -> 2.5) ++
+      headline.map(_ -> 20.0)
+    val line = BenchReport.compactLine(real, headline, "/root/testdata/sf0.1")
+    line.length should be <= 1800
+  }
+}
