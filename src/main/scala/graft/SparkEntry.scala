@@ -316,6 +316,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- sequence packing: doc → training-chunk provenance map. Tokens
+    //      are whitespace tokens (x1 accounting); 128-token chunks. ----
+    "q_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      CoreOps.packSequences(docs, "doc_id", "n_tokens", chunkTokens = 128L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- event-type pivot features per user: one shuffle, map-side
+    //      partials; conditional aggregation instead of N self-joins ----
+    "q_pivot_event_features" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "signup", 1)).as("n_signup"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          sum(when(col("event_type") === "purchase", col("value"))).as("purchase_value"))
+        .orderBy("user_id")
+    }),
+
     // ---- z-order clustering key (multi-dimensional layout locality) ----
     "q_zorder_keys" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -516,6 +540,21 @@ object SparkEntry {
           docs.where(col("doc_id") % 97 =!= 0), docs.where(col("doc_id") % 97 === 0),
           "doc_id", "text", ShingleK, minOverlap = 2L)
         .orderBy("doc_id", "bench_id")
+    }),
+
+    // ---- incremental dedup: the 20% newest-by-id docs arrive as a batch
+    //      and are deduped AGAINST the other 80% (the standing corpus) ----
+    "d12_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+          docs.where(col("doc_id") % 10 < 8), docs.where(col("doc_id") % 10 >= 8),
+          "doc_id", "text", ShingleK, NumMinHashes, NumBands, JaccardThreshold)
+        .orderBy("doc_id")
+    }),
+
+    // ---- repetition statistics (Gopher-style duplicate-content filter) ----
+    "x9_repetition_stats" -> ((s, d) => {
+      TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
     // ---- multimodal: binary column metadata (decode-free relational path) ----
@@ -777,6 +816,61 @@ object SparkEntry {
       .mkString("\n       ")
 
     Map(
+      // packing: global token prefix sum in doc_id order, cut into 128-token
+      // chunks; // == Spark's DIV on non-negative longs (the Spark side's
+      // two-phase prefix sum replaces this single-task window at scale)
+      "q_pack_sequences" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+          |  FROM documents),
+          |p AS (
+          |  SELECT doc_id, n_tokens,
+          |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+          |  FROM t)
+          |SELECT doc_id, n_tokens, tok_start,
+          |       tok_start // 128 AS chunk_start,
+          |       CASE WHEN n_tokens = 0 THEN tok_start // 128
+          |            ELSE (tok_start + n_tokens - 1) // 128 END AS chunk_end,
+          |       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+          |            ELSE (tok_start + n_tokens - 1) // 128 - tok_start // 128 + 1 END AS n_chunks
+          |FROM p ORDER BY doc_id""".stripMargin,
+
+      // duplicate-content stats: counts over md5(word-3-gram) digests — the
+      // same digests the Spark side shuffles, so equal even under collision
+      "x9_repetition_stats" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          |  FROM documents),
+          |w AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+          |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+          |wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          |                  CAST(max(c) AS BIGINT) AS top_word_count
+          |           FROM wc GROUP BY doc_id),
+          |g AS (SELECT doc_id,
+          |             unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+          |               i -> md5(array_to_string(ws[i:i+2], ' ')))) AS g
+          |      FROM toks WHERE len(ws) >= 3),
+          |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+          |gstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+          |                  CAST(count(*) AS BIGINT) AS n_distinct_grams
+          |           FROM gc GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |       COALESCE(w.n_words, 0) AS n_words,
+          |       COALESCE(g.n_grams, 0) AS n_grams,
+          |       COALESCE(g.n_distinct_grams, 0) AS n_distinct_grams,
+          |       CASE WHEN COALESCE(g.n_grams, 0) = 0 THEN 0.0
+          |            ELSE (g.n_grams - g.n_distinct_grams)::DOUBLE / g.n_grams::DOUBLE
+          |       END AS dup_gram_frac,
+          |       CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+          |            ELSE w.top_word_count::DOUBLE / w.n_words::DOUBLE
+          |       END AS top_word_frac
+          |FROM documents d
+          |LEFT JOIN wstats w ON d.doc_id = w.doc_id
+          |LEFT JOIN gstats g ON d.doc_id = g.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
       // identity-through-crypto: plaintext word count IS the oracle (see query doc)
       "p6_confidential_wordcount" ->
         """SELECT word, count(*) AS cnt
@@ -798,6 +892,41 @@ object SparkEntry {
       "d2_minhash_signatures" ->
         s"""WITH $sigCte
            |SELECT doc_id, j, minhash FROM sigs ORDER BY doc_id, j""".stripMargin,
+
+      // incremental dedup: per-doc signatures are independent of the rest of
+      // the corpus, so sigs over ALL docs equal the per-side computation;
+      // candidates restricted to incoming(doc_id%10>=8) × corpus(<8)
+      "d12_incremental_dedup" ->
+        s"""WITH $sigCte,
+           |banded AS (
+           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+           |  FROM sigs GROUP BY doc_id, band),
+           |cands AS (
+           |  SELECT i.doc_id AS doc_a, c.doc_id AS doc_b
+           |  FROM banded i JOIN banded c ON i.band = c.band AND i.bucket = c.bucket
+           |  WHERE i.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+           |  GROUP BY 1, 2),
+           |jsh AS ($DuckShingles),
+           |jh AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM jsh),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM jh GROUP BY doc_id),
+           |inter AS (SELECT ca.doc_a, ca.doc_b, count(*) AS inter
+           |          FROM cands ca
+           |          JOIN jh x ON x.doc_id = ca.doc_a
+           |          JOIN jh y ON y.doc_id = ca.doc_b AND y.h = x.h
+           |          GROUP BY 1, 2),
+           |verified AS (
+           |  SELECT doc_a, doc_b,
+           |         round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+           |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+           |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold),
+           |matches AS (
+           |  SELECT doc_a AS doc_id, CAST(min(doc_b) AS BIGINT) AS dup_of,
+           |         max(jaccard) AS best_jaccard
+           |  FROM verified GROUP BY doc_a)
+           |SELECT d.doc_id, m.dup_of, m.best_jaccard, m.dup_of IS NULL AS keep
+           |FROM documents d LEFT JOIN matches m ON d.doc_id = m.doc_id
+           |WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id""".stripMargin,
 
       "d2_minhash_lsh_pairs" ->
         s"""WITH $sigCte,
@@ -994,7 +1123,7 @@ object SparkEntry {
       // All folds are ordered list_reduce == the native DotProduct loop.
       "d6_cosine_neardup_pairs" ->
         s"""WITH nbits AS (
-           |  SELECT min(b) AS bits FROM range(4, 21) tb(b)
+           |  SELECT COALESCE(min(b), 20) AS bits FROM range(4, 21) tb(b)
            |  WHERE 64 * (1::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
            |planes AS (
            |  SELECT t.t AS tbl, b.b AS bit,
@@ -1030,7 +1159,7 @@ object SparkEntry {
       // row_number ranking
       "d7_ann_lsh_topk" ->
         s"""WITH nbits AS (
-           |  SELECT min(b) AS bits FROM range(4, 21) tb(b)
+           |  SELECT COALESCE(min(b), 20) AS bits FROM range(4, 21) tb(b)
            |  WHERE 64 * (1::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
            |planes AS (
            |  SELECT t.t AS tbl, b.b AS bit,
@@ -1142,7 +1271,7 @@ object SparkEntry {
         def cos(a: String, b: String) =
           s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
         s"""WITH nbits AS (
-           |  SELECT min(b) AS bits FROM range(4, 21) tb(b)
+           |  SELECT COALESCE(min(b), 20) AS bits FROM range(4, 21) tb(b)
            |  WHERE 64 * (1::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
            |planes AS (
            |  SELECT t.t AS tbl, b.b AS bit,
@@ -1345,6 +1474,16 @@ object SparkEntry {
         |       quantile_cont(value, 0.95) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_pivot_event_features" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |       sum(value) FILTER (WHERE event_type = 'purchase') AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_global_index" ->
       """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
         |FROM orders ORDER BY o_orderkey""".stripMargin,
@@ -1400,13 +1539,16 @@ object SparkEntry {
 
     // range-normalized exactly like normalizedZValue: integer rescale to the
     // 16-bit code range (// == Spark's DIV on non-negative longs), then the
-    // same bit interleave
+    // same bit interleave; a degenerate (constant) dimension maps to code 0
+    // exactly as normalizedZValue's mx==mn branch does
     "q_zorder_keys" ->
       s"""WITH mm AS (SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
          |                   min(l_partkey) AS mnp, max(l_partkey) AS mxp FROM lineitem),
          |s AS (SELECT l_orderkey, l_partkey,
-         |             ((l_orderkey - mno) * 65535) // (mxo - mno) AS so,
-         |             ((l_partkey - mnp) * 65535) // (mxp - mnp) AS sp
+         |             CASE WHEN mxo = mno THEN 0
+         |                  ELSE ((l_orderkey - mno) * 65535) // (mxo - mno) END AS so,
+         |             CASE WHEN mxp = mnp THEN 0
+         |                  ELSE ((l_partkey - mnp) * 65535) // (mxp - mnp) END AS sp
          |      FROM lineitem, mm)
          |SELECT l_orderkey, l_partkey, ${operators.ZOrder.zValueSql(Seq("so", "sp"), 16)} AS z
          |FROM s ORDER BY l_orderkey, l_partkey, z""".stripMargin,

@@ -76,16 +76,18 @@ object CoreOps {
     * interpolated percentiles computed PER GROUP — the outlier-robust
     * normalization step of feature pipelines. Two declarative passes: one
     * aggregate at group cardinality (map-side partial, tiny result), one
-    * broadcast join + clamp at scan speed. Replaces `valueCol` in place. */
+    * broadcast join + clamp at scan speed. Replaces `valueCol` in place.
+    * The join is null-safe (`<=>`), so rows with a NULL group are clamped
+    * against the NULL group's own percentiles rather than dropped. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "need 0 <= pLo <= pHi <= 1")
-    val bounds = df.groupBy(col(groupCol)).agg(
+    val bounds = df.groupBy(col(groupCol).as("__g")).agg(
       percentile(col(valueCol), lit(pLo)).as("__lo"),
       percentile(col(valueCol), lit(pHi)).as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    df.join(broadcast(bounds), col(groupCol) <=> col("__g"))
       .withColumn(valueCol, greatest(col("__lo"), least(col("__hi"), col(valueCol))))
-      .drop("__lo", "__hi")
+      .drop("__g", "__lo", "__hi")
   }
 
   /** Deterministic train/val/test assignment: bucket = first 8 hex chars of
@@ -273,4 +275,52 @@ object CoreOps {
       sum(col("delta_v")).over(Window.partitionBy(col("key")).orderBy(col("epoch"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("epoch"), col("key"), col("cum_sum"))
+
+  /** Sequence packing for LLM training: documents are conceptually
+    * concatenated in `idCol` order and cut into fixed `chunkTokens`-token
+    * training sequences; each document gets its global token offset and the
+    * range of chunks it lands in — the doc→sequence provenance map a packed
+    * training run needs (and the membership/contamination audit reads back).
+    *
+    * The global token prefix sum is the same two-phase shape as
+    * [[globalRowIndex]]: range-repartition on `idCol`, per-partition running
+    * sums, and ONE tiny O(P) job for partition token offsets — never a
+    * single-task `sum() OVER (ORDER BY …)` window, which is the 100 TB
+    * killer for this op. `idCol` must be a unique total order.
+    *
+    * Output: `idCol`, `n_tokens` (copied through), `tok_start` (global
+    * offset), `chunk_start`/`chunk_end` (inclusive chunk ids), `n_chunks`
+    * (0 for empty documents, which sit between chunks). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      chunkTokens: Long): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val spark = df.sparkSession
+    val sorted = df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+    val rdd = sorted.rdd
+    // O(P) driver-side result: one long per partition
+    val perPartition = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = perPartition.scanLeft(0L)(_ + _)
+    val withStart = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val start = acc; acc += r.getLong(1)
+        org.apache.spark.sql.Row(r.get(0), r.getLong(1), start)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("tok_start",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    // DIV, not `/`: Spark's `/` on longs is true (double) division
+    spark.createDataFrame(withStart, schema)
+      .withColumn("chunk_start", expr(s"tok_start DIV ${chunkTokens}L"))
+      .withColumn("chunk_end",
+        when(col("n_tokens") === 0, col("chunk_start"))
+          .otherwise(expr(s"(tok_start + n_tokens - 1) DIV ${chunkTokens}L")))
+      .withColumn("n_chunks",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("chunk_end") - col("chunk_start") + 1))
+  }
 }

@@ -83,20 +83,27 @@ object Dedup {
     * (doc_a < doc_b) pairs. The band bucket is an equi-join key, so candidate
     * generation is a shuffle on (band, bucket) — never all-pairs. */
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val banded = bandBuckets(signatures, numHashes, numBands)
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** (doc_id, band, bucket) rows: each doc's signature split into
+    * `numBands` bands, each band reduced to a deterministic md5 bucket of
+    * its minhashes concatenated in j order — the LSH equi-join key. */
+  def bandBuckets(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into equal bands")
     val rowsPerBand = numHashes / numBands
-    val banded = signatures
+    signatures
       .withColumn("band", (col("j") / rowsPerBand).cast("int"))
       .groupBy(col("doc_id"), col("band"))
       // deterministic band bucket: minhashes concatenated in j order
       .agg(sort_array(collect_list(struct(col("j"), col("minhash")))).as("sig"))
       .select(col("doc_id"), col("band"),
         md5(array_join(expr("transform(sig, s -> cast(s.minhash as string))"), ",")).as("bucket"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
   }
 
   /** Exact n-gram Jaccard pairs with a document-frequency skew guard.
@@ -145,17 +152,63 @@ object Dedup {
     * second stage after [[lshCandidatePairs]]: work is O(|candidates| ×
     * shingles/doc), independent of the corpus pair count. */
   def verifyCandidatesJaccard(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      candidates: DataFrame, threshold: Double): DataFrame =
+    verifyCandidatesJaccardTwoSided(docs, docs, idCol, textCol, k, candidates, threshold)
+
+  /** [[verifyCandidatesJaccard]] generalized to candidates whose two sides
+    * come from DIFFERENT document sets (doc_a from `docsA`, doc_b from
+    * `docsB`) — the verification stage of cross-corpus dedup. */
+  def verifyCandidatesJaccardTwoSided(docsA: DataFrame, docsB: DataFrame,
+      idCol: String, textCol: String, k: Int,
       candidates: DataFrame, threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).cast("long").as("doc_id"),
+    def sets(docs: DataFrame) = docs.select(col(idCol).cast("long").as("doc_id"),
       sort_array(array_distinct(transform(shingles(col(textCol), k), s => hash32(s)))).as("hs"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .join(sets(docsA).select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets(docsB).select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Incremental (cross-corpus) dedup — the steady-state form a 100 TB
+    * corpus actually runs: a NEW batch of documents is deduplicated AGAINST
+    * the existing corpus without ever comparing corpus docs to each other.
+    * MinHash band buckets on both sides, candidates from the (band, bucket)
+    * equi-join restricted to incoming×corpus, exact Jaccard verification on
+    * candidates only.
+    *
+    * One row per incoming document: `doc_id`, `dup_of` (the LOWEST-id
+    * corpus doc whose verified Jaccard ≥ threshold, NULL if none),
+    * `best_jaccard` (the HIGHEST verified similarity across its corpus
+    * matches, NULL if none), `keep` (no match ⇒ admit to the corpus).
+    *
+    * Scale shape: the corpus side's signatures are a pure function of its
+    * text — in production they are computed once at ingest and stored, so a
+    * batch costs O(batch) signature work plus a bucket join whose shuffle
+    * carries only (id, band, bucket); corpus TEXT is touched only for the
+    * verified candidates' shingle sets. Candidate volume is |incoming| ×
+    * bucket occupancy, never corpus². */
+  def incrementalDedup(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, k: Int, numHashes: Int, numBands: Int,
+      threshold: Double, seed: Long = 42L): DataFrame = {
+    val cBuckets = bandBuckets(
+      minHashSignatures(corpus, idCol, textCol, k, numHashes, seed), numHashes, numBands)
+    val iBuckets = bandBuckets(
+      minHashSignatures(incoming, idCol, textCol, k, numHashes, seed), numHashes, numBands)
+    val candidates = iBuckets.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+      .join(cBuckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("doc_a", "doc_b").distinct()
+    val verified = verifyCandidatesJaccardTwoSided(
+      incoming, corpus, idCol, textCol, k, candidates, threshold)
+    val matches = verified.groupBy("doc_a").agg(
+      min(col("doc_b")).as("dup_of"), max(col("jaccard")).as("best_jaccard"))
+    incoming.select(col(idCol).cast("long").as("doc_id"))
+      .join(matches.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
   }
 
   /** Connected components over near-duplicate pairs — the survivor-selection

@@ -67,6 +67,57 @@ object TextOps {
       size(array_distinct(pretoks)).cast("long").as("n_bpe_distinct"))
   }
 
+  /** Gopher-style repetition statistics — the duplicate-content quality
+    * filter for training corpora: a document whose word n-grams (default
+    * n=3) repeat heavily is boilerplate/spam. Per document:
+    * `n_words`, `n_grams`, `n_distinct_grams`,
+    * `dup_gram_frac` = (n_grams − distinct)/n_grams, and
+    * `top_word_frac` = count(most frequent word)/n_words.
+    *
+    * Scale shape: words and n-grams are exploded map-side and aggregated
+    * with partial (map-side-combinable) counts — the document TEXT never
+    * shuffles, only `(doc_id, md5(gram))` pairs. Grams shuffle as md5
+    * digests, not strings: counts over digests equal counts over grams for
+    * BOTH engines (the oracle groups by the same md5), so the comparison
+    * stays exact even in the astronomically-unlikely collision case while
+    * the wire carries fixed 32-char keys instead of unbounded text. The
+    * fractions are single IEEE divisions of exact integers — bit-identical
+    * across engines. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("ws"))
+    val wordStats = base
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"), max("c").as("top_word_count"))
+    // sequence(1, stop) DESCENDS when stop < 1, so guard short docs explicitly
+    val gramArr = when(size(col("ws")) >= n,
+      transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => md5(concat_ws(" ", slice(col("ws"), i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val grams = base.select(col("doc_id"), explode(gramArr).as("g"))
+    val gramStats = grams
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_grams"), count(lit(1)).as("n_distinct_grams"))
+    base.select("doc_id")
+      .join(wordStats, Seq("doc_id"), "left")
+      .join(gramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise((col("n_grams") - col("n_distinct_grams")).cast("double") /
+            col("n_grams").cast("double")).as("dup_gram_frac"),
+        when(coalesce(col("n_words"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("top_word_count").cast("double") /
+            col("n_words").cast("double")).as("top_word_frac"))
+  }
+
   /** TF-IDF top terms per document — the classic relevance/keyword-
     * extraction primitive: tf = term count within the doc, df = number of
     * docs containing the term, idf = ln((1+N)/(1+df)) + 1 (sklearn-style

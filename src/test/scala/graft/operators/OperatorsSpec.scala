@@ -315,6 +315,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w.count(x => x == math.floor(x)) === 90)
   }
 
+  test("winsorize keeps NULL-group rows and clamps them against their own group") {
+    import spark.implicits._
+    val df = (Seq.tabulate(99)(i => (Option("a"), (i + 1).toDouble)) ++
+      Seq.tabulate(99)(i => (Option.empty[String], (i + 1).toDouble)) :+
+      (Option.empty[String], 1000.0)).toDF("grp", "v")
+    val w = CoreOps.winsorize(df, "grp", "v", 0.05, 0.95)
+    assert(w.count() === 199, "null-group rows must not be dropped by the join")
+    val nullVals = w.where(col("grp").isNull).select("v").as[Double].collect()
+    assert(nullVals.length === 100)
+    assert(nullVals.max < 96.0, s"null group's outlier must clamp to ITS bounds, got ${nullVals.max}")
+  }
+
   test("globalRowIndex: contiguous, matches the window form, stable under physical layout") {
     import spark.implicits._
     val df = spark.range(0, 1000).select((col("id") * 37 % 1000).as("k"), col("id").as("payload"))
@@ -445,6 +457,77 @@ class OperatorsSpec extends AnyFunSuite {
       val ap = r.getLong(3).toDouble
       assert(math.abs(ap - ex) / math.max(ex, 1.0) < 0.25, s"exact=$ex approx=$ap")
     }
+  }
+
+  test("packSequences: offsets are a prefix sum, chunks cover tokens, layout-independent") {
+    import spark.implicits._
+    val docs = Seq((0L, 100L), (1L, 0L), (2L, 28L), (3L, 300L), (4L, 1L))
+      .toDF("doc_id", "n_tokens")
+    val packed = CoreOps.packSequences(docs.repartition(3), "doc_id", "n_tokens", 128L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "tok_start", "chunk_start", "chunk_end", "n_chunks")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // naive single-threaded packing of the same order
+    var off = 0L
+    val expected = Seq((0L, 100L), (1L, 0L), (2L, 28L), (3L, 300L), (4L, 1L)).map {
+      case (id, n) =>
+        val start = off; off += n
+        val cs = start / 128
+        val ce = if (n == 0) cs else (start + n - 1) / 128
+        (id, n, start, cs, ce, if (n == 0) 0L else ce - cs + 1)
+    }
+    assert(packed.toSeq === expected)
+    // doc 3 spans a chunk boundary (tok 128..427 → chunks 1..3)
+    assert(packed(3) === ((3L, 300L, 128L, 1L, 3L, 3L)))
+    // physical layout must not change the result
+    val repacked = CoreOps.packSequences(docs.repartition(1), "doc_id", "n_tokens", 128L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "tok_start", "chunk_start", "chunk_end", "n_chunks")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(repacked.toSeq === packed.toSeq)
+  }
+
+  test("repetitionStats: repeated grams and hot words measured, short docs safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c a b c a b c"),     // "a b c" heavily repeated
+      (1L, "w x y z"),               // all distinct grams
+      (2L, "q r"),                   // shorter than n=3: zero grams
+      (3L, "")                       // empty
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    // doc 0: 9 words, 7 grams, 3 distinct ⇒ dup frac 4/7; top word 3/9
+    assert(r(0) === ((0L, 9L, 7L, 3L, 4.0 / 7.0, 3.0 / 9.0)))
+    // doc 1: 4 words, 2 grams, both distinct ⇒ dup frac 0
+    assert(r(1) === ((1L, 4L, 2L, 2L, 0.0, 1.0 / 4.0)))
+    // doc 2: 2 words, no grams
+    assert(r(2) === ((2L, 2L, 0L, 0L, 0.0, 1.0 / 2.0)))
+    // doc 3: empty text
+    assert(r(3) === ((3L, 0L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("incrementalDedup: planted corpus dup dropped, novel doc kept, corpus never self-compared") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "an entirely different corpus document about spark shuffles and joins"),
+      // two near-identical corpus docs: must NOT appear in the output at all
+      (2L, "duplicate pair inside the corpus is not this operator's business"),
+      (3L, "duplicate pair inside the corpus is not this operator's concern")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 0
+      (11L, "a genuinely novel incoming document with fresh unseen content here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, incoming, "doc_id", "text",
+        k = 3, numHashes = 8, numBands = 4, threshold = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+    assert(out.map(_._1).toSeq === Seq(10L, 11L), "one row per incoming doc, nothing else")
+    assert(out(0) === ((10L, Some(0L), false)), "exact dup of corpus doc 0 must be dropped")
+    assert(out(1) === ((11L, None, true)), "novel doc must be kept")
   }
 
   test("every declared query runs and every oracle name has a query") {
