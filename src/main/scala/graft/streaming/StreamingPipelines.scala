@@ -477,6 +477,81 @@ object StreamingPipelines {
       .dropDuplicatesWithinWatermark("fingerprint")
   }
 
+  /** Streaming cross-corpus dedup — the streaming form of batch d12
+    * ([[graft.operators.Dedup.incrementalDedup]]): a stream of incoming
+    * documents is deduplicated against a STATIC standing corpus.
+    *
+    * The streaming-specific design: the incoming doc's MinHash band buckets
+    * are computed ROW-WISE with higher-order functions (array_min over the
+    * permuted shingle hashes — identical values to the batch explode+groupBy
+    * form, but needing no streaming aggregation), so candidate generation is
+    * a STATELESS stream-static left-outer equi-join on (band, bucket)
+    * against the corpus's precomputed buckets. Exact Jaccard verification is
+    * another stream-static join (corpus shingle sets), also stateless. The
+    * ONLY stateful operator is the final per-document min/max aggregation,
+    * bounded by the watermark. Duplicate candidates from multiple band hits
+    * need no dedup: verification is deterministic per pair, and min/max are
+    * multiplicity-insensitive.
+    *
+    * Output per incoming doc (emitted when the watermark passes its event
+    * time): `doc_id`, `dup_of`, `best_jaccard`, `keep` — the batch d12
+    * columns. At 100 TB the static side is the corpus's stored signature
+    * index (computed once at ingest); the stream never shuffles text, and
+    * per-trigger state is O(docs in the watermark window). */
+  def incrementalDedupStream(incoming: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String, k: Int, numHashes: Int,
+      numBands: Int, threshold: Double, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    require(numHashes % numBands == 0, "numHashes must divide into equal bands")
+    val rowsPerBand = numHashes / numBands
+    val params = Dedup.minHashParams(numHashes, seed)
+
+    // row-wise signature: distinct shingle hashes, then min over each
+    // seeded permutation — value-identical to Dedup.minHashSignatures
+    val hsCol = array_distinct(transform(
+      Dedup.shingles(col(textCol), k), s => Dedup.hash32(s)))
+    def sig(hs: org.apache.spark.sql.Column) = params.map { case (_, a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(Dedup.MinHashPrime)))
+    }
+    def buckets(hs: org.apache.spark.sql.Column) = {
+      val sigs = sig(hs)
+      (0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",",
+            sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(_.cast("string")): _*)).as("bucket"))
+      }
+    }
+
+    val staticBuckets = Dedup.bandBuckets(
+        Dedup.minHashSignatures(corpus, idCol, textCol, k, numHashes, seed),
+        numHashes, numBands)
+      .select(col("doc_id").as("c_id"), col("band"), col("bucket"))
+    val staticSets = corpus.select(col(idCol).cast("long").as("c_set_id"),
+      array_distinct(transform(Dedup.shingles(col(textCol), k), s => Dedup.hash32(s))).as("hs_c"))
+
+    val exploded = incoming
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+        hsCol.as("hs"), explode(array(buckets(hsCol): _*)).as("bb"))
+      .select(col("doc_id"), col("__ts"), col("hs"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withWatermark("__ts", watermarkDelay)
+
+    exploded
+      .join(staticBuckets, Seq("band", "bucket"), "left_outer")
+      .join(staticSets, col("c_id") === col("c_set_id"), "left_outer")
+      .withColumn("inter", size(array_intersect(col("hs"), col("hs_c"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs")) + size(col("hs_c")) - col("inter")).cast("double"), 6))
+      .withColumn("dup_id", when(col("jaccard") >= threshold, col("c_id")))
+      .withColumn("dup_j", when(col("jaccard") >= threshold, col("jaccard")))
+      .groupBy(col("doc_id"), col("__ts"))
+      .agg(min(col("dup_id")).as("dup_of"), max(col("dup_j")).as("best_jaccard"))
+      .withColumn("keep", col("dup_of").isNull)
+      .select("doc_id", "dup_of", "best_jaccard", "keep")
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

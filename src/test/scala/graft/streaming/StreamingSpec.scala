@@ -360,6 +360,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, s"streaming $streamed != batch $batch")
   }
 
+  test("incremental dedup: streaming stream-static form equals batch d12 on a replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "an entirely different corpus document about spark shuffles and joins"),
+      (2L, "duplicate pair inside the corpus is not this operator's business")
+    ).toDF("doc_id", "text")
+    val incomingRows = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 0
+      (11L, "a genuinely novel incoming document with fresh unseen content here"),
+      (12L, "an entirely different corpus document about spark shuffles and tricks") // near-dup of 1
+    )
+
+    val batch = graft.operators.Dedup.incrementalDedup(
+        corpus, incomingRows.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, numHashes = 8, numBands = 4, threshold = 0.5)
+      .select("doc_id", "dup_of", "best_jaccard", "keep")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSet
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = StreamingPipelines.incrementalDedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), corpus, "doc_id", "text",
+      "ts", watermarkDelay = "0 seconds",
+      k = 3, numHashes = 8, numBands = 4, threshold = 0.5)
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("incdedup").start()
+    try {
+      mem.addData(incomingRows.map { case (id, t) => (id, t, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      // flush batches: advance the watermark past the real docs, then emit
+      mem.addData(Seq((99L, "flush", new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((98L, "flush", new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("incdedup")
+      .where(col("doc_id") < 90)
+      .select("doc_id", "dup_of", "best_jaccard", "keep")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+    assert(batch.exists { case (id, dup, _, keep) => id == 10L && dup.contains(0L) && !keep })
+    assert(batch.exists { case (id, dup, _, keep) => id == 11L && dup.isEmpty && keep })
+  }
+
   test("stream-stream interval join: in-window pairs matched, out-of-window and late rows never join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
