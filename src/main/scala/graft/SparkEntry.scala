@@ -367,6 +367,39 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- interval×interval overlap join: click attention windows (6 h)
+    //      overlapping error windows (3 h) per user, via block equi-join
+    //      with overlap-start block ownership (no distinct pass) ----
+    "j3_overlap_intervals" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"), col("user_id"),
+          col("ts_us").as("c_start"), (col("ts_us") + 21600000000L).as("c_end"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("e_event_id"), col("user_id"),
+          col("ts_us").as("e_start"), (col("ts_us") + 10800000000L).as("e_end"))
+      RangeJoin.intervalOverlapJoin(clicks, errors, Seq("user_id"),
+          "c_start", "c_end", "e_start", "e_end", blockWidth = 21600000000L)
+        .select("user_id", "c_event_id", "e_event_id")
+        .orderBy("user_id", "c_event_id", "e_event_id")
+    }),
+
+    // ---- rolling per-key window features (order-exact: lag/count/min/max;
+    //      no float re-association across engines) ----
+    "q_rolling_user_stats" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("n_last3", count(lit(1)).over(w3))
+        .withColumn("min_last3", min(col("value")).over(w3))
+        .withColumn("max_last3", max(col("value")).over(w3))
+        .drop("value")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // ---- skew-safe exact distinct: per-type unique users via value shards ----
     "q_salted_distinct_users" -> ((s, d) => {
       SkewOps.saltedDistinctCount(Tables.events(s, d), Seq("event_type"),
@@ -555,6 +588,14 @@ object SparkEntry {
     // ---- repetition statistics (Gopher-style duplicate-content filter) ----
     "x9_repetition_stats" -> ((s, d) => {
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- sliding-window chunking (retrieval/context prep): 64-token
+    //      chunks every 48 tokens, content pinned by digest ----
+    "x10_chunk_documents" -> ((s, d) => {
+      TextOps.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // ---- multimodal: binary column metadata (decode-free relational path) ----
@@ -870,6 +911,21 @@ object SparkEntry {
           |LEFT JOIN wstats w ON d.doc_id = w.doc_id
           |LEFT JOIN gstats g ON d.doc_id = g.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      // sliding 64-token chunks every 48 tokens; ws[a:b] is DuckDB's 1-based
+      // inclusive clamped slice == Spark's slice(ws, a, 64)
+      "x10_chunk_documents" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, ws,
+          |         unnest(range(0, (len(ws) - 1) // 48 + 1)) AS chunk_idx
+          |  FROM toks WHERE len(ws) > 0)
+          |SELECT doc_id, chunk_idx,
+          |       CAST(len(ws[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS BIGINT) AS n_chunk_tokens,
+          |       md5(array_to_string(ws[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')) AS chunk_md5
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
       // identity-through-crypto: plaintext word count IS the oracle (see query doc)
       "p6_confidential_wordcount" ->
@@ -1473,6 +1529,29 @@ object SparkEntry {
         |       quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.95) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "j3_overlap_intervals" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS ts_us FROM events),
+        |c AS (SELECT event_id AS c_event_id, user_id, ts_us AS c_start,
+        |             ts_us + 21600000000 AS c_end FROM e WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS e_event_id, user_id, ts_us AS e_start,
+        |             ts_us + 10800000000 AS e_end FROM e WHERE event_type = 'error')
+        |SELECT c.user_id AS user_id, c_event_id, e_event_id
+        |FROM c JOIN r ON c.user_id = r.user_id
+        |              AND c_start < e_end AND e_start < c_end
+        |ORDER BY c.user_id, c_event_id, e_event_id""".stripMargin,
+
+    "q_rolling_user_stats" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, value FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |       lag(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_value,
+        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last3,
+        |       min(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min_last3,
+        |       max(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max_last3
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_pivot_event_features" ->
       """SELECT user_id,

@@ -51,4 +51,34 @@ object RangeJoin {
       .where(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__blk")
   }
+
+  /** Interval×interval overlap join: pairs `(l, r)` in the same `by` group
+    * with `[lStart, lEnd) ∩ [rStart, rEnd) ≠ ∅`, as a block equi-join.
+    *
+    * Both sides explode to their covered blocks, so a pair sharing several
+    * blocks would match repeatedly; instead of a `distinct` (an extra
+    * shuffle over the full result), each qualifying pair is claimed by
+    * exactly ONE block — the block containing the overlap's start,
+    * `max(lStart, rStart)`, which both intervals necessarily cover. The
+    * post-join filter keeps the match only in that block, making the output
+    * duplicate-free with zero additional shuffles.
+    *
+    * Same `blockWidth` guidance as [[pointsInIntervals]]; replication per
+    * row is `ceil(len/blockWidth)+1` blocks. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, by: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      blockWidth: Long): DataFrame = {
+    require(blockWidth > 0, "blockWidth must be positive")
+    val collisions = left.columns.filterNot(by.contains)
+      .toSet.intersect(right.columns.filterNot(by.contains).toSet)
+    require(collisions.isEmpty, s"left/right columns collide: $collisions")
+
+    def blocks(df: DataFrame, s: String, e: String) = df.withColumn("__blk",
+      explode(sequence(expr(s"$s div ${blockWidth}L"), expr(s"($e - 1) div ${blockWidth}L"))))
+
+    blocks(left, lStart, lEnd).join(blocks(right, rStart, rEnd), by :+ "__blk")
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .where(col("__blk") === expr(s"greatest($lStart, $rStart) div ${blockWidth}L"))
+      .drop("__blk")
+  }
 }

@@ -118,6 +118,32 @@ object TextOps {
             col("n_words").cast("double")).as("top_word_frac"))
   }
 
+  /** Sliding-window document chunking — the retrieval/context-window prep
+    * step: each document's token stream is cut into `chunkTokens`-token
+    * windows starting every `stride` tokens (overlap = chunkTokens −
+    * stride). One output row per chunk with its token count and content
+    * digest; a real pipeline emits the chunk text itself — the digest keeps
+    * the gate's wire format small while pinning the exact content. Pure
+    * per-row `transform`/`slice`/`explode` — no shuffle at all until a
+    * downstream consumer aggregates. Zero-token documents yield no chunks. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    docs.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0L), expr(s"(size(ws) - 1) DIV $stride")),
+        j => {
+          val chunk = slice(col("ws"), (j * stride + 1).cast("int"), lit(chunkTokens))
+          struct(j.as("chunk_idx"),
+            size(chunk).cast("long").as("n_chunk_tokens"),
+            md5(concat_ws(" ", chunk)).as("chunk_md5"))
+        })).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.n_chunk_tokens"), col("c.chunk_md5"))
+  }
+
   /** TF-IDF top terms per document — the classic relevance/keyword-
     * extraction primitive: tf = term count within the doc, df = number of
     * docs containing the term, idf = ln((1+N)/(1+df)) + 1 (sklearn-style

@@ -507,6 +507,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3) === ((3L, 0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("chunkDocuments: stride windows, short tail kept, empty docs yield nothing") {
+    import spark.implicits._
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, words), (1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect()
+    // doc 0: 10 tokens, starts 1,4,7,10 → sizes 4,4,4,1
+    assert(chunks.filter(_._1 == 0L).toSeq ===
+      Seq((0L, 0L, 4L), (0L, 1L, 4L), (0L, 2L, 4L), (0L, 3L, 1L)))
+    // doc 1: 2 tokens → one short chunk; doc 2: no chunks
+    assert(chunks.filter(_._1 == 1L).toSeq === Seq((1L, 0L, 2L)))
+    assert(!chunks.exists(_._1 == 2L))
+    // consecutive chunks overlap by chunkTokens - stride tokens
+    val md = TextOps.chunkDocuments(docs, "doc_id", "text", 4, 3)
+      .where(col("doc_id") === 0 && col("chunk_idx") === 0)
+      .select("chunk_md5").as[String].head()
+    assert(md === org.apache.commons.codec.digest.DigestUtils.md5Hex("w1 w2 w3 w4"))
+  }
+
   test("incrementalDedup: planted corpus dup dropped, novel doc kept, corpus never self-compared") {
     import spark.implicits._
     val corpus = Seq(

@@ -97,4 +97,26 @@ class TemporalJoinSpec extends AnyFunSuite {
       .select("t").as[Long].collect().sorted
     assert(out.toSeq === Seq(100L, 199L)) // 200 excluded, 99 excluded, no dups
   }
+
+  test("interval overlap join matches naive overlap predicate, exactly once per pair") {
+    import spark.implicits._
+    // long intervals spanning many blocks, touching/nested/disjoint cases
+    val lhs = Seq(("k", 1L, 0L, 100L), ("k", 2L, 250L, 260L), ("k", 3L, 300L, 700L),
+      ("z", 4L, 0L, 50L)).toDF("g", "l_id", "ls", "le")
+    val rhs = Seq(("k", 10L, 50L, 150L), ("k", 11L, 100L, 200L), ("k", 12L, 255L, 256L),
+      ("k", 13L, 0L, 1000L), ("z", 14L, 50L, 60L)).toDF("g", "r_id", "rs", "re")
+    val fast = RangeJoin.intervalOverlapJoin(lhs, rhs, Seq("g"), "ls", "le", "rs", "re",
+        blockWidth = 16L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted
+    val naive = lhs.join(rhs, Seq("g"))
+      .where(col("ls") < col("re") && col("rs") < col("le"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted
+    assert(fast.toSeq === naive.toSeq)
+    // [0,100) vs [100,200) touch but do not overlap (half-open)
+    assert(!fast.contains((1L, 11L)))
+    // nested long-vs-long pair appears exactly once despite ~44 shared blocks
+    assert(fast.count(_ == ((3L, 13L))) === 1)
+    // different keys never pair
+    assert(!fast.contains((4L, 10L)) && !fast.contains((1L, 14L)))
+  }
 }
