@@ -507,6 +507,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3) === ((3L, 0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("packSequences equals a naive scan on seeded random workloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (chunk <- Seq(1L, 17L, 512L)) {
+      val docs = (0 until 300).map(i => (i.toLong,
+        if (rnd.nextInt(10) == 0) 0L else rnd.nextInt(1500).toLong))
+      val got = CoreOps.packSequences(docs.toDF("doc_id", "n_tokens").repartition(5),
+          "doc_id", "n_tokens", chunk)
+        .select("doc_id", "tok_start", "chunk_start", "chunk_end", "n_chunks")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      var off = 0L
+      val want = docs.map { case (id, n) =>
+        val start = off; off += n
+        val cs = start / chunk
+        val ce = if (n == 0) cs else (start + n - 1) / chunk
+        (id, start, cs, ce, if (n == 0) 0L else ce - cs + 1)
+      }
+      assert(got === want, s"chunk=$chunk")
+    }
+  }
+
   test("chunkDocuments: stride windows, short tail kept, empty docs yield nothing") {
     import spark.implicits._
     val words = (1 to 10).map(i => s"w$i").mkString(" ")

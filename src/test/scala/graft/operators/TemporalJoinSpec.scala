@@ -119,4 +119,26 @@ class TemporalJoinSpec extends AnyFunSuite {
     // different keys never pair
     assert(!fast.contains((4L, 10L)) && !fast.contains((1L, 14L)))
   }
+
+  test("interval overlap join equals the naive join on seeded random workloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (blockWidth <- Seq(7L, 64L, 1000L)) {
+      def mk(n: Int, pfx: Long) = (0 until n).map { i =>
+        val s = rnd.nextInt(2000).toLong
+        (s"k${rnd.nextInt(5)}", pfx + i, s, s + 1 + rnd.nextInt(300))
+      }
+      val lhs = mk(150, 1000L).toDF("g", "l_id", "ls", "le")
+      val rhs = mk(150, 2000L).toDF("g", "r_id", "rs", "re")
+      val fast = RangeJoin.intervalOverlapJoin(lhs, rhs, Seq("g"),
+          "ls", "le", "rs", "re", blockWidth)
+        .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+      val naive = lhs.join(rhs, Seq("g"))
+        .where(col("ls") < col("re") && col("rs") < col("le"))
+        .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(fast === naive, s"blockWidth=$blockWidth")
+      assert(fast.nonEmpty)
+      assert(fast.distinct.size === fast.size, s"duplicates at blockWidth=$blockWidth")
+    }
+  }
 }
