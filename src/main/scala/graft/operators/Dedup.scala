@@ -62,8 +62,17 @@ object Dedup {
     }
 
   /** Long-format MinHash signatures: (doc_id, j, minhash) for j in
-    * [0, numHashes). Implemented as explode(shingles) → hash → min per
-    * (doc, j); the (j, a, b) parameter table is broadcast. */
+    * [0, numHashes): explode(shingles) → hash → min per (doc, j), with the
+    * (j, a, b) parameter table broadcast.
+    *
+    * MIN is duplicate-insensitive, so there is deliberately NO distinct
+    * before the aggregate — a `.distinct()` here would shuffle every
+    * (doc_id, shingle TEXT) pair across the cluster (the dominant wire cost
+    * at corpus scale) to remove duplicates that cannot change the result.
+    * As written, the only shuffle is the aggregate's, and its map-side
+    * partial combine reduces each document to `numHashes` (doc_id, j, min)
+    * rows before anything hits the wire; every per-shingle step (md5,
+    * multiply-mod) stays in whole-stage codegen. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
     val spark = docs.sparkSession
@@ -71,8 +80,7 @@ object Dedup {
     val params = broadcast(minHashParams(numHashes, seed).toDF("j", "a", "b"))
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(shingles(col(textCol), k)).as("shingle"))
-      .distinct() // shingle *sets*, per MinHash definition
-      .withColumn("h", hash32(col("shingle")))
+      .select(col("doc_id"), hash32(col("shingle")).as("h"))
       .crossJoin(params)
       .groupBy(col("doc_id"), col("j"))
       .agg(min((col("a") * col("h") + col("b")) % lit(MinHashPrime)).as("minhash"))

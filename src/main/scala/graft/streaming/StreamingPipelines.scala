@@ -257,8 +257,9 @@ object StreamingPipelines {
     * Trade-off vs per-key state: the state store serializes a whole shard on
     * every update — size `numShards` via [[shardsForKeys]] (≈ keys/1000);
     * hot shards spread by key hash. NOT the default eager path: the A/B in
-    * [[graft.tools.EagerBench]] (bench entries `eager_dp_*_t20`) measured
-    * [[DpStatefulProcessor]] with timers ~6× faster at identical output, so
+    * [[graft.tools.EagerBench]] (bench entries `eager_dp_*_t20`, both arms
+    * pinned to the same RocksDB state store) measured
+    * [[DpStatefulProcessor]] with timers ~5× faster at identical output, so
     * prefer that unless silent-release timing must be deterministic in
     * epoch terms (this form's tick is data, so a replay fires silents at
     * exactly the same points; timers are wall-clock). The per-key lazy
