@@ -838,7 +838,7 @@ object SparkEntry {
          |         FROM h CROSS JOIN params GROUP BY doc_id, j)""".stripMargin
     val jaccardCte =
       s"""jsh AS ($DuckShingles),
-         |jh AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM jsh),
+         |jh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM jsh),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM jh GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
          |          FROM jh x JOIN jh y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
@@ -964,7 +964,7 @@ object SparkEntry {
            |  WHERE i.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
            |  GROUP BY 1, 2),
            |jsh AS ($DuckShingles),
-           |jh AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM jsh),
+           |jh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM jsh),
            |sizes AS (SELECT doc_id, count(*) AS sz FROM jh GROUP BY doc_id),
            |inter AS (SELECT ca.doc_a, ca.doc_b, count(*) AS inter
            |          FROM cands ca
@@ -1037,7 +1037,7 @@ object SparkEntry {
       // shingles, so emitted jaccard values are exact
       "d4_jaccard_pairs" ->
         s"""WITH csh AS ($DuckShingles),
-           |ch AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
+           |ch AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
            |cdf AS (SELECT h, count(*) AS df FROM ch GROUP BY h),
            |rare AS (SELECT ch.doc_id, ch.h FROM ch JOIN cdf USING (h) WHERE cdf.df <= $JaccardMaxDf),
            |ccands AS (

@@ -139,11 +139,15 @@ object Dedup {
     * candidate volume is independent of shingle document frequency. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxDocFrequency: Long): DataFrame = {
+    // hash BEFORE distinct: the dedup shuffle then carries (long, long)
+    // pairs instead of shingle text — the same rows downstream (df counts,
+    // candidates, verification all operate on hashes), a fraction of the
+    // wire. Matches verifyCandidatesJaccard's array_distinct-over-hashes
+    // set semantics exactly, at every scale.
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(shingles(col(textCol), k)).as("shingle"))
+      .select(col("doc_id"), hash32(col("shingle")).as("h"))
       .distinct()
-      .withColumn("h", hash32(col("shingle")))
-      .select("doc_id", "h")
     val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = sh.join(docFreq.where(col("df") <= maxDocFrequency), "h")
       .select("doc_id", "h")
