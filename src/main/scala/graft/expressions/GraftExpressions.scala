@@ -211,6 +211,88 @@ final class AeadSealHelper(keyBytes: Array[Byte], schemeName: String,
   }
 }
 
+/** Whole-document MinHash signature as ONE expression call: text →
+  * whitespace tokens → k-shingles → md5-derived 32-bit hashes → running
+  * minimum under each of `numHashes` seeded permutations, returning the
+  * `array<long>` signature (null when the document has fewer than k
+  * tokens, matching the aggregate form's no-signature semantics).
+  *
+  * Why an expression (SURVEY §4.3 preference order): the declarative form
+  * either shuffles per-shingle rows to a (doc, j) aggregate, or — written
+  * row-wise with `transform`/`array_min` — runs interpreted, since
+  * higher-order functions are CodegenFallback with a lambda evaluation per
+  * element. Here whole-stage codegen emits a single method invocation per
+  * document into a JIT-compiled helper that reuses one thread-local
+  * MessageDigest — no shuffle, no per-element lambda, no per-call digest
+  * allocation. Tokenization (`split(" ", -1)`), shingle joining, and the
+  * first-8-hex-chars hash are byte-identical to [[graft.operators.Dedup]]'s
+  * `shingles`/`hash32`, so signatures equal the declarative form's exactly
+  * and the DuckDB oracle replays unchanged. */
+case class MinHashShingleSigs(child: Expression, k: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  @transient private lazy val helper = new MinHashHelper(k, numHashes, seed)
+
+  override def nullSafeEval(t: Any): Any = helper.sigs(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("minhashHelper", helper, classOf[MinHashHelper].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $helperRef.sigs($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingleSigs =
+    copy(child = newChild)
+}
+
+/** Serializable MinHash helper invoked from generated code. */
+final class MinHashHelper(k: Int, numHashes: Int, seed: Long) extends Serializable {
+  private val params = graft.operators.Dedup.minHashParams(numHashes, seed)
+  private val as: Array[Long] = params.map(_._2).toArray
+  private val bs: Array[Long] = params.map(_._3).toArray
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def sigs(text: UTF8String): GenericArrayData = {
+    // split(" ", -1) keeps interior AND trailing empties — Spark's split()
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < k) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    val digest = md.get()
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + k) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+      digest.reset()
+      val d = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars of md5 == first 4 bytes as unsigned big-endian
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var p = 0
+      while (p < numHashes) {
+        val v = (as(p) * h + bs(p)) % graft.operators.Dedup.MinHashPrime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object GraftExpressions {
   def dot(a: Column, b: Column): Column =
@@ -218,6 +300,9 @@ object GraftExpressions {
 
   def l2Normalize(a: Column): Column =
     ColumnBridge.column(L2Normalize(ColumnBridge.expression(a)))
+
+  def minhashShingleSigs(text: Column, k: Int, numHashes: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashShingleSigs(ColumnBridge.expression(text), k, numHashes, seed))
 
   def unseal(sealedStruct: Column, keyBytes: Array[Byte], scheme: String,
       expectedSource: String, expectedDestination: String): Column =

@@ -62,18 +62,32 @@ object Dedup {
     }
 
   /** Long-format MinHash signatures: (doc_id, j, minhash) for j in
-    * [0, numHashes): explode(shingles) → hash → min per (doc, j), with the
-    * (j, a, b) parameter table broadcast.
+    * [0, numHashes).
     *
-    * MIN is duplicate-insensitive, so there is deliberately NO distinct
-    * before the aggregate — a `.distinct()` here would shuffle every
-    * (doc_id, shingle TEXT) pair across the cluster (the dominant wire cost
-    * at corpus scale) to remove duplicates that cannot change the result.
-    * As written, the only shuffle is the aggregate's, and its map-side
-    * partial combine reduces each document to `numHashes` (doc_id, j, min)
-    * rows before anything hits the wire; every per-shingle step (md5,
-    * multiply-mod) stays in whole-stage codegen. */
+    * A document's signature depends on nothing outside the row, so it is
+    * computed with ZERO shuffles by the native
+    * [[graft.expressions.MinHashShingleSigs]] expression — one codegen'd
+    * call per document producing the whole `array<long>` signature, then a
+    * `posexplode` to the long format. The declarative alternative
+    * ([[minHashSignaturesAgg]]) shuffles per-shingle rows into a (doc, j)
+    * aggregate; it is kept as the equivalence comparator. Documents with
+    * fewer than k tokens have no shingles and emit no rows (the expression
+    * returns null there). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, seed: Long = 42L): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.expressions.GraftExpressions.minhashShingleSigs(
+          col(textCol), k, numHashes, seed).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(col("sig")))
+      .toDF("doc_id", "j", "minhash")
+
+  /** The declarative (explode → hash → min per (doc, j)) form of
+    * [[minHashSignatures]] — one shuffle, map-side-combined to `numHashes`
+    * rows per doc before the wire (MIN is duplicate-insensitive, so no
+    * distinct exists to shuffle shingle text). Kept as the spec-pinned
+    * equivalence baseline for the native expression. */
+  def minHashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, seed: Long = 42L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

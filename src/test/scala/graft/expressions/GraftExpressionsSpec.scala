@@ -61,6 +61,41 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(out(1).getSeq[Double](0) === Seq(0.0, 0.0))
   }
 
+  test("MinHashShingleSigs equals the declarative aggregate form on real documents") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val agg = graft.operators.Dedup.minHashSignaturesAgg(docs, "doc_id", "text", 3, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(native.nonEmpty)
+    assert(native.toSeq === agg.toSeq)
+  }
+
+  test("MinHashShingleSigs: short and empty docs yield null, split keeps empties") {
+    import spark.implicits._
+    val df = Seq((0L, "only two"), (1L, ""), (2L, "a  b c"), (3L, "w x y z"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+      GraftExpressions.minhashShingleSigs(col("text"), 3, 8).as("sig"))
+    val byId = sigs.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(byId(0L) == null, "2 tokens < k=3 has no shingles")
+    assert(byId(1L) == null)
+    // "a  b c" splits to [a, "", b, c] — 4 tokens, 2 shingles (empties kept,
+    // matching Spark split semantics and the DuckDB oracle)
+    assert(byId(2L) != null && byId(2L).length == 8)
+    assert(byId(3L) != null)
+  }
+
+  test("MinHashShingleSigs participates in whole-stage codegen (no fallback)") {
+    val df = spark.range(0, 50)
+      .selectExpr("concat('w', id, ' x y z q') AS text")
+      .select(GraftExpressions.minhashShingleSigs(col("text"), 3, 8).as("sig"))
+      .where(col("sig").isNotNull)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.trim.startsWith("*(") && l.contains("graft_minhash")), plan)
+    assert(df.count() === 50)
+  }
+
   test("SQL registration: graft_dot usable from spark.sql") {
     GraftExpressions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
