@@ -254,22 +254,22 @@ case class MinHashShingleSigs(child: Expression, k: Int, numHashes: Int, seed: L
     copy(child = newChild)
 }
 
-/** Serializable MinHash helper invoked from generated code. */
-final class MinHashHelper(k: Int, numHashes: Int, seed: Long) extends Serializable {
-  private val params = graft.operators.Dedup.minHashParams(numHashes, seed)
-  private val as: Array[Long] = params.map(_._2).toArray
-  private val bs: Array[Long] = params.map(_._3).toArray
-
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+/** Shared shingle-hash machinery for the JIT'd document expressions:
+  * whitespace tokens (Spark `split(" ", -1)` semantics — interior and
+  * trailing empties kept), k-shingles joined with a single space, and the
+  * first-8-hex-chars-of-md5 32-bit hash (== Dedup.hash32), with one
+  * thread-local MessageDigest reused across rows. */
+private[expressions] object ShingleHashing {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def sigs(text: UTF8String): GenericArrayData = {
-    // split(" ", -1) keeps interior AND trailing empties — Spark's split()
+  /** All shingle hashes in document order, or null if fewer than k tokens. */
+  def hashArray(text: UTF8String, k: Int): Array[Long] = {
     val toks = text.toString.split(" ", -1)
     if (toks.length < k) return null
-    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val out = new Array[Long](toks.length - k + 1)
     val sb = new java.lang.StringBuilder
     val digest = md.get()
     var i = 0
@@ -280,7 +280,26 @@ final class MinHashHelper(k: Int, numHashes: Int, seed: Long) extends Serializab
       digest.reset()
       val d = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 8 hex chars of md5 == first 4 bytes as unsigned big-endian
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    out
+  }
+}
+
+/** Serializable MinHash helper invoked from generated code. */
+final class MinHashHelper(k: Int, numHashes: Int, seed: Long) extends Serializable {
+  private val params = graft.operators.Dedup.minHashParams(numHashes, seed)
+  private val as: Array[Long] = params.map(_._2).toArray
+  private val bs: Array[Long] = params.map(_._3).toArray
+
+  def sigs(text: UTF8String): GenericArrayData = {
+    val hs = ShingleHashing.hashArray(text, k)
+    if (hs == null) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
       var p = 0
       while (p < numHashes) {
         val v = (as(p) * h + bs(p)) % graft.operators.Dedup.MinHashPrime
@@ -290,6 +309,50 @@ final class MinHashHelper(k: Int, numHashes: Int, seed: Long) extends Serializab
       i += 1
     }
     new GenericArrayData(mins)
+  }
+}
+
+/** The distinct sorted shingle-hash SET of a document as one codegen'd call
+  * — the per-side input of exact Jaccard verification and the per-shingle
+  * candidate explode (`explode` of the set needs no separate distinct).
+  * Documents with fewer than k tokens return an EMPTY array (they have an
+  * empty shingle set, not an undefined one — unlike a MinHash signature). */
+case class ShingleHashSet(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_set"
+
+  @transient private lazy val helper = new ShingleSetHelper(k)
+
+  override def nullSafeEval(t: Any): Any = helper.set(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("shingleSetHelper", helper, classOf[ShingleSetHelper].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helperRef.set($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+/** Serializable shingle-set helper invoked from generated code. */
+final class ShingleSetHelper(k: Int) extends Serializable {
+  private val empty = new GenericArrayData(Array.emptyLongArray)
+
+  def set(text: UTF8String): GenericArrayData = {
+    val hs = ShingleHashing.hashArray(text, k)
+    if (hs == null) return empty
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w))
   }
 }
 
@@ -303,6 +366,9 @@ object GraftExpressions {
 
   def minhashShingleSigs(text: Column, k: Int, numHashes: Int, seed: Long = 42L): Column =
     ColumnBridge.column(MinHashShingleSigs(ColumnBridge.expression(text), k, numHashes, seed))
+
+  def shingleHashSet(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(text), k))
 
   def unseal(sealedStruct: Column, keyBytes: Array[Byte], scheme: String,
       expectedSource: String, expectedDestination: String): Column =

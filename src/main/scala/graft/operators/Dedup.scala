@@ -153,15 +153,12 @@ object Dedup {
     * candidate volume is independent of shingle document frequency. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxDocFrequency: Long): DataFrame = {
-    // hash BEFORE distinct: the dedup shuffle then carries (long, long)
-    // pairs instead of shingle text — the same rows downstream (df counts,
-    // candidates, verification all operate on hashes), a fraction of the
-    // wire. Matches verifyCandidatesJaccard's array_distinct-over-hashes
-    // set semantics exactly, at every scale.
+    // the native set expression hashes AND dedups per document in one
+    // codegen'd call, so exploding it needs no distinct shuffle at all, and
+    // nothing but (long, long) pairs ever reaches a shuffle. Matches
+    // verifyCandidatesJaccard's hash-set semantics exactly, at every scale.
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(shingles(col(textCol), k)).as("shingle"))
-      .select(col("doc_id"), hash32(col("shingle")).as("h"))
-      .distinct()
+      explode(graft.expressions.GraftExpressions.shingleHashSet(col(textCol), k)).as("h"))
     val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = sh.join(docFreq.where(col("df") <= maxDocFrequency), "h")
       .select("doc_id", "h")
@@ -188,7 +185,7 @@ object Dedup {
       idCol: String, textCol: String, k: Int,
       candidates: DataFrame, threshold: Double): DataFrame = {
     def sets(docs: DataFrame) = docs.select(col(idCol).cast("long").as("doc_id"),
-      sort_array(array_distinct(transform(shingles(col(textCol), k), s => hash32(s)))).as("hs"))
+      graft.expressions.GraftExpressions.shingleHashSet(col(textCol), k).as("hs"))
     candidates
       .join(sets(docsA).select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets(docsB).select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")

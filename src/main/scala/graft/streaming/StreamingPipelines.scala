@@ -507,22 +507,18 @@ object StreamingPipelines {
     import graft.operators.Dedup
     require(numHashes % numBands == 0, "numHashes must divide into equal bands")
     val rowsPerBand = numHashes / numBands
-    val params = Dedup.minHashParams(numHashes, seed)
 
-    // row-wise signature: distinct shingle hashes, then min over each
-    // seeded permutation — value-identical to Dedup.minHashSignatures
-    val hsCol = array_distinct(transform(
-      Dedup.shingles(col(textCol), k), s => Dedup.hash32(s)))
-    def sig(hs: org.apache.spark.sql.Column) = params.map { case (_, a, b) =>
-      array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(Dedup.MinHashPrime)))
-    }
-    def buckets(hs: org.apache.spark.sql.Column) = {
-      val sigs = sig(hs)
-      (0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",",
-            sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(_.cast("string")): _*)).as("bucket"))
-      }
+    // row-wise signature via the native codegen expressions — value-
+    // identical to Dedup.minHashSignatures; band buckets are md5 over the
+    // signature slice in j order, exactly Dedup.bandBuckets' string. A
+    // document with < k tokens has a null signature → null buckets → never
+    // joins → surfaces as keep=true, matching batch d12.
+    import graft.expressions.GraftExpressions
+    val bucketStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        when(col("__sig").isNotNull,
+          md5(concat_ws(",", ((b * rowsPerBand) until ((b + 1) * rowsPerBand))
+            .map(j => element_at(col("__sig"), j + 1).cast("string")): _*))).as("bucket"))
     }
 
     val staticBuckets = Dedup.bandBuckets(
@@ -530,11 +526,14 @@ object StreamingPipelines {
         numHashes, numBands)
       .select(col("doc_id").as("c_id"), col("band"), col("bucket"))
     val staticSets = corpus.select(col(idCol).cast("long").as("c_set_id"),
-      array_distinct(transform(Dedup.shingles(col(textCol), k), s => Dedup.hash32(s))).as("hs_c"))
+      GraftExpressions.shingleHashSet(col(textCol), k).as("hs_c"))
 
     val exploded = incoming
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
-        hsCol.as("hs"), explode(array(buckets(hsCol): _*)).as("bb"))
+        GraftExpressions.shingleHashSet(col(textCol), k).as("hs"),
+        GraftExpressions.minhashShingleSigs(col(textCol), k, numHashes, seed).as("__sig"))
+      .select(col("doc_id"), col("__ts"), col("hs"),
+        explode(array(bucketStructs: _*)).as("bb"))
       .select(col("doc_id"), col("__ts"), col("hs"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .withWatermark("__ts", watermarkDelay)
