@@ -356,6 +356,59 @@ final class ShingleSetHelper(k: Int) extends Serializable {
   }
 }
 
+/** Winnowing fingerprint set (Schleimer et al.): the distinct minima of
+  * each sliding window of `w` consecutive k-shingle hashes, sorted — the
+  * whole per-document computation in one codegen'd call. The declarative
+  * form costs a doc-partitioned window (shuffle + sort) plus a distinct
+  * (second shuffle) for what is a purely row-local loop. Documents with
+  * fewer than w shingles (or k tokens) return an empty array. */
+case class WinnowingFingerprintSet(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnow"
+
+  @transient private lazy val helper = new WinnowingHelper(k, w)
+
+  override def nullSafeEval(t: Any): Any = helper.set(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("winnowHelper", helper, classOf[WinnowingHelper].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helperRef.set($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprintSet =
+    copy(child = newChild)
+}
+
+/** Serializable winnowing helper invoked from generated code. */
+final class WinnowingHelper(k: Int, w: Int) extends Serializable {
+  private val empty = new GenericArrayData(Array.emptyLongArray)
+
+  def set(text: UTF8String): GenericArrayData = {
+    val hs = ShingleHashing.hashArray(text, k)
+    if (hs == null || hs.length < w) return empty
+    val mins = new Array[Long](hs.length - w + 1)
+    var i = w - 1
+    while (i < hs.length) {
+      var m = hs(i - w + 1)
+      var j = i - w + 2
+      while (j <= i) { if (hs(j) < m) m = hs(j); j += 1 }
+      mins(i - w + 1) = m
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var wr = 0
+    i = 0
+    while (i < mins.length) {
+      if (wr == 0 || mins(i) != mins(wr - 1)) { mins(wr) = mins(i); wr += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (wr == mins.length) mins else java.util.Arrays.copyOf(mins, wr))
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object GraftExpressions {
   def dot(a: Column, b: Column): Column =
@@ -369,6 +422,9 @@ object GraftExpressions {
 
   def shingleHashSet(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(text), k))
+
+  def winnowingFingerprintSet(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowingFingerprintSet(ColumnBridge.expression(text), k, w))
 
   def unseal(sealedStruct: Column, keyBytes: Array[Byte], scheme: String,
       expectedSource: String, expectedDestination: String): Column =

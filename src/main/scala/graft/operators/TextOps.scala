@@ -227,19 +227,17 @@ object TextOps {
 
   /** Winnowing-style fingerprints: minimum shingle hash per sliding window of
     * `w` consecutive k-shingles — the standard local fingerprinting scheme
-    * (Schleimer et al.), giving position-robust dedup keys. */
+    * (Schleimer et al.), giving position-robust dedup keys.
+    *
+    * The computation is purely row-local, so it runs as ONE native codegen
+    * call per document ([[graft.expressions.WinnowingFingerprintSet]]) and
+    * an explode — where the window-function form pays a doc-partitioned
+    * shuffle + sort plus a distinct shuffle for identical output. */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4): DataFrame = {
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-      posexplode(Dedup.shingles(col(textCol), k)).as(Seq("pos", "shingle")))
-      .withColumn("h", Dedup.hash32(col("shingle")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    sh.withColumn("winmin", min(col("h")).over(win))
-      .where(col("pos") >= w - 1)
-      .select(col("doc_id"), col("winmin").as("fingerprint"))
-      .distinct()
-  }
+      k: Int = 3, w: Int = 4): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.expressions.GraftExpressions.winnowingFingerprintSet(
+          col(textCol), k, w)).as("fingerprint"))
 
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
