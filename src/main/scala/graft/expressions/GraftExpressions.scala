@@ -409,6 +409,73 @@ final class WinnowingHelper(k: Int, w: Int) extends Serializable {
   }
 }
 
+/** 32-bit SimHash of a document's whitespace tokens in one codegen'd call:
+  * each non-empty token's md5-derived 32-bit hash votes ±1 per bit, and the
+  * fingerprint sets the bits with positive vote sums — byte-identical to
+  * the explode → 32-aggregate form, without its shuffle. Null when the
+  * document has no tokens (the aggregate form emits no row there). */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  @transient private lazy val helper = new SimHashHelper
+
+  override def nullSafeEval(t: Any): Any = helper.simhash(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("simhashHelper", helper, classOf[SimHashHelper].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = $helperRef.simhash($c);
+         |${ev.isNull} = ($boxed == null);
+         |if (!${ev.isNull}) { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Serializable SimHash helper invoked from generated code. */
+final class SimHashHelper extends Serializable {
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def simhash(text: UTF8String): java.lang.Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](32)
+    val digest = md.get()
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        any = true
+        digest.reset()
+        val d = digest.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object GraftExpressions {
   def dot(a: Column, b: Column): Column =
@@ -425,6 +492,9 @@ object GraftExpressions {
 
   def winnowingFingerprintSet(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingFingerprintSet(ColumnBridge.expression(text), k, w))
+
+  def simhash32(text: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
 
   def unseal(sealedStruct: Column, keyBytes: Array[Byte], scheme: String,
       expectedSource: String, expectedDestination: String): Column =

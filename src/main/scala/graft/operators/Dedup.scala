@@ -336,7 +336,15 @@ object Dedup {
     * map-side combinable, so the shuffle carries one 32-long row per doc per
     * partition. (An earlier form crossJoined tokens with a 32-row bits table,
     * inflating the pre-aggregate shuffle 32×.) */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.expressions.GraftExpressions.simhash32(col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** The declarative (explode → 32-vote aggregate) form of [[simHash]] —
+    * map-side combined to one row/doc before its shuffle. Kept as the
+    * spec-pinned equivalence baseline for the native expression. */
+  def simHashAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")

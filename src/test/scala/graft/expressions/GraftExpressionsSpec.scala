@@ -96,6 +96,28 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(df.count() === 50)
   }
 
+  test("SimHash32 equals the declarative 32-vote aggregate form on real documents") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = graft.operators.Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val agg = graft.operators.Dedup.simHashAgg(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(native.nonEmpty)
+    assert(native.toSeq === agg.toSeq)
+  }
+
+  test("WinnowingFingerprintSet: short docs empty, sets sorted distinct") {
+    import spark.implicits._
+    val df = Seq((0L, "a b c d e f g"), (1L, "x y"), (2L, "")).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        GraftExpressions.winnowingFingerprintSet(col("text"), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // 7 tokens → 5 shingles → 2 windows of 4 → ≤2 distinct minima
+    assert(rows(0L).nonEmpty && rows(0L).length <= 2)
+    assert(rows(0L) === rows(0L).distinct.sorted)
+    assert(rows(1L).isEmpty && rows(2L).isEmpty)
+  }
+
   test("SQL registration: graft_dot usable from spark.sql") {
     GraftExpressions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
