@@ -490,6 +490,16 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
     }),
 
+    // ---- MinHash Jaccard estimator over LSH candidates (the cheap
+    //      pre-verification threshold a production dedup applies first) ----
+    "d13_minhash_estimate" -> ((s, d) => {
+      val sigs = Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text",
+        ShingleK, NumMinHashes)
+      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      Dedup.estimateJaccard(sigs, candidates, NumMinHashes)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- SimHash fingerprints ----
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -948,6 +958,25 @@ object SparkEntry {
       "d2_minhash_signatures" ->
         s"""WITH $sigCte
            |SELECT doc_id, j, minhash FROM sigs ORDER BY doc_id, j""".stripMargin,
+
+      // signature-agreement estimator over the same banded candidates
+      "d13_minhash_estimate" ->
+        s"""WITH $sigCte,
+           |banded AS (
+           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+           |  FROM sigs GROUP BY doc_id, band),
+           |cands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT c.doc_a, c.doc_b,
+           |       CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+           |         / $NumMinHashes AS est_jaccard
+           |FROM cands c
+           |JOIN sigs sa ON sa.doc_id = c.doc_a
+           |JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+           |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
 
       // incremental dedup: per-doc signatures are independent of the rest of
       // the corpus, so sigs over ALL docs equal the per-side computation;

@@ -75,10 +75,12 @@ object Dedup {
     * returns null there). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, seed: Long = 42L): DataFrame =
+    // no explicit null filter: Generate drops null/empty arrays itself, and
+    // Catalyst already infers the guard below the explode — an explicit
+    // .where would just re-evaluate the expression a third time per row
     docs.select(col(idCol).cast("long").as("doc_id"),
         graft.expressions.GraftExpressions.minhashShingleSigs(
           col(textCol), k, numHashes, seed).as("sig"))
-      .where(col("sig").isNotNull)
       .select(col("doc_id"), posexplode(col("sig")))
       .toDF("doc_id", "j", "minhash")
 
@@ -127,6 +129,22 @@ object Dedup {
       .select(col("doc_id"), col("band"),
         md5(array_join(expr("transform(sig, s -> cast(s.minhash as string))"), ",")).as("bucket"))
   }
+
+  /** MinHash Jaccard ESTIMATE for candidate pairs: the fraction of the
+    * `numHashes` signature positions on which the two documents agree — the
+    * unbiased estimator large pipelines threshold on BEFORE exact
+    * verification (exact sets are only fetched for pairs that survive).
+    * The join carries ids and longs only; cost is O(|candidates| ×
+    * numHashes), independent of document length. */
+  def estimateJaccard(signatures: DataFrame, candidates: DataFrame,
+      numHashes: Int): DataFrame =
+    candidates
+      .join(signatures.select(col("doc_id").as("doc_a"), col("j"), col("minhash").as("mh_a")), "doc_a")
+      .join(signatures.select(col("doc_id").as("doc_b"), col("j"), col("minhash").as("mh_b")),
+        Seq("doc_b", "j"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).cast("double") /
+        lit(numHashes.toDouble)).as("est_jaccard"))
 
   /** Exact n-gram Jaccard pairs with a document-frequency skew guard.
     *

@@ -507,6 +507,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3) === ((3L, 0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("estimateJaccard: identical docs score 1.0, estimates bounded and sane") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),      // == doc 0
+      (2L, "the quick brown fox jumps over the lazy cat yesterday")   // near doc 0
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
+    val cands = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val est = Dedup.estimateJaccard(sigs, cands, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((0L, 1L)) === 1.0, "identical docs must agree on every position")
+    assert(est((0L, 2L)) >= 0.0 && est((0L, 2L)) < 1.0)
+  }
+
   test("packSequences equals a naive scan on seeded random workloads") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
