@@ -340,6 +340,17 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- token-budget corpus selection: best-quality docs fully inside
+    //      the first 20k tokens of the quality-ordered concatenation ----
+    "q_budget_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextOps.qualityScore(docs, "doc_id", "text").select("doc_id", "quality")
+        .join(docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      CoreOps.selectUnderTokenBudget(scored, "doc_id", "quality", "n_tokens", 20000L)
+        .orderBy(col("quality").desc, col("doc_id"))
+    }),
+
     // ---- z-order clustering key (multi-dimensional layout locality) ----
     "q_zorder_keys" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -1136,6 +1147,32 @@ object SparkEntry {
            |       floor(sr * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
            |       floor((0.4 * ls + 0.3 * ttr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS quality
            |FROM raw ORDER BY doc_id""".stripMargin
+      },
+
+      // same quality formula as x2, ranked desc with doc_id tiebreak, then
+      // the strictly-preceding token prefix sum and the fits-entirely rule
+      "q_budget_select" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |raw AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |         least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |         len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |         len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |  FROM t),
+           |q AS (
+           |  SELECT doc_id, n_tokens,
+           |         floor((0.4 * ls + 0.3 * ttr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS quality
+           |  FROM raw),
+           |p AS (
+           |  SELECT doc_id, quality, n_tokens,
+           |         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM q)
+           |SELECT doc_id, quality, n_tokens, cum_before FROM p
+           |WHERE cum_before + n_tokens <= 20000
+           |ORDER BY quality DESC, doc_id""".stripMargin
       },
 
       "x3_language_id" ->

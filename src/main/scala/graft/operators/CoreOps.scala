@@ -294,27 +294,9 @@ object CoreOps {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       chunkTokens: Long): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
-    val spark = df.sparkSession
-    val sorted = df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"))
-      .repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
-    val rdd = sorted.rdd
-    // O(P) driver-side result: one long per partition
-    val perPartition = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = perPartition.scanLeft(0L)(_ + _)
-    val withStart = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = offsets(pid)
-      it.map { r =>
-        val start = acc; acc += r.getLong(1)
-        org.apache.spark.sql.Row(r.get(0), r.getLong(1), start)
-      }
-    }
-    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
-      org.apache.spark.sql.types.StructField("tok_start",
-        org.apache.spark.sql.types.LongType, nullable = false))
     // DIV, not `/`: Spark's `/` on longs is true (double) division
-    spark.createDataFrame(withStart, schema)
+    globalPrefixSum(df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens")),
+        Seq(col(idCol)), "n_tokens", "tok_start")
       .withColumn("chunk_start", expr(s"tok_start DIV ${chunkTokens}L"))
       .withColumn("chunk_end",
         when(col("n_tokens") === 0, col("chunk_start"))
@@ -322,5 +304,53 @@ object CoreOps {
       .withColumn("n_chunks",
         when(col("n_tokens") === 0, lit(0L))
           .otherwise(col("chunk_end") - col("chunk_start") + 1))
+  }
+
+  /** Global prefix sum of long-typed `valueCol` in the total order given by
+    * `order` (sort expressions, e.g. `col("score").desc`), WITHOUT a
+    * single-task window: range repartition on the order, per-partition
+    * running sums, and one O(P) job for partition offsets — the same shape
+    * as [[globalRowIndex]]. Appends `outCol` = sum of `valueCol` over all
+    * strictly preceding rows. `order` must be total (include a tiebreak)
+    * or the result is nondeterministic. */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == org.apache.spark.sql.types.LongType,
+      s"$valueCol must be LONG, got ${sorted.schema(vIdx).dataType}")
+    val rdd = sorted.rdd
+    // O(P) driver-side result: one long per partition
+    val perPartition = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = perPartition.scanLeft(0L)(_ + _)
+    val withSum = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val before = acc; acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ before)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(withSum, schema)
+  }
+
+  /** Token-budget corpus selection — "take the best documents that fit N
+    * training tokens": rank by (`scoreCol` desc, `idCol` asc), prefix-sum
+    * the token counts in that order, and keep every document whose tokens
+    * fit entirely within `budgetTokens`. The greedy prefix rule is the
+    * standard data-selection step under a compute budget; the prefix sum is
+    * the [[globalPrefixSum]] two-phase shape, so selection scales with no
+    * single-task window. Output adds `cum_before` (tokens admitted before
+    * this document). */
+  def selectUnderTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    globalPrefixSum(df, Seq(col(scoreCol).desc, col(idCol)), tokensCol, "cum_before")
+      .where(col("cum_before") + col(tokensCol) <= budgetTokens)
   }
 }

@@ -543,6 +543,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("selectUnderTokenBudget: greedy prefix by score, boundary exact, layout-independent") {
+    import spark.implicits._
+    // scores force order d,c,b,a; tokens 50+30+15 fit a 100 budget, the 4th
+    // (10 tokens at cum 95) does not fit entirely
+    val docs = Seq((1L, 0.1, 10L), (2L, 0.9, 50L), (3L, 0.7, 30L), (4L, 0.5, 15L))
+      .toDF("doc_id", "score", "n_tokens")
+    val kept = CoreOps.selectUnderTokenBudget(docs.repartition(3), "doc_id", "score", "n_tokens", 100L)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().sortBy(_._1)
+    assert(kept.toSeq === Seq((2L, 0L), (3L, 50L), (4L, 80L)),
+      s"doc 1 (cum 95 + 10 > 100) must be excluded, got ${kept.toSeq}")
+    // exact-fit boundary is inclusive
+    val exact = CoreOps.selectUnderTokenBudget(docs, "doc_id", "score", "n_tokens", 105L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(exact.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("chunkDocuments: stride windows, short tail kept, empty docs yield nothing") {
     import spark.implicits._
     val words = (1 to 10).map(i => s"w$i").mkString(" ")
