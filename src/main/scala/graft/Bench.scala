@@ -216,6 +216,21 @@ object Bench {
           force(graft.operators.SkewOps.skewBenchJoin(spark))
         }
       }}),
+      // Runtime bloom-filter semi-join reduction A/B: same selective
+      // fact⋈dim join with the InjectRuntimeFilter rule off vs on
+      // (thresholds lowered at bench scale — the 10 GB application-side
+      // default is production-sized; see SkewOps.withBloomTuning).
+      // Broadcast disabled: the bloom path targets shuffle joins.
+      "runtime_bloom_off" -> (() => noBroadcast { timed("runtime_bloom_off") {
+        graft.operators.SkewOps.withBloomTuning(spark, enabled = false) {
+          force(graft.operators.SkewOps.bloomBenchJoin(spark))
+        }
+      }}),
+      "runtime_bloom_on" -> (() => noBroadcast { timed("runtime_bloom_on") {
+        graft.operators.SkewOps.withBloomTuning(spark, enabled = true) {
+          force(graft.operators.SkewOps.bloomBenchJoin(spark))
+        }
+      }}),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)

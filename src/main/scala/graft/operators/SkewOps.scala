@@ -79,6 +79,54 @@ object SkewOps {
       .agg(sum(col("payload") + col("dval")).as("s"), count(lit(1)).as("n"))
   }
 
+  /** Runtime-bloom-filter A/B configs: lowered injection thresholds so the
+    * optimizer's `InjectRuntimeFilter` rule fires at bench scale (the 10 GB
+    * application-side default is sized for production scans — at 100 TB the
+    * stock thresholds fire on their own, exactly like the AQE skew
+    * defaults). Restores previous values after `body`. */
+  def withBloomTuning[A](spark: org.apache.spark.sql.SparkSession, enabled: Boolean)(body: => A): A = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> enabled.toString,
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1MB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The bloom A/B workload: a 20 M-row fact side shuffle-joined (broadcast
+    * disabled by the caller) to a dim side whose selective predicate keeps
+    * 1 % of keys. With the runtime bloom filter on, the optimizer builds a
+    * bloom over the surviving dim keys and injects `might_contain` on the
+    * fact side BELOW its shuffle, so ~99 % of fact rows never hit the wire
+    * — the semi-join reduction that decides selective fact⋈dim joins at
+    * 100 TB. Deterministic: selectivity comes from the id space. */
+  def bloomBenchJoin(spark: org.apache.spark.sql.SparkSession,
+      rows: Long = 20000000L): DataFrame = {
+    // xxhash64 payloads: pseudo-random bytes so the fact shuffle does not
+    // compress away — the A/B measures wire reduction, not lz4 luck. The
+    // dim's key is a HASH of its row id while the predicate column is a
+    // direct function of the id: were the predicate any deterministic
+    // function of the join key itself, Catalyst's constraint propagation
+    // would prune the fact side statically and no runtime filter could
+    // ever matter (verified — it rewrites even hash-wrapped predicates).
+    val fact = spark.range(0, rows)
+      .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"),
+        xxhash64(col("id"), lit(1)).as("p1"), xxhash64(col("id"), lit(2)).as("p2"))
+    val dim = spark.range(0, 1000000L)
+      .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"), (col("id") % 100).as("cat"))
+      .where(col("cat") === 7)
+    fact.join(dim, "k")
+      .groupBy("cat")
+      // reduce mod a small base before summing: full-range longs overflow
+      // an ANSI sum; the payloads still cross the wire uncompressed
+      .agg(count(lit(1)).as("n"),
+        sum(pmod(col("p1"), lit(1000003L)) + pmod(col("p2"), lit(1000003L))).as("s"))
+  }
+
   /** Exact distinct count per key that never concentrates a key's values in
     * one task: stage 1 groups by (keys..., hash(value) % shards) and counts
     * distinct values within the shard, stage 2 sums the shard counts. Each

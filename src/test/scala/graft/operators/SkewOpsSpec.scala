@@ -75,6 +75,24 @@ class SkewOpsSpec extends AnyFunSuite {
     assert(shardsUsed === 16)
   }
 
+  test("runtime bloom filter injects might_contain on the fact side and preserves results") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (onPlan, onRows) = SkewOps.withBloomTuning(spark, enabled = true) {
+        val df = SkewOps.bloomBenchJoin(spark, rows = 200000L)
+        (df.queryExecution.optimizedPlan.toString, df.collect().toSeq)
+      }
+      val offRows = SkewOps.withBloomTuning(spark, enabled = false) {
+        SkewOps.bloomBenchJoin(spark, rows = 200000L).collect().toSeq
+      }
+      assert(onPlan.contains("might_contain"),
+        s"InjectRuntimeFilter did not fire:\n${onPlan.take(3000)}")
+      assert(onRows.toSet === offRows.toSet, "bloom pruning must not change results")
+      assert(onRows.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
+
   test("AQE marks the hot sort-merge partition skewed and splits it at runtime") {
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
