@@ -30,8 +30,11 @@ object ExplainAudit {
         println(plan)
         // smells
         val smells = Seq.newBuilder[String]
-        if (plan.contains("Scan parquet") && !plan.contains("PushedFilters: [") )
-          smells += "no PushedFilters section on a parquet scan"
+        // only meaningful when the plan actually filters somewhere — a
+        // full-table aggregation has nothing to push
+        if (plan.contains("Scan parquet") && plan.contains("Filter")
+            && !plan.contains("PushedFilters: ["))
+          smells += "plan filters but no PushedFilters reached the parquet scan"
         if (plan.contains("ReadSchema: struct<") && Tables.fullWidthScan(plan))
           smells += "scan reads suspiciously many columns"
         if (plan.contains("SortMergeJoin") && (name.contains("mktsegment") || name.contains("semi_anti")))
