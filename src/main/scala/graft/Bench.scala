@@ -221,6 +221,11 @@ object Bench {
       // (thresholds lowered at bench scale — the 10 GB application-side
       // default is production-sized; see SkewOps.withBloomTuning).
       // Broadcast disabled: the bloom path targets shuffle joins.
+      // READ THE PROFILE, NOT THE WALL-CLOCK: single-box shuffle hits the
+      // page cache, so the 498 MB → 5.8 MB wire cut and ~1.8× task-time
+      // win (bench.json "profile") can hide behind the bloom's extra
+      // sequential build stage in local wall time; on a cluster the wire
+      // cut IS the result.
       "runtime_bloom_off" -> (() => noBroadcast { timed("runtime_bloom_off") {
         graft.operators.SkewOps.withBloomTuning(spark, enabled = false) {
           force(graft.operators.SkewOps.bloomBenchJoin(spark))
