@@ -531,6 +531,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- hard-negative mining: nearest different-label vectors ----
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      Similarity.hardNegatives(emb, queries, TopK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- embedding-cosine near-dup pairs via LSH buckets (scale path) ----
     "d6_cosine_neardup_pairs" -> ((s, d) => {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), CosineNearDupThreshold)
@@ -1108,6 +1117,25 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+           |ORDER BY query_id, rank""".stripMargin,
+
+      // d5's ranking restricted to different-label candidates
+      "q_hard_negatives" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+           |           FROM embeddings WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    round(
+           |      list_reduce(list_transform(range(1, 65), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 6) AS cos
+           |  FROM embeddings e CROSS JOIN q
+           |  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label),
+           |ranked AS (
+           |  SELECT query_id, vec_id AS neg_id, cos,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neg_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin,
 
       // floor(x·10⁴ + 0.5)/10⁴ == TextOps.round4: same IEEE ops both engines,

@@ -63,6 +63,27 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * HIGHEST-cosine corpus vectors whose label differs — the negatives
+    * that sit closest to the decision boundary, which is what contrastive
+    * objectives want (random negatives — [[graft.operators.CoreOps
+    * .negativeSamples]] — are the cheap baseline). Same WindowGroupLimit
+    * shape as [[bruteForceTopK]]: map tasks keep k rows per query before
+    * the shuffle; the label predicate rides the broadcast join. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+      col("label").as("c_label"))
+    val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"),
+      col("label").as("q_label")))
+    val scored = c.join(q, col("vec_id") =!= col("query_id") && col("c_label") =!= col("q_label"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neg_id"), col("cos"))
+  }
+
   /** Scalar-quantized (int8-style) top-k with exact rescoring.
     *
     * Each vector is quantized to 127 levels per component with a per-vector

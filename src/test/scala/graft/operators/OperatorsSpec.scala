@@ -507,6 +507,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3) === ((3L, 0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("hardNegatives: never the query's label, ranked as d5 minus same-label rows") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val hard = Similarity.hardNegatives(emb, queries, 5).collect()
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val qLabels = labels.filter(_._1 < 5)
+    hard.foreach { r =>
+      val (q, neg) = (r.getLong(0), r.getLong(2))
+      assert(labels(neg) != qLabels(q), s"neg $neg shares query $q's label")
+    }
+    assert(hard.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // consistency with the unrestricted ranking: for each query, the hard
+    // negatives are the first 5 different-label rows of the full d5 order
+    val full = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding")),
+        emb.count().toInt)
+      .collect().groupBy(_.getLong(0))
+    hard.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val expect = full(q).sortBy(_.getInt(1))
+        .filter(r => labels(r.getLong(2)) != qLabels(q)).take(5).map(_.getLong(2)).toSeq
+      val got = rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(got === expect, s"query $q")
+    }
+  }
+
   test("estimateJaccard: identical docs score 1.0, estimates bounded and sane") {
     import spark.implicits._
     val docs = Seq(
