@@ -620,6 +620,34 @@ object SparkEntry {
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- dataset card: the per-source release summary, composing token
+    //      accounting, exact-dup detection, language id, and quality in ONE
+    //      aggregation pass over per-doc stats. Quality is summed in
+    //      fixed-point (q4 = quality·10⁴, an exact long) so the aggregate
+    //      never depends on float summation order; the mean is a single
+    //      exact division at the end. ----
+    "q_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perDoc = docs.select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          md5(col("text")).as("fp"))
+        .join(TextOps.languageId(docs, "doc_id", "text").select(col("doc_id"), col("predicted_lang")), "doc_id")
+        .join(TextOps.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            // floor(+0.5), not a bare cast: quality ≈ n/10⁴ carries binary
+            // representation error, and bare double→long casts also differ
+            // across engines (truncate vs round)
+            floor(col("quality") * 10000 + lit(0.5)).cast("long").as("q4")), "doc_id")
+      perDoc.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          count_distinct(col("fp")).as("n_unique_texts"),
+          count(when(col("predicted_lang") === "en", 1)).as("n_en"),
+          sum(col("q4")).as("sum_quality_q4"),
+          (sum(col("q4")).cast("double") / (count(lit(1)) * 10000).cast("double")).as("mean_quality"))
+        .orderBy("source")
+    }),
+
     // ---- sliding-window chunking (retrieval/context prep): 64-token
     //      chunks every 48 tokens, content pinned by digest ----
     "x10_chunk_documents" -> ((s, d) => {
@@ -1201,6 +1229,42 @@ object SparkEntry {
            |SELECT doc_id, quality, n_tokens, cum_before FROM p
            |WHERE cum_before + n_tokens <= 20000
            |ORDER BY quality DESC, doc_id""".stripMargin
+      },
+
+      // per-source release summary; q4 mirrors the Spark side's
+      // floor(round4(blend)·10⁴ + 0.5) fixed-point exactly
+      "q_dataset_card" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, md5(text) AS fp,
+           |         list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |lang AS (
+           |  SELECT doc_id,
+           |         CASE WHEN $greatestAll <= 0.0 THEN 'und'
+           |       $langCase
+           |       ELSE 'und' END AS predicted_lang
+           |  FROM (SELECT doc_id, $langScoreCols FROM t)),
+           |qual AS (
+           |  SELECT doc_id,
+           |         CAST(floor((floor((0.4*ls + 0.3*ttr + 0.3*sr) * 10000.0 + 0.5) / 10000.0)
+           |           * 10000.0 + 0.5) AS BIGINT) AS q4
+           |  FROM (SELECT doc_id,
+           |               least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |               len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |               len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |        FROM t)),
+           |per AS (
+           |  SELECT t.source, t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, t.fp,
+           |         lang.predicted_lang, qual.q4
+           |  FROM t JOIN lang USING (doc_id) JOIN qual USING (doc_id))
+           |SELECT source,
+           |       count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |       count(DISTINCT fp) AS n_unique_texts,
+           |       count(*) FILTER (WHERE predicted_lang = 'en') AS n_en,
+           |       CAST(sum(q4) AS BIGINT) AS sum_quality_q4,
+           |       CAST(sum(q4) AS DOUBLE) / (count(*) * 10000)::DOUBLE AS mean_quality
+           |FROM per GROUP BY source ORDER BY source""".stripMargin
       },
 
       "x3_language_id" ->
