@@ -513,13 +513,40 @@ object GraftExpressions {
       ColumnBridge.expression(producer),
       keyBytes, scheme, source, destination, nonceSeed))
 
-  /** SQL registration (`graft_dot`, `graft_l2_normalize`), usable from any
-    * `spark.sql(...)` query; also injectable via [[GraftSessionExtensions]]. */
+  /** SQL registration (`graft_dot`, `graft_l2_normalize`, `graft_minhash`,
+    * `graft_shingle_set`, `graft_winnow`, `graft_simhash`), usable from any
+    * `spark.sql(...)` query; also injectable via [[GraftSessionExtensions]].
+    * Integer arguments to the fingerprint functions must be literals (they
+    * are folded at registration time). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    def intArg(e: Expression): Int = e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"expected an integer literal, got $other")
+    }
+    def longArg(e: Expression): Long = e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"expected an integer literal, got $other")
+    }
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    r.createOrReplaceTempFunction(
       "graft_l2_normalize", exprs => L2Normalize(exprs.head), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashShingleSigs(exprs(0), intArg(exprs(1)), intArg(exprs(2)),
+        if (exprs.length > 3) longArg(exprs(3)) else 42L),
+      "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_shingle_set",
+      exprs => ShingleHashSet(exprs(0), intArg(exprs(1))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_winnow",
+      exprs => WinnowingFingerprintSet(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "scala_udf")
+    r.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash32(exprs.head), "scala_udf")
   }
 }
 

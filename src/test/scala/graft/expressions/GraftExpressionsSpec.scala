@@ -124,6 +124,34 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 11.0)
   }
 
+  test("SQL registration: fingerprint functions match the Column API") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val df = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+                 (1L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("fp_docs")
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |       graft_minhash(text, 3, 16) AS sig,
+        |       graft_shingle_set(text, 3) AS sh,
+        |       graft_winnow(text, 3, 4) AS fp,
+        |       graft_simhash(text) AS simhash
+        |FROM fp_docs""".stripMargin).collect()
+      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4)))).toMap
+    val api = df.select(col("doc_id"),
+        GraftExpressions.minhashShingleSigs(col("text"), 3, 16).as("sig"),
+        GraftExpressions.shingleHashSet(col("text"), 3).as("sh"),
+        GraftExpressions.winnowingFingerprintSet(col("text"), 3, 4).as("fp"),
+        GraftExpressions.simhash32(col("text")).as("simhash")).collect()
+      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4)))).toMap
+    assert(sql === api)
+    assert(sql(0L)._1.length === 16)
+    // non-literal num-hashes argument must be rejected at analysis, fail-closed
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_minhash(text, 3, CAST(doc_id AS INT)) FROM fp_docs").collect())
+    assert(err.getMessage != null)
+  }
+
   test("AeadUnseal expression: roundtrip, wrong route null, tampered null") {
     import spark.implicits._
     val codec = new SealedColumns.Codec(graft.crypto.SealedPayload.testKey, "aes-gcm")
