@@ -501,6 +501,19 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
     }),
 
+    // ---- leakage-safe split: near-dup components never straddle splits ----
+    "q_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
+      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      val pairs = Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", ShingleK,
+        candidates, JaccardThreshold)
+      Dedup.leakageSafeSplit(docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // ---- MinHash Jaccard estimator over LSH candidates (the cheap
     //      pre-verification threshold a production dedup applies first) ----
     "d13_minhash_estimate" -> ((s, d) => {
@@ -1098,6 +1111,36 @@ object SparkEntry {
            |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v)
            |SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
            |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+      "q_leakage_safe_split" ->
+        s"""WITH RECURSIVE $sigCte,
+           |banded AS (
+           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+           |  FROM sigs GROUP BY doc_id, band),
+           |cands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |$jaccardCte,
+           |pairs AS (
+           |  SELECT c.doc_a, c.doc_b FROM cands c
+           |  JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b),
+           |edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(v, l) AS (
+           |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+           |  UNION
+           |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+           |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+           |         FROM reach GROUP BY v),
+           |rep AS (SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS rep
+           |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+           |SELECT doc_id,
+           |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id, ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+           |      FROM rep)
+           |ORDER BY doc_id""".stripMargin,
 
       "d3_simhash" ->
         """WITH toks AS (

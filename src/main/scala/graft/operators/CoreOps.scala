@@ -94,9 +94,15 @@ object CoreOps {
     * md5(id) mod 100, split by cumulative percentage thresholds. Stable
     * across runs, layouts, and engines — the property a training split must
     * have so no example ever migrates between splits as data grows. */
-  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame =
+    hashSplitOn(df, col(idCol), splits)
+
+  /** [[hashSplit]] over an arbitrary key expression — the hook that lets a
+    * caller split on something other than the row's own id (e.g. a dedup
+    * component representative, so near-duplicates never straddle splits). */
+  def hashSplitOn(df: DataFrame, key: Column, splits: Seq[(String, Int)]): DataFrame = {
     require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
     val cums = splits.scanLeft(0)(_ + _._2).tail
     val assign = splits.init.zip(cums.init)

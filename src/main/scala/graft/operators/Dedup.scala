@@ -320,6 +320,32 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("l").as("component"))
   }
 
+  /** Leakage-safe train/val/test split: every member of a near-duplicate
+    * component lands in the SAME split. Splitting rows independently
+    * (plain [[CoreOps.hashSplit]]) leaks near-copies of training documents
+    * into the held-out sets, silently inflating eval scores — the standard
+    * fix is to split by the duplicate CLUSTER, not the document.
+    *
+    * `pairs` are verified near-dup edges (e.g. LSH candidates that passed
+    * exact Jaccard); the split key is the component's min-id representative,
+    * so the assignment is deterministic and unchanged when a new duplicate
+    * joins an existing cluster. Singletons fall back to their own id, which
+    * makes this IDENTICAL to `hashSplit` on a pair-free corpus.
+    *
+    * Scale shape: components only materialize for documents that appear in
+    * some pair — a few percent of the corpus at production dup rates — so
+    * the label join is an equi-join on the id that AQE downgrades to a
+    * broadcast when the dup set is small; no shuffle carries text. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("doc_id").as("__lss_id"), col("component").as("__lss_comp"))
+    val withRep = df.join(comp, col(idCol) === col("__lss_id"), "left")
+      .withColumn("__lss_rep", coalesce(col("__lss_comp"), col(idCol)))
+      .drop("__lss_id", "__lss_comp")
+    CoreOps.hashSplitOn(withRep, col("__lss_rep"), splits).drop("__lss_rep")
+  }
+
   /** Benchmark decontamination — the training-pipeline step that flags
     * corpus documents overlapping an evaluation set: a (corpus_doc, bench
     * _doc) pair is contaminated when the two share at least `minOverlap`

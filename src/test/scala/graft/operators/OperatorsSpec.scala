@@ -205,6 +205,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after - before <= 3, s"persistent RDDs grew $before -> $after")
   }
 
+  test("leakageSafeSplit: clusters share one split, singletons match hashSplit") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    // chain 1-2-3 and pair (50,51) are near-dup clusters; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L)).toDF("doc_a", "doc_b")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val got = Dedup.leakageSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b", splits)
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 200)
+    // the leakage invariant: every member of a component gets the cluster's split
+    assert(Set(got(1L), got(2L), got(3L)).size === 1)
+    assert(got(50L) === got(51L))
+    // singletons are split exactly as plain hashSplit would split them
+    val plain = CoreOps.hashSplit(docs, "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    val clustered = Set(1L, 2L, 3L, 50L, 51L)
+    got.filterNot(kv => clustered(kv._1)).foreach { case (id, s) =>
+      assert(s === plain(id), s"singleton $id diverged from hashSplit")
+    }
+    // cluster split == hashSplit of the min-id representative
+    assert(got(2L) === plain(1L) && got(51L) === plain(50L))
+  }
+
   test("contamination: shared-shingle pairs found, below-threshold pairs excluded, text never required on the wire") {
     import spark.implicits._
     val corpus = Seq(
