@@ -661,6 +661,27 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- end-to-end corpus build: exact dedup + language filter + quality
+    //      threshold + token accounting + split, as ONE declarative plan.
+    //      Every per-doc signal is a projection over the same scan and the
+    //      dedup survivor rule is a window min over the content fingerprint,
+    //      so the whole pipeline pays exactly one shuffle (by fingerprint)
+    //      before the ORDER BY — no self-joins on doc_id. ----
+    "e2e_corpus_build" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.predictedLangCol(col("text")).as("predicted_lang"),
+          TextOps.qualityCol(col("text")).as("quality"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("keep_id"))
+        .where(col("doc_id") === col("keep_id") &&
+          col("predicted_lang") === "en" && col("quality") >= 0.5)
+        .transform(CoreOps.hashSplit(_, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .select("doc_id", "predicted_lang", "quality", "n_tokens", "split")
+        .orderBy("doc_id")
+    }),
+
     // ---- sliding-window chunking (retrieval/context prep): 64-token
     //      chunks every 48 tokens, content pinned by digest ----
     "x10_chunk_documents" -> ((s, d) => {
@@ -1308,6 +1329,40 @@ object SparkEntry {
            |       CAST(sum(q4) AS BIGINT) AS sum_quality_q4,
            |       CAST(sum(q4) AS DOUBLE) / (count(*) * 10000)::DOUBLE AS mean_quality
            |FROM per GROUP BY source ORDER BY source""".stripMargin
+      },
+
+      "e2e_corpus_build" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, md5(text) AS fp,
+           |         list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |lang AS (
+           |  SELECT doc_id,
+           |         CASE WHEN $greatestAll <= 0.0 THEN 'und'
+           |       $langCase
+           |       ELSE 'und' END AS predicted_lang
+           |  FROM (SELECT doc_id, $langScoreCols FROM t)),
+           |qual AS (
+           |  SELECT doc_id,
+           |         floor((0.4*ls + 0.3*ttr + 0.3*sr) * 10000.0 + 0.5) / 10000.0 AS quality
+           |  FROM (SELECT doc_id,
+           |               least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |               len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |               len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |        FROM t)),
+           |keep AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |         min(doc_id) OVER (PARTITION BY fp) AS keep_id
+           |  FROM t),
+           |sel AS (
+           |  SELECT k.doc_id, lang.predicted_lang, qual.quality, k.n_tokens
+           |  FROM keep k JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+           |  WHERE k.doc_id = k.keep_id AND lang.predicted_lang = 'en' AND qual.quality >= 0.5)
+           |SELECT doc_id, predicted_lang, quality, n_tokens,
+           |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+           |      FROM sel)
+           |ORDER BY doc_id""".stripMargin
       },
 
       "x3_language_id" ->

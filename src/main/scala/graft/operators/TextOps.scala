@@ -192,6 +192,39 @@ object TextOps {
       round4(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * stopRatio).as("quality"))
   }
 
+  /** The [[qualityScore]] blend as a single Column — the form a multi-stage
+    * filter pipeline wants, so quality can ride an existing projection
+    * instead of forcing a join back on doc_id. Values are identical to
+    * `qualityScore(...).quality`. */
+  def qualityCol(textCol: Column,
+      stopwords: Seq[String] = DefaultStopwords, goodLen: Int = 50): Column = {
+    val toks = tokens(textCol)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(toks).cast("double")
+    val lengthScore = least(lit(1.0), nTok / lit(goodLen.toDouble))
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
+    round4(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * stopRatio)
+  }
+
+  /** [[languageId]]'s argmax prediction as a single Column (same scores,
+    * same lexicographic tie-break, 'und' when nothing matches) — composable
+    * into an existing projection without a doc_id join. */
+  def predictedLangCol(textCol: Column,
+      profiles: Map[String, Seq[String]] = DefaultLangProfiles): Column = {
+    val toks = tokens(textCol)
+    val nTok = size(toks).cast("double")
+    val scoreCols = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      (lang, round(size(filter(toks, t => array_contains(arr, t))).cast("double") / nTok, 6))
+    }
+    val (bestLang, _) = scoreCols.foldLeft((lit("und"), lit(0.0))) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    bestLang
+  }
+
   /** Stopword-profile language identification: score = fraction of tokens in
     * each language's profile; prediction = argmax (ties → lexicographically
     * first language, 'und' when nothing matches). The classic trigram/stopword

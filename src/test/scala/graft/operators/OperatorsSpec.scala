@@ -205,6 +205,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after - before <= 3, s"persistent RDDs grew $before -> $after")
   }
 
+  test("e2e corpus build: survivors unique, signals match the standalone ops, one shuffle") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("e2e_corpus_build")(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "gate must be non-trivial")
+    val docs = graft.Tables.documents(spark, dir)
+    // exact-dedup survivor rule: the kept id IS the min doc_id of its text group
+    val keepIds = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+      .select("keep_id").as[Long].collect().toSet
+    rows.foreach(r => assert(keepIds(r.getLong(0)), s"doc ${r.getLong(0)} is not a dedup survivor"))
+    // per-doc signals equal the standalone operators' values
+    val lang = TextOps.languageId(docs, "doc_id", "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    val qual = TextOps.qualityScore(docs, "doc_id", "text")
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getString(1) === lang(r.getLong(0)))
+      assert(r.getDouble(2) === qual(r.getLong(0)))
+      assert(r.getString(1) === "en" && r.getDouble(2) >= 0.5)
+    }
+    // the whole pipeline (scan → signals → dedup window → split) pays exactly
+    // one hash shuffle; only the presentation ORDER BY adds a range exchange
+    // AQE plan strings repeat the tree under "== Initial Plan ==" — count
+    // exchanges in the final plan section only
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"e2e corpus build should shuffle once:\n$plan")
+  }
+
   test("leakageSafeSplit: clusters share one split, singletons match hashSplit") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")
