@@ -501,6 +501,24 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
     }),
 
+    // ---- the deduplicated corpus itself: survivors = component minima +
+    //      all untouched singletons. The step a pipeline actually
+    //      materializes; components join back ids-only (left join on the
+    //      id, survivors pass where the label is absent or equals self) ----
+    "d10b_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
+      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      val pairs = Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", ShingleK,
+        candidates, JaccardThreshold)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("doc_id").as("cid"), col("component"))
+      docs.join(comp, col("doc_id") === col("cid"), "left")
+        .where(col("component").isNull || col("doc_id") === col("component"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- leakage-safe split: near-dup components never straddle splits ----
     "q_leakage_safe_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1132,6 +1150,33 @@ object SparkEntry {
            |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v)
            |SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
            |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+      "d10b_dedup_survivors" ->
+        s"""WITH RECURSIVE $sigCte,
+           |banded AS (
+           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+           |  FROM sigs GROUP BY doc_id, band),
+           |cands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |$jaccardCte,
+           |pairs AS (
+           |  SELECT c.doc_a, c.doc_b FROM cands c
+           |  JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b),
+           |edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(v, l) AS (
+           |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+           |  UNION
+           |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+           |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+           |         FROM reach GROUP BY v)
+           |SELECT d.doc_id, d.source
+           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+           |WHERE c.component IS NULL OR d.doc_id = c.component
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q_leakage_safe_split" ->
         s"""WITH RECURSIVE $sigCte,
