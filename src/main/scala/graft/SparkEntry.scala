@@ -351,6 +351,37 @@ object SparkEntry {
         .orderBy(col("quality").desc, col("doc_id"))
     }),
 
+    // ---- global quality cut: keep the top-20% quality documents. The
+    //      threshold is ONE broadcast scalar, so the corpus is never
+    //      sorted — at 100 TB swap percentile → approx_percentile (same
+    //      plan shape, sketch-mergeable); exact here for the oracle. ----
+    "q_quality_cut" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.qualityCol(col("text")).as("quality"))
+      val thr = scored.agg(percentile(col("quality"), lit(0.8)).as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .where(col("quality") >= col("thr"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // ---- vocabulary coverage: the smallest vocabulary (by frequency rank,
+    //      lexicographic tiebreak) covering ≥95% of token occurrences — the
+    //      tokenizer-design question, on the same single-task-free global
+    //      prefix sum as q_budget_select; all-integer math, no float
+    //      cumulative shares. ----
+    "q_vocab_coverage" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val withCum = CoreOps.globalPrefixSum(counts,
+        Seq(col("cnt").desc, col("token")), "cnt", "cum_before")
+      withCum.crossJoin(broadcast(counts.agg(sum(col("cnt")).cast("long").as("total"))))
+        .where(col("cum_before") < expr("(95L * total + 99L) DIV 100L"))
+        .select("token", "cnt", "cum_before")
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // ---- z-order clustering key (multi-dimensional layout locality) ----
     "q_zorder_keys" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -1339,6 +1370,36 @@ object SparkEntry {
            |WHERE cum_before + n_tokens <= 20000
            |ORDER BY quality DESC, doc_id""".stripMargin
       },
+
+      "q_quality_cut" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |         floor((0.4*ls + 0.3*ttr + 0.3*sr) * 10000.0 + 0.5) / 10000.0 AS quality
+           |  FROM (SELECT doc_id,
+           |               least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |               len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |               len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |        FROM t)),
+           |thr AS (SELECT quantile_cont(quality, 0.8) AS thr FROM q)
+           |SELECT doc_id, quality FROM q, thr WHERE quality >= thr
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      "q_vocab_coverage" ->
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token FROM documents),
+          |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+          |p AS (SELECT token, cnt,
+          |             CAST(COALESCE(sum(cnt) OVER (ORDER BY cnt DESC, token
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          |      FROM c),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+          |SELECT token, cnt, cum_before FROM p, t
+          |WHERE cum_before < (95 * total + 99) // 100
+          |ORDER BY cnt DESC, token""".stripMargin,
 
       // per-source release summary; q4 mirrors the Spark side's
       // floor(round4(blend)·10⁴ + 0.5) fixed-point exactly
