@@ -374,10 +374,11 @@ object SparkEntry {
       val counts = Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-      val withCum = CoreOps.globalPrefixSum(counts,
+      val (withCum, total) = CoreOps.globalPrefixSumWithTotal(counts,
         Seq(col("cnt").desc, col("token")), "cnt", "cum_before")
-      withCum.crossJoin(broadcast(counts.agg(sum(col("cnt")).cast("long").as("total"))))
-        .where(col("cum_before") < expr("(95L * total + 99L) DIV 100L"))
+      // minimal prefix reaching ⌈95% of total⌉, all-integer on both engines
+      val need = (95L * total + 99L) / 100L
+      withCum.where(col("cum_before") < need)
         .select("token", "cnt", "cum_before")
         .orderBy(col("cnt").desc, col("token"))
     }),
@@ -988,6 +989,33 @@ object SparkEntry {
          |         round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
          |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold)""".stripMargin
+    val bandedCte =
+      s"""banded AS (
+         |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+         |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+         |  FROM sigs GROUP BY doc_id, band)""".stripMargin
+    val lshCandsCte =
+      s"""$bandedCte,
+         |cands AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)""".stripMargin
+    // LSH candidates → exact-Jaccard verify → undirected edges → min-label
+    // connected components, ending in comp(doc_id, component)
+    val componentsCte =
+      s"""$lshCandsCte,
+         |$jaccardCte,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM cands c
+         |  JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b),
+         |edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+         |  UNION
+         |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+         |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+         |         FROM reach GROUP BY v)""".stripMargin
     val langProfiles = TextOps.DefaultLangProfiles.toSeq.sortBy(_._1)
     val langScoreCols = langProfiles.map { case (lang, words) =>
       val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1093,14 +1121,7 @@ object SparkEntry {
       // signature-agreement estimator over the same banded candidates
       "d13_minhash_estimate" ->
         s"""WITH $sigCte,
-           |banded AS (
-           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
-           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
-           |  FROM sigs GROUP BY doc_id, band),
-           |cands AS (
-           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-           |  GROUP BY 1, 2)
+           |$lshCandsCte
            |SELECT c.doc_a, c.doc_b,
            |       CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
            |         / $NumMinHashes AS est_jaccard
@@ -1114,10 +1135,7 @@ object SparkEntry {
       // candidates restricted to incoming(doc_id%10>=8) × corpus(<8)
       "d12_incremental_dedup" ->
         s"""WITH $sigCte,
-           |banded AS (
-           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
-           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
-           |  FROM sigs GROUP BY doc_id, band),
+           |$bandedCte,
            |cands AS (
            |  SELECT i.doc_id AS doc_a, c.doc_id AS doc_b
            |  FROM banded i JOIN banded c ON i.band = c.band AND i.bucket = c.bucket
@@ -1146,14 +1164,7 @@ object SparkEntry {
 
       "d2_minhash_lsh_pairs" ->
         s"""WITH $sigCte,
-           |banded AS (
-           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
-           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
-           |  FROM sigs GROUP BY doc_id, band),
-           |cands AS (
-           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-           |  GROUP BY 1, 2),
+           |$lshCandsCte,
            |$jaccardCte
            |SELECT c.doc_a, c.doc_b, v.jaccard
            |FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
@@ -1161,49 +1172,12 @@ object SparkEntry {
 
       "d10_dedup_components" ->
         s"""WITH RECURSIVE $sigCte,
-           |banded AS (
-           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
-           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
-           |  FROM sigs GROUP BY doc_id, band),
-           |cands AS (
-           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-           |  GROUP BY 1, 2),
-           |$jaccardCte,
-           |pairs AS (
-           |  SELECT c.doc_a, c.doc_b FROM cands c
-           |  JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b),
-           |edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
-           |          UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(v, l) AS (
-           |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
-           |  UNION
-           |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v)
-           |SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
-           |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+           |$componentsCte
+           |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
 
       "d10b_dedup_survivors" ->
         s"""WITH RECURSIVE $sigCte,
-           |banded AS (
-           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
-           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
-           |  FROM sigs GROUP BY doc_id, band),
-           |cands AS (
-           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-           |  GROUP BY 1, 2),
-           |$jaccardCte,
-           |pairs AS (
-           |  SELECT c.doc_a, c.doc_b FROM cands c
-           |  JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b),
-           |edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
-           |          UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(v, l) AS (
-           |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
-           |  UNION
-           |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
-           |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
-           |         FROM reach GROUP BY v)
+           |$componentsCte
            |SELECT d.doc_id, d.source
            |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
            |WHERE c.component IS NULL OR d.doc_id = c.component
@@ -1211,26 +1185,7 @@ object SparkEntry {
 
       "q_leakage_safe_split" ->
         s"""WITH RECURSIVE $sigCte,
-           |banded AS (
-           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
-           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
-           |  FROM sigs GROUP BY doc_id, band),
-           |cands AS (
-           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-           |  GROUP BY 1, 2),
-           |$jaccardCte,
-           |pairs AS (
-           |  SELECT c.doc_a, c.doc_b FROM cands c
-           |  JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b),
-           |edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
-           |          UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(v, l) AS (
-           |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
-           |  UNION
-           |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
-           |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
-           |         FROM reach GROUP BY v),
+           |$componentsCte,
            |rep AS (SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS rep
            |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
            |SELECT doc_id,

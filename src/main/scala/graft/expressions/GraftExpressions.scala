@@ -513,55 +513,57 @@ object GraftExpressions {
       ColumnBridge.expression(producer),
       keyBytes, scheme, source, destination, nonceSeed))
 
-  /** SQL registration (`graft_dot`, `graft_l2_normalize`, `graft_minhash`,
-    * `graft_shingle_set`, `graft_winnow`, `graft_simhash`), usable from any
-    * `spark.sql(...)` query; also injectable via [[GraftSessionExtensions]].
-    * Integer arguments to the fingerprint functions must be literals (they
-    * are folded at registration time). */
-  def register(spark: SparkSession): Unit = {
+  /** Function name → expression builder, shared by [[register]] (temp
+    * functions on an existing session) and [[GraftSessionExtensions]]
+    * (injection at session build) so the two SQL surfaces can never drift.
+    * Integer arguments to the fingerprint functions must be integer
+    * LITERALS in range (they are folded at resolution time); anything else
+    * — non-literal, or a long that does not fit an Int — is rejected at
+    * analysis, fail-closed, never silently truncated. */
+  private[expressions] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
     def intArg(e: Expression): Int = e.eval(null) match {
       case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(s"expected an integer literal, got $other")
+      case l: Long if l.isValidInt => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected an Int-range integer literal, got $other")
     }
     def longArg(e: Expression): Long = e.eval(null) match {
       case i: Int => i.toLong
       case l: Long => l
       case other => throw new IllegalArgumentException(s"expected an integer literal, got $other")
     }
-    val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    r.createOrReplaceTempFunction(
-      "graft_l2_normalize", exprs => L2Normalize(exprs.head), "scala_udf")
-    r.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => MinHashShingleSigs(exprs(0), intArg(exprs(1)), intArg(exprs(2)),
-        if (exprs.length > 3) longArg(exprs(3)) else 42L),
-      "scala_udf")
-    r.createOrReplaceTempFunction(
-      "graft_shingle_set",
-      exprs => ShingleHashSet(exprs(0), intArg(exprs(1))), "scala_udf")
-    r.createOrReplaceTempFunction(
-      "graft_winnow",
-      exprs => WinnowingFingerprintSet(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "scala_udf")
-    r.createOrReplaceTempFunction(
-      "graft_simhash", exprs => SimHash32(exprs.head), "scala_udf")
+    Seq(
+      "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+      "graft_l2_normalize" -> (exprs => L2Normalize(exprs.head)),
+      "graft_minhash" -> (exprs =>
+        MinHashShingleSigs(exprs(0), intArg(exprs(1)), intArg(exprs(2)),
+          if (exprs.length > 3) longArg(exprs(3)) else 42L)),
+      "graft_shingle_set" -> (exprs => ShingleHashSet(exprs(0), intArg(exprs(1)))),
+      "graft_winnow" -> (exprs =>
+        WinnowingFingerprintSet(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
+      "graft_simhash" -> (exprs => SimHash32(exprs.head)))
   }
+
+  /** SQL registration (`graft_dot`, `graft_l2_normalize`, `graft_minhash`,
+    * `graft_shingle_set`, `graft_winnow`, `graft_simhash`), usable from any
+    * `spark.sql(...)` query; the same functions are injectable at session
+    * build via [[GraftSessionExtensions]]. */
+  def register(spark: SparkSession): Unit =
+    sqlBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }
 
 /** `SparkSessionExtensions` hook: `--conf spark.sql.extensions=
   * graft.expressions.GraftSessionExtensions` exposes the native functions to
   * pure-SQL users at session build time. */
 class GraftSessionExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    ext.injectFunction((
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2_normalize"),
-      new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2_normalize"),
-      (exprs: Seq[Expression]) => L2Normalize(exprs.head)))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExpressions.sqlBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(GraftExpressions.getClass.getName, name),
+        builder))
+    }
 }

@@ -320,7 +320,15 @@ object CoreOps {
     * strictly preceding rows. `order` must be total (include a tiebreak)
     * or the result is nondeterministic. */
   def globalPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    globalPrefixSumWithTotal(df, order, valueCol, outCol)._1
+
+  /** [[globalPrefixSum]] plus the grand total of `valueCol` — the total is
+    * the last partition offset the two-phase pass computes anyway, so
+    * callers with a "share of total" rule (coverage, quota) get it without
+    * a second scan of the input. */
+  def globalPrefixSumWithTotal(df: DataFrame, order: Seq[Column], valueCol: String,
+      outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
@@ -342,7 +350,7 @@ object CoreOps {
     val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
       org.apache.spark.sql.types.StructField(outCol,
         org.apache.spark.sql.types.LongType, nullable = false))
-    spark.createDataFrame(withSum, schema)
+    (spark.createDataFrame(withSum, schema), offsets.last)
   }
 
   /** Token-budget corpus selection — "take the best documents that fit N

@@ -176,54 +176,70 @@ object TextOps {
     * tokens), type-token ratio, stopword ratio against a profile list, and a
     * blended quality score. Mirrors the common pre-training quality filters
     * (length/stopword/repetition heuristics). */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
-      stopwords: Seq[String] = DefaultStopwords, goodLen: Int = 50): DataFrame = {
-    val toks = tokens(col(textCol))
+  /** Raw (lengthScore, ttr, stopRatio) component expressions — the single
+    * definition both [[qualityScore]] and [[qualityCol]] blend from. */
+  private def qualityComponents(textCol: Column, stopwords: Seq[String],
+      goodLen: Int): (Column, Column, Column) = {
+    val toks = tokens(textCol)
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(toks).cast("double")
     val lengthScore = least(lit(1.0), nTok / lit(goodLen.toDouble))
     val ttr = size(array_distinct(toks)).cast("double") / nTok
     val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
+    (lengthScore, ttr, stopRatio)
+  }
+
+  private def qualityBlend(ls: Column, ttr: Column, sr: Column): Column =
+    round4(lit(0.4) * ls + lit(0.3) * ttr + lit(0.3) * sr)
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = DefaultStopwords, goodLen: Int = 50): DataFrame = {
+    val (ls, ttr, sr) = qualityComponents(col(textCol), stopwords, goodLen)
     docs.select(
       col(idCol).cast("long").as("doc_id"),
-      round4(lengthScore).as("length_score"),
+      round4(ls).as("length_score"),
       round4(ttr).as("type_token_ratio"),
-      round4(stopRatio).as("stopword_ratio"),
-      round4(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * stopRatio).as("quality"))
+      round4(sr).as("stopword_ratio"),
+      qualityBlend(ls, ttr, sr).as("quality"))
   }
 
   /** The [[qualityScore]] blend as a single Column — the form a multi-stage
     * filter pipeline wants, so quality can ride an existing projection
     * instead of forcing a join back on doc_id. Values are identical to
-    * `qualityScore(...).quality`. */
+    * `qualityScore(...).quality` by construction (same component
+    * expressions, same blend). */
   def qualityCol(textCol: Column,
       stopwords: Seq[String] = DefaultStopwords, goodLen: Int = 50): Column = {
-    val toks = tokens(textCol)
-    val stopArr = array(stopwords.map(lit): _*)
-    val nTok = size(toks).cast("double")
-    val lengthScore = least(lit(1.0), nTok / lit(goodLen.toDouble))
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
-    round4(lit(0.4) * lengthScore + lit(0.3) * ttr + lit(0.3) * stopRatio)
+    val (ls, ttr, sr) = qualityComponents(textCol, stopwords, goodLen)
+    qualityBlend(ls, ttr, sr)
   }
+
+  /** Per-language rounded score expressions in sorted language order — the
+    * single definition both [[languageId]] and [[predictedLangCol]] use. */
+  private def langScores(textCol: Column,
+      profiles: Map[String, Seq[String]]): Seq[(String, Column)] = {
+    val toks = tokens(textCol)
+    val nTok = size(toks).cast("double")
+    profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      (lang, round(size(filter(toks, t => array_contains(arr, t))).cast("double") / nTok, 6))
+    }
+  }
+
+  /** Argmax with deterministic tie-break: fold over languages in sorted
+    * order; ties → lexicographically first; 'und' when nothing matches. */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column =
+    scores.foldLeft((lit("und"), lit(0.0))) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }._1
 
   /** [[languageId]]'s argmax prediction as a single Column (same scores,
     * same lexicographic tie-break, 'und' when nothing matches) — composable
     * into an existing projection without a doc_id join. */
   def predictedLangCol(textCol: Column,
-      profiles: Map[String, Seq[String]] = DefaultLangProfiles): Column = {
-    val toks = tokens(textCol)
-    val nTok = size(toks).cast("double")
-    val scoreCols = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val arr = array(words.map(lit): _*)
-      (lang, round(size(filter(toks, t => array_contains(arr, t))).cast("double") / nTok, 6))
-    }
-    val (bestLang, _) = scoreCols.foldLeft((lit("und"), lit(0.0))) {
-      case ((bl, bs), (lang, sc)) =>
-        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-    }
-    bestLang
-  }
+      profiles: Map[String, Seq[String]] = DefaultLangProfiles): Column =
+    argmaxLang(langScores(textCol, profiles))
 
   /** Stopword-profile language identification: score = fraction of tokens in
     * each language's profile; prediction = argmax (ties → lexicographically
@@ -231,23 +247,11 @@ object TextOps {
     * n-gram heuristic, expressed relationally. */
   def languageId(docs: DataFrame, idCol: String, textCol: String,
       profiles: Map[String, Seq[String]] = DefaultLangProfiles): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = size(toks).cast("double")
-    val scoreCols = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val arr = array(words.map(lit): _*)
-      (lang, size(filter(toks, t => array_contains(arr, t))).cast("double") / nTok)
-    }
-    val scored = docs.select(
-      (col(idCol).cast("long").as("doc_id") +: scoreCols.map { case (l, c) =>
-        round(c, 6).as(s"score_$l")
-      }): _*)
-    // argmax with deterministic tie-break: fold over languages in sorted order
-    val (bestLang, _) = scoreCols.foldLeft((lit("und"), lit(0.0))) {
-      case ((bl, bs), (lang, _)) =>
-        val sc = col(s"score_$lang")
-        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-    }
-    scored.withColumn("predicted_lang", bestLang)
+    val scores = langScores(col(textCol), profiles)
+    docs.select(
+      (col(idCol).cast("long").as("doc_id") +:
+        scores.map { case (l, c) => c.as(s"score_$l") }) :+
+        argmaxLang(scores).as("predicted_lang"): _*)
   }
 
   /** Content fingerprint: 16-hex-char prefix of md5 over the normalized text

@@ -150,6 +150,19 @@ class GraftExpressionsSpec extends AnyFunSuite {
     val err = intercept[Exception](
       spark.sql("SELECT graft_minhash(text, 3, CAST(doc_id AS INT)) FROM fp_docs").collect())
     assert(err.getMessage != null)
+    // an Int-overflowing long literal must be rejected, never wrapped
+    val err2 = intercept[Exception](
+      spark.sql("SELECT graft_minhash(text, 3, 4294967312) FROM fp_docs").collect())
+    assert(err2.getMessage != null)
+  }
+
+  test("register() and GraftSessionExtensions share one builder list covering every function") {
+    // both SQL surfaces iterate GraftExpressions.sqlBuilders, so parity is
+    // structural; this pins the list itself so a new expression can't be
+    // registered on one surface and forgotten on the other
+    assert(GraftExpressions.sqlBuilders.map(_._1) === Seq("graft_dot",
+      "graft_l2_normalize", "graft_minhash", "graft_shingle_set",
+      "graft_winnow", "graft_simhash"))
   }
 
   test("AeadUnseal expression: roundtrip, wrong route null, tampered null") {
