@@ -383,6 +383,17 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // ---- language-balanced training mix: deterministic cap per PREDICTED
+    //      language — the signal (x3) feeds the sampler (q_capped_sample's
+    //      operator) directly in one projection, no doc_id join ----
+    "q_language_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.predictedLangCol(col("text")).as("lang"))
+      CoreOps.sampleDeterministicPerKey(docs, "lang", "doc_id", 40L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---- z-order clustering key (multi-dimensional layout locality) ----
     "q_zorder_keys" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -1325,6 +1336,22 @@ object SparkEntry {
            |WHERE cum_before + n_tokens <= 20000
            |ORDER BY quality DESC, doc_id""".stripMargin
       },
+
+      "q_language_mix" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |lang AS (
+           |  SELECT doc_id,
+           |         CASE WHEN $greatestAll <= 0.0 THEN 'und'
+           |       $langCase
+           |       ELSE 'und' END AS lang
+           |  FROM (SELECT doc_id, $langScoreCols FROM t)),
+           |r AS (
+           |  SELECT doc_id, lang,
+           |         row_number() OVER (PARTITION BY lang
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM lang)
+           |SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
 
       "q_quality_cut" -> {
         val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
