@@ -236,6 +236,41 @@ object Bench {
           force(graft.operators.SkewOps.bloomBenchJoin(spark))
         }
       }}),
+      // e2e corpus-build formulation A/B: the naive shape computes each
+      // per-doc signal (language, quality, token stats) as its own
+      // DataFrame and reassembles on doc_id — three doc_id joins plus a
+      // fingerprint-group semi-join — while the shipped e2e_corpus_build
+      // gate computes all signals as projections over ONE scan with a
+      // window-min survivor rule (one shuffle total; plan spec-pinned).
+      // Identical rows out (the gate's DuckDB oracle pins them); the delta
+      // is pure plan shape. Broadcast disabled in both arms: at 100 TB a
+      // full-corpus per-doc frame never broadcasts, so sf0.1's tiny sides
+      // must not let the joins arm cheat. Our design runs FIRST so any
+      // residual warmup bias lands on it — the measured win is conservative.
+      // READ THE PROFILE: the documents corpus is small at bench scale, so
+      // wall-clock nearly ties; the structural win is stage count (5 vs 8)
+      // and task time (~1.6×) — every extra exchange stage the joins arm
+      // adds is a full-corpus materialization at 100 TB.
+      "e2e_build_one_shuffle" -> (() => noBroadcast { timed("e2e_build_one_shuffle") {
+        force(SparkEntry.queries("e2e_corpus_build")(spark, sfDir))
+      }}),
+      "e2e_build_joins" -> (() => noBroadcast { timed("e2e_build_joins") {
+        val docs = graft.Tables.documents(spark, sfDir)
+        val lang = graft.operators.TextOps.languageId(docs, "doc_id", "text")
+          .select("doc_id", "predicted_lang")
+        val qual = graft.operators.TextOps.qualityScore(docs, "doc_id", "text")
+          .select("doc_id", "quality")
+        val toks = graft.operators.TextOps.tokenStats(docs, "doc_id", "text")
+          .select("doc_id", "n_tokens")
+        val keep = graft.operators.Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        force(CoreOps.hashSplit(
+          docs.select("doc_id").join(keep, "doc_id")
+            .join(lang, "doc_id").join(qual, "doc_id").join(toks, "doc_id")
+            .where(col("predicted_lang") === "en" && col("quality") >= 0.5),
+          "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .select("doc_id", "predicted_lang", "quality", "n_tokens", "split"))
+      }}),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)
