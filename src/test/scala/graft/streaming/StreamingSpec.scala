@@ -406,6 +406,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists { case (id, dup, _, keep) => id == 11L && dup.isEmpty && keep })
   }
 
+  test("streaming corpus build: stateless quality/lang gate + incremental dedup equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "an entirely different corpus document about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    val incomingRows = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 0 → keep=false
+      (11L, "it is a story of the sea and of the ships that sail it every day"), // novel en → keep=true
+      (12L, "spam spam spam spam spam spam spam"), // low quality → gated out
+      (13L, "der hund und die katze sind in das haus und ist ein freund")) // German → gated out
+    // the stateless corpus-build gate: pure projections, applies unchanged
+    // to a batch frame and to a streaming frame BEFORE the watermark
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.where(TextOps.predictedLangCol(col("text")) === "en" &&
+        TextOps.qualityCol(col("text")) >= 0.3)
+
+    val batch = graft.operators.Dedup.incrementalDedup(
+        corpus, gate(incomingRows.toDF("doc_id", "text")), "doc_id", "text",
+        k = 3, numHashes = 8, numBands = 4, threshold = 0.5)
+      .select("doc_id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    // the gate dropped 12/13 before dedup ever saw them
+    assert(batch.map(_._1) === Set(10L, 11L))
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val built = StreamingPipelines.incrementalDedupStream(
+      gate(mem.toDF().toDF("doc_id", "text", "ts")), corpus, "doc_id", "text",
+      "ts", watermarkDelay = "0 seconds",
+      k = 3, numHashes = 8, numBands = 4, threshold = 0.5)
+    val q = built.writeStream.outputMode("append").format("memory")
+      .queryName("corpusbuild").start()
+    try {
+      mem.addData(incomingRows.map { case (id, t) => (id, t, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      // flush docs must PASS the gate (a filtered row never reaches the
+      // watermark operator, so it could not advance the watermark)
+      mem.addData(Seq((99L,
+        "it is the end of the run and this text is here to move the clock",
+        new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((98L,
+        "it is the end of the run and this text is here to move the clock",
+        new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("corpusbuild")
+      .where(col("doc_id") < 90)
+      .select("doc_id", "dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+    assert(batch.exists { case (id, dup, keep) => id == 10L && dup.contains(0L) && !keep })
+    assert(batch.exists { case (id, dup, keep) => id == 11L && dup.isEmpty && keep })
+  }
+
   test("stream-stream interval join: in-window pairs matched, out-of-window and late rows never join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
