@@ -24,6 +24,12 @@ object BenchReport {
   def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** How many failed-query names the compact line carries verbatim; the
+    * rest are summarized by `"n_failed"` (always emitted), keeping the line
+    * bounded even for a systemic-failure run — the exact scenario where the
+    * driver most needs a parseable tail. */
+  val MaxFailedNames = 8
+
   /** Build the capped compact line.
     *
     * @param all      every (name, seconds) measurement; negative = failed
@@ -33,12 +39,19 @@ object BenchReport {
     * @param maxLen   hard cap on the rendered line length (chars); the
     *                 driver's tail window is 2000, so default leaves slack
     *                 for a trailing newline plus any stray shutdown chatter
+    * @param runs     in-run repetitions per headline workload (each reported
+    *                 time is the min over `runs` back-to-back executions)
+    * @param load     1-minute system load average sampled before/after the
+    *                 suite — lets a reader tell machine contamination from a
+    *                 real regression (r5's numbers swung 2–6× under load)
     */
   def compactLine(
       all: Seq[(String, Double)],
       headline: Seq[String],
       sfDir: String,
-      maxLen: Int = 1800): String = {
+      maxLen: Int = 1800,
+      runs: Int = 1,
+      load: Seq[Double] = Nil): String = {
     val ok = all.filter(_._2 >= 0)
     val okMap = ok.toMap
     val failed = all.collect { case (k, v) if v < 0 => k }
@@ -53,10 +66,12 @@ object BenchReport {
       val qs = entries
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val failedJson = failed.take(MaxFailedNames).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val loadJson =
+        if (load.isEmpty) "" else s""","load":[${load.map(r3).mkString(",")}]"""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
         s""""n_all":${ok.size},"omitted":${ok.size - entries.size},""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"n_failed":${failed.size},"runs":$runs$loadJson,"sf":"$sfDir"}"""
     }
 
     // Greedy fill: headline first (dropped from the tail only if even they

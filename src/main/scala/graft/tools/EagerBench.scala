@@ -116,13 +116,37 @@ object EagerBench {
       // pending it triggers continuously, so processAllAvailable would
       // never settle — poll the sink for quiescence instead)
       byEpoch.foreach { case (_, rows) => mem.addData(rows) }
+      val totalFed = byEpoch.iterator.map(_._2.size.toLong).sum
       val deadline = System.currentTimeMillis() + deadlineMs
+      // Phase 1: block until the engine has CONSUMED every fed row. The
+      // harness knows the exact count, so quiescence may not even begin to
+      // be judged before then — on a loaded machine the first micro-batch
+      // can take seconds, and a stability poll that starts immediately sees
+      // a stable empty sink and declares an empty run finished (the r5
+      // vacuous A/B: sharded=42934 vs tws=0). Progress entries are deduped
+      // by batchId; at a 300 ms poll the retained progress buffer (100)
+      // cannot wrap between polls.
+      val seenBatches = scala.collection.mutable.HashSet.empty[Long]
+      var consumed = 0L
+      def pollConsumed(): Unit = q.recentProgress.foreach { p =>
+        if (seenBatches.add(p.batchId)) consumed += p.numInputRows
+      }
+      while (consumed < totalFed && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        pollConsumed()
+      }
+      if (consumed < totalFed)
+        System.err.println(s"[eagerbench] WARN: deadline hit with input only partially " +
+          s"consumed ($consumed of $totalFed rows); release count will be partial")
+      // Phase 2: sink quiescence — and a zero count NEVER counts as stable
+      // (params() guarantees releases: sigmaKey > 0 with a 0.4 failure
+      // quantile), so a slow timer flush cannot masquerade as completion.
       var last = -1L
       var stable = 0
       while (stable < 5 && System.currentTimeMillis() < deadline) {
         Thread.sleep(300)
         val c = spark.table(name).count()
-        if (c == last) stable += 1 else { stable = 0; last = c }
+        if (c == last && c > 0) stable += 1 else { stable = 0; last = c }
       }
       if (stable < 5)
         // a deadline exit means the count below may be partial — say so
