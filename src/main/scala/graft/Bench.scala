@@ -44,7 +44,7 @@ object Bench {
     // code swung 2–6×, blinding round-over-round comparison). Per-run times
     // land in bench.json "runs_detail"; system load is sampled before/after
     // so a reader can see contamination directly.
-    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(2)
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(2).max(1)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadPre = osBean.getSystemLoadAverage
     val spark = SparkSession.builder()
@@ -97,10 +97,16 @@ object Bench {
       }
     }
 
-    // release counts of the two eager designs, compared after the suite
-    // (with repeats > 1, the LAST run's count is compared — identical seeds
-    // make every run's count identical unless the quiescence guard tripped)
-    val eagerReleases = scala.collection.mutable.Map.empty[String, Long]
+    // release counts of the two eager designs, recorded for EVERY in-run
+    // repeat and cross-checked after the suite: identical seeds make every
+    // run's count identical unless a quiescence guard tripped, and the
+    // reported time is the MIN over repeats — so ANY repeat's divergence
+    // must fail the entry, not just the last one's (else a vacuously fast
+    // partial run could become the reported min while the final repeat's
+    // correct count passes the check)
+    val eagerReleases = scala.collection.mutable.Map.empty[String, Vector[Long]]
+    def recordEager(arm: String, n: Long): Unit =
+      eagerReleases(arm) = eagerReleases.getOrElse(arm, Vector.empty) :+ n
     // per-entry times across the in-run repetitions, for bench.json
     val runDetail = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
 
@@ -154,13 +160,13 @@ object Bench {
         val byEpoch = graft.tools.EagerBench.workload(spark, 200000L, 20000, 5000, 20)
         val n = graft.tools.EagerBench.runSharded(spark, byEpoch, 20, 42L,
           graft.streaming.StreamingPipelines.shardsForKeys(5000))
-        eagerReleases("sharded") = n
+        recordEager("sharded", n)
         System.err.println(s"[bench] eager_dp_sharded_t20 releases=$n")
       }),
       "eager_dp_tws_timers_t20" -> (() => timed("eager_dp_tws_timers_t20") {
         val byEpoch = graft.tools.EagerBench.workload(spark, 200000L, 20000, 5000, 20)
         val n = graft.tools.EagerBench.runTwsTimers(spark, byEpoch, 20, 42L)
-        eagerReleases("tws") = n
+        recordEager("tws", n)
         System.err.println(s"[bench] eager_dp_tws_timers_t20 releases=$n")
       }),
       // the lazy floor: timers off, no barriers — what eagerness costs
@@ -305,16 +311,22 @@ object Bench {
 
     // Release-count mismatch makes the tws TIMING meaningless (r5: the arm
     // quiesced empty and recorded 5.3 s for nothing) — mark it failed so no
-    // consumer reads a vacuous number, instead of only warning.
-    val eagerMismatch = (for (s <- eagerReleases.get("sharded"); t <- eagerReleases.get("tws"))
-      yield s != t).getOrElse(false)
-    if (eagerMismatch) System.err.println(
-      s"[bench] FAIL: eager A/B release counts differ (sharded=${eagerReleases("sharded")}, " +
-        s"tws=${eagerReleases("tws")}) — eager_dp_tws_timers_t20 timing marked failed")
+    // consumer reads a vacuous number, instead of only warning. ALL repeats
+    // of both arms must agree (graft.tools.BenchReport.eagerMismatch).
+    val eagerMismatchMsg =
+      graft.tools.BenchReport.eagerMismatch(eagerReleases.toMap.map { case (k, v) => k -> (v: Seq[Long]) })
+    eagerMismatchMsg.foreach(msg => System.err.println(
+      s"[bench] FAIL: eager A/B release counts differ ($msg) — " +
+        "eager_dp_tws_timers_t20 timing marked failed"))
     val syntheticChecked =
-      if (!eagerMismatch) synthetic
+      if (eagerMismatchMsg.isEmpty) synthetic
       else synthetic.map {
-        case ("eager_dp_tws_timers_t20", _) => "eager_dp_tws_timers_t20" -> -1.0
+        case ("eager_dp_tws_timers_t20", _) =>
+          // the suppressed raw times must not survive in runs_detail either
+          // (a consumer could resurrect the vacuous timing the gate killed)
+          runDetail.get("eager_dp_tws_timers_t20").foreach(ts =>
+            runDetail("eager_dp_tws_timers_t20") = ts.map(t => -math.abs(t)))
+          "eager_dp_tws_timers_t20" -> -1.0
         case other => other
       }
 

@@ -575,6 +575,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the FULL near-dup pipeline a 100 TB corpus actually runs, as ONE
+    //      composed query: MinHash signatures (zero-shuffle native) → LSH
+    //      band-bucket candidates → exact Jaccard verify (ids+hash-sets
+    //      only) → connected components → survivors (component minima +
+    //      singletons, with member counts) → deterministic split. Text
+    //      never shuffles at any stage (pinned by DedupPlanSpec); the
+    //      DuckDB oracle re-derives every stage including the recursive
+    //      component closure. ----
+    "e2e_neardup_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
+      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      val pairs = Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", ShingleK,
+        candidates, JaccardThreshold)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("doc_id").as("cid"), col("component"))
+      val members = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+      docs.join(comp, col("doc_id") === col("cid"), "left")
+        .where(col("component").isNull || col("doc_id") === col("component"))
+        .join(members, col("doc_id") === members("component"), "left")
+        .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+        // survivors are their own component representative, so the id-keyed
+        // split IS the leakage-safe assignment (a component's one survivor
+        // carries the whole component)
+        .transform(CoreOps.hashSplit(_, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .select("doc_id", "source", "n_members", "split")
+        .orderBy("doc_id")
+    }),
+
     // ---- MinHash Jaccard estimator over LSH candidates (the cheap
     //      pre-verification threshold a production dedup applies first) ----
     "d13_minhash_estimate" -> ((s, d) => {
@@ -767,6 +796,25 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // ---- multimodal: REAL image decode (javax.imageio). Payloads are
+    //      genuine constant-color PNGs whose dims/color are closed-form in
+    //      the asset id; the gate derives width/height/channel means from
+    //      the DECODED PIXELS, the oracle recomputes them from metadata —
+    //      a hash match proves the decode path actually ran. Channel means
+    //      are reported ×255 (the exact constant) to keep float→double
+    //      comparison exact. ----
+    "mm_image_decode" -> ((s, d) => {
+      val assets = Multimodal.syntheticImageAssets(s, Tables.documents(s, d))
+      Multimodal.extractFeatures(s, assets).toDF()
+        .select(col("asset_id"),
+          element_at(col("feature"), 1).cast("int").as("decoded_width"),
+          element_at(col("feature"), 2).cast("int").as("decoded_height"),
+          round(element_at(col("feature"), 3) * 255).cast("int").as("r255"),
+          round(element_at(col("feature"), 4) * 255).cast("int").as("g255"),
+          round(element_at(col("feature"), 5) * 255).cast("int").as("b255"))
+        .orderBy("asset_id")
+    }),
+
     // ---- multimodal: frame sampling over binary payloads ----
     "mm_frame_sample" -> ((s, d) => {
       val assets = Multimodal.syntheticAssets(s, Tables.documents(s, d))
@@ -827,10 +875,20 @@ object SparkEntry {
         .orderBy("producer")
     }),
 
-    // ---- S3: seeded Zipf-Mandelbrot synthetic workload (rows-only; golden-
-    //      pinned in SyntheticSourceSpec — no input table, so no SQL oracle) ----
+    // ---- S3: seeded Zipf-Mandelbrot synthetic workload. The generator has
+    //      no input table, so the gate MATERIALIZES its seeded output to
+    //      parquet and aggregates the materialized copy; the DuckDB oracle
+    //      reads the same parquet (s3OracleSql) and re-derives the frequency
+    //      ranking — the d8-centroid pattern: only deterministic generator
+    //      output crosses the boundary, the aggregation is re-derived in
+    //      SQL. Distribution shape itself stays golden-pinned in
+    //      SyntheticSourceSpec. ----
     "s3_zipf_freq" -> ((s, d) => {
+      val path = "/tmp/graft_s3_zipf_input.parquet"
       graft.sources.SyntheticSource.zipfContributions(s, 100000L, 1000, 500, 4).toDF()
+        .write.mode("overwrite").parquet(path)
+      lastS3InputPath = Some(path)
+      s.read.parquet(path)
         .groupBy("key").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("key"))
         .limit(50)
@@ -888,12 +946,33 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query; column names and ordering must match the
     * Spark result exactly (the driver sorts columns by name and hash-compares
-    * values). The only query without an entry is s3 (no input table — the
-    * generator is golden-pinned in ScalaTest instead). d8's entry appears
-    * once its query has run in this JVM: the deterministically-trained
-    * centroids are exported as a VALUES table and everything downstream of
-    * training (assignment, probing, scoring, ranking) is re-derived in SQL. */
-  def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql ++ d8OracleSql
+    * values). Two entries appear only after their query has run in this JVM
+    * (Verify runs every query before dumping oracle SQL, so the dump always
+    * includes them): d8 exports the deterministically-trained centroids as a
+    * VALUES table, s3 materializes its seeded generator output to parquet —
+    * in both, only deterministic model/generator output crosses the
+    * boundary; everything downstream is re-derived in SQL. */
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ s3OracleSql
+
+  /** Where the s3 gate materialized its generator output (set when the gate
+    * runs; Verify processes one dataset per JVM, same contract as
+    * [[graft.operators.Similarity.lastIvfCentroids]]). */
+  @volatile private var lastS3InputPath: Option[String] = None
+
+  /** Frequency-ranking oracle over the s3 gate's materialized generator
+    * output: DuckDB reads the exact parquet the Spark aggregation read, so
+    * the hash compare checks the groupBy/ordering/limit semantics — the
+    * generator's distribution is separately golden-pinned in
+    * SyntheticSourceSpec. */
+  private def s3OracleSql: Map[String, String] = lastS3InputPath.toSeq.map { path =>
+    "s3_zipf_freq" ->
+      s"""SELECT "key", cnt FROM (
+         |  SELECT "key", count(*) AS cnt
+         |  FROM read_parquet('$path/*.parquet')
+         |  GROUP BY "key" ORDER BY cnt DESC, "key" LIMIT 50)
+         |ORDER BY cnt DESC, "key"""".stripMargin
+  }.toMap
 
   /** IVF oracle, available after [[Similarity.trainIvfCentroids]] has run
     * (Verify runs every query before dumping oracle SQL, so the dump always
@@ -1205,6 +1284,22 @@ object SparkEntry {
            |      FROM rep)
            |ORDER BY doc_id""".stripMargin,
 
+      "e2e_neardup_build" ->
+        s"""WITH RECURSIVE $sigCte,
+           |$componentsCte,
+           |members AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component),
+           |surv AS (
+           |  SELECT d.doc_id, d.source, CAST(COALESCE(m.n_members, 1) AS BIGINT) AS n_members
+           |  FROM documents d
+           |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+           |  LEFT JOIN members m ON d.doc_id = m.component
+           |  WHERE c.component IS NULL OR d.doc_id = c.component)
+           |SELECT doc_id, source, n_members,
+           |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+           |      FROM surv)
+           |ORDER BY doc_id""".stripMargin,
+
       "d3_simhash" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token FROM documents),
@@ -1500,6 +1595,18 @@ object SparkEntry {
           |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
           |       octet_length(encode(text)) AS n_bytes,
           |       substr(sha256(text), 1, 16) AS sha
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // every decoded value is closed-form in the asset id (constant-color
+      // PNG: dims 8+id%16 × 8+id%12, RGB = (id%256, id*31%256, id*77%256));
+      // the Spark side derived them from actual decoded pixels
+      "mm_image_decode" ->
+        """SELECT doc_id AS asset_id,
+          |       CAST(8 + doc_id % 16 AS INT) AS decoded_width,
+          |       CAST(8 + doc_id % 12 AS INT) AS decoded_height,
+          |       CAST(doc_id % 256 AS INT) AS r255,
+          |       CAST((doc_id * 31) % 256 AS INT) AS g255,
+          |       CAST((doc_id * 77) % 256 AS INT) AS b255
           |FROM documents ORDER BY asset_id""".stripMargin,
 
       // byte-range frame slices: frame f covers bytes [f·64, (f+1)·64) with

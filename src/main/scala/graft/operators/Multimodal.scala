@@ -24,12 +24,16 @@ final case class MediaFeature(
 /** Multimodal column handling: opaque binary payloads with typed metadata,
   * and decode / feature-extract / resize / frame-sample plumbing.
   *
-  * The actual byte decoding (JPEG/PCM/H.264) is STUBBED — this container has
-  * no media libraries — behind [[MultimodalCodec]], which substitutes a
-  * deterministic fake decode. Everything Spark-side is real and tested:
+  * IMAGE decode is REAL: [[MultimodalCodec]] uses the JDK's `javax.imageio`
+  * (PNG/BMP/GIF/JPEG) and extracts width/height/channel-mean features from
+  * actual pixels — exercised end-to-end by the `mm_image_decode` gate over
+  * [[syntheticImageAssets]]' real PNG payloads. Audio/video decode
+  * (PCM/H.264) remains STUBBED — this container has no media libraries —
+  * behind a deterministic fake. Everything Spark-side is real and tested:
   * schemas, binary-column flow, partition-batched iteration (`mapPartitions`,
   * the JVM analogue of arrow-batched pandas UDFs), and feature schema.
-  * Swapping the stub for a real codec touches only [[MultimodalCodec]].
+  * Swapping the audio/video stub for a real codec touches only
+  * [[MultimodalCodec]].
   */
 object Multimodal {
 
@@ -93,15 +97,76 @@ object Multimodal {
       MediaAsset(id, mt, payload, 64 + (id % 32).toInt * 8, 64 + (id % 24).toInt * 8, 1000L + id % 5000)
     }
   }
+
+  /** Deterministic REAL-image asset table: each payload is a genuine PNG
+    * (encoded with the JDK's `javax.imageio`, decoded back by
+    * [[MultimodalCodec.decode]]'s real image branch), constant-color RGB
+    * with dimensions and color closed-form in the asset id — so a SQL
+    * oracle can recompute every decoded value (width, height, channel
+    * means) from metadata alone while the Spark side derives them from the
+    * actual bytes. Generation is distributed (`map` over the docs table);
+    * nothing image-shaped touches the driver. */
+  def syntheticImageAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + (id % 12).toInt
+      val rgb = ((id % 256).toInt << 16) | (((id * 31) % 256).toInt << 8) | ((id * 77) % 256).toInt
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaAsset(id, "image", bos.toByteArray, w, h, 0L)
+    }
+  }
 }
 
-/** Stubbed media codec. `decode` is a deterministic fake (real decoders are
-  * unavailable in this environment); `contentHash`/byte plumbing are real. */
+/** Media codec. The IMAGE branch is REAL: `javax.imageio` (PNG/BMP/GIF/JPEG
+  * readers ship in the JDK) decodes the payload to pixels and extracts
+  * [width, height, meanR, meanG, meanB] features. Audio/video decode (PCM /
+  * H.264) remains STUBBED — those libraries are unavailable in this
+  * environment — behind a deterministic fake, which is also the fallback
+  * when a payload labeled "image" is not decodable (e.g. the text-byte
+  * synthetic assets). `contentHash`/byte plumbing are real everywhere. */
 final class MultimodalCodec(featureDim: Int) extends Serializable {
 
-  /** STUB: a real implementation decodes JPEG/PCM/H.264 here. The fake is
+  def decode(mediaType: String, payload: Array[Byte]): Array[Double] =
+    if (mediaType == "image") {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) fakeDecode(payload) else imageFeatures(img)
+    } else fakeDecode(payload)
+
+  /** Real pixel statistics: [width, height, meanR, meanG, meanB] (channel
+    * means in [0,1]), padded/truncated to `featureDim`. */
+  private def imageFeatures(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val full = Array(w.toDouble, h.toDouble, sr / n / 255.0, sg / n / 255.0, sb / n / 255.0)
+    java.util.Arrays.copyOf(full, featureDim)
+  }
+
+  /** STUB: a real implementation decodes PCM/H.264 here. The fake is
     * deterministic in the payload bytes so pipelines are testable. */
-  def decode(mediaType: String, payload: Array[Byte]): Array[Double] = {
+  private def fakeDecode(payload: Array[Byte]): Array[Double] = {
     val out = new Array[Double](featureDim)
     var i = 0
     while (i < payload.length) {

@@ -15,10 +15,16 @@ import graft.dp._
   * entries `eager_dp_*_t20`) on an identical seeded workload (200 k
   * contributions, 5 k keys, T=20), with BOTH arms pinned to the RocksDB
   * state store so the comparison isolates operator design from provider,
-  * produced identical release counts with timers ~5× faster (13.6 s vs
-  * 68.8 s): per-key state writes O(key) per update where the shard design
-  * re-serializes a whole shard, and timer latency costs less than two
-  * synchronous barriers per epoch. Keep the
+  * produced identical release counts (42 934, every repeat of both arms)
+  * with timers ~2.8× faster (r7 min-of-2: 24.9 s vs 69.5 s; the lazy
+  * no-eagerness floor is 7.0 s): per-key state writes O(key) per update
+  * where the shard design re-serializes a whole shard, and timer latency
+  * costs less than two synchronous barriers per epoch. (The r6 bench's
+  * 180 s entry for this arm was a HARNESS artifact — its consumption
+  * tracker summed `recentProgress` deltas, a 100-entry ring that wraps
+  * under the continuous timer-trigger cadence, so the poll loop spun to
+  * its own deadline; EagerBench now tracks consumption with a listener
+  * and fails closed on any deadline exit.) Keep the
   * sharded form where release timing must be DETERMINISTIC in epoch terms
   * (its tick is data, so a replay fires silents at exactly the same points;
   * timers are wall-clock).

@@ -30,6 +30,23 @@ object BenchReport {
     * driver most needs a parseable tail. */
   val MaxFailedNames = 8
 
+  /** Cross-check of the eager A/B release counts, over EVERY in-run repeat
+    * of both arms. Identical seeds make every run's count identical, so any
+    * divergence — between arms OR between repeats of one arm — means some
+    * run's quiescence guard tripped and its (vacuously fast) time cannot be
+    * trusted; since the reported time is the min over repeats, one bad
+    * repeat poisons the entry. Returns a human-readable description of the
+    * divergence, or None when all observed counts agree (or fewer than two
+    * arms reported — a missing arm's time is already failed/filtered, so
+    * there is nothing to cross-check).
+    */
+  def eagerMismatch(counts: Map[String, Seq[Long]]): Option[String] = {
+    val all = counts.values.flatten.toSeq
+    if (counts.size < 2 || all.isEmpty || all.distinct.size == 1) None
+    else Some(counts.toSeq.sortBy(_._1)
+      .map { case (arm, ns) => s"$arm=${ns.mkString("/")}" }.mkString(", "))
+  }
+
   /** Build the capped compact line.
     *
     * @param all      every (name, seconds) measurement; negative = failed

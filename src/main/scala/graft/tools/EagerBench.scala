@@ -102,12 +102,38 @@ object EagerBench {
     spark.table(name).count()
   }
 
+  /** Thrown when the tws arm cannot produce a CONVERGED measurement inside
+    * its deadline. The caller's `timed` wrapper turns this into a failed
+    * (-1) bench entry — a timeout must never sit in `queries` looking like
+    * a converged time (the r6 180 s "measurement" was exactly that: both
+    * repeats recorded the harness deadline, not the operator). */
+  final class NotConverged(msg: String) extends IllegalStateException(msg)
+
   def runTwsTimers(spark: SparkSession, byEpoch: Seq[(Int, Seq[Contribution])],
       t: Int, runSeed: Long, deadlineMs: Long = 180000L): Long = withRocksDb(spark) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Contribution]
     val name = s"eager_tws_${System.nanoTime()}"
+    // Consumption is tracked by a listener that sees EVERY progress event.
+    // The r6 harness summed deltas from q.recentProgress — a bounded ring
+    // (default 100 entries) that WRAPS under the continuous timer-trigger
+    // cadence (empty micro-batches complete in ~10 ms while timers are
+    // pending), so `consumed` undercounted forever, phase 1 spun to the
+    // deadline, and the deadline became the recorded "time" for the arm —
+    // both r6 repeats logged 180.3x s against deadlineMs = 180 000.
+    val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == name) {
+          consumed.addAndGet(e.progress.numInputRows)
+          batches.incrementAndGet()
+        }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val q = DpStatefulProcessor.dpHistogram(mem.toDS(), params(t), runSeed, timers = true)
       .writeStream.outputMode("append").format("memory").queryName(name)
       .option("checkpointLocation", ckptDir("tws")).start()
@@ -117,27 +143,27 @@ object EagerBench {
       // never settle — poll the sink for quiescence instead)
       byEpoch.foreach { case (_, rows) => mem.addData(rows) }
       val totalFed = byEpoch.iterator.map(_._2.size.toLong).sum
-      val deadline = System.currentTimeMillis() + deadlineMs
-      // Phase 1: block until the engine has CONSUMED every fed row. The
-      // harness knows the exact count, so quiescence may not even begin to
-      // be judged before then — on a loaded machine the first micro-batch
-      // can take seconds, and a stability poll that starts immediately sees
-      // a stable empty sink and declares an empty run finished (the r5
-      // vacuous A/B: sharded=42934 vs tws=0). Progress entries are deduped
-      // by batchId; at a 300 ms poll the retained progress buffer (100)
-      // cannot wrap between polls.
-      val seenBatches = scala.collection.mutable.HashSet.empty[Long]
-      var consumed = 0L
-      def pollConsumed(): Unit = q.recentProgress.foreach { p =>
-        if (seenBatches.add(p.batchId)) consumed += p.numInputRows
+      val start = System.currentTimeMillis()
+      val deadline = start + deadlineMs
+      var lastReport = start
+      def report(phase: String, sink: Long): Unit = {
+        val now = System.currentTimeMillis()
+        if (now - lastReport >= 5000) {
+          lastReport = now
+          System.err.println(f"[eagerbench] $phase t=${(now - start) / 1000.0}%.1fs " +
+            s"batches=${batches.get} consumed=${consumed.get}/$totalFed sink=$sink")
+        }
       }
-      while (consumed < totalFed && System.currentTimeMillis() < deadline) {
-        Thread.sleep(300)
-        pollConsumed()
+      // Phase 1: block until the engine has CONSUMED every fed row — only
+      // then may quiescence be judged (the r5 vacuous A/B declared a stable
+      // EMPTY sink finished before the first micro-batch even completed).
+      while (consumed.get < totalFed && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        report("consume", -1L)
       }
-      if (consumed < totalFed)
-        System.err.println(s"[eagerbench] WARN: deadline hit with input only partially " +
-          s"consumed ($consumed of $totalFed rows); release count will be partial")
+      if (consumed.get < totalFed)
+        throw new NotConverged(s"deadline (${deadlineMs}ms) hit with input only partially " +
+          s"consumed (${consumed.get} of $totalFed rows, ${batches.get} batches)")
       // Phase 2: sink quiescence — and a zero count NEVER counts as stable
       // (params() guarantees releases: sigmaKey > 0 with a 0.4 failure
       // quantile), so a slow timer flush cannot masquerade as completion.
@@ -147,13 +173,17 @@ object EagerBench {
         Thread.sleep(300)
         val c = spark.table(name).count()
         if (c == last && c > 0) stable += 1 else { stable = 0; last = c }
+        report("drain", c)
       }
       if (stable < 5)
-        // a deadline exit means the count below may be partial — say so
-        // loudly instead of letting it masquerade as an A/B difference
-        System.err.println(s"[eagerbench] WARN: quiescence deadline hit after ${deadlineMs}ms; " +
-          s"release count may be partial (last=$last)")
-    } finally q.stop()
+        // fail closed: a deadline exit means the count (and the wall-clock)
+        // is not a converged measurement — it must never look like one
+        throw new NotConverged(s"quiescence deadline (${deadlineMs}ms) hit; " +
+          s"sink count still moving or zero (last=$last, batches=${batches.get})")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
     spark.table(name).count()
   }
 }

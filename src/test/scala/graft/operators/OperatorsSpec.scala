@@ -405,6 +405,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byId1 === byId2)
   }
 
+  test("multimodal: image decode reads real pixels (gradient PNG, not metadata passthrough)") {
+    // a NON-constant image whose channel means are computed directly here —
+    // if the codec ever returned metadata instead of decoding, this breaks
+    val w = 10; val h = 6
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 25) % 256; val g = (y * 40) % 256; val b = (x * y * 7) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      sr += r; sg += g; sb += b
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = new MultimodalCodec(5).decode("image", bos.toByteArray)
+    val n = (w * h).toDouble
+    assert(f(0) === w.toDouble)
+    assert(f(1) === h.toDouble)
+    assert(math.abs(f(2) - sr / n / 255.0) < 1e-12)
+    assert(math.abs(f(3) - sg / n / 255.0) < 1e-12)
+    assert(math.abs(f(4) - sb / n / 255.0) < 1e-12)
+    // non-decodable payload labeled "image" falls back to the deterministic
+    // stub (the text-byte synthetic assets rely on this)
+    val fake = new MultimodalCodec(5).decode("image", "not a png".getBytes)
+    assert(fake.length === 5)
+  }
+
+  test("multimodal: synthetic image assets round-trip through the real decoder") {
+    val assets = Multimodal.syntheticImageAssets(spark, Tables.documents(spark, sfDir))
+    val feats = Multimodal.extractFeatures(spark, assets, featureDim = 5).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val id = f.asset_id
+      assert(f.feature(0) === (8 + id % 16).toFloat, s"width of $id")
+      assert(f.feature(1) === (8 + id % 12).toFloat, s"height of $id")
+      assert(math.round(f.feature(2) * 255).toLong === id % 256, s"mean R of $id")
+      assert(math.round(f.feature(3) * 255).toLong === (id * 31) % 256, s"mean G of $id")
+      assert(math.round(f.feature(4) * 255).toLong === (id * 77) % 256, s"mean B of $id")
+    }
+  }
+
   test("multimodal: frame sampling slices stride-aligned fixed windows") {
     val assets = Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir))
     val frames = Multimodal.sampleFrames(spark, assets, frameBytes = 64, stride = 2)

@@ -71,6 +71,24 @@ class BenchReportSpec extends AnyFunSuite with Matchers {
       qs.has("q_some_realistically_named_query_01") shouldBe false
   }
 
+  test("eager A/B cross-check passes only when every repeat of both arms agrees") {
+    // all repeats agree → no mismatch
+    BenchReport.eagerMismatch(Map("sharded" -> Seq(42934L, 42934L), "tws" -> Seq(42934L, 42934L))) shouldBe None
+    // arms disagree → mismatch (the r5 vacuous A/B: tws quiesced empty)
+    BenchReport.eagerMismatch(Map("sharded" -> Seq(42934L), "tws" -> Seq(0L))).isDefined shouldBe true
+    // one NON-FINAL repeat diverges while the last agrees → still a mismatch
+    // (min-of-repeats would otherwise report the bad repeat's time)
+    BenchReport.eagerMismatch(
+      Map("sharded" -> Seq(42934L, 42934L), "tws" -> Seq(1000L, 42934L))).isDefined shouldBe true
+    // a single arm (filtered suite) or no data → nothing to cross-check
+    BenchReport.eagerMismatch(Map("sharded" -> Seq(42934L))) shouldBe None
+    BenchReport.eagerMismatch(Map.empty) shouldBe None
+    // message names both arms with per-repeat counts
+    val msg = BenchReport.eagerMismatch(Map("sharded" -> Seq(5L, 5L), "tws" -> Seq(5L, 3L))).get
+    msg should include("sharded=5/5")
+    msg should include("tws=5/3")
+  }
+
   test("a pathologically large suite still renders under the cap") {
     val big = (1 to 500).map(i => f"q_extremely_long_query_name_padding_padding_$i%03d" -> i.toDouble)
     val line = BenchReport.compactLine(big, Seq.empty, "sf")
