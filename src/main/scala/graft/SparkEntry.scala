@@ -592,9 +592,10 @@ object SparkEntry {
       val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("doc_id").as("cid"), col("component"))
       val members = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+        .withColumnRenamed("component", "mcomp")
       docs.join(comp, col("doc_id") === col("cid"), "left")
         .where(col("component").isNull || col("doc_id") === col("component"))
-        .join(members, col("doc_id") === members("component"), "left")
+        .join(members, col("doc_id") === col("mcomp"), "left")
         .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
         // survivors are their own component representative, so the id-keyed
         // split IS the leakage-safe assignment (a component's one survivor

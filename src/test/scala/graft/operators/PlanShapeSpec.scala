@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, Tables}
+
+/** Pins the exchange/sort shape of the window/join gates added in r5 and the
+  * e2e near-dup pipeline, so a refactor cannot silently add a shuffle (or
+  * leak document text into one): every Exchange's input columns are parsed
+  * from the formatted explain, and counts are asserted per plan. At 100 TB
+  * each extra Exchange is a full-corpus materialization and an Exchange
+  * carrying `text` ships the corpus body over the wire.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Formatted-explain node blocks for every Exchange in the plan (each block
+    * carries the node header plus its `Input [n]: [cols]` detail). */
+  private def exchangeBlocks(df: DataFrame): Seq[String] = {
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    fmt.split("\n\n").toSeq.filter(_.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+  }
+
+  private def sortCount(df: DataFrame): Int =
+    """\(\d+\) Sort""".r.findAllIn(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).length
+
+  test("q_rolling_user_stats: all four window features share ONE hash exchange and one partition sort") {
+    val df = SparkEntry.queries("q_rolling_user_stats")(spark, sfDir)
+    val ex = exchangeBlocks(df)
+    val hashEx = ex.filter(_.contains("hashpartitioning"))
+    // one hash exchange for the (user_id) window, one range exchange for the
+    // final presentation orderBy — nothing else
+    assert(hashEx.size === 1, s"window features no longer share one exchange:\n${ex.mkString("\n---\n")}")
+    assert(ex.size <= 2, s"unexpected extra exchanges:\n${ex.mkString("\n---\n")}")
+    // lag (unbounded frame spec) and the rows-between-3 aggregates must ride
+    // the SAME sort; the final orderBy adds the second sort
+    assert(sortCount(df) <= 2, "window computation split into extra sorts")
+  }
+
+  test("j3_overlap_intervals: block equi-join, never a cartesian/nested-loop pair explosion") {
+    val df = SparkEntry.queries("j3_overlap_intervals")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap fell back to a pair explosion:\n$plan")
+    // each side shuffles once on (user_id, block); the presentation orderBy
+    // adds one range exchange
+    val ex = exchangeBlocks(df)
+    assert(ex.size <= 3, s"extra exchanges in the interval join:\n${ex.mkString("\n---\n")}")
+  }
+
+  test("x9_repetition_stats: word and gram stats each combine map-side — no per-token wide shuffle") {
+    val df = SparkEntry.queries("x9_repetition_stats")(spark, sfDir)
+    val ex = exchangeBlocks(df)
+    // exploded (doc_id, token)/(doc_id, gram) rows are partially aggregated
+    // BEFORE their exchange; the joins reuse doc_id partitioning. Budget:
+    // two agg chains (1 exchange each after partial agg), two doc_id join
+    // exchanges, one presentation range exchange.
+    assert(ex.size <= 6, s"x9 grew extra shuffles:\n${ex.mkString("\n---\n")}")
+    for (b <- ex)
+      assert(!b.contains("ws#"), s"an exchange carries the full token array:\n$b")
+  }
+
+  test("e2e near-dup pipeline: document text never enters any exchange") {
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 64)
+    val candidates = Dedup.lshCandidatePairs(sigs, 64, 16)
+    val pairs = Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", 3, candidates, 0.8)
+    for (b <- exchangeBlocks(pairs))
+      assert(!b.contains("text#"), s"document text reached a shuffle:\n$b")
+    // the post-components survivor join + split likewise: only ids, source,
+    // and counts move (components themselves are a checkpointed id->label map)
+    val comp = Dedup.connectedComponents(pairs.limit(50), "doc_a", "doc_b")
+      .select(col("doc_id").as("cid"), col("component"))
+    val members = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+      .withColumnRenamed("component", "mcomp")
+    val out = docs.join(comp, col("doc_id") === col("cid"), "left")
+      .where(col("component").isNull || col("doc_id") === col("component"))
+      .join(members, col("doc_id") === col("mcomp"), "left")
+      .select("doc_id", "source")
+    for (b <- exchangeBlocks(out))
+      assert(!b.contains("text#"), s"document text reached the survivor join shuffle:\n$b")
+  }
+}
