@@ -290,6 +290,27 @@ object Bench {
           "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
           .select("doc_id", "predicted_lang", "quality", "n_tokens", "split"))
       }}),
+      // Per-epoch latency of the steady-state streaming corpus maintenance
+      // loop (graft.tools.CorpusMaintenance): the documents table as the
+      // standing corpus, a 200-doc incoming batch (half near-dups of corpus
+      // docs, half novel), streamed through the stateless stream-static
+      // incremental dedup, admitted decisions materialized exactly-once.
+      // Measures the whole ingest cycle: query start, feed, watermark
+      // drain, idempotent sink write, stop.
+      "streaming_corpus_epoch" -> (() => timed("streaming_corpus_epoch") {
+        val base = Tables.documents(spark, sfDir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val sample = base.orderBy("doc_id").limit(200)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val batch = sample.zipWithIndex.map { case ((id, t), i) =>
+          if (i % 2 == 0) (100000L + id, t + " trailing near dup marker")
+          else (100000L + id, t.split(" ").reverse.mkString(" ") + " reversed novel")
+        }.toSeq
+        val dir = s"/tmp/graft_bench_corpus_${System.nanoTime()}"
+        val admitted = graft.tools.CorpusMaintenance.runEpoch(spark, base, batch, 0, dir,
+          k = 3, numHashes = 64, numBands = 16, threshold = 0.8)
+        System.err.println(s"[bench] streaming_corpus_epoch admitted=${admitted.size} of ${batch.size}")
+      }),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)

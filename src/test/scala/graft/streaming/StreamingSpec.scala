@@ -464,6 +464,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists { case (id, dup, keep) => id == 11L && dup.isEmpty && keep })
   }
 
+  test("incremental corpus maintenance over replayed epochs: materialized corpus equals batch survivors after every epoch") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // batch comparator: the d10b survivor rule (LSH -> verify -> components
+    // -> component minima + singletons) over every document seen so far
+    def batchSurvivors(rows: Seq[(Long, String)]): Set[Long] = {
+      val all = rows.toDF("doc_id", "text")
+      val sigs = Dedup.minHashSignatures(all, "doc_id", "text", 3, 8)
+      val cands = Dedup.lshCandidatePairs(sigs, 8, 8)
+      val pairs = Dedup.verifyCandidatesJaccard(all, "doc_id", "text", 3, cands, 0.5)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("doc_id").as("cid"), col("component"))
+      all.join(comp, col("doc_id") === col("cid"), "left")
+        .where(col("component").isNull || col("doc_id") === col("component"))
+        .select("doc_id").as[Long].collect().toSet
+    }
+
+    val corpus0 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "an entirely different corpus document about spark shuffles and joins"))
+    // epoch 1's near-dup (12) targets a doc ADMITTED in epoch 0 (11): the
+    // corpus the second run joins against must already contain it — the
+    // property that makes this maintenance, not one-shot dedup. Batches are
+    // internally dup-free (a real pipeline bootstraps intra-batch dups with
+    // batch d10b first), so the streamed corpus must equal batch survivors
+    // after every epoch.
+    val epochs = Seq(
+      Seq((10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (11L, "it is a story of the sea and of the ships that sail it every day")),
+      Seq((12L, "it is a story of the sea and of the ships that sail it every night"),
+        (13L, "alpine meadows and mountain weather patterns make a completely fresh subject here")))
+
+    val sinkDir = s"/tmp/graft_corpus_maint_${System.nanoTime()}"
+    var corpusRows = corpus0
+    for ((batch, i) <- epochs.zipWithIndex) {
+      val admitted = graft.tools.CorpusMaintenance.runEpoch(
+        spark, corpusRows.toDF("doc_id", "text"), batch, i, sinkDir,
+        k = 3, numHashes = 8, numBands = 8, threshold = 0.5)
+      corpusRows = corpusRows ++ batch.filter { case (id, _) => admitted.contains(id) }
+      val seen = corpus0 ++ epochs.take(i + 1).flatten
+      assert(corpusRows.map(_._1).toSet === batchSurvivors(seen),
+        s"epoch $i: maintained corpus diverged from batch survivors")
+    }
+    assert(corpusRows.map(_._1).toSet === Set(0L, 1L, 11L, 13L))
+
+    // exactly-once: replaying epoch 0's micro-batch write (same batchId)
+    // leaves the materialized corpus unchanged
+    val before = spark.read.parquet(s"$sinkDir/epoch=0")
+      .where(col("doc_id") < graft.tools.CorpusMaintenance.FlushIdBase)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // materialize the batch before rewriting (cannot overwrite a path that
+    // is lazily being read from)
+    val src = spark.read.parquet(s"$sinkDir/epoch=0/batch_id=0")
+    val replay = spark.createDataFrame(
+      spark.sparkContext.parallelize(src.collect().toSeq), src.schema)
+    ExactlyOnceSink.writeBatch(replay, 0L, s"$sinkDir/epoch=0")
+    val after = spark.read.parquet(s"$sinkDir/epoch=0")
+      .where(col("doc_id") < graft.tools.CorpusMaintenance.FlushIdBase)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(before === after)
+  }
+
   test("stream-stream interval join: in-window pairs matched, out-of-window and late rows never join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
