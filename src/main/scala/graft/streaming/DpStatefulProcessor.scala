@@ -16,8 +16,10 @@ import graft.dp._
   * contributions, 5 k keys, T=20), with BOTH arms pinned to the RocksDB
   * state store so the comparison isolates operator design from provider,
   * produced identical release counts (42 934, every repeat of both arms)
-  * with timers ~2.8× faster (r7 min-of-2: 24.9 s vs 69.5 s; the lazy
-  * no-eagerness floor is 7.0 s): per-key state writes O(key) per update
+  * with timers ~8× faster (r7 full-suite min-of-2 on a quiet machine:
+  * 6.9 s vs 57.7 s; the lazy no-eagerness floor is 2.7 s. A loaded-machine
+  * sample the same day read 24.9/69.5/7.0 — same ordering, same counts):
+  * per-key state writes O(key) per update
   * where the shard design re-serializes a whole shard, and timer latency
   * costs less than two synchronous barriers per epoch. (The r6 bench's
   * 180 s entry for this arm was a HARNESS artifact — its consumption
