@@ -615,6 +615,15 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- duplicate-SPAN detection (substring-level dedup): maximal runs
+    //      of 8-token windows recurring >= 2 times corpus-wide — the
+    //      boilerplate/license regions document-level dedup cannot see ----
+    "d14_duplicate_spans" -> ((s, d) => {
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 8, minOccurrences = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- SimHash fingerprints ----
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -1300,6 +1309,28 @@ object SparkEntry {
            |FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
            |      FROM surv)
            |ORDER BY doc_id""".stripMargin,
+
+      // windows/occurrence/islands mirror Dedup.duplicateSpans (n=8, md5
+      // window hashes, pos - row_number islands)
+      "d14_duplicate_spans" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |w AS (
+          |  SELECT doc_id, u.pos, u.h FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM t WHERE len(ws) >= 8)),
+          |occ AS (SELECT h, count(*) AS occ FROM w GROUP BY h),
+          |dup AS (SELECT w.doc_id, w.pos FROM w JOIN occ USING (h) WHERE occ.occ >= 2),
+          |g AS (SELECT doc_id, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |      FROM dup)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          |       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
+          |       CAST(count(*) AS BIGINT) AS n_windows
+          |FROM g GROUP BY doc_id, grp
+          |ORDER BY doc_id, span_start""".stripMargin,
 
       "d3_simhash" ->
         """WITH toks AS (

@@ -373,6 +373,50 @@ object Dedup {
       .where(col("n_shared") >= minOverlap)
   }
 
+  /** Duplicate-SPAN detection — substring-level dedup: maximal runs of
+    * consecutive n-token windows whose content recurs elsewhere in the
+    * corpus (or elsewhere in the same document). Document-level dedup
+    * (d1/d2) misses boilerplate — licenses, headers, navigation chrome —
+    * embedded inside otherwise-unique documents; span-level detection
+    * finds exactly those regions, the remediation being to cut the span
+    * rather than drop the document.
+    *
+    * Mechanics: every n-token window is hashed (md5 over the space-joined
+    * window — engine-portable, oracle-checkable); a window is *duplicated*
+    * when its hash occurs at least `minOccurrences` times corpus-wide;
+    * consecutive duplicated positions merge into maximal spans with the
+    * classic islands trick (pos − row_number is constant within a run).
+    * One row per span: start position, token length, window count.
+    *
+    * Scale shape: the exploded frame carries (doc_id, pos, 128-bit hash) —
+    * never text; its two shuffles are the occurrence aggregate on the hash
+    * and the per-document islands window, both map-side combinable or
+    * WindowGroupLimit-free single-pass. A corpus-wide hot window (the same
+    * license in a million docs) costs one aggregate row plus its own
+    * occurrence count — candidate volume is linear in corpus positions,
+    * never pairwise. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Long = 2L): DataFrame = {
+    require(n >= 1, s"window size must be >= 1, got $n")
+    val toks = TextOps.tokens(col(textCol))
+    val winHashes = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val wins = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(winHashes).as(Seq("pos", "h")))
+    val occ = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+    val dup = wins.join(occ.where(col("occ") >= minOccurrences), "h")
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dup.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + n).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+  }
+
   /** 32-bit SimHash over token occurrences: bit b set iff the sum of ±1 votes
     * (tokens whose hash has bit b set vote +1) is positive.
     *

@@ -405,6 +405,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byId1 === byId2)
   }
 
+  test("duplicate spans: shared boilerplate becomes one maximal span; unique text emits none") {
+    import spark.implicits._
+    val boiler = "this content is licensed under the creative commons attribution share alike license"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler epsilon zeta"),
+      (2L, s"one two three four five six seven $boiler"),
+      (3L, "entirely unique words nothing here repeats at all in any way whatsoever today"),
+      // within-document repetition: every 4-window recurs inside the doc
+      (4L, "spam ham spam ham spam ham spam ham")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    // the 12-token boilerplate yields 9 consecutive duplicated windows,
+    // merged to ONE span of exactly the boilerplate's extent; windows
+    // straddling the boundary differ between docs and stay unique
+    assert(spans(1L) === Seq((4L, 12L, 9L)))
+    assert(spans(2L) === Seq((7L, 12L, 9L)))
+    assert(!spans.contains(3L))
+    assert(spans(4L) === Seq((0L, 8L, 5L)))
+  }
+
   test("multimodal: image decode reads real pixels (gradient PNG, not metadata passthrough)") {
     // a NON-constant image whose channel means are computed directly here —
     // if the codec ever returned metadata instead of decoding, this breaks
