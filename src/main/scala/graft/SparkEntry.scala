@@ -624,6 +624,14 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ---- span-dedup remediation: duplicated spans cut out of the text,
+    //      whitespace-normalized; full strings hash-compared ----
+    "d14b_strip_spans" -> ((s, d) => {
+      Dedup.stripDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 8, minOccurrences = 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash fingerprints ----
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -1331,6 +1339,39 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_windows
           |FROM g GROUP BY doc_id, grp
           |ORDER BY doc_id, span_start""".stripMargin,
+
+      // same windows/occurrence/islands as d14, then tokens NOT covered by
+      // any span re-join in position order (whitespace-normalized, exactly
+      // the Spark side's higher-order filter + concat_ws)
+      "d14b_strip_spans" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |w AS (
+          |  SELECT doc_id, u.pos, u.h FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM t WHERE len(ws) >= 8)),
+          |occ AS (SELECT h, count(*) AS occ FROM w GROUP BY h),
+          |dup AS (SELECT w.doc_id, w.pos FROM w JOIN occ USING (h) WHERE occ.occ >= 2),
+          |g AS (SELECT doc_id, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |      FROM dup),
+          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM g GROUP BY doc_id, grp),
+          |tk AS (
+          |  SELECT doc_id, u.i, u.tok FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, len(ws) + 1),
+          |        i -> struct_pack(i := i - 1, tok := ws[i]))) AS u
+          |    FROM t)),
+          |kept AS (
+          |  SELECT tk.doc_id, tk.i, tk.tok FROM tk
+          |  WHERE NOT EXISTS (SELECT 1 FROM sp
+          |                    WHERE sp.doc_id = tk.doc_id AND tk.i >= sp.s AND tk.i < sp.e))
+          |SELECT d.doc_id,
+          |       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+          |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text
+          |FROM documents d ORDER BY doc_id""".stripMargin,
 
       "d3_simhash" ->
         """WITH toks AS (

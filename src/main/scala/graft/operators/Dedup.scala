@@ -417,6 +417,35 @@ object Dedup {
       .drop("grp")
   }
 
+  /** Remediation for [[duplicateSpans]]: every document re-emitted with its
+    * duplicated spans REMOVED — cut the boilerplate, keep the document.
+    * Output text is whitespace-normalized (surviving tokens re-joined with
+    * single spaces) so the transform is engine-portable and oracle-checkable;
+    * a span-free document round-trips to its normalized self, a fully-
+    * duplicated one to the empty string.
+    *
+    * Scale shape: [[duplicateSpans]]' shuffles plus one ids-only left join —
+    * the span side aggregates to one small array per affected document
+    * (affected docs are a corpus minority at production dup rates, so AQE
+    * downgrades the join to broadcast); the text column itself never
+    * shuffles, and span removal is a codegen'd higher-order filter on the
+    * already-local token array. */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Long = 2L): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, n, minOccurrences)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("__spans"))
+    val emptySpans = array().cast("array<struct<span_start:bigint,span_len:bigint>>")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("__toks"), (_, i) =>
+          !exists(coalesce(col("__spans"), emptySpans),
+            s => i >= s("span_start") && i < s("span_start") + s("span_len"))))
+          .as("clean_text"))
+  }
+
   /** 32-bit SimHash over token occurrences: bit b set iff the sum of ±1 votes
     * (tokens whose hash has bit b set vote +1) is positive.
     *

@@ -425,6 +425,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spans(2L) === Seq((7L, 12L, 9L)))
     assert(!spans.contains(3L))
     assert(spans(4L) === Seq((0L, 8L, 5L)))
+
+    // remediation: the span is cut, everything else survives in order;
+    // span-free docs round-trip; fully-duplicated docs strip to empty
+    val cleaned = Dedup.stripDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) === "alpha beta gamma delta epsilon zeta")
+    assert(cleaned(2L) === "one two three four five six seven")
+    assert(cleaned(3L) === "entirely unique words nothing here repeats at all in any way whatsoever today")
+    assert(cleaned(4L) === "")
   }
 
   test("multimodal: image decode reads real pixels (gradient PNG, not metadata passthrough)") {
