@@ -933,6 +933,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- semantic corpus clustering: nearest trained centroid + exact
+    //      squared distance per vector (assignment agrees with d8's IVF
+    //      cells; the oracle re-derives it from the exported centroids) ----
+    "q_kmeans_assign" -> ((s, d) => {
+      Similarity.kmeansAssign(Tables.embeddings(s, d)).orderBy("vec_id")
+    }),
+
+    // ---- cluster-balanced (diversity) sampling: deterministic md5-rank
+    //      cap per semantic cluster — the curation step that keeps a
+    //      training mix from collapsing into its dominant topics ----
+    "q_cluster_balanced_sample" -> ((s, d) => {
+      CoreOps.sampleDeterministicPerKey(
+          Similarity.kmeansAssign(Tables.embeddings(s, d)), "cluster", "vec_id", 10L)
+        .select("cluster", "vec_id")
+        .orderBy("cluster", "vec_id")
+    }),
+
     // ---- int8-style scalar quantization + exact rescoring ----
     "d9_quantized_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1036,6 +1053,39 @@ object SparkEntry {
            |  SELECT DISTINCT p.query_id, a.vec_id
            |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id)""".stripMargin
       Seq(
+        // nearest-centroid assignment + true squared distance (dists' d is
+        // ‖c‖²−2·v·c; adding the row's ‖v‖² restores it, same as the Spark
+        // column); ties to the lowest centroid index
+        "q_kmeans_assign" ->
+          s"""WITH centroids(c, nsq, w) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |dists AS (
+             |  SELECT v.vec_id, ct.c,
+             |         ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d,
+             |         ${dotq("v.emb", "v.emb")} AS vsq
+             |  FROM corp v CROSS JOIN centroids ct),
+             |ranked AS (SELECT vec_id, c, d, vsq,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists)
+             |SELECT vec_id, CAST(c AS INT) AS cluster, round(d + vsq, 6) AS dist2
+             |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+        "q_cluster_balanced_sample" ->
+          s"""WITH centroids(c, nsq, w) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |dists AS (
+             |  SELECT v.vec_id, ct.c, ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d
+             |  FROM corp v CROSS JOIN centroids ct),
+             |ranked AS (SELECT vec_id, c,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+             |assign AS (SELECT vec_id, CAST(c AS INT) AS cluster FROM ranked WHERE rn = 1),
+             |sampled AS (
+             |  SELECT cluster, vec_id,
+             |         row_number() OVER (PARTITION BY cluster
+             |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+             |  FROM assign)
+             |SELECT cluster, vec_id FROM sampled WHERE r <= 10
+             |ORDER BY cluster, vec_id""".stripMargin,
+
         "d8_ann_ivf_topk" ->
           s"""$candCtes,
              |scored AS (

@@ -329,6 +329,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Semantic corpus clustering: every vector assigned to its nearest
+    * trained centroid, with its exact squared distance — the curation
+    * primitive behind cluster-balanced (diversity) sampling, semantic
+    * near-dup pruning, and topic-mix dataset cards. Same deterministic
+    * k-means as the IVF index ([[trainIvfCentroids]]), so cluster ids agree
+    * with [[ivfTopK]]'s cells for a given (corpus, seed).
+    *
+    * Scale shape: training touches a bounded sample; assignment is a pure
+    * projection over broadcast-literal centroids (one native dot per
+    * centroid, all codegen) — zero shuffles over the corpus. */
+  def kmeansAssign(corpus: DataFrame,
+      dim: Int = 64, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nlist, dim, seed = seed)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("best", array_min(centroidDists(col("emb"), centroids)))
+      .select(col("vec_id"),
+        col("best").getField("c").as("cluster"),
+        // centroidDists carries d = ‖c‖² − 2·v·c; add the per-row ‖v‖² back
+        // for the true squared distance
+        round(col("best").getField("d") + dot(col("emb"), col("emb")), 6).as("dist2"))
+  }
+
   /** Distinct (query_id, vec_id) candidate pairs from the IVF cells: corpus
     * rows living in any of the query's `nprobe` nearest cells — the
     * trained-quantizer analogue of [[lshCandidates]], for feeding
