@@ -580,7 +580,7 @@ object SparkEntry {
     //      band-bucket candidates → exact Jaccard verify (ids+hash-sets
     //      only) → connected components → survivors (component minima +
     //      singletons, with member counts) → deterministic split. Text
-    //      never shuffles at any stage (pinned by DedupPlanSpec); the
+    //      never shuffles at any stage (pinned by PlanShapeSpec); the
     //      DuckDB oracle re-derives every stage including the recursive
     //      component closure. ----
     "e2e_neardup_build" -> ((s, d) => {
