@@ -75,6 +75,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!b.contains("ws#"), s"an exchange carries the full token array:\n$b")
   }
 
+  test("duplicate spans: neither text nor token arrays enter any exchange") {
+    val docs = Tables.documents(spark, sfDir)
+    for ((name, df) <- Seq(
+        "d14" -> Dedup.duplicateSpans(docs, "doc_id", "text", n = 8),
+        "d14b" -> Dedup.stripDuplicateSpans(docs, "doc_id", "text", n = 8))) {
+      for (b <- exchangeBlocks(df)) {
+        assert(!b.contains("text#"), s"$name: document text reached a shuffle:\n$b")
+        assert(!b.contains("__toks#"), s"$name: the token array reached a shuffle:\n$b")
+      }
+    }
+  }
+
   test("e2e near-dup pipeline: document text never enters any exchange") {
     val docs = Tables.documents(spark, sfDir)
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 64)
