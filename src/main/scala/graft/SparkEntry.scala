@@ -950,6 +950,15 @@ object SparkEntry {
         .orderBy("cluster", "vec_id")
     }),
 
+    // ---- chunk→document embedding pooling: element-wise fixed-point mean
+    //      per group (10 chunks per synthetic document), long format ----
+    "q_chunk_mean_pool" -> ((s, d) => {
+      val chunks = Tables.embeddings(s, d)
+        .select(expr("vec_id div 10").as("doc_group"), col("embedding"))
+      Similarity.meanPoolQ6(chunks, "doc_group", "embedding")
+        .orderBy("group_id", "pos")
+    }),
+
     // ---- int8-style scalar quantization + exact rescoring ----
     "d9_quantized_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1719,6 +1728,23 @@ object SparkEntry {
           |       octet_length(encode(text)) AS n_bytes,
           |       substr(sha256(text), 1, 16) AS sha
           |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // q6 fixed-point pooling: long sums are exact, so both engines agree
+      // byte-for-byte regardless of summation order
+      "q_chunk_mean_pool" ->
+        """WITH e AS (
+          |  SELECT vec_id // 10 AS group_id, u.pos, u.v FROM (
+          |    SELECT vec_id,
+          |      unnest(list_transform(range(1, len(embedding) + 1),
+          |        i -> struct_pack(pos := i - 1, v := embedding[i]))) AS u
+          |    FROM embeddings)),
+          |q AS (SELECT group_id, pos,
+          |             CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS q6
+          |      FROM e)
+          |SELECT group_id, pos,
+          |       CAST(round(CAST(sum(q6) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q6
+          |FROM q GROUP BY group_id, pos
+          |ORDER BY group_id, pos""".stripMargin,
 
       // every decoded value is closed-form in the asset id (constant-color
       // PNG: dims 8+id%16 × 8+id%12, RGB = (id%256, id*31%256, id*77%256));

@@ -351,6 +351,27 @@ object Similarity {
         round(col("best").getField("d") + dot(col("emb"), col("emb")), 6).as("dist2"))
   }
 
+  /** Chunk→document embedding pooling: the element-wise mean of each
+    * group's vectors (document embedding from its chunks' embeddings), in
+    * LONG format — (group, dimension position, fixed-point mean) — the
+    * scalar-row shape that shuffles and oracle-compares cleanly.
+    *
+    * Values pool in q6 FIXED-POINT (round(v·10⁶) longs, the
+    * `q_dataset_card` pattern): long sums are exact and order-independent,
+    * so the result never depends on float summation order — partial
+    * aggregation, retries, and any partitioning give identical bytes, and
+    * a SQL oracle reproduces them. Per-(group, pos) sums stay well inside
+    * a long for any realistic chunk count.
+    *
+    * Scale shape: posexplode to (group, pos, q6) then ONE map-side-combined
+    * aggregate — the shuffle carries (group, pos, partial sum, count)
+    * longs, dim rows per group per task, never whole vectors. */
+  def meanPoolQ6(chunks: DataFrame, groupCol: String, embCol: String): DataFrame =
+    chunks.select(col(groupCol).as("group_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .withColumn("q6", round(col("v").cast("double") * lit(1000000.0)).cast("long"))
+      .groupBy("group_id", "pos")
+      .agg(round(sum(col("q6")).cast("double") / count(lit(1))).cast("long").as("mean_q6"))
+
   /** Distinct (query_id, vec_id) candidate pairs from the IVF cells: corpus
     * rows living in any of the query's `nprobe` nearest cells — the
     * trained-quantizer analogue of [[lshCandidates]], for feeding
