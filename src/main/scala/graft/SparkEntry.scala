@@ -902,7 +902,9 @@ object SparkEntry {
     //      SQL. Distribution shape itself stays golden-pinned in
     //      SyntheticSourceSpec. ----
     "s3_zipf_freq" -> ((s, d) => {
-      val path = "/tmp/graft_s3_zipf_input.parquet"
+      // per-JVM path: concurrent Verify/Bench processes must not overwrite
+      // each other's materialization (the oracle dump records this JVM's)
+      val path = s"/tmp/graft_s3_zipf_input_${ProcessHandle.current().pid()}.parquet"
       graft.sources.SyntheticSource.zipfContributions(s, 100000L, 1000, 500, 4).toDF()
         .write.mode("overwrite").parquet(path)
       lastS3InputPath = Some(path)
