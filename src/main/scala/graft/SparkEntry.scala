@@ -632,6 +632,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- span-level decontamination: corpus regions whose 8-token
+    //      windows appear verbatim in the eval split (doc_id % 11 == 0 —
+    //      sized so real contamination exists at every gate scale),
+    //      merged to maximal spans ----
+    "d15_decontaminate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationSpans(
+          docs.where(col("doc_id") % 11 =!= 0), docs.where(col("doc_id") % 11 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // ---- SimHash fingerprints ----
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -1433,6 +1445,29 @@ object SparkEntry {
           |       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
           |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text
           |FROM documents d ORDER BY doc_id""".stripMargin,
+
+      // corpus windows (doc_id % 11 <> 0) matched against the eval split's
+      // distinct windows, then the same islands merge as d14
+      "d15_decontaminate_spans" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |w AS (
+          |  SELECT doc_id, u.pos, u.h FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM t WHERE len(ws) >= 8)),
+          |c AS (SELECT doc_id, pos, h FROM w WHERE doc_id % 11 <> 0),
+          |b AS (SELECT DISTINCT h FROM w WHERE doc_id % 11 = 0),
+          |dup AS (SELECT c.doc_id, c.pos FROM c JOIN b USING (h)),
+          |g AS (SELECT doc_id, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |      FROM dup)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          |       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
+          |       CAST(count(*) AS BIGINT) AS n_windows
+          |FROM g GROUP BY doc_id, grp
+          |ORDER BY doc_id, span_start""".stripMargin,
 
       "d3_simhash" ->
         """WITH toks AS (

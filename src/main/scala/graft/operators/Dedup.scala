@@ -397,17 +397,32 @@ object Dedup {
     * never pairwise. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minOccurrences: Long = 2L): DataFrame = {
+    val wins = windowHashes(docs, idCol, textCol, n)
+    val occ = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+    mergeSpans(
+      wins.join(occ.where(col("occ") >= minOccurrences), "h").select("doc_id", "pos"), n)
+  }
+
+  /** Every n-token window of every document as (doc_id, pos, md5-hash) —
+    * the exploded frame behind [[duplicateSpans]] and
+    * [[contaminationSpans]]; the full 128-bit hash keeps window identity
+    * collision-free at any corpus size. */
+  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     require(n >= 1, s"window size must be >= 1, got $n")
     val toks = TextOps.tokens(col(textCol))
     val winHashes = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
       .otherwise(array().cast("array<string>"))
-    val wins = docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(winHashes).as(Seq("pos", "h")))
-    val occ = wins.groupBy("h").agg(count(lit(1)).as("occ"))
-    val dup = wins.join(occ.where(col("occ") >= minOccurrences), "h")
-      .select("doc_id", "pos")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(winHashes).as(Seq("pos", "h")))
+  }
+
+  /** Flagged (doc_id, pos) window positions merged into maximal spans via
+    * the islands trick (pos − row_number constant within a consecutive
+    * run); one row per span. */
+  private def mergeSpans(dup: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dup.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("doc_id", "grp")
@@ -415,6 +430,28 @@ object Dedup {
         (max(col("pos")) - min(col("pos")) + n).cast("long").as("span_len"),
         count(lit(1)).as("n_windows"))
       .drop("grp")
+  }
+
+  /** Span-level benchmark decontamination — the n-gram window match real
+    * LLM pipelines run against their eval suites (the 8–13-gram overlap
+    * rule): a corpus region is contaminated when one of its n-token
+    * windows appears VERBATIM anywhere in the benchmark set; consecutive
+    * contaminated windows merge into maximal spans, so the remediation
+    * (cut the span, or drop the document when coverage is high) is
+    * precise. Complements [[contaminationPairs]], which scores doc-level
+    * shingle overlap without localizing it.
+    *
+    * Scale shape: the benchmark side is an eval suite, small by
+    * definition — its distinct window hashes BROADCAST, so flagging is a
+    * map-side semi-join over the corpus windows: (doc_id, pos, hash)
+    * rows, never text; the only shuffle is the per-document islands
+    * window. */
+  def contaminationSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchWins = windowHashes(bench, idCol, textCol, n).select("h").distinct()
+    mergeSpans(
+      windowHashes(corpus, idCol, textCol, n)
+        .join(broadcast(benchWins), "h").select("doc_id", "pos"), n)
   }
 
   /** Remediation for [[duplicateSpans]]: every document re-emitted with its

@@ -436,6 +436,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cleaned(4L) === "")
   }
 
+  test("contamination spans: corpus regions matching eval windows flagged, clean docs untouched") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")) // exactly one 8-window
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // the eval text verbatim at token positions 3..10
+      (1L, "intro words here alpha beta gamma delta epsilon zeta eta theta trailing tail"),
+      (2L, "completely clean document with no overlap at all in any region today"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq === Seq((1L, 3L, 8L, 1L)))
+  }
+
   test("multimodal: image decode reads real pixels (gradient PNG, not metadata passthrough)") {
     // a NON-constant image whose channel means are computed directly here —
     // if the codec ever returned metadata instead of decoding, this breaks
