@@ -47,6 +47,29 @@ object Bench {
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(2).max(1)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadPre = osBean.getSystemLoadAverage
+    // EXTERNAL-load detector for noise-gated retries: loadavg alone cannot
+    // distinguish our own 32 busy cores from a concurrent sbt/DuckDB run
+    // (r5/r7: unchanged-code entries swung 24–58% under mid-suite load), but
+    // systemCpu − processCpu is exactly the share of the machine OTHER
+    // processes burned during the interval since the previous sample.
+    val sunBean = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    /** CPU fraction consumed by processes other than this JVM since the last
+      * call (interval-based; first call primes the counters). */
+    def externalCpu(): Double = sunBean.map { b =>
+      val sys = b.getCpuLoad
+      val proc = b.getProcessCpuLoad
+      if (sys.isNaN || proc.isNaN) 0.0 else math.max(0.0, sys - proc)
+    }.getOrElse(0.0)
+    externalCpu() // prime the interval counters
+    // An entry is retried once when >20% of the machine went to other
+    // processes during its run AND it ran long enough for the reading to be
+    // meaningful; the retry budget bounds worst-case suite inflation.
+    val ExtCpuRetryThreshold = 0.20
+    val MaxNoiseRetries = 12
+    var noiseRetries = 0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,19 +105,63 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
 
+    // per-entry times across the in-run repetitions / noise retries
+    val runDetail = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-entry external-CPU share observed during each run (same order as
+    // runDetail) — the contamination record a reader needs to discount a
+    // slow sample without guessing
+    val extDetail = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+
+    /** One timed run plus the external-CPU share observed during it. */
+    def sampledRun(name: String)(body: => Unit): (Double, Double) = {
+      externalCpu()
+      val t = timed(name)(body)
+      (t, externalCpu())
+    }
+
+    /** Time once; if other processes stole >threshold CPU during a
+      * non-trivial run, re-run once and report the min — unchanged-code
+      * entries stop drifting with machine load (r8 advice #2). */
+    def timedNoiseGated(name: String)(body: => Unit): Double = {
+      val (t1, e1) = sampledRun(name)(body)
+      val contaminated = t1 > 0.5 && e1 > ExtCpuRetryThreshold
+      if (t1 >= 0 && contaminated && noiseRetries < MaxNoiseRetries) {
+        noiseRetries += 1
+        System.err.println(f"[bench] '$name' saw external CPU $e1%.2f — retrying once")
+        val (t2, e2) = sampledRun(name)(body)
+        runDetail(name) = Seq(t1, t2)
+        extDetail(name) = Seq(e1, e2)
+        if (t2 >= 0) math.min(t1, t2) else t1
+      } else {
+        extDetail(name) = Seq(e1)
+        t1
+      }
+    }
+
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted(name) }
-      .map { case (name, fn) => name -> timed(name)(force(fn(spark, sfDir))) }
+      .map { case (name, fn) => name -> timedNoiseGated(name)(force(fn(spark, sfDir))) }
 
-    def microbatch(gb: Double): Double = {
-      val name = s"microbatch_${gb.toString.replace('.', '_')}gb"
-      timed(name) {
+    /** Byte-budget micro-batch at a given total size and parallelism
+      * (reference grid: sizes {1,2,5} GB default plan,
+      * MicroBatchConfig.java:33; strong-scaling sizes {0.5,1,2} GB ×
+      * parallelism {4,8,16} and weak-scaling 0.125 GB/worker,
+      * run-scaling-benchmark.sh:24-34). Parallelism in local mode =
+      * source partitions + shuffle partitions capped to P, so at most P
+      * of the 32 cores ever run concurrently — the single-box analogue of
+      * P workers. */
+    def microbatch(gb: Double, parallelism: Int = cpus.toInt, suffix: String = ""): Double = {
+      val name = s"microbatch_${gb.toString.replace('.', '_')}gb$suffix"
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
+      try timed(name) {
         val n = SyntheticSource.recordsForGb(gb)
-        val contrib = SyntheticSource.zipfContributions(spark, n, 100000, 50000, 1)
+        val contrib = SyntheticSource.zipfContributions(spark, n, 100000, 50000, 1,
+          partitions = parallelism)
         force(contrib.toDF()
           .withColumn("value", CoreOps.clamp(col("value"), 1.0))
           .groupBy("key").agg(sum(col("value")).as("count")))
-      }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
 
     // release counts of the two eager designs, recorded for EVERY in-run
@@ -107,8 +174,9 @@ object Bench {
     val eagerReleases = scala.collection.mutable.Map.empty[String, Vector[Long]]
     def recordEager(arm: String, n: Long): Unit =
       eagerReleases(arm) = eagerReleases.getOrElse(arm, Vector.empty) :+ n
-    // per-entry times across the in-run repetitions, for bench.json
-    val runDetail = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-epoch seconds of the LAST amortized streaming-maintenance run
+    // (feeds the derived steady-state entry below)
+    var epochSeconds: Option[Seq[Double]] = None
 
     // per-run table names: a killed run's orphaned warehouse directory must
     // not fail the next run's CREATE (in-memory catalog dies with the JVM)
@@ -307,61 +375,151 @@ object Bench {
           else (100000L + id, t.split(" ").reverse.mkString(" ") + " reversed novel")
         }.toSeq
         val dir = s"/tmp/graft_bench_corpus_${System.nanoTime()}"
-        val admitted = graft.tools.CorpusMaintenance.runEpoch(spark, base, batch, 0, dir,
-          k = 3, numHashes = 64, numBands = 16, threshold = 0.8)
-        System.err.println(s"[bench] streaming_corpus_epoch admitted=${admitted.size} of ${batch.size}")
+        try {
+          val admitted = graft.tools.CorpusMaintenance.runEpoch(spark, base, batch, 0, dir,
+            k = 3, numHashes = 64, numBands = 16, threshold = 0.8)
+          // drift guard: the workload plants exactly 100 reversed-novel docs
+          // plus 5 near-dup-marked docs below the 0.8 Jaccard threshold —
+          // any other count means the dedup semantics moved, so fail LOUDLY
+          // rather than record a timing for a different computation
+          require(admitted.size == 105,
+            s"streaming_corpus_epoch admitted ${admitted.size} of ${batch.size}, expected 105")
+          System.err.println(s"[bench] streaming_corpus_epoch admitted=${admitted.size} of ${batch.size}")
+        } finally graft.tools.CorpusMaintenance.deleteRecursively(dir)
+      }),
+      // Amortized steady-state ingest latency: N epochs against ONE
+      // long-lived streaming query + checkpoint. The entry's own time is
+      // the full 5-epoch run; the derived streaming_corpus_epoch_steady
+      // entry (below) reports the mean per-epoch seconds EXCLUDING the
+      // first epoch (query start + checkpoint creation), i.e. what a
+      // nightly ingest actually pays per cycle. Runs ONCE regardless of
+      // `repeats` — it already self-averages over 4 steady-state epochs.
+      "streaming_corpus_epoch5_amortized" -> (() => timed("streaming_corpus_epoch5_amortized") {
+        val base = Tables.documents(spark, sfDir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val sample = base.orderBy("doc_id").limit(200)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val dir = s"/tmp/graft_bench_corpusN_${System.nanoTime()}"
+        try {
+          val epochs = 5
+          // identical batch TEXT every epoch (epoch-distinct ids): incoming
+          // docs are never compared to each other, so each cycle admits
+          // exactly the single-epoch entry's 105 — the invariant below
+          val perEpoch = graft.tools.CorpusMaintenance.runEpochs(spark, base, epochs, dir,
+            k = 3, numHashes = 64, numBands = 16, threshold = 0.8) { epoch =>
+            sample.zipWithIndex.map { case ((id, t), i) =>
+              if (i % 2 == 0) (100000L * (epoch + 1) + id, t + " trailing near dup marker")
+              else (100000L * (epoch + 1) + id, t.split(" ").reverse.mkString(" ") + " reversed novel")
+            }.toSeq
+          }
+          perEpoch.foreach { e =>
+            require(e.admitted == 105,
+              s"streaming_corpus_epoch5_amortized epoch ${e.epoch} admitted ${e.admitted}, expected 105")
+          }
+          epochSeconds = Some(perEpoch.map(_.seconds))
+          val steady = perEpoch.drop(1).map(_.seconds)
+          System.err.println(f"[bench] streaming_corpus_epoch5_amortized per-epoch=" +
+            perEpoch.map(e => f"${e.seconds}%.2f").mkString("/") +
+            f" steady-state mean=${steady.sum / steady.size}%.2f s")
+        } finally graft.tools.CorpusMaintenance.deleteRecursively(dir)
       }),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
-      // reference scaling-sweep sizes (run-scaling-benchmark.sh:27-34 uses
+      // reference strong-scaling sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)
       "microbatch_0_5gb" -> (() => microbatch(0.5)),
-      "microbatch_1_0gb" -> (() => microbatch(1.0)))
+      "microbatch_1_0gb" -> (() => microbatch(1.0)),
+      // the reference's DEFAULT batch plan {1, 2, 5} GB
+      // (MicroBatchConfig.java:33 DEFAULT_SIZES_GB) — completes point-for-
+      // point comparability with BASELINE.md's grid
+      "microbatch_2_0gb" -> (() => microbatch(2.0)),
+      "microbatch_5_0gb" -> (() => microbatch(5.0)),
+      // strong scaling: fixed 1 GB across parallelism {4, 8, 16}
+      // (run-scaling-benchmark.sh:24-28 PARALLELISMS)
+      "microbatch_1_0gb_p4" -> (() => microbatch(1.0, parallelism = 4, suffix = "_p4")),
+      "microbatch_1_0gb_p8" -> (() => microbatch(1.0, parallelism = 8, suffix = "_p8")),
+      "microbatch_1_0gb_p16" -> (() => microbatch(1.0, parallelism = 16, suffix = "_p16")),
+      // weak scaling: 0.125 GB/worker × {4, 8, 16} workers → {0.5, 1, 2} GB
+      // (run-scaling-benchmark.sh:30-34 WEAK_PER_WORKER_GB); the p8 point
+      // (1 GB @ 8) is exactly the strong-scaling microbatch_1_0gb_p8 above
+      "microbatch_0_5gb_p4" -> (() => microbatch(0.5, parallelism = 4, suffix = "_p4")),
+      "microbatch_2_0gb_p16" -> (() => microbatch(2.0, parallelism = 16, suffix = "_p16")))
       .filter { case (name, _) => wanted(name) }
       .map { case (name, run) =>
         // back-to-back repetitions, min reported (profiler metrics for the
         // name accumulate over all runs — A/B pairs are both scaled by
         // `repeats`, so profile RATIOS stay valid); a failed run never
-        // hides behind a successful one's min
-        val times = (1 to repeats).map(_ => run())
+        // hides behind a successful one's min. When EVERY repeat was
+        // externally contaminated (>threshold of the machine went to other
+        // processes), one extra repeat is added — min-of-repeats only
+        // de-noises when at least one repeat ran clean.
+        def sampled(): (Double, Double) = { externalCpu(); val t = run(); (t, externalCpu()) }
+        // the amortized streaming entry self-averages over its own steady
+        // epochs — repeating the whole 5-epoch cycle would double its cost
+        // for no extra signal
+        val entryRepeats = if (name == "streaming_corpus_epoch5_amortized") 1 else repeats
+        var samples = (1 to entryRepeats).map(_ => sampled()).toVector
+        if (samples.forall { case (t, e) => t > 0.5 && e > ExtCpuRetryThreshold } &&
+            noiseRetries < MaxNoiseRetries) {
+          noiseRetries += 1
+          System.err.println(f"[bench] '$name': all $repeats repeats saw external CPU > " +
+            f"$ExtCpuRetryThreshold%.2f — one extra repeat")
+          samples = samples :+ sampled()
+        }
+        val times = samples.map(_._1)
         runDetail(name) = times
+        extDetail(name) = samples.map(_._2)
         name -> (if (times.forall(_ >= 0)) times.min else -1.0)
       }
 
     Seq(benchLiTable, benchOrdTable)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
-    // Release-count mismatch makes the tws TIMING meaningless (r5: the arm
+    // Release-count mismatch makes a timing meaningless (r5: an arm
     // quiesced empty and recorded 5.3 s for nothing) — mark it failed so no
     // consumer reads a vacuous number, instead of only warning. ALL repeats
-    // of both arms must agree (graft.tools.BenchReport.eagerMismatch).
-    val eagerMismatchMsg =
-      graft.tools.BenchReport.eagerMismatch(eagerReleases.toMap.map { case (k, v) => k -> (v: Seq[Long]) })
+    // of both arms must agree; the arm(s) whose repeats actually diverged
+    // are the ones failed (an internally-consistent arm keeps its timing
+    // only when the divergence is attributable to the OTHER arm).
+    val eagerCounts = eagerReleases.toMap.map { case (k, v) => k -> (v: Seq[Long]) }
+    val eagerMismatchMsg = graft.tools.BenchReport.eagerMismatch(eagerCounts)
+    val armEntry = Map(
+      "tws" -> "eager_dp_tws_timers_t20",
+      "sharded" -> "eager_dp_sharded_t20")
+    val failedEntries = graft.tools.BenchReport.eagerArmsToFail(eagerCounts).flatMap(armEntry.get)
     eagerMismatchMsg.foreach(msg => System.err.println(
       s"[bench] FAIL: eager A/B release counts differ ($msg) — " +
-        "eager_dp_tws_timers_t20 timing marked failed"))
-    val syntheticChecked =
-      if (eagerMismatchMsg.isEmpty) synthetic
-      else synthetic.map {
-        case ("eager_dp_tws_timers_t20", _) =>
-          // the suppressed raw times must not survive in runs_detail either
-          // (a consumer could resurrect the vacuous timing the gate killed)
-          runDetail.get("eager_dp_tws_timers_t20").foreach(ts =>
-            runDetail("eager_dp_tws_timers_t20") = ts.map(t => -math.abs(t)))
-          "eager_dp_tws_timers_t20" -> -1.0
-        case other => other
-      }
+        s"${failedEntries.mkString(", ")} timing marked failed"))
+    val syntheticChecked = synthetic.map {
+      case (name, _) if failedEntries.contains(name) =>
+        // the suppressed raw times must not survive in runs_detail either
+        // (a consumer could resurrect the vacuous timing the gate killed)
+        runDetail.get(name).foreach(ts => runDetail(name) = ts.map(t => -math.abs(t)))
+        name -> -1.0
+      case other => other
+    }
 
-    val gbps = Seq(("microbatch_0_1gb", 0.1), ("microbatch_0_5gb", 0.5), ("microbatch_1_0gb", 1.0))
+    val gbps = Seq(
+      ("microbatch_0_1gb", 0.1), ("microbatch_0_5gb", 0.5), ("microbatch_1_0gb", 1.0),
+      ("microbatch_2_0gb", 2.0), ("microbatch_5_0gb", 5.0),
+      ("microbatch_1_0gb_p4", 1.0), ("microbatch_1_0gb_p8", 1.0), ("microbatch_1_0gb_p16", 1.0),
+      ("microbatch_0_5gb_p4", 0.5), ("microbatch_2_0gb_p16", 2.0))
       .flatMap { case (n, g) =>
         syntheticChecked.toMap.get(n).filter(_ > 0).map(sec => (n + "_gbps", g / sec))
       }
+
+    // derived steady-state per-epoch latency (mean excluding the first,
+    // startup-dominated epoch); per-epoch raw seconds go to runs_detail
+    val steadyEpoch = epochSeconds.toSeq.map { es =>
+      runDetail("streaming_corpus_epoch_steady") = es
+      "streaming_corpus_epoch_steady" -> es.drop(1).sum / (es.size - 1)
+    }
 
     ListenerBridge.waitUntilEmpty(spark.sparkContext)
     val profile = profiler.snapshot.toSeq.sortBy(_._1)
       .map { case (name, m) => "\"" + name + "\":{" + m.jsonFields + "}" }
       .mkString("{", ",", "}")
 
-    val all = queryTimes ++ syntheticChecked ++ gbps
+    val all = queryTimes ++ syntheticChecked ++ gbps ++ steadyEpoch
     val loadPost = osBean.getSystemLoadAverage
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Failed (-1) entries live ONLY in "failed": a consumer summing "queries"
@@ -372,17 +530,25 @@ object Bench {
     val runsJson = runDetail
       .map { case (k, ts) => "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // per-run external-CPU shares (only entries where contamination was
+    // non-negligible — keeps the file readable; a missing key means <5%
+    // of the machine went to other processes during every run)
+    val extJson = extDetail
+      .filter { case (_, es) => es.exists(_ >= 0.05) }
+      .map { case (k, es) => "\"" + k + "\":[" + es.map(r3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     // Compact stdout summary, HARD-CAPPED to fit the driver's ~2000-char
     // output-tail window (BENCH_r04 parsed:null was a mid-line truncation of
     // the full per-query map). The BASELINE.md-comparable workloads always
     // make the line; the rest of the suite fills the remaining budget
     // slowest-first, and the complete result is always in bench.json.
-    val headline = syntheticChecked.map(_._1) ++ gbps.map(_._1)
+    val headline = syntheticChecked.map(_._1) ++ gbps.map(_._1) ++ steadyEpoch.map(_._1)
     val compact = graft.tools.BenchReport.compactLine(all, headline, sfDir,
       runs = repeats, load = Seq(loadPre, loadPost))
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
         s""""repeats":$repeats,"runs_detail":$runsJson,"load":[${r3(loadPre)},${r3(loadPost)}],""" +
+        s""""noise_retries":$noiseRetries,"ext_cpu":$extJson,""" +
         s""""profile":$profile,"sf":"$sfDir"}"""
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

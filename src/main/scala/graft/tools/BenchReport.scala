@@ -35,16 +35,29 @@ object BenchReport {
     * divergence — between arms OR between repeats of one arm — means some
     * run's quiescence guard tripped and its (vacuously fast) time cannot be
     * trusted; since the reported time is the min over repeats, one bad
-    * repeat poisons the entry. Returns a human-readable description of the
-    * divergence, or None when all observed counts agree (or fewer than two
-    * arms reported — a missing arm's time is already failed/filtered, so
-    * there is nothing to cross-check).
+    * repeat poisons the entry. A single-arm (filtered) run still flags
+    * INTRA-arm repeat divergence — only the arm-vs-arm comparison needs two
+    * arms. Returns a human-readable description of the divergence, or None
+    * when all observed counts agree.
     */
   def eagerMismatch(counts: Map[String, Seq[Long]]): Option[String] = {
-    val all = counts.values.flatten.toSeq
-    if (counts.size < 2 || all.isEmpty || all.distinct.size == 1) None
+    if (eagerArmsToFail(counts).isEmpty) None
     else Some(counts.toSeq.sortBy(_._1)
       .map { case (arm, ns) => s"$arm=${ns.mkString("/")}" }.mkString(", "))
+  }
+
+  /** Which arms' timings are vacuous under a release-count divergence:
+    * an arm whose OWN repeats disagree diverged itself; when every arm is
+    * internally consistent but the arms disagree with each other, there is
+    * no way to tell which quiesced early, so ALL reporting arms fail.
+    * Empty set = all observed counts agree (nothing to fail). */
+  def eagerArmsToFail(counts: Map[String, Seq[Long]]): Set[String] = {
+    val internallyDiverged = counts.collect {
+      case (arm, ns) if ns.distinct.size > 1 => arm
+    }.toSet
+    if (internallyDiverged.nonEmpty) internallyDiverged
+    else if (counts.size >= 2 && counts.values.flatten.toSeq.distinct.size > 1) counts.keySet
+    else Set.empty
   }
 
   /** Build the capped compact line.

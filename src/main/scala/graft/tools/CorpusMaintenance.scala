@@ -67,4 +67,77 @@ object CorpusMaintenance {
       .where(col("doc_id") < FlushIdBase)
       .select("doc_id").as[Long].collect().toSeq.sorted
   }
+
+  /** One ingest cycle of [[runEpochs]]: which epoch, how many batch docs
+    * were admitted, and the wall-clock seconds for the full cycle (feed →
+    * watermark drain → exactly-once sink commit). */
+  final case class EpochResult(epoch: Int, admitted: Long, seconds: Double)
+
+  /** N ingest cycles against ONE long-lived streaming query and checkpoint —
+    * the amortized steady-state form: the per-epoch cost excludes query
+    * startup and checkpoint creation after the first cycle, which is what a
+    * production ingest pays per cycle once the query is standing.
+    *
+    * The static corpus side is fixed for the query's lifetime (the
+    * stream-static join contract), so this measures repeated batches
+    * against one corpus snapshot; corpus GROWTH between cycles is
+    * [[runEpoch]]'s per-query mode. Event times strictly increase across
+    * epochs (batch at (3e+1)·10⁵ s, flushes at (3e+2)/(3e+3)·10⁵ s) so no
+    * batch row ever lands at-or-below the standing watermark.
+    *
+    * `batchFor(e)` supplies epoch e's documents; ids must be unique across
+    * epochs and below [[FlushIdBase]]. Returns one [[EpochResult]] per
+    * epoch; admitted counts are read back from the sink after the query
+    * stops, attributed to epochs by the ids `batchFor` issued. */
+  def runEpochs(spark: SparkSession, corpus: DataFrame, epochs: Int,
+      sinkDir: String, k: Int, numHashes: Int, numBands: Int, threshold: Double)(
+      batchFor: Int => Seq[(Long, String)]): Seq[EpochResult] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = StreamingPipelines.incrementalDedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), corpus, "doc_id", "text",
+      "ts", watermarkDelay = "0 seconds", k, numHashes, numBands, threshold)
+    val outPath = s"$sinkDir/epochs"
+    val q = ExactlyOnceSink.start(
+      deduped.where(col("keep")).select("doc_id", "dup_of", "best_jaccard"),
+      outPath, s"$sinkDir/ckpt")
+    def ts(stepsOf100k: Long) = new java.sql.Timestamp(stepsOf100k * 100000L * 1000)
+    val timedBatches =
+      try {
+        (0 until epochs).map { e =>
+          val batch = batchFor(e)
+          val t0 = System.nanoTime()
+          mem.addData(batch.map { case (id, t) => (id, t, ts(3L * e + 1)) })
+          q.processAllAvailable()
+          // two strictly later flush rows finalize the epoch's watermarked
+          // aggregation (same two-step drain as runEpoch)
+          mem.addData(Seq((FlushIdBase + e * 2L,
+            s"watermark flush row one for epoch $e of this maintenance run", ts(3L * e + 2))))
+          q.processAllAvailable()
+          mem.addData(Seq((FlushIdBase + e * 2L + 1L,
+            s"watermark flush row two for epoch $e of this maintenance run", ts(3L * e + 3))))
+          q.processAllAvailable()
+          (e, batch.map(_._1).toSet, (System.nanoTime() - t0) / 1e9)
+        }
+      } finally q.stop()
+    val admittedIds = spark.read.parquet(outPath)
+      .where(col("doc_id") < FlushIdBase)
+      .select("doc_id").as[Long].collect().toSet
+    timedBatches.map { case (e, batchIds, sec) =>
+      EpochResult(e, batchIds.count(admittedIds.contains).toLong, sec)
+    }
+  }
+
+  /** Recursively deletes a temp sink/checkpoint tree (bench hygiene: each
+    * timed run must not leave RocksDB/parquet debris under /tmp). */
+  def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
 }

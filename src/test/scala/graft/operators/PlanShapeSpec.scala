@@ -32,7 +32,8 @@ class PlanShapeSpec extends AnyFunSuite {
   private def exchangeBlocks(df: DataFrame): Seq[String] = {
     val fmt = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    fmt.split("\n\n").toSeq.filter(_.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    fmt.split("\n\n").toSeq
+      .filter(_.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
   }
 
   private def sortCount(df: DataFrame): Int =
@@ -106,5 +107,39 @@ class PlanShapeSpec extends AnyFunSuite {
       .select("doc_id", "source")
     for (b <- exchangeBlocks(out))
       assert(!b.contains("text#"), s"document text reached the survivor join shuffle:\n$b")
+  }
+
+  test("q_kmeans_assign: assignment is a pure projection — ZERO shuffles over the corpus") {
+    // trainIvfCentroids samples to the driver once (bounded 4096 rows) and
+    // embeds the centroids as a broadcast literal, so the assignment plan
+    // itself must contain no Exchange at all except the presentation
+    // orderBy's range exchange.
+    val df = SparkEntry.queries("q_kmeans_assign")(spark, sfDir)
+    val ex = exchangeBlocks(df)
+    val nonRange = ex.filterNot(_.contains("rangepartitioning"))
+    assert(nonRange.isEmpty,
+      s"k-means assignment grew a corpus shuffle:\n${nonRange.mkString("\n---\n")}")
+  }
+
+  test("q_chunk_mean_pool: ONE map-side-combined aggregate; no vectors in any exchange") {
+    val df = SparkEntry.queries("q_chunk_mean_pool")(spark, sfDir)
+    val ex = exchangeBlocks(df)
+    val hashEx = ex.filter(_.contains("hashpartitioning"))
+    // one hash exchange for the (group, pos) aggregate, one range exchange
+    // for the presentation orderBy — nothing else
+    assert(hashEx.size === 1,
+      s"pooling no longer aggregates in one exchange:\n${ex.mkString("\n---\n")}")
+    assert(ex.size <= 2, s"unexpected extra exchanges:\n${ex.mkString("\n---\n")}")
+    // the exploded (group, pos, q6 long) rows must be PARTIALLY AGGREGATED
+    // before the wire — the exchange carries sum/count partials, never the
+    // embedding array
+    for (b <- hashEx) {
+      assert(b.contains("sum#") || b.contains("partial"),
+        s"the aggregate exchange does not carry partial-agg buffers:\n$b")
+      assert(!b.contains("embedding#"), s"an exchange carries the embedding array:\n$b")
+    }
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("HashAggregate"), "pooling lost its hash aggregate")
   }
 }

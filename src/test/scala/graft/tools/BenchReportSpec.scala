@@ -80,13 +80,35 @@ class BenchReportSpec extends AnyFunSuite with Matchers {
     // (min-of-repeats would otherwise report the bad repeat's time)
     BenchReport.eagerMismatch(
       Map("sharded" -> Seq(42934L, 42934L), "tws" -> Seq(1000L, 42934L))).isDefined shouldBe true
-    // a single arm (filtered suite) or no data → nothing to cross-check
+    // a consistent single arm (filtered suite) or no data → nothing to flag
     BenchReport.eagerMismatch(Map("sharded" -> Seq(42934L))) shouldBe None
     BenchReport.eagerMismatch(Map.empty) shouldBe None
+    // a single arm whose OWN repeats diverge IS flagged even with no second
+    // arm to compare against (a filtered SPARK_GRAFT_BENCH_ONLY run must not
+    // let a vacuous repeat's fast time survive as the min)
+    BenchReport.eagerMismatch(Map("tws" -> Seq(1000L, 42934L))).isDefined shouldBe true
     // message names both arms with per-repeat counts
     val msg = BenchReport.eagerMismatch(Map("sharded" -> Seq(5L, 5L), "tws" -> Seq(5L, 3L))).get
     msg should include("sharded=5/5")
     msg should include("tws=5/3")
+  }
+
+  test("eager arm attribution fails the diverging arm, or all arms when undecidable") {
+    // intra-arm divergence → only that arm fails
+    BenchReport.eagerArmsToFail(
+      Map("sharded" -> Seq(5L, 5L), "tws" -> Seq(5L, 3L))) shouldBe Set("tws")
+    BenchReport.eagerArmsToFail(
+      Map("sharded" -> Seq(5L, 4L), "tws" -> Seq(5L, 5L))) shouldBe Set("sharded")
+    // both arms internally diverged → both fail
+    BenchReport.eagerArmsToFail(
+      Map("sharded" -> Seq(5L, 4L), "tws" -> Seq(5L, 3L))) shouldBe Set("sharded", "tws")
+    // internally consistent but arms disagree → undecidable, all fail
+    BenchReport.eagerArmsToFail(
+      Map("sharded" -> Seq(5L, 5L), "tws" -> Seq(3L, 3L))) shouldBe Set("sharded", "tws")
+    // agreement → nothing fails
+    BenchReport.eagerArmsToFail(
+      Map("sharded" -> Seq(5L, 5L), "tws" -> Seq(5L, 5L))) shouldBe Set.empty
+    BenchReport.eagerArmsToFail(Map("tws" -> Seq(5L, 5L))) shouldBe Set.empty
   }
 
   test("a pathologically large suite still renders under the cap") {
