@@ -845,6 +845,23 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // ---- multimodal: REAL audio decode (javax.sound.sampled). Payloads
+    //      are genuine WAVs (±c square waves) whose frame count, sample
+    //      rate, and amplitude are closed-form in the asset id; the gate
+    //      derives frames/rate/RMS from the DECODED SAMPLES, the oracle
+    //      recomputes them from metadata — a hash match proves the decode
+    //      path actually ran. The RMS of a ±c square wave is exactly c
+    //      (IEEE sqrt(c²) = c bit-exactly), so the int cast is lossless. ----
+    "mm_audio_decode" -> ((s, d) => {
+      val assets = Multimodal.syntheticAudioAssets(s, Tables.documents(s, d))
+      Multimodal.extractFeatures(s, assets).toDF()
+        .select(col("asset_id"),
+          element_at(col("feature"), 1).cast("int").as("decoded_frames"),
+          element_at(col("feature"), 2).cast("int").as("decoded_rate"),
+          element_at(col("feature"), 3).cast("int").as("rms_amp"))
+        .orderBy("asset_id")
+    }),
+
     // ---- multimodal: frame sampling over binary payloads ----
     "mm_frame_sample" -> ((s, d) => {
       val assets = Multimodal.syntheticAssets(s, Tables.documents(s, d))
@@ -1800,6 +1817,17 @@ object SparkEntry {
           |       CAST(round(CAST(sum(q6) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q6
           |FROM q GROUP BY group_id, pos
           |ORDER BY group_id, pos""".stripMargin,
+
+      // every decoded value is closed-form in the asset id (±c square-wave
+      // WAV: frames 800 + id%40·40, rate 8000·(1 + id%3), amplitude
+      // 256·(1 + id%100) = the exact RMS); the Spark side derived them from
+      // actual decoded PCM samples
+      "mm_audio_decode" ->
+        """SELECT doc_id AS asset_id,
+          |       CAST(800 + (doc_id % 40) * 40 AS INT) AS decoded_frames,
+          |       CAST(8000 * (1 + doc_id % 3) AS INT) AS decoded_rate,
+          |       CAST(256 * (1 + doc_id % 100) AS INT) AS rms_amp
+          |FROM documents ORDER BY asset_id""".stripMargin,
 
       // every decoded value is closed-form in the asset id (constant-color
       // PNG: dims 8+id%16 × 8+id%12, RGB = (id%256, id*31%256, id*77%256));

@@ -27,8 +27,11 @@ final case class MediaFeature(
   * IMAGE decode is REAL: [[MultimodalCodec]] uses the JDK's `javax.imageio`
   * (PNG/BMP/GIF/JPEG) and extracts width/height/channel-mean features from
   * actual pixels — exercised end-to-end by the `mm_image_decode` gate over
-  * [[syntheticImageAssets]]' real PNG payloads. Audio/video decode
-  * (PCM/H.264) remains STUBBED — this container has no media libraries —
+  * [[syntheticImageAssets]]' real PNG payloads. AUDIO decode is REAL:
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM) decodes to samples with
+  * frames/rate/RMS features — the `mm_audio_decode` gate over
+  * [[syntheticAudioAssets]]' real WAV payloads. Only VIDEO decode (H.264)
+  * remains STUBBED — no video codec ships in the JDK or this container —
   * behind a deterministic fake. Everything Spark-side is real and tested:
   * schemas, binary-column flow, partition-batched iteration (`mapPartitions`,
   * the JVM analogue of arrow-batched pandas UDFs), and feature schema.
@@ -98,6 +101,40 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-audio asset table: each payload is a genuine WAV
+    * (RIFF header + 16-bit signed mono PCM, encoded with the JDK's
+    * `javax.sound.sampled.AudioSystem`, decoded back by
+    * [[MultimodalCodec.decode]]'s real audio branch), an alternating ±c
+    * square wave whose sample count, sample rate, and amplitude are
+    * closed-form in the asset id — so a SQL oracle can recompute every
+    * decoded value (frames, rate, RMS: the RMS of a ±c square wave is
+    * EXACTLY c, and IEEE sqrt(c²) reproduces the integer c bit-exactly)
+    * from metadata alone while the Spark side derives them from the actual
+    * decoded samples. Generation is distributed; nothing audio-shaped
+    * touches the driver. */
+  def syntheticAudioAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val n = 800 + (id % 40).toInt * 40
+      val c = 256 * (1 + (id % 100).toInt)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = if (i % 2 == 0) c else -c
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaAsset(id, "audio", bos.toByteArray, 0, 0, n.toLong * 1000 / rate)
+    }
+  }
+
   /** Deterministic REAL-image asset table: each payload is a genuine PNG
     * (encoded with the JDK's `javax.imageio`, decoded back by
     * [[MultimodalCodec.decode]]'s real image branch), constant-color RGB
@@ -128,11 +165,14 @@ object Multimodal {
 
 /** Media codec. The IMAGE branch is REAL: `javax.imageio` (PNG/BMP/GIF/JPEG
   * readers ship in the JDK) decodes the payload to pixels and extracts
-  * [width, height, meanR, meanG, meanB] features. Audio/video decode (PCM /
-  * H.264) remains STUBBED — those libraries are unavailable in this
-  * environment — behind a deterministic fake, which is also the fallback
-  * when a payload labeled "image" is not decodable (e.g. the text-byte
-  * synthetic assets). `contentHash`/byte plumbing are real everywhere. */
+  * [width, height, meanR, meanG, meanB] features. The AUDIO branch is REAL:
+  * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU PCM readers ship in the
+  * JDK) decodes the payload to samples and extracts [frames, sampleRate,
+  * RMS] features. Only VIDEO decode (H.264) remains STUBBED — no video
+  * codec ships in the JDK or this container — behind a deterministic fake,
+  * which is also the fallback when a payload labeled image/audio is not
+  * decodable (e.g. the text-byte synthetic assets).
+  * `contentHash`/byte plumbing are real everywhere. */
 final class MultimodalCodec(featureDim: Int) extends Serializable {
 
   def decode(mediaType: String, payload: Array[Byte]): Array[Double] =
@@ -141,7 +181,47 @@ final class MultimodalCodec(featureDim: Int) extends Serializable {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case _: java.io.IOException => null }
       if (img == null) fakeDecode(payload) else imageFeatures(img)
+    } else if (mediaType == "audio") {
+      audioFeatures(payload).getOrElse(fakeDecode(payload))
     } else fakeDecode(payload)
+
+  /** Real sample statistics over a JDK-decodable PCM payload (WAV/AIFF/AU):
+    * [frames, sampleRate, RMS], padded/truncated to `featureDim`; None when
+    * the payload is not a supported audio container or not 16-bit PCM. */
+  private def audioFeatures(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val channels = fmt.getChannels
+          val bytesPerSample = 2
+          val frameSize = channels * bytesPerSample
+          val frames = data.length / frameSize
+          var sumSq = 0.0
+          var i = 0
+          val total = frames * channels
+          while (i < total) {
+            val off = i * bytesPerSample
+            val s =
+              if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+              else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+            sumSq += s.toDouble * s.toDouble
+            i += 1
+          }
+          val rms = if (total == 0) 0.0 else math.sqrt(sumSq / total)
+          val full = Array(frames.toDouble, fmt.getSampleRate.toDouble, rms)
+          Some(java.util.Arrays.copyOf(full, featureDim))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   /** Real pixel statistics: [width, height, meanR, meanG, meanB] (channel
     * means in [0,1]), padded/truncated to `featureDim`. */
@@ -164,8 +244,10 @@ final class MultimodalCodec(featureDim: Int) extends Serializable {
     java.util.Arrays.copyOf(full, featureDim)
   }
 
-  /** STUB: a real implementation decodes PCM/H.264 here. The fake is
-    * deterministic in the payload bytes so pipelines are testable. */
+  /** STUB (video only — image and audio have real branches above): a real
+    * implementation decodes H.264 here. The fake is deterministic in the
+    * payload bytes so pipelines are testable; it also backstops
+    * image/audio-labeled payloads that are not decodable containers. */
   private def fakeDecode(payload: Array[Byte]): Array[Double] = {
     val out = new Array[Double](featureDim)
     var i = 0

@@ -491,6 +491,45 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: audio decode reads real PCM samples (ramp WAV, not metadata passthrough)") {
+    // a NON-square-wave signal whose RMS is computed directly here — if the
+    // codec ever returned metadata instead of decoding, this breaks
+    val rate = 16000; val n = 1000
+    val pcm = new Array[Byte](n * 2)
+    var sumSq = 0.0
+    for (i <- 0 until n) {
+      val s = (i * 13 - 6000) % 32768 // a deterministic non-constant ramp
+      sumSq += s.toDouble * s.toDouble
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val f = new MultimodalCodec(4).decode("audio", bos.toByteArray)
+    assert(f(0) === n.toDouble)
+    assert(f(1) === rate.toDouble)
+    assert(math.abs(f(2) - math.sqrt(sumSq / n)) < 1e-9)
+    // non-decodable payload labeled "audio" falls back to the deterministic
+    // stub (the text-byte synthetic assets rely on this)
+    val fake = new MultimodalCodec(4).decode("audio", "not a wav".getBytes)
+    assert(fake.length === 4)
+  }
+
+  test("multimodal: synthetic audio assets round-trip through the real decoder") {
+    val assets = Multimodal.syntheticAudioAssets(spark, Tables.documents(spark, sfDir))
+    val feats = Multimodal.extractFeatures(spark, assets, featureDim = 3).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val id = f.asset_id
+      assert(f.feature(0) === (800 + (id % 40) * 40).toFloat, s"frames of $id")
+      assert(f.feature(1) === (8000 * (1 + id % 3)).toFloat, s"rate of $id")
+      assert(f.feature(2) === (256 * (1 + id % 100)).toFloat, s"rms of $id")
+    }
+  }
+
   test("multimodal: frame sampling slices stride-aligned fixed windows") {
     val assets = Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir))
     val frames = Multimodal.sampleFrames(spark, assets, frameBytes = 64, stride = 2)
