@@ -605,6 +605,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the FULL cleaning pipeline a real 100 TB training-data build
+    //      runs, composed end-to-end as ONE query: span-level eval-set
+    //      decontamination (d15's windows, stripped rather than reported) →
+    //      duplicate-span stripping (d14b, computed ON the decontaminated
+    //      text) → MinHash/LSH near-dup dedup over the twice-cleaned text →
+    //      connected components → survivor selection → deterministic
+    //      id-keyed split (survivors are component representatives, so the
+    //      id split IS leakage-safe) — with the final cleaned text pinned
+    //      by md5 in the output. The DuckDB oracle re-derives every stage,
+    //      including both strip passes and the recursive component
+    //      closure; PlanShapeSpec pins that neither text nor token arrays
+    //      enter any exchange at any stage. ----
+    "e2e_clean_corpus_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.where(col("doc_id") % 11 === 0)
+      val corpus = docs.where(col("doc_id") % 11 =!= 0)
+      val decon = Dedup.stripSpans(corpus, "doc_id", "text",
+          Dedup.contaminationSpans(corpus, evalSet, "doc_id", "text", n = 8))
+        .withColumnRenamed("clean_text", "text")
+      val cleaned = Dedup.stripDuplicateSpans(decon, "doc_id", "text", n = 8)
+        .withColumnRenamed("clean_text", "text")
+      val sigs = Dedup.minHashSignatures(cleaned, "doc_id", "text", ShingleK, NumMinHashes)
+      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      val pairs = Dedup.verifyCandidatesJaccard(cleaned, "doc_id", "text", ShingleK,
+        candidates, JaccardThreshold)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("doc_id").as("cid"), col("component"))
+      val members = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+        .withColumnRenamed("component", "mcomp")
+      // md5 is projected BEFORE the survivor join so the join (and every
+      // exchange after it) carries (doc_id, clean_md5) — never the cleaned
+      // text itself.
+      cleaned.select(col("doc_id"), md5(col("text")).as("clean_md5"))
+        .join(comp, col("doc_id") === col("cid"), "left")
+        .where(col("component").isNull || col("doc_id") === col("component"))
+        .join(members, col("doc_id") === col("mcomp"), "left")
+        .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+        .transform(CoreOps.hashSplit(_, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_members"), col("split"),
+          col("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- MinHash Jaccard estimator over LSH candidates (the cheap
     //      pre-verification threshold a production dedup applies first) ----
     "d13_minhash_estimate" -> ((s, d) => {
@@ -1232,6 +1276,113 @@ object SparkEntry {
          |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
          |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
          |         FROM reach GROUP BY v)""".stripMargin
+    // The composed cleaning pipeline's oracle: two strip passes (eval-set
+    // window decontamination, then corpus-wide duplicate spans on the
+    // RESULT), then the full sig→band→candidate→verify→components→survivor
+    // →split chain over the twice-cleaned text. Same window/islands/strip
+    // fragments as the d14/d14b/d15 oracles, chained; same LSH/Jaccard/
+    // recursive-closure fragments as e2e_neardup_build, re-rooted on the
+    // cleaned relation instead of `documents`.
+    def winUnnest(srcT: String): String =
+      s"""SELECT doc_id, u.pos, u.h FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+         |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+         |    FROM $srcT WHERE len(ws) >= 8)""".stripMargin
+    def tokUnnest(srcT: String): String =
+      s"""SELECT doc_id, u.i, u.tok FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+         |        i -> struct_pack(i := i - 1, tok := ws[i]))) AS u
+         |    FROM $srcT)""".stripMargin
+    val cleanBuildSql =
+      s"""WITH RECURSIVE
+         |corp0 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0),
+         |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+         |t1 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM corp0),
+         |te AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM ev),
+         |w1 AS (${winUnnest("t1")}),
+         |we AS (SELECT DISTINCT h FROM (${winUnnest("te")})),
+         |dup1 AS (SELECT w1.doc_id, w1.pos FROM w1 JOIN we USING (h)),
+         |g1 AS (SELECT doc_id, pos,
+         |              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |       FROM dup1),
+         |sp1 AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM g1 GROUP BY doc_id, grp),
+         |tk1 AS (${tokUnnest("t1")}),
+         |kept1 AS (
+         |  SELECT tk1.doc_id, tk1.i, tk1.tok FROM tk1
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp1
+         |                    WHERE sp1.doc_id = tk1.doc_id AND tk1.i >= sp1.s AND tk1.i < sp1.e)),
+         |c1 AS (
+         |  SELECT c.doc_id, c.source,
+         |         COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+         |                   FROM kept1 k WHERE k.doc_id = c.doc_id), '') AS text
+         |  FROM corp0 c),
+         |t2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM c1),
+         |w2 AS (${winUnnest("t2")}),
+         |occ2 AS (SELECT h, count(*) AS occ FROM w2 GROUP BY h),
+         |dup2 AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN occ2 USING (h) WHERE occ2.occ >= 2),
+         |g2 AS (SELECT doc_id, pos,
+         |              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |       FROM dup2),
+         |sp2 AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM g2 GROUP BY doc_id, grp),
+         |tk2 AS (${tokUnnest("t2")}),
+         |kept2 AS (
+         |  SELECT tk2.doc_id, tk2.i, tk2.tok FROM tk2
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp2
+         |                    WHERE sp2.doc_id = tk2.doc_id AND tk2.i >= sp2.s AND tk2.i < sp2.e)),
+         |c2 AS (
+         |  SELECT c1.doc_id, c1.source,
+         |         COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+         |                   FROM kept2 k WHERE k.doc_id = c1.doc_id), '') AS text
+         |  FROM c1),
+         |csh AS (SELECT DISTINCT doc_id,
+         |               unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+         |                 i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+         |        FROM c2),
+         |ch AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
+         |params(j, a, b) AS (VALUES $paramValues),
+         |sigs AS (SELECT doc_id, j, min((a * h + b) % ${Dedup.MinHashPrime}) AS minhash
+         |         FROM ch CROSS JOIN params GROUP BY doc_id, j),
+         |banded AS (
+         |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+         |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+         |  FROM sigs GROUP BY doc_id, band),
+         |cands AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ch GROUP BY doc_id),
+         |inter AS (SELECT ca.doc_a, ca.doc_b, count(*) AS inter
+         |          FROM cands ca
+         |          JOIN ch x ON x.doc_id = ca.doc_a
+         |          JOIN ch y ON y.doc_id = ca.doc_b AND y.h = x.h
+         |          GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+         |  UNION
+         |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+         |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+         |         FROM reach GROUP BY v),
+         |members AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component),
+         |surv AS (
+         |  SELECT c2.doc_id, c2.source, c2.text,
+         |         CAST(COALESCE(m.n_members, 1) AS BIGINT) AS n_members
+         |  FROM c2
+         |  LEFT JOIN comp c ON c2.doc_id = c.doc_id
+         |  LEFT JOIN members m ON c2.doc_id = m.component
+         |  WHERE c.component IS NULL OR c2.doc_id = c.component)
+         |SELECT doc_id, source, n_members,
+         |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |       md5(text) AS clean_md5
+         |FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+         |      FROM surv)
+         |ORDER BY doc_id""".stripMargin
     val langProfiles = TextOps.DefaultLangProfiles.toSeq.sortBy(_._1)
     val langScoreCols = langProfiles.map { case (lang, words) =>
       val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1425,6 +1576,8 @@ object SparkEntry {
            |FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
            |      FROM surv)
            |ORDER BY doc_id""".stripMargin,
+
+      "e2e_clean_corpus_build" -> cleanBuildSql,
 
       // windows/occurrence/islands mirror Dedup.duplicateSpans (n=8, md5
       // window hashes, pos - row_number islands)

@@ -468,14 +468,27 @@ object Dedup {
     * shuffles, and span removal is a codegen'd higher-order filter on the
     * already-local token array. */
   def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minOccurrences: Long = 2L): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, n, minOccurrences)
+      n: Int, minOccurrences: Long = 2L): DataFrame =
+    stripSpans(docs, idCol, textCol,
+      duplicateSpans(docs, idCol, textCol, n, minOccurrences))
+
+  /** Generic span remediation: every document re-emitted with the given
+    * (doc_id, span_start, span_len) token ranges REMOVED — the shared
+    * engine behind [[stripDuplicateSpans]] (spans from [[duplicateSpans]])
+    * and decontamination stripping (spans from [[contaminationSpans]]).
+    * Same scale shape as documented on [[stripDuplicateSpans]]: the span
+    * side aggregates to one small array per affected document and joins
+    * ids-only; the token array never shuffles; removal is a codegen'd
+    * higher-order filter. */
+  def stripSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val spanArrays = spans
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_len"))).as("__spans"))
     val emptySpans = array().cast("array<struct<span_start:bigint,span_len:bigint>>")
     docs.select(col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(col(textCol)).as("__toks"))
-      .join(spans, Seq("doc_id"), "left")
+      .join(spanArrays, Seq("doc_id"), "left")
       .select(col("doc_id"),
         concat_ws(" ", filter(col("__toks"), (_, i) =>
           !exists(coalesce(col("__spans"), emptySpans),

@@ -45,6 +45,60 @@ class CalibrationSpec extends AnyFunSuite {
     assert(math.abs(cal.deltaKeyRound - 2.083e-11) / 2.083e-11 < 0.01, s"deltaRound=${cal.deltaKeyRound}")
   }
 
+  test("T=100 DWORK_ANALYTICAL matches the reference's committed mode-sweep row") {
+    // benchmark/utility/old/benchmark_T100_20260607_170841.csv, DWORK rows:
+    // eps_round=7.525603e-2, delta_round=1.031494e-11, sigma_key=215.584038,
+    // beta=2.481748e-12, quantile=6.906614, tau_at_last_step=2796.526408.
+    val cal = Calibration.calibrate(CompositionMode.DworkAnalytical, epsK, deltaK, epsH, deltaH,
+      c = 32, t = 100, perRecordClamp = 1.0, thresholdFailureFraction = 0.5)
+    assert(math.abs(cal.epsilonKeyRound - 0.07525603) < 1e-5, s"epsRound=${cal.epsilonKeyRound}")
+    assert(math.abs(cal.deltaKeyRound - 1.031494e-11) / 1.031494e-11 < 0.01, s"deltaRound=${cal.deltaKeyRound}")
+    assert(math.abs(cal.sigmaKey - 215.584038) < 0.05, s"sigmaKey=${cal.sigmaKey}")
+    assert(math.abs(cal.sigmaHist - 177.1696) < 0.01, s"sigmaHist=${cal.sigmaHist}")
+    assert(math.abs(cal.beta - 2.481748e-12) / 2.481748e-12 < 0.01, s"beta=${cal.beta}")
+    assert(math.abs(cal.thresholdQuantile - 6.906614) < 0.001, s"quantile=${cal.thresholdQuantile}")
+    val tau = graft.tools.UtilityGrid.tauAtLastStep(cal.sigmaKey, cal.thresholdQuantile, 100)
+    assert(math.abs(tau - 2796.526408) < 1.0, s"tau=$tau")
+  }
+
+  test("T=100 OPTIMAL_KOV matches the reference's committed mode-sweep row") {
+    // Same CSV, OPTIMAL_KOV rows: eps_round=9.375e-2, delta_round=
+    // 2.081299e-11, sigma_key=170.976426, beta=4.959523e-12,
+    // quantile=6.807674, tau_at_last_step=2186.110502.
+    val cal = Calibration.calibrate(CompositionMode.OptimalKov, epsK, deltaK, epsH, deltaH,
+      c = 32, t = 100, perRecordClamp = 1.0, thresholdFailureFraction = 0.5)
+    assert(math.abs(cal.epsilonKeyRound - 0.09375) < 1e-5, s"epsRound=${cal.epsilonKeyRound}")
+    assert(math.abs(cal.deltaKeyRound - 2.081299e-11) / 2.081299e-11 < 0.01, s"deltaRound=${cal.deltaKeyRound}")
+    assert(math.abs(cal.sigmaKey - 170.976426) < 0.05, s"sigmaKey=${cal.sigmaKey}")
+    assert(math.abs(cal.beta - 4.959523e-12) / 4.959523e-12 < 0.01, s"beta=${cal.beta}")
+    assert(math.abs(cal.thresholdQuantile - 6.807674) < 0.001, s"quantile=${cal.thresholdQuantile}")
+    val tau = graft.tools.UtilityGrid.tauAtLastStep(cal.sigmaKey, cal.thresholdQuantile, 100)
+    assert(math.abs(tau - 2186.110502) < 1.0, s"tau=$tau")
+  }
+
+  test("alpha sweep: beta scales linearly with alpha; sigma_key responds only under (eps,delta) modes") {
+    // Per the privacy-tight pre-allocation, beta = alpha·delta_round/(e^eps+1)
+    // in every mode; the Gaussian share (1−alpha)·delta_round moves sigma_key
+    // only for DWORK/KOV (ZCDP_LINEAR's rho is the pure linear share,
+    // independent of alpha — Calibration.scala:228-236).
+    for (mode <- Seq(CompositionMode.DworkAnalytical, CompositionMode.OptimalKov,
+        CompositionMode.ZcdpLinear)) {
+      val cals = Seq(0.25, 0.5, 0.75).map(a =>
+        Calibration.calibrate(mode, epsK, deltaK, epsH, deltaH,
+          c = 32, t = 100, perRecordClamp = 1.0, thresholdFailureFraction = a))
+      assert(math.abs(cals(1).beta / cals(0).beta - 2.0) < 1e-9, s"$mode beta not linear in alpha")
+      assert(math.abs(cals(2).beta / cals(0).beta - 3.0) < 1e-9, s"$mode beta not linear in alpha")
+      mode match {
+        case CompositionMode.ZcdpLinear =>
+          assert(cals.map(_.sigmaKey).distinct.size == 1, s"ZCDP sigma_key moved with alpha")
+        case _ =>
+          // more alpha -> less Gaussian delta share -> larger sigma_key
+          assert(cals(0).sigmaKey < cals(1).sigmaKey && cals(1).sigmaKey < cals(2).sigmaKey,
+            s"$mode sigma_key not increasing in alpha: ${cals.map(_.sigmaKey)}")
+      }
+    }
+  }
+
   test("T=100: diagnostic tau-at-last-step matches committed 358.35") {
     val cal = Calibration.calibrate(CompositionMode.ZcdpLinearCsvCompat, epsK, deltaK, epsH, deltaH,
       c = 32, t = 100, perRecordClamp = 1.0, thresholdFailureFraction = 0.5)

@@ -109,6 +109,20 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!b.contains("text#"), s"document text reached the survivor join shuffle:\n$b")
   }
 
+  test("e2e clean corpus build: neither text nor token arrays enter any exchange") {
+    // The composed cleaning pipeline (decontaminate → strip duplicate spans
+    // → near-dup dedup → components → survivors → split): both strip passes
+    // join span arrays ids-only, signatures/candidates carry hashes, and the
+    // survivor join carries (doc_id, clean_md5) because md5 is projected
+    // before it. `text#` also catches `clean_text#` by substring, so neither
+    // the raw nor the cleaned body may reach a shuffle at any stage.
+    val df = SparkEntry.queries("e2e_clean_corpus_build")(spark, sfDir)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"document text reached a shuffle:\n$b")
+      assert(!b.contains("__toks#"), s"a token array reached a shuffle:\n$b")
+    }
+  }
+
   test("q_kmeans_assign: assignment is a pure projection — ZERO shuffles over the corpus") {
     // trainIvfCentroids samples to the driver once (bounded 4096 rows) and
     // embeds the centroids as a broadcast literal, so the assignment plan
