@@ -906,6 +906,25 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // ---- multimodal: REAL video decode (javax.imageio multi-frame GIF).
+    //      Payloads are genuine animated GIFs whose frame count, dims, and
+    //      per-frame gray level are closed-form in the asset id; the gate
+    //      derives frame count + first/last-frame means from the DECODED
+    //      FRAME SEQUENCE (the last-frame stat forces iterating every
+    //      frame), the oracle recomputes them from metadata — a hash match
+    //      proves whole-video decode actually ran. ----
+    "mm_video_decode" -> ((s, d) => {
+      val assets = Multimodal.syntheticVideoAssets(s, Tables.documents(s, d))
+      Multimodal.extractFeatures(s, assets).toDF()
+        .select(col("asset_id"),
+          element_at(col("feature"), 1).cast("int").as("decoded_frames"),
+          element_at(col("feature"), 2).cast("int").as("decoded_width"),
+          element_at(col("feature"), 3).cast("int").as("decoded_height"),
+          round(element_at(col("feature"), 4) * 255).cast("int").as("first_gray"),
+          round(element_at(col("feature"), 5) * 255).cast("int").as("last_gray"))
+        .orderBy("asset_id")
+    }),
+
     // ---- multimodal: frame sampling over binary payloads ----
     "mm_frame_sample" -> ((s, d) => {
       val assets = Multimodal.syntheticAssets(s, Tables.documents(s, d))
@@ -1992,6 +2011,19 @@ object SparkEntry {
           |       CAST(doc_id % 256 AS INT) AS r255,
           |       CAST((doc_id * 31) % 256 AS INT) AS g255,
           |       CAST((doc_id * 77) % 256 AS INT) AS b255
+          |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // every decoded value is closed-form in the asset id (animated GIF:
+      // n = 3+id%5 frames of (8+id%8)×(8+id%6), frame f uniformly gray
+      // (id·7 + f·29) mod 256); the Spark side derived them from the
+      // actual decoded frame sequence
+      "mm_video_decode" ->
+        """SELECT doc_id AS asset_id,
+          |       CAST(3 + doc_id % 5 AS INT) AS decoded_frames,
+          |       CAST(8 + doc_id % 8 AS INT) AS decoded_width,
+          |       CAST(8 + doc_id % 6 AS INT) AS decoded_height,
+          |       CAST((doc_id * 7) % 256 AS INT) AS first_gray,
+          |       CAST((doc_id * 7 + (2 + doc_id % 5) * 29) % 256 AS INT) AS last_gray
           |FROM documents ORDER BY asset_id""".stripMargin,
 
       // byte-range frame slices: frame f covers bytes [f·64, (f+1)·64) with

@@ -30,12 +30,16 @@ final case class MediaFeature(
   * [[syntheticImageAssets]]' real PNG payloads. AUDIO decode is REAL:
   * `javax.sound.sampled` (WAV/AIFF/AU PCM) decodes to samples with
   * frames/rate/RMS features — the `mm_audio_decode` gate over
-  * [[syntheticAudioAssets]]' real WAV payloads. Only VIDEO decode (H.264)
-  * remains STUBBED — no video codec ships in the JDK or this container —
-  * behind a deterministic fake. Everything Spark-side is real and tested:
-  * schemas, binary-column flow, partition-batched iteration (`mapPartitions`,
-  * the JVM analogue of arrow-batched pandas UDFs), and feature schema.
-  * Swapping the audio/video stub for a real codec touches only
+  * [[syntheticAudioAssets]]' real WAV payloads. VIDEO decode is REAL for
+  * multi-frame containers the JDK reads (animated GIF): every frame is
+  * decoded in sequence with frame-count/dims/per-frame stats — the
+  * `mm_video_decode` gate over [[syntheticVideoAssets]]' real animated-GIF
+  * payloads. Only inter-frame-compressed codecs (H.264/VP9) remain behind
+  * the deterministic fallback — no such codec ships in the JDK or this
+  * container. Everything Spark-side is real and tested: schemas,
+  * binary-column flow, partition-batched iteration (`mapPartitions`, the
+  * JVM analogue of arrow-batched pandas UDFs), and feature schema.
+  * Swapping the fallback for an H.264 codec touches only
   * [[MultimodalCodec]].
   */
 object Multimodal {
@@ -135,6 +139,51 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-video asset table: each payload is a genuine
+    * animated GIF — a multi-frame video container the JDK's `javax.imageio`
+    * both writes (`writeToSequence`) and reads back frame-by-frame — whose
+    * frame count, dimensions, and per-frame gray level are closed-form in
+    * the asset id: n = 3 + id%5 frames of (8+id%8) × (8+id%6), frame f
+    * uniformly gray g(f) = (id·7 + f·29) mod 256. Frames are
+    * TYPE_BYTE_INDEXED over an explicit 256-gray palette so GIF's
+    * palette-based encoding is lossless and a SQL oracle recomputes every
+    * decoded value from metadata alone. Generation is distributed; nothing
+    * video-shaped touches the driver. */
+  def syntheticVideoAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 8 + (id % 8).toInt
+      val h = 8 + (id % 6).toInt
+      val n = 3 + (id % 5).toInt
+      val grays = Array.tabulate(256)(i => i.toByte)
+      val palette = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < n) {
+        val g = ((id * 7 + f * 29) % 256).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      MediaAsset(id, "video", bos.toByteArray, w, h, n.toLong * 40)
+    }
+  }
+
   /** Deterministic REAL-image asset table: each payload is a genuine PNG
     * (encoded with the JDK's `javax.imageio`, decoded back by
     * [[MultimodalCodec.decode]]'s real image branch), constant-color RGB
@@ -168,10 +217,12 @@ object Multimodal {
   * [width, height, meanR, meanG, meanB] features. The AUDIO branch is REAL:
   * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU PCM readers ship in the
   * JDK) decodes the payload to samples and extracts [frames, sampleRate,
-  * RMS] features. Only VIDEO decode (H.264) remains STUBBED — no video
-  * codec ships in the JDK or this container — behind a deterministic fake,
-  * which is also the fallback when a payload labeled image/audio is not
-  * decodable (e.g. the text-byte synthetic assets).
+  * RMS] features. The VIDEO branch is REAL for multi-frame containers the
+  * JDK reads (animated GIF): every frame decodes in sequence to
+  * [frameCount, width, height, firstFrameMean, lastFrameMean]. Only
+  * inter-frame-compressed codecs (H.264/VP9) fall through to the
+  * deterministic fake, which also backstops any payload that is not a
+  * decodable container (e.g. the text-byte synthetic assets).
   * `contentHash`/byte plumbing are real everywhere. */
 final class MultimodalCodec(featureDim: Int) extends Serializable {
 
@@ -183,7 +234,51 @@ final class MultimodalCodec(featureDim: Int) extends Serializable {
       if (img == null) fakeDecode(payload) else imageFeatures(img)
     } else if (mediaType == "audio") {
       audioFeatures(payload).getOrElse(fakeDecode(payload))
+    } else if (mediaType == "video") {
+      videoFeatures(payload).getOrElse(fakeDecode(payload))
     } else fakeDecode(payload)
+
+  /** Real frame-sequence statistics over a JDK-decodable multi-frame
+    * container (animated GIF): decodes EVERY frame in order and returns
+    * [frameCount, width, height, meanGray(first frame), meanGray(last
+    * frame)] (means in [0,1]), padded/truncated to `featureDim` — the
+    * last-frame stat requires iterating the full sequence, so a match
+    * proves whole-video decode, not just header parsing. None when the
+    * payload is not a supported multi-frame container. */
+  private def videoFeatures(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else {
+              var first: Array[Double] = null
+              var last: Array[Double] = null
+              var i = 0
+              while (i < n) {
+                val stats = imageFeatures(reader.read(i))
+                if (i == 0) first = stats
+                last = stats
+                i += 1
+              }
+              // gray = identical channel means; report the red channel
+              val full = Array(n.toDouble, first(0), first(1), first(2), last(2))
+              Some(java.util.Arrays.copyOf(full, featureDim))
+            }
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch {
+      case _: java.io.IOException => None
+      case _: IndexOutOfBoundsException => None
+    }
 
   /** Real sample statistics over a JDK-decodable PCM payload (WAV/AIFF/AU):
     * [frames, sampleRate, RMS], padded/truncated to `featureDim`; None when

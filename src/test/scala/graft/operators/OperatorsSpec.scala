@@ -530,6 +530,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: video decode iterates real frames (varying-gray GIF, not header passthrough)") {
+    // a 4-frame animated GIF whose per-frame gray levels are chosen here —
+    // the codec must decode the SEQUENCE (first and last frame stats), not
+    // just parse the header
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val palette = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val levels = Seq(17, 250, 3, 96)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (g <- levels) {
+      val img = new java.awt.image.BufferedImage(10, 7,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+      for (y <- 0 until 7; x <- 0 until 10) img.getRaster.setSample(x, y, 0, g)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    val f = new MultimodalCodec(5).decode("video", bos.toByteArray)
+    assert(f(0) === 4.0, "frame count")
+    assert(f(1) === 10.0 && f(2) === 7.0, "dims")
+    assert(math.round(f(3) * 255).toInt === levels.head, "first-frame gray")
+    assert(math.round(f(4) * 255).toInt === levels.last, "last-frame gray")
+    // non-decodable payload labeled "video" (e.g. H.264) falls back to the
+    // deterministic stub
+    val fake = new MultimodalCodec(5).decode("video", "not a gif".getBytes)
+    assert(fake.length === 5)
+  }
+
+  test("multimodal: synthetic video assets round-trip through the real decoder") {
+    val assets = Multimodal.syntheticVideoAssets(spark, Tables.documents(spark, sfDir))
+    val feats = Multimodal.extractFeatures(spark, assets, featureDim = 5).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val id = f.asset_id
+      val n = 3 + (id % 5).toInt
+      assert(f.feature(0) === n.toFloat, s"frames of $id")
+      assert(f.feature(1) === (8 + id % 8).toFloat, s"width of $id")
+      assert(f.feature(2) === (8 + id % 6).toFloat, s"height of $id")
+      assert(math.round(f.feature(3) * 255) === (id * 7) % 256, s"first gray of $id")
+      assert(math.round(f.feature(4) * 255) === (id * 7 + (n - 1) * 29) % 256, s"last gray of $id")
+    }
+  }
+
   test("multimodal: frame sampling slices stride-aligned fixed windows") {
     val assets = Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir))
     val frames = Multimodal.sampleFrames(spark, assets, frameBytes = 64, stride = 2)
