@@ -624,8 +624,14 @@ object SparkEntry {
       val decon = Dedup.stripSpans(corpus, "doc_id", "text",
           Dedup.contaminationSpans(corpus, evalSet, "doc_id", "text", n = 8))
         .withColumnRenamed("clean_text", "text")
+      // The twice-cleaned relation feeds THREE consumers (MinHash
+      // signatures, exact Jaccard verification, and the md5 projection);
+      // persist() computes the two strip passes once and serves all three
+      // from cache — the single-cluster analogue of the materialization a
+      // real 100 TB pipeline does between cleaning and dedup stages.
       val cleaned = Dedup.stripDuplicateSpans(decon, "doc_id", "text", n = 8)
         .withColumnRenamed("clean_text", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigs = Dedup.minHashSignatures(cleaned, "doc_id", "text", ShingleK, NumMinHashes)
       val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
       val pairs = Dedup.verifyCandidatesJaccard(cleaned, "doc_id", "text", ShingleK,
