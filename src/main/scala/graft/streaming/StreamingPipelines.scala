@@ -499,10 +499,35 @@ object StreamingPipelines {
     * columns. At 100 TB the static side is the corpus's stored signature
     * index (computed once at ingest); the stream never shuffles text, and
     * per-trigger state is O(docs in the watermark window). */
+  /** The standing corpus's dedup index — banded MinHash buckets plus
+    * per-document shingle hash sets — as the two join-ready frames
+    * [[incrementalDedupStream]] consumes. The static side of a
+    * stream-static join re-evaluates EVERY micro-batch, so callers running
+    * a long-lived ingest query should build this once per corpus snapshot
+    * and persist (or read it from a maintained signature table — at 100 TB
+    * the index is materialized storage, never a per-batch recompute) and
+    * pass it via `staticIndex`. */
+  def dedupIndex(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int, numBands: Int,
+      seed: Long = 42L): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.expressions.GraftExpressions
+    val buckets = Dedup.bandBuckets(
+        Dedup.minHashSignatures(corpus, idCol, textCol, k, numHashes, seed),
+        numHashes, numBands)
+      .select(col("doc_id").as("c_id"), col("band"), col("bucket"))
+    val sets = corpus.select(col(idCol).cast("long").as("c_set_id"),
+      GraftExpressions.shingleHashSet(col(textCol), k).as("hs_c"))
+    (buckets, sets)
+  }
+
   def incrementalDedupStream(incoming: org.apache.spark.sql.DataFrame,
       corpus: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       tsCol: String, watermarkDelay: String, k: Int, numHashes: Int,
-      numBands: Int, threshold: Double, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+      numBands: Int, threshold: Double, seed: Long = 42L,
+      staticIndex: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
     require(numHashes % numBands == 0, "numHashes must divide into equal bands")
@@ -521,12 +546,8 @@ object StreamingPipelines {
             .map(j => element_at(col("__sig"), j + 1).cast("string")): _*))).as("bucket"))
     }
 
-    val staticBuckets = Dedup.bandBuckets(
-        Dedup.minHashSignatures(corpus, idCol, textCol, k, numHashes, seed),
-        numHashes, numBands)
-      .select(col("doc_id").as("c_id"), col("band"), col("bucket"))
-    val staticSets = corpus.select(col(idCol).cast("long").as("c_set_id"),
-      GraftExpressions.shingleHashSet(col(textCol), k).as("hs_c"))
+    val (staticBuckets, staticSets) = staticIndex.getOrElse(
+      dedupIndex(corpus, idCol, textCol, k, numHashes, numBands, seed))
 
     val exploded = incoming
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),

@@ -95,9 +95,19 @@ object CorpusMaintenance {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // The corpus index is fixed for the query's lifetime, so build it ONCE
+    // and persist: the static side of a stream-static join re-evaluates
+    // every micro-batch, and without this each cycle re-signs the whole
+    // corpus three times (batch + two watermark flushes). Production keeps
+    // this as a maintained signature table on storage.
+    val (idxBuckets, idxSets) = StreamingPipelines.dedupIndex(
+      corpus, "doc_id", "text", k, numHashes, numBands)
+    idxBuckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    idxSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     val deduped = StreamingPipelines.incrementalDedupStream(
       mem.toDF().toDF("doc_id", "text", "ts"), corpus, "doc_id", "text",
-      "ts", watermarkDelay = "0 seconds", k, numHashes, numBands, threshold)
+      "ts", watermarkDelay = "0 seconds", k, numHashes, numBands, threshold,
+      staticIndex = Some((idxBuckets, idxSets)))
     val outPath = s"$sinkDir/epochs"
     val q = ExactlyOnceSink.start(
       deduped.where(col("keep")).select("doc_id", "dup_of", "best_jaccard"),
@@ -120,7 +130,11 @@ object CorpusMaintenance {
           q.processAllAvailable()
           (e, batch.map(_._1).toSet, (System.nanoTime() - t0) / 1e9)
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        idxBuckets.unpersist()
+        idxSets.unpersist()
+      }
     val admittedIds = spark.read.parquet(outPath)
       .where(col("doc_id") < FlushIdBase)
       .select("doc_id").as[Long].collect().toSet
