@@ -511,6 +511,50 @@ object SparkEntry {
   /** ivfTopK's nprobe default, mirrored in the d8 oracle SQL. */
   private val IvfNprobe = 4
 
+  /** The composed cleaning pipeline behind `e2e_clean_corpus_build` — see
+    * the gate's comment for the stage list. The gate persists the
+    * twice-cleaned relation (it feeds MinHash signatures, Jaccard
+    * verification, and the md5 projection — the single-cluster analogue of
+    * the materialization a real 100 TB pipeline does between cleaning and
+    * dedup stages); PlanShapeSpec passes `persistCleaned = false` so the
+    * exchange audit sees the FULL uncached plan — an InMemoryRelation
+    * would hide the cleaning stages' internals from the formatted explain. */
+  private[graft] def cleanCorpusBuild(s: SparkSession, d: String,
+      persistCleaned: Boolean): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val evalSet = docs.where(col("doc_id") % 11 === 0)
+    val corpus = docs.where(col("doc_id") % 11 =!= 0)
+    val decon = Dedup.stripSpans(corpus, "doc_id", "text",
+        Dedup.contaminationSpans(corpus, evalSet, "doc_id", "text", n = 8))
+      .withColumnRenamed("clean_text", "text")
+    val cleanedPlan = Dedup.stripDuplicateSpans(decon, "doc_id", "text", n = 8)
+      .withColumnRenamed("clean_text", "text")
+    val cleaned =
+      if (persistCleaned) cleanedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cleanedPlan
+    val sigs = Dedup.minHashSignatures(cleaned, "doc_id", "text", ShingleK, NumMinHashes)
+    val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+    val pairs = Dedup.verifyCandidatesJaccard(cleaned, "doc_id", "text", ShingleK,
+      candidates, JaccardThreshold)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("doc_id").as("cid"), col("component"))
+    val members = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+      .withColumnRenamed("component", "mcomp")
+    // md5 is projected BEFORE the survivor join so the join (and every
+    // exchange after it) carries (doc_id, clean_md5) — never the cleaned
+    // text itself.
+    cleaned.select(col("doc_id"), md5(col("text")).as("clean_md5"))
+      .join(comp, col("doc_id") === col("cid"), "left")
+      .where(col("component").isNull || col("doc_id") === col("component"))
+      .join(members, col("doc_id") === col("mcomp"), "left")
+      .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+      .transform(CoreOps.hashSplit(_, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_members"), col("split"),
+        col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact dedup: content-fingerprint groups ----
@@ -617,43 +661,7 @@ object SparkEntry {
     //      including both strip passes and the recursive component
     //      closure; PlanShapeSpec pins that neither text nor token arrays
     //      enter any exchange at any stage. ----
-    "e2e_clean_corpus_build" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val evalSet = docs.where(col("doc_id") % 11 === 0)
-      val corpus = docs.where(col("doc_id") % 11 =!= 0)
-      val decon = Dedup.stripSpans(corpus, "doc_id", "text",
-          Dedup.contaminationSpans(corpus, evalSet, "doc_id", "text", n = 8))
-        .withColumnRenamed("clean_text", "text")
-      // The twice-cleaned relation feeds THREE consumers (MinHash
-      // signatures, exact Jaccard verification, and the md5 projection);
-      // persist() computes the two strip passes once and serves all three
-      // from cache — the single-cluster analogue of the materialization a
-      // real 100 TB pipeline does between cleaning and dedup stages.
-      val cleaned = Dedup.stripDuplicateSpans(decon, "doc_id", "text", n = 8)
-        .withColumnRenamed("clean_text", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sigs = Dedup.minHashSignatures(cleaned, "doc_id", "text", ShingleK, NumMinHashes)
-      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
-      val pairs = Dedup.verifyCandidatesJaccard(cleaned, "doc_id", "text", ShingleK,
-        candidates, JaccardThreshold)
-      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-        .select(col("doc_id").as("cid"), col("component"))
-      val members = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
-        .withColumnRenamed("component", "mcomp")
-      // md5 is projected BEFORE the survivor join so the join (and every
-      // exchange after it) carries (doc_id, clean_md5) — never the cleaned
-      // text itself.
-      cleaned.select(col("doc_id"), md5(col("text")).as("clean_md5"))
-        .join(comp, col("doc_id") === col("cid"), "left")
-        .where(col("component").isNull || col("doc_id") === col("component"))
-        .join(members, col("doc_id") === col("mcomp"), "left")
-        .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
-        .transform(CoreOps.hashSplit(_, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10)))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
-        .select(col("doc_id"), col("source"), col("n_members"), col("split"),
-          col("clean_md5"))
-        .orderBy("doc_id")
-    }),
+    "e2e_clean_corpus_build" -> ((s, d) => cleanCorpusBuild(s, d, persistCleaned = true)),
 
     // ---- MinHash Jaccard estimator over LSH candidates (the cheap
     //      pre-verification threshold a production dedup applies first) ----

@@ -116,7 +116,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // survivor join carries (doc_id, clean_md5) because md5 is projected
     // before it. `text#` also catches `clean_text#` by substring, so neither
     // the raw nor the cleaned body may reach a shuffle at any stage.
-    val df = SparkEntry.queries("e2e_clean_corpus_build")(spark, sfDir)
+    // persistCleaned = false: the audit must see the FULL uncached plan (an
+    // InMemoryRelation would hide the cleaning stages' exchanges).
+    val df = SparkEntry.cleanCorpusBuild(spark, sfDir, persistCleaned = false)
     for (b <- exchangeBlocks(df)) {
       assert(!b.contains("text#"), s"document text reached a shuffle:\n$b")
       assert(!b.contains("__toks#"), s"a token array reached a shuffle:\n$b")
