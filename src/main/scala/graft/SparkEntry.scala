@@ -1076,6 +1076,15 @@ object SparkEntry {
         .orderBy("cluster", "vec_id")
     }),
 
+    // ---- SemDeDup: semantic near-dup pruning — exact-cosine pairs scored
+    //      WITHIN k-means clusters only, transitive closure, min-id
+    //      survivor per duplicate group (the embedding-space dedup that
+    //      catches paraphrases MinHash misses) ----
+    "d16_semantic_dedup" -> ((s, d) => {
+      Similarity.semanticDedup(Tables.embeddings(s, d), CosineNearDupThreshold)
+        .orderBy("vec_id")
+    }),
+
     // ---- chunk→document embedding pooling: element-wise fixed-point mean
     //      per group (10 chunks per synthetic document), long format ----
     "q_chunk_mean_pool" -> ((s, d) => {
@@ -1220,6 +1229,40 @@ object SparkEntry {
              |  FROM assign)
              |SELECT cluster, vec_id FROM sampled WHERE r <= 10
              |ORDER BY cluster, vec_id""".stripMargin,
+
+        // SemDeDup oracle: same centroid assignment as q_kmeans_assign,
+        // d6's normalize-then-dot cosine confined to same-cluster pairs,
+        // d10's recursive transitive closure, d10b's survivor rule
+        // (component minima + singletons)
+        "d16_semantic_dedup" ->
+          s"""WITH RECURSIVE centroids(c, nsq, w) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |dists AS (
+             |  SELECT v.vec_id, ct.c, ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d
+             |  FROM corp v CROSS JOIN centroids ct),
+             |ranked AS (SELECT vec_id, c,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+             |assign AS (SELECT vec_id, CAST(c AS INT) AS cluster FROM ranked WHERE rn = 1),
+             |nrm AS (
+             |  SELECT vec_id, list_transform(emb, x -> x / n) AS emb
+             |  FROM (SELECT vec_id, emb, sqrt(${dotq("emb", "emb")}) AS n FROM corp)),
+             |pairs AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             |  JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id
+             |  WHERE round(${dotq("na.emb", "nb.emb")}, 6) >= $CosineNearDupThreshold),
+             |edges AS (SELECT vec_a AS v, vec_b AS u FROM pairs
+             |          UNION SELECT vec_b, vec_a FROM pairs),
+             |reach(v, l) AS (
+             |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+             |  UNION
+             |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+             |comp AS (SELECT v AS vec_id, CAST(min(l) AS BIGINT) AS component
+             |         FROM reach GROUP BY v)
+             |SELECT a.vec_id, a.cluster
+             |FROM assign a LEFT JOIN comp c ON a.vec_id = c.vec_id
+             |WHERE c.component IS NULL OR a.vec_id = c.component
+             |ORDER BY a.vec_id""".stripMargin,
 
         "d8_ann_ivf_topk" ->
           s"""$candCtes,

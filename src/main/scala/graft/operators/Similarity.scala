@@ -424,6 +424,49 @@ object Similarity {
     *
     * @param bitsPerTable hyperplanes per hash table; 0 = auto from corpus size
     */
+  /** SemDeDup-style semantic deduplication: cluster the corpus with the
+    * same deterministic k-means as the IVF index, score exact-cosine
+    * near-duplicate pairs WITHIN each cluster only, close the pairs
+    * transitively, and keep each duplicate group's min-id representative
+    * (singletons survive untouched). This is the embedding-space dedup a
+    * curation run applies where MinHash misses paraphrases: semantically
+    * near-identical documents land in the same cluster and score ≥
+    * `threshold`, and only one survives.
+    *
+    * Scale shape: pairwise scoring is confined to cluster cells — the
+    * corpus is hash-partitioned ONCE by cluster id and every cell scores
+    * locally, so candidate volume is Σ|cell|² instead of n² (with nlist
+    * sized so cells stay bounded as the corpus grows, exactly the IVF
+    * sizing rule). Embeddings are pre-normalized so each pair costs one
+    * dot; pairs leave the join as bare (vec_a, vec_b) longs; the component
+    * closure and the survivor anti-filter run over ids only.
+    *
+    * Returns the surviving (vec_id, cluster) rows. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      dim: Int = 64, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nlist, dim, seed = seed)
+    val assigned = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("cluster", array_min(centroidDists(col("emb"), centroids)).getField("c").cast("int"))
+      .withColumn("nemb", normalized(col("emb")))
+      .select("vec_id", "cluster", "nemb")
+    val pairs = assigned
+      .select(col("cluster"), col("vec_id").as("vec_a"), col("nemb").as("emb_a"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"), col("nemb").as("emb_b")),
+        Seq("cluster"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(round(dot(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .select("vec_a", "vec_b")
+    val comp = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+    // min-label propagation converges to the component's min id, so the
+    // survivor of a duplicate group is the row whose id IS its label
+    assigned
+      .join(comp.select(col("doc_id").as("cid"), col("component")),
+        col("vec_id") === col("cid"), "left")
+      .where(col("component").isNull || col("vec_id") === col("component"))
+      .select("vec_id", "cluster")
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       dim: Int = 64, bitsPerTable: Int = 0, numTables: Int = 8, seed: Long = 42L): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable else bitsForCorpus(corpus.count())

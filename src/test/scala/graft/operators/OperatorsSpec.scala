@@ -855,6 +855,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1) === ((11L, None, true)), "novel doc must be kept")
   }
 
+  test("semanticDedup matches a single-node cluster/pair/union-find replica and actually prunes") {
+    val dir = "/root/testdata/sf0.01" // 500 vectors: the 0.001 corpus has no near-dups to prune
+    val emb = Tables.embeddings(spark, dir)
+    val thr = 0.4
+    val got = Similarity.semanticDedup(emb, thr).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+
+    // single-node replica: same deterministic centroids, nearest-centroid
+    // assignment (ties to lowest index), normalized-dot pairs within each
+    // cluster rounded half-up to 6, union-find, min-id survivors
+    val centroids = Similarity.trainIvfCentroids(emb, nlist = 16, dim = 64)
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    // same ‖c‖²−2·v·c float form (and fold order) as centroidDists, so
+    // argmin flips on near-equidistant centroids can't diverge
+    def assign(v: Array[Double]): Int =
+      centroids.zipWithIndex.map { case (c, i) =>
+        (c.map(x => x * x).sum - 2.0 * c.zip(v).map { case (a, b) => a * b }.sum, i)
+      }.min._2
+    val cluster = vecs.map { case (id, v) => id -> assign(v) }.toMap
+    val nrm = vecs.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      id -> (if (n == 0.0) v else v.map(_ / n))
+    }.toMap
+    val parent = scala.collection.mutable.Map(vecs.map(_._1 -> -1L).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
+    var pairCount = 0
+    for ((a, _) <- vecs; (b, _) <- vecs if a < b && cluster(a) == cluster(b)) {
+      val cos = BigDecimal(nrm(a).zip(nrm(b)).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (cos >= thr) {
+        pairCount += 1
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+    }
+    assert(pairCount > 0, "threshold too high: test would be vacuous")
+    val expected = vecs.map(_._1).filter(id => find(id) == id)
+      .map(id => (id, cluster(id))).sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+    assert(got.length < vecs.length, "semantic dedup pruned nothing")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
