@@ -1120,6 +1120,15 @@ object SparkEntry {
       val cands = Similarity.ivfCandidates(emb, queries)
       Similarity.quantizedTopK(emb, queries, TopK, rescoreFactor = 4, candidates = Some(cands))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- product quantization: m-byte codes + ADC lookup ranking + exact
+    //      rescore — completes the quantized family (d9 scalar, d9b LSH,
+    //      d9c IVF, d9d product) ----
+    "d9d_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.pqTopK(emb, queries, TopK).orderBy("query_id", "rank")
     })
   )
 
@@ -1132,7 +1141,7 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ s3OracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql
 
   /** Where the s3 gate materialized its generator output (set when the gate
     * runs; Verify processes one dataset per JVM, same contract as
@@ -1290,6 +1299,71 @@ object SparkEntry {
              |exact AS (
              |  SELECT query_id, vec_id AS neighbor_id, round(${cosq("q_e", "e")}, 6) AS cos
              |  FROM cand WHERE arank <= ${TopK * 4}),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM exact)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+             |ORDER BY query_id, rank""".stripMargin)
+    }.toMap
+
+  /** PQ oracle, available after [[Similarity.trainPqCodebooks]] has run.
+    * The VALUES table carries one row per (subspace, code): the codeword's
+    * norm-squared exactly as the Spark plan embeds it and its dim/m
+    * weights. Code assignment (argmin per subspace, ties to lowest code),
+    * the per-query ADC table, the ORDERED j=1..m lookup fold (list_reduce
+    * mirrors the Spark `reduce(_ + _)` left fold — a GROUP BY sum would
+    * re-order the float adds), ADC ranking, exact rescore, and final
+    * ranking all mirror [[Similarity.pqTopK]] operation by operation. */
+  private def pqOracleSql: Map[String, String] =
+    Similarity.lastPqCodebooks.toSeq.flatMap {
+      case (dim, m, ksub, seed, _) if dim != 64 || m != 16 || ksub != 16 || seed != 42L =>
+        Nil // another training overwrote the slot; omit rather than mismatch
+      case (_, m, _, _, books) =>
+        val dsub = 64 / m
+        val values = (for (j <- books.indices; c <- books(j).indices) yield {
+          val w = books(j)(c)
+          val nsq = w.map(x => x * x).sum
+          s"($j, $c, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
+        }).mkString(", ")
+        def dotq(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+        def cosq(a: String, b: String) =
+          s"${dotq(a, b)} / (sqrt(${dotq(a, a)}) * sqrt(${dotq(b, b)}))"
+        Map("d9d_pq_topk" ->
+          s"""WITH books(j, c, nsq, w) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |subd AS (
+             |  SELECT v.vec_id, b.j, b.c,
+             |         b.nsq - 2.0 * list_reduce(list_transform(range(1, ${dsub + 1}),
+             |           i -> b.w[i] * v.emb[b.j * $dsub + i]), (x, y) -> x + y) AS d
+             |  FROM corp v CROSS JOIN books b),
+             |codes AS (
+             |  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+             |    SELECT vec_id, j, c,
+             |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM subd)
+             |  WHERE rn = 1 GROUP BY vec_id),
+             |qadc AS (
+             |  SELECT vec_id AS query_id, list(dl ORDER BY j) AS adc FROM (
+             |    SELECT vec_id, j, list(d ORDER BY c) AS dl FROM subd
+             |    WHERE vec_id < 10 GROUP BY vec_id, j)
+             |  GROUP BY vec_id),
+             |approx AS (
+             |  SELECT q.query_id, v.vec_id,
+             |         list_reduce(list_transform(range(1, ${m + 1}),
+             |           j -> q.adc[j][v.codes[j] + 1]), (x, y) -> x + y) AS approx
+             |  FROM codes v CROSS JOIN qadc q WHERE v.vec_id <> q.query_id),
+             |cand AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           row_number() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS rn
+             |    FROM approx)
+             |  WHERE rn <= 20),
+             |exact AS (
+             |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+             |         round(${cosq("qq.emb", "ee.emb")}, 6) AS cos
+             |  FROM cand cd JOIN corp qq ON qq.vec_id = cd.query_id
+             |               JOIN corp ee ON ee.vec_id = cd.vec_id),
              |ranked AS (
              |  SELECT query_id, neighbor_id, cos,
              |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

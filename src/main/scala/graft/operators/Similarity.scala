@@ -424,6 +424,111 @@ object Similarity {
     *
     * @param bitsPerTable hyperplanes per hash table; 0 = auto from corpus size
     */
+  /** Last-trained PQ codebooks: (dim, m, ksub, seed, books[m][ksub][dim/m]).
+    * Exported to the DuckDB oracle as a VALUES table, same contract as
+    * [[lastIvfCentroids]]. */
+  @volatile private[graft] var lastPqCodebooks: Option[(Int, Int, Int, Long, Array[Array[Array[Double]]])] = None
+
+  /** Product-quantization codebooks: the embedding space is cut into `m`
+    * contiguous subspaces of dim/m dims and each gets its own `ksub`-word
+    * codebook, trained by the same deterministic Lloyd loop as
+    * [[trainIvfCentroids]] on the same bounded sample. A vector's code is
+    * then m small integers (m bytes at ksub ≤ 256) instead of dim doubles —
+    * the representation that makes billion-vector indexes fit on disk. */
+  def trainPqCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+      iterations: Int = 8, sampleSize: Int = 4096, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val sample = corpus
+      .select(col("vec_id").cast("long").as("vid"), asDouble(col("embedding")).as("emb"))
+      .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val books = Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var centroids = Array.tabulate(math.min(ksub, subs.length)) { c =>
+        subs(((graft.dp.Mix.mix64(seed + 7919L * j + c) >>> 33) % subs.length).toInt).clone()
+      }
+      for (_ <- 0 until iterations) {
+        val sums = Array.fill(centroids.length)(new Array[Double](dsub))
+        val counts = new Array[Long](centroids.length)
+        subs.foreach { v =>
+          val c = nearestCentroid(v, centroids)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += v(i); i += 1 }
+        }
+        centroids = centroids.indices.map { c =>
+          if (counts(c) == 0) centroids(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      centroids
+    }
+    lastPqCodebooks = Some((dim, m, ksub, seed, books))
+    books
+  }
+
+  /** PQ approximate top-k with asymmetric-distance (ADC) ranking and exact
+    * rescoring: the corpus is encoded ONCE to m-byte codes (a pure
+    * projection — argmin per subspace over the broadcast-literal codebooks,
+    * ties to the lowest code, the [[centroidDists]] struct trick per
+    * subspace); each query precomputes its m×ksub table of
+    * ‖w‖²−2·w·q_sub subspace distances; ranking a (query, vector) pair is
+    * then m array lookups instead of a dim-wide dot. The `rescoreCands`
+    * best ADC candidates per query are rescored with the exact cosine over
+    * the true embeddings, so reported scores are exact and PQ error only
+    * costs recall, never precision.
+    *
+    * Scale shape: the scan-side payload drops from dim doubles to m small
+    * ints per vector (512 B → 16 B here) — codes, not embeddings, cross the wire to
+    * meet the broadcast ADC tables; true embeddings are joined back only
+    * for the rescoreCands × queries survivors. Completes the quantized
+    * family: d9 (scalar), d9b (LSH-bucketed), d9c (IVF-bucketed), d9d
+    * (product). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, m: Int = 16, ksub: Int = 16, rescoreCands: Int = 20,
+      seed: Long = 42L): DataFrame = {
+    val books = trainPqCodebooks(corpus, dim, m, ksub, seed = seed)
+    val dsub = dim / m
+    def subv(emb: Column, j: Int): Column = slice(emb, j * dsub + 1, dsub)
+    def wNormSq(w: Array[Double]): Double = w.map(x => x * x).sum
+    val coded = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("codes", array((0 until m).map { j =>
+        array_min(array(books(j).zipWithIndex.map { case (w, c) =>
+          struct((lit(wNormSq(w)) - lit(2.0) * dot(array(w.map(lit): _*), subv(col("emb"), j))).as("d"),
+            lit(c).as("c"))
+        }: _*)).getField("c")
+      }: _*))
+      .select("vec_id", "codes")
+    val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("adc", array((0 until m).map { j =>
+        array(books(j).map { w =>
+          lit(wNormSq(w)) - lit(2.0) * dot(array(w.map(lit): _*), subv(col("q_emb"), j))
+        }: _*)
+      }: _*))
+      .select("query_id", "adc"))
+    val approx = coded.crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", (0 until m).map { j =>
+        element_at(element_at(col("adc"), j + 1), element_at(col("codes"), j + 1) + 1)
+      }.reduce(_ + _))
+    val wa = Window.partitionBy(col("query_id")).orderBy(col("approx"), col("vec_id"))
+    val cands = approx.withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= rescoreCands)
+      .select("query_id", "vec_id")
+    val corpusEmb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val qEmb = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb")))
+    val rescored = cands.join(corpusEmb, "vec_id").join(qEmb, "query_id")
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus with the
     * same deterministic k-means as the IVF index, score exact-cosine
     * near-duplicate pairs WITHIN each cluster only, close the pairs

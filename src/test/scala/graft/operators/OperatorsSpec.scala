@@ -645,6 +645,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ top-k: exact rescored scores, ADC recall solid, stable under repartitioning") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val allScores = Similarity.bruteForceTopK(emb, queries, Int.MaxValue - 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val pq = Similarity.pqTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.nonEmpty)
+    // reported scores are EXACT cosines — PQ error affects recall only
+    pq.foreach { case (q, _, n, cos) => assert(allScores((q, n)) === cos, s"score mismatch ($q,$n)") }
+    val recall = pq.map(t => (t._1, t._3)).toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@5 too low: $recall") // 20 ADC cands rescored for k=5
+    // codes/training/ranking all deterministic under physical layout changes
+    val re = Similarity.pqTopK(emb.repartition(7), queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(re.sortBy(t => (t._1, t._2)).toSeq === pq.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("IVF training is deterministic, including under repartitioning") {
     val emb = Tables.embeddings(spark, sfDir)
     val a = Similarity.trainIvfCentroids(emb, 8, 64)
