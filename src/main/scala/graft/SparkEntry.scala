@@ -507,6 +507,7 @@ object SparkEntry {
   // (verification still uses full sets — see Dedup.jaccardPairs)
   private val JaccardMaxDf = 10L
   private val CosineNearDupThreshold = 0.4
+  private val HeavyHitterThreshold = 300L
   private val TopK = 5
   /** ivfTopK's nprobe default, mirrored in the d8 oracle SQL. */
   private val IvfNprobe = 4
@@ -766,6 +767,15 @@ object SparkEntry {
     "x5_winnowing_fingerprints" -> ((s, d) => {
       TextOps.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id", "fingerprint")
+    }),
+
+    // ---- exact heavy hitters via count-min-sketch candidates: the CMS
+    //      (never undercounts) prunes the vocabulary BEFORE the exact-count
+    //      shuffle; exact verification makes the result exact, so the
+    //      oracle is plain SQL ----
+    "t3_heavy_hitters" -> ((s, d) => {
+      TextOps.heavyHitters(Tables.documents(s, d), "text", HeavyHitterThreshold)
+        .orderBy("word")
     }),
 
     // ---- PII scrubbing: planted emails/digit runs masked at scan speed ----
@@ -2071,6 +2081,15 @@ object SparkEntry {
       "x4_fingerprint" ->
         """SELECT doc_id, substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // the CMS pass is a pure candidate filter (never undercounts ⇒
+      // superset) and the operator verifies with exact counts, so the
+      // oracle is the plain exact heavy-hitter query
+      "t3_heavy_hitters" ->
+        s"""SELECT word, count(*) AS cnt
+           |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+           |WHERE word <> '' GROUP BY word HAVING count(*) >= $HeavyHitterThreshold
+           |ORDER BY word""".stripMargin,
 
       "x5_winnowing_fingerprints" ->
         """WITH sh AS (

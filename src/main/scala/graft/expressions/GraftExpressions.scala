@@ -382,6 +382,44 @@ case class WinnowingFingerprintSet(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Count-min-sketch point estimate for a string key: a JIT-compiled bucket
+  * lookup (depth hashes, depth reads) against a sketch trained by Spark's
+  * `count_min_sketch` aggregate and carried as serialized bytes. Keys are
+  * hashed as their UTF-8 bytes — the same representation the aggregate
+  * feeds `addBinary`, so estimates are exact-side-up for every key the
+  * aggregate saw (CMS never undercounts). Used to pre-filter heavy-hitter
+  * candidates BEFORE the exact-count shuffle: only suspected-heavy keys
+  * cross the wire. */
+case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cms_estimate"
+
+  @transient private lazy val helper = new CmsHelper(sketchBytes)
+
+  override def nullSafeEval(t: Any): Any = helper.estimate(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("cmsHelper", helper, classOf[CmsHelper].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helperRef.estimate($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+}
+
+/** Serializable CMS wrapper invoked from generated code: ships the sketch
+  * as bytes, deserializes once per task. */
+final class CmsHelper(bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  def estimate(key: UTF8String): Long = cms.estimateCount(key.getBytes)
+}
+
 /** Serializable winnowing helper invoked from generated code. */
 final class WinnowingHelper(k: Int, w: Int) extends Serializable {
   private val empty = new GenericArrayData(Array.emptyLongArray)
@@ -492,6 +530,9 @@ object GraftExpressions {
 
   def winnowingFingerprintSet(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingFingerprintSet(ColumnBridge.expression(text), k, w))
+
+  def cmsEstimate(key: Column, sketchBytes: Array[Byte]): Column =
+    ColumnBridge.column(CmsEstimate(ColumnBridge.expression(key), sketchBytes))
 
   def simhash32(text: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))

@@ -276,6 +276,33 @@ object TextOps {
         explode(graft.expressions.GraftExpressions.winnowingFingerprintSet(
           col(textCol), k, w)).as("fingerprint"))
 
+  /** Exact heavy hitters with a count-min-sketch candidate pass: words whose
+    * exact count is ≥ `threshold`, found WITHOUT shuffling the full
+    * vocabulary. Pass 1 folds every token into a fixed-size CMS (map-side
+    * partial sketches, one merged sketch — O(depth×width) bytes regardless
+    * of corpus size — is all the driver ever holds). Pass 2 re-scans and
+    * keeps only tokens whose sketch estimate reaches the threshold — a
+    * JIT'd bucket lookup ([[graft.expressions.CmsEstimate]]) BEFORE the
+    * exact-count shuffle — then exact-counts and verifies the survivors.
+    *
+    * CMS never undercounts, so the candidate set is a superset of the true
+    * heavy hitters and the exact verification makes the result EXACT — the
+    * same approximate-candidates + exact-verify contract as the MinHash→
+    * Jaccard dedup path. At 100 TB the exact-count shuffle carries only
+    * suspected-heavy words (ε bounds the false-candidate mass at ε·N extra
+    * count per key), not the full vocabulary. */
+  def heavyHitters(docs: DataFrame, textCol: String, threshold: Long,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val words = CoreOps.tokenize(docs, textCol).select("word")
+    val sketchBytes = words
+      .agg(count_min_sketch(col("word"), lit(eps), lit(confidence), lit(seed)))
+      .head().getAs[Array[Byte]](0)
+    words
+      .where(graft.expressions.GraftExpressions.cmsEstimate(col("word"), sketchBytes) >= threshold)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+  }
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 

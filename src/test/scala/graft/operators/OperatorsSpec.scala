@@ -919,6 +919,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length < vecs.length, "semantic dedup pruned nothing")
   }
 
+  test("heavyHitters: exact results, CMS candidate filter prunes the light tail pre-shuffle") {
+    import spark.implicits._
+    // 600× heavy, exactly-at-threshold edge, 500 singleton light words
+    val tokens = Seq.fill(600)("heavy") ++ Seq.fill(300)("edge") ++ (1 to 500).map(i => s"rare$i")
+    val docs = tokens.grouped(50).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val hh = TextOps.heavyHitters(docs, "text", 300L).orderBy("word")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq === Seq(("edge", 300L), ("heavy", 600L)))
+    // the sketch filter is genuinely load-bearing: with ε·N ≪ threshold the
+    // candidate tokens are exactly the two heavy words' 900 occurrences —
+    // the exact-count shuffle never sees the 500 singletons
+    val words = CoreOps.tokenize(docs, "text").select("word")
+    val sketch = words.agg(count_min_sketch(col("word"), lit(0.001), lit(0.99), lit(42)))
+      .head().getAs[Array[Byte]](0)
+    val candRows = words
+      .where(graft.expressions.GraftExpressions.cmsEstimate(col("word"), sketch) >= 300L)
+      .count()
+    assert(candRows === 900L, s"CMS filter admitted $candRows rows, expected exactly the heavy mass")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
