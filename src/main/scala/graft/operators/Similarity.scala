@@ -515,6 +515,9 @@ object Similarity {
       .withColumn("approx", (0 until m).map { j =>
         element_at(element_at(col("adc"), j + 1), element_at(col("codes"), j + 1) + 1)
       }.reduce(_ + _))
+      // project BEFORE the ranking window: its exchange must carry three
+      // scalars per candidate, not the codes + the per-query ADC table
+      .select("query_id", "vec_id", "approx")
     val wa = Window.partitionBy(col("query_id")).orderBy(col("approx"), col("vec_id"))
     val cands = approx.withColumn("arank", row_number().over(wa))
       .where(col("arank") <= rescoreCands)

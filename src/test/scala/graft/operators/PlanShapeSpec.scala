@@ -158,4 +158,28 @@ class PlanShapeSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(fmt.contains("HashAggregate"), "pooling lost its hash aggregate")
   }
+
+  test("d9d_pq_topk: ADC ranking exchange carries scalars only — never codes, ADC tables, or embeddings") {
+    val df = SparkEntry.queries("d9d_pq_topk")(spark, sfDir)
+    for (b <- exchangeBlocks(df) if b.contains("hashpartitioning")) {
+      assert(!b.contains("codes#"), s"PQ codes reached a shuffle:\n$b")
+      assert(!b.contains("adc#"), s"a per-query ADC table reached a shuffle:\n$b")
+    }
+    // embeddings cross an exchange only on the rescore join's corpus side
+    // (cands × corpus), never in the ADC ranking window's exchange
+    val ranking = exchangeBlocks(df).filter(b =>
+      b.contains("approx#") && b.contains("hashpartitioning"))
+    ranking.foreach { b =>
+      assert(!b.contains("emb#") && !b.contains("embedding#"),
+        s"the ADC ranking exchange carries an embedding array:\n$b")
+    }
+    assert(ranking.nonEmpty, "could not locate the ADC ranking exchange — test needs updating")
+  }
+
+  test("d16_semantic_dedup: within-cluster pairing is a hash equi-join, never a pair explosion") {
+    val df = SparkEntry.queries("d16_semantic_dedup")(spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic dedup fell back to a cartesian pair explosion:\n$plan")
+  }
 }
