@@ -1095,6 +1095,27 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- hybrid dedup: lexical (MinHash/LSH-verified Jaccard) and
+    //      semantic (within-cluster cosine) near-dup edges UNIONED into one
+    //      component closure — a doc is a duplicate if EITHER signal says
+    //      so (the embeddings table is 1:1 with documents by id) ----
+    "d17_hybrid_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
+      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      val lexical = Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", ShingleK,
+          candidates, JaccardThreshold)
+        .select("doc_a", "doc_b")
+      val semantic = Similarity.semanticNearDupPairs(Tables.embeddings(s, d), CosineNearDupThreshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val comp = Dedup.connectedComponents(lexical.unionByName(semantic), "doc_a", "doc_b")
+        .select(col("doc_id").as("cid"), col("component"))
+      docs.join(comp, col("doc_id") === col("cid"), "left")
+        .where(col("component").isNull || col("doc_id") === col("component"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- chunk→document embedding pooling: element-wise fixed-point mean
     //      per group (10 chunks per synthetic document), long format ----
     "q_chunk_mean_pool" -> ((s, d) => {
@@ -1283,6 +1304,48 @@ object SparkEntry {
              |WHERE c.component IS NULL OR a.vec_id = c.component
              |ORDER BY a.vec_id""".stripMargin,
 
+        // hybrid dedup oracle: the shared lexical fragments (sig → band →
+        // candidate → verify) produce lex_pairs; the centroid VALUES +
+        // normalize-then-dot produce sem_pairs; ONE recursive closure over
+        // the union, d10b's survivor rule
+        "d17_hybrid_dedup" ->
+          s"""WITH RECURSIVE $sigCte,
+             |$lshCandsCte,
+             |$jaccardCte,
+             |lex_pairs AS (
+             |  SELECT c.doc_a, c.doc_b FROM cands c
+             |  JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b),
+             |centroids(c, nsq, w) AS (VALUES $values),
+             |ecorp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |edists AS (
+             |  SELECT v.vec_id, ct.c, ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d
+             |  FROM ecorp v CROSS JOIN centroids ct),
+             |eranked AS (SELECT vec_id, c,
+             |                   row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM edists),
+             |eassign AS (SELECT vec_id, CAST(c AS INT) AS cluster FROM eranked WHERE rn = 1),
+             |enrm AS (
+             |  SELECT vec_id, list_transform(emb, x -> x / n) AS emb
+             |  FROM (SELECT vec_id, emb, sqrt(${dotq("emb", "emb")}) AS n FROM ecorp)),
+             |sem_pairs AS (
+             |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+             |  FROM eassign a JOIN eassign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             |  JOIN enrm na ON na.vec_id = a.vec_id JOIN enrm nb ON nb.vec_id = b.vec_id
+             |  WHERE round(${dotq("na.emb", "nb.emb")}, 6) >= $CosineNearDupThreshold),
+             |all_pairs AS (SELECT doc_a, doc_b FROM lex_pairs
+             |              UNION SELECT doc_a, doc_b FROM sem_pairs),
+             |edges AS (SELECT doc_a AS v, doc_b AS u FROM all_pairs
+             |          UNION SELECT doc_b, doc_a FROM all_pairs),
+             |reach(v, l) AS (
+             |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+             |  UNION
+             |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+             |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+             |         FROM reach GROUP BY v)
+             |SELECT d.doc_id, d.source
+             |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+             |WHERE c.component IS NULL OR d.doc_id = c.component
+             |ORDER BY d.doc_id""".stripMargin,
+
         "d8_ann_ivf_topk" ->
           s"""$candCtes,
              |scored AS (
@@ -1389,16 +1452,17 @@ object SparkEntry {
       |       i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
       |FROM documents""".stripMargin
 
-  private def llmOracleSql: Map[String, String] = {
-    val paramValues = Dedup.minHashParams(NumMinHashes)
-      .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
-    val sigCte =
+  // ---- shared lexical-dedup DuckDB fragments (used by the llm oracles and
+  //      the hybrid d17 oracle, which also needs the trained centroids) ----
+  private lazy val paramValues = Dedup.minHashParams(NumMinHashes)
+    .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+  private lazy val sigCte =
       s"""sh AS ($DuckShingles),
          |h AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM sh),
          |params(j, a, b) AS (VALUES $paramValues),
          |sigs AS (SELECT doc_id, j, min((a * h + b) % ${Dedup.MinHashPrime}) AS minhash
          |         FROM h CROSS JOIN params GROUP BY doc_id, j)""".stripMargin
-    val jaccardCte =
+  private lazy val jaccardCte =
       s"""jsh AS ($DuckShingles),
          |jh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM jsh),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM jh GROUP BY doc_id),
@@ -1409,20 +1473,20 @@ object SparkEntry {
          |         round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
          |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold)""".stripMargin
-    val bandedCte =
+  private lazy val bandedCte =
       s"""banded AS (
          |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
          |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
          |  FROM sigs GROUP BY doc_id, band)""".stripMargin
-    val lshCandsCte =
+  private lazy val lshCandsCte =
       s"""$bandedCte,
          |cands AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2)""".stripMargin
-    // LSH candidates → exact-Jaccard verify → undirected edges → min-label
-    // connected components, ending in comp(doc_id, component)
-    val componentsCte =
+  // LSH candidates → exact-Jaccard verify → undirected edges → min-label
+  // connected components, ending in comp(doc_id, component)
+  private lazy val componentsCte =
       s"""$lshCandsCte,
          |$jaccardCte,
          |pairs AS (
@@ -1436,6 +1500,8 @@ object SparkEntry {
          |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
          |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
          |         FROM reach GROUP BY v)""".stripMargin
+
+  private def llmOracleSql: Map[String, String] = {
     // The composed cleaning pipeline's oracle: two strip passes (eval-set
     // window decontamination, then corpus-wide duplicate spans on the
     // RESULT), then the full sig→band→candidate→verify→components→survivor

@@ -550,21 +550,40 @@ object Similarity {
     * closure and the survivor anti-filter run over ids only.
     *
     * Returns the surviving (vec_id, cluster) rows. */
-  def semanticDedup(corpus: DataFrame, threshold: Double,
-      dim: Int = 64, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+  /** (vec_id, cluster, normalized embedding) under the deterministic
+    * k-means — the shared prefix of [[semanticDedup]] and
+    * [[semanticNearDupPairs]]. */
+  private def clusterAssigned(corpus: DataFrame,
+      dim: Int, nlist: Int, seed: Long): DataFrame = {
     val centroids = trainIvfCentroids(corpus, nlist, dim, seed = seed)
-    val assigned = corpus
+    corpus
       .select(col("vec_id").cast("long").as("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("cluster", array_min(centroidDists(col("emb"), centroids)).getField("c").cast("int"))
       .withColumn("nemb", normalized(col("emb")))
       .select("vec_id", "cluster", "nemb")
-    val pairs = assigned
+  }
+
+  /** Exact-cosine near-duplicate pairs scored WITHIN k-means clusters only
+    * — [[semanticDedup]]'s candidate stage, exposed so hybrid pipelines can
+    * union these edges with lexical (MinHash-verified) ones before one
+    * shared component closure. */
+  def semanticNearDupPairs(corpus: DataFrame, threshold: Double,
+      dim: Int = 64, nlist: Int = 16, seed: Long = 42L): DataFrame =
+    pairsWithinClusters(clusterAssigned(corpus, dim, nlist, seed), threshold)
+
+  private def pairsWithinClusters(assigned: DataFrame, threshold: Double): DataFrame =
+    assigned
       .select(col("cluster"), col("vec_id").as("vec_a"), col("nemb").as("emb_a"))
       .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"), col("nemb").as("emb_b")),
         Seq("cluster"))
       .where(col("vec_a") < col("vec_b"))
       .where(round(dot(col("emb_a"), col("emb_b")), 6) >= threshold)
       .select("vec_a", "vec_b")
+
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      dim: Int = 64, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    val assigned = clusterAssigned(corpus, dim, nlist, seed)
+    val pairs = pairsWithinClusters(assigned, threshold)
     val comp = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
     // min-label propagation converges to the component's min id, so the
     // survivor of a duplicate group is the row whose id IS its label

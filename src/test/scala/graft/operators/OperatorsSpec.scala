@@ -919,6 +919,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length < vecs.length, "semantic dedup pruned nothing")
   }
 
+  test("hybrid dedup: survivors are exactly those surviving BOTH single-signal passes' edges") {
+    val dir = "/root/testdata/sf0.01"
+    def ids(name: String, idCol: String): Set[Long] =
+      SparkEntry.queries(name)(spark, dir).select(idCol).collect().map(_.getLong(0)).toSet
+    val hybrid = ids("d17_hybrid_dedup", "doc_id")
+    val lexical = ids("d10b_dedup_survivors", "doc_id")
+    val semantic = ids("d16_semantic_dedup", "vec_id")
+    // unioning edges can only merge components / add duplicates — never
+    // resurrect one — so hybrid survivors ⊆ each single-signal survivor set
+    assert(hybrid.subsetOf(lexical), "hybrid resurrected a lexically-dropped doc")
+    assert(hybrid.subsetOf(semantic), "hybrid resurrected a semantically-dropped doc")
+    // and both signals must actually contribute edges on this corpus
+    assert(hybrid.size < lexical.size, "semantic edges contributed nothing")
+    assert(hybrid.size < semantic.size, "lexical edges contributed nothing")
+  }
+
   test("heavyHitters: exact results, CMS candidate filter prunes the light tail pre-shuffle") {
     import spark.implicits._
     // 600× heavy, exactly-at-threshold edge, 500 singleton light words
