@@ -821,6 +821,13 @@ object SparkEntry {
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- bigram-LM perplexity scoring (CCNet-style quality filter): add-k
+    //      smoothed bigram model over the corpus's own transitions; per-doc
+    //      NLL summed in exact q6 fixed-point ----
+    "x11_bigram_perplexity" -> ((s, d) => {
+      TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
     // ---- dataset card: the per-source release summary, composing token
     //      accounting, exact-dup detection, language id, and quality in ONE
     //      aggregation pass over per-doc stats. Quality is summed in
@@ -1673,6 +1680,32 @@ object SparkEntry {
           |LEFT JOIN wstats w ON d.doc_id = w.doc_id
           |LEFT JOIN gstats g ON d.doc_id = g.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      // identical add-k bigram model: transitions (v,w) from 1-based token
+      // list positions; NLL fixed-pointed to q6 longs per transition (exact
+      // order-independent sum), avg/ppl round4'd from the same exact inputs
+      "x11_bigram_perplexity" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |trans AS (
+          |  SELECT doc_id, toks[i - 1] AS v, toks[i] AS w
+          |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+          |vocab AS (
+          |  SELECT count(DISTINCT tok)::DOUBLE AS v_size
+          |  FROM (SELECT unnest(toks) AS tok FROM t)),
+          |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
+          |ctx AS (SELECT v, count(*) AS c_v FROM trans GROUP BY v),
+          |scored AS (
+          |  SELECT trans.doc_id,
+          |         CAST(floor(-ln((c_vw::DOUBLE + 0.5) / (c_v::DOUBLE + 0.5 * vocab.v_size))
+          |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
+          |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v), vocab)
+          |SELECT doc_id, count(*) AS n_trans,
+          |       CAST(sum(nll_q6) AS BIGINT) AS sum_nll_q6,
+          |       floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS avg_nll,
+          |       floor(exp(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ppl
+          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // sliding 64-token chunks every 48 tokens; ws[a:b] is DuckDB's 1-based
       // inclusive clamped slice == Spark's slice(ws, a, 64)

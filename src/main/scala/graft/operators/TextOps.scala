@@ -303,6 +303,62 @@ object TextOps {
       .where(col("cnt") >= threshold)
   }
 
+  /** CCNet-style statistical language-model scoring: an add-k-smoothed
+    * BIGRAM model trained over the corpus's own transitions, scoring each
+    * document by its average per-transition negative log-likelihood and the
+    * corresponding perplexity — the classic LM-quality filter (CCNet buckets
+    * corpora by KenLM perplexity; DSIR weighs by n-gram LM ratios).
+    *
+    * Model: P(w|v) = (c(v,w) + k) / (c(v) + k·V), with c(v) the count of v
+    * as a transition CONTEXT, V the corpus's distinct-token vocabulary, and
+    * k the additive-smoothing mass. Documents with fewer than two tokens
+    * have no transitions and drop out (no score is defined for them).
+    *
+    * Determinism: each transition's NLL is fixed-pointed to q6 longs
+    * (floor(−ln(p)·10⁶ + 0.5) — p < 1 always under add-k, so NLL ≥ 0) and
+    * SUMMED AS LONGS, so the per-document total is exact and independent of
+    * partitioning, retries, and aggregation order; `avg_nll` and `ppl` are
+    * then single IEEE divides / exp of exactly-agreed inputs, `round4`ed.
+    * A SQL oracle replays every step bit-identically.
+    *
+    * Scale shape: transitions are a guarded pure projection + explode (no
+    * shuffle); the model tables aggregate at BIGRAM-VOCABULARY cardinality,
+    * not corpus cardinality, with map-side partial counts; scoring joins
+    * carry (doc_id, v, w) token pairs — never document text. At 100 TB the
+    * production variant prunes the bigram table (min-count cutoff) and
+    * broadcasts it; the join shape here is the same. */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    // sequence(2, n) is DESCENDING for n < 2 — guard to an empty array so
+    // sub-2-token docs contribute no transitions (and Spark never builds
+    // a [2,1] sequence).
+    val trans = base.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+            expr("transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS v, toks[i-1] AS w))"))
+          .otherwise(expr("array()"))).as("t"))
+      .select(col("doc_id"), col("t.v").as("v"), col("t.w").as("w"))
+    val vocab = base.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("vocab"))
+    val bigram = trans.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+    val context = trans.groupBy("v").agg(count(lit(1)).as("c_v"))
+    val p = (col("c_vw").cast("double") + lit(addK)) /
+      (col("c_v").cast("double") + lit(addK) * col("vocab"))
+    trans
+      .join(bigram, Seq("v", "w"))
+      .join(context, Seq("v"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll_q6", floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum(col("nll_q6")).as("sum_nll_q6"))
+      .select(col("doc_id"), col("n_trans"), col("sum_nll_q6"),
+        round4(col("sum_nll_q6").cast("double") / lit(1000000.0) /
+          col("n_trans").cast("double")).as("avg_nll"),
+        round4(exp(col("sum_nll_q6").cast("double") / lit(1000000.0) /
+          col("n_trans").cast("double"))).as("ppl"))
+  }
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 

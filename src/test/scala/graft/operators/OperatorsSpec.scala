@@ -752,6 +752,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3) === ((3L, 0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("bigramPerplexity: hand-computed model, repetitive text scores lower, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b a b"),       // one dominant transition pattern → low ppl
+      (1L, "a c q w z b n m"),       // one-off transitions → high ppl
+      (2L, "a"),                     // 1 token: no transitions → dropped
+      (3L, "")                       // empty → dropped
+    ).toDF("doc_id", "text")
+    val r = TextOps.bigramPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(0L, 1L))   // sub-2-token docs have no score
+    // doc 0: 7 transitions; doc 1: 7 transitions
+    assert(r(0)._2 === 7L && r(1)._2 === 7L)
+    // the repeated a↔b pattern must be much more predictable than the one-offs
+    assert(r(0)._5 < r(1)._5)
+    // hand-check one transition: vocab V = 8 distinct tokens, k = 0.5.
+    // doc 0 transitions: a->b ×4 (c_vw=4), b->a ×3 (c_vw=3); contexts:
+    // corpus-wide c_v(a) = 4 (doc0) + 1 (doc1 a->c... a appears once as
+    // context in doc1) = 5, c_v(b) = 3 (doc0) + 1 (doc1 b->n) = 4.
+    val pAB = (4.0 + 0.5) / (5.0 + 0.5 * 8)
+    val pBA = (3.0 + 0.5) / (4.0 + 0.5 * 8)
+    def q6(p: Double): Long = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    val sum0 = 4 * q6(pAB) + 3 * q6(pBA)
+    assert(r(0)._3 === sum0)
+    assert(r(0)._4 === math.floor(sum0 / 1e6 / 7.0 * 1e4 + 0.5) / 1e4)
+    assert(r(0)._5 === math.floor(math.exp(sum0 / 1e6 / 7.0) * 1e4 + 0.5) / 1e4)
+    // physical layout must not change a single byte (exact long sums)
+    val repart = TextOps.bigramPerplexity(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Double)].collect()
+    assert(repart.toSeq === r.toSeq)
+  }
+
   test("hardNegatives: never the query's label, ranked as d5 minus same-label rows") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
