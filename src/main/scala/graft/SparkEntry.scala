@@ -307,6 +307,15 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- temperature-flattened source mixing: n_i = ⌊N·√c_i / Σ√c⌋ slots
+    //      per source (α = ½ multinomial re-weighting), slots filled by the
+    //      shared deterministic md5-rank; the allocation itself is exact
+    //      integer math over q6-fixed square roots ----
+    "q_temperature_mix" -> ((s, d) => {
+      CoreOps.temperatureMixSample(Tables.documents(s, d), "source", "doc_id", 200L)
+        .orderBy("source", "doc_id")
+    }),
+
     // ---- per-group winsorization (outlier-robust feature clamping) ----
     "q_winsorize" -> ((s, d) => {
       val w = CoreOps.winsorize(Tables.events(s, d).select("event_type", "value"),
@@ -607,6 +616,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- quality-aware survivor selection: keep the LONGEST doc of each
+    //      near-dup cluster (ties to lowest id) instead of the min-id — the
+    //      keep-the-best rule that stops a truncated copy shadowing its
+    //      full original; singletons pass through ----
+    "d10c_quality_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
+      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      val pairs = Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", ShingleK,
+        candidates, JaccardThreshold)
+      Dedup.bestSurvivors(docs, pairs, "doc_id", "doc_a", "doc_b", "n_chars")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- leakage-safe split: near-dup components never straddle splits ----
     "q_leakage_safe_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -703,6 +727,18 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ---- per-document contamination coverage: the fraction of each corpus
+    //      doc's token positions inside some eval-set-matched span — the
+    //      metric a pipeline thresholds to choose strip-vs-drop; every
+    //      corpus doc gets a row (0.0 when clean) ----
+    "d15b_contamination_fraction" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFraction(
+          docs.where(col("doc_id") % 11 =!= 0), docs.where(col("doc_id") % 11 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash fingerprints ----
     "d3_simhash" -> ((s, d) => {
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -721,6 +757,27 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.bruteForceTopK(emb, queries, TopK)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- ANN quality evaluation: recall@k of the LSH index against the
+    //      exact brute-force ranking — the measurement that decides whether
+    //      an approximate index is good enough to replace the exact scan;
+    //      recall is hits/k over bit-agreed rankings, so it needs no
+    //      rounding at all ----
+    "q_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, queries, TopK)
+        .select("query_id", "neighbor_id")
+      val ann = Similarity.lshBucketTopK(emb, queries, TopK)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("__hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall"))
+        .orderBy("query_id")
     }),
 
     // ---- hard-negative mining: nearest different-label vectors ----
@@ -1809,6 +1866,24 @@ object SparkEntry {
            |WHERE c.component IS NULL OR d.doc_id = c.component
            |ORDER BY d.doc_id""".stripMargin,
 
+      // same component closure as d10, then per-component argmax on
+      // n_chars (ties to lowest id) instead of the min-id representative
+      "d10c_quality_survivors" ->
+        s"""WITH RECURSIVE $sigCte,
+           |$componentsCte,
+           |ranked AS (
+           |  SELECT c.doc_id, c.component,
+           |         row_number() OVER (PARTITION BY c.component
+           |           ORDER BY d.n_chars DESC, c.doc_id) AS rn
+           |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+           |reps AS (SELECT doc_id FROM ranked WHERE rn = 1)
+           |SELECT d.doc_id, d.source, d.n_chars
+           |FROM documents d
+           |LEFT JOIN comp c ON d.doc_id = c.doc_id
+           |LEFT JOIN reps r ON d.doc_id = r.doc_id
+           |WHERE c.component IS NULL OR r.doc_id IS NOT NULL
+           |ORDER BY d.doc_id""".stripMargin,
+
       "q_leakage_safe_split" ->
         s"""WITH RECURSIVE $sigCte,
            |$componentsCte,
@@ -1915,6 +1990,34 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_windows
           |FROM g GROUP BY doc_id, grp
           |ORDER BY doc_id, span_start""".stripMargin,
+
+      // d15's windows/islands, aggregated to per-doc covered-position
+      // counts; spans are disjoint so coverage is the plain length sum;
+      // floor(x·10⁴+0.5)/10⁴ == TextOps.round4
+      "d15b_contamination_fraction" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |w AS (
+          |  SELECT doc_id, u.pos, u.h FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM t WHERE len(ws) >= 8)),
+          |c AS (SELECT doc_id, pos, h FROM w WHERE doc_id % 11 <> 0),
+          |b AS (SELECT DISTINCT h FROM w WHERE doc_id % 11 = 0),
+          |dup AS (SELECT c.doc_id, c.pos FROM c JOIN b USING (h)),
+          |g AS (SELECT doc_id, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |      FROM dup),
+          |sp AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_len FROM g GROUP BY doc_id, grp),
+          |cov AS (SELECT doc_id, sum(span_len) AS covered FROM sp GROUP BY doc_id)
+          |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+          |       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS contaminated_tokens,
+          |       CASE WHEN len(t.ws) = 0 THEN 0.0
+          |            ELSE floor(COALESCE(cov.covered, 0)::DOUBLE / len(t.ws)::DOUBLE
+          |                       * 10000.0 + 0.5) / 10000.0 END AS contamination_frac
+          |FROM t LEFT JOIN cov USING (doc_id)
+          |WHERE t.doc_id % 11 <> 0 ORDER BY t.doc_id""".stripMargin,
 
       "d3_simhash" ->
         """WITH toks AS (
@@ -2364,6 +2467,59 @@ object SparkEntry {
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin,
 
+      // d7's candidate CTEs verbatim for the ANN side, d5's exact ranking
+      // for the truth side, joined per query; recall = hits/k needs no
+      // rounding (both engines compute the identical IEEE divide)
+      "q_ann_recall" ->
+        s"""WITH nbits AS (
+           |  SELECT COALESCE(min(b), 20) AS bits FROM range(4, 21) tb(b)
+           |  WHERE 64 * (1::BIGINT << b) >= (SELECT count(*) FROM embeddings)),
+           |planes AS (
+           |  SELECT t.t AS tbl, b.b AS bit,
+           |         list_transform(range(0, 64), i ->
+           |           ('0x' || substr(md5('42:' || t.t || ':' || b.b || ':' || i), 1, 13))::BIGINT
+           |           * (2.0 / 4503599627370496.0) - 1.0) AS w
+           |  FROM range(0, 8) t(t), range(0, 20) b(b), nbits WHERE b.b < nbits.bits),
+           |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+           |sigs AS (
+           |  SELECT v.vec_id, p.tbl,
+           |         CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> p.w[i] * v.emb[i]), (a, b) -> a + b) > 0
+           |                       THEN (1::BIGINT << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM corp v CROSS JOIN planes p GROUP BY 1, 2),
+           |cands AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+           |  FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 10),
+           |ann_scored AS (
+           |  SELECT cd.query_id, cd.vec_id,
+           |    round(
+           |      list_reduce(list_transform(range(1, 65), i -> qq.emb[i] * ee.emb[i]), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(range(1, 65), i -> qq.emb[i] * qq.emb[i]), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(range(1, 65), i -> ee.emb[i] * ee.emb[i]), (x, y) -> x + y))), 6) AS cos
+           |  FROM cands cd JOIN corp qq ON qq.vec_id = cd.query_id JOIN corp ee ON ee.vec_id = cd.vec_id),
+           |ann AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |    FROM ann_scored) WHERE rank <= $TopK),
+           |ex_scored AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id,
+           |    round(
+           |      list_reduce(list_transform(range(1, 65), i -> q.emb[i] * e.emb[i]), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(range(1, 65), i -> q.emb[i] * q.emb[i]), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(range(1, 65), i -> e.emb[i] * e.emb[i]), (x, y) -> x + y))), 6) AS cos
+           |  FROM corp e CROSS JOIN (SELECT vec_id, emb FROM corp WHERE vec_id < 10) q
+           |  WHERE e.vec_id <> q.vec_id),
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |    FROM ex_scored) WHERE rank <= $TopK)
+           |SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           |       count(a.neighbor_id)::DOUBLE / ${TopK}.0 AS recall
+           |FROM ex e LEFT JOIN ann a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
       // mirrors Similarity.quantizedTopK: floor(x/s + 0.5) is the shared
       // round-half-up; Spark's floor yields BIGINT vs DuckDB's DOUBLE, but
       // the value is an exact small integer either way, so code·s is
@@ -2683,6 +2839,24 @@ object SparkEntry {
     "q_global_index" ->
       """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // α=½ temperature allocation: q6-fixed √counts summed as integers,
+    // n_i = (N·a_i) // Σa in exact integer arithmetic, then the shared
+    // md5-rank fills each source's slots
+    "q_temperature_mix" ->
+      """WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |m AS (SELECT source,
+        |             CAST(floor(sqrt(c::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS a FROM counts),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS b FROM m),
+        |alloc AS (SELECT source, CAST((200 * a) // b AS BIGINT) AS n_alloc FROM m, tot),
+        |ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents)
+        |SELECT r.source, r.doc_id, a.n_alloc
+        |FROM ranked r JOIN alloc a USING (source)
+        |WHERE r.r <= a.n_alloc ORDER BY source, doc_id""".stripMargin,
 
     "q_upsert" ->
       """SELECT doc_id, text FROM (

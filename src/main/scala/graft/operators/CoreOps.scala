@@ -72,6 +72,39 @@ object CoreOps {
     df.where(bucket < pct)
   }
 
+  /** Temperature-flattened source mixing — the data-mixture step of a
+    * training build (the multinomial `p_i^α` re-weighting GPT-3/LLaMA-style
+    * recipes apply): source i receives n_i = ⌊N·c_i^α / Σ_j c_j^α⌋ document
+    * slots, α < 1 flattening the head so dominant sources stop drowning the
+    * tail; the documents filling each slot are picked by the same
+    * deterministic md5-rank every sampling gate shares.
+    *
+    * α is fixed at 1/2: √c is IEEE-correctly-rounded (unlike `pow`), so the
+    * per-source mass is bit-identical in any engine; masses are then
+    * q6-fixed-pointed and the allocation computed in INTEGER arithmetic
+    * (N·a_i div Σa) — no float summation order anywhere, the whole
+    * allocation is exact and engine-portable.
+    *
+    * Scale shape: masses aggregate at source cardinality (map-side partial)
+    * and rejoin as a broadcast; the only corpus-sized work is the md5-rank
+    * window per source partition. */
+  def temperatureMixSample(df: DataFrame, keyCol: String, idCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN >= 0, s"totalN must be >= 0, got $totalN")
+    val masses = df.groupBy(keyCol).agg(count(lit(1)).as("__c"))
+      .withColumn("__a",
+        floor(sqrt(col("__c").cast("double")) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val total = masses.agg(sum(col("__a")).as("__b"))
+    val alloc = masses.crossJoin(broadcast(total))
+      .select(col(keyCol), expr(s"($totalN * __a) div __b").as("n_alloc"))
+    df.select(col(keyCol), col(idCol))
+      .withColumn("__r", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .join(broadcast(alloc), Seq(keyCol))
+      .where(col("__r") <= col("n_alloc"))
+      .select(col(keyCol), col(idCol), col("n_alloc"))
+  }
+
   /** Winsorization: clamps a numeric column to its [pLo, pHi] exact
     * interpolated percentiles computed PER GROUP — the outlier-robust
     * normalization step of feature pipelines. Two declarative passes: one

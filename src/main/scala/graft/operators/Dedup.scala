@@ -454,6 +454,61 @@ object Dedup {
         .join(broadcast(benchWins), "h").select("doc_id", "pos"), n)
   }
 
+  /** Per-document contamination COVERAGE over [[contaminationSpans]]'
+    * output: the fraction of a document's token positions lying inside some
+    * contaminated span — the decision metric real pipelines threshold to
+    * pick a remediation (strip the span at low coverage, drop the document
+    * outright at high coverage). Spans are maximal and disjoint per
+    * document by construction, so coverage is their plain length sum; every
+    * corpus document gets a row (0.0 when clean).
+    *
+    * Scale shape: [[contaminationSpans]]' shuffles plus one ids-only
+    * span-length aggregate left-joined back (contaminated docs are a corpus
+    * minority, so AQE downgrades the join to broadcast); the token count is
+    * a pure projection — text never shuffles. */
+  def contaminationFraction(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val covered = contaminationSpans(corpus, bench, idCol, textCol, n)
+      .groupBy("doc_id").agg(sum(col("span_len")).as("contaminated_tokens"))
+    corpus.select(col(idCol).cast("long").as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("contaminated_tokens", coalesce(col("contaminated_tokens"), lit(0L)))
+      .withColumn("contamination_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(TextOps.round4(col("contaminated_tokens").cast("double") /
+            col("n_tokens").cast("double"))))
+  }
+
+  /** Quality-aware survivor selection: instead of [[connectedComponents]]'
+    * min-id canonical, keep the BEST document of each near-dup cluster —
+    * "best" = the caller's quality column, ties to the lowest id. This is
+    * the keep-the-longest / keep-the-highest-scoring rule real curation
+    * runs apply so a truncated copy never shadows its full original.
+    * Untouched singletons survive unchanged; output is the surviving subset
+    * of `docs`, schema preserved.
+    *
+    * Scale shape: component labels join the quality column ids-only; the
+    * per-component argmax is one window over cluster-sized groups (near-dup
+    * clusters are tiny in practice — no skew key); survivors filter via two
+    * ids-only left joins exactly like d10b. Text never enters the plan. */
+  def bestSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String, bCol: String, qualityCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val ranked = comp.join(
+        docs.select(col(idCol).cast("long").as("__id"), col(qualityCol).as("__q")),
+        col("doc_id") === col("__id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("component").orderBy(col("__q").desc, col("doc_id"))))
+    val reps = ranked.where(col("__rn") === 1)
+      .select(col("doc_id").as("__rep"), lit(true).as("__is_rep"))
+    docs.join(comp.select(col("doc_id").as("__cid"), col("component")),
+        col(idCol).cast("long") === col("__cid"), "left")
+      .join(reps, col(idCol).cast("long") === col("__rep"), "left")
+      .where(col("component").isNull || col("__is_rep"))
+      .drop("__cid", "component", "__rep", "__is_rep")
+  }
+
   /** Remediation for [[duplicateSpans]]: every document re-emitted with its
     * duplicated spans REMOVED — cut the boilerplate, keep the document.
     * Output text is whitespace-normalized (surviving tokens re-joined with

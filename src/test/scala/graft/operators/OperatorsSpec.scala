@@ -785,6 +785,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(repart.toSeq === r.toSeq)
   }
 
+  test("temperatureMixSample: exact integer allocation, flatter than proportional, layout-invariant") {
+    import spark.implicits._
+    // sources with counts 100 / 25 / 4 / 1 → √ masses 10 / 5 / 2 / 1 (exact
+    // integers, so the q6 fixed-point is exactly 10e6/5e6/2e6/1e6)
+    val docs = (0 until 100).map(i => ("big", i.toLong)) ++
+      (0 until 25).map(i => ("mid", 200L + i)) ++
+      (0 until 4).map(i => ("small", 300L + i)) ++ Seq(("tiny", 400L))
+    val df = docs.toDF("source", "doc_id")
+    val r = CoreOps.temperatureMixSample(df, "source", "doc_id", 36L)
+      .as[(String, Long, Long)].collect()
+    val alloc = r.groupBy(_._1).map { case (s, rows) =>
+      s -> (rows.length.toLong, rows.head._3)
+    }
+    // Σa = 18e6; n_i = (36 · a_i) div Σa = 20 / 10 / 4 / 2 — tiny's 2 slots
+    // exceed its 1 available doc, so only 1 row fills them
+    assert(alloc("big") === ((20L, 20L)) && alloc("mid") === ((10L, 10L)))
+    assert(alloc("small") === ((4L, 4L)) && alloc("tiny") === ((1L, 2L)))
+    // proportional shares would be 27.7 / 6.9 / 1.1 / 0.3 — α=½ flattens:
+    // big gives up slots, the tail gains them
+    assert(alloc("big")._1 < 28 && alloc("tiny")._1 >= 1)
+    val repart = CoreOps.temperatureMixSample(df.repartition(7), "source", "doc_id", 36L)
+      .as[(String, Long, Long)].collect()
+    assert(repart.sortBy(x => (x._1, x._2)).toSeq === r.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("bestSurvivors: keeps the longest doc per cluster, singletons untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "the full original text", 22L), (3L, "mid copy", 8L),
+      (4L, "lonely", 6L),
+      (5L, "tie a", 5L), (6L, "tie b", 5L)
+    ).toDF("doc_id", "text", "n_chars")
+    // clusters: {1,2,3} and {5,6}; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.bestSurvivors(docs, pairs, "doc_id", "doc_a", "doc_b", "n_chars")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 wins its cluster on n_chars; 5 wins the tie on lowest id; 4 survives
+    assert(kept === Seq(2L, 4L, 5L))
+  }
+
+  test("contaminationFraction: covered positions over disjoint spans, clean docs get 0") {
+    import spark.implicits._
+    val bench = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // tokens 0..9: positions 1..8 contain the bench window at pos 1
+      (1L, "x0 w1 w2 w3 w4 w5 w6 w7 w8 x9"),
+      (2L, "a b c d e f g h i j"),   // clean
+      (3L, "t u v")                  // shorter than the window → clean
+    ).toDF("doc_id", "text")
+    val r = Dedup.contaminationFraction(corpus, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(r(0) === ((1L, 10L, 8L, 0.8)))
+    assert(r(1) === ((2L, 10L, 0L, 0.0)))
+    assert(r(2) === ((3L, 3L, 0L, 0.0)))
+  }
+
   test("hardNegatives: never the query's label, ranked as d5 minus same-label rows") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
