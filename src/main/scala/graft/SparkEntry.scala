@@ -885,6 +885,25 @@ object SparkEntry {
       TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- model-based quality filter TRAINED IN THE ENGINE: full-batch
+    //      logistic regression over hashed bag-of-tokens features with
+    //      exact fixed-point gradient sums (bit-deterministic training),
+    //      distilling the stopword-share heuristic; the oracle rescores
+    //      with the exported weights, and the prediction is the sign of
+    //      the EXACT q6 linear score ----
+    "x12_lr_quality" -> ((s, d) => {
+      TextOps.qualityLrScore(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- DSIR data selection (importance resampling toward a target
+    //      domain): hashed-bigram log-likelihood-ratio weights, exact long
+    //      sums, deterministic md5-Gumbel top-k ----
+    "q_dsir_select" -> ((s, d) => {
+      TextOps.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", numBuckets = 256, k = 100)
+        .orderBy("rank")
+    }),
+
     // ---- dataset card: the per-source release summary, composing token
     //      accounting, exact-dup detection, language id, and quality in ONE
     //      aggregation pass over per-doc stats. Quality is summed in
@@ -1236,7 +1255,54 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql
+
+  /** x12 oracle, available after [[graft.operators.TextOps.qualityLrScore]]
+    * has trained (Verify runs every query before dumping oracle SQL). The
+    * weights splice as literals — `Double.toString` round-trips, so DuckDB
+    * parses back identical doubles — and the SQL replays feature build and
+    * scoring operation-for-operation: the same md5 bucket parse, the same
+    * (c/n)·scale feature, the same zero-init ascending fold for z (Spark's
+    * `aggregate` == `list_reduce` after the exact 0+x₀=x₀ first step), the
+    * same q6 fixing. Training itself is pinned by the single-node replica
+    * in OperatorsSpec, not re-run in SQL. */
+  private def lrOracleSql: Map[String, String] =
+    graft.operators.TextOps.lastQualityLr.toSeq.map {
+      case (buckets, _, _, scale, thr, w) =>
+        val wLit = "[" + w.mkString(", ") + "]::DOUBLE[]"
+        val stopList = graft.operators.TextOps.DefaultStopwords
+          .map(s => s"'$s'").mkString(", ")
+        "x12_lr_quality" ->
+          s"""WITH w(wv) AS (SELECT $wLit),
+             |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+             |base AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+             |lab AS (SELECT doc_id,
+             |               CASE WHEN len(list_filter(ws, t -> t IN ($stopList)))::DOUBLE
+             |                         / n::DOUBLE >= $thr THEN 1 ELSE 0 END AS label
+             |        FROM base),
+             |tok AS (SELECT doc_id, unnest(ws) AS tok FROM base),
+             |bc AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 2))::BIGINT % $buckets AS b,
+             |              count(*) AS c
+             |       FROM tok GROUP BY 1, 2),
+             |xs AS (SELECT bc.doc_id, base.n,
+             |              list(struct_pack(b := bc.b, c := bc.c) ORDER BY bc.b) AS ps
+             |       FROM bc JOIN base USING (doc_id) GROUP BY bc.doc_id, base.n),
+             |-- ascending-bucket SPARSE fold == the Spark side's dense
+             |-- ascending fold: the skipped terms are w·0 products, which
+             |-- never change an IEEE accumulator's value (only, at most,
+             |-- the sign of a zero)
+             |sc AS (SELECT xs.doc_id,
+             |              wv[1] + list_reduce(
+             |                list_transform(xs.ps,
+             |                  p -> wv[p.b + 2] * (p.c::DOUBLE / xs.n::DOUBLE * $scale)),
+             |                (a, b) -> a + b) AS z
+             |       FROM xs, w)
+             |SELECT sc.doc_id, CAST(lab.label AS INT) AS label,
+             |       CAST(floor(sc.z * 1000000.0 + 0.5) AS BIGINT) AS z_q6,
+             |       floor(1.0 / (1.0 + exp(-sc.z)) * 10000.0 + 0.5) / 10000.0 AS score,
+             |       sc.z >= 0 AS pred
+             |FROM sc JOIN lab USING (doc_id) ORDER BY sc.doc_id""".stripMargin
+    }.toMap
 
   /** Where the s3 gate materialized its generator output (set when the gate
     * runs; Verify processes one dataset per JVM, same contract as
@@ -1990,6 +2056,41 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_windows
           |FROM g GROUP BY doc_id, grp
           |ORDER BY doc_id, span_start""".stripMargin,
+
+      // DSIR replayed end-to-end: bigram buckets from the same md5 hex
+      // parse, add-k log-ratio λ q6-fixed per bucket, per-doc long sums,
+      // the same (h₅₂+0.5)/2⁵² md5-uniform → Gumbel perturbation, top-100
+      // on the exact long key
+      "q_dsir_select" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |tr AS (
+          |  SELECT doc_id, lang, toks[i - 1] || ' ' || toks[i] AS bg
+          |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+          |f AS (SELECT doc_id, lang, ('0x' || substr(md5(bg), 1, 2))::BIGINT % 256 AS f FROM tr),
+          |raw AS (SELECT f, count(*) AS cr FROM f GROUP BY f),
+          |tgt AS (SELECT f, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY f),
+          |tab AS (SELECT raw.f, raw.cr, COALESCE(tgt.ct, 0) AS ct FROM raw LEFT JOIN tgt USING (f)),
+          |tot AS (SELECT sum(cr) AS totr, sum(ct) AS tott FROM tab),
+          |lam AS (
+          |  SELECT f, CAST(floor(ln(
+          |           ((ct::DOUBLE + 0.5) / (tott::DOUBLE + 128.0)) /
+          |           ((cr::DOUBLE + 0.5) / (totr::DOUBLE + 128.0))) * 1000000.0 + 0.5) AS BIGINT) AS lam_q6
+          |  FROM tab, tot),
+          |wts AS (
+          |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+          |         CAST(sum(lam.lam_q6) AS BIGINT) AS w_q6
+          |  FROM f JOIN lam USING (f) GROUP BY f.doc_id),
+          |g AS (
+          |  SELECT doc_id, n_trans, w_q6,
+          |         w_q6 + CAST(floor(-ln(-ln(
+          |           (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE + 0.5)
+          |           / 4503599627370496.0)) * 1000000.0 + 0.5) AS BIGINT) AS g_q6
+          |  FROM wts)
+          |SELECT CAST(row_number() OVER (ORDER BY g_q6 DESC, doc_id) AS INT) AS rank,
+          |       doc_id, n_trans, w_q6, g_q6
+          |FROM g ORDER BY g_q6 DESC, doc_id LIMIT 100""".stripMargin,
 
       // d15's windows/islands, aggregated to per-doc covered-position
       // counts; spans are disjoint so coverage is the plain length sum;

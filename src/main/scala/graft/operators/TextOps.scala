@@ -359,6 +359,176 @@ object TextOps {
           col("n_trans").cast("double"))).as("ppl"))
   }
 
+  /** Trained hyperparameters + weights of the last [[qualityLrScore]] run
+    * in this JVM: (numBuckets, iters, lr, scale, labelThreshold, weights).
+    * Same contract as `Similarity.lastIvfCentroids` — Verify runs every
+    * query before dumping oracle SQL, so the dump carries the exact model
+    * the gate scored with. */
+  @volatile var lastQualityLr: Option[(Int, Int, Double, Double, Double, Array[Double])] = None
+
+  /** Hashed bag-of-tokens features + weak label for [[trainQualityLr]]:
+    * x_j = scale · count(bucket j) / n_tokens over `numBuckets` md5 buckets,
+    * label = 1 iff the document's stopword share clears `labelThreshold`
+    * (the heuristic being distilled). Zero-token documents drop (no
+    * features, no defined label). */
+  private def lrFeatures(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int, scale: Double, labelThreshold: Double,
+      stopwords: Seq[String]): DataFrame = {
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"),
+        when(size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("double") /
+            size(col("toks")).cast("double") >= labelThreshold, 1).otherwise(0).as("y"))
+    val counts = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % numBuckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+    base.select("doc_id", "n", "y")
+      .join(counts, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        transform(sequence(lit(0), lit(numBuckets - 1)),
+          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L)).cast("double") /
+            col("n").cast("double") * lit(scale)).as("x"))
+  }
+
+  /** The z = w₀ + Σⱼ wⱼ₊₁·xⱼ linear score with a FIXED fold order (ascending
+    * j, zero-init left fold) so every engine reproduces the identical
+    * double: Spark's `aggregate` here, `list_reduce` in the oracle, a plain
+    * ascending loop in the single-node replica spec. */
+  private def lrLinearScore(w: Array[Double]): Column = {
+    val wTail = array(w.drop(1).map(lit).toIndexedSeq: _*)
+    lit(w(0)) + aggregate(zip_with(wTail, col("x"), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Model-based quality filtering with the model TRAINED IN THE ENGINE —
+    * the fasttext-style classifier step of GPT-3/CCNet-style pipelines
+    * (train a cheap linear model on weak labels, score the whole corpus),
+    * distilling a stopword-share heuristic into hashed bag-of-tokens
+    * features. Full-batch logistic-regression gradient descent, driver-
+    * orchestrated: each iteration is ONE distributed aggregate.
+    *
+    * Bit-determinism: every per-document gradient contribution
+    * err·xⱼ is fixed-pointed to q6 longs and SUMMED AS LONGS, so the
+    * per-iteration gradient — and therefore the final weight vector — is
+    * exact and independent of partitioning, retries, and aggregation
+    * order; a single-node replica spec pins the distributed training to
+    * the identical weights.
+    *
+    * Scale shape: features build once (two map-side-combinable aggregates,
+    * bucket-cardinality shuffle payloads) and persist; each GD iteration
+    * shuffles numBuckets+1 longs per partition (the posexplode aggregates
+    * at feature cardinality) and collects numBuckets+1 rows to the driver —
+    * the corpus never moves again. At 100 TB the same loop holds: iteration
+    * cost is one pass over cached features, driver state is O(D). */
+  def trainQualityLr(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 128, iters: Int = 60, lr: Double = 2.0,
+      scale: Double = 10.0, labelThreshold: Double = 0.06,
+      stopwords: Seq[String] = DefaultStopwords): Array[Double] = {
+    val feats = lrFeatures(docs, idCol, textCol, numBuckets, scale,
+      labelThreshold, stopwords).persist()
+    val nDocs = feats.count()
+    require(nDocs > 0, "cannot train on an empty corpus")
+    val w = Array.fill(numBuckets + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val err = (lit(1.0) / (lit(1.0) + exp(-lrLinearScore(w))) -
+        col("y").cast("double")).as("err")
+      val grads = feats.select(err, col("x"))
+        .select(col("err"), posexplode(concat(array(lit(1.0)), col("x"))).as(Seq("j", "xj")))
+        .select(col("j"),
+          floor(col("err") * col("xj") * lit(1000000.0) + lit(0.5)).cast("long").as("gq6"))
+        .groupBy("j").agg(sum(col("gq6")).as("g"))
+        .collect()
+      grads.foreach { r =>
+        val j = r.getInt(0)
+        w(j) -= lr * (r.getLong(1).toDouble / 1e6) / nDocs
+      }
+    }
+    feats.unpersist()
+    w
+  }
+
+  /** Trains via [[trainQualityLr]], records the model in [[lastQualityLr]],
+    * and scores every document: the weak label, the exact q6-fixed linear
+    * score (z_q6 — bit-identical in any engine), the sigmoid probability
+    * (round4 — the one soft spot, exp being libm), and the prediction
+    * (sign of the EXACT z, so it can never flip on a rounding boundary).
+    * Scoring is a pure projection over the feature build — no training
+    * state touches the scoring path. */
+  def qualityLrScore(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 128, iters: Int = 60, lr: Double = 2.0,
+      scale: Double = 10.0, labelThreshold: Double = 0.06,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val w = trainQualityLr(docs, idCol, textCol, numBuckets, iters, lr, scale,
+      labelThreshold, stopwords)
+    lastQualityLr = Some((numBuckets, iters, lr, scale, labelThreshold, w))
+    val z = lrLinearScore(w)
+    lrFeatures(docs, idCol, textCol, numBuckets, scale, labelThreshold, stopwords)
+      .select(col("doc_id"), col("y").as("label"),
+        floor(z * lit(1000000.0) + lit(0.5)).cast("long").as("z_q6"),
+        round4(lit(1.0) / (lit(1.0) + exp(-z))).as("score"),
+        (z >= lit(0.0)).as("pred"))
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * rank raw-corpus documents by how much more likely their hashed-bigram
+    * features are under a TARGET domain's n-gram distribution than under
+    * the raw corpus's own, then Gumbel-top-k sample by that importance
+    * weight. The per-bucket log-ratio λ_f = ln(p_target(f)/p_raw(f)) uses
+    * add-k smoothing on both sides; a document's weight is the sum of
+    * λ over its bigram occurrences.
+    *
+    * Determinism: λ is q6-fixed per bucket and document weights are SUMS OF
+    * LONGS (exact, order-independent); the Gumbel perturbation derives its
+    * uniform from md5(doc_id) — (h₅₂ + 0.5)/2⁵², the same hash-to-unit
+    * trick the LSH planes use — and is itself q6-fixed, so selection ranks
+    * a total order on longs that any engine reproduces.
+    *
+    * Scale shape: bigram buckets aggregate at feature cardinality
+    * (map-side combine) and the λ table (numBuckets rows) BROADCASTS back;
+    * per-doc weights are one map-side-combinable aggregate over (doc_id,
+    * long) rows — text never shuffles. The final top-k is orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, no global sort); only
+    * the k selected rows see the single-partition rank window. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, numBuckets: Int = 256, k: Int = 100,
+      addK: Double = 0.5, tag: String = "dsir"): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      targetPred.as("__target"), tokens(col(textCol)).as("toks"))
+    val trans = base.select(col("doc_id"), col("__target"),
+        explode(when(size(col("toks")) >= 2,
+            expr("transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"))
+          .otherwise(expr("array()"))).as("bg"))
+      .select(col("doc_id"), col("__target"),
+        (conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("long") % numBuckets).as("f"))
+    val table = trans.groupBy("f").agg(count(lit(1)).as("cr"))
+      .join(trans.where(col("__target")).groupBy("f").agg(count(lit(1)).as("ct")),
+        Seq("f"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+    val totals = table.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
+    val denom = addK * numBuckets
+    val lam = table.crossJoin(broadcast(totals))
+      .select(col("f"), floor(log(
+          ((col("ct").cast("double") + lit(addK)) / (col("tott").cast("double") + lit(denom))) /
+          ((col("cr").cast("double") + lit(addK)) / (col("totr").cast("double") + lit(denom))))
+        * lit(1000000.0) + lit(0.5)).cast("long").as("lam_q6"))
+    val gumbelQ6 = floor(-log(-log(
+        (conv(substring(md5(concat(lit(s"$tag:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+          .cast("double") + lit(0.5)) / lit(4503599627370496.0)))
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    val top = trans.join(broadcast(lam), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum(col("lam_q6")).as("w_q6"))
+      .withColumn("g_q6", col("w_q6") + gumbelQ6)
+      .orderBy(col("g_q6").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("g_q6").desc, col("doc_id"))))
+      .select("rank", "doc_id", "n_trans", "w_q6", "g_q6")
+  }
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 

@@ -841,6 +841,84 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2) === ((3L, 3L, 0L, 0.0)))
   }
 
+  test("qualityLrScore: distributed fixed-point GD == single-node replica, weak labels learned") {
+    val docsDf = Tables.documents(spark, sfDir)
+    val (nb, iters, lr, scale, thr) = (128, 60, 2.0, 10.0, 0.06)
+
+    // ---- single-node replica: same tokens, same md5 buckets, same
+    //      ascending zero-init fold, same q6-fixed gradient longs ----
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stop = TextOps.DefaultStopwords.toSet
+    val feats = docsDf.select("doc_id", "text").collect().toSeq
+      .map { r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, toks) =>
+        val n = toks.length
+        val y = if (toks.count(stop) .toDouble / n.toDouble >= thr) 1.0 else 0.0
+        val cnt = toks.groupBy(t => java.lang.Long.parseLong(md5hex(t).substring(0, 2), 16) % nb)
+          .map { case (b, ts) => b -> ts.length }
+        val x = Array.tabulate(nb)(j => cnt.getOrElse(j.toLong, 0).toDouble / n.toDouble * scale)
+        (id, y, x)
+      }.sortBy(_._1)
+    val nDocs = feats.length
+    val wLocal = Array.fill(nb + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val g = Array.fill(nb + 1)(0L)
+      feats.foreach { case (_, y, x) =>
+        var z = 0.0
+        var j = 0
+        while (j < nb) { z += wLocal(j + 1) * x(j); j += 1 }
+        z = wLocal(0) + z
+        val err = 1.0 / (1.0 + math.exp(-z)) - y
+        g(0) += math.floor(err * 1.0 * 1000000.0 + 0.5).toLong
+        j = 0
+        while (j < nb) { g(j + 1) += math.floor(err * x(j) * 1000000.0 + 0.5).toLong; j += 1 }
+      }
+      var j = 0
+      while (j <= nb) { wLocal(j) -= lr * (g(j).toDouble / 1e6) / nDocs; j += 1 }
+    }
+
+    val scored = TextOps.qualityLrScore(docsDf, "doc_id", "text", nb, iters, lr, scale, thr)
+      .orderBy("doc_id").collect()
+    val wDist = TextOps.lastQualityLr.get._6
+    // bit-exact: every per-doc contribution is q6-fixed and summed as longs,
+    // so the distributed gradient — and the whole weight trajectory — equals
+    // the replica's exactly
+    assert(wDist.toSeq === wLocal.toSeq)
+
+    // the distilled model actually learned the heuristic
+    val acc = scored.count(r => r.getBoolean(4) == (r.getInt(1) == 1)).toDouble / scored.length
+    assert(acc >= 0.9, s"train accuracy $acc")
+    // pred is the sign of the exact fixed-point score
+    scored.foreach(r => assert(r.getBoolean(4) === (r.getLong(2) >= 0)))
+  }
+
+  test("dsirSelect: target-like content outranks raw-only content, layout-invariant") {
+    import spark.implicits._
+    val targetish = (1 to 30).map(_ => "aa bb").mkString(" ")   // bigrams of the target domain
+    val rawish = (1 to 30).map(_ => "zz yy").mkString(" ")
+    val docs = Seq(
+      (0L, targetish, "en"), (1L, targetish, "en"),  // define the target distribution
+      (2L, targetish, "de"),                          // raw doc that matches the target
+      (3L, rawish, "de"), (4L, rawish, "de"),         // raw docs that don't
+      (5L, "aa", "en")                                // <2 tokens: no transitions, drops
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.dsirSelect(docs, "doc_id", "text", col("lang") === "en", 256, k = 5)
+      .orderBy("doc_id").as[(Int, Long, Long, Long, Long)].collect()
+    val byId = r.map(x => x._2 -> x).toMap
+    assert(!byId.contains(5L))                        // transition-less doc never scored
+    assert(r.forall(_._3 === 59L))                    // 60 tokens → 59 transitions each
+    // importance: target-matching content carries positive weight, raw-only
+    // content negative — and the gap is decisive
+    assert(byId(2L)._4 > 0L && byId(3L)._4 < 0L)
+    assert(byId(2L)._4 > byId(3L)._4 + 1000000L)
+    val repart = TextOps.dsirSelect(docs.repartition(7), "doc_id", "text",
+        col("lang") === "en", 256, k = 5)
+      .orderBy("doc_id").as[(Int, Long, Long, Long, Long)].collect()
+    assert(repart.toSeq === r.toSeq)
+  }
+
   test("hardNegatives: never the query's label, ranked as d5 minus same-label rows") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
