@@ -1287,13 +1287,13 @@ object SparkEntry {
              |xs AS (SELECT bc.doc_id, base.n,
              |              list(struct_pack(b := bc.b, c := bc.c) ORDER BY bc.b) AS ps
              |       FROM bc JOIN base USING (doc_id) GROUP BY bc.doc_id, base.n),
-             |-- ascending-bucket SPARSE fold == the Spark side's dense
-             |-- ascending fold: the skipped terms are w·0 products, which
-             |-- never change an IEEE accumulator's value (only, at most,
-             |-- the sign of a zero)
+             |-- [bias product] ++ ascending-bucket SPARSE fold == the Spark
+             |-- side's dense ascending fold over [w₀·1, w₁·x₁, …]: the
+             |-- skipped terms are w·0 products, which never change an IEEE
+             |-- accumulator's value (only, at most, the sign of a zero)
              |sc AS (SELECT xs.doc_id,
-             |              wv[1] + list_reduce(
-             |                list_transform(xs.ps,
+             |              list_reduce(
+             |                [wv[1] * 1.0] || list_transform(xs.ps,
              |                  p -> wv[p.b + 2] * (p.c::DOUBLE / xs.n::DOUBLE * $scale)),
              |                (a, b) -> a + b) AS z
              |       FROM xs, w)

@@ -866,10 +866,10 @@ class OperatorsSpec extends AnyFunSuite {
     for (_ <- 0 until iters) {
       val g = Array.fill(nb + 1)(0L)
       feats.foreach { case (_, y, x) =>
-        var z = 0.0
+        // canonical fold: 0.0 + w0·1, then ascending wⱼ₊₁·xⱼ
+        var z = 0.0 + wLocal(0) * 1.0
         var j = 0
         while (j < nb) { z += wLocal(j + 1) * x(j); j += 1 }
-        z = wLocal(0) + z
         val err = 1.0 / (1.0 + math.exp(-z)) - y
         g(0) += math.floor(err * 1.0 * 1000000.0 + 0.5).toLong
         j = 0
