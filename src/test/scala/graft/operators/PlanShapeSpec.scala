@@ -182,4 +182,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"semantic dedup fell back to a cartesian pair explosion:\n$plan")
   }
+
+  test("q_dsir_select: text never shuffles; the λ table joins as a broadcast") {
+    val df = TextOps.dsirSelect(Tables.documents(spark, sfDir), "doc_id", "text",
+      col("lang") === "en", numBuckets = 256, k = 100)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("toks#"), s"an exchange carries the token array:\n$b")
+    }
+    // the per-bucket λ table reaches the corpus via a broadcast, never by
+    // shuffling the (doc_id, f) stream against it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"λ join is not a broadcast:\n$plan")
+  }
+
+  test("x12 scoring: text never shuffles; features aggregate map-side") {
+    // iters=1: plan shape is identical at any iteration count
+    val df = TextOps.qualityLrScore(Tables.documents(spark, sfDir), "doc_id", "text",
+      iters = 1)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("toks#"), s"an exchange carries the token array:\n$b")
+    }
+  }
+
+  test("q_temperature_mix: allocation joins as a broadcast; docs shuffle only for the per-source rank window") {
+    val df = SparkEntry.queries("q_temperature_mix")(spark, sfDir)
+    val hashEx = exchangeBlocks(df).filter(_.contains("hashpartitioning"))
+    // ONE corpus-sized hash exchange (the md5-rank window per source, the
+    // only one whose rows carry doc_id); the mass-side aggregates shuffle
+    // only (source, count-partial) rows at source cardinality, and the
+    // allocation reaches the corpus by broadcast
+    val corpusEx = hashEx.filter(_.contains("doc_id#"))
+    assert(corpusEx.size === 1,
+      s"temperature mix grew extra corpus shuffles:\n${corpusEx.mkString("\n---\n")}")
+    for (b <- hashEx if !b.contains("doc_id#"))
+      assert(b.contains("count#"),
+        s"a mass-side exchange carries more than count partials:\n$b")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the allocation join is not a broadcast")
+  }
+
+  test("d15b_contamination_fraction: neither text nor token arrays enter any exchange") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = Dedup.contaminationFraction(
+      docs.where(col("doc_id") % 11 =!= 0), docs.where(col("doc_id") % 11 === 0),
+      "doc_id", "text", n = 8)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("toks#") && !b.contains("ws#"),
+        s"an exchange carries a token array:\n$b")
+    }
+  }
 }
