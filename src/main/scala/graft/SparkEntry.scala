@@ -780,6 +780,24 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- ANN quality evaluation, IVF variant: recall@k of the trained
+    //      coarse quantizer (cells + nprobe) against the exact ranking ----
+    "q_ann_recall_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, queries, TopK)
+        .select("query_id", "neighbor_id")
+      val ann = Similarity.ivfTopK(emb, queries, TopK)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("__hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ---- hard-negative mining: nearest different-label vectors ----
     "q_hard_negatives" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1507,7 +1525,32 @@ object SparkEntry {
              |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
              |  FROM exact)
              |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
-             |ORDER BY query_id, rank""".stripMargin)
+             |ORDER BY query_id, rank""".stripMargin,
+        // d8's ANN ranking joined per query against d5's exact ranking;
+        // recall = hits/k needs no rounding
+        "q_ann_recall_ivf" ->
+          s"""$candCtes,
+             |scored AS (
+             |  SELECT cd.query_id, cd.vec_id, round(${cosq("qq.emb", "ee.emb")}, 6) AS cos
+             |  FROM cands cd JOIN corp qq ON qq.vec_id = cd.query_id JOIN corp ee ON ee.vec_id = cd.vec_id),
+             |ann AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, vec_id AS neighbor_id,
+             |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |    FROM scored) WHERE rank <= $TopK),
+             |ex_scored AS (
+             |  SELECT q.vec_id AS query_id, e.vec_id, round(${cosq("q.emb", "e.emb")}, 6) AS cos
+             |  FROM corp e CROSS JOIN (SELECT vec_id, emb FROM corp WHERE vec_id < 10) q
+             |  WHERE e.vec_id <> q.vec_id),
+             |ex AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, vec_id AS neighbor_id,
+             |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |    FROM ex_scored) WHERE rank <= $TopK)
+             |SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+             |       count(a.neighbor_id)::DOUBLE / ${TopK}.0 AS recall
+             |FROM ex e LEFT JOIN ann a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)
     }.toMap
 
   /** PQ oracle, available after [[Similarity.trainPqCodebooks]] has run.
