@@ -913,6 +913,35 @@ object SparkEntry {
       TextOps.qualityLrScore(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- curriculum phase assignment: corpus cut into 4 near-equal
+    //      easy→hard groups by LM difficulty (x11's avg NLL), via the
+    //      range-partitioned global index — never a single-task ntile ----
+    "q_curriculum_phases" -> ((s, d) => {
+      val scored = TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "avg_nll")
+      CoreOps.curriculumPhases(scored, Seq("avg_nll", "doc_id"), 4)
+        .orderBy("doc_id")
+    }),
+
+    // ---- LSH index quality evaluation: precision/recall of the band-
+    //      bucket candidate set against d4's exact df-capped Jaccard pairs
+    //      — the measurement that tunes (bands, rows) before a 100 TB
+    //      dedup run ----
+    "q_lsh_candidate_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
+      val cands = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", ShingleK,
+          JaccardThreshold, maxDocFrequency = JaccardMaxDf)
+        .select("doc_a", "doc_b")
+      cands.agg(count(lit(1)).as("n_cands"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(cands.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit")))
+        .select(col("n_cands"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_cands").cast("double")).as("precision"),
+          (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"))
+    }),
+
     // ---- DSIR data selection (importance resampling toward a target
     //      domain): hashed-bigram log-likelihood-ratio weights, exact long
     //      sums, deterministic md5-Gumbel top-k ----
@@ -2099,6 +2128,71 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_windows
           |FROM g GROUP BY doc_id, grp
           |ORDER BY doc_id, span_start""".stripMargin,
+
+      // x11's scoring feeding the exact integer NTILE formula (first
+      // n mod k groups take one extra row) over (row index, total) — the
+      // identical arithmetic the Spark side computes from its
+      // range-partitioned global index
+      "q_curriculum_phases" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |trans AS (
+          |  SELECT doc_id, toks[i - 1] AS v, toks[i] AS w
+          |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+          |vocab AS (
+          |  SELECT count(DISTINCT tok)::DOUBLE AS v_size
+          |  FROM (SELECT unnest(toks) AS tok FROM t)),
+          |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
+          |ctx AS (SELECT v, count(*) AS c_v FROM trans GROUP BY v),
+          |scored0 AS (
+          |  SELECT trans.doc_id,
+          |         CAST(floor(-ln((c_vw::DOUBLE + 0.5) / (c_v::DOUBLE + 0.5 * vocab.v_size))
+          |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
+          |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v), vocab),
+          |scored AS (
+          |  SELECT doc_id,
+          |         floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS avg_nll
+          |  FROM scored0 GROUP BY doc_id),
+          |r AS (SELECT doc_id, avg_nll,
+          |             row_number() OVER (ORDER BY avg_nll, doc_id) - 1 AS idx
+          |      FROM scored),
+          |n AS (SELECT count(*) AS n FROM scored)
+          |SELECT doc_id, avg_nll,
+          |       CAST(CASE WHEN idx < (n % 4) * (n // 4 + 1)
+          |                 THEN idx // (n // 4 + 1)
+          |                 ELSE (n % 4) + (idx - (n % 4) * (n // 4 + 1)) // (n // 4)
+          |            END + 1 AS INT) AS phase
+          |FROM r, n ORDER BY doc_id""".stripMargin,
+
+      // the LSH candidate set (shared CTEs) scored against d4's exact
+      // df-capped truth pairs; precision/recall are identical IEEE divides
+      "q_lsh_candidate_quality" ->
+        s"""WITH $sigCte,
+           |$lshCandsCte,
+           |csh AS ($DuckShingles),
+           |ch AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
+           |cdf AS (SELECT h, count(*) AS df FROM ch GROUP BY h),
+           |rare AS (SELECT ch.doc_id, ch.h FROM ch JOIN cdf USING (h) WHERE cdf.df <= $JaccardMaxDf),
+           |tcands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM ch GROUP BY doc_id),
+           |tinter AS (SELECT tc.doc_a, tc.doc_b, count(*) AS inter
+           |           FROM tcands tc JOIN ch x ON x.doc_id = tc.doc_a
+           |           JOIN ch y ON y.doc_id = tc.doc_b AND y.h = x.h GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT doc_a, doc_b FROM tinter
+           |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+           |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold),
+           |nc AS (SELECT count(*) AS n_cands FROM cands),
+           |nt AS (SELECT count(*) AS n_true FROM truth),
+           |nh AS (SELECT count(*) AS n_hit FROM cands JOIN truth USING (doc_a, doc_b))
+           |SELECT CAST(n_cands AS BIGINT) AS n_cands, CAST(n_true AS BIGINT) AS n_true,
+           |       CAST(n_hit AS BIGINT) AS n_hit,
+           |       n_hit::DOUBLE / n_cands::DOUBLE AS precision,
+           |       n_hit::DOUBLE / n_true::DOUBLE AS recall
+           |FROM nc, nt, nh""".stripMargin,
 
       // DSIR replayed end-to-end: bigram buckets from the same md5 hex
       // parse, add-k log-ratio λ q6-fixed per bucket, per-doc long sums,

@@ -305,6 +305,28 @@ object CoreOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Curriculum phase assignment: rows sorted by a difficulty proxy are cut
+    * into `phases` contiguous groups of near-equal size (standard NTILE
+    * remainder semantics — the first n mod k groups take one extra row),
+    * the easy-to-hard schedule a curriculum-ordered training run feeds its
+    * data loader. Built on [[globalRowIndex]] (range repartition +
+    * per-partition offsets), NOT a single-partition `ntile() OVER ()`
+    * window — the 100 TB killer this avoids; the phase itself is exact
+    * integer arithmetic over (index, total), reproducible in any engine.
+    * `order` must be a unique total order (include a tiebreak column). */
+  def curriculumPhases(df: DataFrame, order: Seq[String], phases: Int): DataFrame = {
+    require(phases >= 1, s"phases must be >= 1, got $phases")
+    val idx = globalRowIndex(df, order, "__idx")
+    val n = idx.agg(count(lit(1)).as("__n"))
+    idx.crossJoin(broadcast(n))
+      .withColumn("phase", expr(
+        s"""CAST(CASE WHEN __idx < (__n % $phases) * (__n div $phases + 1)
+           |THEN __idx div (__n div $phases + 1)
+           |ELSE (__n % $phases) + (__idx - (__n % $phases) * (__n div $phases + 1)) div (__n div $phases)
+           |END + 1 AS INT)""".stripMargin))
+      .drop("__idx", "__n")
+  }
+
   /** Carry-forward epoch timeline (σ=0, μ=0 semantics): each key's cumulative
     * sum at every epoch where it has appeared so far — what the streaming
     * pipeline emits per trigger, expressed as a running window so batch and

@@ -841,6 +841,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2) === ((3L, 3L, 0L, 0.0)))
   }
 
+  test("curriculumPhases: NTILE remainder semantics without a global window, layout-invariant") {
+    import spark.implicits._
+    // 10 rows into 4 phases → sizes 3,3,2,2 (first n mod k groups take the
+    // extra row), assigned in difficulty order
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "difficulty")
+    val r = CoreOps.curriculumPhases(df, Seq("difficulty", "doc_id"), 4)
+      .orderBy("doc_id").as[(Long, Double, Int)].collect()
+    assert(r.map(_._3).toSeq === Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4))
+    // n divisible by k: equal quarters
+    val even = CoreOps.curriculumPhases(df.limit(8), Seq("difficulty", "doc_id"), 4)
+      .as[(Long, Double, Int)].collect()
+    assert(even.groupBy(_._3).view.mapValues(_.length).toMap === Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2))
+    val repart = CoreOps.curriculumPhases(df.repartition(5), Seq("difficulty", "doc_id"), 4)
+      .orderBy("doc_id").as[(Long, Double, Int)].collect()
+    assert(repart.toSeq === r.toSeq)
+  }
+
   test("qualityLrScore: distributed fixed-point GD == single-node replica, weak labels learned") {
     val docsDf = Tables.documents(spark, sfDir)
     val (nb, iters, lr, scale, thr) = (128, 60, 2.0, 10.0, 0.06)
