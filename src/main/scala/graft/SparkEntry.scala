@@ -316,6 +316,14 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis
+    //      A-ES): k docs drawn ∝ n_chars via deterministic md5-exponential
+    //      keys — the size-biased sample a token-budgeted mix draws ----
+    "q_weighted_sample" -> ((s, d) => {
+      CoreOps.weightedSample(Tables.documents(s, d), "doc_id", "n_chars", 100)
+        .orderBy("rank")
+    }),
+
     // ---- per-group winsorization (outlier-robust feature clamping) ----
     "q_winsorize" -> ((s, d) => {
       val w = CoreOps.winsorize(Tables.events(s, d).select("event_type", "value"),
@@ -3077,6 +3085,19 @@ object SparkEntry {
     "q_global_index" ->
       """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS idx
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // A-ES keys replayed: the same md5 hash-to-unit draw, ln(u)/w ranking
+    // (monotone in u^(1/w)), q6-fixed for a total order on longs
+    "q_weighted_sample" ->
+      """WITH keys AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |         CAST(floor(ln((('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE + 0.5)
+        |                        / 4503599627370496.0)
+        |                    / n_chars::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS key_q6
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT CAST(row_number() OVER (ORDER BY key_q6 DESC, doc_id) AS INT) AS rank,
+        |       doc_id, CAST(weight AS BIGINT) AS weight, key_q6
+        |FROM keys ORDER BY key_q6 DESC, doc_id LIMIT 100""".stripMargin,
 
     // α=½ temperature allocation: q6-fixed √counts summed as integers,
     // n_i = (N·a_i) // Σa in exact integer arithmetic, then the shared

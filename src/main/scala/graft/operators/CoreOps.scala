@@ -105,6 +105,34 @@ object CoreOps {
       .select(col(keyCol), col(idCol), col("n_alloc"))
   }
 
+  /** Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis A-ES
+    * scheme: each row draws key u^(1/w) for uniform u and weight w, and the
+    * k largest keys are exactly a weight-proportional sample without
+    * replacement. Ranking maximizes ln(u)/w (monotone in the key, no
+    * overflow-prone pow), with u derived from md5(id) — the same
+    * (h₅₂+0.5)/2⁵² hash-to-unit trick the LSH planes and DSIR Gumbel use —
+    * so the draw is deterministic, layout-independent, and replayable in
+    * any engine; the key is q6-fixed so selection ranks a total order on
+    * longs.
+    *
+    * Scale shape: the key is a pure projection (no shuffle); top-k is
+    * orderBy+limit (per-partition heaps, TakeOrderedAndProject — never a
+    * global sort); only the k selected rows see the rank window. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      tag: String = "aes"): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(s"$tag:"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val keyQ6 = floor(log(u) / col(weightCol).cast("double") * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    val top = df.select(col(idCol).cast("long").as("doc_id"),
+        col(weightCol).cast("long").as("weight"), keyQ6.as("key_q6"))
+      .where(col("weight") > 0)
+      .orderBy(col("key_q6").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("key_q6").desc, col("doc_id"))))
+      .select("rank", "doc_id", "weight", "key_q6")
+  }
+
   /** Winsorization: clamps a numeric column to its [pLo, pHi] exact
     * interpolated percentiles computed PER GROUP — the outlier-robust
     * normalization step of feature pipelines. Two declarative passes: one

@@ -841,6 +841,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2) === ((3L, 3L, 0L, 0.0)))
   }
 
+  test("weightedSample: A-ES keys replicate by hand, heavier docs dominate, layout-invariant") {
+    import spark.implicits._
+    // 20 heavy docs (weight 1000) among 200 light ones (weight 1): a
+    // weight-proportional sample of 20 must be mostly heavy docs
+    val docs = ((0L until 20L).map(i => (i, 1000L)) ++
+      (100L until 300L).map(i => (i, 1L))).toDF("doc_id", "n_chars")
+    val r = CoreOps.weightedSample(docs, "doc_id", "n_chars", 20)
+      .orderBy("rank").as[(Int, Long, Long, Long)].collect()
+    assert(r.length === 20)
+    assert(r.count(_._2 < 20L) >= 15, s"heavy docs under-sampled: ${r.map(_._2).toSeq}")
+    // hand-replicate one key: u = (first 13 md5 hex digits + 0.5)/2^52,
+    // key_q6 = floor(ln(u)/w · 10⁶ + 0.5)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((rank, id, w, keyQ6) <- r.take(3)) {
+      val u = (java.lang.Long.parseLong(md5hex(s"aes:$id").substring(0, 13), 16).toDouble + 0.5) /
+        4503599627370496.0
+      assert(keyQ6 === math.floor(math.log(u) / w.toDouble * 1000000.0 + 0.5).toLong,
+        s"key mismatch for doc $id at rank $rank")
+    }
+    val repart = CoreOps.weightedSample(docs.repartition(7), "doc_id", "n_chars", 20)
+      .orderBy("rank").as[(Int, Long, Long, Long)].collect()
+    assert(repart.toSeq === r.toSeq)
+  }
+
   test("curriculumPhases: NTILE remainder semantics without a global window, layout-invariant") {
     import spark.implicits._
     // 10 rows into 4 phases → sizes 3,3,2,2 (first n mod k groups take the
