@@ -1051,6 +1051,24 @@ object SparkEntry {
         .orderBy("asset_id")
     }),
 
+    // ---- multimodal: perceptual-hash image dedup over REAL decoded
+    //      pixels. Payloads are genuine 8×8 gradient PNGs keyed by
+    //      id mod 17, so colliding ids are pixel-identical; the gate
+    //      average-hashes the DECODED grid (exact integer threshold) and
+    //      groups by hash — the oracle recomputes every pixel, hash, and
+    //      group from the id formula. Dedup shuffles (id, 8-byte hash),
+    //      never pixels. ----
+    "mm_phash_dedup" -> ((s, d) => {
+      val hashes = Multimodal.perceptualHash(
+        Multimodal.syntheticPatternImageAssets(s, Tables.documents(s, d)))
+      val groups = hashes.groupBy("phash")
+        .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("__canon"))
+      hashes.join(groups, Seq("phash"))
+        .select(col("doc_id"), col("phash"), col("group_n"),
+          (col("doc_id") === col("__canon")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: REAL audio decode (javax.sound.sampled). Payloads
     //      are genuine WAVs (±c square waves) whose frame count, sample
     //      rate, and amplitude are closed-form in the asset id; the gate
@@ -2610,6 +2628,33 @@ object SparkEntry {
           |       CAST((doc_id * 31) % 256 AS INT) AS g255,
           |       CAST((doc_id * 77) % 256 AS INT) AS b255
           |FROM documents ORDER BY asset_id""".stripMargin,
+
+      // the 8×8 gradient grid p(x,y) = ((id%17)·31 + x·7 + y·13) mod 256
+      // replayed per pixel; bit (y·8+x) set iff p·64 > Σp (exact integer
+      // threshold, same as the Spark side's decoded-pixel loop); groups
+      // and canonical ids from the identical hash
+      "mm_phash_dedup" ->
+        """WITH px AS (
+          |  SELECT d.doc_id,
+          |         ((d.doc_id % 17) * 31 + x.x * 7 + y.y * 13) % 256 AS p,
+          |         y.y * 8 + x.x AS i
+          |  FROM documents d, range(0, 8) x(x), range(0, 8) y(y)),
+          |s AS (SELECT doc_id, sum(p) AS total FROM px GROUP BY doc_id),
+          |-- bit 63 is the sign bit: DuckDB's checked shift rejects 1<<63,
+          |-- so it contributes long-min directly (sum aggregates in
+          |-- HUGEINT, and the cast back restores the two's-complement
+          |-- pattern Spark's 1L<<63 produces)
+          |bits AS (
+          |  SELECT px.doc_id,
+          |         CAST(sum(CASE WHEN px.p * 64 > s.total
+          |                       THEN CASE WHEN px.i = 63 THEN (-9223372036854775807 - 1)
+          |                                 ELSE (1::BIGINT << px.i) END
+          |                       ELSE 0 END) AS BIGINT) AS phash
+          |  FROM px JOIN s USING (doc_id) GROUP BY px.doc_id),
+          |g AS (SELECT phash, count(*) AS group_n, min(doc_id) AS canon FROM bits GROUP BY phash)
+          |SELECT b.doc_id, b.phash, CAST(g.group_n AS BIGINT) AS group_n,
+          |       b.doc_id = g.canon AS keep
+          |FROM bits b JOIN g USING (phash) ORDER BY b.doc_id""".stripMargin,
 
       // every decoded value is closed-form in the asset id (animated GIF:
       // n = 3+id%5 frames of (8+id%8)×(8+id%6), frame f uniformly gray

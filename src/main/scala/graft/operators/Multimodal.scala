@@ -210,6 +210,74 @@ object Multimodal {
       MediaAsset(id, "image", bos.toByteArray, w, h, 0L)
     }
   }
+
+  /** Deterministic REAL-image asset table with non-constant content: 8×8
+    * grayscale gradient PNGs whose pixel grid p(x,y) = (seed·31 + x·7 +
+    * y·13) mod 256 is keyed by seed = id mod 17 — so ids that agree mod 17
+    * are pixel-identical images (the duplicate groups
+    * [[perceptualHash]]-based dedup must find), and a SQL oracle can
+    * recompute every pixel, and therefore the hash, from the id alone.
+    * PNG is lossless, so the decoded grid equals the formula exactly. */
+  def syntheticPatternImageAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val seed = (id % 17).toInt
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val p = (seed * 31 + x * 7 + y * 13) % 256
+          img.setRGB(x, y, (p << 16) | (p << 8) | p)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaAsset(id, "image", bos.toByteArray, 8, 8, 0L)
+    }
+  }
+
+  /** Perceptual (average) hash over REAL decoded pixels — the pHash-family
+    * content fingerprint image dedup pipelines cluster on: bit (y·w+x) is
+    * set iff pixel (x,y) is strictly brighter than the image mean. The
+    * threshold compares p·n > Σp in EXACT integer arithmetic (no float
+    * mean), so the hash is bit-deterministic and replayable from the pixel
+    * formula in any engine.
+    *
+    * Scale shape: decode and hashing run inside the map over asset
+    * partitions — downstream dedup shuffles (asset_id, 8-byte hash) rows,
+    * NEVER pixels or payloads. */
+  def perceptualHash(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.map { a =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val n = w * h
+      val ps = new Array[Long](n)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (img.getRGB(x, y) & 0xFF).toLong
+          ps(y * w + x) = p
+          total += p
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < n && i < 64) {
+        if (ps(i) * n > total) hash |= 1L << i
+        i += 1
+      }
+      (a.asset_id, hash)
+    }.toDF("doc_id", "phash")
+  }
 }
 
 /** Media codec. The IMAGE branch is REAL: `javax.imageio` (PNG/BMP/GIF/JPEG

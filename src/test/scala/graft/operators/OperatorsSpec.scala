@@ -841,6 +841,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2) === ((3L, 3L, 0L, 0.0)))
   }
 
+  test("perceptualHash: decoded-pixel aHash groups ids by pattern seed") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val hashes = Multimodal.perceptualHash(
+        Multimodal.syntheticPatternImageAssets(spark, docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the decoded-pixel hash must equal the pixel-formula replica exactly
+    // (proves the real PNG decode ran and was lossless)
+    for ((id, h) <- hashes) {
+      val seed = (id % 17).toInt
+      val ps = Array.tabulate(64)(i => ((seed * 31 + (i % 8) * 7 + (i / 8) * 13) % 256).toLong)
+      val total = ps.sum
+      var expect = 0L
+      for (i <- 0 until 64) if (ps(i) * 64 > total) expect |= 1L << i
+      assert(h === expect, s"hash mismatch for id $id")
+    }
+    // equal seeds are pixel-identical → identical hashes; distinct seeds
+    // may legitimately collide (aHash is brightness-shift invariant), but
+    // not all of them
+    val bySeed = hashes.groupBy(_._1 % 17).view.mapValues(_.map(_._2).distinct.size)
+    assert(bySeed.values.forall(_ === 1), s"same-seed images hashed differently: $bySeed")
+    assert(hashes.map(_._2).distinct.length > 1)
+  }
+
   test("weightedSample: A-ES keys replicate by hand, heavier docs dominate, layout-invariant") {
     import spark.implicits._
     // 20 heavy docs (weight 1000) among 200 light ones (weight 1): a
