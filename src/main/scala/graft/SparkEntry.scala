@@ -959,6 +959,25 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- the TARGET-DOMAIN selection pipeline a fine-tune data build
+    //      runs, composed as ONE query: in-engine-trained model-based
+    //      quality filter (keep pred = z ≥ 0) → DSIR importance selection
+    //      toward the target domain OVER THE KEPT SUBSET (the n-gram
+    //      models retrain on what survived the filter) → deterministic
+    //      hash split. The oracle rescores the filter from the exported
+    //      weights and replays DSIR rooted on the kept relation. ----
+    "e2e_quality_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = TextOps.qualityLrScore(docs, "doc_id", "text")
+        .where(col("pred")).select(col("doc_id").as("__kept"))
+      val filtered = docs.join(kept, col("doc_id") === col("__kept")).drop("__kept")
+      val selected = TextOps.dsirSelect(filtered, "doc_id", "text",
+        col("lang") === "en", numBuckets = 256, k = 100)
+      CoreOps.hashSplit(selected, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("rank", "doc_id", "w_q6", "g_q6", "split")
+        .orderBy("rank")
+    }),
+
     // ---- dataset card: the per-source release summary, composing token
     //      accounting, exact-dup detection, language id, and quality in ONE
     //      aggregation pass over per-doc stats. Quality is summed in
@@ -1340,19 +1359,16 @@ object SparkEntry {
     * same q6 fixing. Training itself is pinned by the single-node replica
     * in OperatorsSpec, not re-run in SQL. */
   private def lrOracleSql: Map[String, String] =
-    graft.operators.TextOps.lastQualityLr.toSeq.map {
+    graft.operators.TextOps.lastQualityLr.toSeq.flatMap {
       case (buckets, _, _, scale, thr, w) =>
         val wLit = "[" + w.mkString(", ") + "]::DOUBLE[]"
         val stopList = graft.operators.TextOps.DefaultStopwords
           .map(s => s"'$s'").mkString(", ")
-        "x12_lr_quality" ->
-          s"""WITH w(wv) AS (SELECT $wLit),
+        // shared scoring prefix: features + the canonical fold → per-doc z
+        val scoringCtes =
+          s"""w(wv) AS (SELECT $wLit),
              |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
              |base AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
-             |lab AS (SELECT doc_id,
-             |               CASE WHEN len(list_filter(ws, t -> t IN ($stopList)))::DOUBLE
-             |                         / n::DOUBLE >= $thr THEN 1 ELSE 0 END AS label
-             |        FROM base),
              |tok AS (SELECT doc_id, unnest(ws) AS tok FROM base),
              |bc AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 2))::BIGINT % $buckets AS b,
              |              count(*) AS c
@@ -1369,12 +1385,57 @@ object SparkEntry {
              |                [wv[1] * 1.0] || list_transform(xs.ps,
              |                  p -> wv[p.b + 2] * (p.c::DOUBLE / xs.n::DOUBLE * $scale)),
              |                (a, b) -> a + b) AS z
-             |       FROM xs, w)
+             |       FROM xs, w)""".stripMargin
+        Seq(
+        // the composed target-domain selection: quality filter (z ≥ 0) →
+        // DSIR retrained over the kept subset → md5 hash split
+        "e2e_quality_dsir_select" ->
+          s"""WITH $scoringCtes,
+             |kept AS (SELECT doc_id FROM sc WHERE z >= 0),
+             |td AS (SELECT d.doc_id, d.lang,
+             |              list_filter(string_split(d.text, ' '), x -> x <> '') AS toks
+             |       FROM documents d JOIN kept USING (doc_id)),
+             |tr AS (SELECT doc_id, lang, toks[i - 1] || ' ' || toks[i] AS bg
+             |       FROM td, unnest(range(2, len(toks) + 1)) AS u(i)),
+             |f AS (SELECT doc_id, lang, ('0x' || substr(md5(bg), 1, 2))::BIGINT % 256 AS f FROM tr),
+             |raw AS (SELECT f, count(*) AS cr FROM f GROUP BY f),
+             |tgt AS (SELECT f, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY f),
+             |tab AS (SELECT raw.f, raw.cr, COALESCE(tgt.ct, 0) AS ct FROM raw LEFT JOIN tgt USING (f)),
+             |tot AS (SELECT sum(cr) AS totr, sum(ct) AS tott FROM tab),
+             |lam AS (
+             |  SELECT f, CAST(floor(ln(
+             |           ((ct::DOUBLE + 0.5) / (tott::DOUBLE + 128.0)) /
+             |           ((cr::DOUBLE + 0.5) / (totr::DOUBLE + 128.0))) * 1000000.0 + 0.5) AS BIGINT) AS lam_q6
+             |  FROM tab, tot),
+             |wts AS (
+             |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+             |         CAST(sum(lam.lam_q6) AS BIGINT) AS w_q6
+             |  FROM f JOIN lam USING (f) GROUP BY f.doc_id),
+             |g AS (
+             |  SELECT doc_id, n_trans, w_q6,
+             |         w_q6 + CAST(floor(-ln(-ln(
+             |           (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE + 0.5)
+             |           / 4503599627370496.0)) * 1000000.0 + 0.5) AS BIGINT) AS g_q6
+             |  FROM wts),
+             |sel AS (SELECT doc_id, w_q6, g_q6 FROM g ORDER BY g_q6 DESC, doc_id LIMIT 100)
+             |SELECT CAST(row_number() OVER (ORDER BY g_q6 DESC, doc_id) AS INT) AS rank,
+             |       doc_id, w_q6, g_q6,
+             |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+             |      FROM sel)
+             |ORDER BY rank""".stripMargin,
+
+        "x12_lr_quality" ->
+          s"""WITH $scoringCtes,
+             |lab AS (SELECT doc_id,
+             |               CASE WHEN len(list_filter(ws, t -> t IN ($stopList)))::DOUBLE
+             |                         / n::DOUBLE >= $thr THEN 1 ELSE 0 END AS label
+             |        FROM base)
              |SELECT sc.doc_id, CAST(lab.label AS INT) AS label,
              |       CAST(floor(sc.z * 1000000.0 + 0.5) AS BIGINT) AS z_q6,
              |       floor(1.0 / (1.0 + exp(-sc.z)) * 10000.0 + 0.5) / 10000.0 AS score,
              |       sc.z >= 0 AS pred
-             |FROM sc JOIN lab USING (doc_id) ORDER BY sc.doc_id""".stripMargin
+             |FROM sc JOIN lab USING (doc_id) ORDER BY sc.doc_id""".stripMargin)
     }.toMap
 
   /** Where the s3 gate materialized its generator output (set when the gate
