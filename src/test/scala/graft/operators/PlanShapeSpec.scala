@@ -224,6 +224,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "the allocation join is not a broadcast")
   }
 
+  test("q_weighted_sample: keys are a projection; top-k is per-partition heaps, not a global sort") {
+    val df = SparkEntry.queries("q_weighted_sample")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its top-k heap plan:\n$plan")
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+  }
+
+  test("mm_phash_dedup: dedup shuffles 8-byte hashes, never pixels or payloads") {
+    val df = SparkEntry.queries("mm_phash_dedup")(spark, sfDir)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("payload#"), s"an exchange carries image payloads:\n$b")
+  }
+
   test("d15b_contamination_fraction: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     val df = Dedup.contaminationFraction(
