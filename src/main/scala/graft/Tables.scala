@@ -18,18 +18,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects during schema conversion. Read it as raw INT64 nanos via
-    * an explicit schema (works regardless of session conf — no reliance on
-    * `spark.sql.legacy.parquet.nanosAsLong`) and expose both `ts_ns` and a
-    * micro-truncated `ts` timestamp column. */
+  /** events.parquet's `ts` physical unit has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    * during schema conversion) and TIMESTAMP(MICROS)/NTZ. Detect which form
+    * this file uses from the inferred footer schema and normalize to the
+    * same two columns either way: exact integer `ts_ns` plus a µs-precision
+    * `ts` timestamp. The DuckDB oracle side (`epoch_ns(ts)`, `EXTRACT(day
+    * FROM ts)`) adapts to the physical unit automatically, so this loader
+    * must too — hard-assuming nanos broke every events gate when the driver
+    * regenerated the data with µs storage (CORRECTNESS_r08).
+    * NTZ wall times are interpreted as UTC instants: every gating entry
+    * point (Verify/Bench/specs) pins spark.sql.session.timeZone=UTC. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.read
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$d/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    import org.apache.spark.sql.types._
+    val path = s"$d/events.parquet"
+    val inferredTs = scala.util.Try(s.read.parquet(path).schema("ts").dataType)
+    inferredTs match {
+      case scala.util.Success(TimestampType) | scala.util.Success(TimestampNTZType) =>
+        s.read.parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+          .select("event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
+      case _ =>
+        // TIMESTAMP(NANOS) storage: schema conversion fails (or infers LONG),
+        // so read the raw INT64 nanos via an explicit schema.
+        s.read
+          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

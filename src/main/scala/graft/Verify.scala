@@ -18,6 +18,20 @@ object Verify {
     // optional comma-separated filter for local iteration (unset in the
     // driver's per-round run → full dump)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(deleteRec)
+      f.delete(); ()
+    }
+    // Guard against stale-output contamination (ADVICE r8): when doing a
+    // full dump, first drop any leftover per-query dirs from prior runs
+    // whose names are no longer in `queries` — otherwise the driver's
+    // rows-only sweep reads them as if they were this run's output.
+    if (only.isEmpty) {
+      val live = SparkEntry.queries.keySet
+      Option(new java.io.File(outDir).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !live.contains(f.getName))
+        .foreach { f => System.err.println(s"[verify] dropping stale ${f.getName}"); deleteRec(f) }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +39,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must yield MISSING in the driver's compare, never
+        // a stale parquet from an earlier run of the same name
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.exists) deleteRec(d)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
