@@ -1335,6 +1335,68 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.pqTopK(emb, queries, TopK).orderBy("query_id", "rank")
+    }),
+
+    // ---- per-source dynamic quality thresholding: keep each source's
+    //      upper half by the x2 quality blend — exact median WITHOUT a
+    //      corpus sort (round4 quantization → histogram median) ----
+    "q_quality_median_filter" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextOps.qualityCol(col("text")).as("quality"))
+      CoreOps.perGroupMedianFilter(scored, "source", "quality")
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // ---- cross-split n-gram leakage audit: for every test-split doc, the
+    //      fraction of its 8-token windows appearing verbatim in train —
+    //      the post-split QA gate that alarms when upstream dedup slips ----
+    "q_split_leakage_ngram" -> ((s, d) => {
+      val split = CoreOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      Dedup.splitLeakage(
+          split.where(col("split") === "train"), split.where(col("split") === "test"),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- the TRAINING-ORDER manifest a packed curriculum run feeds its
+    //      data loader, composed end-to-end as ONE query: per-source median
+    //      quality gate (r9's histogram-exact threshold) → temperature-
+    //      flattened source mixing (α=½, 150 slots) over the kept docs →
+    //      bigram-LM difficulty RETRAINED on the selected subset →
+    //      curriculum phases (exact integer NTILE over the range-
+    //      partitioned global index) → 128-token sequence packing in
+    //      (phase, difficulty, id) order via the two-phase O(P) prefix sum.
+    //      Every stage is ids+scalars once text-derived scores exist; the
+    //      only corpus-sized shuffles are the per-source rank window and
+    //      the packing range-repartition. ----
+    "e2e_training_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextOps.qualityCol(col("text")).as("quality"))
+      val kept = CoreOps.perGroupMedianFilter(scored, "source", "quality")
+      val mixed = CoreOps.temperatureMixSample(
+        kept.select("source", "doc_id"), "source", "doc_id", 150L)
+      val sel = docs.join(mixed.select("doc_id"), Seq("doc_id"))
+      // difficulty model retrained on the selected subset (the mix defines
+      // the distribution the curriculum should order)
+      val diff = TextOps.bigramPerplexity(sel, "doc_id", "text")
+        .select("doc_id", "avg_nll")
+      val phased = CoreOps.curriculumPhases(diff, Seq("avg_nll", "doc_id"), 4)
+      val withTok = phased.join(
+        docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      CoreOps.globalPrefixSum(withTok,
+          Seq(col("phase"), col("avg_nll"), col("doc_id")), "n_tokens", "tok_start")
+        .withColumn("chunk_start", expr("tok_start DIV 128L"))
+        .withColumn("chunk_end",
+          when(col("n_tokens") === 0, col("chunk_start"))
+            .otherwise(expr("(tok_start + n_tokens - 1) DIV 128L")))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .select("doc_id", "source", "phase", "avg_nll", "n_tokens",
+          "tok_start", "chunk_start", "chunk_end")
+        .orderBy("doc_id")
     })
   )
 
@@ -2988,6 +3050,147 @@ object SparkEntry {
            |  FROM exact)
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin
+      },
+
+      // x2's quality formula, then the histogram-exact lower median per
+      // source (same (tot+1) div 2 rank, same min-quality-at-or-past-rank
+      // selection) and the >= threshold filter
+      "q_quality_median_filter" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |raw AS (
+           |  SELECT doc_id, source,
+           |         least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |         len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |         len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |  FROM t),
+           |q AS (SELECT doc_id, source,
+           |             floor((0.4 * ls + 0.3 * ttr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS quality
+           |      FROM raw),
+           |h AS (SELECT source, quality, count(*) AS c FROM q GROUP BY source, quality),
+           |cw AS (SELECT source, quality,
+           |              sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
+           |              sum(c) OVER (PARTITION BY source) AS tot FROM h),
+           |thr AS (SELECT source, min(quality) AS q_thr FROM cw
+           |        WHERE cum >= (tot + 1) // 2 GROUP BY source)
+           |SELECT q.doc_id, q.source, q.quality
+           |FROM q JOIN thr USING (source)
+           |WHERE q.quality >= thr.q_thr
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      // the shared md5-bucket hash split, d14's window hashing on both
+      // sides, distinct train hashes semi-joined against test windows
+      "q_split_leakage_ngram" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |s AS (
+          |  SELECT doc_id, ws,
+          |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT doc_id, ws,
+          |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+          |        FROM t)),
+          |w AS (
+          |  SELECT doc_id, split, u.h FROM (
+          |    SELECT doc_id, split,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM s WHERE len(ws) >= 8)),
+          |tr AS (SELECT DISTINCT h FROM w WHERE split = 'train'),
+          |lk AS (SELECT w.doc_id, count(*) AS n_leaked
+          |       FROM w JOIN tr USING (h) WHERE w.split = 'test' GROUP BY w.doc_id)
+          |SELECT s.doc_id, CAST(greatest(len(s.ws) - 7, 0) AS BIGINT) AS n_windows,
+          |       CAST(COALESCE(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+          |       CASE WHEN greatest(len(s.ws) - 7, 0) = 0 THEN 0.0
+          |            ELSE floor(COALESCE(lk.n_leaked, 0)::DOUBLE /
+          |                       (len(s.ws) - 7)::DOUBLE * 10000.0 + 0.5) / 10000.0
+          |       END AS leak_frac
+          |FROM s LEFT JOIN lk ON s.doc_id = lk.doc_id
+          |WHERE s.split = 'test'
+          |ORDER BY s.doc_id""".stripMargin,
+
+      // the full manifest replayed stage-for-stage: x2 quality → histogram
+      // median gate → √-mass integer temperature allocation (150 slots,
+      // md5-rank fill) → x11's bigram NLL RETRAINED on the selected subset
+      // → the exact integer NTILE formula → the (phase, avg_nll, doc_id)
+      // token prefix sum and 128-token chunk arithmetic
+      "e2e_training_manifest" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           |  FROM documents),
+           |raw AS (
+           |  SELECT doc_id, source,
+           |         least(1.0, len(ws)::DOUBLE / 50.0) AS ls,
+           |         len(list_distinct(ws))::DOUBLE / len(ws)::DOUBLE AS ttr,
+           |         len(list_filter(ws, x -> list_contains($stopArr, x)))::DOUBLE / len(ws)::DOUBLE AS sr
+           |  FROM t),
+           |q AS (SELECT doc_id, source,
+           |             floor((0.4 * ls + 0.3 * ttr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS quality
+           |      FROM raw),
+           |h AS (SELECT source, quality, count(*) AS c FROM q GROUP BY source, quality),
+           |cw AS (SELECT source, quality,
+           |              sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
+           |              sum(c) OVER (PARTITION BY source) AS tot FROM h),
+           |thr AS (SELECT source, min(quality) AS q_thr FROM cw
+           |        WHERE cum >= (tot + 1) // 2 GROUP BY source),
+           |kept AS (SELECT q.doc_id, q.source FROM q JOIN thr USING (source)
+           |         WHERE q.quality >= thr.q_thr),
+           |counts AS (SELECT source, count(*) AS c FROM kept GROUP BY source),
+           |m AS (SELECT source,
+           |             CAST(floor(sqrt(c::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS a FROM counts),
+           |mtot AS (SELECT CAST(sum(a) AS BIGINT) AS b FROM m),
+           |alloc AS (SELECT source, CAST((150 * a) // b AS BIGINT) AS n_alloc FROM m, mtot),
+           |rk AS (
+           |  SELECT source, doc_id,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+           |  FROM kept),
+           |sel AS (SELECT rk.doc_id FROM rk JOIN alloc USING (source) WHERE rk.r <= alloc.n_alloc),
+           |st AS (SELECT t.doc_id, t.source, t.ws FROM t JOIN sel USING (doc_id)),
+           |trans AS (
+           |  SELECT doc_id, ws[i - 1] AS v, ws[i] AS w
+           |  FROM st, unnest(range(2, len(ws) + 1)) AS u(i)),
+           |vocab AS (
+           |  SELECT count(DISTINCT tok)::DOUBLE AS v_size
+           |  FROM (SELECT unnest(ws) AS tok FROM st)),
+           |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
+           |ctx AS (SELECT v, count(*) AS c_v FROM trans GROUP BY v),
+           |scored0 AS (
+           |  SELECT trans.doc_id,
+           |         CAST(floor(-ln((c_vw::DOUBLE + 0.5) / (c_v::DOUBLE + 0.5 * vocab.v_size))
+           |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
+           |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v), vocab),
+           |scored AS (
+           |  SELECT doc_id,
+           |         floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS avg_nll
+           |  FROM scored0 GROUP BY doc_id),
+           |r AS (SELECT doc_id, avg_nll,
+           |             row_number() OVER (ORDER BY avg_nll, doc_id) - 1 AS idx
+           |      FROM scored),
+           |n AS (SELECT count(*) AS n FROM scored),
+           |ph AS (
+           |  SELECT doc_id, avg_nll,
+           |         CAST(CASE WHEN idx < (n % 4) * (n // 4 + 1)
+           |                   THEN idx // (n // 4 + 1)
+           |                   ELSE (n % 4) + (idx - (n % 4) * (n // 4 + 1)) // (n // 4)
+           |              END + 1 AS INT) AS phase
+           |  FROM r, n),
+           |wt AS (
+           |  SELECT ph.doc_id, t.source, ph.phase, ph.avg_nll,
+           |         CAST(len(t.ws) AS BIGINT) AS n_tokens
+           |  FROM ph JOIN t USING (doc_id)),
+           |p AS (
+           |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (ORDER BY phase, avg_nll, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+           |  FROM wt)
+           |SELECT doc_id, source, phase, avg_nll, n_tokens, tok_start,
+           |       CAST(tok_start // 128 AS BIGINT) AS chunk_start,
+           |       CAST(CASE WHEN n_tokens = 0 THEN tok_start // 128
+           |                 ELSE (tok_start + n_tokens - 1) // 128 END AS BIGINT) AS chunk_end
+           |FROM p ORDER BY doc_id""".stripMargin
       }
     )
   }

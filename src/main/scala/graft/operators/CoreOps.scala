@@ -151,6 +151,33 @@ object CoreOps {
       .drop("__g", "__lo", "__hi")
   }
 
+  /** Per-group exact lower-median threshold filter: keep every row whose
+    * `valueCol` is >= its group's exact lower median (the value at 1-based
+    * ascending rank ⌈n/2⌉ = (n+1) div 2) — "keep each source's upper half
+    * by quality", the dynamic per-domain thresholding a curation pipeline
+    * applies instead of one global cutoff.
+    *
+    * Exactness WITHOUT a corpus-sized sort: `valueCol` must be QUANTIZED
+    * (e.g. a round4 score — at most ~10⁴ distinct values), so the exact
+    * median comes from a (group × value) histogram: one map-side-combinable
+    * aggregate at histogram cardinality, a cumulative window over that tiny
+    * histogram, and a broadcast join back. The corpus itself is never
+    * sorted, windowed, or shuffled — the same quantization trick that makes
+    * exact percentiles tractable at 100 TB where `percentile()` needs a
+    * full per-group sort and approx_percentile gives up exactness. */
+  def perGroupMedianFilter(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col(valueCol))))
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy(col(keyCol))))
+      .where(col("__cum") >= expr("(__tot + 1) div 2"))
+      .groupBy(col(keyCol)).agg(min(col(valueCol)).as("__thr"))
+    df.join(broadcast(thr), Seq(keyCol))
+      .where(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic train/val/test assignment: bucket = first 8 hex chars of
     * md5(id) mod 100, split by cumulative percentage thresholds. Stable
     * across runs, layouts, and engines — the property a training split must

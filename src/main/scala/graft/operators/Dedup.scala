@@ -454,6 +454,38 @@ object Dedup {
         .join(broadcast(benchWins), "h").select("doc_id", "pos"), n)
   }
 
+  /** Cross-split n-gram leakage audit — the QA gate a pipeline runs AFTER
+    * splitting: for every test-split document, how many of its n-token
+    * windows appear verbatim anywhere in the train split. A hash split is
+    * leakage-safe at the near-dup level only if components were collapsed
+    * first ([[leakageSafeSplit]]); this measures what actually leaked, at
+    * window granularity, so a build can alarm on regressions in its dedup
+    * upstream. One row per test document (0s when clean): total windows,
+    * leaked windows, leaked fraction.
+    *
+    * Scale shape: unlike [[contaminationSpans]]' eval suite, the train side
+    * is most of the corpus — its distinct window hashes CANNOT broadcast,
+    * so the flagging is a hash-partitioned semi-join carrying only 128-bit
+    * hashes (never text, never positions on the train side); the per-doc
+    * leaked count aggregates map-side, and the total window count is a pure
+    * projection (`size(tokens) − n + 1` — no explode, no shuffle). */
+  def splitLeakage(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val trainWins = windowHashes(train, idCol, textCol, n).select("h").distinct()
+    val leaked = windowHashes(test, idCol, textCol, n)
+      .join(trainWins, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+    test.select(col(idCol).cast("long").as("doc_id"),
+        greatest(size(TextOps.tokens(col(textCol))) - lit(n - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(leaked, Seq("doc_id"), "left")
+      .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+      .withColumn("leak_frac",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(TextOps.round4(col("n_leaked").cast("double") /
+            col("n_windows").cast("double"))))
+  }
+
   /** Per-document contamination COVERAGE over [[contaminationSpans]]'
     * output: the fraction of a document's token positions lying inside some
     * contaminated span — the decision metric real pipelines threshold to

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, Tables}
+
+/** Semantics of the r9 curation operators — each checked against an
+  * independent single-node Scala replica over the real sf0.001 documents,
+  * the same style as the MinHash/SimHash replica specs: the distributed
+  * form and a from-scratch local computation must agree row-for-row. */
+class CurationSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def tokens(text: String): Array[String] =
+    text.split(" ").filter(_.nonEmpty)
+
+  test("perGroupMedianFilter keeps exactly the upper half per group (single-node replica)") {
+    val scored = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+      TextOps.qualityCol(col("text")).as("quality"))
+    val got = CoreOps.perGroupMedianFilter(scored, "source", "quality")
+      .select("doc_id", "source", "quality")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    val all = scored.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = all.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.map(_._3).sorted
+      val thr = sorted(((sorted.length + 1) / 2) - 1) // 1-based rank (n+1) div 2
+      rows.filter(_._3 >= thr)
+    }.toSet
+    assert(got === want)
+    // every group must keep at least half its rows (>= median is inclusive)
+    val keptBySource = got.groupBy(_._2).view.mapValues(_.size)
+    val totBySource = all.groupBy(_._2).view.mapValues(_.size)
+    for ((s, tot) <- totBySource)
+      assert(keptBySource.getOrElse(s, 0) * 2 >= tot, s"group $s kept under half")
+  }
+
+  test("splitLeakage equals a brute-force window-set intersection (single-node replica)") {
+    val n = 8
+    val split = CoreOps.hashSplit(Tables.documents(spark, sfDir), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val got = Dedup.splitLeakage(
+        split.where(col("split") === "train"), split.where(col("split") === "test"),
+        "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val rows = split.select("doc_id", "text", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def windows(text: String): Seq[String] =
+      tokens(text).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+    val trainWins = rows.filter(_._3 == "train").flatMap(r => windows(r._2)).toSet
+    val want = rows.filter(_._3 == "test").map { case (id, text, _) =>
+      val ws = windows(text)
+      id -> (ws.length.toLong, ws.count(trainWins.contains).toLong)
+    }.toMap
+    assert(got === want)
+    // the gate is only meaningful if both leaked and clean docs exist
+    assert(want.values.exists(_._2 > 0L) || want.values.forall(_._2 == 0L))
+  }
+
+  test("e2e_training_manifest: packing is gapless and phases are near-equal in curriculum order") {
+    val m = SparkEntry.queries("e2e_training_manifest")(spark, sfDir)
+      .select("doc_id", "phase", "avg_nll", "n_tokens", "tok_start", "chunk_start", "chunk_end")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(m.nonEmpty)
+    // tok_start is the exact prefix sum in (phase, avg_nll, doc_id) order
+    val ordered = m.sortBy(t => (t._2, t._3, t._1))
+    var acc = 0L
+    for ((id, _, _, nTok, tokStart, cs, ce) <- ordered) {
+      assert(tokStart === acc, s"doc $id tok_start $tokStart != running sum $acc")
+      assert(cs === tokStart / 128)
+      assert(ce === (if (nTok == 0) cs else (tokStart + nTok - 1) / 128))
+      acc += nTok
+    }
+    // NTILE remainder semantics: phase sizes differ by at most 1 and are ordered
+    val sizes = m.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet === (1 to 4).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // curriculum order: max difficulty of phase k <= min difficulty of phase k+1
+    for (k <- 1 to 3) {
+      val hi = m.filter(_._2 == k).map(_._3).max
+      val lo = m.filter(_._2 == k + 1).map(_._3).min
+      assert(hi <= lo, s"phase $k difficulty overlaps phase ${k + 1}")
+    }
+  }
+}

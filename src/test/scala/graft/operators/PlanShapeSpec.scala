@@ -239,6 +239,61 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!b.contains("payload#"), s"an exchange carries image payloads:\n$b")
   }
 
+  test("q_quality_median_filter: threshold joins as broadcast; text never shuffles; corpus never sorted") {
+    val df = SparkEntry.queries("q_quality_median_filter")(spark, sfDir)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("toks#"), s"an exchange carries a token array:\n$b")
+    }
+    // the per-source threshold (histogram-median output, source cardinality)
+    // must reach the corpus as a broadcast, never by shuffling the corpus
+    // against it; the histogram window sorts only (source, quality, count)
+    // rows, so every Sort input must be count-shaped, except the
+    // presentation orderBy
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the median-threshold join is not a broadcast")
+    val corpusHashEx = exchangeBlocks(df)
+      .filter(b => b.contains("hashpartitioning") && b.contains("doc_id#"))
+    assert(corpusHashEx.isEmpty,
+      s"the corpus itself shuffles — the histogram trick is broken:\n${corpusHashEx.mkString("\n---\n")}")
+  }
+
+  test("q_split_leakage_ngram: only window hashes shuffle — never text or token arrays") {
+    val df = SparkEntry.queries("q_split_leakage_ngram")(spark, sfDir)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      // delimiter-anchored: a bare "ws#" substring would also match the
+      // output column n_windows#
+      assert(!b.contains("toks#") && !"[\\[, ]ws#".r.findFirstIn(b).isDefined,
+        s"an exchange carries a token array:\n$b")
+    }
+  }
+
+  test("e2e training manifest: text never enters any exchange up to the packing stage") {
+    // the final manifest runs through globalPrefixSum's RDD two-phase pass,
+    // which breaks the query lineage — audit the full declarative prefix of
+    // the pipeline (median gate → temperature mix → subset-retrained bigram
+    // difficulty → curriculum phases → token counts), which contains every
+    // corpus-sized exchange the composed gate performs before packing
+    val docs = Tables.documents(spark, sfDir)
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextOps.qualityCol(col("text")).as("quality"))
+    val kept = CoreOps.perGroupMedianFilter(scored, "source", "quality")
+    val mixed = CoreOps.temperatureMixSample(
+      kept.select("source", "doc_id"), "source", "doc_id", 150L)
+    val sel = docs.join(mixed.select("doc_id"), Seq("doc_id"))
+    val diff = TextOps.bigramPerplexity(sel, "doc_id", "text").select("doc_id", "avg_nll")
+    val phased = CoreOps.curriculumPhases(diff, Seq("avg_nll", "doc_id"), 4)
+    val withTok = phased.join(
+      docs.select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      Seq("doc_id"))
+    for (b <- exchangeBlocks(withTok)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("toks#") && !b.contains("ws#"),
+        s"an exchange carries a token array:\n$b")
+    }
+  }
+
   test("d15b_contamination_fraction: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     val df = Dedup.contaminationFraction(
