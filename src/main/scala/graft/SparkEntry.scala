@@ -1337,6 +1337,24 @@ object SparkEntry {
       Similarity.pqTopK(emb, queries, TopK).orderBy("query_id", "rank")
     }),
 
+    // ---- semantic outlier pruning: the 3 vectors farthest from their
+    //      cluster centroid per cluster — the embedding-space noise filter
+    //      (garbage scrapes sit far from every centroid) ----
+    "q_semantic_outliers" -> ((s, d) => {
+      Similarity.semanticOutliers(Tables.embeddings(s, d), k = 3)
+        .orderBy("cluster", "out_rank")
+    }),
+
+    // ---- deterministic near-balanced output sharding: size-sorted
+    //      round-robin into 8 shards — the writer-side step that cuts a
+    //      curated corpus into near-equal training files ----
+    "q_balanced_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      CoreOps.balancedShards(docs, "doc_id", "n_tok", shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- per-source dynamic quality thresholding: keep each source's
     //      upper half by the x2 quality blend — exact median WITHOUT a
     //      corpus sort (round4 quantization → histogram median) ----
@@ -1578,6 +1596,29 @@ object SparkEntry {
              |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists)
              |SELECT vec_id, CAST(c AS INT) AS cluster, round(d + vsq, 6) AS dist2
              |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+        // same assignment CTEs as q_kmeans_assign, then the farthest-k
+        // window on the ROUNDED dist2 (id tiebreak), matching the Spark
+        // side's rank on its round6 column
+        "q_semantic_outliers" ->
+          s"""WITH centroids(c, nsq, w) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |dists AS (
+             |  SELECT v.vec_id, ct.c,
+             |         ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d,
+             |         ${dotq("v.emb", "v.emb")} AS vsq
+             |  FROM corp v CROSS JOIN centroids ct),
+             |ranked AS (SELECT vec_id, c, d, vsq,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+             |assign AS (SELECT vec_id, CAST(c AS INT) AS cluster, round(d + vsq, 6) AS dist2
+             |           FROM ranked WHERE rn = 1),
+             |ork AS (SELECT cluster, vec_id, dist2,
+             |               row_number() OVER (PARTITION BY cluster
+             |                 ORDER BY dist2 DESC, vec_id) AS out_rank
+             |        FROM assign)
+             |SELECT cluster, CAST(out_rank AS INT) AS out_rank, vec_id, dist2
+             |FROM ork WHERE out_rank <= 3
+             |ORDER BY cluster, out_rank""".stripMargin,
 
         "q_cluster_balanced_sample" ->
           s"""WITH centroids(c, nsq, w) AS (VALUES $values),
@@ -3051,6 +3092,16 @@ object SparkEntry {
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin
       },
+
+      // the same (n_tokens, doc_id) total order, dealt round-robin
+      "q_balanced_shards" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |SELECT doc_id, n_tokens,
+          |       CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1) % 8 AS INT) AS shard
+          |FROM t ORDER BY doc_id""".stripMargin,
 
       // x2's quality formula, then the histogram-exact lower median per
       // source (same (tot+1) div 2 rank, same min-quality-at-or-past-rank

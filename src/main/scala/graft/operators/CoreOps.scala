@@ -360,6 +360,28 @@ object CoreOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Deterministic near-balanced output sharding: rows ranked by
+    * (`tokensCol`, `idCol`) through [[globalRowIndex]] are dealt
+    * round-robin into `shards` buckets — size-sorted round-robin is the
+    * deterministic, engine-portable cousin of longest-processing-time
+    * scheduling, so per-shard token sums differ by at most one step of the
+    * sorted size sequence per deal round. This is the writer-side step that
+    * turns a curated corpus into S near-equal training files WITHOUT a
+    * greedy sequential packer (whose assignment would depend on driver-side
+    * iteration order and break under growth).
+    *
+    * Scale shape: one range repartition (the index) plus a pure `% shards`
+    * projection — no window over the full corpus, no driver-side loop. */
+  def balancedShards(df: DataFrame, idCol: String, tokensCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    globalRowIndex(
+        df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens")),
+        Seq("n_tokens", idCol), "__idx")
+      .withColumn("shard", (col("__idx") % shards).cast("int"))
+      .drop("__idx")
+  }
+
   /** Curriculum phase assignment: rows sorted by a difficulty proxy are cut
     * into `phases` contiguous groups of near-equal size (standard NTILE
     * remainder semantics — the first n mod k groups take one extra row),

@@ -351,6 +351,29 @@ object Similarity {
         round(col("best").getField("d") + dot(col("emb"), col("emb")), 6).as("dist2"))
   }
 
+  /** Semantic outlier pruning: the `k` vectors FARTHEST from their
+    * cluster's centroid, per cluster — the noise-removal curation step
+    * (mislabeled scrapes, encoding garbage, off-distribution samples sit
+    * far from every centroid after clustering). Ranking uses the ROUNDED
+    * round6 distance with an id tiebreak, so the order is identical in any
+    * engine that agrees on [[kmeansAssign]]'s assignment (which the oracle
+    * already hash-matches).
+    *
+    * Scale shape: assignment is [[kmeansAssign]]'s zero-shuffle projection
+    * over broadcast-literal centroids; the per-cluster rank is one window
+    * over (vec_id, cluster, dist2) scalar rows — WindowGroupLimit prunes
+    * to k per cluster map-side, and no embedding enters the exchange. */
+  def semanticOutliers(corpus: DataFrame, k: Int,
+      dim: Int = 64, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val assigned = kmeansAssign(corpus, dim, nlist, seed)
+      .select("vec_id", "cluster", "dist2")
+    val w = Window.partitionBy(col("cluster")).orderBy(col("dist2").desc, col("vec_id"))
+    assigned.withColumn("out_rank", row_number().over(w))
+      .where(col("out_rank") <= k)
+      .select(col("cluster"), col("out_rank"), col("vec_id"), col("dist2"))
+  }
+
   /** Chunk→document embedding pooling: the element-wise mean of each
     * group's vectors (document embedding from its chunks' embeddings), in
     * LONG format — (group, dimension position, fixed-point mean) — the

@@ -71,6 +71,38 @@ class CurationSpec extends AnyFunSuite {
     assert(want.values.exists(_._2 > 0L) || want.values.forall(_._2 == 0L))
   }
 
+  test("balancedShards: round-robin over the size order, near-equal shard token sums") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val got = CoreOps.balancedShards(docs, "doc_id", "n_tok", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // replica: rank ascending by (n_tokens, doc_id), deal % 8
+    val want = got.map(t => (t._1, t._2)).sortBy { case (id, n) => (n, id) }
+      .zipWithIndex.map { case ((id, n), i) => (id, n, (i % 8)) }.toSet
+    assert(got.toSet === want)
+    // balance: size-sorted round-robin keeps shard token sums within the
+    // largest document of each other
+    val sums = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val maxDoc = got.map(_._2).max
+    assert(sums.values.max - sums.values.min <= maxDoc,
+      s"shard sums spread ${sums.values.max - sums.values.min} exceeds max doc $maxDoc")
+  }
+
+  test("semanticOutliers: selected vectors dominate their cluster's unselected by (dist2, id)") {
+    val assigned = Similarity.kmeansAssign(Tables.embeddings(spark, sfDir))
+      .select("vec_id", "cluster", "dist2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val got = Similarity.semanticOutliers(Tables.embeddings(spark, sfDir), k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    for ((cluster, members) <- assigned.groupBy(_._2)) {
+      val sel = got.filter(_._1 == cluster)
+      assert(sel.length === math.min(3, members.length))
+      // replica: top-3 by (dist2 desc, vec_id asc)
+      val want = members.sortBy(m => (-m._3, m._1)).take(3).map(m => (m._1, m._3)).toSeq
+      assert(sel.sortBy(_._2).map(s => (s._3, s._4)).toSeq === want)
+    }
+  }
+
   test("e2e_training_manifest: packing is gapless and phases are near-equal in curriculum order") {
     val m = SparkEntry.queries("e2e_training_manifest")(spark, sfDir)
       .select("doc_id", "phase", "avg_nll", "n_tokens", "tok_start", "chunk_start", "chunk_end")
