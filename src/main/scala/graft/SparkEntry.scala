@@ -286,6 +286,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus snapshot diff: recover the add/remove/change delta
+    //      between two materialized snapshots (the audit step of an
+    //      incremental build; q_upsert APPLIES a delta, this recovers one) ----
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val oldSnap = docs.where(col("doc_id") % 13 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("updated-"), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+      CoreOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic negative sampling (contrastive pairs; same-label
     //      pairs are the forbidden positives) ----
     "q_negative_pairs" -> ((s, d) => {
@@ -1085,6 +1100,29 @@ object SparkEntry {
       hashes.join(groups, Seq("phash"))
         .select(col("doc_id"), col("phash"), col("group_n"),
           (col("doc_id") === col("__canon")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal curation composed end-to-end: perceptual-hash image
+    //      dedup over REAL decoded pixels gates the asset side, the
+    //      per-source median quality gate (r9) filters the caption side,
+    //      and the surviving (asset, caption) pairs — 1:1 by id — are the
+    //      training pairs a CLIP-style run ingests. Asset dedup shuffles
+    //      (id, 8-byte hash), caption thresholds broadcast, the final
+    //      pairing is ids+scalars. ----
+    "e2e_asset_text_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hashes = Multimodal.perceptualHash(
+        Multimodal.syntheticPatternImageAssets(s, docs))
+      val canon = hashes.groupBy("phash").agg(min(col("doc_id")).as("__canon"))
+      val surv = hashes.join(canon, Seq("phash"))
+        .where(col("doc_id") === col("__canon"))
+        .select("doc_id", "phash")
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextOps.qualityCol(col("text")).as("quality"))
+      val kept = CoreOps.perGroupMedianFilter(scored, "source", "quality")
+      surv.join(kept, Seq("doc_id"))
+        .select("doc_id", "phash", "source", "quality")
         .orderBy("doc_id")
     }),
 
@@ -3091,6 +3129,70 @@ object SparkEntry {
            |  FROM exact)
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin
+      },
+
+      // same snapshot predicates and update rule, FULL OUTER JOIN on md5
+      "q_corpus_diff" ->
+        """WITH o AS (
+          |  SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 13 <> 0),
+          |n AS (
+          |  SELECT doc_id,
+          |         md5(CASE WHEN doc_id % 7 = 0
+          |                  THEN 'updated-' || CAST(doc_id AS VARCHAR)
+          |                  ELSE text END) AS nh
+          |  FROM documents WHERE doc_id % 11 <> 0)
+          |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+          |       CASE WHEN o.oh IS NULL THEN 'added'
+          |            WHEN n.nh IS NULL THEN 'removed'
+          |            WHEN o.oh = n.nh THEN 'unchanged'
+          |            ELSE 'changed' END AS status
+          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      // mm_phash_dedup's per-pixel replay (gradient grid, integer aHash
+      // threshold, min-id canonical) composed with x2's quality formula and
+      // the histogram-exact per-source median gate
+      "e2e_asset_text_pairs" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH px AS (
+           |  SELECT d.doc_id,
+           |         ((d.doc_id % 17) * 31 + x.x * 7 + y.y * 13) % 256 AS p,
+           |         y.y * 8 + x.x AS i
+           |  FROM documents d, range(0, 8) x(x), range(0, 8) y(y)),
+           |ptot AS (SELECT doc_id, sum(p) AS total FROM px GROUP BY doc_id),
+           |bits AS (
+           |  SELECT px.doc_id,
+           |         CAST(sum(CASE WHEN px.p * 64 > ptot.total
+           |                       THEN CASE WHEN px.i = 63 THEN (-9223372036854775807 - 1)
+           |                                 ELSE (1::BIGINT << px.i) END
+           |                       ELSE 0 END) AS BIGINT) AS phash
+           |  FROM px JOIN ptot USING (doc_id) GROUP BY px.doc_id),
+           |g AS (SELECT phash, min(doc_id) AS canon FROM bits GROUP BY phash),
+           |surv AS (SELECT b.doc_id, b.phash FROM bits b JOIN g USING (phash)
+           |         WHERE b.doc_id = g.canon),
+           |t AS (
+           |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |raw AS (
+           |  SELECT doc_id, source,
+           |         least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |         len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |         len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |  FROM t),
+           |q AS (SELECT doc_id, source,
+           |             floor((0.4 * ls + 0.3 * ttr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS quality
+           |      FROM raw),
+           |h AS (SELECT source, quality, count(*) AS c FROM q GROUP BY source, quality),
+           |cw AS (SELECT source, quality,
+           |              sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
+           |              sum(c) OVER (PARTITION BY source) AS tot FROM h),
+           |thr AS (SELECT source, min(quality) AS q_thr FROM cw
+           |        WHERE cum >= (tot + 1) // 2 GROUP BY source),
+           |kept AS (SELECT q.doc_id, q.source, q.quality FROM q JOIN thr USING (source)
+           |         WHERE q.quality >= thr.q_thr)
+           |SELECT s.doc_id, s.phash, k.source, k.quality
+           |FROM surv s JOIN kept k USING (doc_id)
+           |ORDER BY s.doc_id""".stripMargin
       },
 
       // the same (n_tokens, doc_id) total order, dealt round-robin

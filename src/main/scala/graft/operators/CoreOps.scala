@@ -360,6 +360,29 @@ object CoreOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Corpus snapshot diff — the audit step of an incremental build: which
+    * documents were added, removed, changed, or untouched between two
+    * snapshots of the same keyed corpus. Pairs with [[upsertByKey]] (which
+    * APPLIES a delta) by RECOVERING the delta between materialized
+    * snapshots — what a data-versioning layer shows per corpus release.
+    *
+    * Scale shape: each side is hashed in its scan projection, so the full
+    * outer join shuffles (id, 128-bit md5) — never the payload; both sides
+    * partition once on the id. Status is a pure projection on the joined
+    * row. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).cast("long").as(idCol), md5(col(payloadCol)).as("__oh"))
+    val n = newDf.select(col(idCol).cast("long").as(idCol), md5(col(payloadCol)).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") === col("__nh"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(idCol), col("status"))
+  }
+
   /** Deterministic near-balanced output sharding: rows ranked by
     * (`tokensCol`, `idCol`) through [[globalRowIndex]] are dealt
     * round-robin into `shards` buckets — size-sorted round-robin is the

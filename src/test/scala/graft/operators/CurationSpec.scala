@@ -103,6 +103,51 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff recovers exactly the applied delta (single-node replica)") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val oldSnap = docs.where(col("doc_id") % 13 =!= 0)
+    val newSnap = docs.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("updated-"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+    val got = CoreOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    for (id <- ids) {
+      val inOld = id % 13 != 0
+      val inNew = id % 11 != 0
+      val want =
+        if (inOld && !inNew) Some("removed")
+        else if (!inOld && inNew) Some("added")
+        else if (inOld && inNew) Some(if (id % 7 == 0) "changed" else "unchanged")
+        else None
+      assert(got.get(id) === want, s"doc $id")
+    }
+    assert(got.size === ids.count(id => id % 13 != 0 || id % 11 != 0))
+    // all four statuses must actually occur at this scale
+    assert(got.values.toSet === Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("e2e_asset_text_pairs: pairs = phash-canonical assets ∩ quality-kept captions") {
+    val pairs = SparkEntry.queries("e2e_asset_text_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // asset side: each surviving doc is its phash group's min id
+    val hashes = Multimodal.perceptualHash(
+        Multimodal.syntheticPatternImageAssets(spark, Tables.documents(spark, sfDir)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val canon = hashes.groupBy(_._2).map { case (h, m) => h -> m.map(_._1).min }
+    // caption side: the median-kept set
+    val kept = CoreOps.perGroupMedianFilter(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+          TextOps.qualityCol(col("text")).as("quality")), "source", "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = canon.values.filter(kept.contains).toSet
+    assert(pairs.map(_._1).toSet === want)
+    for ((id, h) <- pairs) assert(canon(h) === id)
+  }
+
   test("e2e_training_manifest: packing is gapless and phases are near-equal in curriculum order") {
     val m = SparkEntry.queries("e2e_training_manifest")(spark, sfDir)
       .select("doc_id", "phase", "avg_nll", "n_tokens", "tok_start", "chunk_start", "chunk_end")
