@@ -469,9 +469,18 @@ object Dedup {
     * hashes (never text, never positions on the train side); the per-doc
     * leaked count aggregates map-side, and the total window count is a pure
     * projection (`size(tokens) − n + 1` — no explode, no shuffle). */
+  /** Distinct n-token window hashes of `docs` — the static index side of
+    * [[splitLeakage]] and the streaming leakage monitor
+    * ([[graft.streaming.StreamingPipelines.splitLeakageStream]]). At scale
+    * this is a maintained table (same contract as the streaming dedup
+    * index): compute once per split snapshot, not per audit. */
+  def windowHashIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    windowHashes(docs, idCol, textCol, n).select("h").distinct()
+
   def splitLeakage(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val trainWins = windowHashes(train, idCol, textCol, n).select("h").distinct()
+    val trainWins = windowHashIndex(train, idCol, textCol, n)
     val leaked = windowHashes(test, idCol, textCol, n)
       .join(trainWins, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))

@@ -20,7 +20,7 @@ object TextOps {
     * .00005 boundaries often enough to flip a digit. This formulation is the
     * same IEEE ops on both sides, so results are bit-identical. Non-negative
     * inputs only. */
-  private[operators] def round4(c: Column): Column =
+  private[graft] def round4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
 
   /** PII scrubbing for training corpora: masks email-shaped tokens and long

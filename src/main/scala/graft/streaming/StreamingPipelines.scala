@@ -573,6 +573,53 @@ object StreamingPipelines {
       .select("doc_id", "dup_of", "best_jaccard", "keep")
   }
 
+  /** Streaming cross-split leakage monitor — the streaming form of
+    * [[graft.operators.Dedup.splitLeakage]]: incoming documents are
+    * audited against a STATIC train-split window index as they arrive, so
+    * a contaminated ingest batch alarms at ingest time instead of at the
+    * next full-corpus audit. Output per document (emitted when the
+    * watermark passes its event time): `doc_id`, `n_windows`, `n_leaked`,
+    * `leak_frac` — the batch columns.
+    *
+    * Stateless until the end: window hashes are a row-wise projection
+    * (the identical md5-over-token-slice expression as the batch
+    * windower), `explode_outer`'d so zero-window documents still emit one
+    * null-hash probe row; the train index joins stream-static left-outer
+    * on the hash — hashes only, never text; the ONLY stateful operator is
+    * the per-(doc, event-time) hit count, bounded by the watermark. At
+    * 100 TB the index is [[graft.operators.Dedup.windowHashIndex]]
+    * materialized once per split snapshot (the static side of a
+    * stream-static join re-evaluates per micro-batch otherwise — same
+    * contract as [[dedupIndex]]). */
+  def splitLeakageStream(incoming: org.apache.spark.sql.DataFrame,
+      trainIndex: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, tsCol: String, watermarkDelay: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val toks = TextOps.tokens(col(textCol))
+    val winHashes = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val probes = incoming
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+        winHashes.as("__wins"))
+      .select(col("doc_id"), col("__ts"),
+        size(col("__wins")).cast("long").as("n_windows"),
+        explode_outer(col("__wins")).as("h"))
+      .withWatermark("__ts", watermarkDelay)
+    probes
+      .join(trainIndex.select(col("h"), lit(1).as("__hit")), Seq("h"), "left_outer")
+      .groupBy(col("doc_id"), col("__ts"), col("n_windows"))
+      .agg(count(col("__hit")).as("n_leaked"))
+      .withColumn("leak_frac",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(TextOps.round4(col("n_leaked").cast("double") /
+            col("n_windows").cast("double"))))
+      .select("doc_id", "n_windows", "n_leaked", "leak_frac")
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

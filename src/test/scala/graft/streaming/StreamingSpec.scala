@@ -360,6 +360,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, s"streaming $streamed != batch $batch")
   }
 
+  test("split-leakage monitor: streaming stream-static form equals batch splitLeakage on a replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val split = CoreOps.hashSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val train = split.where(col("split") === "train")
+    val testDocs = split.where(col("split") === "test")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    val batch = graft.operators.Dedup.splitLeakage(train, testDocs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 8)
+      .select("doc_id", "n_windows", "n_leaked", "leak_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // materialized index, as a long-lived monitor would hold it
+    val idx = graft.operators.Dedup.windowHashIndex(train, "doc_id", "text", n = 8).cache()
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val audited = StreamingPipelines.splitLeakageStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), idx, "doc_id", "text",
+      "ts", watermarkDelay = "0 seconds", n = 8)
+    val q = audited.writeStream.outputMode("append").format("memory")
+      .queryName("leakmon").start()
+    try {
+      // two epochs, then a flush row to push the watermark past them
+      val (a, b) = testDocs.splitAt(testDocs.size / 2)
+      mem.addData(a.map { case (id, t) => (id, t, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      mem.addData(b.map { case (id, t) => (id, t, new java.sql.Timestamp(2000L)) })
+      q.processAllAvailable()
+      mem.addData(Seq((-1L, "flush", new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((-2L, "flush", new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally { q.stop(); idx.unpersist() }
+
+    val streamed = spark.table("leakmon")
+      .where(col("doc_id") >= 0)
+      .select("doc_id", "n_windows", "n_leaked", "leak_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+    assert(batch.nonEmpty)
+  }
+
   test("incremental dedup: streaming stream-static form equals batch d12 on a replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
