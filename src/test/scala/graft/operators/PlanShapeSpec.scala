@@ -294,6 +294,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corpus_diff: the full outer join shuffles (id, md5) — never document payloads") {
+    val df = SparkEntry.queries("q_corpus_diff")(spark, sfDir)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#"), s"an exchange carries a document payload:\n$b")
+  }
+
+  test("e2e_asset_text_pairs: neither pixels, payloads, nor text enter any exchange") {
+    val df = SparkEntry.queries("e2e_asset_text_pairs")(spark, sfDir)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("payload#"), s"an exchange carries image payloads:\n$b")
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("toks#"), s"an exchange carries a token array:\n$b")
+    }
+  }
+
   test("d15b_contamination_fraction: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     val df = Dedup.contaminationFraction(
