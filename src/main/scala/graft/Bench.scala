@@ -192,6 +192,14 @@ object Bench {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
+    // shared frame of the median-filter A/B: 5M rows, 16 groups, md5-derived
+    // round4-quantized scores (deterministic, layout-independent)
+    def medianBenchFrame: DataFrame =
+      spark.range(5000000L).select(
+        (col("id") % 16).cast("string").as("g"),
+        (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10001L).cast("double")./(lit(10000.0)).as("q"),
+        col("id"))
 
     val synthetic = Seq[(String, () => Double)](
       "synthetic_dp_t20" -> (() => timed("synthetic_dp_t20") {
@@ -341,6 +349,33 @@ object Bench {
       "e2e_build_one_shuffle" -> (() => noBroadcast { timed("e2e_build_one_shuffle") {
         force(SparkEntry.queries("e2e_corpus_build")(spark, sfDir))
       }}),
+      // Histogram-median A/B: the r9 perGroupMedianFilter computes each
+      // group's exact lower median from a (group × quantized-value)
+      // histogram — one map-side-combinable aggregate at histogram
+      // cardinality — while the naive form every user writes first sorts
+      // the FULL corpus inside a per-group window to find the median rank.
+      // Same 5M-row synthetic frame (16 groups, round4-quantized scores),
+      // identical surviving counts; the delta is the corpus sort. At 100 TB
+      // the window arm is a full-corpus range materialization per group;
+      // the histogram arm never shuffles the corpus at all (broadcast
+      // threshold join). hist runs FIRST so warmup bias is conservative.
+      "median_filter_hist" -> (() => timed("median_filter_hist") {
+        force(CoreOps.perGroupMedianFilter(medianBenchFrame, "g", "q")
+          .groupBy("g").agg(count(lit(1)).as("kept")))
+      }),
+      "median_filter_sortwindow" -> (() => timed("median_filter_sortwindow") {
+        import org.apache.spark.sql.expressions.Window
+        val frame = medianBenchFrame
+        val w = Window.partitionBy("g").orderBy("q", "id")
+        val cw = Window.partitionBy("g")
+        val thr = frame
+          .withColumn("rn", row_number().over(w))
+          .withColumn("tot", count(lit(1)).over(cw))
+          .where(col("rn") === expr("(tot + 1) div 2"))
+          .select(col("g"), col("q").as("__thr"))
+        force(frame.join(thr, "g").where(col("q") >= col("__thr"))
+          .groupBy("g").agg(count(lit(1)).as("kept")))
+      }),
       "e2e_build_joins" -> (() => noBroadcast { timed("e2e_build_joins") {
         val docs = graft.Tables.documents(spark, sfDir)
         val lang = graft.operators.TextOps.languageId(docs, "doc_id", "text")
