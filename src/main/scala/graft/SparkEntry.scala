@@ -1393,6 +1393,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- inter-source duplication matrix: distinct 8-token windows each
+    //      source pair shares verbatim — the syndication/mirror diagnostic
+    //      a build reads before choosing which domains to collapse ----
+    "q_source_overlap_matrix" -> ((s, d) => {
+      Dedup.sourceOverlapMatrix(Tables.documents(s, d), "text", "source", n = 8)
+        .orderBy("source_a", "source_b")
+    }),
+
     // ---- per-source dynamic quality thresholding: keep each source's
     //      upper half by the x2 quality blend — exact median WITHOUT a
     //      corpus sort (round4 quantization → histogram median) ----
@@ -3130,6 +3138,21 @@ object SparkEntry {
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin
       },
+
+      // same d14 window hashing kept with its source, distinct per
+      // (source, hash), hash self-join with source_a < source_b
+      "q_source_overlap_matrix" ->
+        """WITH t AS (
+          |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |w AS (
+          |  SELECT DISTINCT source, u.h FROM (
+          |    SELECT source,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM t WHERE len(ws) >= 8))
+          |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_windows
+          |FROM w a JOIN w b ON a.h = b.h AND a.source < b.source
+          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
       // same snapshot predicates and update rule, FULL OUTER JOIN on md5
       "q_corpus_diff" ->

@@ -495,6 +495,33 @@ object Dedup {
             col("n_windows").cast("double"))))
   }
 
+  /** Inter-source duplication matrix — the curation diagnostic that finds
+    * syndicated/mirrored content across domains BEFORE dedup: for every
+    * pair of sources, the number of distinct n-token windows they share
+    * verbatim. A hot pair (news wire mirrored across outlets, scraped
+    * boilerplate shared by site families) tells a build which domains to
+    * collapse or down-weight.
+    *
+    * Scale shape: the exploded frame distincts to (source, hash) — source
+    * cardinality is small, so this is at most |sources| rows per distinct
+    * window; the self-equi-join on the hash produces ≤ S²/2 rows per
+    * window and aggregates map-side to the S×S matrix. Text never leaves
+    * its scan projection. */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String, srcCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"window size must be >= 1, got $n")
+    val toks = TextOps.tokens(col(textCol))
+    val winHashes = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val sh = docs.select(col(srcCol).as("source"), explode(winHashes).as("h")).distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   /** Per-document contamination COVERAGE over [[contaminationSpans]]'
     * output: the fraction of a document's token positions lying inside some
     * contaminated span — the decision metric real pipelines threshold to
