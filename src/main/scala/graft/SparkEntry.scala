@@ -1299,6 +1299,14 @@ object SparkEntry {
         .orderBy("cluster", "vec_id")
     }),
 
+    // ---- semantic split-leakage audit: test-split vectors with a train
+    //      vector within cosine threshold — the paraphrase leakage the
+    //      verbatim n-gram audit (q_split_leakage_ngram) cannot see ----
+    "q_split_leakage_semantic" -> ((s, d) => {
+      Similarity.semanticSplitLeakage(Tables.embeddings(s, d), CosineNearDupThreshold)
+        .orderBy("vec_id")
+    }),
+
     // ---- SemDeDup: semantic near-dup pruning — exact-cosine pairs scored
     //      WITHIN k-means clusters only, transitive closure, min-id
     //      survivor per duplicate group (the embedding-space dedup that
@@ -1682,6 +1690,42 @@ object SparkEntry {
              |  FROM assign)
              |SELECT cluster, vec_id FROM sampled WHERE r <= 10
              |ORDER BY cluster, vec_id""".stripMargin,
+
+        // the same centroid assignment + normalize-then-dot cosine as the
+        // SemDeDup oracle, with the shared md5 hash split cutting the
+        // corpus into train/test and pairing confined to shared cells
+        "q_split_leakage_semantic" ->
+          s"""WITH centroids(c, nsq, w) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |dists AS (
+             |  SELECT v.vec_id, ct.c, ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d
+             |  FROM corp v CROSS JOIN centroids ct),
+             |ranked AS (SELECT vec_id, c,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+             |assign AS (SELECT vec_id, CAST(c AS INT) AS cluster FROM ranked WHERE rn = 1),
+             |nrm AS (
+             |  SELECT vec_id, list_transform(emb, x -> x / n) AS emb
+             |  FROM (SELECT vec_id, emb, sqrt(${dotq("emb", "emb")}) AS n FROM corp)),
+             |sp AS (SELECT vec_id,
+             |              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |       FROM (SELECT vec_id,
+             |                    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+             |             FROM corp)),
+             |te AS (SELECT a.vec_id, a.cluster FROM assign a JOIN sp USING (vec_id)
+             |       WHERE sp.split = 'test'),
+             |tr AS (SELECT a.vec_id AS t_id, a.cluster FROM assign a JOIN sp USING (vec_id)
+             |       WHERE sp.split = 'train'),
+             |pairs AS (
+             |  SELECT te.vec_id, round(${dotq("na.emb", "nb.emb")}, 6) AS cosv
+             |  FROM te JOIN tr ON te.cluster = tr.cluster
+             |  JOIN nrm na ON na.vec_id = te.vec_id
+             |  JOIN nrm nb ON nb.vec_id = tr.t_id),
+             |sc AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_near, max(cosv) AS best_cos
+             |       FROM pairs WHERE cosv >= $CosineNearDupThreshold GROUP BY vec_id)
+             |SELECT te.vec_id, CAST(COALESCE(sc.n_near, 0) AS BIGINT) AS n_near, sc.best_cos,
+             |       COALESCE(sc.n_near, 0) > 0 AS leaked
+             |FROM te LEFT JOIN sc USING (vec_id)
+             |ORDER BY te.vec_id""".stripMargin,
 
         // SemDeDup oracle: same centroid assignment as q_kmeans_assign,
         // d6's normalize-then-dot cosine confined to same-cluster pairs,

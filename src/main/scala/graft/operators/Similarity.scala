@@ -617,6 +617,38 @@ object Similarity {
       .select("vec_id", "cluster")
   }
 
+  /** Semantic split-leakage audit — the embedding-space analogue of the
+    * n-gram audit ([[Dedup.splitLeakage]]): for every test-split vector,
+    * how many train-split vectors sit within cosine `threshold` of it
+    * (paraphrase leakage that verbatim window matching cannot see). One
+    * row per test vector: near-train count, best cosine (null when
+    * clean), leaked flag. Clustering trains on the FULL corpus (same
+    * deterministic k-means as every embedding gate), so candidate pairing
+    * is confined to shared k-means cells and both engines replay the same
+    * exported centroids.
+    *
+    * Scale shape: pairwise scoring is bounded by Σ|cell∩test|·|cell∩train|
+    * — never n² — and carries (ids, normalized vectors) through ONE cell
+    * equi-join; the per-test aggregate combines map-side; the final
+    * left join is ids+scalars. */
+  def semanticSplitLeakage(corpus: DataFrame, threshold: Double,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      dim: Int = 64, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    val split = CoreOps.hashSplit(clusterAssigned(corpus, dim, nlist, seed), "vec_id", splits)
+    val tr = split.where(col("split") === "train")
+      .select(col("cluster"), col("vec_id").as("t_id"), col("nemb").as("t_emb"))
+    val te = split.where(col("split") === "test")
+      .select(col("cluster"), col("vec_id"), col("nemb"))
+    val scored = te.join(tr, Seq("cluster"))
+      .withColumn("cos", round(dot(col("nemb"), col("t_emb")), 6))
+      .where(col("cos") >= threshold)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_near"), max(col("cos")).as("best_cos"))
+    te.select("vec_id")
+      .join(scored, Seq("vec_id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .withColumn("leaked", col("n_near") > 0)
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       dim: Int = 64, bitsPerTable: Int = 0, numTables: Int = 8, seed: Long = 42L): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable else bitsForCorpus(corpus.count())
