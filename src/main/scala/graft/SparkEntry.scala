@@ -1307,6 +1307,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- hybrid split-leakage audit: a test doc is leaked if EITHER the
+    //      verbatim n-gram signal OR the embedding-cosine signal fires —
+    //      the audit-side completion of d17's hybrid dedup (documents and
+    //      embeddings are 1:1 by id, and the shared md5 split assigns
+    //      both sides identically) ----
+    "q_split_leakage_hybrid" -> ((s, d) => {
+      val split = CoreOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val lex = Dedup.splitLeakage(
+          split.where(col("split") === "train"), split.where(col("split") === "test"),
+          "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_leaked"))
+      val sem = Similarity.semanticSplitLeakage(Tables.embeddings(s, d), CosineNearDupThreshold)
+        .select(col("vec_id").as("doc_id"), col("n_near"))
+      lex.join(sem, Seq("doc_id"))
+        .select(col("doc_id"), col("n_leaked"), col("n_near"),
+          (col("n_leaked") > 0 || col("n_near") > 0).as("leaked"))
+        .orderBy("doc_id")
+    }),
+
     // ---- SemDeDup: semantic near-dup pruning — exact-cosine pairs scored
     //      WITHIN k-means clusters only, transitive closure, min-id
     //      survivor per duplicate group (the embedding-space dedup that
@@ -1726,6 +1746,64 @@ object SparkEntry {
              |       COALESCE(sc.n_near, 0) > 0 AS leaked
              |FROM te LEFT JOIN sc USING (vec_id)
              |ORDER BY te.vec_id""".stripMargin,
+
+        // both audits' full CTE stacks (d14 windows + hash split on the
+        // text side; centroid assignment + cell-confined cosine on the
+        // embedding side) joined on the id — the same split predicate
+        // drives both because documents and embeddings share ids
+        "q_split_leakage_hybrid" ->
+          s"""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+             |s AS (
+             |  SELECT doc_id, ws,
+             |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, ws,
+             |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+             |        FROM t)),
+             |w AS (
+             |  SELECT doc_id, split, u.h FROM (
+             |    SELECT doc_id, split,
+             |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+             |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+             |    FROM s WHERE len(ws) >= 8)),
+             |twh AS (SELECT DISTINCT h FROM w WHERE split = 'train'),
+             |lk AS (SELECT w.doc_id, count(*) AS n_leaked
+             |       FROM w JOIN twh USING (h) WHERE w.split = 'test' GROUP BY w.doc_id),
+             |lex AS (SELECT s.doc_id, CAST(COALESCE(lk.n_leaked, 0) AS BIGINT) AS n_leaked
+             |        FROM s LEFT JOIN lk ON s.doc_id = lk.doc_id WHERE s.split = 'test'),
+             |centroids(c, nsq, w2) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |dists AS (
+             |  SELECT v.vec_id, ct.c, ct.nsq - 2.0 * ${dotq("ct.w2", "v.emb")} AS d
+             |  FROM corp v CROSS JOIN centroids ct),
+             |ranked AS (SELECT vec_id, c,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+             |assign AS (SELECT vec_id, CAST(c AS INT) AS cluster FROM ranked WHERE rn = 1),
+             |nrm AS (
+             |  SELECT vec_id, list_transform(emb, x -> x / n) AS emb
+             |  FROM (SELECT vec_id, emb, sqrt(${dotq("emb", "emb")}) AS n FROM corp)),
+             |sp AS (SELECT vec_id,
+             |              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |       FROM (SELECT vec_id,
+             |                    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+             |             FROM corp)),
+             |te AS (SELECT a.vec_id, a.cluster FROM assign a JOIN sp USING (vec_id)
+             |       WHERE sp.split = 'test'),
+             |trv AS (SELECT a.vec_id AS t_id, a.cluster FROM assign a JOIN sp USING (vec_id)
+             |        WHERE sp.split = 'train'),
+             |pairs AS (
+             |  SELECT te.vec_id, round(${dotq("na.emb", "nb.emb")}, 6) AS cosv
+             |  FROM te JOIN trv ON te.cluster = trv.cluster
+             |  JOIN nrm na ON na.vec_id = te.vec_id
+             |  JOIN nrm nb ON nb.vec_id = trv.t_id),
+             |sc AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_near
+             |       FROM pairs WHERE cosv >= $CosineNearDupThreshold GROUP BY vec_id),
+             |sem AS (SELECT te.vec_id AS doc_id, CAST(COALESCE(sc.n_near, 0) AS BIGINT) AS n_near
+             |        FROM te LEFT JOIN sc USING (vec_id))
+             |SELECT lex.doc_id, lex.n_leaked, sem.n_near,
+             |       lex.n_leaked > 0 OR sem.n_near > 0 AS leaked
+             |FROM lex JOIN sem USING (doc_id)
+             |ORDER BY lex.doc_id""".stripMargin,
 
         // SemDeDup oracle: same centroid assignment as q_kmeans_assign,
         // d6's normalize-then-dot cosine confined to same-cluster pairs,
