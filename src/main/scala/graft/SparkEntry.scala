@@ -1126,6 +1126,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: energy-envelope fingerprint dedup over REAL decoded
+    //      PCM samples. Payloads are genuine WAVs keyed by id mod 13, so
+    //      colliding ids are sample-identical; the gate fingerprints the
+    //      DECODED stream (64-window exact-integer envelope hash) and
+    //      groups by hash — the oracle recomputes every window sum from
+    //      the id formula. Dedup shuffles (id, 8-byte hash), never
+    //      samples. ----
+    "mm_audio_fingerprint_dedup" -> ((s, d) => {
+      val hashes = Multimodal.audioFingerprint(
+        Multimodal.syntheticPatternAudioAssets(s, Tables.documents(s, d)))
+      val groups = hashes.groupBy("ahash")
+        .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("__canon"))
+      hashes.join(groups, Seq("ahash"))
+        .select(col("doc_id"), col("ahash"), col("group_n"),
+          (col("doc_id") === col("__canon")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: REAL audio decode (javax.sound.sampled). Payloads
     //      are genuine WAVs (±c square waves) whose frame count, sample
     //      rate, and amplitude are closed-form in the asset id; the gate
@@ -2937,6 +2955,30 @@ object SparkEntry {
           |       CAST(round(CAST(sum(q6) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q6
           |FROM q GROUP BY group_id, pos
           |ORDER BY group_id, pos""".stripMargin,
+
+      // the 64-window envelope replayed from the sample formula: window w
+      // of asset id carries constant samples v = (((id%13)·31 + w·7) mod
+      // 256 − 128)·16, so winAbs = 16·|v| and bit w is the exact integer
+      // threshold winAbs·64 > Σ winAbs (bit 63 via the same HUGEINT
+      // sign-bit trick as mm_phash_dedup); groups and canonical ids from
+      // the identical hash
+      "mm_audio_fingerprint_dedup" ->
+        """WITH wv AS (
+          |  SELECT d.doc_id, w.w,
+          |         16 * abs(((d.doc_id % 13) * 31 + w.w * 7) % 256 - 128) AS a
+          |  FROM documents d, range(0, 64) w(w)),
+          |s AS (SELECT doc_id, sum(a) AS total FROM wv GROUP BY doc_id),
+          |bits AS (
+          |  SELECT wv.doc_id,
+          |         CAST(sum(CASE WHEN wv.a * 64 > s.total
+          |                       THEN CASE WHEN wv.w = 63 THEN (-9223372036854775807 - 1)
+          |                                 ELSE (1::BIGINT << wv.w) END
+          |                       ELSE 0 END) AS BIGINT) AS ahash
+          |  FROM wv JOIN s USING (doc_id) GROUP BY wv.doc_id),
+          |g AS (SELECT ahash, count(*) AS group_n, min(doc_id) AS canon FROM bits GROUP BY ahash)
+          |SELECT b.doc_id, b.ahash, CAST(g.group_n AS BIGINT) AS group_n,
+          |       b.doc_id = g.canon AS keep
+          |FROM bits b JOIN g USING (ahash) ORDER BY b.doc_id""".stripMargin,
 
       // every decoded value is closed-form in the asset id (±c square-wave
       // WAV: frames 800 + id%40·40, rate 8000·(1 + id%3), amplitude

@@ -239,6 +239,78 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-audio asset table with non-constant content, keyed
+    * for collisions: 1024-sample 16-bit mono WAVs whose samples are
+    * constant inside each of 64 equal windows, v(w) = (((seed·31 + w·7)
+    * mod 256) − 128)·16 with seed = id mod 13 — ids that agree mod 13 are
+    * sample-identical recordings (the duplicate groups
+    * [[audioFingerprint]]-based dedup must find), and a SQL oracle can
+    * recompute every window value, and therefore the fingerprint, from the
+    * id alone. 16-bit PCM in a WAV container is lossless, so the decoded
+    * samples equal the formula exactly. */
+  def syntheticPatternAudioAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val seed = (id % 13).toInt
+      val n = 1024
+      val rate = 8000
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = ((((seed * 31 + (i / 16) * 7) % 256) - 128) * 16)
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaAsset(id, "audio", bos.toByteArray, 0, 0, n.toLong * 1000 / rate)
+    }
+  }
+
+  /** Energy-envelope fingerprint over REAL decoded samples — the audio
+    * analogue of [[perceptualHash]]: the decoded PCM stream is cut into 64
+    * equal windows and bit w is set iff window w's absolute-amplitude sum
+    * is strictly above the per-window average, compared in EXACT integer
+    * arithmetic (winAbs·64 > totalAbs) so the fingerprint is
+    * bit-deterministic and replayable from the sample formula in any
+    * engine. This is the shape (chromaprint-style envelope hashing) audio
+    * dedup pipelines cluster on.
+    *
+    * Scale shape: decode and hashing run inside the map over asset
+    * partitions — downstream dedup shuffles (asset_id, 8-byte hash) rows,
+    * NEVER samples or payloads. */
+  def audioFingerprint(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.map { a =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      val bytes = ais.readAllBytes()
+      val frames = bytes.length / 2
+      val winLen = math.max(1, frames / 64)
+      val winAbs = new Array[Long](64)
+      var i = 0
+      while (i < frames) {
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toLong
+        val w = math.min(63, i / winLen)
+        winAbs(w) += math.abs(s)
+        i += 1
+      }
+      val total = winAbs.sum
+      var hash = 0L
+      var w = 0
+      while (w < 64) {
+        if (winAbs(w) * 64 > total) hash |= 1L << w
+        w += 1
+      }
+      (a.asset_id, hash)
+    }.toDF("doc_id", "ahash")
+  }
+
   /** Perceptual (average) hash over REAL decoded pixels — the pHash-family
     * content fingerprint image dedup pipelines cluster on: bit (y·w+x) is
     * set iff pixel (x,y) is strictly brighter than the image mean. The

@@ -864,6 +864,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hashes.map(_._2).distinct.length > 1)
   }
 
+  test("audioFingerprint: decoded-PCM envelope hash groups ids by pattern seed") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val hashes = Multimodal.audioFingerprint(
+        Multimodal.syntheticPatternAudioAssets(spark, docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the decoded-sample hash must equal the window-formula replica exactly
+    // (proves the real WAV decode ran and PCM round-tripped losslessly)
+    for ((id, h) <- hashes) {
+      val seed = (id % 13).toInt
+      val winAbs = Array.tabulate(64)(w => 16L * math.abs(((seed * 31 + w * 7) % 256) - 128))
+      val total = winAbs.sum
+      var expect = 0L
+      for (w <- 0 until 64) if (winAbs(w) * 64 > total) expect |= 1L << w
+      assert(h === expect, s"fingerprint mismatch for id $id")
+    }
+    val bySeed = hashes.groupBy(_._1 % 13).view.mapValues(_.map(_._2).distinct.size)
+    assert(bySeed.values.forall(_ === 1), s"same-seed recordings hashed differently: $bySeed")
+    assert(hashes.map(_._2).distinct.length > 1)
+  }
+
   test("weightedSample: A-ES keys replicate by hand, heavier docs dominate, layout-invariant") {
     import spark.implicits._
     // 20 heavy docs (weight 1000) among 200 light ones (weight 1): a
