@@ -1354,6 +1354,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- the embedding-side curation pipeline composed as ONE query:
+    //      k-means assignment → outlier removal (3 farthest per cluster)
+    //      → SemDeDup over the retained vectors → md5-rank diversity cap
+    //      (10 per cluster) — all stages sharing one full-corpus model ----
+    "e2e_semantic_curation" -> ((s, d) => {
+      Similarity.semanticCuration(Tables.embeddings(s, d), CosineNearDupThreshold,
+          outlierK = 3, capPerCluster = 10L)
+        .orderBy("cluster", "vec_id")
+    }),
+
     // ---- hybrid dedup: lexical (MinHash/LSH-verified Jaccard) and
     //      semantic (within-cluster cosine) near-dup edges UNIONED into one
     //      component closure — a doc is a duplicate if EITHER signal says
@@ -1856,6 +1866,55 @@ object SparkEntry {
              |FROM assign a LEFT JOIN comp c ON a.vec_id = c.vec_id
              |WHERE c.component IS NULL OR a.vec_id = c.component
              |ORDER BY a.vec_id""".stripMargin,
+
+        // the full embedding-side pipeline replayed from the exported
+        // model: assignment + true dist2 (q_semantic_outliers' CTEs), the
+        // farthest-k removal, d16's cell-confined cosine pairs over the
+        // RETAINED set + recursive closure + survivor rule, and the
+        // md5-rank diversity cap
+        "e2e_semantic_curation" ->
+          s"""WITH RECURSIVE centroids(c, nsq, w) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |dists AS (
+             |  SELECT v.vec_id, ct.c,
+             |         ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d,
+             |         ${dotq("v.emb", "v.emb")} AS vsq
+             |  FROM corp v CROSS JOIN centroids ct),
+             |ranked AS (SELECT vec_id, c, d, vsq,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+             |assign AS (SELECT vec_id, CAST(c AS INT) AS cluster, round(d + vsq, 6) AS dist2
+             |           FROM ranked WHERE rn = 1),
+             |ork AS (SELECT vec_id, cluster,
+             |               row_number() OVER (PARTITION BY cluster
+             |                 ORDER BY dist2 DESC, vec_id) AS orr
+             |        FROM assign),
+             |kept AS (SELECT vec_id, cluster FROM ork WHERE orr > 3),
+             |nrm AS (
+             |  SELECT vec_id, list_transform(emb, x -> x / n) AS emb
+             |  FROM (SELECT vec_id, emb, sqrt(${dotq("emb", "emb")}) AS n FROM corp)),
+             |pairs AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             |  FROM kept a JOIN kept b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             |  JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id
+             |  WHERE round(${dotq("na.emb", "nb.emb")}, 6) >= $CosineNearDupThreshold),
+             |edges AS (SELECT vec_a AS v, vec_b AS u FROM pairs
+             |          UNION SELECT vec_b, vec_a FROM pairs),
+             |reach(v, l) AS (
+             |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+             |  UNION
+             |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+             |comp AS (SELECT v AS vec_id, CAST(min(l) AS BIGINT) AS component
+             |         FROM reach GROUP BY v),
+             |surv AS (SELECT k.cluster, k.vec_id FROM kept k
+             |         LEFT JOIN comp c ON k.vec_id = c.vec_id
+             |         WHERE c.component IS NULL OR k.vec_id = c.component),
+             |capd AS (
+             |  SELECT cluster, vec_id,
+             |         row_number() OVER (PARTITION BY cluster
+             |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+             |  FROM surv)
+             |SELECT cluster, vec_id FROM capd WHERE r <= 10
+             |ORDER BY cluster, vec_id""".stripMargin,
 
         // hybrid dedup oracle: the shared lexical fragments (sig → band →
         // candidate → verify) produce lex_pairs; the centroid VALUES +

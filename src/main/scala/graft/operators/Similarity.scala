@@ -649,6 +649,45 @@ object Similarity {
       .withColumn("leaked", col("n_near") > 0)
   }
 
+  /** The embedding-side curation pipeline a corpus build runs, composed as
+    * ONE query: k-means assignment (single full-corpus model) → semantic
+    * OUTLIER removal (the `outlierK` farthest vectors per cluster dropped,
+    * [[semanticOutliers]]' rule) → SemDeDup within clusters over the
+    * retained vectors (cosine ≥ threshold pairs, transitive closure,
+    * min-id survivors) → cluster-balanced DIVERSITY cap (md5-rank ≤
+    * `capPerCluster`). Every stage shares the one deterministic model
+    * trained on the FULL corpus, so the exported-centroid oracle replays
+    * all of it — and survivors never depend on which stage ran where.
+    *
+    * Scale shape: one centroid projection computes cluster, distance, and
+    * the normalized vector in a single pass; the outlier window and the
+    * final cap ride WindowGroupLimit over scalar rows; pairwise scoring is
+    * confined to cluster cells (Σ|cell|², never n²); components shuffle
+    * ids-only. */
+  def semanticCuration(corpus: DataFrame, threshold: Double, outlierK: Int,
+      capPerCluster: Long, dim: Int = 64, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    require(outlierK >= 0 && capPerCluster >= 1, "need outlierK >= 0, cap >= 1")
+    val centroids = trainIvfCentroids(corpus, nlist, dim, seed = seed)
+    val assigned = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("best", array_min(centroidDists(col("emb"), centroids)))
+      .select(col("vec_id"),
+        col("best").getField("c").cast("int").as("cluster"),
+        round(col("best").getField("d") + dot(col("emb"), col("emb")), 6).as("dist2"),
+        normalized(col("emb")).as("nemb"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("dist2").desc, col("vec_id"))
+    val kept = assigned.withColumn("__r", row_number().over(w))
+      .where(col("__r") > outlierK).drop("__r", "dist2")
+    val pairs = pairsWithinClusters(kept, threshold)
+    val comp = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+    val survivors = kept
+      .join(comp.select(col("doc_id").as("cid"), col("component")),
+        col("vec_id") === col("cid"), "left")
+      .where(col("component").isNull || col("vec_id") === col("component"))
+      .select("cluster", "vec_id")
+    CoreOps.sampleDeterministicPerKey(survivors, "cluster", "vec_id", capPerCluster)
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       dim: Int = 64, bitsPerTable: Int = 0, numTables: Int = 8, seed: Long = 42L): DataFrame = {
     val bits = if (bitsPerTable > 0) bitsPerTable else bitsForCorpus(corpus.count())
