@@ -1126,6 +1126,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: frame-sequence signature dedup over REAL decoded
+    //      video frames. Payloads are genuine 4-frame animated GIFs keyed
+    //      by id mod 7, so colliding ids are frame-identical; the gate
+    //      packs each DECODED frame's exact mean gray into one long and
+    //      groups by signature — the oracle recomputes every frame gray
+    //      from the id formula. Dedup shuffles (id, 8-byte signature),
+    //      never frames. ----
+    "mm_video_signature_dedup" -> ((s, d) => {
+      val sigs = Multimodal.videoSignature(
+        Multimodal.syntheticPatternVideoAssets(s, Tables.documents(s, d)))
+      val groups = sigs.groupBy("vsig")
+        .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("__canon"))
+      sigs.join(groups, Seq("vsig"))
+        .select(col("doc_id"), col("vsig"), col("group_n"),
+          (col("doc_id") === col("__canon")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: energy-envelope fingerprint dedup over REAL decoded
     //      PCM samples. Payloads are genuine WAVs keyed by id mod 13, so
     //      colliding ids are sample-identical; the gate fingerprints the
@@ -3014,6 +3032,21 @@ object SparkEntry {
           |       CAST(round(CAST(sum(q6) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q6
           |FROM q GROUP BY group_id, pos
           |ORDER BY group_id, pos""".stripMargin,
+
+      // the 4-frame signature replayed from the gray formula: frame f of
+      // asset id is uniformly gray (((id%7)·31 + f·29) mod 256), so the
+      // exact frame mean IS the gray and the signature packs frame f into
+      // byte f; groups and canonical ids from the identical signature
+      "mm_video_signature_dedup" ->
+        """WITH sig AS (
+          |  SELECT d.doc_id,
+          |         CAST(sum(((((d.doc_id % 7) * 31 + f.f * 29) % 256)::BIGINT)
+          |                  * (1::BIGINT << (8 * f.f))) AS BIGINT) AS vsig
+          |  FROM documents d, range(0, 4) f(f) GROUP BY d.doc_id),
+          |g AS (SELECT vsig, count(*) AS group_n, min(doc_id) AS canon FROM sig GROUP BY vsig)
+          |SELECT s.doc_id, s.vsig, CAST(g.group_n AS BIGINT) AS group_n,
+          |       s.doc_id = g.canon AS keep
+          |FROM sig s JOIN g USING (vsig) ORDER BY s.doc_id""".stripMargin,
 
       // the 64-window envelope replayed from the sample formula: window w
       // of asset id carries constant samples v = (((id%13)·31 + w·7) mod

@@ -184,6 +184,92 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL-video asset table keyed for collisions: 4-frame
+    * 8×8 animated GIFs whose frame grays g(f) = ((seed·31 + f·29) mod 256)
+    * are keyed by seed = id mod 7 — ids that agree mod 7 are
+    * frame-identical videos (the duplicate groups
+    * [[videoSignature]]-based dedup must find), and a SQL oracle
+    * recomputes every frame gray, and therefore the signature, from the id
+    * alone. Palette-indexed GIF is lossless, so decoded frames equal the
+    * formula exactly. */
+  def syntheticPatternVideoAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val seed = (id % 7).toInt
+      val (w, h, n) = (8, 8, 4)
+      val grays = Array.tabulate(256)(i => i.toByte)
+      val palette = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < n) {
+        val g = (seed * 31 + f * 29) % 256
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      MediaAsset(id, "video", bos.toByteArray, w, h, n.toLong * 40)
+    }
+  }
+
+  /** Frame-sequence signature over REAL decoded frames — the video
+    * analogue of [[perceptualHash]]/[[audioFingerprint]]: every frame of
+    * the container decodes in order and its exact integer mean gray packs
+    * into one long (frame f → byte f, up to 8 frames) — so two videos
+    * share a signature iff their decoded frame-mean SEQUENCES agree, the
+    * scene-sequence form video dedup pipelines cluster on. The per-frame
+    * mean is exact integer arithmetic (Σgray·1 over w·h pixels, divided
+    * exactly for constant-gray frames; `(sum / npix)` integer division in
+    * general), so the signature is bit-deterministic and replayable.
+    *
+    * Scale shape: whole-sequence decode runs inside the map over asset
+    * partitions — dedup shuffles (asset_id, 8-byte signature), never
+    * frames or payloads. */
+  def videoSignature(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.map { a =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      var sig = 0L
+      var f = 0
+      while (f < n && f < 8) {
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xFF).toLong; x += 1 }
+          y += 1
+        }
+        val mean = sum / (w.toLong * h)
+        sig |= (mean & 0xFFL) << (8 * f)
+        f += 1
+      }
+      reader.dispose()
+      iis.close()
+      (a.asset_id, sig)
+    }.toDF("doc_id", "vsig")
+  }
+
   /** Deterministic REAL-image asset table: each payload is a genuine PNG
     * (encoded with the JDK's `javax.imageio`, decoded back by
     * [[MultimodalCodec.decode]]'s real image branch), constant-color RGB
