@@ -148,6 +148,26 @@ class CurationSpec extends AnyFunSuite {
     for ((id, h) <- pairs) assert(canon(h) === id)
   }
 
+  test("semanticCuration: outliers removed, survivors canonical, cap respected") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val curated = Similarity.semanticCuration(emb, threshold = 0.4,
+        outlierK = 3, capPerCluster = 10L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(curated.nonEmpty)
+    // cap: at most 10 per cluster
+    assert(curated.groupBy(_._1).values.forall(_.length <= 10))
+    // outliers: none of the 3 farthest-per-cluster vectors may survive
+    val outliers = Similarity.semanticOutliers(emb, k = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(curated.map(_._2).forall(id => !outliers.contains(id)),
+      "an outlier survived curation")
+    // cluster labels must match the shared full-corpus assignment
+    val assign = Similarity.kmeansAssign(emb)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((c, id) <- curated) assert(assign(id) === c)
+  }
+
   test("e2e_training_manifest: packing is gapless and phases are near-equal in curriculum order") {
     val m = SparkEntry.queries("e2e_training_manifest")(spark, sfDir)
       .select("doc_id", "phase", "avg_nll", "n_tokens", "tok_start", "chunk_start", "chunk_end")
