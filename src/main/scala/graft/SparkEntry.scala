@@ -1475,6 +1475,42 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // ---- epoch-repetition plan (data-constrained scaling, Muennighoff
+    //      et al.): sources ranked by their exact median quality into 4
+    //      tiers; tier-1 sources repeat 4 epochs, tier-4 once — the
+    //      repeat-good-data-under-token-constraints recipe. The ranking
+    //      window runs over the SOURCE-cardinality threshold table (tiny
+    //      by definition), the tier map broadcasts, and the expansion is
+    //      a pure explode. ----
+    "q_epoch_repetition_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextOps.qualityCol(col("text")).as("quality"))
+      val hist = scored.groupBy(col("source"), col("quality")).agg(count(lit(1)).as("c"))
+      val thr = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("quality"))))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("source"))))
+        .where(col("cum") >= expr("(tot + 1) div 2"))
+        .groupBy(col("source")).agg(min(col("quality")).as("q_med"))
+      // no-partition window: thr is at source cardinality (tiny), never corpus
+      val tiers = thr
+        .withColumn("idx", row_number().over(
+          Window.orderBy(col("q_med").desc, col("source"))) - 1)
+        .crossJoin(broadcast(thr.agg(count(lit(1)).as("ns"))))
+        .withColumn("tier", expr(
+          """CAST(CASE WHEN idx < (ns % 4) * (ns div 4 + 1)
+            |THEN idx div (ns div 4 + 1)
+            |ELSE (ns % 4) + (idx - (ns % 4) * (ns div 4 + 1)) div (ns div 4)
+            |END + 1 AS INT)""".stripMargin))
+        .select("source", "tier")
+      docs.select("doc_id", "source").join(broadcast(tiers), Seq("source"))
+        .withColumn("epoch", explode(sequence(lit(1), lit(5) - col("tier"))))
+        .select("doc_id", "source", "tier", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // ---- per-source dynamic quality thresholding: keep each source's
     //      upper half by the x2 quality blend — exact median WITHOUT a
     //      corpus sort (round4 quantization → histogram median) ----
@@ -3483,6 +3519,46 @@ object SparkEntry {
           |SELECT doc_id, n_tokens,
           |       CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1) % 8 AS INT) AS shard
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      // the per-source median from the same histogram CTEs, quartile tiers
+      // via the exact integer NTILE formula over (median desc, source),
+      // then docs × range(1, 5 − tier) expansion
+      "q_epoch_repetition_plan" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |raw AS (
+           |  SELECT doc_id, source,
+           |         least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |         len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |         len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |  FROM t),
+           |q AS (SELECT doc_id, source,
+           |             floor((0.4 * ls + 0.3 * ttr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS quality
+           |      FROM raw),
+           |h AS (SELECT source, quality, count(*) AS c FROM q GROUP BY source, quality),
+           |cw AS (SELECT source, quality,
+           |              sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
+           |              sum(c) OVER (PARTITION BY source) AS tot FROM h),
+           |thr AS (SELECT source, min(quality) AS q_med FROM cw
+           |        WHERE cum >= (tot + 1) // 2 GROUP BY source),
+           |r AS (SELECT source,
+           |             row_number() OVER (ORDER BY q_med DESC, source) - 1 AS idx
+           |      FROM thr),
+           |n AS (SELECT count(*) AS ns FROM thr),
+           |tiers AS (
+           |  SELECT source,
+           |         CAST(CASE WHEN idx < (ns % 4) * (ns // 4 + 1)
+           |                   THEN idx // (ns // 4 + 1)
+           |                   ELSE (ns % 4) + (idx - (ns % 4) * (ns // 4 + 1)) // (ns // 4)
+           |              END + 1 AS INT) AS tier
+           |  FROM r, n)
+           |SELECT d.doc_id, d.source, tiers.tier, CAST(e.e AS INT) AS epoch
+           |FROM documents d JOIN tiers USING (source), range(1, 5) e(e)
+           |WHERE e.e <= 5 - tiers.tier
+           |ORDER BY d.doc_id, epoch""".stripMargin
+      },
 
       // x2's quality formula, then the histogram-exact lower median per
       // source (same (tot+1) div 2 rank, same min-quality-at-or-past-rank
