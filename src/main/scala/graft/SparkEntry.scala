@@ -1129,10 +1129,11 @@ object SparkEntry {
     // ---- multimodal: frame-sequence signature dedup over REAL decoded
     //      video frames. Payloads are genuine 4-frame animated GIFs keyed
     //      by id mod 7, so colliding ids are frame-identical; the gate
-    //      packs each DECODED frame's exact mean gray into one long and
-    //      groups by signature — the oracle recomputes every frame gray
-    //      from the id formula. Dedup shuffles (id, 8-byte signature),
-    //      never frames. ----
+    //      rolls each DECODED frame's exact mean gray (plus the frame
+    //      count) into a mod-(2³¹−1) polynomial hash and groups by
+    //      signature — the oracle recomputes every frame gray from the id
+    //      formula. Dedup shuffles (id, 8-byte signature), never
+    //      frames. ----
     "mm_video_signature_dedup" -> ((s, d) => {
       val sigs = Multimodal.videoSignature(
         Multimodal.syntheticPatternVideoAssets(s, Tables.documents(s, d)))
@@ -3071,13 +3072,16 @@ object SparkEntry {
 
       // the 4-frame signature replayed from the gray formula: frame f of
       // asset id is uniformly gray (((id%7)·31 + f·29) mod 256), so the
-      // exact frame mean IS the gray and the signature packs frame f into
-      // byte f; groups and canonical ids from the identical signature
+      // exact frame mean IS the gray; the rolling hash h←(h·257+mean+1)
+      // mod p over frames 0..3 then h←(h·257+4) mod p expands to the
+      // closed form (Σ (mean_f+1)·257^(4−f) + 4) mod p — every term fits
+      // BIGINT, so one sum and one final mod replay it exactly
       "mm_video_signature_dedup" ->
         """WITH sig AS (
           |  SELECT d.doc_id,
-          |         CAST(sum(((((d.doc_id % 7) * 31 + f.f * 29) % 256)::BIGINT)
-          |                  * (1::BIGINT << (8 * f.f))) AS BIGINT) AS vsig
+          |         CAST((sum(((((d.doc_id % 7) * 31 + f.f * 29) % 256 + 1)::BIGINT)
+          |                   * CAST(power(257, 4 - f.f) AS BIGINT)) + 4)
+          |              % 2147483647 AS BIGINT) AS vsig
           |  FROM documents d, range(0, 4) f(f) GROUP BY d.doc_id),
           |g AS (SELECT vsig, count(*) AS group_n, min(doc_id) AS canon FROM sig GROUP BY vsig)
           |SELECT s.doc_id, s.vsig, CAST(g.group_n AS BIGINT) AS group_n,

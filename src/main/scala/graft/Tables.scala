@@ -27,17 +27,28 @@ object Tables {
     * FROM ts)`) adapts to the physical unit automatically, so this loader
     * must too — hard-assuming nanos broke every events gate when the driver
     * regenerated the data with µs storage (CORRECTNESS_r08).
-    * NTZ wall times are interpreted as UTC instants: every gating entry
-    * point (Verify/Bench/specs) pins spark.sql.session.timeZone=UTC. */
+    * NTZ wall times are interpreted as UTC instants EXPLICITLY in the
+    * loader (convert_timezone from UTC into the ambient session zone
+    * before the session-zone NTZ→LTZ cast), so the result is the same
+    * whether or not the caller pinned spark.sql.session.timeZone=UTC. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val path = s"$d/events.parquet"
     val inferredTs = scala.util.Try(s.read.parquet(path).schema("ts").dataType)
     inferredTs match {
-      case scala.util.Success(TimestampType) | scala.util.Success(TimestampNTZType) =>
+      case scala.util.Success(TimestampType) =>
         s.read.parquet(path)
-          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+          .select("event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
+      case scala.util.Success(TimestampNTZType) =>
+        // The NTZ wall time is a UTC instant by testdata construction;
+        // shifting it into the session zone first makes the session-zone
+        // cast land on that instant under ANY session timeZone setting.
+        val sessionTz = s.conf.get("spark.sql.session.timeZone")
+        s.read.parquet(path)
+          .withColumn("ts",
+            convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
           .select("event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
       case _ =>

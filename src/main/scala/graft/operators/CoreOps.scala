@@ -367,18 +367,24 @@ object CoreOps {
     * snapshots — what a data-versioning layer shows per corpus release.
     *
     * Scale shape: each side is hashed in its scan projection, so the full
-    * outer join shuffles (id, 128-bit md5) — never the payload; both sides
-    * partition once on the id. Status is a pure projection on the joined
-    * row. */
+    * outer join shuffles (id, 128-bit md5, presence flag) — never the
+    * payload; both sides partition once on the id. Status is a pure
+    * projection on the joined row. Presence is tracked by a literal flag
+    * per side (NOT by hash nullability), so a row whose payload is NULL
+    * still counts as present — its hash is NULL and content equality uses
+    * null-safe `<=>`, making two NULL payloads "unchanged" and
+    * NULL-vs-text "changed" rather than misreporting "added". */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       payloadCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).cast("long").as(idCol), md5(col(payloadCol)).as("__oh"))
-    val n = newDf.select(col(idCol).cast("long").as(idCol), md5(col(payloadCol)).as("__nh"))
+    val o = oldDf.select(col(idCol).cast("long").as(idCol),
+      md5(col(payloadCol)).as("__oh"), lit(true).as("__oin"))
+    val n = newDf.select(col(idCol).cast("long").as(idCol),
+      md5(col(payloadCol)).as("__nh"), lit(true).as("__nin"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("__oh").isNull, lit("added"))
-          .when(col("__nh").isNull, lit("removed"))
-          .when(col("__oh") === col("__nh"), lit("unchanged"))
+        when(col("__oin").isNull, lit("added"))
+          .when(col("__nin").isNull, lit("removed"))
+          .when(col("__oh") <=> col("__nh"), lit("unchanged"))
           .otherwise(lit("changed")))
       .select(col(idCol), col("status"))
   }
@@ -392,6 +398,12 @@ object CoreOps {
     * turns a curated corpus into S near-equal training files WITHOUT a
     * greedy sequential packer (whose assignment would depend on driver-side
     * iteration order and break under growth).
+    *
+    * Output contract: exactly three columns — (`idCol`, `n_tokens`,
+    * `shard`) — where `n_tokens` is `tokensCol` cast to long. Payload
+    * columns are deliberately NOT carried through the range repartition
+    * (ids + sizes only cross the exchange); callers wanting payloads in
+    * shard order join this assignment back on `idCol`.
     *
     * Scale shape: one range repartition (the index) plus a pure `% shards`
     * projection — no window over the full corpus, no driver-side loop. */

@@ -228,13 +228,16 @@ object Multimodal {
 
   /** Frame-sequence signature over REAL decoded frames — the video
     * analogue of [[perceptualHash]]/[[audioFingerprint]]: every frame of
-    * the container decodes in order and its exact integer mean gray packs
-    * into one long (frame f → byte f, up to 8 frames) — so two videos
-    * share a signature iff their decoded frame-mean SEQUENCES agree, the
-    * scene-sequence form video dedup pipelines cluster on. The per-frame
-    * mean is exact integer arithmetic (Σgray·1 over w·h pixels, divided
-    * exactly for constant-gray frames; `(sum / npix)` integer division in
-    * general), so the signature is bit-deterministic and replayable.
+    * the container decodes in order and its exact integer mean gray feeds
+    * a polynomial rolling hash mod 2³¹−1 (h ← (h·257 + mean+1) mod p over
+    * ALL frames, then h ← (h·257 + frameCount) mod p) — so two videos
+    * share a signature iff their full decoded frame-mean SEQUENCES,
+    * including length, hash-agree (no truncation; a prior byte-packed
+    * variant silently capped at 8 frames and ignored length). The
+    * per-frame mean is exact integer arithmetic (Σgray·1 over w·h pixels;
+    * `(sum / npix)` integer division), and every hash step stays below
+    * 2⁴¹, so the signature is bit-deterministic and replayable by plain
+    * BIGINT arithmetic in any engine.
     *
     * Scale shape: whole-sequence decode runs inside the map over asset
     * partitions — dedup shuffles (asset_id, 8-byte signature), never
@@ -248,9 +251,10 @@ object Multimodal {
       val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
       reader.setInput(iis)
       val n = reader.getNumImages(true)
+      val P = 2147483647L // 2^31 - 1
       var sig = 0L
       var f = 0
-      while (f < n && f < 8) {
+      while (f < n) {
         val img = reader.read(f)
         val (w, h) = (img.getWidth, img.getHeight)
         var sum = 0L
@@ -261,9 +265,10 @@ object Multimodal {
           y += 1
         }
         val mean = sum / (w.toLong * h)
-        sig |= (mean & 0xFFL) << (8 * f)
+        sig = (sig * 257L + mean + 1L) % P
         f += 1
       }
+      sig = (sig * 257L + n) % P
       reader.dispose()
       iis.close()
       (a.asset_id, sig)
@@ -377,12 +382,15 @@ object Multimodal {
         new java.io.ByteArrayInputStream(a.payload))
       val bytes = ais.readAllBytes()
       val frames = bytes.length / 2
-      val winLen = math.max(1, frames / 64)
       val winAbs = new Array[Long](64)
       var i = 0
       while (i < frames) {
         val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toLong
-        val w = math.min(63, i / winLen)
+        // proportional window boundaries (w = ⌊i·64/frames⌋): windows
+        // differ by at most one sample; a floor-length variant dumped the
+        // up-to-63-sample remainder into window 63, biasing bit 63 high
+        // for frame counts not divisible by 64.
+        val w = (i.toLong * 64L / frames).toInt
         winAbs(w) += math.abs(s)
         i += 1
       }

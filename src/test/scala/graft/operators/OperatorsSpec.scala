@@ -884,6 +884,112 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hashes.map(_._2).distinct.length > 1)
   }
 
+  // Writes a multi-frame grayscale GIF with the given per-frame gray values
+  // (lossless palette-indexed encoding, same as the synthetic asset tables).
+  private def gifAsset(id: Long, frameGrays: Seq[Int]): MediaAsset = {
+    val (w, h) = (8, 8)
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val palette = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (g <- frameGrays) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) raster.setSample(x, y, 0, g)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    MediaAsset(id, "video", bos.toByteArray, w, h, frameGrays.length.toLong * 40)
+  }
+
+  test("videoSignature: full-sequence + length hash — no 8-frame truncation, no zero-pad collision") {
+    import spark.implicits._
+    val assets = Seq(
+      gifAsset(0L, Seq(10, 20, 30)),          // prefix of 1 with a trailing zero frame
+      gifAsset(1L, Seq(10, 20, 30, 0)),       // used to collide under byte-packing
+      gifAsset(2L, Seq(1, 2, 3, 4, 5, 6, 7, 8, 100)), // differ only after frame 8:
+      gifAsset(3L, Seq(1, 2, 3, 4, 5, 6, 7, 8, 200)), // used to collide under the 8-frame cap
+      gifAsset(4L, Seq(10, 20, 30))           // true duplicate of 0
+    ).toDS()
+    val sigs = Multimodal.videoSignature(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // replica of the documented hash: h←(h·257+mean+1) mod p per frame, then length
+    def replica(ms: Seq[Int]): Long = {
+      val P = 2147483647L
+      (ms.foldLeft(0L)((h, m) => (h * 257L + m + 1L) % P) * 257L + ms.length) % P
+    }
+    assert(sigs(0L) === replica(Seq(10, 20, 30)))
+    assert(sigs(2L) === replica(Seq(1, 2, 3, 4, 5, 6, 7, 8, 100)))
+    assert(sigs(0L) !== sigs(1L), "trailing zero frame must change the signature")
+    assert(sigs(2L) !== sigs(3L), "frames beyond 8 must participate in the signature")
+    assert(sigs(0L) === sigs(4L), "identical sequences must collide")
+  }
+
+  test("audioFingerprint: proportional windows on a non-64-divisible frame count") {
+    import spark.implicits._
+    // 1000 frames (1000 % 64 != 0): the floor-window variant dumped the
+    // remainder into window 63; proportional boundaries must match the
+    // w = floor(i*64/frames) replica bit-for-bit.
+    val n = 1000
+    val pcm = new Array[Byte](n * 2)
+    val sample = Array.tabulate(n)(i => (((i * 37) % 256 - 128) * 16))
+    for (i <- 0 until n) {
+      pcm(2 * i) = (sample(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((sample(i) >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val asset = MediaAsset(42L, "audio", bos.toByteArray, 0, 0, n.toLong * 1000 / 8000)
+    val got = Multimodal.audioFingerprint(Seq(asset).toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head._2
+    val winAbs = new Array[Long](64)
+    for (i <- 0 until n) winAbs((i.toLong * 64L / n).toInt) += math.abs(sample(i)).toLong
+    val total = winAbs.sum
+    var expect = 0L
+    for (w <- 0 until 64) if (winAbs(w) * 64 > total) expect |= 1L << w
+    assert(got === expect)
+    // proportional windows differ by at most one sample in size
+    val sizes = Array.fill(64)(0)
+    for (i <- 0 until n) sizes((i.toLong * 64L / n).toInt) += 1
+    assert(sizes.max - sizes.min <= 1, s"window sizes skewed: ${sizes.toSeq}")
+  }
+
+  test("snapshotDiff: NULL payloads are presence, not absence") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, Option.empty[String]), (2L, Some("a")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (4L, Some("d")))
+      .toDF("doc_id", "text")
+    val got = CoreOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(
+      1L -> "unchanged", // NULL == NULL content
+      2L -> "changed",   // text -> NULL is a content change, not an add
+      3L -> "removed",
+      4L -> "added"))
+  }
+
+  test("Tables.events: identical instants under any session timezone") {
+    def digest() = Tables.events(spark, sfDir)
+      .agg(sum(col("ts_ns").cast("decimal(38,0)")).as("s")).collect().head.getDecimal(0)
+    val utc = digest()
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // the UNDERLYING INSTANT (ts_ns) must not move with the session zone
+      assert(digest() === utc)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("weightedSample: A-ES keys replicate by hand, heavier docs dominate, layout-invariant") {
     import spark.implicits._
     // 20 heavy docs (weight 1000) among 200 light ones (weight 1): a
