@@ -105,6 +105,60 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
 
+    // ---- historical drift reference (r9 advice #1) ----
+    // The external-CPU gate catches OTHER processes stealing the machine,
+    // but r9's distortions were all in-process (GC/suite ordering):
+    // q_leakage_safe_split read 31.4 s single-run vs ~3-5.6 s in prior
+    // rounds on unchanged code. The committed per-round summaries
+    // (BENCH_r*.json, compact stdout line inside "tail") carry each
+    // entry's best prior time at the same sf — any fresh measurement
+    // exceeding DriftRetryFactor × that min is re-run once and the min
+    // reported, with the retry recorded in bench.json.
+    val histMins: Map[String, Double] = {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      files.toSeq.flatMap { f =>
+        try {
+          val tail = om.readTree(f).path("tail").asText("")
+          val start = tail.lastIndexOf("{\"metric\"")
+          if (start < 0) Seq.empty[(String, Double)]
+          else {
+            val lineEnd = tail.indexOf('\n', start)
+            val line = if (lineEnd < 0) tail.substring(start) else tail.substring(start, lineEnd)
+            val j = om.readTree(line)
+            // only rounds measured at THIS sf dir are comparable
+            if (j.path("sf").asText("") != sfDir) Seq.empty[(String, Double)]
+            else {
+              import scala.jdk.CollectionConverters._
+              j.path("queries").properties().asScala.toSeq
+                .filter(_.getValue.isNumber)
+                .map(e => e.getKey -> e.getValue.asDouble())
+            }
+          }
+        } catch { case NonFatal(_) => Seq.empty[(String, Double)] }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    if (histMins.nonEmpty)
+      System.err.println(s"[bench] drift reference: ${histMins.size} entries from committed rounds")
+    val DriftRetryFactor = 1.5
+    val MaxDriftRetries = 20
+    var driftRetries = 0
+    val driftRetried = scala.collection.mutable.ArrayBuffer.empty[String]
+    /** True (and budget consumed) when `t` is a credible-looking but
+      * historically-out-of-band reading that has earned a re-run. */
+    def driftGate(name: String, t: Double): Boolean = {
+      val out = t > 0.5 && histMins.get(name).exists(h => t > h * DriftRetryFactor) &&
+        driftRetries < MaxDriftRetries
+      if (out) {
+        driftRetries += 1
+        driftRetried += name
+        System.err.println(f"[bench] '$name' $t%.2f s exceeds $DriftRetryFactor%.1fx its " +
+          f"historical min ${histMins(name)}%.2f s — retrying once")
+      }
+      out
+    }
+
     // per-entry times across the in-run repetitions / noise retries
     val runDetail = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // per-entry external-CPU share observed during each run (same order as
@@ -119,15 +173,28 @@ object Bench {
       (t, externalCpu())
     }
 
-    /** Time once; if other processes stole >threshold CPU during a
-      * non-trivial run, re-run once and report the min — unchanged-code
-      * entries stop drifting with machine load (r8 advice #2). */
+    /** Time once; re-run once and report the min when the first reading is
+      * not trustworthy on its own (r8 advice #2 + r9 advice #1):
+      *   - other processes stole >threshold CPU during a non-trivial run
+      *     (external contamination), or
+      *   - the reading exceeds 1.5× the entry's best committed-round time
+      *     at this sf (in-process noise — GC/suite ordering — that the
+      *     external-CPU gate cannot see), or
+      *   - the entry has no committed history at this sf (new this round:
+      *     min-of-2 by default, so its first recorded number is never a
+      *     single unwitnessed sample). */
     def timedNoiseGated(name: String)(body: => Unit): Double = {
       val (t1, e1) = sampledRun(name)(body)
       val contaminated = t1 > 0.5 && e1 > ExtCpuRetryThreshold
-      if (t1 >= 0 && contaminated && noiseRetries < MaxNoiseRetries) {
-        noiseRetries += 1
-        System.err.println(f"[bench] '$name' saw external CPU $e1%.2f — retrying once")
+      val rerun =
+        if (t1 < 0) false
+        else if (contaminated && noiseRetries < MaxNoiseRetries) {
+          noiseRetries += 1
+          System.err.println(f"[bench] '$name' saw external CPU $e1%.2f — retrying once")
+          true
+        } else if (driftGate(name, t1)) true
+        else !histMins.contains(name)
+      if (rerun) {
         val (t2, e2) = sampledRun(name)(body)
         runDetail(name) = Seq(t1, t2)
         extDetail(name) = Seq(e1, e2)
@@ -500,6 +567,16 @@ object Bench {
             f"$ExtCpuRetryThreshold%.2f — one extra repeat")
           samples = samples :+ sampled()
         }
+        // in-process drift gate: even the min over repeats can be out of
+        // band when the whole suite position is GC-contaminated
+        // (eager_dp_sharded_t20 drifted 54.7→114.9 s across rounds on
+        // unchanged code); one extra repeat, historical min as reference.
+        // The amortized streaming entry self-averages and stays single-run.
+        if (name != "streaming_corpus_epoch5_amortized") {
+          val okTimes = samples.map(_._1).filter(_ >= 0)
+          if (okTimes.nonEmpty && driftGate(name, okTimes.min))
+            samples = samples :+ sampled()
+        }
         val times = samples.map(_._1)
         runDetail(name) = times
         extDetail(name) = samples.map(_._2)
@@ -531,6 +608,34 @@ object Bench {
         runDetail.get(name).foreach(ts => runDetail(name) = ts.map(t => -math.abs(t)))
         name -> -1.0
       case other => other
+    }
+
+    // ---- cross-sf scaling guard (r9 advice #5) ----
+    // Re-times the most expensive oracled gates at the 10×-smaller testdata
+    // dir and reports runtime ratios: a gate whose big/small ratio exceeds
+    // SuperLinearFlagRatio (20 = 2× headroom over the 10× data growth) has
+    // a super-linear plan — the automatic alarm that replaces judge
+    // eyeballing of per-entry scale behavior. Fixed job overhead inflates
+    // the SMALL side, so ratios read conservative (under-, never
+    // over-flagging needs the big side to be slow for real). Skipped under
+    // a local filter, at the small sf itself, or SPARK_GRAFT_SCALING=0.
+    val SuperLinearFlagRatio = 20.0
+    val scaling: Option[(Seq[(String, Double, Double, Double)], Seq[String])] = {
+      val smallDir = "/root/testdata/sf0.01"
+      val enabled = sys.env.get("SPARK_GRAFT_SCALING").forall(_ != "0") &&
+        only.isEmpty && sfDir != smallDir && new java.io.File(smallDir).isDirectory
+      if (!enabled) None
+      else {
+        val top = queryTimes.filter(_._2 > 1.0).sortBy(-_._2).take(10)
+        val rows = top.map { case (name, big) =>
+          val small = timed(s"scaling_$name")(force(SparkEntry.queries(name)(spark, smallDir)))
+          val ratio = if (small > 0) big / small else -1.0
+          System.err.println(f"[bench] scaling '$name': $big%.2f s @ sf0.1 vs $small%.2f s @ sf0.01 (ratio ${ratio}%.1f)")
+          (name, big, small, ratio)
+        }
+        val flagged = rows.collect { case (n, _, _, r) if r > SuperLinearFlagRatio => n }
+        Some((rows, flagged))
+      }
     }
 
     val gbps = Seq(
@@ -577,13 +682,32 @@ object Bench {
     // the full per-query map). The BASELINE.md-comparable workloads always
     // make the line; the rest of the suite fills the remaining budget
     // slowest-first, and the complete result is always in bench.json.
+    val scalingJson = scaling.map { case (rows, flagged) =>
+      val ratios = rows.map { case (n, b, s, r) =>
+        "\"" + n + s"""\":{"sf01":${r3(b)},"sf001":${r3(s)},"ratio":${r3(r)}}"""
+      }.mkString("{", ",", "}")
+      s"""{"data_ratio":10.0,"flag_above":${r3(SuperLinearFlagRatio)},""" +
+        s""""ratios":$ratios,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    }.getOrElse("null")
+    val driftJson = driftRetried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val eagerJson = eagerCounts.toSeq.sortBy(_._1)
+      .map { case (arm, ns) => "\"" + arm + "\":[" + ns.mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val headline = syntheticChecked.map(_._1) ++ gbps.map(_._1) ++ steadyEpoch.map(_._1)
+    // the flagged list (and drift-retry evidence) must reach the committed
+    // per-round summary, which is the captured compact line — keep both
+    // short and always present
+    val compactExtra =
+      s""""drift_retries":$driftJson,""" +
+        s""""scaling_flagged":${scaling.map(_._2.map("\"" + _ + "\"").mkString("[", ",", "]")).getOrElse("null")}"""
     val compact = graft.tools.BenchReport.compactLine(all, headline, sfDir,
-      runs = repeats, load = Seq(loadPre, loadPost))
+      runs = repeats, load = Seq(loadPre, loadPost), extra = compactExtra)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
         s""""repeats":$repeats,"runs_detail":$runsJson,"load":[${r3(loadPre)},${r3(loadPost)}],""" +
-        s""""noise_retries":$noiseRetries,"ext_cpu":$extJson,""" +
+        s""""noise_retries":$noiseRetries,"drift_retries":$driftJson,"ext_cpu":$extJson,""" +
+        s""""eager_releases":$eagerJson,"eager_seed":42,""" +
+        s""""scaling":$scalingJson,""" +
         s""""profile":$profile,"sf":"$sfDir"}"""
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

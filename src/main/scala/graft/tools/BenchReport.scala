@@ -74,6 +74,11 @@ object BenchReport {
     * @param load     1-minute system load average sampled before/after the
     *                 suite — lets a reader tell machine contamination from a
     *                 real regression (r5's numbers swung 2–6× under load)
+    * @param extra    raw JSON fields (no surrounding braces/commas) appended
+    *                 verbatim before `"sf"` — short, always-present
+    *                 diagnostics (drift retries, scaling flags) that must
+    *                 survive into the captured per-round summary; counted
+    *                 against the length budget like everything else
     */
   def compactLine(
       all: Seq[(String, Double)],
@@ -81,7 +86,8 @@ object BenchReport {
       sfDir: String,
       maxLen: Int = 1800,
       runs: Int = 1,
-      load: Seq[Double] = Nil): String = {
+      load: Seq[Double] = Nil,
+      extra: String = ""): String = {
     val ok = all.filter(_._2 >= 0)
     val okMap = ok.toMap
     val failed = all.collect { case (k, v) if v < 0 => k }
@@ -99,9 +105,10 @@ object BenchReport {
       val failedJson = failed.take(MaxFailedNames).map("\"" + _ + "\"").mkString("[", ",", "]")
       val loadJson =
         if (load.isEmpty) "" else s""","load":[${load.map(r3).mkString(",")}]"""
+      val extraJson = if (extra.isEmpty) "" else s",$extra"
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
         s""""n_all":${ok.size},"omitted":${ok.size - entries.size},""" +
-        s""""failed":$failedJson,"n_failed":${failed.size},"runs":$runs$loadJson,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"n_failed":${failed.size},"runs":$runs$loadJson$extraJson,"sf":"$sfDir"}"""
     }
 
     // Greedy fill: headline first (dropped from the tail only if even they
