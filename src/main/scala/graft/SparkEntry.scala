@@ -846,6 +846,45 @@ object SparkEntry {
       TextOps.bpeTokenCount(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- in-engine BPE merge TRAINING (count → learn → apply): the merge
+    //      rules are learned from the corpus itself (pair-count aggregate
+    //      at pair-vocabulary cardinality → deterministic argmax → merge,
+    //      TextOps.bpeTrain — the x12 train-in-engine pattern) and the
+    //      final (word, n_tokens) model is exported per-JVM; the gate then
+    //      tokenizes the corpus by joining pre-tokens against the
+    //      broadcast model, and the DuckDB oracle replays that
+    //      tokenization from the SAME exported model (the s3/d8
+    //      materialization pattern). Training itself is pinned against a
+    //      from-scratch single-node replica in BpeTrainSpec. ----
+    "x13_bpe_train" -> ((s, d) => {
+      val path = s"/tmp/graft_x13_bpe_model_${ProcessHandle.current().pid()}_" +
+        d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+      if (!lastX13ModelPath.contains(path)) {
+        // sweep models left by dead JVMs (never this round's live ones)
+        Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("graft_x13_bpe_model_\\d+_.*\\.parquet"))
+          .foreach { f =>
+            val pid = f.getName.stripPrefix("graft_x13_bpe_model_")
+              .takeWhile(_.isDigit).toLong
+            val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+            if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
+          }
+        val (merges, wordTokens) =
+          TextOps.bpeTrain(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
+            numMerges = X13NumMerges)
+        wordTokens.write.mode("overwrite").parquet(path)
+        lastX13Merges = Some(merges)
+        lastX13ModelPath = Some(path)
+      }
+      val words = Tables.documents(s, d).select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(TextOps.BpePretokenPattern), lit(0))).as("word"))
+      words.join(broadcast(s.read.parquet(path).select("word", "n_tokens")), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pretokens"), sum("n_tokens").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- quality scoring ----
     "x2_quality_score" -> ((s, d) => {
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -1584,7 +1623,7 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql
 
   /** x12 oracle, available after [[graft.operators.TextOps.qualityLrScore]]
     * has trained (Verify runs every query before dumping oracle SQL). The
@@ -1679,6 +1718,36 @@ object SparkEntry {
     * runs; Verify processes one dataset per JVM, same contract as
     * [[graft.operators.Similarity.lastIvfCentroids]]). */
   @volatile private var lastS3InputPath: Option[String] = None
+
+  /** Merge budget of the x13 BPE training gate (shared by gate + specs). */
+  val X13NumMerges = 150
+
+  /** Where the x13 gate exported its trained (word, n_tokens) model, and
+    * the learned merge list itself (spec introspection). The path embeds
+    * pid AND sf dir: the bench's cross-sf scaling rerun must retrain at the
+    * small sf rather than silently applying the big-sf model. */
+  @volatile private var lastX13ModelPath: Option[String] = None
+  @volatile private[graft] var lastX13Merges: Option[Seq[(String, String)]] = None
+
+  /** Tokenization oracle over the x13 gate's exported model: DuckDB
+    * re-derives every document's pre-tokens with the SAME RE2-compatible
+    * pattern the Spark side used (the x6 parity trick) and replays the
+    * token count by joining the exported (word, n_tokens) parquet — so a
+    * hash match proves the trained model covers the corpus vocabulary and
+    * the apply path agrees with it. DuckDB's sum(BIGINT) widens to
+    * HUGEINT, hence the explicit casts. */
+  private def x13OracleSql: Map[String, String] = lastX13ModelPath.toSeq.map { path =>
+    val p = graft.operators.TextOps.BpePretokenPattern.replace("'", "''")
+    "x13_bpe_train" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$p')) AS word
+         |  FROM documents),
+         |m AS (SELECT word, n_tokens FROM read_parquet('$path/*.parquet'))
+         |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+         |       CAST(sum(m.n_tokens) AS BIGINT) AS n_bpe_tokens
+         |FROM w JOIN m USING (word)
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+  }.toMap
 
   /** Frequency-ranking oracle over the s3 gate's materialized generator
     * output: DuckDB reads the exact parquet the Spark aggregation read, so

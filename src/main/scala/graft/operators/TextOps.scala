@@ -586,4 +586,144 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
     "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist", "ein"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "en", "que"))
+
+  // -------------------------------------------------------------------------
+  // x13: in-engine BPE merge training (count → LEARN → apply — the stage
+  // x6's fixed pre-tokenizer and q_vocab_coverage's assumed vocabulary
+  // bracket but neither provides)
+  // -------------------------------------------------------------------------
+
+  /** Word-frequency table under the [[BpePretokenPattern]] pre-tokenizer:
+    * the corpus collapses to (word, freq) at vocabulary cardinality in ONE
+    * map-side-combinable aggregate. ALL downstream BPE training iterates
+    * over this table — at 100 TB the corpus is read exactly once and the
+    * working set is the distinct-word vocabulary, never the text. */
+  def bpeWordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(BpePretokenPattern), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Leftmost-first non-overlapping merge of adjacent (l, r) occurrences in
+    * a symbol sequence — standard BPE application semantics (an occurrence
+    * consumed by a merge cannot seed the next one: "aaa" under (a,a) →
+    * ["aa", "a"]). */
+  private[graft] def mergePairInWord(ss: Array[String], l: String, r: String): Array[String] = {
+    if (ss.length < 2) ss
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](ss.length)
+      var i = 0
+      while (i < ss.length) {
+        if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += ss(i); i += 1 }
+      }
+      out.toArray
+    }
+  }
+
+  /** Deterministic argmax over (pair, count): higher count wins; ties break
+    * to the lexicographically smallest (left, right). Commutative and
+    * associative, so `fold` over any partitioning reproduces it. */
+  private[graft] def betterPair(a: ((String, String), Long),
+      b: ((String, String), Long)): ((String, String), Long) =
+    if (a._2 != b._2) { if (a._2 > b._2) a else b }
+    else if (Ordering.Tuple2(Ordering.String, Ordering.String).compare(a._1, b._1) <= 0) a
+    else b
+
+  /** In-engine BPE merge training (Sennrich et al. 2016) over a word-
+    * frequency table: `numMerges` rounds of (pair-count aggregate → argmax
+    * → merge), each round two small jobs over the VOCABULARY-cardinality
+    * working set. Training is bit-deterministic: pair counts are exact
+    * longs, the argmax is a total order ([[betterPair]]), and merging is
+    * a pure per-word function — the same loop-in-engine pattern as
+    * [[qualityLrScore]]'s gradient descent (x12), with the merge list as
+    * the exported model. Stops early when no pair reaches `minPairFreq`.
+    *
+    * Returns the learned merges in rank order plus the final per-word
+    * tokenization (word, n_tokens, freq) — the vocabulary-cardinality
+    * model table an apply path joins against (or replays via
+    * [[bpeSegment]], which reproduces exactly this state; pinned in
+    * BpeTrainSpec).
+    *
+    * Scale shape: per round, the flatMap emits (pair, freq) rows that
+    * partial-aggregate map-side, so the shuffle carries the PAIR-vocabulary
+    * cardinality; the argmax `fold` moves one row per partition to the
+    * driver; driver state is O(numMerges). Every round is materialized
+    * with `localCheckpoint` and the superseded round freed (the
+    * [[graft.operators.Dedup]] components pattern): each snapshot is
+    * self-contained, so no recompute path ever replays the merge chain —
+    * and the lineage/plan never grows with the round count. */
+  def bpeTrain(wordFreq: DataFrame, numMerges: Int, minPairFreq: Long = 2L)
+      : (Seq[(String, String)], DataFrame) = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    // few partitions for a vocabulary-sized working set: per-round job
+    // overhead stays low; a 100 TB corpus's larger vocabulary raises this
+    // with its input partitioning
+    val parts = math.min(8, math.max(1, wordFreq.rdd.getNumPartitions))
+    var syms = wordFreq.select(col("word"), col("freq").cast("long"))
+      .as[(String, Long)].rdd
+      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+      .coalesce(parts).cache()
+    syms.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val best = syms.flatMap { case (ss, f) =>
+        if (ss.length < 2) Iterator.empty
+        else (0 until ss.length - 1).iterator.map(i => ((ss(i), ss(i + 1)), f))
+      }.reduceByKey(_ + _)
+        .fold((("", ""), Long.MinValue))(betterPair)
+      if (best._2 < minPairFreq) done = true
+      else {
+        val (l, r) = best._1
+        merges += ((l, r))
+        val next = syms.map { case (ss, f) => (mergePairInWord(ss, l, r), f) }
+          .localCheckpoint()
+        next.count()
+        syms.unpersist(blocking = false)
+        syms = next
+      }
+    }
+    val wordTokens = syms
+      .map { case (ss, f) => (ss.mkString(""), ss.length.toLong, f) }
+      .toDF("word", "n_tokens", "freq")
+    (merges.toSeq, wordTokens)
+  }
+
+  /** Segment one pre-token under an exported merge list: start from
+    * characters, apply each merge in RANK ORDER ([[mergePairInWord]]
+    * semantics). For words seen in training this reproduces the trainer's
+    * final state exactly (BpeTrainSpec pins it on the full corpus); for
+    * NOVEL words it is the standard BPE inference rule. */
+  def bpeSegment(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var ss: Array[String] = word.map(_.toString).toArray
+    for ((l, r) <- merges if ss.length >= 2) ss = mergePairInWord(ss, l, r)
+    ss
+  }
+
+  /** Tokenize documents under an exported merge list: per-doc BPE token
+    * count from pre-tokens segmented by [[bpeSegment]]. A pure map over the
+    * corpus (the ranked merge list rides the closure — model cardinality,
+    * the broadcast-scalars pattern); the output is (doc_id, n_pretokens,
+    * n_bpe_tokens) scalars. */
+  def bpeApplyCount(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pat = java.util.regex.Pattern.compile(BpePretokenPattern)
+    val ranked = merges.toArray
+    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val m = pat.matcher(text)
+        var nPre = 0L
+        var nTok = 0L
+        while (m.find()) {
+          nPre += 1
+          nTok += bpeSegment(m.group(0), ranked).length
+        }
+        (id, nPre, nTok)
+      }
+      .toDF("doc_id", "n_pretokens", "n_bpe_tokens")
+  }
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Tables
+
+/** Pins the distributed in-engine BPE merge training (TextOps.bpeTrain)
+  * against a from-scratch single-node replica over the real sf0.001
+  * documents — the same train-in-engine verification pattern as the x12
+  * logistic-regression spec: deterministic training, replica-equal model,
+  * and the application path (bpeSegment) must reproduce the trainer's
+  * final state exactly. */
+class BpeTrainSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Independent single-node BPE trainer: naive pair counting over a plain
+    * Map, argmax by (count desc, pair asc), list-based leftmost
+    * non-overlapping merge — shares no code with the operator under test. */
+  private def replicaTrain(wordFreq: Map[String, Long], numMerges: Int,
+      minPairFreq: Long = 2L): (Seq[(String, String)], Map[String, List[String]]) = {
+    def mergeOnce(ss: List[String], l: String, r: String): List[String] = ss match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: mergeOnce(rest, l, r)
+      case a :: rest => a :: mergeOnce(rest, l, r)
+      case Nil => Nil
+    }
+    var syms: Map[String, (List[String], Long)] =
+      wordFreq.map { case (w, f) => w -> (w.toList.map(_.toString), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (ss, f)) <- syms; (a, b) <- ss.zip(ss.drop(1)))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some((pair, c)) if c >= minPairFreq =>
+          merges += pair
+          syms = syms.map { case (w, (ss, f)) => w -> (mergeOnce(ss, pair._1, pair._2), f) }
+        case _ => done = true
+      }
+    }
+    (merges.toSeq, syms.map { case (w, (ss, _)) => w -> ss })
+  }
+
+  test("bpeTrain: hand-checkable toy corpus learns the expected first merges") {
+    import spark.implicits._
+    // "abab"×5 + "abc"×3: (a,b) counts 13 (twice per abab, once per abc) —
+    // first merge; then (ab,ab) counts 5 vs (ab,c) 3 — second merge
+    val wf = Seq(("abab", 5L), ("abc", 3L)).toDF("word", "freq")
+    val (merges, wordTokens) = TextOps.bpeTrain(wf, numMerges = 10)
+    assert(merges.take(2) === Seq(("a", "b"), ("ab", "ab")))
+    val toks = wordTokens.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks("abab") === 1L) // fully merged: abab
+    // abc → [ab, c]; (ab,c) count 3 ≥ minPairFreq merges it too → [abc]
+    assert(merges.contains(("ab", "c")) && toks("abc") === 1L)
+  }
+
+  test("bpeTrain == single-node replica on the real corpus (merges, model, determinism)") {
+    val wf = TextOps.bpeWordFreq(Tables.documents(spark, sfDir), "text")
+    val wfLocal = wf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (merges, wordTokens) = TextOps.bpeTrain(wf, numMerges = 40)
+    val (replicaMerges, replicaSyms) = replicaTrain(wfLocal, numMerges = 40)
+    assert(merges === replicaMerges, "distributed merge sequence diverged from replica")
+    val got = wordTokens.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.keySet === replicaSyms.keySet)
+    for ((w, ss) <- replicaSyms)
+      assert(got(w) === ss.length.toLong, s"token count mismatch for word '$w'")
+    // training is bit-deterministic: a second run learns the identical list
+    val (merges2, _) = TextOps.bpeTrain(wf, numMerges = 40)
+    assert(merges2 === merges)
+  }
+
+  test("bpeSegment replays the trainer's final state; novel words segment losslessly") {
+    val wf = TextOps.bpeWordFreq(Tables.documents(spark, sfDir), "text")
+    val (merges, wordTokens) = TextOps.bpeTrain(wf, numMerges = 40)
+    // rank-order application over the initial character split must land on
+    // exactly the trained tokenization for EVERY corpus word — the
+    // invariant that lets an apply path use the exported merge list alone
+    for (r <- wordTokens.collect()) {
+      val (w, n) = (r.getString(0), r.getLong(1))
+      val seg = TextOps.bpeSegment(w, merges)
+      assert(seg.length.toLong === n, s"bpeSegment diverged on corpus word '$w'")
+      assert(seg.mkString("") === w)
+    }
+    // unseen word: concatenation invariant holds, no crash
+    val novel = TextOps.bpeSegment("zzquxverylongnovelword", merges)
+    assert(novel.mkString("") === "zzquxverylongnovelword")
+  }
+}

@@ -76,6 +76,20 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!b.contains("ws#"), s"an exchange carries the full token array:\n$b")
   }
 
+  test("x13_bpe_train apply path: model broadcasts; no row exchange carries text or words") {
+    val df = SparkEntry.queries("x13_bpe_train")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocabulary-cardinality model must broadcast, not shuffle the corpus:\n$plan")
+    // row-exchanges may carry only (doc_id, partial aggregates): the
+    // pre-token explode partial-aggregates map-side under the join, so
+    // neither text nor word strings cross a hash exchange (the broadcast
+    // exchange legitimately ships the model's word column)
+    for (b <- exchangeBlocks(df).filter(_.contains("hashpartitioning")))
+      assert(!b.contains("text#") && !b.contains("word#"),
+        s"a corpus-row exchange carries text/word strings:\n$b")
+  }
+
   test("duplicate spans: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     for ((name, df) <- Seq(
