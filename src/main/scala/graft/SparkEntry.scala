@@ -1184,6 +1184,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: ONE dedup across ALL modalities. A mixed asset table
+    //      (kind = id mod 3 → keyed-pattern PNG / WAV / animated GIF) flows
+    //      through a single kind-dispatched signature map (image aHash,
+    //      audio envelope fingerprint, video frame-sequence hash, each
+    //      namespaced `kind:hash`) and ONE signature-equality grouping —
+    //      the d17 unification move applied to assets. The oracle replays
+    //      every signature from the id formulas, per kind. Only (id, kind,
+    //      signature) rows shuffle; payloads never leave their scan
+    //      partitions (plan-spec-pinned). ----
+    "e2e_asset_dedup" -> ((s, d) => {
+      val sigs = Multimodal.assetSignature(
+        Multimodal.syntheticMixedAssets(s, Tables.documents(s, d)))
+      val groups = sigs.groupBy("sig")
+        .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("__canon"))
+      sigs.join(groups, Seq("sig"))
+        .select(col("doc_id"), col("kind"), col("sig"), col("group_n"),
+          (col("doc_id") === col("__canon")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: energy-envelope fingerprint dedup over REAL decoded
     //      PCM samples. Payloads are genuine WAVs keyed by id mod 13, so
     //      colliding ids are sample-identical; the gate fingerprints the
@@ -3156,6 +3176,53 @@ object SparkEntry {
           |SELECT s.doc_id, s.vsig, CAST(g.group_n AS BIGINT) AS group_n,
           |       s.doc_id = g.canon AS keep
           |FROM sig s JOIN g USING (vsig) ORDER BY s.doc_id""".stripMargin,
+
+      // ONE dedup across all modalities: kind = id mod 3 selects which
+      // formula stack replays the signature (aHash pixels / envelope
+      // windows / frame-gray rolling hash — each exactly its
+      // single-modality oracle's arithmetic), namespaced 'kind:hash';
+      // groups and canonical ids from the shared signature column
+      "e2e_asset_dedup" ->
+        """WITH px AS (
+          |  SELECT d.doc_id,
+          |         ((d.doc_id % 17) * 31 + x.x * 7 + y.y * 13) % 256 AS p,
+          |         y.y * 8 + x.x AS i
+          |  FROM documents d, range(0, 8) x(x), range(0, 8) y(y)
+          |  WHERE d.doc_id % 3 = 0),
+          |ps AS (SELECT doc_id, sum(p) AS total FROM px GROUP BY doc_id),
+          |img AS (
+          |  SELECT px.doc_id, 'image' AS kind,
+          |         'image:' || CAST(CAST(sum(CASE WHEN px.p * 64 > ps.total
+          |                       THEN CASE WHEN px.i = 63 THEN (-9223372036854775807 - 1)
+          |                                 ELSE (1::BIGINT << px.i) END
+          |                       ELSE 0 END) AS BIGINT) AS VARCHAR) AS sig
+          |  FROM px JOIN ps USING (doc_id) GROUP BY px.doc_id),
+          |wv AS (
+          |  SELECT d.doc_id, w.w,
+          |         16 * abs(((d.doc_id % 13) * 31 + w.w * 7) % 256 - 128) AS a
+          |  FROM documents d, range(0, 64) w(w)
+          |  WHERE d.doc_id % 3 = 1),
+          |ws AS (SELECT doc_id, sum(a) AS total FROM wv GROUP BY doc_id),
+          |aud AS (
+          |  SELECT wv.doc_id, 'audio' AS kind,
+          |         'audio:' || CAST(CAST(sum(CASE WHEN wv.a * 64 > ws.total
+          |                       THEN CASE WHEN wv.w = 63 THEN (-9223372036854775807 - 1)
+          |                                 ELSE (1::BIGINT << wv.w) END
+          |                       ELSE 0 END) AS BIGINT) AS VARCHAR) AS sig
+          |  FROM wv JOIN ws USING (doc_id) GROUP BY wv.doc_id),
+          |vid AS (
+          |  SELECT d.doc_id, 'video' AS kind,
+          |         'video:' || CAST(CAST((sum(((((d.doc_id % 7) * 31 + f.f * 29) % 256 + 1)::BIGINT)
+          |                   * CAST(power(257, 4 - f.f) AS BIGINT)) + 4)
+          |              % 2147483647 AS BIGINT) AS VARCHAR) AS sig
+          |  FROM documents d, range(0, 4) f(f)
+          |  WHERE d.doc_id % 3 = 2
+          |  GROUP BY d.doc_id),
+          |sig AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid),
+          |g AS (SELECT sig, count(*) AS group_n, min(doc_id) AS canon FROM sig GROUP BY sig)
+          |SELECT s.doc_id, s.kind, s.sig, CAST(g.group_n AS BIGINT) AS group_n,
+          |       s.doc_id = g.canon AS keep
+          |FROM sig s JOIN g USING (sig) ORDER BY s.doc_id""".stripMargin,
 
       // the 64-window envelope replayed from the sample formula: window w
       // of asset id carries constant samples v = (((id%13)·31 + w·7) mod

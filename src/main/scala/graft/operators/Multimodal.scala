@@ -194,36 +194,88 @@ object Multimodal {
     * formula exactly. */
   def syntheticPatternVideoAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
-      val seed = (id % 7).toInt
-      val (w, h, n) = (8, 8, 4)
-      val grays = Array.tabulate(256)(i => i.toByte)
-      val palette = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < n) {
-        val g = (seed * 31 + f * 29) % 256
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
-          y += 1
-        }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-        f += 1
+    docs.select(col("doc_id")).as[Long].map(id =>
+      MediaAsset(id, "video", patternGifPayload(id), 8, 8, 4L * 40))
+  }
+
+  /** The 4-frame keyed-pattern animated-GIF payload (seed = id mod 7, frame
+    * f uniformly gray (seed·31 + f·29) mod 256) — shared by
+    * [[syntheticPatternVideoAssets]] and [[syntheticMixedAssets]]. */
+  private def patternGifPayload(id: Long): Array[Byte] = {
+    val seed = (id % 7).toInt
+    val (w, h, n) = (8, 8, 4)
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val palette = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < n) {
+      val g = (seed * 31 + f * 29) % 256
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+        y += 1
       }
-      writer.endWriteSequence()
-      ios.close()
-      writer.dispose()
-      MediaAsset(id, "video", bos.toByteArray, w, h, n.toLong * 40)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
     }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Deterministic MIXED-modality asset table: each document id carries
+    * exactly one asset whose modality is dispatched by id mod 3 (0 → the
+    * keyed-pattern PNG, 1 → the keyed-pattern WAV, 2 → the keyed-pattern
+    * animated GIF), with the SAME payload formulas as the per-modality
+    * pattern tables — so a SQL oracle replays every signature from the id
+    * alone, and duplicate groups exist within each modality (seeds mod
+    * 17/13/7). Generation is distributed; nothing asset-shaped touches the
+    * driver. */
+  def syntheticMixedAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 => MediaAsset(id, "image", patternPngPayload(id), 8, 8, 0L)
+        case 1 => MediaAsset(id, "audio", patternWavPayload(id), 0, 0, 1024L * 1000 / 8000)
+        case _ => MediaAsset(id, "video", patternGifPayload(id), 8, 8, 4L * 40)
+      }
+    }
+  }
+
+  /** Kind-dispatched content signature over a mixed-modality asset table in
+    * ONE map: image → average-hash bits, audio → envelope-fingerprint
+    * bits, video → frame-sequence rolling hash — each exactly the
+    * corresponding single-modality operator's value, namespaced by
+    * modality (`kind:hash`) so signatures can never collide across kinds.
+    * This is the d17 unification move applied to assets: one signature
+    * column drives ONE downstream dedup regardless of modality. Signature
+    * equality is already an equivalence relation, so grouping IS the
+    * component closure — no iterative step needed (unlike d17's edge
+    * union, there are no cross-signal edges to chase).
+    *
+    * Scale shape: decode + hashing stay inside the map over asset
+    * partitions; everything downstream shuffles (id, kind, signature
+    * string) rows, NEVER payloads. */
+  def assetSignature(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.map { a =>
+      val h = a.media_type match {
+        case "image" => phashOfPayload(a.payload)
+        case "audio" => afpOfPayload(a.payload)
+        case _       => vsigOfPayload(a.payload)
+      }
+      (a.asset_id, a.media_type, a.media_type + ":" + h)
+    }.toDF("doc_id", "kind", "sig")
   }
 
   /** Frame-sequence signature over REAL decoded frames — the video
@@ -245,34 +297,38 @@ object Multimodal {
   def videoSignature(assets: Dataset[MediaAsset]): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.map { a =>
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(a.payload))
-      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      val P = 2147483647L // 2^31 - 1
-      var sig = 0L
-      var f = 0
-      while (f < n) {
-        val img = reader.read(f)
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += (img.getRGB(x, y) & 0xFF).toLong; x += 1 }
-          y += 1
-        }
-        val mean = sum / (w.toLong * h)
-        sig = (sig * 257L + mean + 1L) % P
-        f += 1
+    assets.map(a => (a.asset_id, vsigOfPayload(a.payload))).toDF("doc_id", "vsig")
+  }
+
+  /** [[videoSignature]]'s per-payload hash: the mod-(2³¹−1) polynomial
+    * rolling hash over all decoded frame means plus the frame count. */
+  private[graft] def vsigOfPayload(payload: Array[Byte]): Long = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    val P = 2147483647L // 2^31 - 1
+    var sig = 0L
+    var f = 0
+    while (f < n) {
+      val img = reader.read(f)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += (img.getRGB(x, y) & 0xFF).toLong; x += 1 }
+        y += 1
       }
-      sig = (sig * 257L + n) % P
-      reader.dispose()
-      iis.close()
-      (a.asset_id, sig)
-    }.toDF("doc_id", "vsig")
+      val mean = sum / (w.toLong * h)
+      sig = (sig * 257L + mean + 1L) % P
+      f += 1
+    }
+    sig = (sig * 257L + n) % P
+    reader.dispose()
+    iis.close()
+    sig
   }
 
   /** Deterministic REAL-image asset table: each payload is a genuine PNG
@@ -311,23 +367,29 @@ object Multimodal {
     * PNG is lossless, so the decoded grid equals the formula exactly. */
   def syntheticPatternImageAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
-      val seed = (id % 17).toInt
-      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          val p = (seed * 31 + x * 7 + y * 13) % 256
-          img.setRGB(x, y, (p << 16) | (p << 8) | p)
-          x += 1
-        }
-        y += 1
+    docs.select(col("doc_id")).as[Long].map(id =>
+      MediaAsset(id, "image", patternPngPayload(id), 8, 8, 0L))
+  }
+
+  /** The 8×8 keyed-pattern PNG payload (seed = id mod 17, pixel (x,y) =
+    * (seed·31 + x·7 + y·13) mod 256) — shared by
+    * [[syntheticPatternImageAssets]] and [[syntheticMixedAssets]]. */
+  private def patternPngPayload(id: Long): Array[Byte] = {
+    val seed = (id % 17).toInt
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val p = (seed * 31 + x * 7 + y * 13) % 256
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      MediaAsset(id, "image", bos.toByteArray, 8, 8, 0L)
+      y += 1
     }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Deterministic REAL-audio asset table with non-constant content, keyed
@@ -341,25 +403,31 @@ object Multimodal {
     * samples equal the formula exactly. */
   def syntheticPatternAudioAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
-      val seed = (id % 13).toInt
-      val n = 1024
-      val rate = 8000
-      val pcm = new Array[Byte](n * 2)
-      var i = 0
-      while (i < n) {
-        val v = ((((seed * 31 + (i / 16) * 7) % 256) - 128) * 16)
-        pcm(2 * i) = (v & 0xFF).toByte
-        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
-        i += 1
-      }
-      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      MediaAsset(id, "audio", bos.toByteArray, 0, 0, n.toLong * 1000 / rate)
+    docs.select(col("doc_id")).as[Long].map(id =>
+      MediaAsset(id, "audio", patternWavPayload(id), 0, 0, 1024L * 1000 / 8000))
+  }
+
+  /** The 1024-sample keyed-pattern WAV payload (seed = id mod 13, window w
+    * carries v(w) = (((seed·31 + w·7) mod 256) − 128)·16) — shared by
+    * [[syntheticPatternAudioAssets]] and [[syntheticMixedAssets]]. */
+  private def patternWavPayload(id: Long): Array[Byte] = {
+    val seed = (id % 13).toInt
+    val n = 1024
+    val rate = 8000
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((((seed * 31 + (i / 16) * 7) % 256) - 128) * 16)
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
     }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Energy-envelope fingerprint over REAL decoded samples — the audio
@@ -377,32 +445,36 @@ object Multimodal {
   def audioFingerprint(assets: Dataset[MediaAsset]): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.map { a =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(a.payload))
-      val bytes = ais.readAllBytes()
-      val frames = bytes.length / 2
-      val winAbs = new Array[Long](64)
-      var i = 0
-      while (i < frames) {
-        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toLong
-        // proportional window boundaries (w = ⌊i·64/frames⌋): windows
-        // differ by at most one sample; a floor-length variant dumped the
-        // up-to-63-sample remainder into window 63, biasing bit 63 high
-        // for frame counts not divisible by 64.
-        val w = (i.toLong * 64L / frames).toInt
-        winAbs(w) += math.abs(s)
-        i += 1
-      }
-      val total = winAbs.sum
-      var hash = 0L
-      var w = 0
-      while (w < 64) {
-        if (winAbs(w) * 64 > total) hash |= 1L << w
-        w += 1
-      }
-      (a.asset_id, hash)
-    }.toDF("doc_id", "ahash")
+    assets.map(a => (a.asset_id, afpOfPayload(a.payload))).toDF("doc_id", "ahash")
+  }
+
+  /** [[audioFingerprint]]'s per-payload hash: the 64-window exact-integer
+    * envelope fingerprint over decoded PCM. */
+  private[graft] def afpOfPayload(payload: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val bytes = ais.readAllBytes()
+    val frames = bytes.length / 2
+    val winAbs = new Array[Long](64)
+    var i = 0
+    while (i < frames) {
+      val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toLong
+      // proportional window boundaries (w = ⌊i·64/frames⌋): windows
+      // differ by at most one sample; a floor-length variant dumped the
+      // up-to-63-sample remainder into window 63, biasing bit 63 high
+      // for frame counts not divisible by 64.
+      val w = (i.toLong * 64L / frames).toInt
+      winAbs(w) += math.abs(s)
+      i += 1
+    }
+    val total = winAbs.sum
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (winAbs(w) * 64 > total) hash |= 1L << w
+      w += 1
+    }
+    hash
   }
 
   /** Perceptual (average) hash over REAL decoded pixels — the pHash-family
@@ -418,31 +490,35 @@ object Multimodal {
   def perceptualHash(assets: Dataset[MediaAsset]): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.map { a =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
-      val (w, h) = (img.getWidth, img.getHeight)
-      val n = w * h
-      val ps = new Array[Long](n)
-      var total = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = (img.getRGB(x, y) & 0xFF).toLong
-          ps(y * w + x) = p
-          total += p
-          x += 1
-        }
-        y += 1
+    assets.map(a => (a.asset_id, phashOfPayload(a.payload))).toDF("doc_id", "phash")
+  }
+
+  /** [[perceptualHash]]'s per-payload hash: average-hash bits over decoded
+    * pixels in exact integer arithmetic. */
+  private[graft] def phashOfPayload(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val n = w * h
+    val ps = new Array[Long](n)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (img.getRGB(x, y) & 0xFF).toLong
+        ps(y * w + x) = p
+        total += p
+        x += 1
       }
-      var hash = 0L
-      var i = 0
-      while (i < n && i < 64) {
-        if (ps(i) * n > total) hash |= 1L << i
-        i += 1
-      }
-      (a.asset_id, hash)
-    }.toDF("doc_id", "phash")
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < n && i < 64) {
+      if (ps(i) * n > total) hash |= 1L << i
+      i += 1
+    }
+    hash
   }
 }
 

@@ -963,6 +963,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1, s"window sizes skewed: ${sizes.toSeq}")
   }
 
+  test("assetSignature: kind dispatch equals the per-modality operators, namespacing blocks cross-kind collisions") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val mixed = Multimodal.syntheticMixedAssets(spark, docs)
+    val sigs = Multimodal.assetSignature(mixed)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(sigs.length === 120)
+    // dispatch: modality is id mod 3, and the namespace prefix matches
+    for ((id, kind, sig) <- sigs) {
+      assert(kind === Seq("image", "audio", "video")((id % 3).toInt))
+      assert(sig.startsWith(kind + ":"))
+    }
+    // per-kind: the unified signature is EXACTLY the single-modality
+    // operator's value on the same assets
+    def sub(kind: String) = mixed.filter(a => a.media_type == kind)
+    val phash = Multimodal.perceptualHash(sub("image"))
+      .collect().map(r => r.getLong(0) -> ("image:" + r.getLong(1))).toMap
+    val ahash = Multimodal.audioFingerprint(sub("audio"))
+      .collect().map(r => r.getLong(0) -> ("audio:" + r.getLong(1))).toMap
+    val vsig = Multimodal.videoSignature(sub("video"))
+      .collect().map(r => r.getLong(0) -> ("video:" + r.getLong(1))).toMap
+    val byId = (phash ++ ahash ++ vsig)
+    for ((id, _, sig) <- sigs) assert(sig === byId(id), s"asset $id")
+    // duplicate groups exist within kinds (seeds mod 17/13/7 at 120 ids)
+    // but never across kinds
+    val byKind = sigs.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byKind.values.forall(_.size > 1))
+    for ((k1, s1) <- byKind; (k2, s2) <- byKind if k1 < k2)
+      assert(s1.intersect(s2).isEmpty, s"cross-kind signature collision between $k1 and $k2")
+  }
+
   test("snapshotDiff: NULL payloads are presence, not absence") {
     import spark.implicits._
     val oldSnap = Seq((1L, Option.empty[String]), (2L, Some("a")), (3L, Option.empty[String]))

@@ -90,6 +90,13 @@ class PlanShapeSpec extends AnyFunSuite {
         s"a corpus-row exchange carries text/word strings:\n$b")
   }
 
+  test("e2e_asset_dedup: payload bytes never enter an exchange") {
+    val df = SparkEntry.queries("e2e_asset_dedup")(spark, sfDir)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("payload#"),
+        s"an exchange ships asset payloads (decode must stay in the scan map):\n$b")
+  }
+
   test("duplicate spans: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     for ((name, df) <- Seq(
