@@ -525,6 +525,41 @@ object Bench {
             f" steady-state mean=${steady.sum / steady.size}%.2f s")
         } finally graft.tools.CorpusMaintenance.deleteRecursively(dir)
       }),
+      // Per-epoch latency of the SEMANTIC index maintenance loop
+      // (graft.tools.SemanticMaintenance): the embeddings table minus a
+      // held-out fifth as the standing corpus, its cell index built once
+      // and persisted (the maintained-storage contract), and the held-out
+      // vectors streamed through the stream-static semantic dedup as one
+      // ingest epoch. The admitted count must equal the batch
+      // incrementalSemanticDedup on the same index exactly — a divergence
+      // fails the entry rather than record a timing for a different
+      // computation.
+      "streaming_semantic_epoch" -> (() => timed("streaming_semantic_epoch") {
+        import spark.implicits._
+        import graft.operators.Similarity
+        val thr = 0.4
+        val emb = Tables.embeddings(spark, sfDir)
+        val corpus = emb.where(col("vec_id") % 5 =!= 0)
+        val (centroids, idx0) = Similarity.semanticIndex(corpus)
+        val idx = idx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idx.count()
+        try {
+          val epoch = emb.where(col("vec_id") % 5 === 0)
+            .select(col("vec_id"), col("embedding"))
+            .as[(Long, Seq[Float])].collect().toSeq
+          val decisions = graft.tools.SemanticMaintenance.runEpoch(
+            spark, centroids, idx, epoch, thr, s"sem_epoch_${System.nanoTime()}")
+          val streamKeep = decisions.count(_._4)
+          val batchKeep = Similarity.incrementalSemanticDedup(
+              epoch.toDF("vec_id", "embedding"), centroids, idx, thr)
+            .where(col("keep")).count()
+          require(streamKeep == batchKeep && decisions.size == epoch.size,
+            s"streaming_semantic_epoch stream admitted $streamKeep of ${decisions.size}, " +
+              s"batch admitted $batchKeep of ${epoch.size}")
+          System.err.println(s"[bench] streaming_semantic_epoch admitted=$streamKeep " +
+            s"of ${epoch.size} (batch agrees)")
+        } finally { idx.unpersist(); () }
+      }),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference strong-scaling sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)

@@ -1432,6 +1432,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- batch incremental SemDeDup (the vector-space d12): a held-out
+    //      fifth of the embeddings deduplicates against the other four
+    //      fifths' maintained CELL INDEX under the full-corpus centroids —
+    //      the corpus is never self-joined, and the streaming form
+    //      (StreamingPipelines.semanticDedupStream) is value-identical on
+    //      a replay (StreamingSpec). Centroids deliberately train on the
+    //      full table with the default model so the exported-centroid
+    //      oracle replays assignment for BOTH sides. ----
+    "d18_incremental_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.trainIvfCentroids(emb, nlist = 16, dim = 64)
+      val cellIndex = Similarity.assignToCells(emb.where(col("vec_id") % 5 =!= 0), centroids)
+        .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb"))
+      Similarity.incrementalSemanticDedup(
+          emb.where(col("vec_id") % 5 === 0), centroids, cellIndex, CosineNearDupThreshold)
+        .orderBy("vec_id")
+    }),
+
     // ---- the embedding-side curation pipeline composed as ONE query:
     //      k-means assignment → outlier removal (3 farthest per cluster)
     //      → SemDeDup over the retained vectors → md5-rank diversity cap
@@ -1882,6 +1900,34 @@ object SparkEntry {
              |  FROM assign)
              |SELECT cluster, vec_id FROM sampled WHERE r <= 10
              |ORDER BY cluster, vec_id""".stripMargin,
+
+        // the incremental form: the held-out fifth (vec_id % 5 = 0) pairs
+        // against the other fifths' cell index under the same exported
+        // centroids; min dup id / max cosine per incoming vector
+        "d18_incremental_semantic_dedup" ->
+          s"""WITH centroids(c, nsq, w) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |dists AS (
+             |  SELECT v.vec_id, ct.c, ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d
+             |  FROM corp v CROSS JOIN centroids ct),
+             |ranked AS (SELECT vec_id, c,
+             |                  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+             |assign AS (SELECT vec_id, CAST(c AS INT) AS cluster FROM ranked WHERE rn = 1),
+             |nrm AS (
+             |  SELECT vec_id, list_transform(emb, x -> x / n) AS emb
+             |  FROM (SELECT vec_id, emb, sqrt(${dotq("emb", "emb")}) AS n FROM corp)),
+             |inc AS (SELECT vec_id, cluster FROM assign WHERE vec_id % 5 = 0),
+             |idx AS (SELECT vec_id AS c_id, cluster FROM assign WHERE vec_id % 5 <> 0),
+             |pairs AS (
+             |  SELECT inc.vec_id, idx.c_id, round(${dotq("na.emb", "nb.emb")}, 6) AS cosv
+             |  FROM inc JOIN idx ON inc.cluster = idx.cluster
+             |  JOIN nrm na ON na.vec_id = inc.vec_id
+             |  JOIN nrm nb ON nb.vec_id = idx.c_id),
+             |sc AS (SELECT vec_id, min(c_id) AS dup_of, max(cosv) AS best_cos
+             |       FROM pairs WHERE cosv >= $CosineNearDupThreshold GROUP BY vec_id)
+             |SELECT inc.vec_id, sc.dup_of, sc.best_cos, sc.dup_of IS NULL AS keep
+             |FROM inc LEFT JOIN sc USING (vec_id)
+             |ORDER BY inc.vec_id""".stripMargin,
 
         // the same centroid assignment + normalize-then-dot cosine as the
         // SemDeDup oracle, with the shared md5 hash split cutting the

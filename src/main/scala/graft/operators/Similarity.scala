@@ -576,14 +576,67 @@ object Similarity {
   /** (vec_id, cluster, normalized embedding) under the deterministic
     * k-means — the shared prefix of [[semanticDedup]] and
     * [[semanticNearDupPairs]]. */
-  private def clusterAssigned(corpus: DataFrame,
-      dim: Int, nlist: Int, seed: Long): DataFrame = {
-    val centroids = trainIvfCentroids(corpus, nlist, dim, seed = seed)
-    corpus
-      .select(col("vec_id").cast("long").as("vec_id"), asDouble(col("embedding")).as("emb"))
+  /** Assignment-only projection under EXPORTED centroids — no training:
+    * (vec_id, cluster, nemb) plus any `carry` columns preserved verbatim.
+    * Being a pure row-wise projection over broadcast-literal centroids, it
+    * applies unchanged to a STREAMING frame — the stream-side epoch path
+    * of the maintained semantic index assigns new vectors to the standing
+    * cells without retraining ([[graft.streaming.StreamingPipelines
+    * .semanticDedupStream]]). */
+  def assignToCells(vectors: DataFrame, centroids: Array[Array[Double]],
+      carry: Seq[String] = Nil): DataFrame =
+    vectors
+      .select((col("vec_id").cast("long").as("vec_id") +:
+        asDouble(col("embedding")).as("emb") +: carry.map(col)): _*)
       .withColumn("cluster", array_min(centroidDists(col("emb"), centroids)).getField("c").cast("int"))
       .withColumn("nemb", normalized(col("emb")))
-      .select("vec_id", "cluster", "nemb")
+      .select(("vec_id" +: "cluster" +: "nemb" +: carry).map(col): _*)
+
+  private def clusterAssigned(corpus: DataFrame,
+      dim: Int, nlist: Int, seed: Long): DataFrame =
+    assignToCells(corpus, trainIvfCentroids(corpus, nlist, dim, seed = seed))
+
+  /** The standing corpus's SEMANTIC index: the exported centroids plus the
+    * per-cell normalized vectors (cluster, c_id, c_nemb) — the static side
+    * a streaming semantic dedup/audit joins against, and the vector-space
+    * counterpart of the lexical signature index
+    * ([[graft.streaming.StreamingPipelines.dedupIndex]]). At 100 TB this
+    * is materialized storage maintained across epochs (admitted vectors'
+    * assignments appended, cells intact); an epoch of new embeddings joins
+    * it through [[assignToCells]]' projection — centroids retrain only on
+    * scheduled full rebuilds, never per epoch. */
+  def semanticIndex(corpus: DataFrame, dim: Int = 64, nlist: Int = 16,
+      seed: Long = 42L): (Array[Array[Double]], DataFrame) = {
+    val centroids = trainIvfCentroids(corpus, nlist, dim, seed = seed)
+    (centroids, assignToCells(corpus, centroids)
+      .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb")))
+  }
+
+  /** Batch incremental SemDeDup — the embedding-space analogue of
+    * [[Dedup.incrementalDedup]] (d12): incoming vectors deduplicate
+    * against a STANDING corpus index under the corpus-trained centroids;
+    * the corpus is never self-joined. One row per incoming vector:
+    * `dup_of` = the smallest corpus id within cosine `threshold` (null
+    * when novel), `best_cos`, `keep`. The streaming form
+    * ([[graft.streaming.StreamingPipelines.semanticDedupStream]]) is
+    * value-identical on a replay — pinned in StreamingSpec.
+    *
+    * Scale shape: candidates are confined to the incoming vector's k-means
+    * cell (one equi-join against the maintained index, Σ|cell∩incoming|·
+    * |cell| pairs, never n²); the per-vector aggregate combines map-side;
+    * the final left join is ids+scalars. */
+  def incrementalSemanticDedup(incoming: DataFrame,
+      centroids: Array[Array[Double]], cellIndex: DataFrame,
+      threshold: Double): DataFrame = {
+    val inc = assignToCells(incoming, centroids)
+    val hits = inc.join(cellIndex, Seq("cluster"))
+      .withColumn("cos", round(dot(col("nemb"), col("c_nemb")), 6))
+      .where(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(min(col("c_id")).as("dup_of"), max(col("cos")).as("best_cos"))
+    inc.select("vec_id")
+      .join(hits, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
   }
 
   /** Exact-cosine near-duplicate pairs scored WITHIN k-means clusters only

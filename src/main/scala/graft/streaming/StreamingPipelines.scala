@@ -620,6 +620,101 @@ object StreamingPipelines {
       .select("doc_id", "n_windows", "n_leaked", "leak_frac")
   }
 
+  /** Streaming SEMANTIC dedup — the vector-space form of
+    * [[incrementalDedupStream]], and the streaming consumer of the
+    * maintained semantic index ([[graft.operators.Similarity
+    * .semanticIndex]]): incoming vectors are assigned to the standing
+    * k-means cells by [[graft.operators.Similarity.assignToCells]]' pure
+    * projection (exported centroids — NO retraining per epoch), candidates
+    * come from a STATELESS stream-static left-outer equi-join on the cell,
+    * exact cosine verifies row-wise, and the only stateful operator is the
+    * watermark-bounded per-(vector, event-time) min/max aggregate. Output
+    * per vector: `vec_id`, `dup_of` (smallest corpus id within cosine
+    * `threshold`, null when novel), `best_cos`, `keep` — exactly the batch
+    * [[graft.operators.Similarity.incrementalSemanticDedup]] columns
+    * (value-equal on a replay; StreamingSpec pins it, including an
+    * epoch-appended index catching cross-epoch duplicates).
+    *
+    * At 100 TB the `cellIndex` side is the maintained index on storage
+    * (appended BETWEEN queries with the admitted vectors' assignments —
+    * same contract as [[dedupIndex]]); candidate pairing stays confined to
+    * cells, and embeddings never shuffle — the cell join is the stream's
+    * only wide edge and it carries (id, cell, normalized vector) rows. */
+  def semanticDedupStream(incoming: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Double]], cellIndex: org.apache.spark.sql.DataFrame,
+      tsCol: String, watermarkDelay: String, threshold: Double)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val inc = Similarity.assignToCells(incoming, centroids, carry = Seq(tsCol))
+      .withColumnRenamed(tsCol, "__ts")
+      .withWatermark("__ts", watermarkDelay)
+    inc.join(cellIndex, Seq("cluster"), "left_outer")
+      .withColumn("cos", when(col("c_nemb").isNotNull,
+        round(graft.expressions.GraftExpressions.dot(col("nemb"), col("c_nemb")), 6)))
+      .withColumn("dup_id", when(col("cos") >= threshold, col("c_id")))
+      .withColumn("dup_c", when(col("cos") >= threshold, col("cos")))
+      .groupBy(col("vec_id"), col("__ts"))
+      .agg(min(col("dup_id")).as("dup_of"), max(col("dup_c")).as("best_cos"))
+      .withColumn("keep", col("dup_of").isNull)
+      .select("vec_id", "dup_of", "best_cos", "keep")
+  }
+
+  /** Streaming HYBRID cross-split leakage monitor — [[splitLeakageStream]]
+    * (verbatim n-gram windows) plus the SEMANTIC signal (embedding-cosine
+    * near-train, [[graft.operators.Similarity.semanticSplitLeakage]]'s
+    * rule) in ONE query: a test document leaks if EITHER signal fires,
+    * exactly batch `q_split_leakage_hybrid`'s columns (doc_id, n_leaked,
+    * n_near, leaked) on a replay (StreamingSpec pins it).
+    *
+    * Both signals reduce to probe rows unioned into ONE watermark-bounded
+    * aggregate — no stream-stream join: window-hash probes left-join the
+    * train window index ([[graft.operators.Dedup.windowHashIndex]]), cell
+    * probes left-join the train CELL index (the full-corpus-trained
+    * centroids' assignments restricted to the train split — the
+    * [[graft.operators.Similarity.semanticIndex]] shape), and one
+    * groupBy(doc, event-time) counts each signal's hits from its own
+    * column. Text and embeddings stay row-wise; only (id, hash) and
+    * (id, cell, normalized vector) rows reach the joins. */
+  def hybridLeakageStream(incoming: org.apache.spark.sql.DataFrame,
+      windowIndex: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Double]], trainCellIndex: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, embCol: String, tsCol: String,
+      watermarkDelay: String, n: Int, threshold: Double)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Similarity, TextOps}
+    val toks = TextOps.tokens(col(textCol))
+    val winHashes = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    // n-gram probes: (doc, ts, h) left-joined to the window index
+    val lex = incoming
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+        explode_outer(winHashes).as("h"))
+      .join(windowIndex.select(col("h"), lit(1).as("__lex_hit")), Seq("h"), "left_outer")
+      .select(col("doc_id"), col("__ts"),
+        col("__lex_hit"), lit(null).cast("int").as("__sem_hit"))
+    // semantic probes: assignment projection, cell left-join, cosine gate
+    val sem = Similarity.assignToCells(
+        incoming.select(col(idCol).cast("long").as("vec_id"),
+          col(embCol).as("embedding"), col(tsCol).as("__ts")),
+        centroids, carry = Seq("__ts"))
+      .join(trainCellIndex, Seq("cluster"), "left_outer")
+      .withColumn("cos", when(col("c_nemb").isNotNull,
+        round(graft.expressions.GraftExpressions.dot(col("nemb"), col("c_nemb")), 6)))
+      .select(col("vec_id").as("doc_id"), col("__ts"),
+        lit(null).cast("int").as("__lex_hit"),
+        when(col("cos") >= threshold, lit(1)).cast("int").as("__sem_hit"))
+    lex.unionByName(sem)
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(col("doc_id"), col("__ts"))
+      .agg(count(col("__lex_hit")).as("n_leaked"), count(col("__sem_hit")).as("n_near"))
+      .withColumn("leaked", col("n_leaked") > 0 || col("n_near") > 0)
+      .select("doc_id", "n_leaked", "n_near", "leaked")
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingPipelines
+
+/** Steady-state SEMANTIC index maintenance — the vector-space counterpart
+  * of [[CorpusMaintenance]]: an epoch of new embeddings streams through
+  * [[StreamingPipelines.semanticDedupStream]] against the standing cell
+  * index (assignment under the EXPORTED centroids — no retraining), and
+  * the admitted vectors' assignments are appended to the index BETWEEN
+  * queries ([[appendedIndex]]), so the next epoch deduplicates against
+  * everything previously admitted. Centroids retrain only on scheduled
+  * full rebuilds — the contract that makes per-epoch ingest a pure
+  * projection plus one cell join at any corpus size. */
+object SemanticMaintenance {
+
+  /** Flush rows (two strictly later event times finalize the watermarked
+    * aggregate) use ids at or above this base and are excluded. */
+  val FlushIdBase = 1000000000L
+
+  /** One ingest epoch: streams `batch` through the semantic dedup against
+    * `cellIndex`, returns every decision row (vec_id, dup_of, best_cos,
+    * keep). `queryName` must be unique per live memory sink. */
+  def runEpoch(spark: SparkSession, centroids: Array[Array[Double]],
+      cellIndex: DataFrame, batch: Seq[(Long, Seq[Float])],
+      threshold: Double, queryName: String)
+      : Seq[(Long, Option[Long], Option[Double], Boolean)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val out = StreamingPipelines.semanticDedupStream(
+      mem.toDF().toDF("vec_id", "embedding", "ts"),
+      centroids, cellIndex, "ts", watermarkDelay = "0 seconds", threshold)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    // a unit flush vector: decodable by the normalization path, and its
+    // id keeps it out of the returned decisions
+    val flushVec: Seq[Float] = 1f +: Seq.fill(63)(0f)
+    try {
+      mem.addData(batch.map { case (id, e) => (id, e, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      mem.addData(Seq((FlushIdBase, flushVec, new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((FlushIdBase + 1L, flushVec, new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName)
+      .where(col("vec_id") < FlushIdBase)
+      .select("vec_id", "dup_of", "best_cos", "keep")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSeq
+  }
+
+  /** The maintained index after an epoch: the standing index plus the
+    * ADMITTED vectors' cell assignments (same exported centroids). At
+    * 100 TB this is an append to the stored index table, not a rebuild. */
+  def appendedIndex(cellIndex: DataFrame, admitted: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    cellIndex.unionByName(
+      graft.operators.Similarity.assignToCells(admitted, centroids)
+        .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb")))
+}

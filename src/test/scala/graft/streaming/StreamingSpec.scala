@@ -724,4 +724,116 @@ class StreamingSpec extends AnyFunSuite {
     assert(hist("easy") === 1L)
     assert(hist("again") === 1L)
   }
+
+  test("semantic incremental dedup: streaming equals batch; epoch-appended index catches cross-epoch dups") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.tools.SemanticMaintenance
+    val thr = 0.4
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    val (centroids, cellIndex0) = Similarity.semanticIndex(corpus)
+    val cellIndex = cellIndex0.cache()
+    val epoch1 = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(epoch1.nonEmpty)
+
+    // epoch 1: stream == batch, value for value
+    val batch1 = Similarity.incrementalSemanticDedup(
+        epoch1.toDF("vec_id", "embedding"), centroids, cellIndex, thr)
+      .select("vec_id", "dup_of", "best_cos", "keep")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSet
+    val stream1 = SemanticMaintenance.runEpoch(
+      spark, centroids, cellIndex, epoch1, thr, "semdedup1").toSet
+    assert(stream1 === batch1, s"epoch-1 streaming $stream1 != batch $batch1")
+    val admitted1 = stream1.collect { case (id, _, _, true) => id }
+    assert(admitted1.nonEmpty, "need novel epoch-1 vectors for the maintenance half")
+    assert(stream1.exists(!_._4), "need at least one epoch-1 duplicate too")
+
+    // maintain the index BETWEEN queries: admitted assignments appended
+    val admittedDf = epoch1.filter(e => admitted1.contains(e._1))
+      .toDF("vec_id", "embedding")
+    val cellIndex2 = SemanticMaintenance.appendedIndex(cellIndex, admittedDf, centroids).cache()
+
+    // epoch 2: exact copies of every epoch-1 vector under new ids. Every
+    // copy must be rejected — and a copy of an ADMITTED original's only
+    // within-threshold match can be the original itself when the original
+    // was novel, so dup_of pins the maintenance precisely.
+    val epoch2 = epoch1.map { case (id, e) => (id + 100000L, e) }
+    val batch2 = Similarity.incrementalSemanticDedup(
+        epoch2.toDF("vec_id", "embedding"), centroids, cellIndex2, thr)
+      .select("vec_id", "dup_of", "best_cos", "keep")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSet
+    val stream2 = SemanticMaintenance.runEpoch(
+      spark, centroids, cellIndex2, epoch2, thr, "semdedup2").toSet
+    assert(stream2 === batch2, s"epoch-2 streaming $stream2 != batch $batch2")
+    assert(stream2.forall(!_._4), "an exact copy of an indexed vector was admitted")
+    for (id <- admitted1)
+      assert(stream2.exists { case (cid, dup, cos, _) =>
+        cid == id + 100000L && dup.contains(id) && cos.contains(1.0) },
+        s"copy of admitted vector $id did not dedup against the appended index")
+    cellIndex.unpersist(); cellIndex2.unpersist()
+  }
+
+  test("hybrid leakage monitor: streaming equals batch q_split_leakage_hybrid on a replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CoreOps, Dedup, Similarity}
+    val thr = 0.4
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val batch = graft.SparkEntry.queries("q_split_leakage_hybrid")(spark, sfDir)
+      .select("doc_id", "n_leaked", "n_near", "leaked")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(batch.nonEmpty)
+
+    // the monitor's standing state: train window index + full-corpus
+    // centroids + train cell index, all materialized once per snapshot
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val docSplit = CoreOps.hashSplit(docs, "doc_id", splits)
+    val embSplit = CoreOps.hashSplit(emb, "vec_id", splits)
+    val train = docSplit.where(col("split") === "train")
+    val winIdx = Dedup.windowHashIndex(train, "doc_id", "text", n = 8).cache()
+    val centroids = Similarity.trainIvfCentroids(emb, nlist = 16, dim = 64)
+    val trainCell = Similarity.assignToCells(
+        embSplit.where(col("split") === "train"), centroids)
+      .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb"))
+      .cache()
+    // incoming test docs carry text AND embedding (1:1 by id)
+    val testRows = docSplit.where(col("split") === "test").select("doc_id", "text")
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .as[(Long, String, Seq[Float])].collect().toSeq
+    assert(testRows.nonEmpty)
+
+    val mem = MemoryStream[(Long, String, Seq[Float], java.sql.Timestamp)]
+    val audited = StreamingPipelines.hybridLeakageStream(
+      mem.toDF().toDF("doc_id", "text", "embedding", "ts"),
+      winIdx, centroids, trainCell,
+      "doc_id", "text", "embedding", "ts",
+      watermarkDelay = "0 seconds", n = 8, threshold = thr)
+    val q = audited.writeStream.outputMode("append").format("memory")
+      .queryName("hybridleak").start()
+    val flushVec: Seq[Float] = 1f +: Seq.fill(63)(0f)
+    try {
+      // two epochs, then flushes to finalize the watermark
+      val (a, b) = testRows.splitAt(testRows.size / 2)
+      mem.addData(a.map { case (id, t, e) => (id, t, e, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      mem.addData(b.map { case (id, t, e) => (id, t, e, new java.sql.Timestamp(2000L)) })
+      q.processAllAvailable()
+      mem.addData(Seq((-1L, "flush", flushVec, new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((-2L, "flush", flushVec, new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally { q.stop(); winIdx.unpersist(); trainCell.unpersist() }
+
+    val streamed = spark.table("hybridleak")
+      .where(col("doc_id") >= 0)
+      .select("doc_id", "n_leaked", "n_near", "leaked")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+    // both signals must actually fire somewhere for the pin to mean much
+    assert(batch.exists(_._2 > 0) || batch.exists(_._3 > 0))
+  }
 }
