@@ -857,25 +857,7 @@ object SparkEntry {
     //      materialization pattern). Training itself is pinned against a
     //      from-scratch single-node replica in BpeTrainSpec. ----
     "x13_bpe_train" -> ((s, d) => {
-      val path = s"/tmp/graft_x13_bpe_model_${ProcessHandle.current().pid()}_" +
-        d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
-      if (!lastX13ModelPath.contains(path)) {
-        // sweep models left by dead JVMs (never this round's live ones)
-        Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.matches("graft_x13_bpe_model_\\d+_.*\\.parquet"))
-          .foreach { f =>
-            val pid = f.getName.stripPrefix("graft_x13_bpe_model_")
-              .takeWhile(_.isDigit).toLong
-            val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-            if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
-          }
-        val (merges, wordTokens) =
-          TextOps.bpeTrain(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
-            numMerges = X13NumMerges)
-        wordTokens.write.mode("overwrite").parquet(path)
-        lastX13Merges = Some(merges)
-        lastX13ModelPath = Some(path)
-      }
+      val path = ensureBpeModel(s, d)
       val words = Tables.documents(s, d).select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")),
           lit(TextOps.BpePretokenPattern), lit(0))).as("word"))
@@ -883,6 +865,27 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_pretokens"), sum("n_tokens").as("n_bpe_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---- the tokenizer-design pipeline end-to-end: learn the merges from
+    //      the corpus (x13's trained model), derive the TRAINED token
+    //      vocabulary's frequency table (token frequency = Σ word freq ×
+    //      multiplicity — a vocabulary-cardinality explode, never the
+    //      corpus), and answer the design question q_vocab_coverage asks —
+    //      the smallest learned-token vocabulary covering ≥95% of token
+    //      occurrences — on the same single-task-free global prefix sum.
+    //      The oracle replays everything from the exported model. ----
+    "e2e_tokenizer_vocab" -> ((s, d) => {
+      val path = ensureBpeModel(s, d)
+      val counts = s.read.parquet(path)
+        .select(explode(col("tokens")).as("token"), col("freq"))
+        .groupBy("token").agg(sum("freq").as("cnt"))
+      val (withCum, total) = CoreOps.globalPrefixSumWithTotal(counts,
+        Seq(col("cnt").desc, col("token")), "cnt", "cum_before")
+      val need = (95L * total + 99L) / 100L
+      withCum.where(col("cum_before") < need)
+        .select("token", "cnt", "cum_before")
+        .orderBy(col("cnt").desc, col("token"))
     }),
 
     // ---- quality scoring ----
@@ -1760,12 +1763,40 @@ object SparkEntry {
   /** Merge budget of the x13 BPE training gate (shared by gate + specs). */
   val X13NumMerges = 150
 
-  /** Where the x13 gate exported its trained (word, n_tokens) model, and
-    * the learned merge list itself (spec introspection). The path embeds
-    * pid AND sf dir: the bench's cross-sf scaling rerun must retrain at the
-    * small sf rather than silently applying the big-sf model. */
+  /** Where the x13 gate exported its trained (word, n_tokens, freq,
+    * tokens) model, and the learned merge list itself (spec
+    * introspection). The path embeds pid AND sf dir: the bench's cross-sf
+    * scaling rerun must retrain at the small sf rather than silently
+    * applying the big-sf model. */
   @volatile private var lastX13ModelPath: Option[String] = None
   @volatile private[graft] var lastX13Merges: Option[Seq[(String, String)]] = None
+
+  /** Train-once-per-(JVM, sf) BPE model export shared by the x13 gate and
+    * the e2e tokenizer gate: sweeps dead-JVM leftovers (the s3 pattern),
+    * trains [[graft.operators.TextOps.bpeTrain]] on the corpus, and
+    * materializes the model parquet the gates AND the DuckDB oracles read. */
+  private def ensureBpeModel(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_x13_bpe_model_${ProcessHandle.current().pid()}_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    if (!lastX13ModelPath.contains(path)) {
+      // sweep models left by dead JVMs (never this round's live ones)
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("graft_x13_bpe_model_\\d+_.*\\.parquet"))
+        .foreach { f =>
+          val pid = f.getName.stripPrefix("graft_x13_bpe_model_")
+            .takeWhile(_.isDigit).toLong
+          val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+          if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
+        }
+      val (merges, wordTokens) =
+        TextOps.bpeTrain(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
+          numMerges = X13NumMerges)
+      wordTokens.write.mode("overwrite").parquet(path)
+      lastX13Merges = Some(merges)
+      lastX13ModelPath = Some(path)
+    }
+    path
+  }
 
   /** Tokenization oracle over the x13 gate's exported model: DuckDB
     * re-derives every document's pre-tokens with the SAME RE2-compatible
@@ -1774,17 +1805,37 @@ object SparkEntry {
     * hash match proves the trained model covers the corpus vocabulary and
     * the apply path agrees with it. DuckDB's sum(BIGINT) widens to
     * HUGEINT, hence the explicit casts. */
-  private def x13OracleSql: Map[String, String] = lastX13ModelPath.toSeq.map { path =>
+  private def x13OracleSql: Map[String, String] = lastX13ModelPath.toSeq.flatMap { path =>
     val p = graft.operators.TextOps.BpePretokenPattern.replace("'", "''")
-    "x13_bpe_train" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$p')) AS word
-         |  FROM documents),
-         |m AS (SELECT word, n_tokens FROM read_parquet('$path/*.parquet'))
-         |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
-         |       CAST(sum(m.n_tokens) AS BIGINT) AS n_bpe_tokens
-         |FROM w JOIN m USING (word)
-         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+    Seq(
+      "x13_bpe_train" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$p')) AS word
+           |  FROM documents),
+           |m AS (SELECT word, n_tokens FROM read_parquet('$path/*.parquet'))
+           |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+           |       CAST(sum(m.n_tokens) AS BIGINT) AS n_bpe_tokens
+           |FROM w JOIN m USING (word)
+           |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+      // the trained-token vocabulary replayed from the same exported
+      // model: token frequency = Σ word freq × multiplicity (unnest the
+      // per-word token arrays), then the q_vocab_coverage prefix rule
+      // (exclusive running sum, all-integer 95% ceiling) over learned
+      // tokens instead of whitespace words
+      "e2e_tokenizer_vocab" ->
+        s"""WITH tok AS (
+           |  SELECT unnest(tokens) AS token, freq
+           |  FROM read_parquet('$path/*.parquet')),
+           |c AS (SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM tok GROUP BY token),
+           |p AS (SELECT token, cnt,
+           |             CAST(COALESCE(sum(cnt) OVER (ORDER BY cnt DESC, token
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |      FROM c),
+           |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+           |SELECT token, cnt, cum_before FROM p, t
+           |WHERE cum_before < (95 * total + 99) // 100
+           |ORDER BY cnt DESC, token""".stripMargin)
   }.toMap
 
   /** Frequency-ranking oracle over the s3 gate's materialized generator

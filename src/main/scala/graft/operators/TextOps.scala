@@ -639,10 +639,12 @@ object TextOps {
     * the exported model. Stops early when no pair reaches `minPairFreq`.
     *
     * Returns the learned merges in rank order plus the final per-word
-    * tokenization (word, n_tokens, freq) — the vocabulary-cardinality
-    * model table an apply path joins against (or replays via
-    * [[bpeSegment]], which reproduces exactly this state; pinned in
-    * BpeTrainSpec).
+    * tokenization (word, n_tokens, freq, tokens) — the
+    * vocabulary-cardinality model table an apply path joins against (or
+    * replays via [[bpeSegment]], which reproduces exactly this state;
+    * pinned in BpeTrainSpec). The token arrays make the TRAINED token
+    * vocabulary itself replayable downstream (token frequency = Σ word
+    * freq × multiplicity — the tokenizer-design input).
     *
     * Scale shape: per round, the flatMap emits (pair, freq) rows that
     * partial-aggregate map-side, so the shuffle carries the PAIR-vocabulary
@@ -685,8 +687,8 @@ object TextOps {
       }
     }
     val wordTokens = syms
-      .map { case (ss, f) => (ss.mkString(""), ss.length.toLong, f) }
-      .toDF("word", "n_tokens", "freq")
+      .map { case (ss, f) => (ss.mkString(""), ss.length.toLong, f, ss.toSeq) }
+      .toDF("word", "n_tokens", "freq", "tokens")
     (merges.toSeq, wordTokens)
   }
 

@@ -74,10 +74,13 @@ class BpeTrainSpec extends AnyFunSuite {
     val (merges, wordTokens) = TextOps.bpeTrain(wf, numMerges = 40)
     val (replicaMerges, replicaSyms) = replicaTrain(wfLocal, numMerges = 40)
     assert(merges === replicaMerges, "distributed merge sequence diverged from replica")
-    val got = wordTokens.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = wordTokens.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getSeq[String](3).toList))).toMap
     assert(got.keySet === replicaSyms.keySet)
-    for ((w, ss) <- replicaSyms)
-      assert(got(w) === ss.length.toLong, s"token count mismatch for word '$w'")
+    for ((w, ss) <- replicaSyms) {
+      assert(got(w)._1 === ss.length.toLong, s"token count mismatch for word '$w'")
+      assert(got(w)._2 === ss, s"token sequence mismatch for word '$w'")
+    }
     // training is bit-deterministic: a second run learns the identical list
     val (merges2, _) = TextOps.bpeTrain(wf, numMerges = 40)
     assert(merges2 === merges)
