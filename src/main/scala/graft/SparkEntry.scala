@@ -867,6 +867,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-source tokenizer fertility under the TRAINED merges: BPE
+    //      tokens per pre-token and chars per BPE token, by source — the
+    //      balance metric multilingual/multisource corpus builds read
+    //      before setting mixture weights (a source whose text costs 2×
+    //      the tokens is half as cheap per document). Pre-tokens explode,
+    //      the vocabulary model broadcasts, and the aggregate lands at
+    //      SOURCE cardinality map-side — text never shuffles. ----
+    "q_tokenizer_fertility" -> ((s, d) => {
+      val path = ensureBpeModel(s, d)
+      val words = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(TextOps.BpePretokenPattern), lit(0))).as("word"))
+      words.join(broadcast(s.read.parquet(path).select("word", "n_tokens")), "word")
+        .groupBy("source")
+        .agg(sum("n_tokens").as("n_bpe_tokens"),
+          sum(length(col("word")).cast("long")).as("n_pretoken_chars"),
+          count(lit(1)).as("n_pretokens"))
+        .withColumn("fertility", TextOps.round4(
+          col("n_bpe_tokens").cast("double") / col("n_pretokens").cast("double")))
+        .withColumn("chars_per_token", TextOps.round4(
+          col("n_pretoken_chars").cast("double") / col("n_bpe_tokens").cast("double")))
+        .orderBy("source")
+    }),
+
     // ---- the tokenizer-design pipeline end-to-end: learn the merges from
     //      the corpus (x13's trained model), derive the TRAINED token
     //      vocabulary's frequency table (token frequency = Σ word freq ×
@@ -1817,6 +1841,25 @@ object SparkEntry {
            |       CAST(sum(m.n_tokens) AS BIGINT) AS n_bpe_tokens
            |FROM w JOIN m USING (word)
            |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+      // per-source fertility from the same exported model: identical
+      // pre-tokenizer + model join, aggregates at source cardinality;
+      // the ratios use the round4 fixed-point formula (floor(x·10⁴+0.5))
+      // both engines compute with the same IEEE ops
+      "q_tokenizer_fertility" ->
+        s"""WITH w AS (
+           |  SELECT source, unnest(regexp_extract_all(lower(text), '$p')) AS word
+           |  FROM documents),
+           |m AS (SELECT word, n_tokens FROM read_parquet('$path/*.parquet')),
+           |a AS (SELECT w.source,
+           |             CAST(sum(m.n_tokens) AS BIGINT) AS n_bpe_tokens,
+           |             CAST(sum(length(w.word)) AS BIGINT) AS n_pretoken_chars,
+           |             CAST(count(*) AS BIGINT) AS n_pretokens
+           |      FROM w JOIN m USING (word) GROUP BY w.source)
+           |SELECT source, n_bpe_tokens, n_pretoken_chars, n_pretokens,
+           |       floor(n_bpe_tokens::DOUBLE / n_pretokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS fertility,
+           |       floor(n_pretoken_chars::DOUBLE / n_bpe_tokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS chars_per_token
+           |FROM a ORDER BY source""".stripMargin,
 
       // the trained-token vocabulary replayed from the same exported
       // model: token frequency = Σ word freq × multiplicity (unnest the

@@ -97,6 +97,29 @@ class PlanShapeSpec extends AnyFunSuite {
         s"an exchange ships asset payloads (decode must stay in the scan map):\n$b")
   }
 
+  test("tokenizer family: fertility model broadcasts; no exchange carries text") {
+    for (name <- Seq("q_tokenizer_fertility", "e2e_tokenizer_vocab")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      for (b <- exchangeBlocks(df))
+        assert(!b.contains("text#"), s"$name ships corpus text through an exchange:\n$b")
+    }
+    val fert = SparkEntry.queries("q_tokenizer_fertility")(spark, sfDir)
+    assert(fert.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the vocabulary model must broadcast in the fertility gate")
+  }
+
+  test("d18 incremental semantic dedup: cell-confined, no cartesian, raw embeddings stay in scans") {
+    val df = SparkEntry.queries("d18_incremental_semantic_dedup")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental semantic dedup exploded into an all-pairs join:\n$plan")
+    // the cell equi-join legitimately carries the NORMALIZED vector (nemb);
+    // the raw embedding column itself must never cross an exchange
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("embedding#"),
+        s"a raw embedding column crosses an exchange:\n$b")
+  }
+
   test("duplicate spans: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     for ((name, df) <- Seq(
