@@ -1477,6 +1477,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- HYBRID incremental dedup (d17's either-signal rule at ingest):
+    //      the held-out fifth is admitted only when BOTH maintained
+    //      indexes say novel — lexical MinHash/Jaccard vs the corpus text
+    //      AND within-cell cosine vs the corpus embeddings (1:1 by id,
+    //      same % 5 split as d18, so the oracle composes the d12 and d18
+    //      CTE stacks through one final id join). ----
+    "d19_hybrid_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.trainIvfCentroids(emb, nlist = 16, dim = 64)
+      val cellIndex = Similarity.assignToCells(emb.where(col("vec_id") % 5 =!= 0), centroids)
+        .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb"))
+      Dedup.hybridIncrementalDedup(
+          docs.where(col("doc_id") % 5 =!= 0), docs.where(col("doc_id") % 5 === 0),
+          emb.where(col("vec_id") % 5 === 0), centroids, cellIndex,
+          "doc_id", "text", ShingleK, NumMinHashes, NumBands,
+          JaccardThreshold, CosineNearDupThreshold)
+        .orderBy("doc_id")
+    }),
+
     // ---- the embedding-side curation pipeline composed as ONE query:
     //      k-means assignment → outlier removal (3 farthest per cluster)
     //      → SemDeDup over the retained vectors → md5-rank diversity cap
@@ -2022,6 +2042,63 @@ object SparkEntry {
              |SELECT inc.vec_id, sc.dup_of, sc.best_cos, sc.dup_of IS NULL AS keep
              |FROM inc LEFT JOIN sc USING (vec_id)
              |ORDER BY inc.vec_id""".stripMargin,
+
+        // hybrid incremental oracle: the d12 lexical stack (sig → band →
+        // incoming×corpus candidates → exact Jaccard) and the d18 semantic
+        // stack (centroid assignment → cell-confined cosine), both on the
+        // % 5 split, combined through one final id join — keep = both null
+        "d19_hybrid_incremental_dedup" ->
+          s"""WITH $sigCte,
+             |$bandedCte,
+             |cands AS (
+             |  SELECT i.doc_id AS doc_a, c.doc_id AS doc_b
+             |  FROM banded i JOIN banded c ON i.band = c.band AND i.bucket = c.bucket
+             |  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+             |  GROUP BY 1, 2),
+             |jsh AS ($DuckShingles),
+             |jh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM jsh),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM jh GROUP BY doc_id),
+             |linter AS (SELECT ca.doc_a, ca.doc_b, count(*) AS inter
+             |           FROM cands ca
+             |           JOIN jh x ON x.doc_id = ca.doc_a
+             |           JOIN jh y ON y.doc_id = ca.doc_b AND y.h = x.h
+             |           GROUP BY 1, 2),
+             |lverified AS (
+             |  SELECT doc_a, doc_b,
+             |         round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+             |  FROM linter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold),
+             |lmatch AS (
+             |  SELECT doc_a AS doc_id, CAST(min(doc_b) AS BIGINT) AS lex_dup_of,
+             |         max(jaccard) AS best_jaccard
+             |  FROM lverified GROUP BY doc_a),
+             |centroids(c, nsq, w) AS (VALUES $values),
+             |ecorp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |edists AS (
+             |  SELECT v.vec_id, ct.c, ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d
+             |  FROM ecorp v CROSS JOIN centroids ct),
+             |eranked AS (SELECT vec_id, c,
+             |                   row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM edists),
+             |eassign AS (SELECT vec_id, CAST(c AS INT) AS cluster FROM eranked WHERE rn = 1),
+             |enrm AS (
+             |  SELECT vec_id, list_transform(emb, x -> x / n) AS emb
+             |  FROM (SELECT vec_id, emb, sqrt(${dotq("emb", "emb")}) AS n FROM ecorp)),
+             |einc AS (SELECT vec_id, cluster FROM eassign WHERE vec_id % 5 = 0),
+             |eidx AS (SELECT vec_id AS c_id, cluster FROM eassign WHERE vec_id % 5 <> 0),
+             |epairs AS (
+             |  SELECT einc.vec_id, eidx.c_id, round(${dotq("na.emb", "nb.emb")}, 6) AS cosv
+             |  FROM einc JOIN eidx ON einc.cluster = eidx.cluster
+             |  JOIN enrm na ON na.vec_id = einc.vec_id
+             |  JOIN enrm nb ON nb.vec_id = eidx.c_id),
+             |smatch AS (SELECT vec_id AS doc_id, CAST(min(c_id) AS BIGINT) AS sem_dup_of,
+             |                  max(cosv) AS best_cos
+             |           FROM epairs WHERE cosv >= $CosineNearDupThreshold GROUP BY vec_id)
+             |SELECT d.doc_id, l.lex_dup_of, l.best_jaccard, s.sem_dup_of, s.best_cos,
+             |       l.lex_dup_of IS NULL AND s.sem_dup_of IS NULL AS keep
+             |FROM documents d
+             |LEFT JOIN lmatch l ON d.doc_id = l.doc_id
+             |LEFT JOIN smatch s ON d.doc_id = s.doc_id
+             |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
 
         // the same centroid assignment + normalize-then-dot cosine as the
         // SemDeDup oracle, with the shared md5 hash split cutting the

@@ -647,4 +647,36 @@ object Dedup {
         (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** HYBRID incremental dedup — d17's either-signal rule applied at ingest:
+    * an incoming document is admitted only when BOTH maintained indexes say
+    * novel — the lexical signature index ([[incrementalDedup]]'s
+    * MinHash/LSH → Jaccard rule over the corpus text) AND the semantic
+    * cell index ([[Similarity.incrementalSemanticDedup]]'s
+    * within-cell cosine rule over the corpus embeddings; documents and
+    * embeddings are 1:1 by id). One row per incoming document with both
+    * signals' verdicts: `lex_dup_of`/`best_jaccard`, `sem_dup_of`/
+    * `best_cos`, and `keep` = both null. The streaming form
+    * ([[graft.streaming.StreamingPipelines.hybridDedupStream]]) is
+    * value-identical on a replay (StreamingSpec).
+    *
+    * Scale shape: each signal keeps its own incremental shape (bucket
+    * equi-join / cell equi-join against maintained indexes — the corpus is
+    * never self-joined) and the final combine is one 1:1 id join of
+    * ids+scalars. */
+  def hybridIncrementalDedup(corpusDocs: DataFrame, incomingDocs: DataFrame,
+      incomingEmb: DataFrame, centroids: Array[Array[Double]],
+      cellIndex: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, numBands: Int,
+      jaccardThreshold: Double, cosThreshold: Double): DataFrame = {
+    val lex = incrementalDedup(corpusDocs, incomingDocs, idCol, textCol,
+        k, numHashes, numBands, jaccardThreshold)
+      .select(col("doc_id"), col("dup_of").as("lex_dup_of"), col("best_jaccard"))
+    val sem = Similarity.incrementalSemanticDedup(incomingEmb, centroids,
+        cellIndex, cosThreshold)
+      .select(col("vec_id").as("doc_id"),
+        col("dup_of").as("sem_dup_of"), col("best_cos"))
+    lex.join(sem, Seq("doc_id"))
+      .withColumn("keep", col("lex_dup_of").isNull && col("sem_dup_of").isNull)
+  }
 }

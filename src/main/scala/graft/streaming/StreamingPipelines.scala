@@ -715,6 +715,80 @@ object StreamingPipelines {
       .select("doc_id", "n_leaked", "n_near", "leaked")
   }
 
+  /** Streaming HYBRID incremental dedup — ONE ingest query consulting BOTH
+    * maintained indexes: the lexical signature index
+    * ([[incrementalDedupStream]]'s row-wise MinHash → bucket join → exact
+    * Jaccard machinery) and the semantic cell index
+    * ([[semanticDedupStream]]'s exported-centroid assignment → cell join →
+    * cosine). Both signals reduce to probe rows unioned into one
+    * watermark-bounded aggregate (the [[hybridLeakageStream]] move applied
+    * to dedup — no stream-stream join); output per document is exactly
+    * batch [[graft.operators.Dedup.hybridIncrementalDedup]]'s columns
+    * (lex_dup_of, best_jaccard, sem_dup_of, best_cos, keep = both null),
+    * value-equal on a replay (StreamingSpec).
+    *
+    * At 100 TB both static sides are maintained storage (the signature
+    * index and the cell index, appended between queries); text and
+    * embeddings stay row-wise — the joins carry (id, band, bucket,
+    * shingle-hash set) and (id, cell, normalized vector) rows only. */
+  def hybridDedupStream(incoming: org.apache.spark.sql.DataFrame,
+      staticIndex: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+      centroids: Array[Array[Double]], cellIndex: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, embCol: String, tsCol: String,
+      watermarkDelay: String, k: Int, numHashes: Int, numBands: Int,
+      jaccardThreshold: Double, cosThreshold: Double, seed: Long = 42L)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.GraftExpressions
+    import graft.operators.Similarity
+    require(numHashes % numBands == 0, "numHashes must divide into equal bands")
+    val rowsPerBand = numHashes / numBands
+    val bucketStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        when(col("__sig").isNotNull,
+          md5(concat_ws(",", ((b * rowsPerBand) until ((b + 1) * rowsPerBand))
+            .map(j => element_at(col("__sig"), j + 1).cast("string")): _*))).as("bucket"))
+    }
+    val (staticBuckets, staticSets) = staticIndex
+    val lex = incoming
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+        GraftExpressions.shingleHashSet(col(textCol), k).as("hs"),
+        GraftExpressions.minhashShingleSigs(col(textCol), k, numHashes, seed).as("__sig"))
+      .select(col("doc_id"), col("__ts"), col("hs"),
+        explode(array(bucketStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("__ts"), col("hs"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(staticBuckets, Seq("band", "bucket"), "left_outer")
+      .join(staticSets, col("c_id") === col("c_set_id"), "left_outer")
+      .withColumn("inter", size(array_intersect(col("hs"), col("hs_c"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs")) + size(col("hs_c")) - col("inter")).cast("double"), 6))
+      .select(col("doc_id"), col("__ts"),
+        when(col("jaccard") >= jaccardThreshold, col("c_id")).as("lex_dup_id"),
+        when(col("jaccard") >= jaccardThreshold, col("jaccard")).as("lex_j"),
+        lit(null).cast("long").as("sem_dup_id"),
+        lit(null).cast("double").as("sem_cos"))
+    val sem = Similarity.assignToCells(
+        incoming.select(col(idCol).cast("long").as("vec_id"),
+          col(embCol).as("embedding"), col(tsCol).as("__ts")),
+        centroids, carry = Seq("__ts"))
+      .join(cellIndex, Seq("cluster"), "left_outer")
+      .withColumn("cos", when(col("c_nemb").isNotNull,
+        round(graft.expressions.GraftExpressions.dot(col("nemb"), col("c_nemb")), 6)))
+      .select(col("vec_id").as("doc_id"), col("__ts"),
+        lit(null).cast("long").as("lex_dup_id"),
+        lit(null).cast("double").as("lex_j"),
+        when(col("cos") >= cosThreshold, col("c_id")).as("sem_dup_id"),
+        when(col("cos") >= cosThreshold, col("cos")).as("sem_cos"))
+    lex.unionByName(sem)
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(col("doc_id"), col("__ts"))
+      .agg(min(col("lex_dup_id")).as("lex_dup_of"), max(col("lex_j")).as("best_jaccard"),
+        min(col("sem_dup_id")).as("sem_dup_of"), max(col("sem_cos")).as("best_cos"))
+      .withColumn("keep", col("lex_dup_of").isNull && col("sem_dup_of").isNull)
+      .select("doc_id", "lex_dup_of", "best_jaccard", "sem_dup_of", "best_cos", "keep")
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

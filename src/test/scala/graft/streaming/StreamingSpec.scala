@@ -776,6 +776,80 @@ class StreamingSpec extends AnyFunSuite {
     cellIndex.unpersist(); cellIndex2.unpersist()
   }
 
+  test("hybrid incremental dedup: streaming equals batch; each signal fires independently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Similarity}
+    // one-hot embeddings make the semantic signal fully controllable:
+    // same basis vector → cos 1.0, different → cos 0.0
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(64)(j => if (j == i) 1f else 0f)
+    val corpusDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "an entirely different corpus document about spark shuffles and joins"),
+      (2L, "a third corpus document that talks about watermarks and event time")
+    ).toDF("doc_id", "text")
+    val corpusEmb = Seq((0L, oneHot(0)), (1L, oneHot(1)), (2L, oneHot(2)))
+      .toDF("vec_id", "embedding")
+    val incoming = Seq(
+      // lexical dup of 0, semantically novel
+      (10L, "the quick brown fox jumps over the lazy dog again and again today", oneHot(40)),
+      // textually novel, semantic dup of 1
+      (11L, "completely fresh words that never appeared in the standing corpus", oneHot(1)),
+      // both signals fire (text of 2, embedding of 2)
+      (12L, "a third corpus document that talks about watermarks and event time", oneHot(2)),
+      // both novel → the only admit
+      (13L, "genuinely new content with a genuinely new embedding vector here", oneHot(41)))
+
+    val centroids = Similarity.trainIvfCentroids(corpusEmb, nlist = 2, dim = 64)
+    val cellIndex = Similarity.assignToCells(corpusEmb, centroids)
+      .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb")).cache()
+    val (k, nh, nb, jThr, cThr) = (3, 8, 4, 0.5, 0.4)
+
+    val batch = Dedup.hybridIncrementalDedup(
+        corpusDocs, incoming.map(r => (r._1, r._2)).toDF("doc_id", "text"),
+        incoming.map(r => (r._1, r._3)).toDF("vec_id", "embedding"),
+        centroids, cellIndex, "doc_id", "text", k, nh, nb, jThr, cThr)
+      .select("doc_id", "lex_dup_of", "best_jaccard", "sem_dup_of", "best_cos", "keep")
+      .as[(Long, Option[Long], Option[Double], Option[Long], Option[Double], Boolean)]
+      .collect().toSet
+
+    val idx = StreamingPipelines.dedupIndex(corpusDocs, "doc_id", "text", k, nh, nb)
+    val mem = MemoryStream[(Long, String, Seq[Float], java.sql.Timestamp)]
+    val out = StreamingPipelines.hybridDedupStream(
+      mem.toDF().toDF("doc_id", "text", "embedding", "ts"),
+      idx, centroids, cellIndex,
+      "doc_id", "text", "embedding", "ts",
+      watermarkDelay = "0 seconds", k, nh, nb, jThr, cThr)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("hybriddedup").start()
+    val flushVec: Seq[Float] = 1f +: Seq.fill(63)(0f)
+    try {
+      mem.addData(incoming.map { case (id, t, e) => (id, t, e, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      mem.addData(Seq((998L, "flush one", flushVec, new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((999L, "flush two", flushVec, new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally { q.stop(); cellIndex.unpersist() }
+
+    val streamed = spark.table("hybriddedup")
+      .where(col("doc_id") < 900)
+      .select("doc_id", "lex_dup_of", "best_jaccard", "sem_dup_of", "best_cos", "keep")
+      .as[(Long, Option[Long], Option[Double], Option[Long], Option[Double], Boolean)]
+      .collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+    // the planted scenario: each signal must fire exactly where designed
+    def row(id: Long) = batch.find(_._1 == id).get
+    assert(row(10L)._2.contains(0L) && row(10L)._4.isEmpty && !row(10L)._6,
+      s"10 should be a lexical-only dup: ${row(10L)}")
+    assert(row(11L)._2.isEmpty && row(11L)._4.contains(1L) && !row(11L)._6,
+      s"11 should be a semantic-only dup: ${row(11L)}")
+    assert(row(12L)._2.contains(2L) && row(12L)._4.contains(2L) && !row(12L)._6,
+      s"12 should trip both signals: ${row(12L)}")
+    assert(row(13L)._2.isEmpty && row(13L)._4.isEmpty && row(13L)._6,
+      s"13 should be admitted: ${row(13L)}")
+  }
+
   test("hybrid leakage monitor: streaming equals batch q_split_leakage_hybrid on a replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
