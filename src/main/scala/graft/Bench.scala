@@ -560,6 +560,64 @@ object Bench {
             s"of ${epoch.size} (batch agrees)")
         } finally { idx.unpersist(); () }
       }),
+      // One HYBRID ingest epoch against BOTH maintained indexes: the
+      // documents∩embeddings corpus minus a held-out fifth supplies the
+      // lexical signature index and the semantic cell index (each built
+      // once and persisted — maintained storage); the held-out fifth
+      // streams through hybridDedupStream. Admitted set must equal the
+      // batch hybridIncrementalDedup exactly, or the entry fails.
+      "streaming_hybrid_epoch" -> (() => timed("streaming_hybrid_epoch") {
+        import spark.implicits._
+        import graft.operators.{Dedup, Similarity}
+        val (k, nh, nb, jThr, cThr) = (3, 8, 4, 0.5, 0.4)
+        val emb = Tables.embeddings(spark, sfDir)
+        val docs = Tables.documents(spark, sfDir)
+          .join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text"))
+        val corpusDocs = docs.where(col("doc_id") % 5 =!= 0)
+        val corpusEmb = emb.where(col("vec_id") % 5 =!= 0)
+        val centroids = Similarity.trainIvfCentroids(emb, nlist = 16, dim = 64)
+        val cellIndex = Similarity.assignToCells(corpusEmb, centroids)
+          .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (idxB, idxS) = graft.streaming.StreamingPipelines.dedupIndex(
+          corpusDocs, "doc_id", "text", k, nh, nb)
+        val bIdx = idxB.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sIdx = idxS.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cellIndex.count(); bIdx.count(); sIdx.count()
+        try {
+          val epoch = docs.where(col("doc_id") % 5 === 0)
+            .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+            .select(col("doc_id"), col("text"), col("embedding"))
+            .as[(Long, String, Seq[Float])].collect().toSeq
+          val decisions = graft.tools.SemanticMaintenance.runHybridEpoch(
+            spark, (bIdx, sIdx), centroids, cellIndex, epoch,
+            k, nh, nb, jThr, cThr, s"hybrid_epoch_${System.nanoTime()}")
+          val streamAdmitted = decisions.filter(_._2).map(_._1).toSet
+          val batchAdmitted = Dedup.hybridIncrementalDedup(
+              corpusDocs, epoch.map(e => (e._1, e._2)).toDF("doc_id", "text"),
+              epoch.map(e => (e._1, e._3)).toDF("vec_id", "embedding"),
+              centroids, cellIndex, "doc_id", "text", k, nh, nb, jThr, cThr)
+            .where(col("keep")).select("doc_id")
+            .as[Long].collect().toSet
+          require(streamAdmitted == batchAdmitted && decisions.size == epoch.size,
+            s"streaming_hybrid_epoch stream admitted ${streamAdmitted.size} of " +
+              s"${decisions.size}, batch ${batchAdmitted.size} of ${epoch.size}")
+          System.err.println(s"[bench] streaming_hybrid_epoch admitted=${streamAdmitted.size} " +
+            s"of ${epoch.size} (batch agrees)")
+        } finally { cellIndex.unpersist(); bIdx.unpersist(); sIdx.unpersist(); () }
+      }),
+      // COLD BPE merge training (no per-JVM model cache — the x13 gate's
+      // min-of-repeats measures the apply path once the model parquet
+      // exists; this entry is the training loop itself, every repeat).
+      "bpe_train_corpus" -> (() => timed("bpe_train_corpus") {
+        import graft.operators.TextOps
+        val (merges, wordTokens) = TextOps.bpeTrain(
+          TextOps.bpeWordFreq(Tables.documents(spark, sfDir), "text"),
+          numMerges = SparkEntry.X13NumMerges)
+        force(wordTokens)
+        require(merges.nonEmpty)
+      }),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference strong-scaling sizes (run-scaling-benchmark.sh:27-34 uses
       // {0.5, 1, 2} GB; GB/s = size / duration, BEGIN→END == job wall-clock)

@@ -61,4 +61,40 @@ object SemanticMaintenance {
     cellIndex.unionByName(
       graft.operators.Similarity.assignToCells(admitted, centroids)
         .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb")))
+
+  /** One HYBRID ingest epoch: documents (text + embedding) stream through
+    * [[StreamingPipelines.hybridDedupStream]] against BOTH maintained
+    * indexes; returns each decision row (doc_id, keep). */
+  def runHybridEpoch(spark: SparkSession,
+      staticIndex: (DataFrame, DataFrame),
+      centroids: Array[Array[Double]], cellIndex: DataFrame,
+      batch: Seq[(Long, String, Seq[Float])],
+      k: Int, numHashes: Int, numBands: Int,
+      jaccardThreshold: Double, cosThreshold: Double,
+      queryName: String): Seq[(Long, Boolean)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Seq[Float], java.sql.Timestamp)]
+    val out = StreamingPipelines.hybridDedupStream(
+      mem.toDF().toDF("doc_id", "text", "embedding", "ts"),
+      staticIndex, centroids, cellIndex,
+      "doc_id", "text", "embedding", "ts",
+      watermarkDelay = "0 seconds", k, numHashes, numBands,
+      jaccardThreshold, cosThreshold)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    val flushVec: Seq[Float] = 1f +: Seq.fill(63)(0f)
+    try {
+      mem.addData(batch.map { case (id, t, e) => (id, t, e, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      mem.addData(Seq((FlushIdBase, "flush one", flushVec, new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((FlushIdBase + 1L, "flush two", flushVec, new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName)
+      .where(col("doc_id") < FlushIdBase)
+      .select("doc_id", "keep")
+      .as[(Long, Boolean)].collect().toSeq
+  }
 }
