@@ -891,6 +891,20 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- vocabulary generalization: the OOV rate a tokenizer trained on
+    //      one corpus snapshot shows on UNSEEN data. The model trains on
+    //      doc_id % 5 ≠ 0 only; every held-out document reports its
+    //      pretoken count, how many pretokens fall outside the trained
+    //      vocabulary, the round4 OOV fraction, and the in-vocab BPE token
+    //      cost. Same broadcast-model shape as x13 — the left join makes
+    //      misses explicit instead of dropping them. ----
+    "q_tokenizer_oov" -> ((s, d) => {
+      val path = ensureBpeModelSplit(s, d)
+      TextOps.bpeOovStats(Tables.documents(s, d).where(col("doc_id") % 5 === 0),
+          "doc_id", "text", s.read.parquet(path))
+        .orderBy("doc_id")
+    }),
+
     // ---- the tokenizer-design pipeline end-to-end: learn the merges from
     //      the corpus (x13's trained model), derive the TRAINED token
     //      vocabulary's frequency table (token frequency = Σ word freq ×
@@ -1592,6 +1606,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-shard writer manifest: doc count, token sum, and an
+    //      ORDER-FREE content checksum (sum of md5-derived per-row longs —
+    //      exact long addition commutes, so any partitioning/task order
+    //      produces identical bytes) for each balanced shard — the
+    //      integrity record a 100 TB writer emits beside every training
+    //      file so a reader can verify shards without re-reading payloads.
+    //      Aggregates at SHARD cardinality map-side on top of the one
+    //      range repartition the sharding already pays. ----
+    "q_shard_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      CoreOps.balancedShards(docs, "doc_id", "n_tok", shards = 8)
+        .withColumn("__ck",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum(col("__ck")).as("checksum"))
+        .orderBy("shard")
+    }),
+
     // ---- inter-source duplication matrix: distinct 8-token windows each
     //      source pair shares verbatim — the syndication/mirror diagnostic
     //      a build reads before choosing which domains to collapse ----
@@ -1842,6 +1876,24 @@ object SparkEntry {
     path
   }
 
+  /** Held-out variant for the OOV gate: the model trains on doc_id % 5 ≠ 0
+    * ONLY, so the held-out fifth genuinely contains unseen words. Same
+    * per-(JVM, sf) export contract as [[ensureBpeModel]] (its sweep covers
+    * both path families). */
+  @volatile private var lastX13SplitModelPath: Option[String] = None
+  private def ensureBpeModelSplit(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_x13_bpe_model_${ProcessHandle.current().pid()}_split_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    if (!lastX13SplitModelPath.contains(path)) {
+      val (_, wordTokens) = TextOps.bpeTrain(
+        TextOps.bpeWordFreq(Tables.documents(s, d).where(col("doc_id") % 5 =!= 0), "text"),
+        numMerges = X13NumMerges)
+      wordTokens.write.mode("overwrite").parquet(path)
+      lastX13SplitModelPath = Some(path)
+    }
+    path
+  }
+
   /** Tokenization oracle over the x13 gate's exported model: DuckDB
     * re-derives every document's pre-tokens with the SAME RE2-compatible
     * pattern the Spark side used (the x6 parity trick) and replays the
@@ -1849,8 +1901,27 @@ object SparkEntry {
     * hash match proves the trained model covers the corpus vocabulary and
     * the apply path agrees with it. DuckDB's sum(BIGINT) widens to
     * HUGEINT, hence the explicit casts. */
-  private def x13OracleSql: Map[String, String] = lastX13ModelPath.toSeq.flatMap { path =>
+  private def x13OracleSql: Map[String, String] = {
     val p = graft.operators.TextOps.BpePretokenPattern.replace("'", "''")
+    // held-out OOV replay (keyed off its OWN split-trained model): same
+    // pre-tokenizer, LEFT join so unseen words count as misses; the OOV
+    // fraction uses the shared round4 fixed-point formula
+    val oov = lastX13SplitModelPath.toSeq.map { sp =>
+      "q_tokenizer_oov" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$p')) AS word
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |m AS (SELECT word, n_tokens FROM read_parquet('$sp/*.parquet')),
+           |a AS (SELECT w.doc_id,
+           |             CAST(count(*) AS BIGINT) AS n_pretokens,
+           |             CAST(count(CASE WHEN m.n_tokens IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           |             CAST(COALESCE(sum(m.n_tokens), 0) AS BIGINT) AS n_invocab_tokens
+           |      FROM w LEFT JOIN m USING (word) GROUP BY w.doc_id)
+           |SELECT doc_id, n_pretokens, n_oov, n_invocab_tokens,
+           |       floor(n_oov::DOUBLE / n_pretokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS oov_frac
+           |FROM a ORDER BY doc_id""".stripMargin
+    }
+    (oov ++ lastX13ModelPath.toSeq.flatMap { path =>
     Seq(
       "x13_bpe_train" ->
         s"""WITH w AS (
@@ -1899,7 +1970,8 @@ object SparkEntry {
            |SELECT token, cnt, cum_before FROM p, t
            |WHERE cum_before < (95 * total + 99) // 100
            |ORDER BY cnt DESC, token""".stripMargin)
-  }.toMap
+    }).toMap
+  }
 
   /** Frequency-ranking oracle over the s3 gate's materialized generator
     * output: DuckDB reads the exact parquet the Spark aggregation read, so
@@ -3876,6 +3948,24 @@ object SparkEntry {
           |SELECT doc_id, n_tokens,
           |       CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1) % 8 AS INT) AS shard
           |FROM t ORDER BY doc_id""".stripMargin,
+
+      // the same deterministic shard assignment, rolled up into the writer
+      // manifest: per-row checksum = first 13 md5 hex digits of the id as
+      // a long (the engine-portable hash-to-long trick the A-ES sampler
+      // uses), summed — exact long addition is order-free in both engines
+      "q_shard_manifest" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, n_tokens,
+          |         CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1) % 8 AS INT) AS shard
+          |  FROM t)
+          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT) AS BIGINT) AS checksum
+          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
       // the per-source median from the same histogram CTEs, quartile tiers
       // via the exact integer NTILE formula over (median desc, source),

@@ -703,6 +703,26 @@ object TextOps {
     ss
   }
 
+  /** Per-document vocabulary-coverage stats against an exported
+    * (word, n_tokens) model: pretoken count, out-of-vocabulary pretoken
+    * count (LEFT join misses), in-vocab BPE token cost, and the round4 OOV
+    * fraction — the generalization read a tokenizer trained on one corpus
+    * snapshot gets on unseen data. Model broadcasts (vocabulary
+    * cardinality); the aggregate combines map-side; text never shuffles. */
+  def bpeOovStats(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val words = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit(BpePretokenPattern), lit(0))).as("word"))
+    words.join(broadcast(model.select("word", "n_tokens")), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pretokens"),
+        count(when(col("n_tokens").isNull, lit(1))).as("n_oov"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_invocab_tokens"))
+      .withColumn("oov_frac", round4(
+        col("n_oov").cast("double") / col("n_pretokens").cast("double")))
+  }
+
   /** Tokenize documents under an exported merge list: per-doc BPE token
     * count from pre-tokens segmented by [[bpeSegment]]. A pure map over the
     * corpus (the ranked merge list rides the closure — model cardinality,

@@ -102,4 +102,33 @@ class BpeTrainSpec extends AnyFunSuite {
     val novel = TextOps.bpeSegment("zzquxverylongnovelword", merges)
     assert(novel.mkString("") === "zzquxverylongnovelword")
   }
+
+  test("bpeOovStats: unseen words count as misses, in-vocab cost and round4 fraction exact") {
+    import spark.implicits._
+    // model trained on a two-document corpus; the probe doc mixes known
+    // and genuinely novel words (the sf corpus shares one vocabulary, so
+    // the gate alone never exercises the miss path — this pins it)
+    val trainDocs = Seq((0L, "alpha beta gamma alpha"), (1L, "beta delta"))
+      .toDF("doc_id", "text")
+    val (_, model) = TextOps.bpeTrain(TextOps.bpeWordFreq(trainDocs, "text"), 20)
+    val vocabCost = model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pre-tokens of the probe under the GPT-2-style pattern: "alpha",
+    // " zork", " beta", " quux" — space-prefixed forms after the first
+    val probe = Seq((10L, "alpha zork beta quux")).toDF("doc_id", "text")
+    val got = TextOps.bpeOovStats(probe, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length === 1)
+    val (_, nPre, nOov, nInVocab, frac) = got.head
+    assert(nPre === 4)
+    // "alpha" trained bare; " zork"/" quux" unseen; " beta" trained only
+    // as " beta" (space-prefixed, from "alpha beta..." and "beta delta"?
+    // "beta delta" pre-tokenizes to "beta", " delta" → bare "beta" IS in
+    // vocab; "alpha beta" yields " beta" too — both forms exist)
+    val expectedHits = Seq("alpha", " zork", " beta", " quux").map(vocabCost.get)
+    val expOov = expectedHits.count(_.isEmpty).toLong
+    val expCost = expectedHits.flatten.sum
+    assert(nOov === expOov && nOov >= 2L, s"novel words must miss: $expectedHits")
+    assert(nInVocab === expCost)
+    assert(frac === math.floor(nOov.toDouble / 4.0 * 10000.0 + 0.5) / 10000.0)
+  }
 }
