@@ -114,31 +114,8 @@ object Bench {
     // entry's best prior time at the same sf — any fresh measurement
     // exceeding DriftRetryFactor × that min is re-run once and the min
     // reported, with the retry recorded in bench.json.
-    val histMins: Map[String, Double] = {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-      files.toSeq.flatMap { f =>
-        try {
-          val tail = om.readTree(f).path("tail").asText("")
-          val start = tail.lastIndexOf("{\"metric\"")
-          if (start < 0) Seq.empty[(String, Double)]
-          else {
-            val lineEnd = tail.indexOf('\n', start)
-            val line = if (lineEnd < 0) tail.substring(start) else tail.substring(start, lineEnd)
-            val j = om.readTree(line)
-            // only rounds measured at THIS sf dir are comparable
-            if (j.path("sf").asText("") != sfDir) Seq.empty[(String, Double)]
-            else {
-              import scala.jdk.CollectionConverters._
-              j.path("queries").properties().asScala.toSeq
-                .filter(_.getValue.isNumber)
-                .map(e => e.getKey -> e.getValue.asDouble())
-            }
-          }
-        } catch { case NonFatal(_) => Seq.empty[(String, Double)] }
-      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-    }
+    val histMins: Map[String, Double] =
+      graft.tools.BenchReport.committedMins(new java.io.File("."), sfDir)
     if (histMins.nonEmpty)
       System.err.println(s"[bench] drift reference: ${histMins.size} entries from committed rounds")
     val DriftRetryFactor = 1.5

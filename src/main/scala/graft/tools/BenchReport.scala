@@ -30,6 +30,39 @@ object BenchReport {
     * driver most needs a parseable tail. */
   val MaxFailedNames = 8
 
+  /** Per-entry best times across committed driver-round summaries — the
+    * drift-retry reference (r9 advice #1). Each `BENCH_r*.json` wraps this
+    * program's compact stdout line inside a `"tail"` string; the last
+    * `{"metric":…}` line is parsed and its `"queries"` map kept ONLY when
+    * its `"sf"` equals `sfDir` (numbers from another scale are not
+    * comparable). Unreadable files, tails without a metric line, and
+    * non-numeric entries are skipped silently — a corrupt history must
+    * never fail a bench run, it just provides no reference. */
+  def committedMins(dir: java.io.File, sfDir: String): Map[String, Double] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val files = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    files.toSeq.flatMap { f =>
+      try {
+        val tail = om.readTree(f).path("tail").asText("")
+        val start = tail.lastIndexOf("{\"metric\"")
+        if (start < 0) Seq.empty[(String, Double)]
+        else {
+          val lineEnd = tail.indexOf('\n', start)
+          val line = if (lineEnd < 0) tail.substring(start) else tail.substring(start, lineEnd)
+          val j = om.readTree(line)
+          if (j.path("sf").asText("") != sfDir) Seq.empty[(String, Double)]
+          else {
+            import scala.jdk.CollectionConverters._
+            j.path("queries").properties().asScala.toSeq
+              .filter(_.getValue.isNumber)
+              .map(e => e.getKey -> e.getValue.asDouble())
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty[(String, Double)] }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
   /** Cross-check of the eager A/B release counts, over EVERY in-run repeat
     * of both arms. Identical seeds make every run's count identical, so any
     * divergence — between arms OR between repeats of one arm — means some

@@ -125,4 +125,29 @@ class BenchReportSpec extends AnyFunSuite with Matchers {
     val line = BenchReport.compactLine(real, headline, "/root/testdata/sf0.1")
     line.length should be <= 1800
   }
+
+  test("committedMins: per-entry min across rounds, same-sf only, corrupt files ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_hist").toFile
+    def write(name: String, content: String): Unit =
+      java.nio.file.Files.writeString(new java.io.File(dir, name).toPath, content)
+    // the driver wraps this program's compact line inside "tail", after
+    // arbitrary log noise and with the line terminated by a newline
+    def wrap(compact: String) =
+      s"""{"n": 7, "sf": 0.1, "tail": ${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString("some log noise\n" + compact + "\n")}}"""
+    write("BENCH_r07.json", wrap(
+      """{"metric":"total","value":10.0,"unit":"sec","queries":{"q_a":3.0,"q_b":9.0},"sf":"/root/testdata/sf0.1"}"""))
+    write("BENCH_r08.json", wrap(
+      """{"metric":"total","value":10.0,"unit":"sec","queries":{"q_a":5.0,"q_b":4.0,"q_c":1.5},"sf":"/root/testdata/sf0.1"}"""))
+    // a round measured at ANOTHER sf must not contaminate the reference
+    write("BENCH_r09.json", wrap(
+      """{"metric":"total","value":10.0,"unit":"sec","queries":{"q_a":0.001},"sf":"/root/testdata/sf0.01"}"""))
+    // corrupt history must be skipped, never fail the bench
+    write("BENCH_r06.json", "{ not json at all")
+    write("not_a_bench.json", """{"tail": "irrelevant"}""")
+    val mins = BenchReport.committedMins(dir, "/root/testdata/sf0.1")
+    mins shouldBe Map("q_a" -> 3.0, "q_b" -> 4.0, "q_c" -> 1.5)
+    // no same-sf history → empty reference (drift gate simply inactive)
+    BenchReport.committedMins(dir, "/root/testdata/sf9.9") shouldBe Map.empty
+    BenchReport.committedMins(new java.io.File(dir, "missing"), "x") shouldBe Map.empty
+  }
 }
