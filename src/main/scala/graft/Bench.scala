@@ -584,12 +584,26 @@ object Bench {
             s"of ${epoch.size} (batch agrees)")
         } finally { cellIndex.unpersist(); bIdx.unpersist(); sIdx.unpersist(); () }
       }),
-      // COLD BPE merge training (no per-JVM model cache — the x13 gate's
-      // min-of-repeats measures the apply path once the model parquet
-      // exists; this entry is the training loop itself, every repeat).
+      // COLD BPE merge training A/B (no per-JVM model cache — the x13
+      // gate's min-of-repeats measures the apply path once the model
+      // parquet exists; these entries are the training loop itself, every
+      // repeat). The _corpus arm is the DISTRIBUTED merge loop (two Spark
+      // jobs per merge — the shape that survives any vocabulary size);
+      // the _local arm is the auto-dispatched driver-side trainer over
+      // the collapsed word-frequency table (what real merge budgets use;
+      // results spec-pinned identical). The gap IS the per-merge job
+      // overhead the dispatcher exists to avoid.
       "bpe_train_corpus" -> (() => timed("bpe_train_corpus") {
         import graft.operators.TextOps
         val (merges, wordTokens) = TextOps.bpeTrain(
+          TextOps.bpeWordFreq(Tables.documents(spark, sfDir), "text"),
+          numMerges = SparkEntry.X13NumMerges)
+        force(wordTokens)
+        require(merges.nonEmpty)
+      }),
+      "bpe_train_local" -> (() => timed("bpe_train_local") {
+        import graft.operators.TextOps
+        val (merges, wordTokens) = TextOps.bpeTrainAuto(
           TextOps.bpeWordFreq(Tables.documents(spark, sfDir), "text"),
           numMerges = SparkEntry.X13NumMerges)
         force(wordTokens)

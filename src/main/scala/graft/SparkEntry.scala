@@ -1867,7 +1867,7 @@ object SparkEntry {
           if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
         }
       val (merges, wordTokens) =
-        TextOps.bpeTrain(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
+        TextOps.bpeTrainAuto(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
           numMerges = X13NumMerges)
       wordTokens.write.mode("overwrite").parquet(path)
       lastX13Merges = Some(merges)
@@ -1885,7 +1885,7 @@ object SparkEntry {
     val path = s"/tmp/graft_x13_bpe_model_${ProcessHandle.current().pid()}_split_" +
       d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
     if (!lastX13SplitModelPath.contains(path)) {
-      val (_, wordTokens) = TextOps.bpeTrain(
+      val (_, wordTokens) = TextOps.bpeTrainAuto(
         TextOps.bpeWordFreq(Tables.documents(s, d).where(col("doc_id") % 5 =!= 0), "text"),
         numMerges = X13NumMerges)
       wordTokens.write.mode("overwrite").parquet(path)

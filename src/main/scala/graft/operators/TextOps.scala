@@ -692,6 +692,113 @@ object TextOps {
     (merges.toSeq, wordTokens)
   }
 
+  /** Driver-side fast BPE trainer — same argmax and merge rules as
+    * [[bpeTrain]] (equality spec-pinned), for word-frequency tables that
+    * fit in driver memory. Even a 100 TB corpus usually collapses to a
+    * vocabulary of 10⁷–10⁸ words (a few GB), and at real merge budgets
+    * (30–50k) the distributed loop's 2 Spark jobs per merge become pure
+    * scheduler overhead — the standard resolution (what single-node
+    * tokenizer trainers do) is: distribute the ONE corpus-sized step (the
+    * word-frequency aggregate), then train over the collapsed table
+    * locally. [[bpeTrainAuto]] dispatches on vocabulary size.
+    *
+    * Exact, not approximate: incremental pair counting (only words
+    * containing the merged pair are touched per round, via an occurrence
+    * index) plus a lazy-invalidation heap for the argmax — every count
+    * change pushes a fresh heap entry and stale entries are discarded on
+    * pop, so the popped maximum is always current. Ordering is the same
+    * total order as [[betterPair]]: count desc, then (left, right) asc. */
+  def bpeTrainLocal(wordFreq: Seq[(String, Long)], numMerges: Int,
+      minPairFreq: Long = 2L): (Seq[(String, String)], Seq[(String, Long, Long, Seq[String])]) = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = wordFreq.map(_._1.map(_.toString).toArray).toArray
+    val freqs: Array[Long] = wordFreq.map(_._2).toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // superset occurrence index: a word stays listed until reprocessed
+    val occ = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    // max-heap by count, ties to the LEXICOGRAPHICALLY SMALLEST pair —
+    // the same total order as betterPair
+    val pairOrd = Ordering.Tuple2(Ordering.String, Ordering.String)
+    implicit val ord: Ordering[(Long, (String, String))] =
+      new Ordering[(Long, (String, String))] {
+        def compare(a: (Long, (String, String)), b: (Long, (String, String))): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c else -pairOrd.compare(a._2, b._2)
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, (String, String))]
+    def bump(p: (String, String), delta: Long, wordIdx: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c == 0L) counts.remove(p) else counts(p) = c
+      if (delta > 0L) {
+        occ.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wordIdx
+        heap.enqueue((c, p))
+      } else if (c > 0L) heap.enqueue((c, p))
+    }
+    def scanWord(i: Int, sign: Long): Unit = {
+      val ss = words(i)
+      val f = freqs(i) * sign
+      var j = 0
+      while (j < ss.length - 1) { bump((ss(j), ss(j + 1)), f, i); j += 1 }
+    }
+    var i = 0
+    while (i < words.length) { scanWord(i, 1L); i += 1 }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      // pop stale entries until the top reflects a current count
+      var best: Option[(Long, (String, String))] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val top = heap.dequeue()
+        if (counts.get(top._2).contains(top._1)) best = Some(top)
+      }
+      best match {
+        case Some((c, p)) if c >= minPairFreq =>
+          merges += p
+          val affected = occ.remove(p).getOrElse(mutable.ArrayBuffer.empty).distinct
+          for (w <- affected) {
+            val ss = words(w)
+            var has = false
+            var j = 0
+            while (!has && j < ss.length - 1) {
+              has = ss(j) == p._1 && ss(j + 1) == p._2; j += 1
+            }
+            if (has) {
+              scanWord(w, -1L)
+              words(w) = mergePairInWord(ss, p._1, p._2)
+              scanWord(w, 1L)
+            }
+          }
+          // every occurrence was consumed: the merged pair reads zero now
+          counts.remove(p)
+        case _ => done = true
+      }
+    }
+    val model = words.indices.map(w =>
+      (words(w).mkString(""), words(w).length.toLong, freqs(w), words(w).toSeq))
+    (merges.toSeq, model)
+  }
+
+  /** Size-dispatched BPE training: the corpus-sized step (the word-
+    * frequency aggregate) is always distributed; the merge loop runs
+    * driver-side ([[bpeTrainLocal]]) when the vocabulary fits under
+    * `localVocabLimit` — at real merge budgets the distributed loop's two
+    * jobs per merge are pure scheduler overhead — and falls back to the
+    * distributed loop ([[bpeTrain]]) for vocabularies too big to collect.
+    * Both paths produce IDENTICAL merges and models (spec-pinned), so the
+    * dispatch is invisible to callers and oracles. */
+  def bpeTrainAuto(wordFreq: DataFrame, numMerges: Int, minPairFreq: Long = 2L,
+      localVocabLimit: Long = 2000000L): (Seq[(String, String)], DataFrame) = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    if (wordFreq.count() <= localVocabLimit) {
+      val local = wordFreq.select(col("word"), col("freq").cast("long"))
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+      val (merges, model) = bpeTrainLocal(local, numMerges, minPairFreq)
+      (merges, model.toDF("word", "n_tokens", "freq", "tokens"))
+    } else bpeTrain(wordFreq, numMerges, minPairFreq)
+  }
+
   /** Segment one pre-token under an exported merge list: start from
     * characters, apply each merge in RANK ORDER ([[mergePairInWord]]
     * semantics). For words seen in training this reproduces the trainer's

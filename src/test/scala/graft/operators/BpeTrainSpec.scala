@@ -103,6 +103,31 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(novel.mkString("") === "zzquxverylongnovelword")
   }
 
+  test("bpeTrainLocal == distributed bpeTrain on the real corpus; auto dispatches identically") {
+    val wf = TextOps.bpeWordFreq(Tables.documents(spark, sfDir), "text")
+    val (dMerges, dModelDf) = TextOps.bpeTrain(wf, numMerges = 40)
+    val dModel = dModelDf.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](3).toList)).toMap
+    val localFreq = wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (lMerges, lModel) = TextOps.bpeTrainLocal(localFreq, numMerges = 40)
+    assert(lMerges === dMerges, "local trainer's merge sequence diverged from distributed")
+    assert(lModel.map(m => m._1 -> (m._2, m._4.toList)).toMap === dModel)
+    // the dispatcher must be invisible: same merges, same model frame
+    val (aMerges, aModelDf) = TextOps.bpeTrainAuto(wf, numMerges = 40)
+    assert(aMerges === dMerges)
+    val aModel = aModelDf.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](3).toList)).toMap
+    assert(aModel === dModel)
+    // input order must not matter to the local trainer
+    val (lMerges2, _) = TextOps.bpeTrainLocal(localFreq.reverse, numMerges = 40)
+    assert(lMerges2 === lMerges)
+    // a deep merge budget stays cheap driver-side and stops cleanly when
+    // no pair reaches minPairFreq (the heap drains exact)
+    val (deep, deepModel) = TextOps.bpeTrainLocal(localFreq, numMerges = 5000)
+    assert(deep.length <= 5000 && deep.take(40) === lMerges)
+    assert(deepModel.map(_._3).sum === localFreq.map(_._2).sum)
+  }
+
   test("bpeOovStats: unseen words count as misses, in-vocab cost and round4 fraction exact") {
     import spark.implicits._
     // model trained on a two-document corpus; the probe doc mixes known
