@@ -789,6 +789,39 @@ object StreamingPipelines {
       .select("doc_id", "lex_dup_of", "best_jaccard", "sem_dup_of", "best_cos", "keep")
   }
 
+  /** Streaming vocabulary-drift monitor — the ingest-time form of
+    * [[graft.operators.TextOps.bpeOovStats]]: incoming documents are
+    * scored against the EXPORTED tokenizer model (word → n_tokens) as
+    * they arrive, so a drifting source (new language, new domain, format
+    * change) alarms on its OOV rate at ingest instead of at the next full
+    * retokenization audit. Output per document: the batch columns
+    * (n_pretokens, n_oov, n_invocab_tokens, oov_frac), value-equal on a
+    * replay (StreamingSpec).
+    *
+    * Stateless until the end: pre-tokens explode row-wise, the
+    * vocabulary-cardinality model joins broadcast LEFT (misses explicit),
+    * and the only stateful operator is the watermark-bounded per-(doc,
+    * event-time) aggregate. Text never shuffles. */
+  def vocabDriftStream(incoming: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    incoming
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit(TextOps.BpePretokenPattern), lit(0))).as("word"))
+      .withWatermark("__ts", watermarkDelay)
+      .join(broadcast(model.select("word", "n_tokens")), Seq("word"), "left_outer")
+      .groupBy(col("doc_id"), col("__ts"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        count(when(col("n_tokens").isNull, lit(1))).as("n_oov"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_invocab_tokens"))
+      .withColumn("oov_frac", TextOps.round4(
+        col("n_oov").cast("double") / col("n_pretokens").cast("double")))
+      .select("doc_id", "n_pretokens", "n_oov", "n_invocab_tokens", "oov_frac")
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

@@ -850,6 +850,45 @@ class StreamingSpec extends AnyFunSuite {
       s"13 should be admitted: ${row(13L)}")
   }
 
+  test("vocab-drift monitor: streaming OOV equals batch bpeOovStats on a replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val trainDocs = Seq((0L, "alpha beta gamma alpha delta"), (1L, "beta delta epsilon"))
+      .toDF("doc_id", "text")
+    val (_, model) = TextOps.bpeTrainAuto(TextOps.bpeWordFreq(trainDocs, "text"), 20)
+    val modelCached = model.cache()
+    val incoming = Seq(
+      (10L, "alpha zork beta quux"),     // 2 misses
+      (11L, "beta delta epsilon"),       // fully in vocab
+      (12L, "totally novel words only")) // all misses (space-prefixed forms unseen)
+    val batch = TextOps.bpeOovStats(incoming.toDF("doc_id", "text"), "doc_id", "text", modelCached)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val drift = StreamingPipelines.vocabDriftStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), modelCached,
+      "doc_id", "text", "ts", watermarkDelay = "0 seconds")
+    val q = drift.writeStream.outputMode("append").format("memory")
+      .queryName("vocabdrift").start()
+    try {
+      mem.addData(incoming.map { case (id, t) => (id, t, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      mem.addData(Seq((998L, "flush", new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((999L, "flush", new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally { q.stop(); modelCached.unpersist() }
+
+    val streamed = spark.table("vocabdrift")
+      .where(col("doc_id") < 900)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+    // the planted drift must actually read as drift
+    assert(batch.exists { case (id, _, oov, _, _) => id == 12L && oov > 0 })
+    assert(batch.exists { case (id, _, oov, _, frac) => id == 11L && oov == 0 && frac == 0.0 })
+  }
+
   test("hybrid leakage monitor: streaming equals batch q_split_leakage_hybrid on a replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
