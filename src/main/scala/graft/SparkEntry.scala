@@ -926,6 +926,35 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // ---- per-source unigram Jensen–Shannon divergence vs the corpus:
+    //      the source-mix drift diagnostic (batch counterpart of the
+    //      streaming vocabulary-drift monitor). Absent-vocabulary mass is
+    //      the exact-long closed form ln2·(N−Σc_w)/N, so only occurring
+    //      (source, word) pairs ever join; per-word terms are q6-quantized
+    //      longs (the x11 trick) so the sums are float-order-immune. ----
+    "q_source_divergence" -> ((s, d) => {
+      TextOps.sourceDivergence(Tables.documents(s, d), "source", "text")
+        .orderBy("source")
+    }),
+
+    // ---- Bradley–Terry preference ratings TRAINED IN THE ENGINE: per-user
+    //      consecutive-event comparisons (one user-keyed window pass over
+    //      the log — the only corpus-scale shuffle) aggregate to an
+    //      item²-cardinality matrix; Hunter's MM iterations run on that
+    //      collected matrix (documented item²-bounded driver collect, the
+    //      x12 pattern) and the trained ratings export for the oracle,
+    //      which re-derives winner/loser/wins/losses from the raw events in
+    //      SQL and joins the export — so a hash match proves the whole
+    //      comparison-derivation path, while PreferenceSpec pins the MM
+    //      training against the 2-item closed form. ----
+    "q_bt_ratings" -> ((s, d) => {
+      val path = ensureBtModel(s, d)
+      s.read.parquet(path)
+        .select(col("item"), col("wins"), col("losses"), col("n_comparisons"),
+          (floor(col("rating") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("rating"))
+        .orderBy("item")
+    }),
+
     // ---- quality scoring ----
     "x2_quality_score" -> ((s, d) => {
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -1742,7 +1771,7 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql
 
   /** x12 oracle, available after [[graft.operators.TextOps.qualityLrScore]]
     * has trained (Verify runs every query before dumping oracle SQL). The
@@ -1893,6 +1922,69 @@ object SparkEntry {
     }
     path
   }
+
+  /** MM iteration count of the Bradley–Terry gate (shared with specs). */
+  val BtIters = 50
+
+  /** Train-once-per-(JVM, sf) Bradley–Terry ratings export shared by the
+    * q_bt_ratings gate and its DuckDB oracle — same pid+sf path contract
+    * and dead-JVM sweep as [[ensureBpeModel]]. */
+  @volatile private var lastBtModelPath: Option[String] = None
+  private def ensureBtModel(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_bt_ratings_${ProcessHandle.current().pid()}_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    if (!lastBtModelPath.contains(path)) {
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("graft_bt_ratings_\\d+_.*\\.parquet"))
+        .foreach { f =>
+          val pid = f.getName.stripPrefix("graft_bt_ratings_")
+            .takeWhile(_.isDigit).toLong
+          val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+          if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
+        }
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val comps = graft.operators.Preference.comparisonsFromEvents(
+        ev, "user_id", "ts_us", "event_id", "event_type", "value")
+      graft.operators.Preference.btRatings(s, comps, iters = BtIters)
+        .write.mode("overwrite").parquet(path)
+      lastBtModelPath = Some(path)
+    }
+    path
+  }
+
+  /** Bradley–Terry oracle: DuckDB re-derives every comparison (same window
+    * lag, same value/tie rules over the same doubles), re-aggregates wins
+    * and losses per item, and joins the exported trained rating — so the
+    * hash gate proves the full derivation path while the MM training
+    * itself is pinned by PreferenceSpec's closed-form tests. */
+  private def btOracleSql: Map[String, String] =
+    lastBtModelPath.toSeq.map { path =>
+      "q_bt_ratings" ->
+        s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+           |                  event_type, value FROM events),
+           |p AS (SELECT user_id, event_type AS item, value,
+           |        lag(event_type) OVER w AS prev_item,
+           |        lag(value) OVER w AS prev_value
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+           |c AS (SELECT CASE WHEN value > prev_value THEN item
+           |                  WHEN value < prev_value THEN prev_item
+           |                  ELSE least(item, prev_item) END AS winner,
+           |             CASE WHEN value > prev_value THEN prev_item
+           |                  WHEN value < prev_value THEN item
+           |                  ELSE greatest(item, prev_item) END AS loser
+           |      FROM p WHERE prev_item IS NOT NULL AND prev_item <> item),
+           |m AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+           |w AS (SELECT winner AS item, CAST(sum(n) AS BIGINT) AS wins FROM m GROUP BY 1),
+           |l AS (SELECT loser AS item, CAST(sum(n) AS BIGINT) AS losses FROM m GROUP BY 1),
+           |r AS (SELECT item, rating FROM read_parquet('$path/*.parquet'))
+           |SELECT r.item,
+           |       COALESCE(w.wins, 0) AS wins,
+           |       COALESCE(l.losses, 0) AS losses,
+           |       COALESCE(w.wins, 0) + COALESCE(l.losses, 0) AS n_comparisons,
+           |       floor(r.rating * 10000.0 + 0.5) / 10000.0 AS rating
+           |FROM r LEFT JOIN w USING (item) LEFT JOIN l USING (item)
+           |ORDER BY item""".stripMargin
+    }.toMap
 
   /** Tokenization oracle over the x13 gate's exported model: DuckDB
     * re-derives every document's pre-tokens with the SAME RE2-compatible
@@ -2769,6 +2861,38 @@ object SparkEntry {
           |       floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS avg_nll,
           |       floor(exp(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ppl
           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // per-source JS divergence: identical q6 per-term quantization and
+      // the same exact-long absent-mass closed form as the Spark side —
+      // every double is derived from agreed integer counts in the same
+      // IEEE op order, so the round4 result is bit-identical
+      "q_source_divergence" ->
+        """WITH w AS (
+          |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+          |  FROM documents),
+          |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw FROM w GROUP BY 1, 2),
+          |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+          |gw AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM gw),
+          |terms AS (
+          |  SELECT sw.source, c_w, n_s, n,
+          |         c_sw::DOUBLE / n_s::DOUBLE AS p_sw,
+          |         c_w::DOUBLE / n::DOUBLE AS p_w
+          |  FROM sw JOIN ns USING (source) JOIN gw USING (word), tot),
+          |q AS (
+          |  SELECT source, c_w, n_s, n,
+          |    CAST(floor(p_sw * ln(p_sw / ((p_sw + p_w) / 2.0)) * 1000000.0 + 0.5) AS BIGINT) AS t1_q6,
+          |    CAST(floor(p_w * ln(p_w / ((p_sw + p_w) / 2.0)) * 1000000.0 + 0.5) AS BIGINT) AS t2_q6
+          |  FROM terms),
+          |a AS (SELECT source, max(n_s) AS n_tokens, max(n) AS n,
+          |             CAST(count(*) AS BIGINT) AS n_distinct_words,
+          |             CAST(sum(t1_q6) AS BIGINT) AS s1, CAST(sum(t2_q6) AS BIGINT) AS s2,
+          |             CAST(sum(c_w) AS BIGINT) AS scw
+          |      FROM q GROUP BY source)
+          |SELECT source, n_tokens, n_distinct_words,
+          |       floor((0.5 * s1::DOUBLE / 1000000.0 + 0.5 * s2::DOUBLE / 1000000.0
+          |              + 0.5 * ln(2.0) * ((n - scw)::DOUBLE / n::DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS js_divergence
+          |FROM a ORDER BY source""".stripMargin,
 
       // sliding 64-token chunks every 48 tokens; ws[a:b] is DuckDB's 1-based
       // inclusive clamped slice == Spark's slice(ws, a, 64)

@@ -855,4 +855,61 @@ object TextOps {
       }
       .toDF("doc_id", "n_pretokens", "n_bpe_tokens")
   }
+
+  /** Per-source Jensen–Shannon divergence of the unigram distribution vs
+    * the whole-corpus distribution — the source-mix drift diagnostic a
+    * curation run uses to spot a source whose vocabulary has wandered from
+    * the corpus it feeds (and the batch counterpart of the streaming
+    * vocabulary-drift monitor).
+    *
+    * JS(P_s‖P) = ½·KL(P_s‖M) + ½·KL(P‖M) with M = (P_s+P)/2. The second
+    * KL nominally ranges over the FULL vocabulary, but every word absent
+    * from source s has p_s = 0 and m = p/2, contributing p·ln 2 — so
+    * Σ_{w∉s} p_w·ln(p_w/m_w) = ln 2 · (1 − Σ_{w∈s} p_w), and the whole
+    * divergence needs only the (source, word) pairs that actually occur.
+    * The absent mass (N − Σ c_w present) is an EXACT long subtraction.
+    *
+    * Determinism: each per-word term is quantized to q6 micro-units
+    * (floor(x·10⁶+0.5) as long — the x11 trick) so the per-source sums are
+    * exact integer sums, immune to float summation order; the final value
+    * is a single IEEE expression over exactly-agreed longs, `round4`ed.
+    *
+    * Scale shape: ONE corpus scan builds the (source, word) count table
+    * (map-side partials, source×vocab cardinality), which is materialized
+    * with `localCheckpoint` (the connectedComponents trick) because four
+    * independent consumers derive from it — without materialization each
+    * would re-scan the corpus (measured: 6 parquet scans at explain level,
+    * only partially deduped by runtime exchange reuse). Everything after
+    * the checkpoint is count-table work: one word-keyed join (vocab
+    * cardinality), source totals and the corpus total broadcast as
+    * scalars. Document text never shuffles. */
+  def sourceDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val sw = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint()
+    val ns = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val gw = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+    val tot = gw.agg(sum("c_w").as("n"))
+    val pSw = col("c_sw").cast("double") / col("n_s").cast("double")
+    val pW = col("c_w").cast("double") / col("n").cast("double")
+    val m = (pSw + pW) / lit(2.0)
+    sw.join(broadcast(ns), Seq("source"))
+      .join(gw, Seq("word"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("n"), col("c_w"),
+        floor(pSw * log(pSw / m) * lit(1000000.0) + lit(0.5)).cast("long").as("t1_q6"),
+        floor(pW * log(pW / m) * lit(1000000.0) + lit(0.5)).cast("long").as("t2_q6"))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_tokens"), first(col("n")).as("n"),
+        count(lit(1)).as("n_distinct_words"),
+        sum("t1_q6").as("sum_t1_q6"), sum("t2_q6").as("sum_t2_q6"),
+        sum("c_w").as("sum_cw_present"))
+      .select(col("source"), col("n_tokens"), col("n_distinct_words"),
+        round4(lit(0.5) * col("sum_t1_q6").cast("double") / lit(1000000.0)
+          + lit(0.5) * col("sum_t2_q6").cast("double") / lit(1000000.0)
+          + lit(0.5) * log(lit(2.0))
+            * ((col("n") - col("sum_cw_present")).cast("double") / col("n").cast("double")))
+          .as("js_divergence"))
+  }
 }

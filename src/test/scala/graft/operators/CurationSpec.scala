@@ -195,4 +195,43 @@ class CurationSpec extends AnyFunSuite {
       assert(hi <= lo, s"phase $k difficulty overlaps phase ${k + 1}")
     }
   }
+
+  test("sourceDivergence matches a single-node full-vocabulary JS computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a b c", "s1"), (1L, "a b b d", "s1"),
+      (2L, "c c c d", "s2"), (3L, "d d e e", "s2"),
+      (4L, "a a b c", "s3"), (5L, "a b b d", "s3")) // s3 == s1's text exactly
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+    // single-node reference: full-vocabulary JS with plain doubles
+    val rows = Seq(0L -> ("a a b c", "s1"), 1L -> ("a b b d", "s1"),
+      2L -> ("c c c d", "s2"), 3L -> ("d d e e", "s2"),
+      4L -> ("a a b c", "s3"), 5L -> ("a b b d", "s3"))
+    val all = rows.flatMap { case (_, (t, s)) => tokens(t).map(w => (s, w)) }
+    val global = all.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val n = all.size.toDouble
+    for (src <- Seq("s1", "s2", "s3")) {
+      val mine = all.filter(_._1 == src).groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val ns = mine.values.sum
+      val js = global.keys.toSeq.map { w =>
+        val ps = mine.getOrElse(w, 0.0) / ns
+        val p = global(w) / n
+        val mid = (ps + p) / 2.0
+        (if (ps > 0) 0.5 * ps * math.log(ps / mid) else 0.0) +
+          0.5 * p * math.log(p / mid)
+      }.sum
+      val (nTok, nDistinct, got) = out(src)
+      assert(nTok === ns.toLong)
+      assert(nDistinct === mine.size.toLong)
+      assert(math.abs(got - js) < 1e-3, s"$src: got $got expected $js")
+    }
+    // s1 and s3 are identical corpora: identical divergence, bit-for-bit
+    assert(out("s1")._3 === out("s3")._3)
+    // s2 shares less vocabulary with the corpus than s1 does
+    assert(out("s2")._3 > out("s1")._3)
+  }
 }

@@ -353,6 +353,38 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_source_divergence: one corpus scan, then count-table-only shuffles") {
+    val df = SparkEntry.queries("q_source_divergence")(spark, sfDir)
+    val ex = exchangeBlocks(df)
+    for (b <- ex) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("toks#"), s"an exchange carries a token array:\n$b")
+    }
+    // the (source, word) count table is checkpointed, so the downstream
+    // plan must contain ZERO parquet scans — the corpus was read exactly
+    // once, at checkpoint time
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!fmt.contains("Scan parquet"),
+      "a consumer re-scans the corpus instead of reading the checkpointed counts")
+    // budget over the materialized count table: ns/gw/tot aggregates, the
+    // word-keyed join, the source reduction, the presentation sort
+    assert(ex.size <= 7, s"q_source_divergence grew extra shuffles:\n${ex.mkString("\n---\n")}")
+  }
+
+  test("comparisonsFromEvents: one user-keyed window exchange, then item²-cardinality agg") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val df = Preference.comparisonsFromEvents(ev,
+      "user_id", "ts_us", "event_id", "event_type", "value")
+    val ex = exchangeBlocks(df)
+    val hashEx = ex.filter(_.contains("hashpartitioning"))
+    // one window exchange on user_id + one for the (winner, loser) agg —
+    // which combines map-side at item² cardinality before it
+    assert(hashEx.size <= 2, s"comparison derivation grew shuffles:\n${ex.mkString("\n---\n")}")
+    assert(sortCount(df) <= 1, "the lag window split into extra sorts")
+  }
+
   test("d15b_contamination_fraction: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     val df = Dedup.contaminationFraction(
