@@ -955,6 +955,46 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // ---- cross-document boilerplate removal: spans of 8-token windows
+    //      occurring in ≥3 DISTINCT documents are cut (document frequency,
+    //      not occurrence count — a self-repetitive document never flags
+    //      its own refrain). The RefinedWeb-style shared-chrome rule at
+    //      token-window granularity. ----
+    "q_boilerplate_strip" -> ((s, d) => {
+      Dedup.stripBoilerplate(Tables.documents(s, d), "doc_id", "text",
+          n = 8, minDocFrequency = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- the web-curation pipeline composed as ONE query: boilerplate
+    //      strip (df ≥ 3) → drop emptied docs → quality-score the CLEANED
+    //      text and keep the top quintile (exact interpolated percentile)
+    //      → exact-dedup the cleaned content (min-id survivor per distinct
+    //      clean text, a WindowGroupLimit rank over 128-bit fingerprints).
+    //      The cleaned+scored relation is checkpointed once because the
+    //      threshold aggregate and the main stream both consume it — the
+    //      sourceDivergence lesson; after that only (id, md5, scalars)
+    //      rows move. The oracle replays all four stages. ----
+    "e2e_web_pipeline" -> ((s, d) => {
+      val cleaned = Dedup.stripBoilerplate(Tables.documents(s, d), "doc_id", "text",
+          n = 8, minDocFrequency = 3)
+        .where(size(TextOps.tokens(col("clean_text"))) > 0)
+        .select(col("doc_id"),
+          TextOps.qualityCol(col("clean_text")).as("quality"),
+          md5(col("clean_text")).as("clean_md5"),
+          size(TextOps.tokens(col("clean_text"))).cast("long").as("n_clean_tokens"))
+        .localCheckpoint()
+      val thr = cleaned.agg(percentile(col("quality"), lit(0.8)).as("thr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("clean_md5").orderBy("doc_id")
+      cleaned.crossJoin(broadcast(thr))
+        .where(col("quality") >= col("thr"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("doc_id", "n_clean_tokens", "quality", "clean_md5")
+        .orderBy("doc_id")
+    }),
+
     // ---- quality scoring ----
     "x2_quality_score" -> ((s, d) => {
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -3120,6 +3160,92 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_windows
           |FROM g GROUP BY doc_id, grp
           |ORDER BY doc_id, span_start""".stripMargin,
+
+      // d14b's strip chain with the hotness test swapped from occurrence
+      // count to DISTINCT-document frequency (>= 3): only corpus-repeated
+      // chrome is cut, never a single document's own refrain
+      "q_boilerplate_strip" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |w AS (
+          |  SELECT doc_id, u.pos, u.h FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM t WHERE len(ws) >= 8)),
+          |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM w GROUP BY h),
+          |dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (h) WHERE f.df >= 3),
+          |g AS (SELECT doc_id, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |      FROM dup),
+          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM g GROUP BY doc_id, grp),
+          |tk AS (
+          |  SELECT doc_id, u.i, u.tok FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, len(ws) + 1),
+          |        i -> struct_pack(i := i - 1, tok := ws[i]))) AS u
+          |    FROM t)),
+          |kept AS (
+          |  SELECT tk.doc_id, tk.i, tk.tok FROM tk
+          |  WHERE NOT EXISTS (SELECT 1 FROM sp
+          |                    WHERE sp.doc_id = tk.doc_id AND tk.i >= sp.s AND tk.i < sp.e))
+          |SELECT d.doc_id,
+          |       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+          |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text
+          |FROM documents d ORDER BY doc_id""".stripMargin,
+
+      // the composed web-curation replay: the q_boilerplate_strip chain,
+      // then the q_quality_cut formula + quantile threshold over the
+      // CLEANED text, then min-id dedup per distinct cleaned content
+      "e2e_web_pipeline" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+           |w AS (
+           |  SELECT doc_id, u.pos, u.h FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+           |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+           |    FROM t WHERE len(ws) >= 8)),
+           |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM w GROUP BY h),
+           |dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (h) WHERE f.df >= 3),
+           |g AS (SELECT doc_id, pos,
+           |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |      FROM dup),
+           |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM g GROUP BY doc_id, grp),
+           |tk AS (
+           |  SELECT doc_id, u.i, u.tok FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, len(ws) + 1),
+           |        i -> struct_pack(i := i - 1, tok := ws[i]))) AS u
+           |    FROM t)),
+           |kept AS (
+           |  SELECT tk.doc_id, tk.i, tk.tok FROM tk
+           |  WHERE NOT EXISTS (SELECT 1 FROM sp
+           |                    WHERE sp.doc_id = tk.doc_id AND tk.i >= sp.s AND tk.i < sp.e)),
+           |clean AS (
+           |  SELECT d.doc_id,
+           |         COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+           |                   FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text
+           |  FROM documents d),
+           |ct AS (SELECT doc_id, clean_text,
+           |              list_filter(string_split(clean_text, ' '), x -> x <> '') AS toks
+           |       FROM clean),
+           |ne AS (SELECT * FROM ct WHERE len(toks) > 0),
+           |q AS (
+           |  SELECT doc_id, clean_text, CAST(len(toks) AS BIGINT) AS n_clean_tokens,
+           |         floor((0.4*least(1.0, len(toks)::DOUBLE / 50.0)
+           |              + 0.3*(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+           |              + 0.3*(len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE))
+           |               * 10000.0 + 0.5) / 10000.0 AS quality
+           |  FROM ne),
+           |thr AS (SELECT quantile_cont(quality, 0.8) AS thr FROM q),
+           |keep AS (SELECT q.* FROM q, thr WHERE quality >= thr)
+           |SELECT doc_id, n_clean_tokens, quality, md5(clean_text) AS clean_md5
+           |FROM keep
+           |QUALIFY row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) = 1
+           |ORDER BY doc_id""".stripMargin
+      },
 
       // x11's scoring feeding the exact integer NTILE formula (first
       // n mod k groups take one extra row) over (row index, total) — the

@@ -595,6 +595,36 @@ object Dedup {
     stripSpans(docs, idCol, textCol,
       duplicateSpans(docs, idCol, textCol, n, minOccurrences))
 
+  /** Cross-document BOILERPLATE spans: maximal runs of n-token windows
+    * whose content occurs in at least `minDocFrequency` DISTINCT documents
+    * — the shared nav-chrome/license/footer detector (the RefinedWeb-style
+    * line-dedup rule, at token-window granularity). Differs from
+    * [[duplicateSpans]] in the hotness test: occurrence count would let a
+    * single self-repetitive document flag its own refrain; document
+    * frequency only fires on content the CORPUS repeats.
+    *
+    * Scale shape: same exploded (doc_id, pos, 128-bit hash) frame as
+    * [[duplicateSpans]]; the df aggregate distincts (h, doc_id) first —
+    * both levels map-side combinable — and a corpus-wide hot window costs
+    * one aggregate row regardless of how many documents carry it. */
+  def boilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocFrequency: Long): DataFrame = {
+    val wins = windowHashes(docs, idCol, textCol, n)
+    val dfreq = wins.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    mergeSpans(
+      wins.join(dfreq.where(col("df") >= minDocFrequency), "h")
+        .select("doc_id", "pos"), n)
+  }
+
+  /** Remediation for [[boilerplateSpans]]: cut the corpus-repeated chrome,
+    * keep the document — same output contract and scale shape as
+    * [[stripDuplicateSpans]]. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocFrequency: Long): DataFrame =
+    stripSpans(docs, idCol, textCol,
+      boilerplateSpans(docs, idCol, textCol, n, minDocFrequency))
+
   /** Generic span remediation: every document re-emitted with the given
     * (doc_id, span_start, span_len) token ranges REMOVED — the shared
     * engine behind [[stripDuplicateSpans]] (spans from [[duplicateSpans]])

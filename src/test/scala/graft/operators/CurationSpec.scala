@@ -196,6 +196,50 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate strip: df test fires on corpus-repeated chrome, never self-repetition") {
+    import spark.implicits._
+    val chrome = "nav home about contact privacy terms login search" // 8 tokens
+    val docs = Seq(
+      (0L, s"$chrome alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"$chrome iota kappa lambda mu nu xi omicron pi"),
+      (2L, s"$chrome rho sigma tau upsilon phi chi psi omega"),
+      // doc 3 repeats ITS OWN 8-token refrain twice — high occurrence
+      // count, but document frequency 1: must NOT be stripped
+      (3L, "spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam unique tail words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", n = 8, minDocFrequency = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "alpha beta gamma delta epsilon zeta eta theta")
+    assert(out(1L) === "iota kappa lambda mu nu xi omicron pi")
+    assert(out(2L) === "rho sigma tau upsilon phi chi psi omega")
+    // self-repetition survives intact (whitespace-normalized round-trip)
+    assert(out(3L) === "spam spam spam spam spam spam spam spam " +
+      "spam spam spam spam spam spam spam spam unique tail words here")
+    // sanity: duplicateSpans WOULD have flagged doc 3 (occurrence >= 2)
+    val occSpans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8, minOccurrences = 2)
+      .where(col("doc_id") === 3L).count()
+    assert(occSpans > 0)
+  }
+
+  test("e2e_web_pipeline: survivors are quality-kept, content-distinct, min-id") {
+    val rows = SparkEntry.queries("e2e_web_pipeline")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // content-distinct and min-id per fingerprint is enforced by the rank;
+    // verify fingerprints unique
+    val fps = rows.map(_._4)
+    assert(fps.distinct.length === fps.length)
+    // the kept quality values all clear the 80th percentile of the cleaned
+    // corpus: recompute the threshold from the cleaned side
+    val cleaned = Dedup.stripBoilerplate(Tables.documents(spark, sfDir),
+        "doc_id", "text", n = 8, minDocFrequency = 3)
+      .where(size(TextOps.tokens(col("clean_text"))) > 0)
+      .select(TextOps.qualityCol(col("clean_text")).as("q"))
+      .agg(percentile(col("q"), lit(0.8))).collect()(0).getDouble(0)
+    assert(rows.forall(_._3 >= cleaned))
+  }
+
   test("sourceDivergence matches a single-node full-vocabulary JS computation") {
     import spark.implicits._
     val docs = Seq(

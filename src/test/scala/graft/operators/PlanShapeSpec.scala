@@ -385,6 +385,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sortCount(df) <= 1, "the lag window split into extra sorts")
   }
 
+  test("boilerplate strip: neither text nor token arrays enter any exchange") {
+    val df = Dedup.stripBoilerplate(Tables.documents(spark, sfDir),
+      "doc_id", "text", n = 8, minDocFrequency = 3)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("__toks#") && !b.contains("toks#"),
+        s"an exchange carries a token array:\n$b")
+    }
+  }
+
+  test("e2e_web_pipeline: post-checkpoint plan moves only (id, md5, scalars)") {
+    val df = SparkEntry.queries("e2e_web_pipeline")(spark, sfDir)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // cleaned+scored relation is checkpointed: no corpus re-scan downstream
+    assert(!fmt.contains("Scan parquet"),
+      "a consumer re-scans the corpus instead of the checkpointed cleaned relation")
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("clean_text#") && !b.contains("text#"),
+        s"an exchange carries cleaned text:\n$b")
+  }
+
   test("d15b_contamination_fraction: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     val df = Dedup.contaminationFraction(
