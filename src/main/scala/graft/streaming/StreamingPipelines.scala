@@ -822,6 +822,54 @@ object StreamingPipelines {
       .select("doc_id", "n_pretokens", "n_oov", "n_invocab_tokens", "oov_frac")
   }
 
+  /** Per-user carry-over for [[comparisonStream]]: the user's latest event,
+    * so a comparison can bridge a batch boundary. */
+  final case class LastEvent(tsUs: Long, eventId: Long, item: String, value: Double)
+
+  /** An event row for streaming preference derivation. */
+  final case class PrefEvent(userId: Long, tsUs: Long, eventId: Long,
+      item: String, value: Double)
+
+  /** Streaming preference-comparison derivation — the ingest-time form of
+    * [[graft.operators.Preference.comparisonsFromEvents]]: per user, each
+    * consecutive event pair (by time, then id) emits one (winner, loser)
+    * comparison with the identical value/tie rules, with `flatMapGroupsWithState`
+    * carrying the user's LAST event across micro-batches so adjacency
+    * survives batch boundaries. Feed batches in per-user event order (the
+    * epoch-replay contract every keyed-state pipeline here shares); the
+    * multiset of comparisons then equals the batch operator's on a replay
+    * (StreamingSpec).
+    *
+    * Scale shape: one user-keyed state partitioning (the same single
+    * corpus-scale shuffle as the batch window); state is ONE event per
+    * user; downstream (winner, loser) aggregation stays at item²
+    * cardinality. */
+  def comparisonStream(events: Dataset[PrefEvent]): org.apache.spark.sql.DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[PrefEvent], state: GroupState[LastEvent]) => {
+          val evs = rows.toSeq.sortBy(e => (e.tsUs, e.eventId))
+          var prev = state.getOption
+          val out = Seq.newBuilder[(String, String)]
+          for (e <- evs) {
+            prev match {
+              case Some(p) if p.item != e.item =>
+                if (e.value > p.value) out += ((e.item, p.item))
+                else if (e.value < p.value) out += ((p.item, e.item))
+                else if (e.item < p.item) out += ((e.item, p.item))
+                else out += ((p.item, e.item))
+              case _ =>
+            }
+            prev = Some(LastEvent(e.tsUs, e.eventId, e.item, e.value))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+        })
+      .toDF("winner", "loser")
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

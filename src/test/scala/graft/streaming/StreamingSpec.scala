@@ -949,4 +949,38 @@ class StreamingSpec extends AnyFunSuite {
     // both signals must actually fire somewhere for the pin to mean much
     assert(batch.exists(_._2 > 0) || batch.exists(_._3 > 0))
   }
+
+  test("preference comparisons: streaming keyed-state derivation equals batch on a replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sfDir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val batch = graft.operators.Preference.comparisonsFromEvents(
+        ev, "user_id", "ts_us", "event_id", "event_type", "value")
+      .as[(String, String, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val rows = ev.select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+      .map { case (u, t, id, it, v) => StreamingPipelines.PrefEvent(u, t, id, it, v) }
+    // split mid-stream by time so many users' consecutive pairs STRADDLE
+    // the micro-batch boundary — the case the carried state exists for
+    val cut = rows.map(_.tsUs).sorted.apply(rows.length / 2)
+    val (b1, b2) = rows.partition(_.tsUs <= cut)
+    assert(b1.map(_.userId).toSet.intersect(b2.map(_.userId).toSet).nonEmpty)
+
+    val mem = MemoryStream[StreamingPipelines.PrefEvent]
+    val comps = StreamingPipelines.comparisonStream(mem.toDS())
+    val q = comps.writeStream.outputMode("append").format("memory")
+      .queryName("prefcomps").start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("prefcomps")
+      .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+  }
 }
