@@ -966,6 +966,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-document memorization-risk audit: max distinct-document
+    //      frequency among the doc's 8-token windows, plus how many of its
+    //      windows the corpus repeats (df ≥ 3) — the signal for content a
+    //      model will likely memorize because the corpus keeps saying it. ----
+    "q_memorization_risk" -> ((s, d) => {
+      Dedup.memorizationRisk(Tables.documents(s, d), "doc_id", "text",
+          n = 8, hotDf = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- fill-in-the-middle transformation (PSM order) with md5-derived
+    //      deterministic cut points — the infilling data-prep step, as a
+    //      pure zero-shuffle projection. ----
+    "q_fim_transform" -> ((s, d) => {
+      TextOps.fimTransform(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- the web-curation pipeline composed as ONE query: boilerplate
     //      strip (df ≥ 3) → drop emptied docs → quality-score the CLEANED
     //      text and keep the top quintile (exact interpolated percentile)
@@ -3193,6 +3211,46 @@ object SparkEntry {
           |       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
           |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text
           |FROM documents d ORDER BY doc_id""".stripMargin,
+
+      // the boilerplate df table re-aimed at a per-document audit: every
+      // window joins its df, then one per-doc aggregate
+      "q_memorization_risk" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |w AS (
+          |  SELECT doc_id, u.pos, u.h FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM t WHERE len(ws) >= 8)),
+          |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM w GROUP BY h)
+          |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+          |       CAST(max(f.df) AS BIGINT) AS max_df,
+          |       CAST(count(CASE WHEN f.df >= 3 THEN 1 END) AS BIGINT) AS n_hot,
+          |       floor(count(CASE WHEN f.df >= 3 THEN 1 END)::DOUBLE / count(*)::DOUBLE
+          |             * 10000.0 + 0.5) / 10000.0 AS hot_frac
+          |FROM w JOIN f USING (h) GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+      // FIM replay: same md5-hex cut-point arithmetic ('0x'||substr parse =
+      // Spark's conv(substring)), same PSM serialization
+      "q_fim_transform" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |c AS (
+          |  SELECT doc_id, ws, len(ws) AS n,
+          |         ('0x' || substr(md5(doc_id::VARCHAR || '#fim1'), 1, 8))::BIGINT % (len(ws) + 1) AS a,
+          |         ('0x' || substr(md5(doc_id::VARCHAR || '#fim2'), 1, 8))::BIGINT % (len(ws) + 1) AS b
+          |  FROM t),
+          |s AS (SELECT doc_id, ws, n, least(a, b) AS u, greatest(a, b) AS v FROM c)
+          |SELECT doc_id, CAST(u AS BIGINT) AS n_prefix,
+          |       CAST(v - u AS BIGINT) AS n_middle,
+          |       CAST(n - v AS BIGINT) AS n_suffix,
+          |       -- array_to_string([]) is NULL in DuckDB but '' under
+          |       -- Spark's concat_ws — coalesce every part
+          |       md5(COALESCE(array_to_string(ws[1:u], ' '), '') || '|' ||
+          |           COALESCE(array_to_string(ws[v+1:n], ' '), '') || '|' ||
+          |           COALESCE(array_to_string(ws[u+1:v], ' '), '')) AS psm_md5
+          |FROM s ORDER BY doc_id""".stripMargin,
 
       // the composed web-curation replay: the q_boilerplate_strip chain,
       // then the q_quality_cut formula + quantile threshold over the

@@ -625,6 +625,30 @@ object Dedup {
     stripSpans(docs, idCol, textCol,
       boilerplateSpans(docs, idCol, textCol, n, minDocFrequency))
 
+  /** Per-document memorization-risk audit over the [[boilerplateSpans]]
+    * document-frequency machinery: for every document with at least one
+    * n-token window, the maximum distinct-document frequency among its
+    * windows, how many of its windows are corpus-hot (df ≥ `hotDf`), and
+    * the hot fraction — the pre-training signal for content a model is
+    * likely to memorize because the corpus repeats it.
+    *
+    * Scale shape: identical to [[boilerplateSpans]] up to the df join —
+    * (doc_id, pos, hash) rows only — then one per-document aggregate with
+    * map-side partials. Text never shuffles. */
+  def memorizationRisk(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, hotDf: Long): DataFrame = {
+    val wins = windowHashes(docs, idCol, textCol, n)
+    val dfreq = wins.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    wins.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        max(col("df")).as("max_df"),
+        count(when(col("df") >= hotDf, lit(1))).as("n_hot"))
+      .withColumn("hot_frac", TextOps.round4(
+        col("n_hot").cast("double") / col("n_windows").cast("double")))
+  }
+
   /** Generic span remediation: every document re-emitted with the given
     * (doc_id, span_start, span_len) token ranges REMOVED — the shared
     * engine behind [[stripDuplicateSpans]] (spans from [[duplicateSpans]])

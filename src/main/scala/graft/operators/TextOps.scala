@@ -856,6 +856,39 @@ object TextOps {
       .toDF("doc_id", "n_pretokens", "n_bpe_tokens")
   }
 
+  /** Fill-in-the-middle (FIM) transformation for infilling-capable training
+    * data (Bavarian et al. 2022; the StarCoder data prep step): each
+    * document's token sequence is split at two DETERMINISTIC cut points
+    * into (prefix, middle, suffix) and re-serialized in PSM order
+    * (prefix ‖ suffix ‖ middle). Cut points are md5-derived from the
+    * document id (the A-ES portable-hash trick), so the transform is
+    * reproducible across engines and runs: a = h("#fim1") mod (n+1),
+    * b = h("#fim2") mod (n+1), u = min(a,b), v = max(a,b).
+    *
+    * Output: (doc_id, n_prefix, n_middle, n_suffix, psm_md5) where psm_md5
+    * fingerprints the reordered serialization 'prefix|suffix|middle'.
+    *
+    * Scale shape: a PURE PROJECTION — no shuffle, no join, no state; FIM
+    * at 100 TB is scan-speed by construction. */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def h32(salt: String) = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10).cast("long")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val a = h32("#fim1") % (n + lit(1))
+    val b = h32("#fim2") % (n + lit(1))
+    val u = least(a, b)
+    val v = greatest(a, b)
+    val p = concat_ws(" ", slice(toks, lit(1), u))
+    val m = concat_ws(" ", slice(toks, u + lit(1), v - u))
+    val s = concat_ws(" ", slice(toks, v + lit(1), n - v))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      u.cast("long").as("n_prefix"),
+      (v - u).cast("long").as("n_middle"),
+      (n - v).cast("long").as("n_suffix"),
+      md5(concat_ws("|", p, s, m)).as("psm_md5"))
+  }
+
   /** Per-source Jensen–Shannon divergence of the unigram distribution vs
     * the whole-corpus distribution — the source-mix drift diagnostic a
     * curation run uses to spot a source whose vocabulary has wandered from

@@ -240,6 +240,64 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(_._3 >= cleaned))
   }
 
+  test("fimTransform: md5 cut points replicated single-node; splits partition the doc") {
+    import spark.implicits._
+    val docs = Seq((7L, "a b c d e f g h i j"), (8L, ""), (9L, "only"))
+      .toDF("doc_id", "text")
+    val out = TextOps.fimTransform(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 8), 16)
+    }
+    for ((id, text) <- Seq(7L -> "a b c d e f g h i j", 8L -> "", 9L -> "only")) {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val n = ws.length
+      val a = h32(s"$id#fim1") % (n + 1)
+      val b = h32(s"$id#fim2") % (n + 1)
+      val (u, v) = (math.min(a, b), math.max(a, b))
+      val expectMd5 = {
+        val p = ws.slice(0, u.toInt).mkString(" ")
+        val m = ws.slice(u.toInt, v.toInt).mkString(" ")
+        val s2 = ws.slice(v.toInt, n).mkString(" ")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p|$s2|$m".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        d
+      }
+      val (np, nm, nsuf, md) = out(id)
+      assert(np === u && nm === v - u && nsuf === n - v, s"doc $id cut points")
+      assert(np + nm + nsuf === n.toLong)
+      assert(md === expectMd5, s"doc $id psm serialization")
+    }
+  }
+
+  test("memorizationRisk: corpus-hot windows counted per doc, self-repetition df stays 1") {
+    import spark.implicits._
+    val chrome = "nav home about contact privacy terms login search"
+    val docs = Seq(
+      (0L, s"$chrome alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"$chrome iota kappa lambda mu nu xi omicron pi"),
+      (2L, s"$chrome rho sigma tau upsilon phi chi psi omega"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val out = Dedup.memorizationRisk(docs, "doc_id", "text", n = 8, hotDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // chrome window (positions 0) is shared by docs 0-2 -> df 3, exactly
+    // one hot window each (16 tokens -> 9 windows)
+    for (id <- 0L to 2L) {
+      val (nw, maxDf, nHot, frac) = out(id)
+      assert(nw === 9L && maxDf === 3L && nHot === 1L)
+      assert(math.abs(frac - 1.0 / 9.0) < 1e-3)
+    }
+    // doc 3's windows repeat within ITSELF only: distinct-doc df stays 1
+    val (_, maxDf3, nHot3, frac3) = out(3L)
+    assert(maxDf3 === 1L && nHot3 === 0L && frac3 === 0.0)
+  }
+
   test("sourceDivergence matches a single-node full-vocabulary JS computation") {
     import spark.implicits._
     val docs = Seq(

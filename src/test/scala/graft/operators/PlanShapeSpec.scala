@@ -407,6 +407,25 @@ class PlanShapeSpec extends AnyFunSuite {
         s"an exchange carries cleaned text:\n$b")
   }
 
+  test("q_fim_transform: a pure projection — the only exchange is the presentation sort") {
+    val df = SparkEntry.queries("q_fim_transform")(spark, sfDir)
+    val ex = exchangeBlocks(df)
+    assert(ex.size <= 1, s"FIM grew shuffles beyond the orderBy:\n${ex.mkString("\n---\n")}")
+    assert(ex.forall(_.contains("rangepartitioning")),
+      "FIM's only exchange must be the presentation sort")
+  }
+
+  test("q_memorization_risk: only (doc, pos, hash) rows shuffle") {
+    val df = SparkEntry.queries("q_memorization_risk")(spark, sfDir)
+    // boundary-aware: bare `ws#` would false-match `n_windows#`
+    val tokArray = """(?<![a-zA-Z_])(toks|ws)#""".r
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(tokArray.findFirstIn(b).isEmpty,
+        s"an exchange carries a token array:\n$b")
+    }
+  }
+
   test("d15b_contamination_fraction: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     val df = Dedup.contaminationFraction(
