@@ -444,6 +444,39 @@ object Bench {
       // incremental dedup, admitted decisions materialized exactly-once.
       // Measures the whole ingest cycle: query start, feed, watermark
       // drain, idempotent sink write, stop.
+      // One preference-derivation cycle over the full event log streamed
+      // in two time-split micro-batches through the keyed-state
+      // comparison derivation; the comparison count must equal the batch
+      // operator's exactly, or the entry fails.
+      "streaming_preference_epoch" -> (() => timed("streaming_preference_epoch") {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        import graft.streaming.StreamingPipelines
+        val ev = Tables.events(spark, sfDir).withColumn("ts_us", expr("ts_ns div 1000"))
+        val rows = ev.select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"), col("value"))
+          .as[(Long, Long, Long, String, Double)].collect()
+          .map { case (u, t, id, it, v) => StreamingPipelines.PrefEvent(u, t, id, it, v) }
+        val cut = rows.map(_.tsUs).sorted.apply(rows.length / 2)
+        val (b1, b2) = rows.partition(_.tsUs <= cut)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[StreamingPipelines.PrefEvent]
+        val qn = s"prefbench_${System.nanoTime()}"
+        val q = StreamingPipelines.comparisonStream(mem.toDS())
+          .writeStream.outputMode("append").format("memory").queryName(qn).start()
+        try {
+          mem.addData(b1.toSeq); q.processAllAvailable()
+          mem.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+        val streamed = spark.table(qn).count()
+        val batch = graft.operators.Preference.comparisonsFromEvents(
+            ev, "user_id", "ts_us", "event_id", "event_type", "value")
+          .agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+        require(streamed == batch,
+          s"streaming_preference_epoch streamed $streamed != batch $batch")
+        System.err.println(
+          s"[bench] streaming_preference_epoch comparisons=$streamed (batch agrees)")
+      }),
       "streaming_corpus_epoch" -> (() => timed("streaming_corpus_epoch") {
         val base = Tables.documents(spark, sfDir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))

@@ -1013,6 +1013,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- DPO-style preference-pair table: every aggregated (winner,
+    //      loser) comparison annotated with the trained Bradley–Terry
+    //      expected win probability r_w/(r_w+r_l) and rating margin — the
+    //      table a preference-tuning run consumes, with the model's
+    //      self-consistency visible per pair. Ratings join broadcast at
+    //      item cardinality. ----
+    "q_preference_pairs" -> ((s, d) => {
+      val path = ensureBtModel(s, d)
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val comps = graft.operators.Preference.comparisonsFromEvents(
+        ev, "user_id", "ts_us", "event_id", "event_type", "value")
+      val r = s.read.parquet(path).select(col("item"), col("rating"))
+      comps
+        .join(broadcast(r.select(col("item").as("winner"), col("rating").as("r_w"))), Seq("winner"))
+        .join(broadcast(r.select(col("item").as("loser"), col("rating").as("r_l"))), Seq("loser"))
+        .select(col("winner"), col("loser"), col("n").as("n_comparisons"),
+          (floor(col("r_w") / (col("r_w") + col("r_l")) * lit(10000.0) + lit(0.5)) / lit(10000.0))
+            .as("p_win_expected"),
+          (floor((col("r_w") - col("r_l")) * lit(10000.0) + lit(0.5)) / lit(10000.0))
+            .as("rating_margin"))
+        .orderBy("winner", "loser")
+    }),
+
     // ---- quality scoring ----
     "x2_quality_score" -> ((s, d) => {
       TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -2042,6 +2065,30 @@ object SparkEntry {
            |       floor(r.rating * 10000.0 + 0.5) / 10000.0 AS rating
            |FROM r LEFT JOIN w USING (item) LEFT JOIN l USING (item)
            |ORDER BY item""".stripMargin
+    }.toMap ++ lastBtModelPath.toSeq.map { path =>
+      // the pair table: same comparison CTE chain, ratings joined twice
+      // from the same export, identical IEEE op order on the annotations
+      "q_preference_pairs" ->
+        s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+           |                  event_type, value FROM events),
+           |p AS (SELECT user_id, event_type AS item, value,
+           |        lag(event_type) OVER w AS prev_item,
+           |        lag(value) OVER w AS prev_value
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+           |c AS (SELECT CASE WHEN value > prev_value THEN item
+           |                  WHEN value < prev_value THEN prev_item
+           |                  ELSE least(item, prev_item) END AS winner,
+           |             CASE WHEN value > prev_value THEN prev_item
+           |                  WHEN value < prev_value THEN item
+           |                  ELSE greatest(item, prev_item) END AS loser
+           |      FROM p WHERE prev_item IS NOT NULL AND prev_item <> item),
+           |m AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+           |r AS (SELECT item, rating FROM read_parquet('$path/*.parquet'))
+           |SELECT m.winner, m.loser, m.n AS n_comparisons,
+           |       floor(rw.rating / (rw.rating + rl.rating) * 10000.0 + 0.5) / 10000.0 AS p_win_expected,
+           |       floor((rw.rating - rl.rating) * 10000.0 + 0.5) / 10000.0 AS rating_margin
+           |FROM m JOIN r rw ON m.winner = rw.item JOIN r rl ON m.loser = rl.item
+           |ORDER BY winner, loser""".stripMargin
     }.toMap
 
   /** Tokenization oracle over the x13 gate's exported model: DuckDB
