@@ -905,6 +905,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- tokenizer vocabulary-SIZE selection: fertility as a function of
+    //      merge budget (first-k-merges token cost of every corpus word,
+    //      budgets 0..150) — the curve whose flattening point answers "how
+    //      many merges are worth training". Corpus words aggregate at
+    //      vocab cardinality BEFORE joining the vocab×|grid| export. ----
+    "q_tokenizer_size_curve" -> ((s, d) => {
+      val path = ensureBpeCurveModel(s, d)
+      val words = Tables.documents(s, d)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit(TextOps.BpePretokenPattern), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      words.join(s.read.parquet(path).select("word", "k", "n_tokens"), Seq("word"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_words"),
+          sum("c").as("n_pretokens"),
+          sum(col("c") * col("n_tokens")).as("total_tokens"))
+        .select(col("k"), col("n_words"), col("n_pretokens"), col("total_tokens"),
+          (floor(col("total_tokens").cast("double") / col("n_pretokens").cast("double")
+            * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("fertility"))
+        .orderBy("k")
+    }),
+
     // ---- the tokenizer-design pipeline end-to-end: learn the merges from
     //      the corpus (x13's trained model), derive the TRAINED token
     //      vocabulary's frequency table (token frequency = Σ word freq ×
@@ -2004,6 +2026,34 @@ object SparkEntry {
     path
   }
 
+  /** Merge-budget grid of the tokenizer size-selection curve. */
+  val BpeCurveGrid: Seq[Int] = Seq(0, 25, 50, 75, 100, 125, 150)
+
+  /** Train-once-per-(JVM, sf) size-curve export: the x13 merges applied at
+    * every budget in [[BpeCurveGrid]] over the word-frequency table — same
+    * pid+sf path contract and dead-JVM sweep as [[ensureBpeModel]]. */
+  @volatile private var lastBpeCurvePath: Option[String] = None
+  private def ensureBpeCurveModel(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_bpe_curve_${ProcessHandle.current().pid()}_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    if (!lastBpeCurvePath.contains(path)) {
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("graft_bpe_curve_\\d+_.*\\.parquet"))
+        .foreach { f =>
+          val pid = f.getName.stripPrefix("graft_bpe_curve_")
+            .takeWhile(_.isDigit).toLong
+          val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+          if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
+        }
+      ensureBpeModel(s, d) // trains (or reuses) and publishes lastX13Merges
+      TextOps.bpeSizeCurve(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
+          lastX13Merges.get, BpeCurveGrid)
+        .write.mode("overwrite").parquet(path)
+      lastBpeCurvePath = Some(path)
+    }
+    path
+  }
+
   /** MM iteration count of the Bradley–Terry gate (shared with specs). */
   val BtIters = 50
 
@@ -2167,7 +2217,23 @@ object SparkEntry {
            |SELECT token, cnt, cum_before FROM p, t
            |WHERE cum_before < (95 * total + 99) // 100
            |ORDER BY cnt DESC, token""".stripMargin)
-    }).toMap
+    }).toMap ++ lastBpeCurvePath.toSeq.map { cp =>
+      // size-selection curve: corpus words re-derived with the same
+      // pre-tokenizer, aggregated at vocab cardinality, joined against the
+      // exported (word, k, n_tokens) grid — a hash match proves corpus
+      // coverage and the per-budget aggregation; the segmentation itself
+      // is pinned by BpeTrainSpec's prefix-stability test
+      "q_tokenizer_size_curve" ->
+        s"""WITH w AS (
+           |  SELECT unnest(regexp_extract_all(lower(text), '$p')) AS word FROM documents),
+           |c AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
+           |m AS (SELECT word, k, n_tokens FROM read_parquet('$cp/*.parquet'))
+           |SELECT m.k, CAST(count(*) AS BIGINT) AS n_words,
+           |       CAST(sum(c.c) AS BIGINT) AS n_pretokens,
+           |       CAST(sum(c.c * m.n_tokens) AS BIGINT) AS total_tokens,
+           |       floor(sum(c.c * m.n_tokens)::DOUBLE / sum(c.c)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS fertility
+           |FROM c JOIN m USING (word) GROUP BY m.k ORDER BY k""".stripMargin
+    }.toMap
   }
 
   /** Frequency-ranking oracle over the s3 gate's materialized generator

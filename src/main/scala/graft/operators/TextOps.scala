@@ -810,6 +810,44 @@ object TextOps {
     ss
   }
 
+  /** Vocabulary-size selection curve: for each merge budget k in `grid`
+    * (ascending), every word's token cost under the FIRST k learned merges
+    * — the marginal-fertility table a tokenizer-design run reads to pick
+    * its vocabulary size (where the fertility curve flattens, stop paying
+    * for merges). Output (word, freq, k, n_tokens) at vocab×|grid|
+    * cardinality.
+    *
+    * One progressive walk up the rank order per word — segmenting at
+    * budget k and continuing to k' > k is exactly [[bpeSegment]] under
+    * `merges.take(k')` because merge application is a prefix-stable fold
+    * (BpeTrainSpec pins the equality at the top budget). Runs over the
+    * WORD TABLE, never the corpus. */
+  def bpeSizeCurve(wordFreq: DataFrame, merges: Seq[(String, String)],
+      grid: Seq[Int]): DataFrame = {
+    require(grid.nonEmpty && grid == grid.sorted, s"grid must be ascending: $grid")
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val ranked = merges.toArray
+    val ks = grid.toArray
+    wordFreq.select(col("word"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .flatMap { case (w, f) =>
+        var ss: Array[String] = w.map(_.toString).toArray
+        val out = Array.newBuilder[(String, Long, Int, Long)]
+        var rank = 0
+        var gi = 0
+        while (gi < ks.length) {
+          while (rank < ks(gi) && rank < ranked.length) {
+            if (ss.length >= 2) ss = mergePairInWord(ss, ranked(rank)._1, ranked(rank)._2)
+            rank += 1
+          }
+          out += ((w, f, ks(gi), ss.length.toLong))
+          gi += 1
+        }
+        out.result().toSeq
+      }.toDF("word", "freq", "k", "n_tokens")
+  }
+
   /** Per-document vocabulary-coverage stats against an exported
     * (word, n_tokens) model: pretoken count, out-of-vocabulary pretoken
     * count (LEFT join misses), in-vocab BPE token cost, and the round4 OOV

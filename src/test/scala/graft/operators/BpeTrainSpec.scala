@@ -156,4 +156,29 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(nInVocab === expCost)
     assert(frac === math.floor(nOov.toDouble / 4.0 * 10000.0 + 0.5) / 10000.0)
   }
+
+  test("bpeSizeCurve: prefix-stable vs bpeSegment, monotone in k, chars at k=0") {
+    import spark.implicits._
+    val wf = TextOps.bpeWordFreq(Tables.documents(spark, sfDir), "text")
+    val (merges, model) = TextOps.bpeTrainAuto(wf, numMerges = 60)
+    val grid = Seq(0, 20, 40, 60)
+    val curve = TextOps.bpeSizeCurve(wf, merges, grid)
+      .as[(String, Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._3 -> t._4).toMap).toMap
+    assert(curve.nonEmpty)
+    val trained = model.select("word", "n_tokens")
+      .as[(String, Long)].collect().toMap
+    for ((w, byK) <- curve) {
+      assert(byK.keySet === grid.toSet)
+      // k = 0: character segmentation
+      assert(byK(0) === w.length.toLong, s"'$w' at k=0")
+      // monotone nonincreasing in merge budget
+      for (Seq(a, b) <- grid.sliding(2)) assert(byK(a) >= byK(b), s"'$w' $a->$b")
+      // top budget: the progressive walk equals both the trained model and
+      // a fresh bpeSegment under the full prefix
+      assert(byK(60) === trained(w), s"'$w' top-budget vs model")
+      assert(byK(20) === TextOps.bpeSegment(w, merges.take(20)).length.toLong,
+        s"'$w' mid-budget vs fresh segmentation")
+    }
+  }
 }
