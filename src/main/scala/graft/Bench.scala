@@ -236,6 +236,38 @@ object Bench {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
+    // shared corpus of the divergence-checkpoint A/B: 400k docs × 40
+    // tokens, 16 sources, 500-word vocabulary, Murmur3-derived content,
+    // materialized to parquet ONCE (untimed) so the un-checkpointed arm
+    // pays REAL scan amplification — an in-memory range generator has no
+    // IO to amplify and reads as a false wash
+    lazy val divergenceBenchPath: String = {
+      val path = s"/tmp/graft_divbench_${ProcessHandle.current().pid()}.parquet"
+      // sweep frames left by dead JVMs (the ensureBpeModel pattern)
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("graft_divbench_\\d+\\.parquet"))
+        .foreach { f =>
+          val pid = f.getName.stripPrefix("graft_divbench_")
+            .takeWhile(_.isDigit).toLong
+          val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+          if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
+        }
+      spark.range(0, 400000L, 1, cpus.toInt)
+        .select(col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(16))).as("source"),
+          array_join(expr("transform(sequence(1, 40), i -> concat('w', pmod(hash(id, i), 500)))"),
+            " ").as("text"))
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+    def divergenceBenchFrame: DataFrame = spark.read.parquet(divergenceBenchPath)
+
+    // shared frame of the distinct-users A/B: 20M events over 32 days and
+    // ~1M users (multiplicative-hash spread), deterministic
+    def distinctBenchFrame: DataFrame = spark.range(0, 20000000L, 1, cpus.toInt)
+      .select(pmod(col("id"), lit(32)).cast("int").as("day"),
+        pmod(col("id") * lit(2654435761L), lit(1000003L)).as("user_id"))
+
     // shared frame of the median-filter A/B: 5M rows, 16 groups, md5-derived
     // round4-quantized scores (deterministic, layout-independent)
     def medianBenchFrame: DataFrame =
@@ -419,6 +451,51 @@ object Bench {
           .select(col("g"), col("q").as("__thr"))
         force(frame.join(thr, "g").where(col("q") >= col("__thr"))
           .groupBy("g").agg(count(lit(1)).as("kept")))
+      }),
+      // Checkpoint A/B for the JS-divergence count table: four consumers
+      // derive from the (source, word) counts, so skipping the
+      // materialization re-scans and re-tokenizes the corpus per consumer
+      // (runtime exchange reuse recovers only part of it — measured 6
+      // explain-level scans). The sf-dir documents are too small for the
+      // re-scan to register, so the A/B runs on a 200k-doc × 30-token
+      // synthetic corpus (16 sources, 500-word vocab, Murmur3-derived —
+      // deterministic, no oracle needed for a timing receipt). Same result
+      // rows; the delta prices the re-scan. Materialized arm FIRST so
+      // warmup bias is conservative.
+      "source_divergence_ckpt" -> (() => timed("source_divergence_ckpt") {
+        force(graft.operators.TextOps.sourceDivergence(
+          divergenceBenchFrame, "source", "text"))
+      }),
+      "source_divergence_nockpt" -> (() => timed("source_divergence_nockpt") {
+        force(graft.operators.TextOps.sourceDivergence(
+          divergenceBenchFrame, "source", "text", materialize = false))
+      }),
+      // Exact-vs-HLL distinct A/B on a 20M-row / 1M-user synthetic event
+      // frame: countDistinct expands to a (day, user) distinct shuffle
+      // before counting; approx_count_distinct (HLL++, rsd 2%) combines
+      // map-side and never materializes the identity set — the only shape
+      // that survives 100 TB of events. The sketch's error is asserted
+      // < 5%/day OUTSIDE the timed region, so the receipt carries its own
+      // accuracy check without polluting the timing.
+      "distinct_users_exact" -> (() => timed("distinct_users_exact") {
+        force(distinctBenchFrame
+          .groupBy("day").agg(countDistinct(col("user_id")).as("users")))
+      }),
+      "distinct_users_hll" -> (() => {
+        val t = timed("distinct_users_hll") {
+          force(distinctBenchFrame
+            .groupBy("day").agg(approx_count_distinct(col("user_id"), 0.02).as("users")))
+        }
+        val both = distinctBenchFrame.groupBy("day")
+          .agg(countDistinct(col("user_id")).as("exact"),
+            approx_count_distinct(col("user_id"), 0.02).as("approx"))
+          .collect()
+        for (r <- both) {
+          val ex = r.getLong(1); val ap = r.getLong(2)
+          require(math.abs(ap - ex).toDouble / ex < 0.05,
+            s"HLL error out of band on day ${r.get(0)}: exact=$ex approx=$ap")
+        }
+        t
       }),
       "e2e_build_joins" -> (() => noBroadcast { timed("e2e_build_joins") {
         val docs = graft.Tables.documents(spark, sfDir)

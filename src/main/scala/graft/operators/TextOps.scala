@@ -953,12 +953,17 @@ object TextOps {
     * only partially deduped by runtime exchange reuse). Everything after
     * the checkpoint is count-table work: one word-keyed join (vocab
     * cardinality), source totals and the corpus total broadcast as
-    * scalars. Document text never shuffles. */
-  def sourceDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
-    val sw = docs.select(col(srcCol).as("source"),
+    * scalars. Document text never shuffles.
+    *
+    * `materialize = false` skips the checkpoint — the A/B arm the bench
+    * measures to price the re-scan (every derived aggregate then re-reads
+    * the corpus); production always materializes. */
+  def sourceDivergence(docs: DataFrame, srcCol: String, textCol: String,
+      materialize: Boolean = true): DataFrame = {
+    val sw0 = docs.select(col(srcCol).as("source"),
         explode(tokens(col(textCol))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
-      .localCheckpoint()
+    val sw = if (materialize) sw0.localCheckpoint() else sw0
     val ns = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
     val gw = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
     val tot = gw.agg(sum("c_w").as("n"))
