@@ -988,6 +988,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multi-suite decontamination in ONE pass: eval windows tagged by
+    //      suite (doc_id%3 over the held-out eleventh), corpus windows
+    //      hashed once, spans merged per (document, suite) — the audit a
+    //      production run does against all benchmarks simultaneously. ----
+    "q_multi_suite_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.where(col("doc_id") % 11 === 0)
+        .withColumn("suite", concat(lit("suite"), pmod(col("doc_id"), lit(3))))
+      Dedup.contaminationSpansBySuite(docs.where(col("doc_id") % 11 =!= 0), bench,
+          "doc_id", "text", "suite", n = 8)
+        .orderBy("doc_id", "suite", "span_start")
+    }),
+
     // ---- per-document memorization-risk audit: max distinct-document
     //      frequency among the doc's 8-token windows, plus how many of its
     //      windows the corpus repeats (df ≥ 3) — the signal for content a
@@ -3291,6 +3304,30 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_windows
           |FROM g GROUP BY doc_id, grp
           |ORDER BY doc_id, span_start""".stripMargin,
+
+      // d15's chain with the eval windows carrying a suite tag (doc_id%3)
+      // and the islands merge keyed by (doc, suite)
+      "q_multi_suite_decontam" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |w AS (
+          |  SELECT doc_id, u.pos, u.h FROM (
+          |    SELECT doc_id,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM t WHERE len(ws) >= 8)),
+          |c AS (SELECT doc_id, pos, h FROM w WHERE doc_id % 11 <> 0),
+          |b AS (SELECT DISTINCT h, 'suite' || (doc_id % 3) AS suite
+          |      FROM w WHERE doc_id % 11 = 0),
+          |dup AS (SELECT c.doc_id, c.pos, b.suite FROM c JOIN b USING (h)),
+          |g AS (SELECT doc_id, suite, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id, suite ORDER BY pos) AS grp
+          |      FROM dup)
+          |SELECT doc_id, suite, CAST(min(pos) AS BIGINT) AS span_start,
+          |       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
+          |       CAST(count(*) AS BIGINT) AS n_windows
+          |FROM g GROUP BY doc_id, suite, grp
+          |ORDER BY doc_id, suite, span_start""".stripMargin,
 
       // d14b's strip chain with the hotness test swapped from occurrence
       // count to DISTINCT-document frequency (>= 3): only corpus-repeated

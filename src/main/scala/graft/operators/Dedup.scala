@@ -522,6 +522,35 @@ object Dedup {
       .agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** Multi-suite span decontamination — [[contaminationSpans]] against
+    * SEVERAL benchmark suites in ONE pass: every eval window carries its
+    * suite tag, so the output reports per (document, suite) which corpus
+    * regions leak into which benchmark — the real shape of a production
+    * decontamination run, which audits MMLU+GSM8K+… simultaneously
+    * instead of rescanning the corpus per suite.
+    *
+    * Scale shape: corpus windows are hashed ONCE; the eval side is
+    * (hash, suite) distinct rows — ≤ |suites| per window — and the islands
+    * merge partitions by (doc, suite). Same (doc, pos, 128-bit hash)
+    * exchange discipline as [[contaminationSpans]]; adding a suite never
+    * adds a corpus scan. */
+  def contaminationSpansBySuite(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, suiteCol: String, n: Int): DataFrame = {
+    val suites = bench.select(col(idCol).cast("long").as("doc_id"),
+      col(suiteCol).as("suite"))
+    val evw = windowHashes(bench, idCol, textCol, n)
+      .join(suites, "doc_id").select("h", "suite").distinct()
+    val flagged = windowHashes(corpus, idCol, textCol, n)
+      .join(evw, "h").select("doc_id", "pos", "suite")
+    val w = Window.partitionBy("doc_id", "suite").orderBy("pos")
+    flagged.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "suite", "grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + n).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .drop("grp")
+  }
+
   /** Per-document contamination COVERAGE over [[contaminationSpans]]'
     * output: the fraction of a document's token positions lying inside some
     * contaminated span — the decision metric real pipelines threshold to

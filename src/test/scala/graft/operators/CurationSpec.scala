@@ -298,6 +298,25 @@ class CurationSpec extends AnyFunSuite {
     assert(maxDf3 === 1L && nHot3 === 0L && frac3 === 0.0)
   }
 
+  test("multi-suite decontamination: union of per-suite coverage == combined d15 coverage") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") % 11 =!= 0)
+    val bench = docs.where(col("doc_id") % 11 === 0)
+    val multi = SparkEntry.queries("q_multi_suite_decontam")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(multi.nonEmpty)
+    // flatten each suite's spans back to flagged window positions
+    def winPositions(spans: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+      spans.flatMap { case (doc, s, len) => (s until (s + len - 7)).map(doc -> _) }.toSet
+    val multiCover = winPositions(multi.map(t => (t._1, t._3, t._4)).distinct)
+    val combined = Dedup.contaminationSpans(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(multiCover === winPositions(combined),
+      "per-suite flagged positions must union to the combined-eval coverage")
+    // and at least two suites must actually fire for the gate to mean anything
+    assert(multi.map(_._2).distinct.length >= 2)
+  }
+
   test("sourceDivergence matches a single-node full-vocabulary JS computation") {
     import spark.implicits._
     val docs = Seq(
