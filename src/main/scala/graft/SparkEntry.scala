@@ -988,6 +988,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- k-center greedy coreset selection (geometric data pruning): the
+    //      k vectors that best cover the embedding space, each round one
+    //      shuffle-free map+reduce; the dist² column is the covering-radius
+    //      curve. The oracle re-derives EVERY greedy step inductively from
+    //      raw embeddings. ----
+    "q_coreset_select" -> ((s, d) => {
+      val path = ensureKCenterModel(s, d)
+      s.read.parquet(path)
+        .select(col("rank"), col("vec_id"),
+          (floor(col("dist2") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("dist2"))
+        .orderBy("rank")
+    }),
+
     // ---- multi-suite decontamination in ONE pass: eval windows tagged by
     //      suite (doc_id%3 over the held-out eleventh), corpus windows
     //      hashed once, spans merged per (document, suite) — the audit a
@@ -1887,7 +1900,7 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql
 
   /** x12 oracle, available after [[graft.operators.TextOps.qualityLrScore]]
     * has trained (Verify runs every query before dumping oracle SQL). The
@@ -2066,6 +2079,73 @@ object SparkEntry {
     }
     path
   }
+
+  /** Center count of the k-center coreset gate (shared with specs). */
+  val KCenterK = 16
+
+  /** Run-once-per-(JVM, sf) k-center selection export shared by the
+    * q_coreset_select gate and its DuckDB oracle — same pid+sf path
+    * contract and dead-JVM sweep as [[ensureBpeModel]]. The oracle
+    * re-derives every greedy step from raw embeddings using only the
+    * EARLIER-ranked rows of this export as the prior set, so the export is
+    * an induction hypothesis, not a trusted answer. */
+  @volatile private var lastKCenterPath: Option[String] = None
+  private def ensureKCenterModel(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_kcenter_${ProcessHandle.current().pid()}_" +
+      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    if (!lastKCenterPath.contains(path)) {
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("graft_kcenter_\\d+_.*\\.parquet"))
+        .foreach { f =>
+          val pid = f.getName.stripPrefix("graft_kcenter_")
+            .takeWhile(_.isDigit).toLong
+          val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+          if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
+        }
+      import s.implicits._
+      graft.operators.Similarity.kCenterGreedy(Tables.embeddings(s, d), KCenterK)
+        .toDF("rank", "vec_id", "dist2")
+        .write.mode("overwrite").parquet(path)
+      lastKCenterPath = Some(path)
+    }
+    path
+  }
+
+  /** k-center coreset oracle: for every rank r ≥ 1, DuckDB recomputes ALL
+    * vectors' min squared L2 to the export's ranks < r (raw embeddings,
+    * same ascending-dimension fold as [[graft.operators.Similarity.dist2]])
+    * and takes the (max dist², min id) winner — an independent inductive
+    * re-derivation of each greedy step; rank 0 is pinned to the minimum
+    * id. A hash match proves the whole selection. */
+  private def kCenterOracleSql: Map[String, String] =
+    lastKCenterPath.toSeq.map { path =>
+      "q_coreset_select" ->
+        s"""WITH sel AS (SELECT rank, vec_id FROM read_parquet('$path/*.parquet')),
+           |e AS (SELECT vec_id, embedding FROM embeddings),
+           |d AS (
+           |  SELECT s.rank AS srank, x.vec_id,
+           |    list_reduce(list_transform(range(1, 65),
+           |      i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(se.embedding[i] AS DOUBLE))
+           |           * (CAST(x.embedding[i] AS DOUBLE) - CAST(se.embedding[i] AS DOUBLE))),
+           |      (a, b) -> a + b) AS d2
+           |  FROM sel s JOIN e se ON s.vec_id = se.vec_id CROSS JOIN e x),
+           |md AS (
+           |  SELECT r.rank, d.vec_id, min(d.d2) AS mind2
+           |  FROM (SELECT rank FROM sel WHERE rank >= 1) r
+           |  JOIN d ON d.srank < r.rank
+           |  GROUP BY r.rank, d.vec_id),
+           |win AS (
+           |  SELECT rank, vec_id, mind2,
+           |         row_number() OVER (PARTITION BY rank ORDER BY mind2 DESC, vec_id) AS rn
+           |  FROM md)
+           |SELECT CAST(0 AS INT) AS rank, (SELECT min(vec_id) FROM e) AS vec_id,
+           |       0.0 AS dist2
+           |UNION ALL
+           |SELECT CAST(rank AS INT) AS rank, vec_id,
+           |       floor(mind2 * 10000.0 + 0.5) / 10000.0 AS dist2
+           |FROM win WHERE rn = 1
+           |ORDER BY rank""".stripMargin
+    }.toMap
 
   /** MM iteration count of the Bradley–Terry gate (shared with specs). */
   val BtIters = 50

@@ -760,4 +760,68 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
+
+  /** Squared L2 distance with a FIXED ascending-dimension summation order —
+    * the bitwise contract the k-center oracle replays in SQL
+    * (list_reduce over range(1, dim+1), same left-fold). */
+  private[graft] def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** k-center greedy coreset selection (Sener & Savarese 2018) — the
+    * geometric data-pruning rule: start from the minimum-id vector, then
+    * repeatedly add the point FARTHEST from the selected set (max over
+    * points of min over centers of squared L2, ties to the smaller id).
+    * The selection order doubles as a coverage-radius curve: the r-th
+    * distance is the covering radius after r centers — where it collapses,
+    * stop pruning.
+    *
+    * Scale shape: k rounds, each ONE corpus projection (the growing center
+    * set rides the closure at k×dim — model cardinality) reduced by an
+    * associative-commutative max, so every round is a map+reduce with no
+    * shuffle; nothing larger than (id, dist²) scalars ever leaves an
+    * executor. Driver state is the selected list — k ids. The selection is
+    * bit-deterministic: distances use [[dist2]]'s fixed fold order and the
+    * (dist², id) max is a total order.
+    *
+    * Returns the selection as (rank, vec_id, dist2) — rank 0 is the seed
+    * with distance 0. */
+  def kCenterGreedy(corpus: DataFrame, k: Int): Seq[(Int, Long, Double)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ds = corpus
+      .select(col("vec_id").cast("long").as("vid"), asDouble(col("embedding")).as("emb"))
+      .as[(Long, Seq[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = ds.select(min(col("vid"))).as[Long].head()
+      val seedEmb = ds.filter(_._1 == seed).head()._2.toArray
+      val centers = scala.collection.mutable.ArrayBuffer((seed, seedEmb))
+      val out = scala.collection.mutable.ArrayBuffer((0, seed, 0.0))
+      for (r <- 1 until k) {
+        val cs = centers.map(_._2.toArray).toArray
+        // farthest-point reduce: (minDist² to centers, id), max by
+        // (dist² asc, id desc) so the winner is (largest dist², smallest id)
+        val (bestId, bestD2) = ds
+          .map { case (id, emb) =>
+            val v = emb.toArray
+            var m = Double.MaxValue
+            var c = 0
+            while (c < cs.length) { val d = dist2(v, cs(c)); if (d < m) m = d; c += 1 }
+            (id, m)
+          }
+          .reduce { (a, b) =>
+            if (a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)) a else b
+          }
+        val bestEmb = ds.filter(_._1 == bestId).head()._2.toArray
+        centers += ((bestId, bestEmb))
+        out += ((r, bestId, bestD2))
+      }
+      out.toSeq
+    } finally { ds.unpersist(); () }
+  }
 }

@@ -317,6 +317,31 @@ class CurationSpec extends AnyFunSuite {
     assert(multi.map(_._2).distinct.length >= 2)
   }
 
+  test("kCenterGreedy equals a single-node replica; covering radii nonincreasing") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sel = Similarity.kCenterGreedy(emb, 8)
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seed = vecs.keys.min
+    var centers = Vector(seed)
+    var expect = Vector((0, seed, 0.0))
+    for (r <- 1 until 8) {
+      val (bid, bd2) = vecs.keys.toSeq
+        .map(id => (id, centers.map(c => d2(vecs(id), vecs(c))).min))
+        .maxBy { case (id, m) => (m, -id) } // ties to the smaller id
+      centers :+= bid
+      expect :+= ((r, bid, bd2))
+    }
+    assert(sel === expect)
+    val radii = sel.drop(1).map(_._3)
+    for (Seq(a, b) <- radii.sliding(2)) assert(a >= b, "covering radius must not grow")
+  }
+
   test("sourceDivergence matches a single-node full-vocabulary JS computation") {
     import spark.implicits._
     val docs = Seq(
