@@ -114,8 +114,17 @@ object Bench {
     // entry's best prior time at the same sf — any fresh measurement
     // exceeding DriftRetryFactor × that min is re-run once and the min
     // reported, with the retry recorded in bench.json.
-    val histMins: Map[String, Double] =
-      graft.tools.BenchReport.committedMins(new java.io.File("."), sfDir)
+    // Two references merged at the min: the driver-round tails (compact,
+    // may drop small entries) and the committed full-history file (keeps
+    // every entry, so sub-second gates stay drift-protected too).
+    val histMins: Map[String, Double] = {
+      val tails = graft.tools.BenchReport.committedMins(new java.io.File("."), sfDir)
+      val full = graft.tools.BenchReport.historyMins(
+        new java.io.File("bench_history.json"), sfDir)
+      (tails.keySet ++ full.keySet).map { k =>
+        k -> math.min(tails.getOrElse(k, Double.MaxValue), full.getOrElse(k, Double.MaxValue))
+      }.toMap
+    }
     if (histMins.nonEmpty)
       System.err.println(s"[bench] drift reference: ${histMins.size} entries from committed rounds")
     val DriftRetryFactor = 1.5
@@ -457,7 +466,7 @@ object Bench {
       // materialization re-scans and re-tokenizes the corpus per consumer
       // (runtime exchange reuse recovers only part of it — measured 6
       // explain-level scans). The sf-dir documents are too small for the
-      // re-scan to register, so the A/B runs on a 200k-doc × 30-token
+      // re-scan to register, so the A/B runs on a 400k-doc × 40-token
       // synthetic corpus (16 sources, 500-word vocab, Murmur3-derived —
       // deterministic, no oracle needed for a timing receipt). Same result
       // rows; the delta prices the re-scan. Materialized arm FIRST so
@@ -486,16 +495,25 @@ object Bench {
           force(distinctBenchFrame
             .groupBy("day").agg(approx_count_distinct(col("user_id"), 0.02).as("users")))
         }
-        val both = distinctBenchFrame.groupBy("day")
-          .agg(countDistinct(col("user_id")).as("exact"),
-            approx_count_distinct(col("user_id"), 0.02).as("approx"))
-          .collect()
-        for (r <- both) {
-          val ex = r.getLong(1); val ap = r.getLong(2)
-          require(math.abs(ap - ex).toDouble / ex < 0.05,
-            s"HLL error out of band on day ${r.get(0)}: exact=$ex approx=$ap")
+        // accuracy gate OUTSIDE the timed region; a failure marks THIS
+        // entry failed (-1, the timed() convention) instead of killing
+        // the whole suite
+        try {
+          val both = distinctBenchFrame.groupBy("day")
+            .agg(countDistinct(col("user_id")).as("exact"),
+              approx_count_distinct(col("user_id"), 0.02).as("approx"))
+            .collect()
+          for (r <- both) {
+            val ex = r.getLong(1); val ap = r.getLong(2)
+            require(math.abs(ap - ex).toDouble / ex < 0.05,
+              s"HLL error out of band on day ${r.get(0)}: exact=$ex approx=$ap")
+          }
+          t
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] distinct_users_hll accuracy gate failed: ${e.getMessage}")
+            -1.0
         }
-        t
       }),
       "e2e_build_joins" -> (() => noBroadcast { timed("e2e_build_joins") {
         val docs = graft.Tables.documents(spark, sfDir)
@@ -907,6 +925,10 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full JSON (with profile) written to $outPath")
+    // committed full-history drift reference (every entry, min-merged —
+    // sub-second gates the compact tail drops stay protected)
+    graft.tools.BenchReport.updateHistory(
+      new java.io.File("bench_history.json"), sfDir, all)
     spark.stop()
     // The compact line is the VERY LAST stdout write (after spark.stop so no
     // Spark shutdown chatter can land after it in the captured tail).

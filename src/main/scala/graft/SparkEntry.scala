@@ -1775,9 +1775,15 @@ object SparkEntry {
     "q_shard_manifest" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      // per-row checksum reduced mod 1e6+3 BEFORE summing: the raw
+      // 13-hex-digit value is ~2^52, so a shard of ~4100 docs would
+      // overflow the long sum — and Spark's non-ANSI sum wraps silently
+      // while DuckDB's HUGEINT sum then errors on the BIGINT cast. The
+      // reduced sum stays exact to ~10^12 docs per shard.
       CoreOps.balancedShards(docs, "doc_id", "n_tok", shards = 8)
         .withColumn("__ck",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long"))
+          conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long")
+            % lit(1000003L))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
           sum(col("__ck")).as("checksum"))
@@ -4489,8 +4495,8 @@ object SparkEntry {
 
       // the same deterministic shard assignment, rolled up into the writer
       // manifest: per-row checksum = first 13 md5 hex digits of the id as
-      // a long (the engine-portable hash-to-long trick the A-ES sampler
-      // uses), summed — exact long addition is order-free in both engines
+      // a long, reduced mod 1e6+3 before the sum (overflow-safe to ~10^12
+      // docs/shard) — exact long addition is order-free in both engines
       "q_shard_manifest" ->
         """WITH t AS (
           |  SELECT doc_id,
@@ -4502,7 +4508,7 @@ object SparkEntry {
           |  FROM t)
           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
           |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-          |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT) AS BIGINT) AS checksum
+          |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 1000003) AS BIGINT) AS checksum
           |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
       // the per-source median from the same histogram CTEs, quartile tiers

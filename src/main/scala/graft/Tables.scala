@@ -42,14 +42,16 @@ object Tables {
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
           .select("event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
       case scala.util.Success(TimestampNTZType) =>
-        // The NTZ wall time is a UTC instant by testdata construction;
-        // shifting it into the session zone first makes the session-zone
-        // cast land on that instant under ANY session timeZone setting.
-        val sessionTz = s.conf.get("spark.sql.session.timeZone")
+        // The NTZ wall time is a UTC instant by testdata construction.
+        // Epoch micros come from PURE wall-clock arithmetic (timestampdiff
+        // against the NTZ epoch) — no timezone conversion anywhere, so the
+        // result is identical under ANY session timeZone, including DST
+        // fall-back overlap hours where a convert-then-cast round trip
+        // must guess an offset for the repeated local hour.
         s.read.parquet(path)
-          .withColumn("ts",
-            convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
-          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+          .withColumn("ts_ns",
+            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L)
+          .withColumn("ts", timestamp_micros((col("ts_ns") / lit(1000L)).cast("long")))
           .select("event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
       case _ =>
         // TIMESTAMP(NANOS) storage: schema conversion fails (or infers LONG),

@@ -639,12 +639,18 @@ object Dedup {
   def boilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocFrequency: Long): DataFrame = {
     val wins = windowHashes(docs, idCol, textCol, n)
-    val dfreq = wins.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
     mergeSpans(
-      wins.join(dfreq.where(col("df") >= minDocFrequency), "h")
+      wins.join(windowDocFrequency(wins).where(col("df") >= minDocFrequency), "h")
         .select("doc_id", "pos"), n)
   }
+
+  /** Distinct-document frequency per window hash — the ONE definition of
+    * "corpus-hot" shared by [[boilerplateSpans]] and [[memorizationRisk]]
+    * (a rule change must hit both or the strip and the audit disagree).
+    * Both aggregate levels combine map-side. */
+  private def windowDocFrequency(wins: DataFrame): DataFrame =
+    wins.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
 
   /** Remediation for [[boilerplateSpans]]: cut the corpus-repeated chrome,
     * keep the document — same output contract and scale shape as
@@ -667,9 +673,7 @@ object Dedup {
   def memorizationRisk(docs: DataFrame, idCol: String, textCol: String,
       n: Int, hotDf: Long): DataFrame = {
     val wins = windowHashes(docs, idCol, textCol, n)
-    val dfreq = wins.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    wins.join(dfreq, "h")
+    wins.join(windowDocFrequency(wins), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         max(col("df")).as("max_df"),

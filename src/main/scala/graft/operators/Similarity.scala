@@ -788,7 +788,10 @@ object Similarity {
     * (dist², id) max is a total order.
     *
     * Returns the selection as (rank, vec_id, dist2) — rank 0 is the seed
-    * with distance 0. */
+    * with distance 0. Stops early (fewer than k rows) once every remaining
+    * point coincides with a selected center (duplicate vectors, or k
+    * exceeding the number of distinct points): coverage is already
+    * complete, and zero-distance repeats would only pad the coreset. */
   def kCenterGreedy(corpus: DataFrame, k: Int): Seq[(Int, Long, Double)] = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -798,11 +801,14 @@ object Similarity {
       .as[(Long, Seq[Double])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val seedRow = ds.takeAsList(1)
+      require(!seedRow.isEmpty, "kCenterGreedy: empty corpus")
       val seed = ds.select(min(col("vid"))).as[Long].head()
       val seedEmb = ds.filter(_._1 == seed).head()._2.toArray
       val centers = scala.collection.mutable.ArrayBuffer((seed, seedEmb))
       val out = scala.collection.mutable.ArrayBuffer((0, seed, 0.0))
-      for (r <- 1 until k) {
+      var covered = false
+      for (r <- 1 until k if !covered) {
         val cs = centers.map(_._2.toArray).toArray
         // farthest-point reduce: (minDist² to centers, id), max by
         // (dist² asc, id desc) so the winner is (largest dist², smallest id)
@@ -817,9 +823,16 @@ object Similarity {
           .reduce { (a, b) =>
             if (a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)) a else b
           }
-        val bestEmb = ds.filter(_._1 == bestId).head()._2.toArray
-        centers += ((bestId, bestEmb))
-        out += ((r, bestId, bestD2))
+        if (bestD2 == 0.0) {
+          // every remaining point coincides with a center (duplicates or
+          // k > distinct points): coverage is complete — stop instead of
+          // padding the coreset with zero-distance repeats
+          covered = true
+        } else {
+          val bestEmb = ds.filter(_._1 == bestId).head()._2.toArray
+          centers += ((bestId, bestEmb))
+          out += ((r, bestId, bestD2))
+        }
       }
       out.toSeq
     } finally { ds.unpersist(); () }

@@ -791,12 +791,17 @@ object TextOps {
       localVocabLimit: Long = 2000000L): (Seq[(String, String)], DataFrame) = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
-    if (wordFreq.count() <= localVocabLimit) {
-      val local = wordFreq.select(col("word"), col("freq").cast("long"))
-        .as[(String, Long)].collect().sortBy(_._1).toSeq
-      val (merges, model) = bpeTrainLocal(local, numMerges, minPairFreq)
-      (merges, model.toDF("word", "n_tokens", "freq", "tokens"))
-    } else bpeTrain(wordFreq, numMerges, minPairFreq)
+    // persist: the size probe and the chosen train path both consume the
+    // corpus-sized aggregate — without this each pays the scan again
+    val wf = wordFreq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (wf.count() <= localVocabLimit) {
+        val local = wf.select(col("word"), col("freq").cast("long"))
+          .as[(String, Long)].collect().sortBy(_._1).toSeq
+        val (merges, model) = bpeTrainLocal(local, numMerges, minPairFreq)
+        (merges, model.toDF("word", "n_tokens", "freq", "tokens"))
+      } else bpeTrain(wf, numMerges, minPairFreq) // round 0 materializes eagerly
+    } finally { wf.unpersist(blocking = false); () }
   }
 
   /** Segment one pre-token under an exported merge list: start from

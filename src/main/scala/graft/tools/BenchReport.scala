@@ -63,6 +63,65 @@ object BenchReport {
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
 
+  /** Per-entry best times from the committed FULL-history file
+    * (`bench_history.json`). The compact stdout line drops its smallest
+    * entries under the length cap, so [[committedMins]] alone leaves those
+    * entries permanently history-less — re-run as "new" every round and
+    * never drift-protected. This file keeps every entry. Missing/corrupt
+    * file ⇒ empty map (history must never fail a run). */
+  def historyMins(file: java.io.File, sfDir: String): Map[String, Double] = {
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      import scala.jdk.CollectionConverters._
+      om.readTree(file).path(sfDir).properties().asScala.toSeq
+        .filter(_.getValue.isNumber)
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Merge this run's successful timings into `bench_history.json`
+    * (sfDir → name → best seconds ever observed). Mins only decrease, so a
+    * noisy round can never RAISE a drift reference; new entries enter at
+    * their first reading. Written with sorted keys for stable diffs. */
+  def updateHistory(file: java.io.File, sfDir: String,
+      all: Seq[(String, Double)]): Unit = {
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      import scala.jdk.CollectionConverters._
+      val existing: Map[String, Map[String, Double]] =
+        if (!file.exists()) Map.empty
+        else try {
+          om.readTree(file).properties().asScala.toSeq.map { sfEntry =>
+            sfEntry.getKey -> sfEntry.getValue.properties().asScala.toSeq
+              .filter(_.getValue.isNumber)
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap
+          }.toMap
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val cur = existing.getOrElse(sfDir, Map.empty)
+      val merged = all.filter(_._2 >= 0).foldLeft(cur) { case (m, (k, v)) =>
+        m.updated(k, math.min(v, m.getOrElse(k, Double.MaxValue)))
+      }
+      val full = existing.updated(sfDir, merged)
+      val sb = new StringBuilder("{\n")
+      val sfs = full.keys.toSeq.sorted
+      for ((sf, i) <- sfs.zipWithIndex) {
+        sb.append("  \"").append(sf).append("\": {\n")
+        val names = full(sf).keys.toSeq.sorted
+        for ((n, j) <- names.zipWithIndex) {
+          sb.append("    \"").append(n).append("\": ").append(r3(full(sf)(n)))
+          sb.append(if (j == names.size - 1) "\n" else ",\n")
+        }
+        sb.append(if (i == sfs.size - 1) "  }\n" else "  },\n")
+      }
+      sb.append("}\n")
+      val w = new java.io.FileWriter(file)
+      try w.write(sb.toString()) finally w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] history update failed (non-fatal): ${e.getMessage}")
+    }
+  }
+
   /** Cross-check of the eager A/B release counts, over EVERY in-run repeat
     * of both arms. Identical seeds make every run's count identical, so any
     * divergence — between arms OR between repeats of one arm — means some

@@ -36,9 +36,10 @@ object SemanticMaintenance {
       centroids, cellIndex, "ts", watermarkDelay = "0 seconds", threshold)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
-    // a unit flush vector: decodable by the normalization path, and its
-    // id keeps it out of the returned decisions
-    val flushVec: Seq[Float] = 1f +: Seq.fill(63)(0f)
+    // a unit flush vector in the CENTROIDS' dimension (hardcoding 64
+    // breaks any non-64-dim epoch inside the micro-batch): decodable by
+    // the normalization path, and its id keeps it out of the decisions
+    val flushVec: Seq[Float] = 1f +: Seq.fill(centroids.head.length - 1)(0f)
     try {
       mem.addData(batch.map { case (id, e) => (id, e, new java.sql.Timestamp(1000L)) })
       q.processAllAvailable()
@@ -83,7 +84,7 @@ object SemanticMaintenance {
       jaccardThreshold, cosThreshold)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
-    val flushVec: Seq[Float] = 1f +: Seq.fill(63)(0f)
+    val flushVec: Seq[Float] = 1f +: Seq.fill(centroids.head.length - 1)(0f)
     try {
       mem.addData(batch.map { case (id, t, e) => (id, t, e, new java.sql.Timestamp(1000L)) })
       q.processAllAvailable()

@@ -1021,6 +1021,35 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("Tables.events NTZ branch: pure wall-clock arithmetic, exact through a DST overlap hour") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_events").toFile
+    try {
+      // UTC wall times whose America/New_York local forms land in the
+      // 2026-11-01 fall-back REPEATED hour (01:30 EDT then 01:30 EST) —
+      // the case a convert-then-cast round trip resolves to one offset
+      val walls = Seq(
+        1L -> java.time.LocalDateTime.of(2026, 11, 1, 5, 30, 0),
+        2L -> java.time.LocalDateTime.of(2026, 11, 1, 6, 30, 0),
+        3L -> java.time.LocalDateTime.of(2026, 6, 15, 12, 0, 0))
+      walls.map { case (id, w) => (id, w, id * 10L, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"${dir.getPath}/events.parquet")
+      assert(spark.read.parquet(s"${dir.getPath}/events.parquet").schema("ts").dataType
+        === org.apache.spark.sql.types.TimestampNTZType)
+      val expect = walls.map { case (_, w) =>
+        w.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L }
+      def tsns() = Tables.events(spark, dir.getPath).orderBy("event_id")
+        .select("ts_ns").as[Long].collect().toSeq
+      assert(tsns() === expect)
+      val prevTz = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert(tsns() === expect, "DST overlap hour shifted an instant")
+      } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    } finally { graft.tools.CorpusMaintenance.deleteRecursively(dir.getPath); () }
+  }
+
   test("weightedSample: A-ES keys replicate by hand, heavier docs dominate, layout-invariant") {
     import spark.implicits._
     // 20 heavy docs (weight 1000) among 200 light ones (weight 1): a

@@ -150,4 +150,26 @@ class BenchReportSpec extends AnyFunSuite with Matchers {
     BenchReport.committedMins(dir, "/root/testdata/sf9.9") shouldBe Map.empty
     BenchReport.committedMins(new java.io.File(dir, "missing"), "x") shouldBe Map.empty
   }
+
+  test("history file round-trips, min-merges, never raises, and fails soft") {
+    val f = java.io.File.createTempFile("bench_history", ".json")
+    f.delete() // start from absent
+    try {
+      BenchReport.historyMins(f, "sfA") shouldBe Map.empty
+      BenchReport.updateHistory(f, "sfA", Seq("q1" -> 2.0, "q2" -> 0.4, "bad" -> -1.0))
+      BenchReport.historyMins(f, "sfA") shouldBe Map("q1" -> 2.0, "q2" -> 0.4)
+      // a slower later round never raises a min; a faster one lowers it;
+      // failed (-1) entries never enter; other sfs are independent
+      BenchReport.updateHistory(f, "sfA", Seq("q1" -> 5.0, "q2" -> 0.1, "q3" -> 1.0))
+      BenchReport.updateHistory(f, "sfB", Seq("q1" -> 9.0))
+      BenchReport.historyMins(f, "sfA") shouldBe Map("q1" -> 2.0, "q2" -> 0.1, "q3" -> 1.0)
+      BenchReport.historyMins(f, "sfB") shouldBe Map("q1" -> 9.0)
+      BenchReport.historyMins(f, "sfC") shouldBe Map.empty
+      // corrupt file reads as empty and a subsequent update still works
+      val w = new java.io.FileWriter(f); w.write("not json"); w.close()
+      BenchReport.historyMins(f, "sfA") shouldBe Map.empty
+      BenchReport.updateHistory(f, "sfA", Seq("q9" -> 1.5))
+      BenchReport.historyMins(f, "sfA") shouldBe Map("q9" -> 1.5)
+    } finally { f.delete(); () }
+  }
 }
