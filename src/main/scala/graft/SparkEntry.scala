@@ -1032,6 +1032,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-SOURCE boilerplate strip: chrome must repeat within its OWN
+    //      source (df ≥ 2 distinct docs of the same source) — the
+    //      domain-scoped rule real web curation applies, so one site's nav
+    //      never censors another's prose. ----
+    "q_source_boilerplate_strip" -> ((s, d) => {
+      Dedup.stripBoilerplateBySource(Tables.documents(s, d), "doc_id", "text",
+          "source", n = 8, minDocFrequency = 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- the web-curation pipeline composed as ONE query: boilerplate
     //      strip (df ≥ 3) → drop emptied docs → quality-score the CLEANED
     //      text and keep the top quintile (exact interpolated percentile)
@@ -3487,6 +3497,38 @@ object SparkEntry {
           |           COALESCE(array_to_string(ws[v+1:n], ' '), '') || '|' ||
           |           COALESCE(array_to_string(ws[u+1:v], ' '), '')) AS psm_md5
           |FROM s ORDER BY doc_id""".stripMargin,
+
+      // the boilerplate chain with the df keyed by (source, h) and the
+      // hot-window join carrying the source — domain-scoped chrome only
+      "q_source_boilerplate_strip" ->
+        """WITH t AS (
+          |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id, source, u.pos, u.h FROM (
+          |    SELECT doc_id, source,
+          |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |    FROM t WHERE len(ws) >= 8)),
+          |f AS (SELECT source, h, count(DISTINCT doc_id) AS df FROM w GROUP BY 1, 2),
+          |dup AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (source, h) WHERE f.df >= 2),
+          |g AS (SELECT doc_id, pos,
+          |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          |      FROM dup),
+          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM g GROUP BY doc_id, grp),
+          |tk AS (
+          |  SELECT doc_id, u.i, u.tok FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+          |        i -> struct_pack(i := i - 1, tok := ws[i]))) AS u
+          |    FROM t)),
+          |kept AS (
+          |  SELECT tk.doc_id, tk.i, tk.tok FROM tk
+          |  WHERE NOT EXISTS (SELECT 1 FROM sp
+          |                    WHERE sp.doc_id = tk.doc_id AND tk.i >= sp.s AND tk.i < sp.e))
+          |SELECT d.doc_id,
+          |       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+          |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text
+          |FROM documents d ORDER BY doc_id""".stripMargin,
 
       // the composed web-curation replay: the q_boilerplate_strip chain,
       // then the q_quality_cut formula + quantile threshold over the

@@ -644,6 +644,31 @@ object Dedup {
         .select("doc_id", "pos"), n)
   }
 
+  /** Per-SOURCE boilerplate strip — the domain-scoped form of
+    * [[stripBoilerplate]] and the rule web-curation pipelines actually
+    * apply (RefinedWeb/CCNet strip lines repeated within a DOMAIN): a
+    * window is chrome only when at least `minDocFrequency` distinct
+    * documents OF THE SAME SOURCE repeat it, so one site's nav bar never
+    * censors another site's legitimate prose that happens to share a
+    * phrase. Same output contract as [[stripSpans]].
+    *
+    * Scale shape: the df aggregate keys on (source, h) — still two
+    * map-side-combinable levels — and the hot-window join carries the
+    * source alongside the hash; everything else is [[stripBoilerplate]]
+    * unchanged. */
+  def stripBoilerplateBySource(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, n: Int, minDocFrequency: Long): DataFrame = {
+    val src = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(srcCol).as("__src"))
+    val wins = windowHashes(docs, idCol, textCol, n).join(src, "doc_id")
+    val dfreq = wins.select("__src", "h", "doc_id").distinct()
+      .groupBy("__src", "h").agg(count(lit(1)).as("df"))
+    val spans = mergeSpans(
+      wins.join(dfreq.where(col("df") >= minDocFrequency), Seq("__src", "h"))
+        .select("doc_id", "pos"), n)
+    stripSpans(docs, idCol, textCol, spans)
+  }
+
   /** Distinct-document frequency per window hash — the ONE definition of
     * "corpus-hot" shared by [[boilerplateSpans]] and [[memorizationRisk]]
     * (a rule change must hit both or the strip and the audit disagree).

@@ -342,6 +342,28 @@ class CurationSpec extends AnyFunSuite {
     for (Seq(a, b) <- radii.sliding(2)) assert(a >= b, "covering radius must not grow")
   }
 
+  test("per-source boilerplate: same-source chrome cut, cross-source repeats survive") {
+    import spark.implicits._
+    val chrome = "nav home about contact privacy terms login search"
+    val docs = Seq(
+      // siteA repeats its chrome in two docs -> stripped
+      (0L, s"$chrome alpha beta gamma delta epsilon zeta eta theta", "siteA"),
+      (1L, s"$chrome iota kappa lambda mu nu xi omicron pi", "siteA"),
+      // siteB carries the SAME phrase once -> df within siteB is 1, kept
+      (2L, s"$chrome rho sigma tau upsilon phi chi psi omega", "siteB"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.stripBoilerplateBySource(docs, "doc_id", "text", "source",
+        n = 8, minDocFrequency = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "alpha beta gamma delta epsilon zeta eta theta")
+    assert(out(1L) === "iota kappa lambda mu nu xi omicron pi")
+    // the global (source-blind) rule would have cut siteB's copy too
+    assert(out(2L) === s"$chrome rho sigma tau upsilon phi chi psi omega")
+    val global = Dedup.stripBoilerplate(docs, "doc_id", "text", n = 8, minDocFrequency = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(global(2L) === "rho sigma tau upsilon phi chi psi omega")
+  }
+
   test("sourceDivergence matches a single-node full-vocabulary JS computation") {
     import spark.implicits._
     val docs = Seq(
