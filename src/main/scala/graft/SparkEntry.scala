@@ -782,6 +782,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- dimension-truncation recall (Matryoshka design measurement):
+    //      recall@k of prefix-dimension cosine ranking vs the full-dim
+    //      exact ranking, per budget {8,16,32,64} — decides how many
+    //      dimensions the index must store and ship; the full budget
+    //      anchors at 1.0. ----
+    "q_dim_truncation_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.dimTruncationRecall(emb, queries, Seq(8, 16, 32, 64), TopK)
+        .orderBy("k_dim")
+    }),
+
     // ---- ANN quality evaluation: recall@k of the LSH index against the
     //      exact brute-force ranking — the measurement that decides whether
     //      an approximate index is good enough to replace the exact scan;
@@ -3758,6 +3771,43 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin,
+
+      // d5's scoring at every truncation budget (range bound is the k_dim
+      // column), both rankings re-derived, hits via EXISTS against the
+      // full-dim top-k
+      "q_dim_truncation_recall" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+           |dims(k_dim) AS (VALUES (8), (16), (32), (64)),
+           |fullsc AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    round(
+           |      list_reduce(list_transform(range(1, 65), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 6) AS cos
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+           |fullrk AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM fullsc) WHERE rank <= $TopK),
+           |tsc AS (
+           |  SELECT d.k_dim, q.query_id, e.vec_id,
+           |    round(
+           |      list_reduce(list_transform(range(1, d.k_dim + 1), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+           |      (sqrt(list_reduce(list_transform(range(1, d.k_dim + 1), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+           |       sqrt(list_reduce(list_transform(range(1, d.k_dim + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 6) AS cos
+           |  FROM embeddings e CROSS JOIN q CROSS JOIN dims d WHERE e.vec_id <> q.query_id),
+           |trk AS (SELECT k_dim, query_id, vec_id FROM (
+           |  SELECT k_dim, query_id, vec_id,
+           |         row_number() OVER (PARTITION BY k_dim, query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM tsc) WHERE rank <= $TopK),
+           |tot AS (SELECT k_dim, CAST(count(*) AS BIGINT) AS n_ranked FROM trk GROUP BY 1),
+           |hit AS (SELECT t.k_dim, CAST(count(*) AS BIGINT) AS n_hits FROM trk t
+           |        WHERE EXISTS (SELECT 1 FROM fullrk f
+           |                      WHERE f.query_id = t.query_id AND f.vec_id = t.vec_id)
+           |        GROUP BY 1)
+           |SELECT tot.k_dim, tot.n_ranked, COALESCE(hit.n_hits, 0) AS n_hits,
+           |       floor(COALESCE(hit.n_hits, 0)::DOUBLE / tot.n_ranked::DOUBLE * 10000.0 + 0.5) / 10000.0 AS recall
+           |FROM tot LEFT JOIN hit USING (k_dim) ORDER BY k_dim""".stripMargin,
 
       // d5's ranking restricted to different-label candidates
       "q_hard_negatives" ->

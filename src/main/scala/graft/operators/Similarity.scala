@@ -761,6 +761,52 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Dimension-truncation recall — the Matryoshka-style design measurement:
+    * recall@k of PREFIX-dimension cosine ranking against the full-dimension
+    * exact ranking, per truncation budget. At 100 TB the answer decides how
+    * many dimensions the ANN index must store and ship (memory and IO per
+    * vector scale linearly with it); where the recall curve saturates, stop
+    * paying for dimensions.
+    *
+    * Output: (k_dim, n_ranked, n_hits, recall) per budget in `dims` —
+    * the full-dimension budget anchors at recall 1.0 by construction.
+    *
+    * Scale shape: queries broadcast; the truncated scoring is ONE corpus
+    * pass crossed with the |dims|-row budget table (a broadcast), and both
+    * rankings ride the same WindowGroupLimit partial top-k as
+    * [[bruteForceTopK]] — exchanges carry O(tasks·queries·k·|dims|)
+    * candidate rows, never corpus×queries scores. */
+  def dimTruncationRecall(corpus: DataFrame, queries: DataFrame,
+      dims: Seq[Int], k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val full = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb")))
+    val budgets = broadcast(dims.toDF("k_dim"))
+    val scored = c.join(q, col("vec_id") =!= col("query_id"))
+      .crossJoin(budgets)
+      .withColumn("cos", round(cosine(
+        slice(col("q_emb"), lit(1), col("k_dim")),
+        slice(col("emb"), lit(1), col("k_dim"))), 6))
+    val w = Window.partitionBy(col("k_dim"), col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val trunc = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("k_dim", "query_id", "vec_id")
+      .localCheckpoint() // two consumers (totals + hits) of a tiny table
+    val totals = trunc.groupBy("k_dim").agg(count(lit(1)).as("n_ranked"))
+    val hits = trunc.join(full, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("k_dim").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("k_dim"), "left")
+      .select(col("k_dim"), col("n_ranked"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (floor(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_ranked").cast("double") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("recall"))
+  }
+
   /** Squared L2 distance with a FIXED ascending-dimension summation order —
     * the bitwise contract the k-center oracle replays in SQL
     * (list_reduce over range(1, dim+1), same left-fold). */

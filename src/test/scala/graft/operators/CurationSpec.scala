@@ -364,6 +364,19 @@ class CurationSpec extends AnyFunSuite {
     assert(global(2L) === "rho sigma tau upsilon phi chi psi omega")
   }
 
+  test("dimTruncationRecall: full-dim budget anchors at exactly 1.0; counts = queries×k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val nq = queries.count()
+    val r = Similarity.dimTruncationRecall(emb, queries, Seq(8, 64), k = 5)
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(64) === ((nq * 5, nq * 5, 1.0)), "full-dim ranking must recall itself exactly")
+    val (nRanked8, nHits8, rec8) = r(8)
+    assert(nRanked8 === nq * 5 && nHits8 <= nRanked8)
+    assert(rec8 >= 0.0 && rec8 <= 1.0)
+  }
+
   test("sourceDivergence matches a single-node full-vocabulary JS computation") {
     import spark.implicits._
     val docs = Seq(
