@@ -782,6 +782,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- label-collision-free contrastive batches: at most one row per
+    //      label per batch (the in-batch-negatives validity condition —
+    //      a same-label batchmate is a false negative), deterministic
+    //      two-level layer/chunk scheme, batches of ≤16. ----
+    "q_contrastive_batches" -> ((s, d) => {
+      CoreOps.contrastiveBatches(Tables.embeddings(s, d), "vec_id", "label",
+          batchSize = 16)
+        .orderBy("vec_id")
+    }),
+
     // ---- dimension-truncation recall (Matryoshka design measurement):
     //      recall@k of prefix-dimension cosine ranking vs the full-dim
     //      exact ranking, per budget {8,16,32,64} — decides how many
@@ -3771,6 +3781,19 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin,
+
+      // same two-level layer/chunk arithmetic; integer div both sides
+      "q_contrastive_batches" ->
+        """WITH l AS (
+          |  SELECT vec_id, label,
+          |         CAST(row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS BIGINT) AS layer
+          |  FROM embeddings),
+          |lb AS (SELECT CAST((count(DISTINCT label) + 15) // 16 AS BIGINT) AS lbound FROM l),
+          |i AS (SELECT vec_id, label, layer,
+          |        CAST(row_number() OVER (PARTITION BY layer ORDER BY label, vec_id) - 1 AS BIGINT) AS idx
+          |      FROM l)
+          |SELECT vec_id, label, layer, layer * lbound + idx // 16 AS batch
+          |FROM i, lb ORDER BY vec_id""".stripMargin,
 
       // d5's scoring at every truncation budget (range bound is the k_dim
       // column), both rankings re-derived, hits via EXISTS against the

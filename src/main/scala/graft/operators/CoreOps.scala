@@ -534,4 +534,37 @@ object CoreOps {
     globalPrefixSum(df, Seq(col(scoreCol).desc, col(idCol)), tokensCol, "cum_before")
       .where(col("cum_before") + col(tokensCol) <= budgetTokens)
   }
+
+  /** Label-collision-free contrastive batch construction: every output
+    * batch holds at most `batchSize` rows and NEVER two rows of the same
+    * label — the validity condition for in-batch negatives (a same-label
+    * batchmate is a FALSE negative that poisons the contrastive loss).
+    *
+    * Deterministic two-level scheme: `layer` = each row's rank within its
+    * label (by id), so one layer holds at most one row per label by
+    * construction; layers are then chunked into batches of `batchSize` in
+    * label order, which preserves the property. Batch ids are dense
+    * (layer, chunk) pairs encoded as layer·L + chunk with L = a per-layer
+    * chunk bound derived from the label cardinality.
+    *
+    * Scale shape: two windows — one partitioned by label (label-cardinality
+    * groups), one by layer (layer sizes ≤ |labels|) — and a broadcast
+    * one-row label-count aggregate. No corpus-wide single-task window. */
+  def contrastiveBatches(df: DataFrame, idCol: String, labelCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val wLabel = Window.partitionBy(col(labelCol)).orderBy(col(idCol))
+    val wLayer = Window.partitionBy(col("layer")).orderBy(col(labelCol), col(idCol))
+    val layered = df.select(col(idCol), col(labelCol))
+      .withColumn("layer", (row_number().over(wLabel) - lit(1)).cast("long"))
+    // integer arithmetic via `div` — Column./ is double division
+    val chunkBound = layered.agg(expr(
+      s"CAST((count(DISTINCT $labelCol) + ${batchSize - 1}) div $batchSize AS BIGINT)")
+      .as("__l"))
+    layered
+      .withColumn("__idx", (row_number().over(wLayer) - lit(1)).cast("long"))
+      .crossJoin(broadcast(chunkBound))
+      .select(col(idCol), col(labelCol), col("layer"),
+        (col("layer") * col("__l") + expr(s"__idx div $batchSize")).as("batch"))
+  }
 }

@@ -377,6 +377,25 @@ class CurationSpec extends AnyFunSuite {
     assert(rec8 >= 0.0 && rec8 <= 1.0)
   }
 
+  test("contrastiveBatches: no label twice in a batch, sizes capped, all rows placed") {
+    val rows = SparkEntry.queries("q_contrastive_batches")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length === n)
+    // validity: a batch never holds two rows of one label
+    for ((_, g) <- rows.groupBy(_._4)) {
+      val labels = g.map(_._2)
+      assert(labels.distinct.length === labels.length,
+        s"batch ${g.head._4} repeats a label")
+      assert(g.length <= 16, s"batch ${g.head._4} exceeds the cap")
+    }
+    // determinism across a repartitioned input
+    val again = CoreOps.contrastiveBatches(
+        Tables.embeddings(spark, sfDir).repartition(7), "vec_id", "label", 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(again.toSeq === rows.sorted.toSeq)
+  }
+
   test("sourceDivergence matches a single-node full-vocabulary JS computation") {
     import spark.implicits._
     val docs = Seq(
