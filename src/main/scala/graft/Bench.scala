@@ -134,7 +134,11 @@ object Bench {
     /** True (and budget consumed) when `t` is a credible-looking but
       * historically-out-of-band reading that has earned a re-run. */
     def driftGate(name: String, t: Double): Boolean = {
-      val out = t > 0.5 && histMins.get(name).exists(h => t > h * DriftRetryFactor) &&
+      // absolute floor 0.3 s: below it jitter trivially exceeds 1.5× and
+      // retries would churn; above it a sub-second gate with history (the
+      // bench_history.json entries) still earns its drift retry — the old
+      // 0.5 s floor left e.g. a 0.45 s reading of a 0.2 s gate unretried
+      val out = t > 0.3 && histMins.get(name).exists(h => t > h * DriftRetryFactor) &&
         driftRetries < MaxDriftRetries
       if (out) {
         driftRetries += 1
@@ -926,9 +930,12 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full JSON (with profile) written to $outPath")
     // committed full-history drift reference (every entry, min-merged —
-    // sub-second gates the compact tail drops stay protected)
+    // sub-second gates the compact tail drops stay protected). The *_gbps
+    // entries are THROUGHPUT (higher-is-better): a min-merge would record
+    // the worst round forever, so they stay out of the reference.
     graft.tools.BenchReport.updateHistory(
-      new java.io.File("bench_history.json"), sfDir, all)
+      new java.io.File("bench_history.json"), sfDir,
+      all.filterNot(_._1.endsWith("_gbps")))
     spark.stop()
     // The compact line is the VERY LAST stdout write (after spark.stop so no
     // Spark shutdown chatter can land after it in the captured tail).

@@ -49,9 +49,12 @@ object Tables {
         // fall-back overlap hours where a convert-then-cast round trip
         // must guess an offset for the repeated local hour.
         s.read.parquet(path)
+          // integer `div`, NOT Column./ — double division of ~1.8e18 ns
+          // values loses low bits (> 2^53) and shifts ts by 1 µs on ~1.5%
+          // of rows
           .withColumn("ts_ns",
             expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L)
-          .withColumn("ts", timestamp_micros((col("ts_ns") / lit(1000L)).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
           .select("event_id", "ts_ns", "user_id", "event_type", "value", "props", "ts")
       case _ =>
         // TIMESTAMP(NANOS) storage: schema conversion fails (or infers LONG),
@@ -60,7 +63,7 @@ object Tables {
           .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
           .parquet(path)
           .withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

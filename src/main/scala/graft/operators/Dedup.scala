@@ -661,21 +661,23 @@ object Dedup {
     val src = docs.select(col(idCol).cast("long").as("doc_id"),
       col(srcCol).as("__src"))
     val wins = windowHashes(docs, idCol, textCol, n).join(src, "doc_id")
-    val dfreq = wins.select("__src", "h", "doc_id").distinct()
-      .groupBy("__src", "h").agg(count(lit(1)).as("df"))
     val spans = mergeSpans(
-      wins.join(dfreq.where(col("df") >= minDocFrequency), Seq("__src", "h"))
+      wins.join(windowDocFrequency(wins, Seq("__src", "h"))
+          .where(col("df") >= minDocFrequency), Seq("__src", "h"))
         .select("doc_id", "pos"), n)
     stripSpans(docs, idCol, textCol, spans)
   }
 
   /** Distinct-document frequency per window hash — the ONE definition of
-    * "corpus-hot" shared by [[boilerplateSpans]] and [[memorizationRisk]]
-    * (a rule change must hit both or the strip and the audit disagree).
-    * Both aggregate levels combine map-side. */
-  private def windowDocFrequency(wins: DataFrame): DataFrame =
-    wins.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
+    * "corpus-hot" shared by [[boilerplateSpans]], [[memorizationRisk]] and
+    * (keyed by source) [[stripBoilerplateBySource]]: a rule change must
+    * hit all three or the strips and the audit disagree. `keys` scopes the
+    * frequency (e.g. Seq("__src", "h") for the per-source rule). Both
+    * aggregate levels combine map-side. */
+  private def windowDocFrequency(wins: DataFrame,
+      keys: Seq[String] = Seq("h")): DataFrame =
+    wins.select((keys :+ "doc_id").map(col): _*).distinct()
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
 
   /** Remediation for [[boilerplateSpans]]: cut the corpus-repeated chrome,
     * keep the document — same output contract and scale shape as

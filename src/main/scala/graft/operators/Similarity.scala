@@ -847,9 +847,10 @@ object Similarity {
       .as[(Long, Seq[Double])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val seedRow = ds.takeAsList(1)
-      require(!seedRow.isEmpty, "kCenterGreedy: empty corpus")
-      val seed = ds.select(min(col("vid"))).as[Long].head()
+      // one job: min(vid) is NULL on an empty corpus (decoded as None)
+      val seedOpt = ds.select(min(col("vid"))).as[Option[Long]].head()
+      require(seedOpt.isDefined, "kCenterGreedy: empty corpus")
+      val seed = seedOpt.get
       val seedEmb = ds.filter(_._1 == seed).head()._2.toArray
       val centers = scala.collection.mutable.ArrayBuffer((seed, seedEmb))
       val out = scala.collection.mutable.ArrayBuffer((0, seed, 0.0))

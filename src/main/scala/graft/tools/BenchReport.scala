@@ -114,8 +114,15 @@ object BenchReport {
         sb.append(if (i == sfs.size - 1) "  }\n" else "  },\n")
       }
       sb.append("}\n")
-      val w = new java.io.FileWriter(file)
+      // write-temp-then-rename: a kill/disk-full mid-write must never
+      // truncate the committed reference (a truncated file reads as empty
+      // and the next update would silently restart history from scratch)
+      val tmp = new java.io.File(file.getAbsolutePath + ".tmp")
+      val w = new java.io.FileWriter(tmp)
       try w.write(sb.toString()) finally w.close()
+      java.nio.file.Files.move(tmp.toPath, file.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] history update failed (non-fatal): ${e.getMessage}")

@@ -34,12 +34,15 @@ object SemanticMaintenance {
     val out = StreamingPipelines.semanticDedupStream(
       mem.toDF().toDF("vec_id", "embedding", "ts"),
       centroids, cellIndex, "ts", watermarkDelay = "0 seconds", threshold)
-    val q = out.writeStream.outputMode("append").format("memory")
-      .queryName(queryName).start()
     // a unit flush vector in the CENTROIDS' dimension (hardcoding 64
     // breaks any non-64-dim epoch inside the micro-batch): decodable by
-    // the normalization path, and its id keeps it out of the decisions
+    // the normalization path, and its id keeps it out of the decisions.
+    // Built BEFORE start() so an empty-centroids failure cannot leak a
+    // running query under this queryName.
+    require(centroids.nonEmpty, "runEpoch: empty centroid set")
     val flushVec: Seq[Float] = 1f +: Seq.fill(centroids.head.length - 1)(0f)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
     try {
       mem.addData(batch.map { case (id, e) => (id, e, new java.sql.Timestamp(1000L)) })
       q.processAllAvailable()
@@ -82,9 +85,10 @@ object SemanticMaintenance {
       "doc_id", "text", "embedding", "ts",
       watermarkDelay = "0 seconds", k, numHashes, numBands,
       jaccardThreshold, cosThreshold)
+    require(centroids.nonEmpty, "runHybridEpoch: empty centroid set")
+    val flushVec: Seq[Float] = 1f +: Seq.fill(centroids.head.length - 1)(0f)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
-    val flushVec: Seq[Float] = 1f +: Seq.fill(centroids.head.length - 1)(0f)
     try {
       mem.addData(batch.map { case (id, t, e) => (id, t, e, new java.sql.Timestamp(1000L)) })
       q.processAllAvailable()

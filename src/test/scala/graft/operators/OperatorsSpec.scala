@@ -1031,17 +1031,26 @@ class OperatorsSpec extends AnyFunSuite {
       val walls = Seq(
         1L -> java.time.LocalDateTime.of(2026, 11, 1, 5, 30, 0),
         2L -> java.time.LocalDateTime.of(2026, 11, 1, 6, 30, 0),
-        3L -> java.time.LocalDateTime.of(2026, 6, 15, 12, 0, 0))
+        3L -> java.time.LocalDateTime.of(2026, 6, 15, 12, 0, 0),
+        // micros NOT divisible by a power of two: 2026-era epoch micros
+        // exceed 2^53 as ns, so a double-division µs derivation misrounds
+        // exactly this kind of value (caught a real 1 µs ts drift)
+        4L -> java.time.LocalDateTime.of(2026, 6, 15, 12, 0, 0, 16000))
       walls.map { case (id, w) => (id, w, id * 10L, "click", 1.0, "{}") }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("overwrite").parquet(s"${dir.getPath}/events.parquet")
       assert(spark.read.parquet(s"${dir.getPath}/events.parquet").schema("ts").dataType
         === org.apache.spark.sql.types.TimestampNTZType)
       val expect = walls.map { case (_, w) =>
-        w.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L }
+        w.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + w.getNano }
       def tsns() = Tables.events(spark, dir.getPath).orderBy("event_id")
         .select("ts_ns").as[Long].collect().toSeq
       assert(tsns() === expect)
+      // the µs `ts` column must agree with ts_ns EXACTLY (a double-division
+      // derivation drifts 1 µs on micros values above 2^53 ns)
+      val tsRoundTrip = Tables.events(spark, dir.getPath).orderBy("event_id")
+        .select((unix_micros(col("ts")) * 1000L).as("ns")).as[Long].collect().toSeq
+      assert(tsRoundTrip === expect)
       val prevTz = spark.conf.get("spark.sql.session.timeZone")
       try {
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
