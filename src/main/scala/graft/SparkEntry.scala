@@ -782,6 +782,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- robust per-source quality calibration: (x − median)/MAD with
+    //      BOTH medians exact via the quantized-histogram trick — outlier-
+    //      resistant cross-source score normalization, zero corpus sorts.
+    //      MAD = 0 sources emit NULL z by contract. ----
+    "q_robust_quality_z" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityCol(col("text")).as("quality"))
+        .localCheckpoint() // three consumers (median, MAD, final join)
+      CoreOps.robustZScore(scored, "source", "quality")
+        .select("doc_id", "source", "quality", "median", "mad", "robust_z")
+        .orderBy("doc_id")
+    }),
+
     // ---- label-collision-free contrastive batches: at most one row per
     //      label per batch (the in-batch-negatives validity condition —
     //      a same-label batchmate is a false negative), deterministic
@@ -4669,6 +4683,44 @@ object SparkEntry {
       // x2's quality formula, then the histogram-exact lower median per
       // source (same (tot+1) div 2 rank, same min-quality-at-or-past-rank
       // selection) and the >= threshold filter
+      // the median-filter histogram CTEs twice: once for the per-source
+      // median, once over |quality − median| for the MAD; z is a single
+      // IEEE expression over the agreed doubles, round4 with floor (exact
+      // for negatives too); MAD = 0 → NULL both sides
+      "q_robust_quality_z" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |q AS (SELECT doc_id, source,
+           |             floor((0.4 * least(1.0, len(toks)::DOUBLE / 50.0)
+           |                  + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+           |                  + 0.3 * (len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE))
+           |                   * 10000.0 + 0.5) / 10000.0 AS quality
+           |      FROM t),
+           |h1 AS (SELECT source, quality, count(*) AS c FROM q GROUP BY source, quality),
+           |cw1 AS (SELECT source, quality,
+           |               sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
+           |               sum(c) OVER (PARTITION BY source) AS tot FROM h1),
+           |med AS (SELECT source, min(quality) AS median FROM cw1
+           |        WHERE cum >= (tot + 1) // 2 GROUP BY source),
+           |d AS (SELECT q.doc_id, q.source, q.quality, med.median,
+           |             abs(q.quality - med.median) AS ad
+           |      FROM q JOIN med USING (source)),
+           |h2 AS (SELECT source, ad, count(*) AS c FROM d GROUP BY source, ad),
+           |cw2 AS (SELECT source, ad,
+           |               sum(c) OVER (PARTITION BY source ORDER BY ad) AS cum,
+           |               sum(c) OVER (PARTITION BY source) AS tot FROM h2),
+           |mad AS (SELECT source, min(ad) AS mad FROM cw2
+           |        WHERE cum >= (tot + 1) // 2 GROUP BY source)
+           |SELECT d.doc_id, d.source, d.quality, d.median, mad.mad,
+           |       CASE WHEN mad.mad > 0
+           |            THEN floor((d.quality - d.median) / mad.mad * 10000.0 + 0.5) / 10000.0
+           |       END AS robust_z
+           |FROM d JOIN mad USING (source)
+           |ORDER BY doc_id""".stripMargin
+      },
+
       "q_quality_median_filter" -> {
         val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
         s"""WITH t AS (

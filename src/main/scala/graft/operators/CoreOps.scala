@@ -166,16 +166,49 @@ object CoreOps {
     * exact percentiles tractable at 100 TB where `percentile()` needs a
     * full per-group sort and approx_percentile gives up exactness. */
   def perGroupMedianFilter(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
-    val hist = df.groupBy(col(keyCol), col(valueCol)).agg(count(lit(1)).as("__c"))
-    val thr = hist
+    val thr = perGroupMedian(df, keyCol, valueCol)
+      .withColumnRenamed("median", "__thr")
+    df.join(broadcast(thr), Seq(keyCol))
+      .where(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Exact LOWER median per group from the (group × quantized-value)
+    * histogram — the shared engine of [[perGroupMedianFilter]] and
+    * [[robustZScore]]: one map-side-combinable aggregate at histogram
+    * cardinality, a histogram-sized cumulative window, never a corpus
+    * sort. Output: (keyCol, median). */
+  def perGroupMedian(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(valueCol)).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(
         Window.partitionBy(col(keyCol)).orderBy(col(valueCol))))
       .withColumn("__tot", sum(col("__c")).over(Window.partitionBy(col(keyCol))))
       .where(col("__cum") >= expr("(__tot + 1) div 2"))
-      .groupBy(col(keyCol)).agg(min(col(valueCol)).as("__thr"))
-    df.join(broadcast(thr), Seq(keyCol))
-      .where(col(valueCol) >= col("__thr"))
-      .drop("__thr")
+      .groupBy(col(keyCol)).agg(min(col(valueCol)).as("median"))
+
+  /** Robust per-group z-score (x − median) / MAD with BOTH medians exact
+    * via the quantized-histogram trick — the outlier-resistant score
+    * calibration a curation run applies across heterogeneous sources
+    * (mean/stddev z-scores are dragged by the very outliers being hunted).
+    * MAD = median of |x − median|; since the input values sit on a
+    * quantization grid, the deviation histogram's cardinality is bounded
+    * by the value grid too, so BOTH medians are histogram aggregates and
+    * the corpus is never sorted. Groups with MAD = 0 (over half the mass
+    * at the median) emit NULL z — a 0/0 there is a data statement, not a
+    * number. Output: input columns + (median, mad, robust_z round4). */
+  def robustZScore(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val med = perGroupMedian(df, keyCol, valueCol)
+    val withDev = df.join(broadcast(med), Seq(keyCol))
+      .withColumn("__absdev", abs(col(valueCol) - col("median")))
+    val mad = perGroupMedian(withDev, keyCol, "__absdev")
+      .withColumnRenamed("median", "mad")
+    withDev.join(broadcast(mad), Seq(keyCol))
+      .withColumn("robust_z",
+        when(col("mad") > 0,
+          floor((col(valueCol) - col("median")) / col("mad") * lit(10000.0) + lit(0.5))
+            / lit(10000.0))
+          .otherwise(lit(null).cast("double")))
+      .drop("__absdev")
   }
 
   /** Deterministic train/val/test assignment: bucket = first 8 hex chars of

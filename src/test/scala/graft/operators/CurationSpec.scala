@@ -396,6 +396,37 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSeq === rows.sorted.toSeq)
   }
 
+  test("robustZScore: medians and MAD match a single-node sort replica; zeros go NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 0.1), (2L, "a", 0.2), (3L, "a", 0.3), (4L, "a", 0.4), (5L, "a", 2.0),
+      (6L, "b", 0.5), (7L, "b", 0.5), (8L, "b", 0.5)) // MAD 0 -> NULL z
+      .toDF("doc_id", "g", "v")
+    val out: Map[Long, (Double, Double, Option[Double])] =
+      CoreOps.robustZScore(df, "g", "v")
+        .select("doc_id", "median", "mad", "robust_z")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // group a: lower median of {.1,.2,.3,.4,2.0} = .3; |x-.3| = {.2,.1,0,.1,1.7},
+    // lower median = .1 (floating 0.1 vs 0.4-0.3: grouped by exact bits — the
+    // replica uses the same doubles)
+    val a = Seq(0.1, 0.2, 0.3, 0.4, 2.0)
+    val mA = a.sorted.apply((a.size - 1) / 2)
+    val madA = a.map(x => math.abs(x - mA)).sorted.apply((a.size - 1) / 2)
+    for (id <- 1L to 5L) {
+      val (m, mad, _) = out(id)
+      assert(m === mA && mad === madA, s"doc $id median/mad")
+    }
+    val zOutlier = out(5L)._3.get
+    assert(zOutlier === math.floor((2.0 - mA) / madA * 10000.0 + 0.5) / 10000.0)
+    assert(zOutlier > 5.0, "the planted outlier must stand out")
+    // group b: every value at the median -> MAD 0 -> NULL by contract
+    for (id <- 6L to 8L) {
+      val (m, mad, z) = out(id)
+      assert(m === 0.5 && mad === 0.0 && z.isEmpty)
+    }
+  }
+
   test("sourceDivergence matches a single-node full-vocabulary JS computation") {
     import spark.implicits._
     val docs = Seq(
