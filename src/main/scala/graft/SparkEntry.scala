@@ -767,6 +767,18 @@ object SparkEntry {
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- SimHash Hamming near-dup pairs via the multi-index pigeonhole
+    //      join: 60-bit native fingerprints, 4×15-bit block buckets
+    //      (candidates = equi-join, never all-pairs), exact bit_count
+    //      verify at candidate cardinality. The bucket-frequency cap (50)
+    //      is the jaccardPairs df-cap pattern — inert at this sf (max
+    //      bucket 27), load-bearing on chrome-heavy corpora. ----
+    "d3b_hamming_neardup_pairs" -> ((s, d) => {
+      Dedup.simHashHammingPairs(Tables.documents(s, d), "doc_id", "text",
+          radius = 3, maxBlockFrequency = 50L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- n-gram Jaccard near-dup pairs (exact values, df-capped candidates) ----
     "d4_jaccard_pairs" -> ((s, d) => {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", ShingleK, JaccardThreshold,
@@ -1129,6 +1141,46 @@ object SparkEntry {
           (floor((col("r_w") - col("r_l")) * lit(10000.0) + lit(0.5)) / lit(10000.0))
             .as("rating_margin"))
         .orderBy("winner", "loser")
+    }),
+
+    // ---- best-of-n rejection sampling: per (user, event_type) keep the
+    //      single highest-valued event with its margin over the runner-up
+    //      (the RLHF best-of-n selection step; ties break to the smaller
+    //      id, margin null for singleton groups). One exchange+sort. ----
+    "q_best_of_n" -> ((s, d) => {
+      graft.operators.Preference.bestOfN(Tables.events(s, d),
+          Seq("user_id", "event_type"), "event_id", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // ---- population-stability-index drift between corpus halves: the
+    //      quality-score distribution of snapshot A (even doc_id) vs B
+    //      (odd) per source over 10 bins, add-one smoothed, q6-quantized
+    //      terms (float-order-immune). The epoch-over-epoch distribution
+    //      drift monitor; everything after the two histogram aggregates
+    //      runs at (source × bin) cardinality. ----
+    "q_quality_drift_psi" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          least(floor(TextOps.qualityCol(col("text")) * lit(10.0)).cast("long"), lit(9L))
+            .as("bin"))
+      CoreOps.psiDrift(
+          scored.where(col("doc_id") % 2 === 0), scored.where(col("doc_id") % 2 =!= 0),
+          "source", "bin", numBins = 10)
+        .orderBy("source")
+    }),
+
+    // ---- sessions assembled into ordered interaction transcripts (the
+    //      SFT conversation-extraction step): event-type labels joined in
+    //      (ts, id) order per session, sessions with ≥3 turns; transcript
+    //      order pinned by sorted structs, so identical under any
+    //      partitioning. ----
+    "q_session_conversations" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("event_id", "user_id", "event_type", "ts_us")
+      graft.operators.Sessionize.conversations(ev, "user_id", "ts_us", "event_id",
+          "event_type", SessionGapUs, minTurns = 3)
+        .orderBy("user_id", "session_id")
     }),
 
     // ---- quality scoring ----
@@ -3757,6 +3809,93 @@ object SparkEntry {
           |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits GROUP BY doc_id, b)
           |SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
           |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // 60-bit prints (15 md5 hex chars/token), 4×15-bit block buckets with
+      // the ≤50 frequency cap, exact bit_count(xor) ≤ 3 on candidates
+      "d3b_hamming_neardup_pairs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token FROM documents),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(token),1,15))::BIGINT AS h FROM toks),
+          |votes AS (
+          |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits GROUP BY doc_id, b),
+          |sh AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+          |       FROM votes GROUP BY doc_id),
+          |blk AS (SELECT doc_id, s, b, (s >> CAST(15*b AS INTEGER)) & 32767 AS v
+          |        FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bl),
+          |keep AS (SELECT b, v FROM blk GROUP BY b, v HAVING count(*) <= 50),
+          |cb AS (SELECT blk.doc_id, blk.s, blk.b, blk.v FROM blk JOIN keep USING (b, v)),
+          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s AS sa, y.s AS sb
+          |         FROM cb x JOIN cb y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_best_of_n" ->
+        """WITH r AS (
+          |  SELECT user_id, event_type, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY value DESC, event_id) AS rn,
+          |         lead(value) OVER (PARTITION BY user_id, event_type ORDER BY value DESC, event_id) AS runner,
+          |         count(*) OVER (PARTITION BY user_id, event_type) AS n
+          |  FROM events)
+          |SELECT user_id, event_type, event_id AS chosen_id, value AS chosen_value,
+          |       CAST(n AS BIGINT) AS n_candidates, value - runner AS margin
+          |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+      // add-one smoothed PSI over 10 enumerated bins per source; per-bin
+      // terms q6-quantized before the sum (float-order immune), final round4
+      "q_quality_drift_psi" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |raw AS (
+           |  SELECT doc_id, source,
+           |         least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |         len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |         len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |  FROM t),
+           |qd AS (
+           |  SELECT doc_id, source,
+           |         floor((0.4 * ls + 0.3 * ttr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS quality
+           |  FROM raw),
+           |binned AS (
+           |  SELECT source, doc_id % 2 = 0 AS is_a,
+           |         least(CAST(floor(quality * 10.0) AS BIGINT), 9) AS bin
+           |  FROM qd),
+           |c AS (SELECT source, bin,
+           |             CAST(count(*) FILTER (is_a) AS BIGINT) AS ca,
+           |             CAST(count(*) FILTER (NOT is_a) AS BIGINT) AS cb
+           |      FROM binned GROUP BY source, bin),
+           |bins AS (SELECT source, unnest(range(0, 10)) AS bin FROM (SELECT DISTINCT source FROM binned)),
+           |counts AS (
+           |  SELECT bins.source, bins.bin, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+           |  FROM bins LEFT JOIN c ON bins.source = c.source AND bins.bin = c.bin),
+           |tot AS (SELECT source, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+           |        FROM counts GROUP BY source),
+           |terms AS (
+           |  SELECT counts.source, n_a, n_b,
+           |         (ca + 1)::DOUBLE / (n_a + 10)::DOUBLE AS pa,
+           |         (cb + 1)::DOUBLE / (n_b + 10)::DOUBLE AS pb
+           |  FROM counts JOIN tot ON counts.source = tot.source),
+           |q6 AS (
+           |  SELECT source, n_a, n_b,
+           |         CAST(floor((pa - pb) * ln(pa / pb) * 1000000.0 + 0.5) AS BIGINT) AS t_q6
+           |  FROM terms)
+           |SELECT source, max(n_a) AS n_a, max(n_b) AS n_b,
+           |       floor(sum(t_q6)::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS psi
+           |FROM q6 GROUP BY source ORDER BY source""".stripMargin
+      },
+
+      // s4's gap-session CTE, transcripts via ordered string_agg, ≥3 turns
+      "q_session_conversations" ->
+        s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS ts_us FROM events),
+           |x AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+           |y AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > $SessionGapUs THEN 1 ELSE 0 END AS nw FROM x),
+           |z AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y)
+           |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_turns,
+           |       string_agg(event_type, ' ' ORDER BY ts_us, event_id) AS transcript
+           |FROM z GROUP BY user_id, session_id HAVING count(*) >= 3
+           |ORDER BY user_id, session_id""".stripMargin,
 
       // mirrors the df-capped candidate generation: shingles with df >
       // JaccardMaxDf produce no candidates; intersections still use ALL

@@ -479,6 +479,41 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit SimHash of a document's whitespace tokens — the wide-fingerprint
+  * companion of [[SimHash32]] for Hamming multi-index joins: 60 bits split
+  * into 4×15-bit blocks give 32 768 buckets per block (vs 256 for 8-bit
+  * blocks of a 32-bit print), the bucket cardinality that keeps the
+  * pigeonhole candidate join sub-quadratic at corpus scale. Per-token hash
+  * = the first 15 md5 hex chars (the top 60 bits of the first 8 digest
+  * bytes), so the DuckDB oracle is `('0x' || substr(md5(t),1,15))::BIGINT`.
+  * Null when the document has no tokens. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash60"
+
+  @transient private lazy val helper = new SimHashHelper
+
+  override def nullSafeEval(t: Any): Any = helper.simhash60(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("simhashHelper", helper, classOf[SimHashHelper].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = $helperRef.simhash60($c);
+         |${ev.isNull} = ($boxed == null);
+         |if (!${ev.isNull}) { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
 /** Serializable SimHash helper invoked from generated code. */
 final class SimHashHelper extends Serializable {
   @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
@@ -512,6 +547,38 @@ final class SimHashHelper extends Serializable {
     while (b < 32) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     java.lang.Long.valueOf(out)
   }
+
+  /** 60-bit variant: per-token hash = top 60 bits of the first 8 md5 digest
+    * bytes (== first 15 hex chars), votes over bits 0..59. */
+  def simhash60(text: UTF8String): java.lang.Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](60)
+    val digest = md.get()
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        any = true
+        digest.reset()
+        val d = digest.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h8 = 0L
+        var k = 0
+        while (k < 8) { h8 = (h8 << 8) | (d(k) & 0xffL); k += 1 }
+        val h = h8 >>> 4
+        var b = 0
+        while (b < 60) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
 }
 
 /** Column-level entry points for the native expressions. */
@@ -536,6 +603,9 @@ object GraftExpressions {
 
   def simhash32(text: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
+
+  def simhash60(text: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
 
   def unseal(sealedStruct: Column, keyBytes: Array[Byte], scheme: String,
       expectedSource: String, expectedDestination: String): Column =
@@ -582,7 +652,8 @@ object GraftExpressions {
       "graft_shingle_set" -> (exprs => ShingleHashSet(exprs(0), intArg(exprs(1)))),
       "graft_winnow" -> (exprs =>
         WinnowingFingerprintSet(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
-      "graft_simhash" -> (exprs => SimHash32(exprs.head)))
+      "graft_simhash" -> (exprs => SimHash32(exprs.head)),
+      "graft_simhash60" -> (exprs => SimHash60(exprs.head)))
   }
 
   /** SQL registration (`graft_dot`, `graft_l2_normalize`, `graft_minhash`,

@@ -211,6 +211,63 @@ object CoreOps {
       .drop("__absdev")
   }
 
+  /** Population-stability-index drift between two corpus snapshots, per
+    * group: PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b) over `numBins` integer
+    * bins in [0, numBins), with add-one smoothing p = (c+1)/(n+numBins) so
+    * empty bins never divide by zero and the index stays finite. The
+    * distribution-drift monitor a curation pipeline runs between ingest
+    * epochs (PSI < 0.1 stable / 0.1–0.25 drifting / > 0.25 shifted, the
+    * conventional bands). Inputs: one row per item with (`groupCol`,
+    * `binCol`) per side; bins outside [0, numBins) are rejected loudly.
+    *
+    * Determinism: per-bin terms are q6-quantized to longs before summing
+    * (the x11/JS-divergence trick), so the result is immune to float
+    * summation order; the final PSI is round4. ALL numBins bins enter the
+    * sum — a bin absent from both sides contributes 0, but a bin absent
+    * from one side still drifts (the smoothed masses differ when n_a ≠
+    * n_b), so bins are enumerated per group, not taken from the data.
+    *
+    * Scale shape: each side collapses to a (group × bin) histogram with one
+    * map-side-combinable aggregate; everything after lives at histogram
+    * cardinality (groups × numBins), joined without touching the corpora
+    * again. Output: (groupCol, n_a, n_b, psi). */
+  def psiDrift(sideA: DataFrame, sideB: DataFrame, groupCol: String,
+      binCol: String, numBins: Int): DataFrame = {
+    require(numBins > 0, "numBins must be positive")
+    def hist(df: DataFrame, cnt: String): DataFrame = {
+      val guarded = df.select(col(groupCol),
+        when(col(binCol) >= 0 && col(binCol) < numBins, col(binCol).cast("long"))
+          .otherwise(raise_error(concat(lit(s"psiDrift: bin out of [0, $numBins): "),
+            col(binCol).cast("string")))).as("__bin"))
+      guarded.groupBy(col(groupCol), col("__bin")).agg(count(lit(1)).as(cnt))
+    }
+    val ca = hist(sideA, "__ca")
+    val cb = hist(sideB, "__cb")
+    val groups = ca.select(groupCol).union(cb.select(groupCol)).distinct()
+    val bins = groups.select(col(groupCol),
+      explode(sequence(lit(0L), lit(numBins - 1L))).as("__bin"))
+    val counts = bins
+      .join(ca, Seq(groupCol, "__bin"), "left")
+      .join(cb, Seq(groupCol, "__bin"), "left")
+      .select(col(groupCol), col("__bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = counts.groupBy(col(groupCol)).agg(
+      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val terms = counts.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__pa",
+        (col("__ca") + lit(1)).cast("double") / (col("n_a") + lit(numBins)).cast("double"))
+      .withColumn("__pb",
+        (col("__cb") + lit(1)).cast("double") / (col("n_b") + lit(numBins)).cast("double"))
+      .withColumn("__t_q6",
+        floor((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    terms.groupBy(col(groupCol)).agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        (floor(sum(col("__t_q6")).cast("double") / lit(1000000.0) * lit(10000.0) + lit(0.5))
+          / lit(10000.0)).as("psi"))
+  }
+
   /** Deterministic train/val/test assignment: bucket = first 8 hex chars of
     * md5(id) mod 100, split by cumulative percentage thresholds. Stable
     * across runs, layouts, and engines — the property a training split must

@@ -745,6 +745,66 @@ object Dedup {
         graft.expressions.GraftExpressions.simhash32(col(textCol)).as("simhash"))
       .where(col("simhash").isNotNull)
 
+  /** 60-bit SimHash fingerprints (native codegen expression, zero shuffle):
+    * the wide companion of [[simHash]] whose 4×15-bit blocks give the
+    * Hamming multi-index join ([[simHashHammingPairs]]) 32 768 buckets per
+    * block — the bucket cardinality that keeps pigeonhole candidates
+    * sub-quadratic at corpus scale (8-bit blocks of the 32-bit print top
+    * out at 256 buckets and collapse into a near-cross-join at 100 TB). */
+  def simHash60(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.expressions.GraftExpressions.simhash60(col(textCol)).as("simhash60"))
+      .where(col("simhash60").isNotNull)
+
+  /** Hamming-radius near-duplicate pairs over [[simHash60]] fingerprints via
+    * the multi-index pigeonhole join: any two prints within Hamming distance
+    * ≤ 3 agree exactly on at least one of the 4 15-bit blocks, so candidates
+    * are an equi-join on (block_index, block_value) and only candidates pay
+    * the exact `bit_count(a ^ b)` verification. Output (doc_a, doc_b,
+    * hamming) with hamming ≤ `radius`; `radius` ≤ 3 (the pigeonhole
+    * completeness bound for 4 blocks — a larger radius would need more
+    * blocks to stay exact).
+    *
+    * `maxBlockFrequency` caps how many documents a (block, value) bucket may
+    * hold before it stops producing candidates (the [[jaccardPairs]] df-cap
+    * pattern): chrome-heavy corpora concentrate near-identical prints in a
+    * few buckets, and candidates grow as Σ|bucket|² — the cap bounds that
+    * sum at the cost of recall inside mega-buckets (which at that size are
+    * exact-dup territory for [[exactDuplicateGroups]] anyway).
+    *
+    * Scale shape: fingerprints are a zero-shuffle projection; the only
+    * exchanges carry (block, value, doc_id, print) — ids+scalars, never
+    * text; the distinct pass and the verification run at candidate
+    * cardinality. */
+  def simHashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
+      radius: Int = 3, maxBlockFrequency: Long = Long.MaxValue): DataFrame = {
+    require(radius >= 0 && radius <= 3,
+      s"radius must be in [0, 3] (4-block pigeonhole completeness), got $radius")
+    val sh = simHash60(docs, idCol, textCol)
+    val blocks = sh.select(col("doc_id"), col("simhash60"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(simhash60, ${15 * b}) & 32767")): _*)).as(Seq("b", "blk")))
+    val capped =
+      if (maxBlockFrequency == Long.MaxValue) blocks
+      else {
+        val freq = blocks.groupBy("b", "blk").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxBlockFrequency)
+          .select("b", "blk")
+        blocks.join(freq, Seq("b", "blk"))
+      }
+    val left = capped.select(col("b"), col("blk"),
+      col("doc_id").as("doc_a"), col("simhash60").as("sa"))
+    val right = capped.select(col("b"), col("blk"),
+      col("doc_id").as("doc_b"), col("simhash60").as("sb"))
+    left.join(right, Seq("b", "blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb")
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("hamming") <= radius)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** The declarative (explode → 32-vote aggregate) form of [[simHash]] —
     * map-side combined to one row/doc before its shuffle. Kept as the
     * spec-pinned equivalence baseline for the native expression. */

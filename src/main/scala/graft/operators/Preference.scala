@@ -80,6 +80,36 @@ object Preference {
     items.toSeq.zip(r.toSeq)
   }
 
+  /** Best-of-N (rejection) sampling over a scored candidate log: per group
+    * keep exactly the highest-valued candidate — ties break toward the
+    * smaller id, so selection is deterministic — annotated with the
+    * candidate count and the value margin over the runner-up (null when the
+    * group has a single candidate). The RLHF best-of-n selection step: the
+    * group is a prompt, candidates are sampled responses, the value is a
+    * reward score.
+    *
+    * Scale shape: one hash exchange on the group key and one per-group sort
+    * — rank-1, the runner-up value, and the candidate count all come out of
+    * that single exchange (the margin needs the second-order statistic,
+    * which no map-side-combinable built-in aggregate exposes, and the count
+    * window reuses the same partitioning, so one shuffle total). */
+  def bestOfN(events: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "bestOfN needs at least one group column")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol).desc, col(idCol).asc)
+    events
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__runner_up", lead(col(valueCol), 1).over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
+      .where(col("__rn") === 1)
+      .select(groupCols.map(col) ++ Seq(
+        col(idCol).as("chosen_id"),
+        col(valueCol).as("chosen_value"),
+        col("__n").as("n_candidates"),
+        (col(valueCol) - col("__runner_up")).as("margin")): _*)
+  }
+
   /** [[btRatingsLocal]] over a distributed comparison matrix: collects the
     * (winner, loser, n) table — an explicitly item²-bounded collect, NOT a
     * corpus collect — trains, and returns (item, wins, losses,

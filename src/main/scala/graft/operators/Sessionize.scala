@@ -42,4 +42,32 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /** Sessions assembled into ordered interaction transcripts — the SFT-style
+    * conversation extraction step: per session, the labels of its events in
+    * (ts, id) order joined into one string, with the turn count. Sessions
+    * shorter than `minTurns` drop (single-event sessions make no
+    * conversation). Output: (keyCol, session_id, n_turns, transcript).
+    *
+    * Determinism: the event order inside the aggregate is pinned by
+    * sorting collected (ts, id, label) structs — struct ordering is
+    * lexicographic and (ts, id) is unique — so the transcript is identical
+    * under any partitioning or AQE plan.
+    *
+    * Scale shape: session assignment is the [[withSessionIds]] single
+    * exchange+sort; the assembly is one aggregate whose state is the
+    * session's own events (bounded by session length, not corpus size). */
+  def conversations(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, labelCol: String, maxGap: Long, minTurns: Int = 2): DataFrame = {
+    require(minTurns >= 1, "minTurns must be at least 1")
+    withSessionIds(events, keyCol, tsCol, idCol, maxGap)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(tsCol), col(idCol), col(labelCol).as("l")))),
+            s => s.getField("l")),
+          " ").as("transcript"))
+      .where(col("n_turns") >= minTurns)
+  }
 }

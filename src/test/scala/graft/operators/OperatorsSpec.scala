@@ -1383,6 +1383,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(candRows === 900L, s"CMS filter admitted $candRows rows, expected exactly the heavy mass")
   }
 
+  test("simHashHammingPairs: pigeonhole candidates recover exactly the brute-force radius-3 pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val prints = Dedup.simHash60(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- prints; (b, sb) <- prints if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simHashHammingPairs(docs, "doc_id", "text", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute, "multi-index candidates missed (or invented) a radius-3 pair")
+    // prints are 60-bit: the top nibble never sets
+    assert(prints.forall { case (_, s) => (s >>> 60) == 0L })
+  }
+
+  test("simHashHammingPairs: the block-frequency cap suppresses mega-bucket candidates") {
+    import spark.implicits._
+    // 5 identical docs: every block bucket holds all 5 prints
+    val docs = (1 to 5).map(i => (i.toLong, "same words every time")).toDF("doc_id", "text")
+    assert(Dedup.simHashHammingPairs(docs, "doc_id", "text").count() === 10L)
+    assert(Dedup.simHashHammingPairs(docs, "doc_id", "text", maxBlockFrequency = 4L).count() === 0L)
+  }
+
+  test("bestOfN: ties break to the smaller id, singleton groups have null margin") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", "g", 10L, 0.5), ("u1", "g", 11L, 0.9), ("u1", "g", 12L, 0.9),
+      ("u2", "g", 20L, 0.3)).toDF("user", "grp", "id", "v")
+    val rows = Preference.bestOfN(ev, Seq("user", "grp"), "id", "v")
+      .orderBy("user").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(2) === 11L) // tie at 0.9 -> smaller id
+    assert(rows(0).getDouble(3) === 0.9 && rows(0).getLong(4) === 3L && rows(0).getDouble(5) === 0.0)
+    assert(rows(1).getLong(2) === 20L && rows(1).getLong(4) === 1L && rows(1).isNullAt(5))
+  }
+
+  test("psiDrift: zero for identical sides, hand-computed for a known shift, loud on bad bins") {
+    import spark.implicits._
+    val a = Seq(("s", 0L), ("s", 0L), ("s", 1L)).toDF("g", "bin")
+    assert(CoreOps.psiDrift(a, a, "g", "bin", 4).head().getDouble(3) === 0.0)
+    // A: counts (2,1,0,0) n=3; B: counts (0,1,2,0) n=3; smoothed p=(c+1)/7
+    val b = Seq(("s", 1L), ("s", 2L), ("s", 2L)).toDF("g", "bin")
+    val exp = {
+      val pa = Seq(3, 2, 1, 1).map(_ / 7.0); val pb = Seq(1, 2, 3, 1).map(_ / 7.0)
+      val q6 = pa.zip(pb).map { case (x, y) =>
+        math.floor((x - y) * math.log(x / y) * 1e6 + 0.5).toLong }.sum
+      math.floor(q6.toDouble / 1e6 * 1e4 + 0.5) / 1e4
+    }
+    val row = CoreOps.psiDrift(a, b, "g", "bin", 4).head()
+    assert(row.getLong(1) === 3L && row.getLong(2) === 3L && row.getDouble(3) === exp)
+    intercept[Exception] {
+      CoreOps.psiDrift(a, Seq(("s", 4L)).toDF("g", "bin"), "g", "bin", 4).collect()
+    }
+  }
+
+  test("conversations: transcript order pinned by (ts, id), minTurns filters short sessions") {
+    import spark.implicits._
+    // one user: events out of arrival order, a tie on ts resolved by id,
+    // and a >gap jump opening a 1-event session that must drop
+    val ev = Seq(
+      (1L, 30L, "c"), (2L, 10L, "a"), (3L, 10L, "b"), (4L, 500L, "lone")
+    ).map { case (id, ts, l) => ("u", ts, id, l) }.toDF("user", "ts", "id", "label")
+    val rows = Sessionize.conversations(ev, "user", "ts", "id", "label",
+        maxGap = 100L, minTurns = 3).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(2) === 3L && rows(0).getString(3) === "a b c")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))

@@ -437,4 +437,22 @@ class PlanShapeSpec extends AnyFunSuite {
         s"an exchange carries a token array:\n$b")
     }
   }
+
+  test("d3b Hamming pairs: fingerprints are a projection — text never enters an exchange") {
+    val df = Dedup.simHashHammingPairs(Tables.documents(spark, sfDir),
+      "doc_id", "text", radius = 3, maxBlockFrequency = 50L)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#"),
+        s"document text reached a shuffle (prints must be computed in the scan projection):\n$b")
+  }
+
+  test("q_session_conversations: sessionize + assembly share ONE hash exchange") {
+    val df = SparkEntry.queries("q_session_conversations")(spark, sfDir)
+    val hashEx = exchangeBlocks(df).filter(_.contains("hashpartitioning"))
+    // the (user) window partitioning co-locates (user, session) too, so the
+    // assembly aggregate must reuse it — a second hash exchange means the
+    // groupBy stopped riding the window's partitioning
+    assert(hashEx.size === 1,
+      s"conversation assembly re-shuffled after sessionization:\n${hashEx.mkString("\n---\n")}")
+  }
 }
