@@ -430,6 +430,33 @@ object StreamingPipelines {
         col("key"), col("n_events"))
   }
 
+  /** Streaming conversation assembly — the unbounded form of batch
+    * [[graft.operators.Sessionize.conversations]]: `session_window` merges
+    * a key's events into gap sessions, each session's labels join into one
+    * transcript in (ts, id) order (sorted structs, so the transcript is
+    * identical under any batch arrival order), and sessions shorter than
+    * `minTurns` drop. Append mode emits each finalized transcript exactly
+    * once when the watermark closes its session; state per key is the open
+    * session's own events — bounded by session length and the watermark
+    * horizon, not the stream. */
+  def conversationStream(events: org.apache.spark.sql.DataFrame, tsCol: String,
+      keyCol: String, idCol: String, labelCol: String,
+      gap: String, watermarkDelay: String, minTurns: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(tsCol), col(idCol), col(labelCol).as("l")))),
+            s => s.getField("l")),
+          " ").as("transcript"))
+      .where(col("n_turns") >= minTurns)
+      .select(col("win.start").as("session_start"), col("key"),
+        col("n_turns"), col("transcript"))
+  }
+
   /** Stream-stream interval join with bounded state: each left event joins
     * right events of the same key whose event time lies in
     * [left.ts, left.ts + joinWindow] — the streaming form of

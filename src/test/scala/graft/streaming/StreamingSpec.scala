@@ -360,6 +360,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, s"streaming $streamed != batch $batch")
   }
 
+  test("conversations: streaming transcripts equal the batch operator on a replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same no-boundary-gap caveat as the session equivalence test; events
+    // fed to the stream in SHUFFLED order inside one batch so the sorted-
+    // struct assembly (not arrival order) must pin the transcript
+    val events: Seq[(String, Long)] = Seq(
+      "a" -> 0L, "a" -> 10L, "a" -> 25L, "a" -> 100L, "a" -> 129L, "a" -> 250L,
+      "b" -> 5L, "b" -> 40L, "b" -> 66L, "b" -> 300L,
+      "c" -> 7L)
+    val labeled = events.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong, s"e$i") }
+
+    val batch = graft.operators.Sessionize.conversations(
+        labeled.toDF("key", "ts", "id", "label"),
+        "key", "ts", "id", "label", maxGap = 30L, minTurns = 2)
+      .select("key", "n_turns", "transcript")
+      .as[(String, Long, String)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long, String)]
+    val conv = StreamingPipelines.conversationStream(
+      mem.toDF().toDF("ts", "key", "id", "label"), "ts", "key", "id", "label",
+      gap = "30 seconds", watermarkDelay = "0 seconds", minTurns = 2)
+    val q = conv.writeStream.outputMode("append").format("memory")
+      .queryName("conveq").start()
+    try {
+      val shuffled = scala.util.Random.shuffle(labeled)
+      mem.addData(shuffled.map { case (k, t, id, l) =>
+        (new java.sql.Timestamp(t * 1000), k, id, l) })
+      q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(100000L * 1000), "zz", -1L, "x")))
+      q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(200000L * 1000), "zz", -2L, "x")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("conveq")
+      .where(col("key") =!= "zz")
+      .select(col("key"), col("n_turns"), col("transcript"))
+      .as[(String, Long, String)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+  }
+
   test("split-leakage monitor: streaming stream-static form equals batch splitLeakage on a replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
