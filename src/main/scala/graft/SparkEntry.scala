@@ -1170,6 +1170,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- rank-fusion quality ensemble: each weak signal (length, TTR,
+    //      stopword ratio) becomes its per-source percentile rank — exact,
+    //      via (source × round4-value) histograms, never a corpus sort —
+    //      and the ensemble is the round4 mean of ranks. The scale-free
+    //      fusion that stops any single heuristic from dominating. ----
+    "q_quality_rank_ensemble" -> ((s, d) => {
+      val (ls, ttr, sr) = TextOps.qualityComponents(col("text"), TextOps.DefaultStopwords, 50)
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextOps.round4(ls).as("length_score"),
+        TextOps.round4(ttr).as("type_token_ratio"),
+        TextOps.round4(sr).as("stopword_ratio"))
+      CoreOps.percentileRankEnsemble(scored, "source",
+          Seq("length_score", "type_token_ratio", "stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sessions assembled into ordered interaction transcripts (the
     //      SFT conversation-extraction step): event-type labels joined in
     //      (ts, id) order per session, sessions with ≥3 turns; transcript
@@ -3883,6 +3899,31 @@ object SparkEntry {
            |SELECT source, max(n_a) AS n_a, max(n_b) AS n_b,
            |       floor(sum(t_q6)::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS psi
            |FROM q6 GROUP BY source ORDER BY source""".stripMargin
+      },
+
+      // cume_dist == the histogram cum/n rank by definition (preceding-or-
+      // peer fraction); the ensemble sum is written in the same operand
+      // order as the Spark expression
+      "q_quality_rank_ensemble" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |raw AS (
+           |  SELECT doc_id, source,
+           |         floor(least(1.0, len(toks)::DOUBLE / 50.0) * 10000.0 + 0.5) / 10000.0 AS length_score,
+           |         floor(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS type_token_ratio,
+           |         floor(len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS stopword_ratio
+           |  FROM t),
+           |pr AS (
+           |  SELECT *,
+           |         cume_dist() OVER (PARTITION BY source ORDER BY length_score) AS pr_length_score,
+           |         cume_dist() OVER (PARTITION BY source ORDER BY type_token_ratio) AS pr_type_token_ratio,
+           |         cume_dist() OVER (PARTITION BY source ORDER BY stopword_ratio) AS pr_stopword_ratio
+           |  FROM raw)
+           |SELECT doc_id, source, length_score, type_token_ratio, stopword_ratio,
+           |       pr_length_score, pr_type_token_ratio, pr_stopword_ratio,
+           |       floor((pr_length_score + pr_type_token_ratio + pr_stopword_ratio) / 3.0 * 10000.0 + 0.5) / 10000.0 AS ensemble
+           |FROM pr ORDER BY doc_id""".stripMargin
       },
 
       // s4's gap-session CTE, transcripts via ordered string_agg, ≥3 turns

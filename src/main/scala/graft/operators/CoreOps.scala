@@ -268,6 +268,38 @@ object CoreOps {
           / lit(10000.0)).as("psi"))
   }
 
+  /** Rank-fusion of several quality signals into one calibrated score: each
+    * signal is converted to its per-group percentile rank (fraction of the
+    * group with value ≤ v — scale-free, so signals with incomparable units
+    * average meaningfully) and the ensemble is the round4 mean of the
+    * ranks. The standard defense against any one noisy heuristic dominating
+    * a filter threshold.
+    *
+    * Exactness WITHOUT per-signal corpus sorts (the `cume_dist` window
+    * every user writes first): signals must be QUANTIZED (round4 grid), so
+    * each rank comes from a (group × value) histogram — one
+    * map-side-combinable aggregate at histogram cardinality, a cumulative
+    * window over that tiny histogram, and a broadcast join back; ties share
+    * a rank by construction, matching `cume_dist` semantics exactly. The
+    * corpus is scanned once and never sorted. Output: input columns +
+    * `pr_<signal>` per signal + `ensembleCol`. */
+  def percentileRankEnsemble(df: DataFrame, groupCol: String,
+      signalCols: Seq[String], ensembleCol: String = "ensemble"): DataFrame = {
+    require(signalCols.nonEmpty, "need at least one signal column")
+    val joined = signalCols.foldLeft(df) { (acc, s) =>
+      val hist = df.groupBy(col(groupCol), col(s)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col(s))))
+        .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+        .select(col(groupCol), col(s),
+          (col("__cum").cast("double") / col("__n").cast("double")).as(s"pr_$s"))
+      acc.join(broadcast(hist), Seq(groupCol, s))
+    }
+    joined.withColumn(ensembleCol,
+      floor(signalCols.map(s => col(s"pr_$s")).reduce(_ + _)
+        / lit(signalCols.size.toDouble) * lit(10000.0) + lit(0.5)) / lit(10000.0))
+  }
+
   /** Deterministic train/val/test assignment: bucket = first 8 hex chars of
     * md5(id) mod 100, split by cumulative percentage thresholds. Stable
     * across runs, layouts, and engines — the property a training split must

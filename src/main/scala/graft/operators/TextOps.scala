@@ -178,7 +178,7 @@ object TextOps {
     * (length/stopword/repetition heuristics). */
   /** Raw (lengthScore, ttr, stopRatio) component expressions — the single
     * definition both [[qualityScore]] and [[qualityCol]] blend from. */
-  private def qualityComponents(textCol: Column, stopwords: Seq[String],
+  private[graft] def qualityComponents(textCol: Column, stopwords: Seq[String],
       goodLen: Int): (Column, Column, Column) = {
     val toks = tokens(textCol)
     val stopArr = array(stopwords.map(lit): _*)

@@ -1451,6 +1451,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(0).getLong(2) === 3L && rows(0).getString(3) === "a b c")
   }
 
+  test("percentileRankEnsemble: ties share the cume_dist rank, ensemble is the mean") {
+    import spark.implicits._
+    val df = Seq(
+      ("s", 1L, 0.1, 0.9), ("s", 2L, 0.1, 0.5), ("s", 3L, 0.3, 0.1),
+      ("t", 4L, 0.7, 0.7)).toDF("g", "id", "a", "b")
+    val rows = CoreOps.percentileRankEnsemble(df, "g", Seq("a", "b"))
+      .select("id", "pr_a", "pr_b", "ensemble")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // g: a-values (0.1, 0.1, 0.3) -> ranks (2/3, 2/3, 1); b (0.9, 0.5, 0.1) -> (1, 2/3, 1/3)
+    assert(rows(0) === ((1L, 2.0 / 3, 1.0, math.floor((2.0 / 3 + 1.0) / 2 * 1e4 + 0.5) / 1e4)))
+    assert(rows(1)._2 === 2.0 / 3 && rows(1)._3 === 2.0 / 3)
+    assert(rows(2)._2 === 1.0 && rows(2)._3 === 1.0 / 3)
+    // singleton group: every rank 1, ensemble 1
+    assert(rows(3) === ((4L, 1.0, 1.0, 1.0)))
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))

@@ -446,6 +446,15 @@ class PlanShapeSpec extends AnyFunSuite {
         s"document text reached a shuffle (prints must be computed in the scan projection):\n$b")
   }
 
+  test("q_quality_rank_ensemble: histograms broadcast back — the corpus never hash-shuffles") {
+    val df = SparkEntry.queries("q_quality_rank_ensemble")(spark, sfDir)
+    for (b <- exchangeBlocks(df) if b.contains("hashpartitioning")) {
+      assert(!b.contains("doc_id#"),
+        s"the corpus itself shuffles — rank joins stopped broadcasting:\n$b")
+      assert(!b.contains("text#"), s"document text reached a shuffle:\n$b")
+    }
+  }
+
   test("q_session_conversations: sessionize + assembly share ONE hash exchange") {
     val df = SparkEntry.queries("q_session_conversations")(spark, sfDir)
     val hashEx = exchangeBlocks(df).filter(_.contains("hashpartitioning"))
