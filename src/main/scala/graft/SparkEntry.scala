@@ -1170,6 +1170,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- length-bucketed dynamic batching: documents banded by token
+    //      count (16-token bands), chunked into 16-doc batches within each
+    //      band in (tokens, id) order — per-batch composition and padding
+    //      waste (batch·max − Σ) as the data-loader plan. Global order via
+    //      the O(P) two-phase index, never a single-task window. ----
+    "q_length_bucket_batches" -> ((s, d) => {
+      val toks = TextOps.tokenStats(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "n_tokens").where(col("n_tokens") > 0)
+      CoreOps.lengthBucketBatches(toks, "doc_id", "n_tokens", bandWidth = 16, batchSize = 16)
+        .groupBy("bucket", "batch_in_bucket")
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("padding_waste", col("n_docs") * col("max_tokens") - col("sum_tokens"))
+        .orderBy("bucket", "batch_in_bucket")
+    }),
+
     // ---- rank-fusion quality ensemble: each weak signal (length, TTR,
     //      stopword ratio) becomes its per-source percentile rank — exact,
     //      via (source × round4-value) histograms, never a corpus sort —
@@ -3900,6 +3916,21 @@ object SparkEntry {
            |       floor(sum(t_q6)::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS psi
            |FROM q6 GROUP BY source ORDER BY source""".stripMargin
       },
+
+      // row_number-1 per band == the global-index offset rank (the index
+      // orders (bucket, n, id) and bands are contiguous in it)
+      "q_length_bucket_batches" ->
+        """WITH t AS (
+          |  SELECT doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n
+          |  FROM documents),
+          |b AS (SELECT doc_id, n, (n - 1) // 16 AS bucket FROM t WHERE n > 0),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n, doc_id) - 1 AS rk FROM b),
+          |a AS (SELECT bucket, rk // 16 AS batch_in_bucket, n FROM r)
+          |SELECT bucket, batch_in_bucket, count(*) AS n_docs,
+          |       max(n) AS max_tokens, CAST(sum(n) AS BIGINT) AS sum_tokens,
+          |       count(*) * max(n) - CAST(sum(n) AS BIGINT) AS padding_waste
+          |FROM a GROUP BY bucket, batch_in_bucket
+          |ORDER BY bucket, batch_in_bucket""".stripMargin,
 
       // cume_dist == the histogram cum/n rank by definition (preceding-or-
       // peer fraction); the ensemble sum is written in the same operand

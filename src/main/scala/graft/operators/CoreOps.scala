@@ -482,6 +482,32 @@ object CoreOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Length-bucketed dynamic batching — the padding-waste minimizer of a
+    * training data-loader, computed in-engine so the plan (which batch
+    * holds which documents, and what padding each batch costs) ships with
+    * the data: documents are banded by token count (`bucket = (tokens-1)
+    * div bandWidth`, linear bands — integer-exact in any engine, unlike a
+    * float log2), ordered (bucket, tokens, id), and chunked into fixed-size
+    * batches within each band, so a batch's members have near-equal length
+    * and its padding (batch_size × max_len − Σ len) stays small.
+    * Precondition: `tokensCol` ≥ 1 (filter empties first).
+    *
+    * Scale shape: the global order comes from [[globalRowIndex]] (range
+    * repartition + per-partition index, O(P) driver state) — never a
+    * single-task `row_number` window over the corpus; per-band offsets are
+    * a band-cardinality aggregate joined back as a broadcast. Output:
+    * input columns + (bucket, batch_in_bucket). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: String,
+      bandWidth: Int, batchSize: Int): DataFrame = {
+    require(bandWidth > 0 && batchSize > 0, "bandWidth and batchSize must be positive")
+    val bucketed = df.withColumn("bucket", expr(s"($tokensCol - 1) div $bandWidth"))
+    val indexed = globalRowIndex(bucketed, Seq("bucket", tokensCol, idCol))
+    val offsets = indexed.groupBy("bucket").agg(min(col("idx")).as("__b0"))
+    indexed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("batch_in_bucket", expr(s"(idx - __b0) div $batchSize"))
+      .drop("__b0", "idx")
+  }
+
   /** Corpus snapshot diff — the audit step of an incremental build: which
     * documents were added, removed, changed, or untouched between two
     * snapshots of the same keyed corpus. Pairs with [[upsertByKey]] (which

@@ -1468,6 +1468,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(3) === ((4L, 1.0, 1.0, 1.0)))
   }
 
+  test("lengthBucketBatches: matches the single-node banding/chunking replica") {
+    import spark.implicits._
+    // lengths engineered so bands have non-multiple-of-batch sizes
+    val docs = (1L to 41L).map(i => (i, (i * 7 % 40) + 1)).toDF("id", "n")
+    val got = CoreOps.lengthBucketBatches(docs, "id", "n", bandWidth = 8, batchSize = 3)
+      .select("id", "n", "bucket", "batch_in_bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = (1L to 41L).map(i => (i, (i * 7 % 40) + 1))
+      .groupBy { case (_, n) => (n - 1) / 8 }
+      .flatMap { case (bucket, members) =>
+        members.sortBy { case (id, n) => (n, id) }.zipWithIndex.map {
+          case ((id, n), rk) => (id, n, bucket, rk.toLong / 3)
+        }
+      }.toSet
+    assert(got === expect)
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
