@@ -281,6 +281,23 @@ object Bench {
       .select(pmod(col("id"), lit(32)).cast("int").as("day"),
         pmod(col("id") * lit(2654435761L), lit(1000003L)).as("user_id"))
 
+    // shared frame of the Hamming-dedup A/B: 100k docs in 2000 groups of
+    // 50; within a group, 29 of 30 tokens agree and one token is per-doc
+    // unique, so groups are tight Hamming clusters of the 60-bit prints.
+    // 100k is the size where the naive arm's n² actually bites (5×10⁹
+    // print comparisons; at 10k the codegen'd cross join still wins on
+    // sheer throughput) while the blocked arm's candidates stay
+    // Σ|bucket|²-bounded and barely move.
+    def hammingBenchFrame: DataFrame = spark.range(0, 100000L, 1, cpus.toInt)
+      .select(col("id").as("doc_id"),
+        array_join(expr(
+          "transform(sequence(1, 30), i -> CASE WHEN i = 1 + pmod(id, 30) " +
+            "THEN concat('u', id) ELSE concat('w', pmod(hash(id div 50, i), 800)) END)"),
+          " ").as("text"))
+    // release-count cross-check of the two Hamming arms (a mismatched pair
+    // count would make the A/B meaningless)
+    var hammingBlockedPairs = -1L
+
     // shared frame of the median-filter A/B: 5M rows, 16 groups, md5-derived
     // round4-quantized scores (deterministic, layout-independent)
     def medianBenchFrame: DataFrame =
@@ -740,6 +757,32 @@ object Bench {
           numMerges = SparkEntry.X13NumMerges)
         force(wordTokens)
         require(merges.nonEmpty)
+      }),
+      // Hamming near-dup A/B: the d3b multi-index pigeonhole join (blocked
+      // candidates, exact verify at candidate cardinality) vs the naive
+      // all-pairs bit_count scan every first implementation writes. Same
+      // 100k-doc frame, identical pair counts asserted; the all-pairs arm
+      // is n² in documents (5×10⁹ comparisons here — at corpus scale it
+      // simply does not finish), the blocked arm is Σ|bucket|². Blocked runs
+      // FIRST so any warmup bias is conservative; it also records the pair
+      // count the allpairs arm checks against — include BOTH names when
+      // using SPARK_GRAFT_BENCH_ONLY (the colocated_join pattern).
+      "hamming_pairs_blocked" -> (() => timed("hamming_pairs_blocked") {
+        hammingBlockedPairs = graft.operators.Dedup.simHashHammingPairs(
+          hammingBenchFrame, "doc_id", "text", radius = 3).count()
+        System.err.println(s"[bench] hamming_pairs_blocked pairs=$hammingBlockedPairs")
+      }),
+      "hamming_pairs_allpairs" -> (() => timed("hamming_pairs_allpairs") {
+        val sh = graft.operators.Dedup.simHash60(hammingBenchFrame, "doc_id", "text")
+        val l = sh.select(col("doc_id").as("doc_a"), col("simhash60").as("sa"))
+        val r = sh.select(col("doc_id").as("doc_b"), col("simhash60").as("sb"))
+        val n = l.crossJoin(r)
+          .where(col("doc_a") < col("doc_b") &&
+            bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+          .count()
+        require(n == hammingBlockedPairs,
+          s"hamming A/B arms disagree: allpairs=$n blocked=$hammingBlockedPairs")
+        System.err.println(s"[bench] hamming_pairs_allpairs pairs=$n (blocked agrees)")
       }),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference strong-scaling sizes (run-scaling-benchmark.sh:27-34 uses

@@ -234,15 +234,35 @@ object CoreOps {
   def psiDrift(sideA: DataFrame, sideB: DataFrame, groupCol: String,
       binCol: String, numBins: Int): DataFrame = {
     require(numBins > 0, "numBins must be positive")
-    def hist(df: DataFrame, cnt: String): DataFrame = {
-      val guarded = df.select(col(groupCol),
-        when(col(binCol) >= 0 && col(binCol) < numBins, col(binCol).cast("long"))
-          .otherwise(raise_error(concat(lit(s"psiDrift: bin out of [0, $numBins): "),
-            col(binCol).cast("string")))).as("__bin"))
-      guarded.groupBy(col(groupCol), col("__bin")).agg(count(lit(1)).as(cnt))
-    }
-    val ca = hist(sideA, "__ca")
-    val cb = hist(sideB, "__cb")
+    psiFromHistograms(
+      psiHistogram(sideA, groupCol, binCol, numBins),
+      psiHistogram(sideB, groupCol, binCol, numBins),
+      groupCol, numBins)
+  }
+
+  /** The (group × bin) histogram side of [[psiDrift]] — one
+    * map-side-combinable aggregate; bins outside [0, numBins) are rejected
+    * loudly. Output: (groupCol, __bin, cnt). Exposed so a STREAMING epoch
+    * histogram (finalized per event-time window, the
+    * [[graft.streaming.StreamingPipelines.epochHistogramStream]] shape) can
+    * feed the same PSI composition as the batch operator. */
+  def psiHistogram(df: DataFrame, groupCol: String, binCol: String,
+      numBins: Int): DataFrame = {
+    val guarded = df.select(col(groupCol),
+      when(col(binCol) >= 0 && col(binCol) < numBins, col(binCol).cast("long"))
+        .otherwise(raise_error(concat(lit(s"psiDrift: bin out of [0, $numBins): "),
+          col(binCol).cast("string")))).as("__bin"))
+    guarded.groupBy(col(groupCol), col("__bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** PSI from two (group × bin) histograms with columns (groupCol, __bin,
+    * cnt) — the composition [[psiDrift]] and the streaming drift monitor
+    * share. Everything runs at histogram cardinality. */
+  def psiFromHistograms(histA: DataFrame, histB: DataFrame, groupCol: String,
+      numBins: Int): DataFrame = {
+    require(numBins > 0, "numBins must be positive")
+    val ca = histA.select(col(groupCol), col("__bin"), col("cnt").as("__ca"))
+    val cb = histB.select(col(groupCol), col("__bin"), col("cnt").as("__cb"))
     val groups = ca.select(groupCol).union(cb.select(groupCol)).distinct()
     val bins = groups.select(col(groupCol),
       explode(sequence(lit(0L), lit(numBins - 1L))).as("__bin"))

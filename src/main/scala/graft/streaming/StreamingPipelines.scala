@@ -849,6 +849,30 @@ object StreamingPipelines {
       .select("doc_id", "n_pretokens", "n_oov", "n_invocab_tokens", "oov_frac")
   }
 
+  /** Streaming epoch histograms — the ingest half of a distribution-drift
+    * monitor: incoming rows (already binned, e.g. `least(floor(quality*10),
+    * 9)`) aggregate to finalized per-(event-time window, group, bin) counts
+    * in append mode, each histogram cell emitted exactly once when the
+    * watermark closes its window. Composing the materialized epoch
+    * histogram against a baseline via
+    * [[graft.operators.CoreOps.psiFromHistograms]] then yields the SAME
+    * per-group PSI as batch `psiDrift` over the epoch's rows (equivalence
+    * pinned in StreamingSpec) — so drift alarms fire per ingest epoch
+    * without re-scanning the corpus. State is one count per open
+    * (window × group × bin) cell — histogram cardinality, never rows. */
+  def epochHistogramStream(incoming: org.apache.spark.sql.DataFrame,
+      tsCol: String, groupCol: String, binCol: String,
+      epochWindow: String, watermarkDelay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    incoming
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), epochWindow).as("win"),
+        col(groupCol), col(binCol).cast("long").as("__bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("epoch_start"), col(groupCol),
+        col("__bin"), col("cnt"))
+  }
+
   /** Per-user carry-over for [[comparisonStream]]: the user's latest event,
     * so a comparison can bridge a batch boundary. */
   final case class LastEvent(tsUs: Long, eventId: Long, item: String, value: Double)

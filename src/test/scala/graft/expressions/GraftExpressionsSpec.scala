@@ -162,7 +162,7 @@ class GraftExpressionsSpec extends AnyFunSuite {
     // registered on one surface and forgotten on the other
     assert(GraftExpressions.sqlBuilders.map(_._1) === Seq("graft_dot",
       "graft_l2_normalize", "graft_minhash", "graft_shingle_set",
-      "graft_winnow", "graft_simhash"))
+      "graft_winnow", "graft_simhash", "graft_simhash60"))
   }
 
   test("AeadUnseal expression: roundtrip, wrong route null, tampered null") {

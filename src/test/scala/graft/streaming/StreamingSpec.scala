@@ -403,6 +403,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, s"streaming $streamed != batch $batch")
   }
 
+  test("drift monitor: streamed epoch histograms + psiFromHistograms equal batch psiDrift") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline skews low bins, the epoch skews high; group t only in epoch
+    val baseline = Seq(("s", 0L), ("s", 0L), ("s", 1L), ("s", 2L)).toDF("g", "bin")
+    val epochRows = Seq(("s", 2L), ("s", 3L), ("s", 3L), ("t", 1L))
+    val batch = graft.operators.CoreOps.psiDrift(
+        baseline, epochRows.toDF("g", "bin"), "g", "bin", numBins = 4)
+      .select("g", "n_a", "n_b", "psi")
+      .as[(String, Long, Long, Double)].collect().toSet
+
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val hist = StreamingPipelines.epochHistogramStream(
+      mem.toDF().toDF("ts", "g", "bin"), "ts", "g", "bin",
+      epochWindow = "60 seconds", watermarkDelay = "0 seconds")
+    val q = hist.writeStream.outputMode("append").format("memory")
+      .queryName("drifteq").start()
+    try {
+      // the whole epoch lands inside one 60 s window, split across batches
+      mem.addData(epochRows.take(2).map { case (g, b) =>
+        (new java.sql.Timestamp(10L * 1000), g, b) })
+      q.processAllAvailable()
+      mem.addData(epochRows.drop(2).map { case (g, b) =>
+        (new java.sql.Timestamp(20L * 1000), g, b) })
+      q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(100000L * 1000), "zz", 0L)))
+      q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(200000L * 1000), "zz", 0L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val epochHist = spark.table("drifteq").where(col("g") =!= "zz")
+      .select(col("g"), col("__bin"), col("cnt"))
+    val baseHist = graft.operators.CoreOps.psiHistogram(baseline, "g", "bin", 4)
+    val streamed = graft.operators.CoreOps.psiFromHistograms(
+        baseHist, epochHist, "g", numBins = 4)
+      .select("g", "n_a", "n_b", "psi")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+  }
+
   test("split-leakage monitor: streaming stream-static form equals batch splitLeakage on a replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
