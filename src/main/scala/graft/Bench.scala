@@ -733,6 +733,57 @@ object Bench {
             s"of ${epoch.size} (batch agrees)")
         } finally { cellIndex.unpersist(); bIdx.unpersist(); sIdx.unpersist(); () }
       }),
+      // One DRIFT-MONITOR ingest epoch: the documents corpus minus a
+      // held-out fifth supplies the baseline quality histogram (built once,
+      // persisted — maintained storage); the held-out fifth streams through
+      // epochHistogramStream and the finalized epoch histogram composes
+      // against the baseline via psiFromHistograms. The per-source PSI map
+      // must equal batch psiDrift on the same rows exactly, or the entry
+      // fails rather than record a timing for a different computation.
+      "streaming_drift_epoch" -> (() => timed("streaming_drift_epoch") {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        import graft.operators.TextOps
+        val scored = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+          least(floor(TextOps.qualityCol(col("text")) * lit(10.0)).cast("long"), lit(9L))
+            .as("bin"))
+        val baseline = scored.where(col("doc_id") % 5 =!= 0)
+        val epoch = scored.where(col("doc_id") % 5 === 0)
+        val baseHist = CoreOps.psiHistogram(baseline, "source", "bin", 10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        baseHist.count()
+        try {
+          val epochRows = epoch.select(col("source"), col("bin"))
+            .as[(String, Long)].collect().toSeq
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(java.sql.Timestamp, String, Long)]
+          val hist = graft.streaming.StreamingPipelines.epochHistogramStream(
+            mem.toDF().toDF("ts", "source", "bin"), "ts", "source", "bin",
+            epochWindow = "60 seconds", watermarkDelay = "0 seconds")
+          val qn = s"driftbench_${System.nanoTime()}"
+          val q = hist.writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try {
+            mem.addData(epochRows.map { case (s, b) =>
+              (new java.sql.Timestamp(10L * 1000), s, b) })
+            q.processAllAvailable()
+            mem.addData(Seq((new java.sql.Timestamp(100000L * 1000), "zz", 0L)))
+            q.processAllAvailable()
+            mem.addData(Seq((new java.sql.Timestamp(200000L * 1000), "zz", 0L)))
+            q.processAllAvailable()
+          } finally q.stop()
+          val epochHist = spark.table(qn).where(col("source") =!= "zz")
+            .select(col("source"), col("__bin"), col("cnt"))
+          val streamed = CoreOps.psiFromHistograms(baseHist, epochHist, "source", 10)
+            .select("source", "psi").as[(String, Double)].collect().toMap
+          val batch = CoreOps.psiDrift(baseline, epoch, "source", "bin", 10)
+            .select("source", "psi").as[(String, Double)].collect().toMap
+          require(streamed == batch,
+            s"streaming_drift_epoch psi mismatch: streamed=$streamed batch=$batch")
+          System.err.println(
+            s"[bench] streaming_drift_epoch sources=${streamed.size} (batch agrees)")
+        } finally { baseHist.unpersist(); () }
+      }),
       // COLD BPE merge training A/B (no per-JVM model cache — the x13
       // gate's min-of-repeats measures the apply path once the model
       // parquet exists; these entries are the training loop itself, every
