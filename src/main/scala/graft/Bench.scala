@@ -128,7 +128,11 @@ object Bench {
     if (histMins.nonEmpty)
       System.err.println(s"[bench] drift reference: ${histMins.size} entries from committed rounds")
     val DriftRetryFactor = 1.5
-    val MaxDriftRetries = 20
+    // sized to the suite: the cap exists to bound pathological churn, not
+    // to ration retries — r10's 204-entry suite exhausted the old cap of
+    // 20 on the alphabetically-early entries and left later out-of-band
+    // readings (median_filter_hist at 4.3x its min) standing unretried
+    val MaxDriftRetries = 60
     var driftRetries = 0
     val driftRetried = scala.collection.mutable.ArrayBuffer.empty[String]
     /** True (and budget consumed) when `t` is a credible-looking but

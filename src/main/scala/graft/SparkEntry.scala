@@ -1170,6 +1170,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- BM25 top-k retrieval: every 50th document as a query against the
+    //      rest of the corpus (the decontamination-by-retrieval shape) —
+    //      Lucene-form scoring over 60-bit term hashes, q6-quantized term
+    //      scores summed as longs, ranking on the EXACT q6 sum. Query
+    //      terms and the matched-term df table broadcast; the corpus
+    //      shuffles only (id, hash) longs. ----
+    "q_bm25_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.bm25Search(docs, docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- length-bucketed dynamic batching: documents banded by token
     //      count (16-token bands), chunked into 16-doc batches within each
     //      band in (tokens, id) order — per-batch composition and padding
@@ -3916,6 +3929,40 @@ object SparkEntry {
            |       floor(sum(t_q6)::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS psi
            |FROM q6 GROUP BY source ORDER BY source""".stripMargin
       },
+
+      // constants spelled as the same ARITHMETIC the Scala side performs
+      // ((1.2 + 1.0), (1.0 - 0.75)) so both engines round the identical
+      // IEEE intermediate, not a re-parsed decimal
+      "q_bm25_search" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term FROM documents),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(term),1,15))::BIGINT AS th FROM toks),
+          |tf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf FROM h GROUP BY doc_id, th),
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+          |dfreq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY th),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+          |q AS (SELECT DISTINCT doc_id AS query_id, th FROM h WHERE doc_id % 50 = 0),
+          |m AS (
+          |  SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, stats.n_docs, stats.total_dl
+          |  FROM q JOIN tf USING (th) JOIN dl ON tf.doc_id = dl.doc_id
+          |         JOIN dfreq ON q.th = dfreq.th, stats
+          |  WHERE tf.doc_id <> q.query_id),
+          |terms AS (
+          |  SELECT query_id, doc_id,
+          |    CAST(floor(
+          |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+          |      ((tf::DOUBLE * (1.2 + 1.0)) /
+          |       (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (total_dl::DOUBLE / n_docs::DOUBLE)))))
+          |      * 1000000.0 + 0.5) AS BIGINT) AS t_q6
+          |  FROM m),
+          |scored AS (SELECT query_id, doc_id, CAST(sum(t_q6) AS BIGINT) AS s_q6 FROM terms GROUP BY query_id, doc_id),
+          |ranked AS (
+          |  SELECT query_id, doc_id, s_q6,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY s_q6 DESC, doc_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+          |       floor(s_q6::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
+          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       // row_number-1 per band == the global-index offset rank (the index
       // orders (bucket, n, id) and bands are contiguous in it)

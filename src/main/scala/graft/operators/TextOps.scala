@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: token statistics,
@@ -913,6 +914,69 @@ object TextOps {
     *
     * Scale shape: a PURE PROJECTION — no shuffle, no join, no state; FIM
     * at 100 TB is scan-speed by construction. */
+  /** BM25 top-k retrieval over the corpus for a query set — the lexical
+    * search primitive a curation platform runs for decontamination-by-
+    * retrieval, hard-negative mining, and audit queries. Scoring is the
+    * Lucene BM25 form: per matched term, `ln(1 + (N − df + 0.5)/(df +
+    * 0.5)) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, summed per
+    * (query, doc), self-matches (query doc retrieving itself) excluded,
+    * top-k per query by score with doc-id tiebreak.
+    *
+    * Determinism: per-term scores are q6-quantized longs, summed as longs
+    * (float-order immune); the RANKING itself orders on the exact q6 sum,
+    * never the rounded display score. Terms are 60-bit md5 hashes on both
+    * sides — reproducible in any engine.
+    *
+    * Scale shape: the corpus is touched once to build (doc, term-hash)
+    * tf rows — the only corpus-sized shuffles are the tf/doclen
+    * aggregates, carrying (id, 60-bit hash) longs, never text. Query
+    * terms broadcast (queries ≪ corpus); the df table is pre-filtered to
+    * matched terms via that broadcast BEFORE its own broadcast back, so
+    * vocabulary-cardinality state never reaches the score join; corpus
+    * stats (N, total length) ride a one-row broadcast. Everything after
+    * the match join runs at matched-posting cardinality, and top-k rides
+    * WindowGroupLimit. */
+  def bm25Search(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qIdCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def termRows(df: DataFrame, id: Column, idName: String, text: Column) =
+      df.select(id.cast("long").as(idName),
+          explode(split(text, " ")).as("__t"))
+        .where(col("__t") =!= "")
+        .select(col(idName),
+          conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("th"))
+    val tf = termRows(corpus, col(idCol), "doc_id", col(textCol))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val qTerms = termRows(queries, col(qIdCol), "query_id", col(qTextCol)).distinct()
+    val matchedDf = dfreq.join(broadcast(qTerms.select("th").distinct()), Seq("th"))
+    val matched = tf
+      .join(broadcast(qTerms), Seq("th"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(matchedDf), Seq("th"))
+      .crossJoin(broadcast(stats))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * ((col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
+    val scored = matched
+      .withColumn("__t_q6", floor(termScore * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum(col("__t_q6")).as("__s_q6"))
+    val w = Window.partitionBy("query_id").orderBy(col("__s_q6").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (floor(col("__s_q6").cast("double") / lit(1000000.0) * lit(10000.0) + lit(0.5))
+          / lit(10000.0)).as("score"))
+  }
+
   def fimTransform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def h32(salt: String) = conv(substring(
       md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10).cast("long")

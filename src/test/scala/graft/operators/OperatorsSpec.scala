@@ -1485,6 +1485,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("bm25Search: the near-verbatim copy ranks first, self-match excluded, rare terms outweigh common") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "totally different words here now"),
+      (4L, "alpha unrelated mixture of words")).toDF("doc_id", "text")
+    val res = TextOps.bm25Search(docs, docs.where(col("doc_id") === 1),
+        "doc_id", "text", "doc_id", "text", k = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(res.forall(_._1 === 1L) && !res.exists(_._3 === 1L), "self-match must be excluded")
+    assert(res.head._3 === 2L, s"the 4-of-5-term near copy must rank first: ${res.toSeq}")
+    assert(res(1)._3 === 4L, "the 1-common-term doc ranks above the 0-term doc's absence")
+    assert(res.length === 2, "doc 3 shares no term and must not appear")
+    assert(res.head._4 > res(1)._4, "scores must decrease with rank")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))

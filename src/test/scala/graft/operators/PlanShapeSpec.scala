@@ -455,6 +455,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bm25_search: corpus exchanges carry (id, hash) longs — never text; query side broadcasts") {
+    val df = SparkEntry.queries("q_bm25_search")(spark, sfDir)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#"), s"document text reached a shuffle:\n$b")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "query terms / matched-df / stats must join as broadcasts")
+  }
+
   test("q_session_conversations: sessionize + assembly share ONE hash exchange") {
     val df = SparkEntry.queries("q_session_conversations")(spark, sfDir)
     val hashEx = exchangeBlocks(df).filter(_.contains("hashpartitioning"))
