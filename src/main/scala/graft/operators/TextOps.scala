@@ -940,34 +940,73 @@ object TextOps {
       textCol: String, qIdCol: String, qTextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    def termRows(df: DataFrame, id: Column, idName: String, text: Column) =
-      df.select(id.cast("long").as(idName),
-          explode(split(text, " ")).as("__t"))
-        .where(col("__t") =!= "")
-        .select(col(idName),
-          conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("th"))
-    val tf = termRows(corpus, col(idCol), "doc_id", col(textCol))
+    val (tfdl, dfreq, nDocs, totalDl) = bm25Index(corpus, idCol, textCol)
+    val qTerms = bm25TermRows(queries, qIdCol, "query_id", qTextCol).distinct()
+    bm25TopK(
+      bm25MatchScores(qTerms, tfdl, dfreq, nDocs, totalDl, k1, b), k)
+  }
+
+  /** (id, 60-bit term hash) rows of whitespace tokens — the shared term
+    * derivation of the BM25 family (md5 prefix: engine-portable). */
+  private[graft] def bm25TermRows(df: DataFrame, idCol: String,
+      idName: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idName),
+        explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t") =!= "")
+      .select(col(idName),
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("th"))
+
+  /** The MATERIALIZABLE corpus side of BM25: the (doc, term, tf, dl)
+    * posting table, the per-term document frequencies, and the corpus
+    * stats (N, total length). A maintained-storage ingest loop persists
+    * these once and scores every epoch against them (the maintained-index
+    * contract the dedup/semantic indexes already follow). */
+  def bm25Index(corpus: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, Long, Long) = {
+    val tf = bm25TermRows(corpus, idCol, "doc_id", textCol)
       .groupBy("doc_id", "th").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val tfdl = tf.join(dl, Seq("doc_id"))
     val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val qTerms = termRows(queries, col(qIdCol), "query_id", col(qTextCol)).distinct()
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    (tfdl, dfreq, statsRow.getLong(0), statsRow.getLong(1))
+  }
+
+  /** Exact q6 match scores per (query, doc) from query terms and an index —
+    * the composition batch [[bm25Search]] and the streaming retrieval
+    * monitor share (so stream==batch holds by construction). Self-matches
+    * (query_id == doc_id) drop. Output: (query_id, doc_id, __s_q6). */
+  def bm25MatchScores(qTerms: DataFrame, tfdl: DataFrame, dfreq: DataFrame,
+      nDocs: Long, totalDl: Long, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val matchedDf = dfreq.join(broadcast(qTerms.select("th").distinct()), Seq("th"))
-    val matched = tf
+    val matched = tfdl
       .join(broadcast(qTerms), Seq("th"))
       .where(col("doc_id") =!= col("query_id"))
-      .join(dl, Seq("doc_id"))
       .join(broadcast(matchedDf), Seq("th"))
-      .crossJoin(broadcast(stats))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("total_dl", lit(totalDl))
+    matched
+      .withColumn("__t_q6", bm25TermScoreQ6(k1, b))
+      .groupBy("query_id", "doc_id").agg(sum(col("__t_q6")).as("__s_q6"))
+  }
+
+  /** The q6-quantized per-term BM25 score over columns (tf, df, dl, n_docs,
+    * total_dl) — ONE definition shared by batch scoring and the streaming
+    * retrieval monitor, so stream==batch holds by construction. */
+  private[graft] def bm25TermScoreQ6(k1: Double, b: Double): Column = {
     val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val termScore = idf * ((col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
-    val scored = matched
-      .withColumn("__t_q6", floor(termScore * lit(1000000.0) + lit(0.5)).cast("long"))
-      .groupBy("query_id", "doc_id").agg(sum(col("__t_q6")).as("__s_q6"))
+    floor(termScore * lit(1000000.0) + lit(0.5)).cast("long")
+  }
+
+  /** Top-k per query over exact q6 match scores, display score round4 —
+    * ranking NEVER sees the rounded value. */
+  def bm25TopK(scored: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy("query_id").orderBy(col("__s_q6").desc, col("doc_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

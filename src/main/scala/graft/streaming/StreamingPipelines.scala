@@ -873,6 +873,47 @@ object StreamingPipelines {
         col("__bin"), col("cnt"))
   }
 
+  /** Streaming retrieval-at-ingest — incoming documents scored as BM25
+    * queries against a MATERIALIZED corpus index the moment they arrive
+    * (the contamination/near-source alarm a curation pipeline wants at the
+    * door, not at the next full audit): per incoming document, finalized
+    * exact q6 match scores against every corpus document sharing a term.
+    * Compose top-k with [[graft.operators.TextOps.bm25TopK]] over the
+    * materialized output; the result equals batch
+    * [[graft.operators.TextOps.bm25Search]] on a replay (StreamingSpec) —
+    * both sides share the [[graft.operators.TextOps.bm25TermScoreQ6]]
+    * expression, so equality holds by construction.
+    *
+    * Scale shape: per-document DISTINCT terms come from `array_distinct`
+    * in the row projection (never a stateful stream distinct); the posting
+    * and df tables join stream-static; the only stateful operator is the
+    * watermark-bounded per-(document, match) sum. Text never shuffles —
+    * terms are 60-bit hashes before the first join. */
+  def retrievalScoreStream(incoming: org.apache.spark.sql.DataFrame,
+      tsCol: String, idCol: String, textCol: String,
+      tfdl: org.apache.spark.sql.DataFrame, dfreq: org.apache.spark.sql.DataFrame,
+      nDocs: Long, totalDl: Long, watermarkDelay: String,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    incoming
+      .select(col(idCol).cast("long").as("query_id"), col(tsCol).as("__ts"),
+        explode(array_distinct(filter(split(col(textCol), " "),
+          t => t =!= ""))).as("__t"))
+      .select(col("query_id"), col("__ts"),
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("th"))
+      .withWatermark("__ts", watermarkDelay)
+      .join(tfdl, Seq("th"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dfreq, Seq("th"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("total_dl", lit(totalDl))
+      .withColumn("__t_q6", TextOps.bm25TermScoreQ6(k1, b))
+      .groupBy(col("query_id"), col("__ts"), col("doc_id"))
+      .agg(sum(col("__t_q6")).as("__s_q6"))
+      .select("query_id", "doc_id", "__s_q6")
+  }
+
   /** Per-user carry-over for [[comparisonStream]]: the user's latest event,
     * so a comparison can bridge a batch boundary. */
   final case class LastEvent(tsUs: Long, eventId: Long, item: String, value: Double)

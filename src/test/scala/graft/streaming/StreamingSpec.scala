@@ -444,6 +444,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, s"streaming $streamed != batch $batch")
   }
 
+  test("retrieval monitor: streamed match scores + bm25TopK equal batch bm25Search on a replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val sfDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = sfDocs.where(col("doc_id") % 5 =!= 0)
+    val epoch = sfDocs.where(col("doc_id") % 5 === 0)
+
+    val batch = TextOps.bm25Search(corpus, epoch,
+        "doc_id", "text", "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val (tfdl, dfreq, nDocs, totalDl) = TextOps.bm25Index(corpus, "doc_id", "text")
+    val tfdlP = tfdl.persist(); val dfreqP = dfreq.persist()
+    tfdlP.count(); dfreqP.count()
+    try {
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val scoresStream = StreamingPipelines.retrievalScoreStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        tfdlP, dfreqP, nDocs, totalDl, watermarkDelay = "0 seconds")
+      val q = scoresStream.writeStream.outputMode("append").format("memory")
+        .queryName("retreq").start()
+      try {
+        val rows = epoch.select("doc_id", "text").as[(Long, String)].collect()
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        mem.addData(b1.map { case (id, t) => (new java.sql.Timestamp(10L * 1000), id, t) }.toSeq)
+        q.processAllAvailable()
+        mem.addData(b2.map { case (id, t) => (new java.sql.Timestamp(20L * 1000), id, t) }.toSeq)
+        q.processAllAvailable()
+        mem.addData(Seq((new java.sql.Timestamp(100000L * 1000), -1L, "flush")))
+        q.processAllAvailable()
+        mem.addData(Seq((new java.sql.Timestamp(200000L * 1000), -2L, "flush")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = TextOps.bm25TopK(
+          spark.table("retreq").where(col("query_id") >= 0), k = 3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed === batch,
+        s"streaming retrieval diverged: ${streamed.size} vs ${batch.size} rows")
+    } finally { tfdlP.unpersist(); dfreqP.unpersist(); () }
+  }
+
   test("split-leakage monitor: streaming stream-static form equals batch splitLeakage on a replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
