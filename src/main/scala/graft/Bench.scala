@@ -788,6 +788,73 @@ object Bench {
             s"[bench] streaming_drift_epoch sources=${streamed.size} (batch agrees)")
         } finally { baseHist.unpersist(); () }
       }),
+      // One RETRIEVAL-monitor ingest epoch: the documents corpus minus a
+      // held-out fifth supplies the BM25 index (posting/df tables built
+      // once and persisted — maintained storage); the held-out fifth
+      // streams through retrievalScoreStream and the finalized match
+      // scores compose to top-3 per incoming document. The result must
+      // equal batch bm25Search exactly, or the entry fails.
+      "streaming_retrieval_epoch" -> (() => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        import graft.operators.TextOps
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val corpus = docs.where(col("doc_id") % 5 =!= 0)
+        // a 1/25th epoch: lexical match sets are dense (every shared common
+        // term is a candidate), so the memory-sink volume — not the joins —
+        // dominates past a few hundred incoming docs per cycle
+        val epoch = docs.where(col("doc_id") % 25 === 0)
+        var streamed: Set[(Long, Long, Long, Double)] = Set.empty
+        // timed region: index build + persist, the streamed epoch, and the
+        // top-3 composition — the full ingest cycle. The batch-equality
+        // audit runs OUTSIDE the timing (distinct_users_hll pattern): a
+        // mismatch fails the entry, but its cost (a second, independent
+        // index build) never pollutes the epoch latency.
+        val t = timed("streaming_retrieval_epoch") {
+          val (tfdl, dfreq, nDocs, totalDl) = TextOps.bm25Index(corpus, "doc_id", "text")
+          val tfdlP = tfdl.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val dfreqP = dfreq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          tfdlP.count(); dfreqP.count()
+          try {
+            val mem = org.apache.spark.sql.execution.streaming.runtime
+              .MemoryStream[(java.sql.Timestamp, Long, String)]
+            val scores = graft.streaming.StreamingPipelines.retrievalScoreStream(
+              mem.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+              tfdlP, dfreqP, nDocs, totalDl, watermarkDelay = "0 seconds")
+            val qn = s"retrbench_${System.nanoTime()}"
+            val q = scores.writeStream.outputMode("append").format("memory")
+              .queryName(qn).start()
+            try {
+              val rows = epoch.as[(Long, String)].collect()
+              mem.addData(rows.map { case (id, t) =>
+                (new java.sql.Timestamp(10L * 1000), id, t) }.toSeq)
+              q.processAllAvailable()
+              mem.addData(Seq((new java.sql.Timestamp(100000L * 1000), -1L, "flush")))
+              q.processAllAvailable()
+              mem.addData(Seq((new java.sql.Timestamp(200000L * 1000), -2L, "flush")))
+              q.processAllAvailable()
+            } finally q.stop()
+            streamed = TextOps.bm25TopK(
+                spark.table(qn).where(col("query_id") >= 0), k = 3)
+              .as[(Long, Long, Long, Double)].collect().toSet
+          } finally { tfdlP.unpersist(); dfreqP.unpersist(); () }
+        }
+        if (t < 0) t
+        else try {
+          val batch = TextOps.bm25Search(corpus, epoch,
+              "doc_id", "text", "doc_id", "text", k = 3)
+            .as[(Long, Long, Long, Double)].collect().toSet
+          require(streamed == batch,
+            s"diverged: ${streamed.size} vs ${batch.size} rows")
+          System.err.println(s"[bench] streaming_retrieval_epoch matches=${streamed.size} (batch agrees)")
+          t
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] streaming_retrieval_epoch equality audit failed: ${e.getMessage}")
+            -1.0
+        }
+      }),
       // COLD BPE merge training A/B (no per-JVM model cache — the x13
       // gate's min-of-repeats measures the apply path once the model
       // parquet exists; these entries are the training loop itself, every
