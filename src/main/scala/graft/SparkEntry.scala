@@ -1170,6 +1170,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- ANALYZE-style table profile: per numeric lineitem column, the
+    //      non-null count, exact distinct count, and min/max in ONE scan
+    //      (multiple exact distincts ride one Expand) — the statistics
+    //      sheet a platform publishes per table release. ----
+    "q_table_profile" -> ((s, d) => {
+      CoreOps.numericProfile(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column")
+    }),
+
     // ---- BM25 top-k retrieval: every 50th document as a query against the
     //      rest of the corpus (the decontamination-by-retrieval shape) —
     //      Lucene-form scoring over 60-bit term hashes, q6-quantized term
@@ -3929,6 +3939,24 @@ object SparkEntry {
            |       floor(sum(t_q6)::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS psi
            |FROM q6 GROUP BY source ORDER BY source""".stripMargin
       },
+
+      "q_table_profile" ->
+        """WITH s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |         CAST(count(l_quantity) AS BIGINT) AS nn1, CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd1,
+          |         min(l_quantity)::DOUBLE AS mn1, max(l_quantity)::DOUBLE AS mx1,
+          |         CAST(count(l_extendedprice) AS BIGINT) AS nn2, CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS nd2,
+          |         min(l_extendedprice)::DOUBLE AS mn2, max(l_extendedprice)::DOUBLE AS mx2,
+          |         CAST(count(l_discount) AS BIGINT) AS nn3, CAST(count(DISTINCT l_discount) AS BIGINT) AS nd3,
+          |         min(l_discount)::DOUBLE AS mn3, max(l_discount)::DOUBLE AS mx3,
+          |         CAST(count(l_tax) AS BIGINT) AS nn4, CAST(count(DISTINCT l_tax) AS BIGINT) AS nd4,
+          |         min(l_tax)::DOUBLE AS mn4, max(l_tax)::DOUBLE AS mx4
+          |  FROM lineitem)
+          |SELECT 'l_discount' AS "column", n_rows, nn3 AS n_non_null, nd3 AS n_distinct, mn3 AS min_value, mx3 AS max_value FROM s
+          |UNION ALL SELECT 'l_extendedprice', n_rows, nn2, nd2, mn2, mx2 FROM s
+          |UNION ALL SELECT 'l_quantity', n_rows, nn1, nd1, mn1, mx1 FROM s
+          |UNION ALL SELECT 'l_tax', n_rows, nn4, nd4, mn4, mx4 FROM s
+          |ORDER BY "column"""".stripMargin,
 
       // constants spelled as the same ARITHMETIC the Scala side performs
       // ((1.2 + 1.0), (1.0 - 0.75)) so both engines round the identical

@@ -502,6 +502,29 @@ object CoreOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** ANALYZE-style numeric column profile in ONE scan: per column, the
+    * non-null count, exact distinct count, and min/max (as doubles), plus
+    * the table row count — the statistics sheet a data platform publishes
+    * per table release. All aggregates ride one pass (Spark plans the
+    * multiple exact distincts via a single Expand); the stack to long
+    * format is a projection of the one-row result. */
+  def numericProfile(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    require(colNames.nonEmpty, "need at least one column to profile")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ colNames.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = colNames.map(c =>
+      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    one.select(col("__n").as("n_rows"),
+        expr(s"stack(${colNames.size}, $stackArgs) " +
+          "as (column, n_non_null, n_distinct, min_value, max_value)"))
+      .select("column", "n_rows", "n_non_null", "n_distinct",
+        "min_value", "max_value")
+  }
+
   /** Length-bucketed dynamic batching — the padding-waste minimizer of a
     * training data-loader, computed in-engine so the plan (which batch
     * holds which documents, and what padding each batch costs) ships with

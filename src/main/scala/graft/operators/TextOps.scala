@@ -972,6 +972,24 @@ object TextOps {
     (tfdl, dfreq, statsRow.getLong(0), statsRow.getLong(1))
   }
 
+  /** Merge an ADMITTED ingest epoch into a materialized BM25 index without
+    * rebuilding: the epoch's postings union in, document frequencies add
+    * (an aggregate merge at term-vocabulary cardinality), and the corpus
+    * stats update by closed form. Equals [[bm25Index]] over the unioned
+    * corpus exactly (spec-pinned) — the index-maintenance step that pairs
+    * with [[graft.streaming.StreamingPipelines.retrievalScoreStream]] the
+    * way the signature/cell indexes pair with their dedup streams.
+    * Precondition: epoch ids are disjoint from the indexed corpus (they
+    * are, for admitted NEW documents — re-ingesting an id double-counts). */
+  def bm25IndexMerge(tfdl: DataFrame, dfreq: DataFrame, nDocs: Long,
+      totalDl: Long, epochDocs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, Long, Long) = {
+    val (eTfdl, eDfreq, eN, eDl) = bm25Index(epochDocs, idCol, textCol)
+    val mergedDf = dfreq.unionByName(eDfreq)
+      .groupBy("th").agg(sum(col("df")).as("df"))
+    (tfdl.unionByName(eTfdl), mergedDf, nDocs + eN, totalDl + eDl)
+  }
+
   /** Exact q6 match scores per (query, doc) from query terms and an index —
     * the composition batch [[bm25Search]] and the streaming retrieval
     * monitor share (so stream==batch holds by construction). Self-matches

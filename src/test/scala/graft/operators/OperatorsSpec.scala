@@ -1503,6 +1503,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res.head._4 > res(1)._4, "scores must decrease with rank")
   }
 
+  test("bm25IndexMerge equals a full rebuild over the unioned corpus") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val epoch = docs.where(col("doc_id") % 5 === 0)
+    val (tfdl0, dfreq0, n0, dl0) = TextOps.bm25Index(corpus, "doc_id", "text")
+    val (mTfdl, mDfreq, mN, mDl) =
+      TextOps.bm25IndexMerge(tfdl0, dfreq0, n0, dl0, epoch, "doc_id", "text")
+    val (rTfdl, rDfreq, rN, rDl) = TextOps.bm25Index(docs, "doc_id", "text")
+    assert(mN === rN && mDl === rDl)
+    assert(mTfdl.collect().map(_.toSeq).toSet === rTfdl.collect().map(_.toSeq).toSet)
+    assert(mDfreq.collect().map(_.toSeq).toSet === rDfreq.collect().map(_.toSeq).toSet)
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
