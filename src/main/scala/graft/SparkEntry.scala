@@ -1810,8 +1810,13 @@ object SparkEntry {
     //      same % 5 split as d18, so the oracle composes the d12 and d18
     //      CTE stacks through one final id join). ----
     "d19_hybrid_incremental_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // both signals need both representations, so the gate runs on the
+      // documents∩embeddings intersection (1:1 at sf0.01; at sf0.1 only
+      // the first 2000 documents carry embeddings) — the same restriction
+      // streaming_hybrid_epoch applies
       val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+        .join(emb.select(col("vec_id").as("doc_id")), "doc_id")
       val centroids = Similarity.trainIvfCentroids(emb, nlist = 16, dim = 64)
       val cellIndex = Similarity.assignToCells(emb.where(col("vec_id") % 5 =!= 0), centroids)
         .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb"))
@@ -2642,6 +2647,8 @@ object SparkEntry {
              |  SELECT i.doc_id AS doc_a, c.doc_id AS doc_b
              |  FROM banded i JOIN banded c ON i.band = c.band AND i.bucket = c.bucket
              |  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+             |    AND i.doc_id IN (SELECT vec_id FROM embeddings)
+             |    AND c.doc_id IN (SELECT vec_id FROM embeddings)
              |  GROUP BY 1, 2),
              |jsh AS ($DuckShingles),
              |jh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM jsh),
@@ -2686,7 +2693,9 @@ object SparkEntry {
              |FROM documents d
              |LEFT JOIN lmatch l ON d.doc_id = l.doc_id
              |LEFT JOIN smatch s ON d.doc_id = s.doc_id
-             |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
+             |WHERE d.doc_id % 5 = 0
+             |  AND d.doc_id IN (SELECT vec_id FROM embeddings)
+             |ORDER BY d.doc_id""".stripMargin,
 
         // the same centroid assignment + normalize-then-dot cosine as the
         // SemDeDup oracle, with the shared md5 hash split cutting the

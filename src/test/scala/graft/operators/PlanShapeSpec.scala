@@ -455,6 +455,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quality_drift_psi: only histogram cells shuffle — never documents or text") {
+    val df = SparkEntry.queries("q_quality_drift_psi")(spark, sfDir)
+    for (b <- exchangeBlocks(df) if b.contains("hashpartitioning")) {
+      assert(!b.contains("text#"), s"document text reached a shuffle:\n$b")
+      assert(!b.contains("doc_id#"),
+        s"document rows shuffle — the histogram aggregate stopped combining map-side:\n$b")
+    }
+  }
+
   test("q_bm25_search: corpus exchanges carry (id, hash) longs — never text; query side broadcasts") {
     val df = SparkEntry.queries("q_bm25_search")(spark, sfDir)
     for (b <- exchangeBlocks(df))
