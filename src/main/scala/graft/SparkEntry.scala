@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dp.DpParams
-import graft.operators.{AsOfJoin, CoreOps, Dedup, DpHistogram, Multimodal, RangeJoin, Sessionize, Similarity, SkewOps, TextOps}
+import graft.operators.{AsOfJoin, CoreOps, Dedup, DpHistogram, GraphOps, Multimodal, RangeJoin, Sessionize, Similarity, SkewOps, TextOps}
 
 /** Driver contract: one entry per implemented operator from SURVEY §2, each
   * paired (where SQL-expressible) with an equivalent DuckDB oracle query in
@@ -1191,6 +1191,78 @@ object SparkEntry {
       TextOps.bm25Search(docs, docs.where(col("doc_id") % 50 === 0),
           "doc_id", "text", "doc_id", "text", k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    //      top-20 and the dense cosine top-20 into one top-10 per query —
+    //      q6-quantized reciprocal terms summed as longs, ranked on the
+    //      exact sum. Runs on the documents∩embeddings intersection (both
+    //      signals need both representations; 1:1 at sf0.01, first-2000
+    //      at sf0.1). Fusion cost is result-set cardinality — the corpus-
+    //      sized work lives in the two (separately bounded) retrievers. ----
+    "q_rrf_fusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+        .join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+      val lex = TextOps.bm25Search(docs, docs.where(col("doc_id") < 10),
+        "doc_id", "text", "doc_id", "text", k = 20)
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")), k = 20)
+      TextOps.rrfFusion(
+          lex.select("query_id", "rank", "doc_id"),
+          dense.select(col("query_id"), col("rank"),
+            col("neighbor_id").as("doc_id")), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- right-to-be-forgotten audit: removal requests (doc_id % 37 == 5)
+    //      broadcast-marked in the scan projection, then ONE map-side
+    //      aggregate emits the per-(source, shard) rewrite plan — dirty
+    //      shards with surviving token mass to copy; clean shards are
+    //      untouched by the compliance pass. No corpus shuffle. ----
+    "q_deletion_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.join(
+        TextOps.tokenStats(docs, "doc_id", "text").select("doc_id", "n_tokens"),
+        "doc_id")
+      CoreOps.deletionAudit(base,
+          docs.where(col("doc_id") % 37 === 5).select("doc_id"),
+          "doc_id", "source", "n_tokens", nShards = 16)
+        .orderBy("source", "shard")
+    }),
+
+    // ---- BM25 index DELETE maintenance: the materialized index has the
+    //      removal set (doc_id % 7 == 3) deleted incrementally (anti-join
+    //      postings, df decrement at removed-term cardinality, closed-form
+    //      stats) — NEVER rebuilt — then serves top-5 retrieval; the
+    //      oracle rebuilds from the filtered corpus, so the gate proves
+    //      delete-maintenance == rebuild end-to-end. ----
+    "q_bm25_delete_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (tfdl, dfreq, n, tdl) = TextOps.bm25Index(docs, "doc_id", "text")
+      val (t2, d2, n2, tdl2) = TextOps.bm25IndexDelete(tfdl, dfreq, n, tdl,
+        docs.where(col("doc_id") % 7 === 3).select("doc_id"), "doc_id")
+      val qTerms = TextOps.bm25TermRows(
+        docs.where(col("doc_id") % 50 === 0 && col("doc_id") % 7 =!= 3),
+        "doc_id", "query_id", "text").distinct()
+      TextOps.bm25TopK(TextOps.bm25MatchScores(qTerms, t2, d2, n2, tdl2), 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- document centrality in the shared-rare-phrase graph: q6
+    //      fixed-point PageRank (floor division on longs — bit-identical
+    //      across engines), 5 iterations, over the df-capped rare-shingle
+    //      candidate pairs. High-centrality docs share rare phrases with
+    //      many others — the template/boilerplate-hub signature a curation
+    //      pass inspects first. O(edges) per iteration; only (long, long)
+    //      rows shuffle. ----
+    "q_graph_centrality" -> ((s, d) => {
+      GraphOps.quantizedPageRank(
+          Dedup.rareShingleCandidatePairs(Tables.documents(s, d),
+            "doc_id", "text", ShingleK, JaccardMaxDf),
+          "doc_a", "doc_b", iterations = 5)
+        .orderBy("doc_id")
     }),
 
     // ---- length-bucketed dynamic batching: documents banded by token
@@ -4000,6 +4072,136 @@ object SparkEntry {
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
           |       floor(s_q6::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // both retriever CTE stacks re-derived (bm25 over the intersection
+      // corpus, d5's cosine scoring), fused via q6 reciprocal terms summed
+      // as BIGINTs — same quantize-then-long-sum arithmetic as Spark
+      "q_rrf_fusion" ->
+        """WITH corpus AS (
+          |  SELECT d.doc_id, d.text FROM documents d JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON d.doc_id = e.vec_id),
+          |toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term FROM corpus),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(term),1,15))::BIGINT AS th FROM toks),
+          |tf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf FROM h GROUP BY doc_id, th),
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+          |dfreq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY th),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+          |q AS (SELECT DISTINCT doc_id AS query_id, th FROM h WHERE doc_id < 10),
+          |m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, stats.n_docs, stats.total_dl
+          |      FROM q JOIN tf USING (th) JOIN dl ON tf.doc_id = dl.doc_id JOIN dfreq ON q.th = dfreq.th, stats
+          |      WHERE tf.doc_id <> q.query_id),
+          |terms AS (SELECT query_id, doc_id,
+          |  CAST(floor(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
+          |    ((tf::DOUBLE * (1.2 + 1.0)) / (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE/(total_dl::DOUBLE/n_docs::DOUBLE))))) * 1000000.0 + 0.5) AS BIGINT) AS t_q6 FROM m),
+          |lexsc AS (SELECT query_id, doc_id, CAST(sum(t_q6) AS BIGINT) AS s_q6 FROM terms GROUP BY query_id, doc_id),
+          |lex AS (SELECT query_id, doc_id, lrank FROM (
+          |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY s_q6 DESC, doc_id) AS lrank FROM lexsc) WHERE lrank <= 20),
+          |qv AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+          |dsc AS (
+          |  SELECT qv.query_id, e.vec_id,
+          |    round(
+          |      list_reduce(list_transform(range(1, 65), i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+          |      (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+          |       sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 6) AS cos
+          |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+          |den AS (SELECT query_id, doc_id, drank FROM (
+          |  SELECT query_id, vec_id AS doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS drank FROM dsc) WHERE drank <= 20),
+          |fused AS (
+          |  SELECT coalesce(lex.query_id, den.query_id) AS query_id,
+          |         coalesce(lex.doc_id, den.doc_id) AS doc_id,
+          |         lex.lrank, den.drank,
+          |         coalesce(CAST(floor(1000000.0/(60.0 + lrank) + 0.5) AS BIGINT), 0) +
+          |         coalesce(CAST(floor(1000000.0/(60.0 + drank) + 0.5) AS BIGINT), 0) AS f_q6
+          |  FROM lex FULL OUTER JOIN den ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id),
+          |ranked AS (SELECT query_id, doc_id, f_q6, lrank, drank,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY f_q6 DESC, doc_id) AS rank FROM fused)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+          |  floor(f_q6::DOUBLE/100.0 + 0.5)/10000.0 AS rrf_score,
+          |  CAST(lrank AS BIGINT) AS lex_rank, CAST(drank AS BIGINT) AS dense_rank
+          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // removal predicate and hash-shard layout replayed inline; one
+      // grouped aggregate, CASE sums in the same operand order
+      "q_deletion_audit" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |m AS (SELECT doc_id, source, n_tokens, (doc_id % 37 = 5) AS removed, doc_id % 16 AS shard FROM t)
+          |SELECT source, shard, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |  count(*) - CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+          |  CAST(sum(CASE WHEN removed THEN 0 ELSE n_tokens END) AS BIGINT) AS surviving_tokens,
+          |  (sum(CASE WHEN removed THEN 1 ELSE 0 END) > 0) AS dirty
+          |FROM m GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+
+      // the oracle REBUILDS the index from the filtered corpus — the Spark
+      // side deletes incrementally, so hash agreement proves
+      // delete-maintenance == rebuild; queries draw from the survivors
+      "q_bm25_delete_search" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+          |toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term FROM corpus),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(term),1,15))::BIGINT AS th FROM toks),
+          |tf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf FROM h GROUP BY doc_id, th),
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+          |dfreq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY th),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+          |q AS (SELECT DISTINCT doc_id AS query_id, th FROM h WHERE doc_id % 50 = 0),
+          |m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, stats.n_docs, stats.total_dl
+          |      FROM q JOIN tf USING (th) JOIN dl ON tf.doc_id = dl.doc_id JOIN dfreq ON q.th = dfreq.th, stats
+          |      WHERE tf.doc_id <> q.query_id),
+          |terms AS (SELECT query_id, doc_id,
+          |  CAST(floor(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
+          |    ((tf::DOUBLE * (1.2 + 1.0)) / (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE/(total_dl::DOUBLE/n_docs::DOUBLE))))) * 1000000.0 + 0.5) AS BIGINT) AS t_q6 FROM m),
+          |scored AS (SELECT query_id, doc_id, CAST(sum(t_q6) AS BIGINT) AS s_q6 FROM terms GROUP BY query_id, doc_id),
+          |ranked AS (SELECT query_id, doc_id, s_q6, row_number() OVER (PARTITION BY query_id ORDER BY s_q6 DESC, doc_id) AS rank FROM scored)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+          |       floor(s_q6::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
+          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // the 5 iterations unrolled as CTEs; same q6 fixed-point floor-div
+      // arithmetic ((85·r) // (100·deg), base 150000 // N) as the Spark
+      // loop, so ranks are bit-identical longs
+      "q_graph_centrality" ->
+        s"""WITH csh AS ($DuckShingles),
+           |ch AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
+           |cdf AS (SELECT h, count(*) AS df FROM ch GROUP BY h),
+           |rare AS (SELECT ch.doc_id, ch.h FROM ch JOIN cdf USING (h) WHERE cdf.df <= $JaccardMaxDf),
+           |ccands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+           |sym AS (SELECT doc_a AS src, doc_b AS dst FROM ccands UNION ALL SELECT doc_b, doc_a FROM ccands),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+           |adj AS (SELECT sym.src, sym.dst, deg.deg FROM sym JOIN deg USING (src)),
+           |it0 AS (SELECT src AS id, 1000000 // nn.n AS r FROM deg, nn),
+           |it1 AS (
+           |  SELECT deg.src AS id, (SELECT 150000 // n FROM nn) + coalesce(s.c, 0) AS r
+           |  FROM deg LEFT JOIN (
+           |    SELECT adj.dst, CAST(sum((85 * it0.r) // (100 * adj.deg)) AS BIGINT) AS c
+           |    FROM adj JOIN it0 ON adj.src = it0.id GROUP BY adj.dst) s ON deg.src = s.dst),
+           |it2 AS (
+           |  SELECT deg.src AS id, (SELECT 150000 // n FROM nn) + coalesce(s.c, 0) AS r
+           |  FROM deg LEFT JOIN (
+           |    SELECT adj.dst, CAST(sum((85 * it1.r) // (100 * adj.deg)) AS BIGINT) AS c
+           |    FROM adj JOIN it1 ON adj.src = it1.id GROUP BY adj.dst) s ON deg.src = s.dst),
+           |it3 AS (
+           |  SELECT deg.src AS id, (SELECT 150000 // n FROM nn) + coalesce(s.c, 0) AS r
+           |  FROM deg LEFT JOIN (
+           |    SELECT adj.dst, CAST(sum((85 * it2.r) // (100 * adj.deg)) AS BIGINT) AS c
+           |    FROM adj JOIN it2 ON adj.src = it2.id GROUP BY adj.dst) s ON deg.src = s.dst),
+           |it4 AS (
+           |  SELECT deg.src AS id, (SELECT 150000 // n FROM nn) + coalesce(s.c, 0) AS r
+           |  FROM deg LEFT JOIN (
+           |    SELECT adj.dst, CAST(sum((85 * it3.r) // (100 * adj.deg)) AS BIGINT) AS c
+           |    FROM adj JOIN it3 ON adj.src = it3.id GROUP BY adj.dst) s ON deg.src = s.dst),
+           |it5 AS (
+           |  SELECT deg.src AS id, (SELECT 150000 // n FROM nn) + coalesce(s.c, 0) AS r
+           |  FROM deg LEFT JOIN (
+           |    SELECT adj.dst, CAST(sum((85 * it4.r) // (100 * adj.deg)) AS BIGINT) AS c
+           |    FROM adj JOIN it4 ON adj.src = it4.id GROUP BY adj.dst) s ON deg.src = s.dst)
+           |SELECT it5.id AS doc_id, deg.deg AS degree, it5.r AS pr_q6,
+           |       floor(it5.r::DOUBLE / 100.0 + 0.5) / 10000.0 AS pagerank
+           |FROM it5 JOIN deg ON it5.id = deg.src ORDER BY doc_id""".stripMargin,
 
       // row_number-1 per band == the global-index offset rank (the index
       // orders (bucket, n, id) and bands are contiguous in it)

@@ -580,6 +580,40 @@ object CoreOps {
       .select(col(idCol), col("status"))
   }
 
+  /** Right-to-be-forgotten deletion audit: given a removal request set,
+    * report the rewrite plan per (source, storage shard) — how many rows
+    * each shard holds, how many must be deleted, what survives, and the
+    * surviving token mass a rewrite of that shard would copy. `dirty`
+    * marks shards that must be rewritten at all; clean shards are left
+    * untouched by the compliance pass (the whole point of sharded
+    * storage under deletion SLAs). Shard = `pmod(id, nShards)` — the
+    * deterministic hash-layout stand-in for the physical file id.
+    *
+    * Scale shape: removal requests are MICROSCOPIC next to the corpus —
+    * they broadcast into a left join marked in the scan projection, and
+    * the audit is ONE map-side-combinable aggregate at
+    * (source × shard) cardinality. No corpus shuffle, no sort; at
+    * 100 TB this is scan-speed plus a broadcast. */
+  def deletionAudit(docs: DataFrame, removalIds: DataFrame, idCol: String,
+      sourceCol: String, tokensCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val rem = broadcast(removalIds.select(col(idCol).cast("long").as("__rid"))
+      .distinct().withColumn("__rm", lit(true)))
+    docs.select(col(idCol).cast("long").as("__id"), col(sourceCol).as("source"),
+        col(tokensCol).cast("long").as("__nt"))
+      .join(rem, col("__id") === col("__rid"), "left")
+      .withColumn("__removed", coalesce(col("__rm"), lit(false)))
+      .withColumn("shard", pmod(col("__id"), lit(nShards.toLong)))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__removed"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        sum(when(!col("__removed"), col("__nt")).otherwise(lit(0L))).as("surviving_tokens"))
+      .withColumn("n_surviving", col("n_docs") - col("n_removed"))
+      .withColumn("dirty", col("n_removed") > 0)
+      .select("source", "shard", "n_docs", "n_removed", "n_surviving",
+        "surviving_tokens", "dirty")
+  }
+
   /** Deterministic near-balanced output sharding: rows ranked by
     * (`tokensCol`, `idCol`) through [[globalRowIndex]] are dealt
     * round-robin into `shards` buckets — size-sorted round-robin is the

@@ -171,6 +171,20 @@ object Dedup {
     * candidate volume is independent of shingle document frequency. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxDocFrequency: Long): DataFrame = {
+    verifyCandidatesJaccard(docs, idCol, textCol, k,
+      rareShingleCandidatePairs(docs, idCol, textCol, k, maxDocFrequency), threshold)
+  }
+
+  /** Candidate pairs of documents sharing at least one RARE shingle (df ≤
+    * `maxDocFrequency`) — the recall stage of [[jaccardPairs]], exposed on
+    * its own because the pair list is ALSO the shared-rare-phrase graph a
+    * centrality pass ([[GraphOps.quantizedPageRank]]) runs over to surface
+    * template/boilerplate hubs. The df cap is what keeps the self-join
+    * from exploding on common shingles: per shingle the pair fan-out is ≤
+    * df², so candidates are bounded by |shingles| · maxDocFrequency² —
+    * never corpus². Only (long, long) pairs reach any shuffle. */
+  def rareShingleCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocFrequency: Long): DataFrame = {
     // the native set expression hashes AND dedups per document in one
     // codegen'd call, so exploding it needs no distinct shuffle at all, and
     // nothing but (long, long) pairs ever reaches a shuffle. Matches
@@ -180,11 +194,10 @@ object Dedup {
     val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = sh.join(docFreq.where(col("df") <= maxDocFrequency), "h")
       .select("doc_id", "h")
-    val candidates = rare.as("x").join(rare.as("y"), "h")
+    rare.as("x").join(rare.as("y"), "h")
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyCandidatesJaccard(docs, idCol, textCol, k, candidates, threshold)
   }
 
   /** Exact Jaccard verification restricted to candidate pairs: joins each

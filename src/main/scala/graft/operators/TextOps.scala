@@ -990,6 +990,38 @@ object TextOps {
     (tfdl.unionByName(eTfdl), mergedDf, nDocs + eN, totalDl + eDl)
   }
 
+  /** Delete a removal set from a materialized BM25 index WITHOUT rebuild —
+    * the right-to-be-forgotten maintenance step that pairs with
+    * [[bm25IndexMerge]] (appends): postings of removed docs anti-join out,
+    * per-term document frequencies decrement by each removed doc's
+    * distinct-term presence (terms reaching df = 0 drop from the table),
+    * and the corpus stats update by closed form from the removed docs'
+    * own posting rows. Equals [[bm25Index]] over the corpus minus the
+    * removal set exactly (spec-pinned). Removal ids not present in the
+    * index (including zero-token docs, which the index never held) are
+    * no-ops by construction.
+    *
+    * Scale shape: deletion requests are MICROSCOPIC next to the corpus —
+    * the removal set broadcasts to both the anti-join and the df-decrement
+    * aggregate; the index shuffles nothing (the anti-join and the
+    * decrement's posting-side scan are map-side against the broadcast),
+    * and the df merge aggregates at REMOVED-term cardinality, not
+    * vocabulary cardinality. Stats are one bounded aggregate over the
+    * removed docs' postings. */
+  def bm25IndexDelete(tfdl: DataFrame, dfreq: DataFrame, nDocs: Long,
+      totalDl: Long, removeIds: DataFrame, idCol: String): (DataFrame, DataFrame, Long, Long) = {
+    val rem = broadcast(removeIds.select(col(idCol).cast("long").as("doc_id")).distinct())
+    val removedPostings = tfdl.join(rem, Seq("doc_id"))
+    val dfDec = removedPostings.groupBy("th").agg(count(lit(1)).as("__ddf"))
+    val newDfreq = dfreq.join(broadcast(dfDec), Seq("th"), "left")
+      .select(col("th"), (col("df") - coalesce(col("__ddf"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+    val newTfdl = tfdl.join(rem, Seq("doc_id"), "left_anti")
+    val statsRow = removedPostings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    (newTfdl, newDfreq, nDocs - statsRow.getLong(0), totalDl - statsRow.getLong(1))
+  }
+
   /** Exact q6 match scores per (query, doc) from query terms and an index —
     * the composition batch [[bm25Search]] and the streaming retrieval
     * monitor share (so stream==batch holds by construction). Self-matches
@@ -1032,6 +1064,54 @@ object TextOps {
       .select(col("query_id"), col("rank"), col("doc_id"),
         (floor(col("__s_q6").cast("double") / lit(1000000.0) * lit(10000.0) + lit(0.5))
           / lit(10000.0)).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval rank
+    * lists — the standard hybrid-retrieval combiner a curation platform
+    * uses to merge lexical (BM25) and dense (embedding-cosine) signals
+    * without score calibration: fused(d) = Σ_signals 1/(c + rank_s(d)),
+    * summed over the signals that retrieved d, ranked descending with
+    * doc-id tiebreak, top-k per query.
+    *
+    * Determinism: each reciprocal term is q6-quantized
+    * (`floor(1e6/(c+rank) + 0.5)` as a long) and the fused score summed
+    * as longs — float-order immune and engine-portable; the ranking
+    * orders on the exact q6 sum, display score is round4. Input ranks
+    * must already be deterministic (both producers tiebreak on doc id).
+    *
+    * Inputs are (query_id, rank, doc_id) rows — top-k' lists from
+    * [[bm25Search]] and [[graft.operators.Similarity.bruteForceTopK]]
+    * (or any index-backed variant; RRF only reads ranks).
+    *
+    * Scale shape: rank lists are |queries|·k' rows — MICROSCOPIC next to
+    * the corpus-sized work that produced them; the fusion is one
+    * full-outer join on (query_id, doc_id) ids+scalars and a
+    * WindowGroupLimit top-k. At 100 TB the cost lives entirely in the
+    * upstream retrieval (bounded separately); fusion stays at result-set
+    * cardinality no matter the corpus size. */
+  def rrfFusion(lexRanks: DataFrame, denseRanks: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(c >= 0, s"c must be >= 0, got $c")
+    def term(rankCol: Column): Column =
+      floor(lit(1000000.0) / (lit(c.toDouble) + rankCol.cast("double")) + lit(0.5))
+        .cast("long")
+    val a = lexRanks.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("lex_rank"))
+    val b = denseRanks.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("dense_rank"))
+    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("__f_q6",
+        coalesce(term(col("lex_rank")), lit(0L)) +
+          coalesce(term(col("dense_rank")), lit(0L)))
+    val w = Window.partitionBy("query_id").orderBy(col("__f_q6").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (floor(col("__f_q6").cast("double") / lit(100.0) + lit(0.5)) / lit(10000.0))
+          .as("rrf_score"),
+        col("lex_rank"), col("dense_rank"))
   }
 
   def fimTransform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

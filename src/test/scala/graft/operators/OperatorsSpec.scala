@@ -1517,6 +1517,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mDfreq.collect().map(_.toSeq).toSet === rDfreq.collect().map(_.toSeq).toSet)
   }
 
+  test("bm25IndexDelete equals a full rebuild over the corpus minus the removal set") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val removeIds = docs.where(col("doc_id") % 7 === 3).select("doc_id")
+      .union(Seq(999999999L).toDF("doc_id")) // absent id must be a no-op
+    val (tfdl0, dfreq0, n0, dl0) = TextOps.bm25Index(docs, "doc_id", "text")
+    val (dTfdl, dDfreq, dN, dDl) =
+      TextOps.bm25IndexDelete(tfdl0, dfreq0, n0, dl0, removeIds, "doc_id")
+    val (rTfdl, rDfreq, rN, rDl) =
+      TextOps.bm25Index(docs.where(col("doc_id") % 7 =!= 3), "doc_id", "text")
+    assert(dN === rN && dDl === rDl)
+    assert(dTfdl.collect().map(_.toSeq).toSet === rTfdl.collect().map(_.toSeq).toSet)
+    assert(dDfreq.collect().map(_.toSeq).toSet === rDfreq.collect().map(_.toSeq).toSet)
+  }
+
+  test("rrfFusion: both-list docs outrank single-list docs, exact reciprocal terms, top-k cut") {
+    import spark.implicits._
+    // query 1: doc 10 in both lists (lex rank 2, dense rank 3); docs 11/12 single-list rank 1
+    val lex = Seq((1L, 1L, 11L), (1L, 2L, 10L), (1L, 3L, 13L))
+      .toDF("query_id", "rank", "doc_id")
+    val dense = Seq((1L, 1L, 12L), (1L, 2L, 14L), (1L, 3L, 10L))
+      .toDF("query_id", "rank", "doc_id")
+    val res = TextOps.rrfFusion(lex, dense, k = 3, c = 60).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def t(r: Long): Long = math.floor(1000000.0 / (60.0 + r) + 0.5).toLong
+    assert(res.map(_._2).toSeq === Seq(10L, 11L, 12L),
+      s"both-list doc first, then rank-1 singles id-tiebroken: ${res.toSeq}")
+    assert(res.head._3 === math.floor((t(2) + t(3)).toDouble / 100.0 + 0.5) / 10000.0,
+      "fused display score must be the round4 of the exact q6 term sum")
+    assert(res.length === 3, "k must cut the fused list (docs 13/14 dropped)")
+  }
+
+  test("deletionAudit: dirty flags, surviving token mass, absent removal id is a no-op") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a", 10L), (16L, "a", 20L),  // shard 0: doc 0 removed
+      (1L, "a", 30L),                   // shard 1: clean
+      (2L, "b", 40L), (18L, "b", 50L))  // shard 2: both removed
+      .toDF("doc_id", "source", "n_tokens")
+    val removals = Seq(0L, 2L, 18L, 777L).toDF("doc_id")
+    val got = CoreOps.deletionAudit(docs, removals, "doc_id", "source", "n_tokens", 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    assert(got === Set(
+      ("a", 0L, 2L, 1L, 1L, 20L, true),
+      ("a", 1L, 1L, 0L, 1L, 30L, false),
+      ("b", 2L, 2L, 2L, 0L, 0L, true)))
+  }
+
+  test("quantizedPageRank matches a single-node fixed-point replica on a star graph") {
+    import spark.implicits._
+    // star: hub 1 — leaves 2,3,4; plus an isolated pair 5—6
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val rows = GraphOps.quantizedPageRank(pairs, "doc_a", "doc_b", iterations = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // single-node replica of the exact integer recurrence
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L), 3L -> Seq(1L),
+      4L -> Seq(1L), 5L -> Seq(6L), 6L -> Seq(5L))
+    val n = adj.size
+    var r = adj.keys.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 5) {
+      r = adj.keys.map { v =>
+        v -> (150000L / n + adj.keys.toSeq.filter(u => adj(u).contains(v))
+          .map(u => (85L * r(u)) / (100L * adj(u).size)).sum)
+      }.toMap
+    }
+    adj.keys.foreach { v =>
+      assert(rows(v)._2 === r(v), s"node $v: got ${rows(v)._2}, replica ${r(v)}")
+      assert(rows(v)._1 === adj(v).size.toLong)
+      assert(rows(v)._3 === math.floor(r(v).toDouble / 100.0 + 0.5) / 10000.0)
+    }
+    assert(rows(1L)._2 > rows(2L)._2, "the hub must outrank its leaves")
+    assert(rows.size === 6)
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))

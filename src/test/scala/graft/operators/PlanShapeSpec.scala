@@ -473,6 +473,44 @@ class PlanShapeSpec extends AnyFunSuite {
       "query terms / matched-df / stats must join as broadcasts")
   }
 
+  test("q_rrf_fusion: no text in any exchange; both retriever stacks broadcast their query side") {
+    val df = SparkEntry.queries("q_rrf_fusion")(spark, sfDir)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#") && !b.contains("embedding#"),
+        s"payload reached a shuffle:\n$b")
+  }
+
+  test("q_bm25_delete_search: removal set and query terms broadcast; exchanges carry (id, hash) longs only") {
+    val df = SparkEntry.queries("q_bm25_delete_search")(spark, sfDir)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#"), s"document text reached a shuffle:\n$b")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the removal set / query terms / df tables must join as broadcasts")
+  }
+
+  test("q_deletion_audit: one map-side-combinable aggregate; removal set broadcasts; no text shuffles") {
+    val df = SparkEntry.queries("q_deletion_audit")(spark, sfDir)
+    val ex = exchangeBlocks(df)
+    for (b <- ex) assert(!b.contains("text#"), s"document text reached a shuffle:\n$b")
+    // corpus-side rows reach exactly ONE hash exchange — the (source, shard)
+    // aggregate's partial-merge; the only other hash exchange is the removal
+    // set's own distinct, which is removal-request cardinality, not corpus
+    val corpusEx = ex.filter(b => b.contains("hashpartitioning") && b.contains("source#"))
+    assert(corpusEx.size === 1,
+      s"audit stopped being one aggregate:\n${ex.mkString("\n---\n")}")
+    assert(corpusEx.head.contains("count#") || corpusEx.head.contains("sum#"),
+      s"the corpus exchange must carry partial aggregates, not rows:\n${corpusEx.head}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "the removal set must broadcast")
+  }
+
+  test("q_graph_centrality: iteration exchanges carry (long, long) rows — never text or shingles") {
+    val df = SparkEntry.queries("q_graph_centrality")(spark, sfDir)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#"), s"text reached a shuffle:\n$b")
+  }
+
   test("q_session_conversations: sessionize + assembly share ONE hash exchange") {
     val df = SparkEntry.queries("q_session_conversations")(spark, sfDir)
     val hashEx = exchangeBlocks(df).filter(_.contains("hashpartitioning"))
