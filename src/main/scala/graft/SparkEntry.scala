@@ -1250,6 +1250,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- DoReMi-style mixture reweighting: per-source bigram-LM per-token
+    //      NLL (exact q6 long rollup) → 8 exponentiated-gradient rounds
+    //      (all-longs except one exact-input exp) up-weighting sources with
+    //      above-mixture loss → largest-remainder EXACT integer token
+    //      allocation of a 1M budget. The EG loop runs on the source-
+    //      cardinality table; the corpus-sized work is the loss rollup. ----
+    "q_doremi_mix" -> ((s, d) => {
+      TextOps.doremiMixWeights(Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy("source")
+    }),
+
     // ---- document centrality in the shared-rare-phrase graph: q6
     //      fixed-point PageRank (floor division on longs — bit-identical
     //      across engines), 5 iterations, over the df-capped rare-shingle
@@ -4157,6 +4168,80 @@ object SparkEntry {
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
           |       floor(s_q6::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // x11's CTE stack rolled up per source (loss = integer floor-div of
+      // exact q6 sums), then the 8 EG rounds unrolled as MATERIALIZED CTEs
+      // (without MATERIALIZED the per-round double self-reference inlines
+      // the corpus stack exponentially) — identical long arithmetic and
+      // the same single-exp op order as the Scala loop
+      "q_doremi_mix" ->
+        """WITH t AS (
+          |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |trans AS (
+          |  SELECT doc_id, toks[i - 1] AS v, toks[i] AS w
+          |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+          |vocab AS (
+          |  SELECT count(DISTINCT tok)::DOUBLE AS v_size
+          |  FROM (SELECT unnest(toks) AS tok FROM t)),
+          |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
+          |ctx AS (SELECT v, count(*) AS c_v FROM trans GROUP BY v),
+          |scored AS (
+          |  SELECT trans.doc_id,
+          |         CAST(floor(-ln((c_vw::DOUBLE + 0.5) / (c_v::DOUBLE + 0.5 * vocab.v_size))
+          |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
+          |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v), vocab),
+          |perdoc AS (SELECT doc_id, count(*) AS n_trans, CAST(sum(nll_q6) AS BIGINT) AS s_q6 FROM scored GROUP BY doc_id),
+          |persrc AS MATERIALIZED (
+          |  SELECT t.source AS src, CAST(sum(perdoc.s_q6) AS BIGINT) // CAST(sum(perdoc.n_trans) AS BIGINT) AS loss_q6
+          |  FROM perdoc JOIN t ON perdoc.doc_id = t.doc_id GROUP BY t.source),
+          |eg0 AS MATERIALIZED (SELECT src, loss_q6, 1000000 // (SELECT count(*) FROM persrc) AS w FROM persrc),
+          |u1 AS MATERIALIZED (
+          |  SELECT src, loss_q6,
+          |    CAST(floor(w::DOUBLE * exp((0.5 * greatest(loss_q6 - (SELECT sum(w * loss_q6) // 1000000 FROM eg0), 0)::DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS u
+          |  FROM eg0),
+          |eg1 AS MATERIALIZED (SELECT src, loss_q6, (u * 1000000) // (SELECT sum(u) FROM u1) AS w FROM u1),
+          |u2 AS MATERIALIZED (
+          |  SELECT src, loss_q6,
+          |    CAST(floor(w::DOUBLE * exp((0.5 * greatest(loss_q6 - (SELECT sum(w * loss_q6) // 1000000 FROM eg1), 0)::DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS u
+          |  FROM eg1),
+          |eg2 AS MATERIALIZED (SELECT src, loss_q6, (u * 1000000) // (SELECT sum(u) FROM u2) AS w FROM u2),
+          |u3 AS MATERIALIZED (
+          |  SELECT src, loss_q6,
+          |    CAST(floor(w::DOUBLE * exp((0.5 * greatest(loss_q6 - (SELECT sum(w * loss_q6) // 1000000 FROM eg2), 0)::DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS u
+          |  FROM eg2),
+          |eg3 AS MATERIALIZED (SELECT src, loss_q6, (u * 1000000) // (SELECT sum(u) FROM u3) AS w FROM u3),
+          |u4 AS MATERIALIZED (
+          |  SELECT src, loss_q6,
+          |    CAST(floor(w::DOUBLE * exp((0.5 * greatest(loss_q6 - (SELECT sum(w * loss_q6) // 1000000 FROM eg3), 0)::DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS u
+          |  FROM eg3),
+          |eg4 AS MATERIALIZED (SELECT src, loss_q6, (u * 1000000) // (SELECT sum(u) FROM u4) AS w FROM u4),
+          |u5 AS MATERIALIZED (
+          |  SELECT src, loss_q6,
+          |    CAST(floor(w::DOUBLE * exp((0.5 * greatest(loss_q6 - (SELECT sum(w * loss_q6) // 1000000 FROM eg4), 0)::DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS u
+          |  FROM eg4),
+          |eg5 AS MATERIALIZED (SELECT src, loss_q6, (u * 1000000) // (SELECT sum(u) FROM u5) AS w FROM u5),
+          |u6 AS MATERIALIZED (
+          |  SELECT src, loss_q6,
+          |    CAST(floor(w::DOUBLE * exp((0.5 * greatest(loss_q6 - (SELECT sum(w * loss_q6) // 1000000 FROM eg5), 0)::DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS u
+          |  FROM eg5),
+          |eg6 AS MATERIALIZED (SELECT src, loss_q6, (u * 1000000) // (SELECT sum(u) FROM u6) AS w FROM u6),
+          |u7 AS MATERIALIZED (
+          |  SELECT src, loss_q6,
+          |    CAST(floor(w::DOUBLE * exp((0.5 * greatest(loss_q6 - (SELECT sum(w * loss_q6) // 1000000 FROM eg6), 0)::DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS u
+          |  FROM eg6),
+          |eg7 AS MATERIALIZED (SELECT src, loss_q6, (u * 1000000) // (SELECT sum(u) FROM u7) AS w FROM u7),
+          |u8 AS MATERIALIZED (
+          |  SELECT src, loss_q6,
+          |    CAST(floor(w::DOUBLE * exp((0.5 * greatest(loss_q6 - (SELECT sum(w * loss_q6) // 1000000 FROM eg7), 0)::DOUBLE) / 1000000.0) + 0.5) AS BIGINT) AS u
+          |  FROM eg7),
+          |eg8 AS MATERIALIZED (SELECT src, loss_q6, (u * 1000000) // (SELECT sum(u) FROM u8) AS w FROM u8),
+          |a AS (SELECT src, loss_q6, w, (1000000 * w) // 1000000 AS base, (1000000 * w) % 1000000 AS rem FROM eg8),
+          |dd AS (SELECT 1000000 - sum(base) AS deficit, count(*) AS ns FROM a),
+          |r AS (SELECT src, loss_q6, w, base, row_number() OVER (ORDER BY rem DESC, src) AS rk FROM a)
+          |SELECT src AS source, loss_q6, w AS w_q6, floor(w::DOUBLE/100.0 + 0.5)/10000.0 AS weight,
+          |  base + (SELECT deficit // ns FROM dd) + CASE WHEN rk <= (SELECT deficit % ns FROM dd) THEN 1 ELSE 0 END AS target_tokens
+          |FROM r ORDER BY source""".stripMargin,
 
       // the 5 iterations unrolled as CTEs; same q6 fixed-point floor-div
       // arithmetic ((85·r) // (100·deg), base 150000 // N) as the Spark

@@ -360,6 +360,79 @@ object TextOps {
           col("n_trans").cast("double"))).as("ppl"))
   }
 
+  /** DoReMi-style domain-mixture reweighting (Xie et al. 2023, reduced to
+    * its group-DRO core): per-source model loss → T rounds of
+    * exponentiated-gradient updates that up-weight sources with loss
+    * ABOVE the current mixture average — the in-engine-trained answer to
+    * "what should next epoch's source mix be", completing the
+    * train-in-engine family (x12 LR filter, x13 BPE merges).
+    *
+    * Loss signal: the corpus-trained bigram LM's per-TOKEN NLL by source
+    * ([[bigramPerplexity]]'s exact q6 transition sums rolled up per
+    * source; `loss_q6 = Σ sum_nll_q6 div Σ n_trans`, pure integer).
+    * EG round (all longs, order-free):
+    *   mean_q6   = (Σ_s w_q6(s)·loss_q6(s)) div 1e6
+    *   excess_q6 = max(0, loss_q6 − mean_q6)
+    *   u_q6      = floor(w_q6 · exp((eta · excess_q6) / 1e6) + 0.5)
+    *   w'_q6     = (u_q6 · 1e6) div Σ u_q6
+    * Every input to the one transcendental (`exp`) is an exact long, and
+    * every sum is a long sum — the same determinism contract as the q6
+    * `ln` in [[bigramPerplexity]]/[[dsirSelect]]. The learned weights
+    * then drive a largest-remainder EXACT integer token allocation of
+    * `tokenBudget` (Σ target_tokens == tokenBudget by construction).
+    *
+    * Scale shape: the 100 TB work is the loss rollup — bigram-vocabulary-
+    * cardinality model tables, per-source long sums, map-side combinable.
+    * The EG loop runs on the collected (source, loss) table, bounded by
+    * SOURCE cardinality (tens), the same driver-side-scalars contract as
+    * the DP calibration and histogram-median thresholds.
+    *
+    * Output: (source, loss_q6, w_q6, weight round4, target_tokens). */
+  def doremiMixWeights(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, iterations: Int = 8, tokenBudget: Long = 1000000L,
+      etaPct: Int = 50): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perDoc = bigramPerplexity(docs, idCol, textCol)
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("__src")), "doc_id")
+    val perSource = perDoc.groupBy("__src")
+      .agg(sum(col("sum_nll_q6")).as("s"), sum(col("n_trans")).as("n"))
+      .select(col("__src"), expr("s div n").as("loss_q6"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val nSrc = perSource.length
+    require(nSrc >= 1, "corpus must contain at least one source with >= 2-token docs")
+    val losses = perSource.map(_._2)
+    var w = Array.fill(nSrc)(1000000L / nSrc)
+    for (_ <- 1 to iterations) {
+      val meanQ6 = w.zip(losses).map { case (wq, lq) => wq * lq }.sum / 1000000L
+      val u = w.zip(losses).map { case (wq, lq) =>
+        val excessQ6 = math.max(0L, lq - meanQ6)
+        math.floor(wq.toDouble * math.exp((etaPct.toDouble / 100.0 * excessQ6.toDouble)
+          / 1000000.0) + 0.5).toLong
+      }
+      val uSum = u.sum
+      w = u.map(uq => uq * 1000000L / uSum)
+    }
+    // exact integer allocation of tokenBudget: floor shares, then the
+    // whole deficit dealt (deficit div nSrc) to everyone and the
+    // remainder to the largest fractional shares (source-name tiebreak) —
+    // Σ target_tokens == tokenBudget identically
+    val base = w.map(wq => tokenBudget * wq / 1000000L)
+    val rem = w.map(wq => tokenBudget * wq % 1000000L)
+    val deficit = tokenBudget - base.sum
+    val each = deficit / nSrc
+    val bumpCount = (deficit % nSrc).toInt
+    val bump = perSource.indices
+      .sortBy(i => (-rem(i), perSource(i)._1)).take(bumpCount).toSet
+    perSource.indices.map { i =>
+      (perSource(i)._1, losses(i), w(i),
+        math.floor(w(i).toDouble / 100.0 + 0.5) / 10000.0,
+        base(i) + each + (if (bump.contains(i)) 1L else 0L))
+    }.toDF("source", "loss_q6", "w_q6", "weight", "target_tokens")
+  }
+
   /** Trained hyperparameters + weights of the last [[qualityLrScore]] run
     * in this JVM: (numBuckets, iters, lr, scale, labelThreshold, weights).
     * Same contract as `Similarity.lastIvfCentroids` — Verify runs every

@@ -1594,6 +1594,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.size === 6)
   }
 
+  test("doremiMixWeights: up-weights the high-loss source, allocation sums exactly to budget") {
+    import spark.implicits._
+    // "easy" source: one repeated transition (low NLL); "hard" source:
+    // every transition unique (high NLL under the corpus bigram model)
+    val docs = Seq(
+      (1L, "a b a b a b a b", "easy"), (2L, "a b a b a b a b", "easy"),
+      (3L, "q w e r t y u i", "hard"), (4L, "z x c v n m k j", "hard"))
+      .toDF("doc_id", "text", "source")
+    val res = TextOps.doremiMixWeights(docs, "doc_id", "text", "source",
+        iterations = 8, tokenBudget = 1000003L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    val hard = res("hard"); val easy = res("easy")
+    assert(hard._1 > easy._1, s"hard source must have higher loss: $res")
+    assert(hard._2 > easy._2, s"EG must up-weight the high-loss source: $res")
+    assert(hard._3 + easy._3 === 1000003L,
+      s"allocation must sum exactly to the budget: $res")
+    // deterministic: a second run produces identical longs
+    val again = TextOps.doremiMixWeights(docs, "doc_id", "text", "source",
+        iterations = 8, tokenBudget = 1000003L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(again("hard") === hard._2 && again("easy") === easy._2)
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
