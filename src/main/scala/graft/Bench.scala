@@ -302,6 +302,17 @@ object Bench {
     // count would make the A/B meaningless)
     var hammingBlockedPairs = -1L
 
+    // held BM25 index of the delete-maintenance A/B (untimed build; the
+    // steady state an ingest monitor keeps persisted across epochs)
+    lazy val bm25BaseIndex: (DataFrame, DataFrame, Long, Long) = {
+      val (t, d, n, l) = graft.operators.TextOps.bm25Index(
+        divergenceBenchFrame, "doc_id", "text")
+      val tp = t.persist(); val dp = d.persist()
+      tp.count(); dp.count()
+      (tp, dp, n, l)
+    }
+    var bm25DeleteStats = (-1L, -1L)
+
     // shared frame of the median-filter A/B: 5M rows, 16 groups, md5-derived
     // round4-quantized scores (deterministic, layout-independent)
     def medianBenchFrame: DataFrame =
@@ -879,6 +890,35 @@ object Bench {
           numMerges = SparkEntry.X13NumMerges)
         force(wordTokens)
         require(merges.nonEmpty)
+      }),
+      // BM25 delete-maintenance A/B: the base index over the 400k-doc
+      // frame is built ONCE untimed and held persisted (the steady state
+      // an ingest monitor keeps); the incremental arm deletes 1/16 of the
+      // docs from the HELD index (broadcast anti-join + df decrement at
+      // removed-term cardinality — never touches text), the rebuild arm
+      // re-tokenizes and re-aggregates the surviving corpus from scratch.
+      // Stats cross-checked between arms; incremental runs FIRST so any
+      // warmup bias is conservative. Include BOTH names with
+      // SPARK_GRAFT_BENCH_ONLY (the hamming pattern).
+      "bm25_index_delete_incremental" -> (() => {
+        val base = bm25BaseIndex // built + persisted OUTSIDE the timing
+        timed("bm25_index_delete_incremental") {
+          val removals = divergenceBenchFrame
+            .where(pmod(col("doc_id"), lit(16)) === 7).select("doc_id")
+          val (t2, d2, n2, l2) = graft.operators.TextOps.bm25IndexDelete(
+            base._1, base._2, base._3, base._4, removals, "doc_id")
+          force(t2); force(d2)
+          bm25DeleteStats = (n2, l2)
+        }
+      }),
+      "bm25_index_rebuild" -> (() => timed("bm25_index_rebuild") {
+        val (t, d, n, l) = graft.operators.TextOps.bm25Index(
+          divergenceBenchFrame.where(pmod(col("doc_id"), lit(16)) =!= 7),
+          "doc_id", "text")
+        force(t); force(d)
+        require((n, l) == bm25DeleteStats,
+          s"delete A/B arms disagree: rebuild=($n,$l) incremental=$bm25DeleteStats")
+        System.err.println(s"[bench] bm25_index_rebuild stats agree: n=$n dl=$l")
       }),
       // Hamming near-dup A/B: the d3b multi-index pigeonhole join (blocked
       // candidates, exact verify at candidate cardinality) vs the naive

@@ -1533,6 +1533,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dDfreq.collect().map(_.toSeq).toSet === rDfreq.collect().map(_.toSeq).toSet)
   }
 
+  test("bm25 index lifecycle: merge of an epoch then delete of a removal set equals rebuild") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val epoch = docs.where(col("doc_id") % 5 === 0)
+    // removal set straddles the original corpus AND the merged epoch
+    val removals = docs.where(col("doc_id") % 7 === 3).select("doc_id")
+    val (t0, d0, n0, l0) = TextOps.bm25Index(corpus, "doc_id", "text")
+    val (t1, d1, n1, l1) = TextOps.bm25IndexMerge(t0, d0, n0, l0, epoch, "doc_id", "text")
+    val (t2, d2, n2, l2) = TextOps.bm25IndexDelete(t1, d1, n1, l1, removals, "doc_id")
+    val finalCorpus = docs.where(col("doc_id") % 7 =!= 3)
+    val (rT, rD, rN, rL) = TextOps.bm25Index(finalCorpus, "doc_id", "text")
+    assert(n2 === rN && l2 === rL)
+    assert(t2.collect().map(_.toSeq).toSet === rT.collect().map(_.toSeq).toSet)
+    assert(d2.collect().map(_.toSeq).toSet === rD.collect().map(_.toSeq).toSet)
+    // retrieval served from the maintained index == batch search on the
+    // final corpus (the index a monitor would keep across add/delete epochs)
+    val queries = finalCorpus.where(col("doc_id") % 50 === 0)
+    val qTerms = TextOps.bm25TermRows(queries, "doc_id", "query_id", "text").distinct()
+    val served = TextOps.bm25TopK(
+        TextOps.bm25MatchScores(qTerms, t2, d2, n2, l2), k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = TextOps.bm25Search(finalCorpus, queries,
+        "doc_id", "text", "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(served === batch, "maintained-index retrieval diverged from rebuild search")
+  }
+
   test("rrfFusion: both-list docs outrank single-list docs, exact reciprocal terms, top-k cut") {
     import spark.implicits._
     // query 1: doc 10 in both lists (lex rank 2, dense rank 3); docs 11/12 single-list rank 1
