@@ -1216,6 +1216,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- rank-biased overlap between the lexical and dense top-20 lists
+    //      per query (p = 0.9, depth 20): the redundancy measure that
+    //      justifies (or retires) RRF fusion — NO transcendentals, the
+    //      geometric weight is an integer floor-div recurrence and every
+    //      depth term is long arithmetic, so RBO is bit-identical across
+    //      engines. Runs on the documents∩embeddings intersection. ----
+    "q_rbo_overlap" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+        .join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+      val lex = TextOps.bm25Search(docs, docs.where(col("doc_id") < 10),
+        "doc_id", "text", "doc_id", "text", k = 20)
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")), k = 20)
+      TextOps.rankBiasedOverlap(
+          lex.select("query_id", "rank", "doc_id"),
+          dense.select(col("query_id"), col("rank"),
+            col("neighbor_id").as("doc_id")), k = 20)
+        .orderBy("query_id")
+    }),
+
     // ---- right-to-be-forgotten audit: removal requests (doc_id % 37 == 5)
     //      broadcast-marked in the scan projection, then ONE map-side
     //      aggregate emits the per-(source, shard) rewrite plan — dirty
@@ -4083,6 +4105,51 @@ object SparkEntry {
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
           |       floor(s_q6::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // the two retriever CTE stacks again, a RECURSIVE integer weight
+      // CTE (w_d = (w_{d-1}*90) // 100 -- no pow()), and the depth rollup
+      // in the same long op order as the Spark expression
+      "q_rbo_overlap" ->
+        """WITH RECURSIVE wts(d, w_q6) AS (SELECT 1, 1000000 UNION ALL SELECT d + 1, (w_q6 * 90) // 100 FROM wts WHERE d < 20),
+          |corpus AS (
+          |  SELECT d.doc_id, d.text FROM documents d JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON d.doc_id = e.vec_id),
+          |toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term FROM corpus),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(term),1,15))::BIGINT AS th FROM toks),
+          |tf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf FROM h GROUP BY doc_id, th),
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+          |dfreq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY th),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+          |q AS (SELECT DISTINCT doc_id AS query_id, th FROM h WHERE doc_id < 10),
+          |m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, stats.n_docs, stats.total_dl
+          |      FROM q JOIN tf USING (th) JOIN dl ON tf.doc_id = dl.doc_id JOIN dfreq ON q.th = dfreq.th, stats
+          |      WHERE tf.doc_id <> q.query_id),
+          |terms AS (SELECT query_id, doc_id,
+          |  CAST(floor(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
+          |    ((tf::DOUBLE * (1.2+1.0)) / (tf::DOUBLE + 1.2*((1.0-0.75) + 0.75*(dl::DOUBLE/(total_dl::DOUBLE/n_docs::DOUBLE))))) * 1000000.0 + 0.5) AS BIGINT) AS t_q6 FROM m),
+          |lexsc AS (SELECT query_id, doc_id, CAST(sum(t_q6) AS BIGINT) AS s_q6 FROM terms GROUP BY query_id, doc_id),
+          |lex AS (SELECT query_id, doc_id, lrank FROM (
+          |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY s_q6 DESC, doc_id) AS lrank FROM lexsc) WHERE lrank <= 20),
+          |qv AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+          |dsc AS (
+          |  SELECT qv.query_id, e.vec_id,
+          |    round(
+          |      list_reduce(list_transform(range(1, 65), i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y) /
+          |      (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE)), (x, y) -> x + y)) *
+          |       sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 6) AS cos
+          |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+          |den AS (SELECT query_id, doc_id, drank FROM (
+          |  SELECT query_id, vec_id AS doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS drank FROM dsc) WHERE drank <= 20),
+          |shared AS (
+          |  SELECT lex.query_id, greatest(lex.lrank, den.drank) AS m
+          |  FROM lex JOIN den ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id),
+          |xd AS (SELECT query_id, d, CAST(count(*) AS BIGINT) AS x FROM shared JOIN wts ON m <= d GROUP BY 1, 2),
+          |qq AS (SELECT DISTINCT query_id FROM lex),
+          |rterms AS (
+          |  SELECT qq.query_id, wts.d, wts.w_q6, coalesce(xd.x, 0) AS x
+          |  FROM qq CROSS JOIN wts LEFT JOIN xd ON qq.query_id = xd.query_id AND wts.d = xd.d)
+          |SELECT query_id, CAST(sum((w_q6 * 10) // 100 * x // d) AS BIGINT) AS rbo_q6,
+          |       floor(sum((w_q6 * 10) // 100 * x // d)::DOUBLE / 100.0 + 0.5) / 10000.0 AS rbo
+          |FROM rterms GROUP BY query_id ORDER BY query_id""".stripMargin,
 
       // both retriever CTE stacks re-derived (bm25 over the intersection
       // corpus, d5's cosine scoring), fused via q6 reciprocal terms summed

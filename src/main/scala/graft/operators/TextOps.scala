@@ -1187,6 +1187,53 @@ object TextOps {
         col("lex_rank"), col("dense_rank"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010) between two top-k rank lists
+    * per query — the agreement measure a retrieval stack reports when
+    * deciding whether its lexical and dense signals are redundant or
+    * complementary (low RBO ⇒ fusion adds real information; the eval
+    * companion of [[rrfFusion]]). RBO_p = Σ_d (1−p)·p^(d−1)·|A_d ∩ B_d|/d,
+    * truncated at depth k.
+    *
+    * Determinism — NO transcendentals at all: the geometric weight is the
+    * integer recurrence w_1 = 1e6, w_d = (w_{d−1}·pPct) div 100 (exact
+    * floor at every step), and each depth term is
+    * ((w_d·(100−pPct)) div 100 · X_d) div d on longs, summed as longs.
+    * X_d = |{docs in both top-d prefixes}| counts shared docs whose
+    * max(rank_A, rank_B) ≤ d. Every engine reproduces the result
+    * bit-identically; display is round4.
+    *
+    * Scale shape: rank lists are |queries|·k rows — result-set, not
+    * corpus, cardinality; the depth table (k rows) broadcasts into the
+    * prefix-overlap join and the rollup is one aggregate. All corpus-sized
+    * cost lives in the upstream retrievers. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int,
+      pPct: Int = 90): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pPct >= 1 && pPct <= 99, s"pPct must be in [1,99], got $pPct")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val weights = Iterator.iterate(1000000L)(w => w * pPct / 100L)
+      .take(k).zipWithIndex.map { case (w, i) => (i + 1L, w) }.toSeq
+      .toDF("d", "w_q6")
+    val sa = a.select(col("query_id"), col("doc_id"), col("rank").cast("long").as("ra"))
+      .where(col("ra") <= k)
+    val sb = b.select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rb"))
+      .where(col("rb") <= k)
+    val shared = sa.join(sb, Seq("query_id", "doc_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+    val xd = shared.join(broadcast(weights), col("m") <= col("d"))
+      .groupBy("query_id", "d").agg(count(lit(1)).as("x"))
+    sa.select("query_id").distinct()
+      .crossJoin(broadcast(weights))
+      .join(xd, Seq("query_id", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .withColumn("t_q6", expr(s"((w_q6 * ${100 - pPct}) div 100 * x) div d"))
+      .groupBy("query_id").agg(sum(col("t_q6")).as("rbo_q6"))
+      .select(col("query_id"), col("rbo_q6"),
+        (floor(col("rbo_q6").cast("double") / lit(100.0) + lit(0.5)) / lit(10000.0))
+          .as("rbo"))
+  }
+
   def fimTransform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def h32(salt: String) = conv(substring(
       md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8), 16, 10).cast("long")

@@ -1623,6 +1623,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.size === 6)
   }
 
+  test("rankBiasedOverlap: identical lists hit the exact truncated mass, disjoint lists zero") {
+    import spark.implicits._
+    val la = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L)).toDF("query_id", "rank", "doc_id")
+    val lb = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L), // q1: identical
+      (2L, 1L, 30L), (2L, 2L, 31L), (2L, 3L, 32L))            // q2: disjoint
+      .toDF("query_id", "rank", "doc_id")
+    val got = TextOps.rankBiasedOverlap(la, lb, k = 3, pPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // identical lists: X_d = d, so each depth contributes (w_d·10) div 100
+    val ws = Iterator.iterate(1000000L)(w => w * 90L / 100L).take(3).toSeq
+    assert(got(1L) === ws.map(w => w * 10L / 100L).sum,
+      s"identical-list RBO must equal the truncated weight mass: $got")
+    assert(got(2L) === 0L, s"disjoint lists must score zero: $got")
+  }
+
   test("doremiMixWeights: up-weights the high-loss source, allocation sums exactly to budget") {
     import spark.implicits._
     // "easy" source: one repeated transition (low NLL); "hard" source:
