@@ -866,6 +866,57 @@ object Bench {
             -1.0
         }
       }),
+      // One ASSET-dedup ingest epoch: the mixed-modality corpus minus a
+      // held-out fifth supplies the maintained signature index (one row
+      // per distinct signature, persisted); the held-out fifth streams
+      // through the STATELESS signature join (decode + hash inside the
+      // stream map — no watermark, no aggregation). The decisions must
+      // equal the batch canonical rule on the same index, audited outside
+      // the timing (the retrieval-epoch pattern).
+      "streaming_asset_epoch" -> (() => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        import graft.operators.{MediaAsset, Multimodal}
+        val docs = Tables.documents(spark, sfDir)
+        val corpus = Multimodal.syntheticMixedAssets(
+          spark, docs.where(col("doc_id") % 5 =!= 0))
+        val epochRows = Multimodal.syntheticMixedAssets(
+          spark, docs.where(col("doc_id") % 5 === 0)).collect().toSeq
+        var streamed: Set[(Long, String, String, Option[Long], Boolean)] = Set.empty
+        var idx: org.apache.spark.sql.DataFrame = null
+        val t = timed("streaming_asset_epoch") {
+          idx = graft.streaming.StreamingPipelines.assetSignatureIndex(corpus)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          idx.count()
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[MediaAsset]
+          val out = graft.streaming.StreamingPipelines.assetDedupStream(mem.toDS(), idx)
+          val qn = s"assetbench_${System.nanoTime()}"
+          val q = out.writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try {
+            mem.addData(epochRows)
+            q.processAllAvailable()
+          } finally q.stop()
+          streamed = spark.table(qn)
+            .as[(Long, String, String, Option[Long], Boolean)].collect().toSet
+        }
+        if (t < 0) { if (idx != null) idx.unpersist(); t }
+        else try {
+          val batch = graft.streaming.StreamingPipelines.assetDedupStream(
+              spark.createDataset(epochRows), idx)
+            .as[(Long, String, String, Option[Long], Boolean)].collect().toSet
+          require(streamed == batch,
+            s"diverged: ${streamed.size} vs ${batch.size} rows")
+          System.err.println(s"[bench] streaming_asset_epoch assets=${streamed.size} " +
+            s"admitted=${streamed.count(_._5)} (batch agrees)")
+          t
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] streaming_asset_epoch equality audit failed: ${e.getMessage}")
+            -1.0
+        } finally idx.unpersist()
+      }),
       // COLD BPE merge training A/B (no per-JVM model cache — the x13
       // gate's min-of-repeats measures the apply path once the model
       // parquet exists; these entries are the training loop itself, every

@@ -962,6 +962,41 @@ object StreamingPipelines {
       .toDF("winner", "loser")
   }
 
+  /** Per-signature canonical representative of a mixed-modality asset
+    * corpus — the maintained index [[assetDedupStream]] joins against,
+    * the asset-side sibling of [[dedupIndex]] (lexical) and the d18 cell
+    * index (semantic). One row per distinct signature: (sig, rep_id), the
+    * MIN asset id carrying it. Production materializes this once per
+    * snapshot and appends admitted signatures between ingest queries. */
+  def assetSignatureIndex(corpus: org.apache.spark.sql.Dataset[graft.operators.MediaAsset])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Multimodal.assetSignature(corpus)
+      .groupBy("sig").agg(min(col("doc_id")).as("rep_id"))
+  }
+
+  /** Streaming mixed-modality asset dedup: incoming assets are signed with
+    * the SAME kind-dispatched map as batch `e2e_asset_dedup` (decode +
+    * hash inside the map — payloads never leave it) and joined
+    * stream-static against a maintained signature index. Because
+    * signature equality is exact (not a similarity), the pipeline is
+    * STATELESS end-to-end: no watermark, no aggregation — one projection
+    * and one left join per micro-batch, so ingest latency is join-probe
+    * latency. Output per asset: (doc_id, kind, sig, dup_of, keep).
+    *
+    * Scale shape: the index is (sig, rep_id) rows — one per DISTINCT
+    * signature, not per asset; the stream side shuffles (id, kind, sig)
+    * strings only. Equals the batch canonical rule (dup_of = min corpus
+    * id with the signature) by construction; spec-pinned per epoch. */
+  def assetDedupStream(incoming: org.apache.spark.sql.Dataset[graft.operators.MediaAsset],
+      sigIndex: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Multimodal.assetSignature(incoming)
+      .join(sigIndex, Seq("sig"), "left_outer")
+      .select(col("doc_id"), col("kind"), col("sig"),
+        col("rep_id").as("dup_of"), col("rep_id").isNull.as("keep"))
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

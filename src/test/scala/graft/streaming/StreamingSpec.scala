@@ -488,6 +488,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally { tfdlP.unpersist(); dfreqP.unpersist(); () }
   }
 
+  test("asset dedup: streamed signature join equals the batch canonical rule on an epoch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{MediaAsset, Multimodal}
+    val docs = Tables.documents(spark, sfDir)
+    // small corpus (seeds 0..9 only) so the wider epoch carries BOTH
+    // repeated seeds (duplicates) and unseen seeds (novel assets)
+    val corpus = Multimodal.syntheticMixedAssets(spark, docs.where(col("doc_id") < 10))
+    val epoch = Multimodal.syntheticMixedAssets(spark, docs.where(col("doc_id") >= 10))
+      .collect().toSeq
+    assert(epoch.nonEmpty)
+
+    val idx = StreamingPipelines.assetSignatureIndex(corpus).cache()
+    idx.count()
+    try {
+      // batch replica of the canonical rule over the same index
+      val batch = StreamingPipelines.assetDedupStream(
+          spark.createDataset(epoch), idx)
+        .as[(Long, String, String, Option[Long], Boolean)].collect().toSet
+      assert(batch.exists(!_._5) && batch.exists(_._5),
+        "epoch must contain both duplicates and novel assets for the test to bite")
+
+      val mem = MemoryStream[MediaAsset]
+      val out = StreamingPipelines.assetDedupStream(mem.toDS(), idx)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("assetdedup").start()
+      try {
+        val (b1, b2) = epoch.splitAt(epoch.length / 2)
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("assetdedup")
+        .as[(Long, String, String, Option[Long], Boolean)].collect().toSet
+      assert(streamed === batch,
+        s"streaming asset dedup diverged: ${streamed.size} vs ${batch.size}")
+    } finally { idx.unpersist(); () }
+  }
+
   test("split-leakage monitor: streaming stream-static form equals batch splitLeakage on a replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
