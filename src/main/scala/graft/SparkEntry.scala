@@ -1272,6 +1272,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- distributional word centrality: Perron eigenvector of the
+    //      PPMI-weighted word co-occurrence graph by quantized power
+    //      iteration (8 rounds, pure long arithmetic, L1 renormalization —
+    //      no sqrt; PPMI's ln is the one exact-input transcendental).
+    //      PMI discounts global frequency, so the axis concentrates on the
+    //      strongest collocation community — template/duplicated-passage
+    //      vocabulary, not stopword glue. ----
+    "x14_word_centrality" -> ((s, d) => {
+      GraphOps.ppmiWordCentrality(Tables.documents(s, d), "text",
+          iterations = 8, k = 20)
+        .orderBy("rank")
+    }),
+
     // ---- DoReMi-style mixture reweighting: per-source bigram-LM per-token
     //      NLL (exact q6 long rollup) → 8 exponentiated-gradient rounds
     //      (all-longs except one exact-input exp) up-weighting sources with
@@ -4235,6 +4248,87 @@ object SparkEntry {
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
           |       floor(s_q6::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // x11's transition CTE symmetrized into the co-occurrence matrix,
+      // PPMI q6 (exact-input ln), then 8 power-iteration rounds unrolled
+      // as MATERIALIZED CTEs in the same long floor-div arithmetic
+      "x14_word_centrality" ->
+        """WITH 
+          |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+          |trans AS (
+          |  SELECT toks[i - 1] AS v, toks[i] AS w
+          |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+          |sym AS (SELECT v, w FROM trans UNION ALL SELECT w, v FROM trans),
+          |cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM sym GROUP BY v, w),
+          |cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM cvw GROUP BY v),
+          |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cvw),
+          |ppmi AS MATERIALIZED (
+          |  SELECT cvw.v, cvw.w,
+          |    greatest(0, CAST(floor(ln((cvw.c::DOUBLE * nn.n::DOUBLE) / (a.cv::DOUBLE * b.cv::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS m
+          |  FROM cvw JOIN cv a ON cvw.v = a.v JOIN cv b ON cvw.w = b.v, nn),
+          |nodes AS MATERIALIZED (SELECT v FROM cv),
+          |vv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
+          |x0 AS MATERIALIZED (SELECT v, 1000000 // vv.nv AS x FROM nodes, vv)
+          |,
+          |y1 AS MATERIALIZED (
+          |  SELECT nodes.v, coalesce(s.y, 0) AS y FROM nodes
+          |  LEFT JOIN (
+          |    SELECT ppmi.v, CAST(sum((ppmi.m * x0.x) // 1000000) AS BIGINT) AS y
+          |    FROM ppmi JOIN x0 ON ppmi.w = x0.v GROUP BY ppmi.v) s ON nodes.v = s.v),
+          |x1 AS MATERIALIZED (SELECT v, (y * 1000000) // (SELECT sum(y) FROM y1) AS x FROM y1)
+          |,
+          |y2 AS MATERIALIZED (
+          |  SELECT nodes.v, coalesce(s.y, 0) AS y FROM nodes
+          |  LEFT JOIN (
+          |    SELECT ppmi.v, CAST(sum((ppmi.m * x1.x) // 1000000) AS BIGINT) AS y
+          |    FROM ppmi JOIN x1 ON ppmi.w = x1.v GROUP BY ppmi.v) s ON nodes.v = s.v),
+          |x2 AS MATERIALIZED (SELECT v, (y * 1000000) // (SELECT sum(y) FROM y2) AS x FROM y2)
+          |,
+          |y3 AS MATERIALIZED (
+          |  SELECT nodes.v, coalesce(s.y, 0) AS y FROM nodes
+          |  LEFT JOIN (
+          |    SELECT ppmi.v, CAST(sum((ppmi.m * x2.x) // 1000000) AS BIGINT) AS y
+          |    FROM ppmi JOIN x2 ON ppmi.w = x2.v GROUP BY ppmi.v) s ON nodes.v = s.v),
+          |x3 AS MATERIALIZED (SELECT v, (y * 1000000) // (SELECT sum(y) FROM y3) AS x FROM y3)
+          |,
+          |y4 AS MATERIALIZED (
+          |  SELECT nodes.v, coalesce(s.y, 0) AS y FROM nodes
+          |  LEFT JOIN (
+          |    SELECT ppmi.v, CAST(sum((ppmi.m * x3.x) // 1000000) AS BIGINT) AS y
+          |    FROM ppmi JOIN x3 ON ppmi.w = x3.v GROUP BY ppmi.v) s ON nodes.v = s.v),
+          |x4 AS MATERIALIZED (SELECT v, (y * 1000000) // (SELECT sum(y) FROM y4) AS x FROM y4)
+          |,
+          |y5 AS MATERIALIZED (
+          |  SELECT nodes.v, coalesce(s.y, 0) AS y FROM nodes
+          |  LEFT JOIN (
+          |    SELECT ppmi.v, CAST(sum((ppmi.m * x4.x) // 1000000) AS BIGINT) AS y
+          |    FROM ppmi JOIN x4 ON ppmi.w = x4.v GROUP BY ppmi.v) s ON nodes.v = s.v),
+          |x5 AS MATERIALIZED (SELECT v, (y * 1000000) // (SELECT sum(y) FROM y5) AS x FROM y5)
+          |,
+          |y6 AS MATERIALIZED (
+          |  SELECT nodes.v, coalesce(s.y, 0) AS y FROM nodes
+          |  LEFT JOIN (
+          |    SELECT ppmi.v, CAST(sum((ppmi.m * x5.x) // 1000000) AS BIGINT) AS y
+          |    FROM ppmi JOIN x5 ON ppmi.w = x5.v GROUP BY ppmi.v) s ON nodes.v = s.v),
+          |x6 AS MATERIALIZED (SELECT v, (y * 1000000) // (SELECT sum(y) FROM y6) AS x FROM y6)
+          |,
+          |y7 AS MATERIALIZED (
+          |  SELECT nodes.v, coalesce(s.y, 0) AS y FROM nodes
+          |  LEFT JOIN (
+          |    SELECT ppmi.v, CAST(sum((ppmi.m * x6.x) // 1000000) AS BIGINT) AS y
+          |    FROM ppmi JOIN x6 ON ppmi.w = x6.v GROUP BY ppmi.v) s ON nodes.v = s.v),
+          |x7 AS MATERIALIZED (SELECT v, (y * 1000000) // (SELECT sum(y) FROM y7) AS x FROM y7)
+          |,
+          |y8 AS MATERIALIZED (
+          |  SELECT nodes.v, coalesce(s.y, 0) AS y FROM nodes
+          |  LEFT JOIN (
+          |    SELECT ppmi.v, CAST(sum((ppmi.m * x7.x) // 1000000) AS BIGINT) AS y
+          |    FROM ppmi JOIN x7 ON ppmi.w = x7.v GROUP BY ppmi.v) s ON nodes.v = s.v),
+          |x8 AS MATERIALIZED (SELECT v, (y * 1000000) // (SELECT sum(y) FROM y8) AS x FROM y8)
+          |
+          |SELECT CAST(row_number() OVER (ORDER BY x DESC, v) AS BIGINT) AS rank, v AS word, x AS centrality_q6,
+          |       floor(x::DOUBLE / 100.0 + 0.5) / 10000.0 AS centrality
+          |FROM x8 ORDER BY x DESC, v LIMIT 20""".stripMargin,
 
       // x11's CTE stack rolled up per source (loss = integer floor-div of
       // exact q6 sums), then the 8 EG rounds unrolled as MATERIALIZED CTEs

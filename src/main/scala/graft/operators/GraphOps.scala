@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over document-relation graphs (near-dup
@@ -41,6 +42,77 @@ object GraphOps {
     *
     * Output: (doc_id, degree, pr_q6, pagerank) — `pr_q6` the exact
     * fixed-point rank, `pagerank` its round4 display value. */
+  /** Distributional word centrality: the Perron (principal) eigenvector of
+    * the corpus's PPMI-weighted word co-occurrence graph, by quantized
+    * power iteration — the spectral side of the train-in-engine family
+    * (PPMI factorization is the classical route to static word embeddings,
+    * Levy & Goldberg 2014; the top eigenvector is its first axis). Because
+    * PMI discounts global frequency, the ranking does NOT surface stopword
+    * glue — it concentrates on the corpus's strongest COLLOCATION
+    * community: vocabulary that repeatedly co-occurs far above chance,
+    * which at corpus scale is template/boilerplate phrase vocabulary and
+    * duplicated-passage wording — what a curation pass inspects before
+    * choosing boilerplate rules or quality features.
+    *
+    * Semantics: adjacent-token pairs symmetrized, PPMI_vw = max(0,
+    * ln(c_vw·N / (c_v·c_w))) q6-quantized (the x11 ln contract: one
+    * transcendental on exactly-agreed integer inputs). Power iteration in
+    * pure long arithmetic — y(v) = Σ_w (m_vw·x_w) div 1e6 summed as longs,
+    * L1-renormalized x' = (y·1e6) div Σy (no sqrt needed) — from the
+    * uniform positive start, so by Perron–Frobenius the iterate's sign and
+    * limit are determined and every engine reproduces the longs exactly.
+    *
+    * Scale shape: the matrix aggregates at word-PAIR vocabulary
+    * cardinality (never corpus); each iteration is one O(nnz) join on the
+    * word key + one aggregate, with `localCheckpoint` truncation per
+    * round; driver sees only bounded scalars (N, V, Σy). Output top-k
+    * rides one ordered limit at vocabulary cardinality. */
+  def ppmiWordCentrality(docs: DataFrame, textCol: String,
+      iterations: Int = 8, k: Int = 20): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = TextOps.tokens(col(textCol))
+    val trans = docs.select(toks.as("toks"))
+      .select(explode(when(size(col("toks")) >= 2,
+          expr("transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS v, toks[i-1] AS w))"))
+        .otherwise(expr("array()"))).as("t"))
+      .select(col("t.v").as("v"), col("t.w").as("w"))
+    val sym = trans.union(trans.select(col("w").as("v"), col("v").as("w")))
+    val cvw = sym.groupBy("v", "w").agg(count(lit(1)).as("c"))
+    val cv = cvw.groupBy("v").agg(sum(col("c")).as("cv")).localCheckpoint()
+    val n = cvw.agg(sum(col("c"))).head().getLong(0)
+    val ppmi = cvw
+      .join(cv.select(col("v"), col("cv").as("cv_a")), "v")
+      .join(cv.select(col("v").as("w"), col("cv").as("cv_b")), "w")
+      .select(col("v"), col("w"), greatest(lit(0L),
+        floor(log((col("c").cast("double") * lit(n.toDouble)) /
+            (col("cv_a").cast("double") * col("cv_b").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long")).as("m"))
+      .where(col("m") > 0)
+      .localCheckpoint()
+    val nodes = cv.select("v")
+    val nv = nodes.count()
+    var x = nodes.select(col("v"), lit(1000000L / nv).as("x"))
+    for (_ <- 1 to iterations) {
+      val y = ppmi.join(x.select(col("v").as("w"), col("x")), "w")
+        .select(col("v"), expr("(m * x) div 1000000").as("__yy"))
+        .groupBy("v").agg(sum(col("__yy")).as("y"))
+      val yAll = nodes.join(y, Seq("v"), "left")
+        .select(col("v"), coalesce(col("y"), lit(0L)).as("y"))
+        .localCheckpoint()
+      val s = yAll.agg(sum(col("y"))).head().getLong(0)
+      require(s > 0, "PPMI graph has no positive mass")
+      x = yAll.select(col("v"), expr(s"(y * 1000000) div ${s}L").as("x"))
+        .localCheckpoint()
+    }
+    x.orderBy(col("x").desc, col("v")).limit(k)
+      .select(row_number().over(Window.orderBy(col("x").desc, col("v")))
+          .cast("long").as("rank"),
+        col("v").as("word"), col("x").as("centrality_q6"),
+        (floor(col("x").cast("double") / lit(100.0) + lit(0.5)) / lit(10000.0))
+          .as("centrality"))
+  }
+
   def quantizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")

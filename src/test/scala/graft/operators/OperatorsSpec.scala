@@ -1596,6 +1596,27 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", 2L, 2L, 2L, 0L, 0L, true)))
   }
 
+  test("ppmiWordCentrality: the strongest collocation pair dominates, normalized, deterministic") {
+    import spark.implicits._
+    // alpha/beta co-occur EXCLUSIVELY (maximal PMI); the background words
+    // are frequent with varied partners (PMI near zero per pair) — the
+    // Perron axis must concentrate on the exclusive collocation community
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "red fish green fish blue fish red cow green bird blue cow"),
+      (3L, "red bird green cow blue bird red fish green fish blue cow"))
+      .toDF("doc_id", "text")
+    val res = GraphOps.ppmiWordCentrality(docs, "text", iterations = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(Set(res(0)._2, res(1)._2) === Set("alpha", "beta"),
+      s"the collocation pair must take the top two ranks: ${res.toSeq}")
+    assert(res.map(_._3).sum <= 1000000L && res.map(_._3).sum > 900000L,
+      "L1-normalized q6 centralities must sum to ~1e6")
+    val again = GraphOps.ppmiWordCentrality(docs, "text", iterations = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(res.toSeq === again.toSeq, "power iteration must be bit-deterministic")
+  }
+
   test("quantizedPageRank matches a single-node fixed-point replica on a star graph") {
     import spark.implicits._
     // star: hub 1 — leaves 2,3,4; plus an isolated pair 5—6
