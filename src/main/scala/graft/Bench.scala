@@ -866,6 +866,82 @@ object Bench {
             -1.0
         }
       }),
+      // One MIXTURE-monitor ingest epoch: the frozen bigram model over the
+      // corpus minus a held-out fifth is the maintained snapshot (built +
+      // persisted inside the timing — one model build per release cycle);
+      // the held-out fifth streams through the frozen-model scorer, the
+      // per-source accumulators merge, and the EG weights refresh. The
+      // merged accumulators must equal the batch rollup over the union
+      // (audited outside the timing).
+      "streaming_mixture_epoch" -> (() => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        import graft.operators.TextOps
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+        val corpus = docs.where(col("doc_id") % 5 =!= 0)
+        val epoch = docs.where(col("doc_id") % 5 === 0)
+        def rollup(d: DataFrame, bg: DataFrame, cx: DataFrame, vs: Double) =
+          TextOps.bigramNllUnder(d, "doc_id", "text", bg, cx, vs)
+            .join(d.select(col("doc_id"), col("source")), "doc_id")
+            .groupBy("source")
+            .agg(sum(col("sum_nll_q6")).as("s"), sum(col("n_trans")).as("n"))
+            .as[(String, Long, Long)].collect()
+            .map { case (s, sv, n) => s -> ((sv, n)) }.toMap
+        var merged: Map[String, (Long, Long)] = Map.empty
+        var bigramP: DataFrame = null; var ctxP: DataFrame = null
+        var vocabHeld = 0.0
+        val t = timed("streaming_mixture_epoch") {
+          val (bigram, ctx, vocab) = TextOps.bigramModel(corpus, "doc_id", "text")
+          vocabHeld = vocab
+          bigramP = bigram.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          ctxP = ctx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          bigramP.count(); ctxP.count()
+          val baseAcc = rollup(corpus, bigramP, ctxP, vocab)
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(java.sql.Timestamp, Long, String, String)]
+          val losses = graft.streaming.StreamingPipelines.mixtureLossStream(
+            mem.toDF().toDF("ts", "doc_id", "text", "source"),
+            "ts", "doc_id", "text", "source", bigramP, ctxP, vocab,
+            watermarkDelay = "0 seconds")
+          val qn = s"mixbench_${System.nanoTime()}"
+          val q = losses.writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try {
+            val rows = epoch.select("doc_id", "text", "source")
+              .as[(Long, String, String)].collect()
+            mem.addData(rows.map { case (id, tx, s) =>
+              (new java.sql.Timestamp(10L * 1000), id, tx, s) }.toSeq)
+            q.processAllAvailable()
+            mem.addData(Seq((new java.sql.Timestamp(100000L * 1000), -1L, "flush one", "__flush")))
+            q.processAllAvailable()
+            mem.addData(Seq((new java.sql.Timestamp(200000L * 1000), -2L, "flush two", "__flush")))
+            q.processAllAvailable()
+          } finally q.stop()
+          merged = spark.table(qn).where(col("source") =!= "__flush")
+            .as[(String, Long, Long)].collect()
+            .foldLeft(baseAcc) { case (acc, (s, n, sv)) =>
+              val (s0, n0) = acc.getOrElse(s, (0L, 0L))
+              acc.updated(s, (s0 + sv, n0 + n))
+            }
+          val weights = TextOps.egMixtureRows(
+            merged.toSeq.map { case (s, (sv, n)) => (s, sv / n) }.sortBy(_._1),
+            iterations = 8, tokenBudget = 1000000L, etaPct = 50)
+          require(weights.map(_._5).sum == 1000000L)
+        }
+        if (t < 0) { if (bigramP != null) bigramP.unpersist(); if (ctxP != null) ctxP.unpersist(); t }
+        else try {
+          val batchAcc = rollup(corpus.union(epoch), bigramP, ctxP, vocabHeld)
+          require(merged == batchAcc,
+            s"accumulators diverged: ${merged.size} vs ${batchAcc.size} sources")
+          System.err.println(s"[bench] streaming_mixture_epoch sources=${merged.size} (batch agrees)")
+          t
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] streaming_mixture_epoch equality audit failed: ${e.getMessage}")
+            -1.0
+        } finally { bigramP.unpersist(); ctxP.unpersist(); () }
+      }),
       // One ASSET-dedup ingest epoch: the mixed-modality corpus minus a
       // held-out fifth supplies the maintained signature index (one row
       // per distinct signature, persisted); the held-out fifth streams

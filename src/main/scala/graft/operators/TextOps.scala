@@ -401,6 +401,18 @@ object TextOps {
       .agg(sum(col("sum_nll_q6")).as("s"), sum(col("n_trans")).as("n"))
       .select(col("__src"), expr("s div n").as("loss_q6"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    egMixtureRows(perSource, iterations, tokenBudget, etaPct)
+      .toDF("source", "loss_q6", "w_q6", "weight", "target_tokens")
+  }
+
+  /** The EG + allocation core of [[doremiMixWeights]] as a pure function
+    * over (source, loss_q6) rows — shared by the batch trainer and the
+    * streaming mixture monitor (whose accumulators produce the same rows),
+    * so stream == batch holds by construction once the losses agree.
+    * Input must be sorted by source (the deterministic-iteration order). */
+  private[graft] def egMixtureRows(perSource: Seq[(String, Long)],
+      iterations: Int, tokenBudget: Long,
+      etaPct: Int): Seq[(String, Long, Long, Double, Long)] = {
     val nSrc = perSource.length
     require(nSrc >= 1, "corpus must contain at least one source with >= 2-token docs")
     val losses = perSource.map(_._2)
@@ -430,7 +442,58 @@ object TextOps {
       (perSource(i)._1, losses(i), w(i),
         math.floor(w(i).toDouble / 100.0 + 0.5) / 10000.0,
         base(i) + each + (if (bump.contains(i)) 1L else 0L))
-    }.toDF("source", "loss_q6", "w_q6", "weight", "target_tokens")
+    }
+  }
+
+  /** The FROZEN bigram model tables a long-lived scorer holds: transition
+    * counts, context counts, and the vocabulary size — [[bigramPerplexity]]'s
+    * model factored out for maintained storage (score many epochs under one
+    * model snapshot; retrain on corpus releases, not per batch). */
+  def bigramModel(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, Double) = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val trans = base.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+            expr("transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS v, toks[i-1] AS w))"))
+          .otherwise(expr("array()"))).as("t"))
+      .select(col("t.v").as("v"), col("t.w").as("w"))
+    val vocab = base.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0).toDouble
+    (trans.groupBy("v", "w").agg(count(lit(1)).as("c_vw")),
+      trans.groupBy("v").agg(count(lit(1)).as("c_v")), vocab)
+  }
+
+  /** Per-document exact q6 NLL sums under a FROZEN bigram model — the
+    * scoring half of [[bigramPerplexity]] generalized to documents the
+    * model has never seen: unseen transitions/contexts LEFT-join to zero
+    * counts, where add-k smoothing still defines P > 0 (that is what the
+    * smoothing is for). Works identically on batch and streaming frames
+    * (the joins are stream-static on the model side); on the training
+    * corpus itself every join matches, so values equal
+    * [[bigramPerplexity]]'s by construction.
+    *
+    * Scale shape: transitions are a row-wise projection; the model tables
+    * join at bigram-vocabulary cardinality (broadcastable after a
+    * min-count prune at 100 TB); output is one row per document. */
+  def bigramNllUnder(docs: DataFrame, idCol: String, textCol: String,
+      bigram: DataFrame, ctx: DataFrame, vocabSize: Double,
+      addK: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val trans = base.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+            expr("transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS v, toks[i-1] AS w))"))
+          .otherwise(expr("array()"))).as("t"))
+      .select(col("doc_id"), col("t.v").as("v"), col("t.w").as("w"))
+    val p = (coalesce(col("c_vw"), lit(0L)).cast("double") + lit(addK)) /
+      (coalesce(col("c_v"), lit(0L)).cast("double") + lit(addK) * lit(vocabSize))
+    trans
+      .join(bigram, Seq("v", "w"), "left")
+      .join(ctx, Seq("v"), "left")
+      .withColumn("nll_q6", floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum(col("nll_q6")).as("sum_nll_q6"))
   }
 
   /** Trained hyperparameters + weights of the last [[qualityLrScore]] run

@@ -997,6 +997,47 @@ object StreamingPipelines {
         col("rep_id").as("dup_of"), col("rep_id").isNull.as("keep"))
   }
 
+  /** Streaming mixture-loss monitor — the ingest half of a maintained
+    * DoReMi loop: incoming documents are scored under a FROZEN bigram
+    * model ([[graft.operators.TextOps.bigramModel]] held as maintained
+    * storage; unseen transitions smooth via the LEFT-join zero path of
+    * [[graft.operators.TextOps.bigramNllUnder]]) and the exact q6 NLL
+    * mass rolls up per (source, event-time) — rows a monitor ADDS into
+    * its per-source (Σnll, Σtrans) accumulators, then feeds
+    * `TextOps.egMixtureRows` to refresh the mixture weights after each
+    * epoch. Stream == batch holds because scoring is per-document under a
+    * frozen model and the accumulator merge is long addition (spec-pinned).
+    *
+    * Scale shape: transitions are a row-wise explode (no stateful
+    * distinct); the model joins are stream-static at bigram-vocabulary
+    * cardinality; the only stateful operator is the watermark-bounded
+    * (source, ts) aggregation at source cardinality. */
+  def mixtureLossStream(incoming: org.apache.spark.sql.DataFrame, tsCol: String,
+      idCol: String, textCol: String, sourceCol: String,
+      bigram: org.apache.spark.sql.DataFrame, ctx: org.apache.spark.sql.DataFrame,
+      vocabSize: Double, watermarkDelay: String,
+      addK: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val trans = incoming
+      .select(col(sourceCol).as("source"), col(tsCol).as("__ts"),
+        graft.operators.TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("source"), col("__ts"),
+        explode(when(size(col("toks")) >= 2,
+            expr("transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS v, toks[i-1] AS w))"))
+          .otherwise(expr("array()"))).as("t"))
+      .select(col("source"), col("__ts"), col("t.v").as("v"), col("t.w").as("w"))
+      .withWatermark("__ts", watermarkDelay)
+    val p = (coalesce(col("c_vw"), lit(0L)).cast("double") + lit(addK)) /
+      (coalesce(col("c_v"), lit(0L)).cast("double") + lit(addK) * lit(vocabSize))
+    trans
+      .join(bigram, Seq("v", "w"), "left")
+      .join(ctx, Seq("v"), "left")
+      .withColumn("nll_q6", floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("source"), col("__ts"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("nll_q6")).as("sum_nll_q6"))
+      .select("source", "n_trans", "sum_nll_q6")
+  }
+
   /** Tokenize a raw text stream into contributions (P1 streaming form). */
   def tokenize(lines: Dataset[(String, Int, String)]): Dataset[Contribution] = {
     import lines.sparkSession.implicits._

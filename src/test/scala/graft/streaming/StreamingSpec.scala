@@ -526,6 +526,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally { idx.unpersist(); () }
   }
 
+  test("mixture monitor: streamed frozen-model losses merged into accumulators equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val epoch = docs.where(col("doc_id") % 5 === 0)
+    val (bigram, ctx, vocab) = TextOps.bigramModel(corpus, "doc_id", "text")
+    val bigramP = bigram.persist(); val ctxP = ctx.persist()
+    bigramP.count(); ctxP.count()
+    try {
+      def rollup(d: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+        TextOps.bigramNllUnder(d, "doc_id", "text", bigramP, ctxP, vocab)
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy("source")
+          .agg(sum(col("sum_nll_q6")).as("s"), sum(col("n_trans")).as("n"))
+          .as[(String, Long, Long)].collect()
+          .map { case (s, sv, n) => s -> ((sv, n)) }.toMap
+      val batchAcc = rollup(corpus.union(epoch))
+      val baseAcc = rollup(corpus)
+
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String, String)]
+      val losses = StreamingPipelines.mixtureLossStream(
+        mem.toDF().toDF("ts", "doc_id", "text", "source"),
+        "ts", "doc_id", "text", "source", bigramP, ctxP, vocab,
+        watermarkDelay = "0 seconds")
+      val q = losses.writeStream.outputMode("append").format("memory")
+        .queryName("mixmon").start()
+      try {
+        val rows = epoch.select("doc_id", "text", "source")
+          .as[(Long, String, String)].collect()
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        mem.addData(b1.map { case (id, t, s) => (new java.sql.Timestamp(10L * 1000), id, t, s) }.toSeq)
+        q.processAllAvailable()
+        mem.addData(b2.map { case (id, t, s) => (new java.sql.Timestamp(20L * 1000), id, t, s) }.toSeq)
+        q.processAllAvailable()
+        mem.addData(Seq((new java.sql.Timestamp(100000L * 1000), -1L, "flush one", "__flush")))
+        q.processAllAvailable()
+        mem.addData(Seq((new java.sql.Timestamp(200000L * 1000), -2L, "flush two", "__flush")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamedRows = spark.table("mixmon")
+        .where(col("source") =!= "__flush")
+        .as[(String, Long, Long)].collect()
+      val merged = streamedRows.foldLeft(baseAcc) { case (acc, (s, n, sv)) =>
+        val (s0, n0) = acc.getOrElse(s, (0L, 0L))
+        acc.updated(s, (s0 + sv, n0 + n))
+      }
+      assert(merged === batchAcc,
+        "accumulators after the streamed epoch must equal the batch rollup")
+      def loss(m: Map[String, (Long, Long)]) =
+        m.toSeq.map { case (s, (sv, n)) => (s, sv / n) }.sortBy(_._1)
+      assert(TextOps.egMixtureRows(loss(merged), 8, 1000000L, 50) ===
+        TextOps.egMixtureRows(loss(batchAcc), 8, 1000000L, 50),
+        "EG weights from the maintained accumulators must equal batch")
+    } finally { bigramP.unpersist(); ctxP.unpersist(); () }
+  }
+
   test("split-leakage monitor: streaming stream-static form equals batch splitLeakage on a replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
