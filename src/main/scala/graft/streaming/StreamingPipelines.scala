@@ -549,6 +549,24 @@ object StreamingPipelines {
     (buckets, sets)
   }
 
+  /** DELETE maintenance of the lexical signature index — the
+    * right-to-be-forgotten step for [[dedupIndex]]'s (buckets, sets) pair:
+    * removal ids broadcast into one anti-join per table. Equals
+    * [[dedupIndex]] over the filtered corpus exactly (spec-pinned),
+    * because both tables are pure per-document functions of the text —
+    * no cross-document state to repair. With BM25
+    * (`TextOps.bm25IndexDelete`) and the semantic cell index
+    * (`SemanticMaintenance.deletedIndex`), every maintained index now
+    * supports both appends and deletes without rebuild. */
+  def dedupIndexDelete(buckets: org.apache.spark.sql.DataFrame,
+      sets: org.apache.spark.sql.DataFrame, removeIds: org.apache.spark.sql.DataFrame,
+      idCol: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val rem = broadcast(removeIds.select(col(idCol).cast("long").as("__rid")).distinct())
+    (buckets.join(rem, buckets("c_id") === rem("__rid"), "left_anti"),
+      sets.join(rem, sets("c_set_id") === rem("__rid"), "left_anti"))
+  }
+
   def incrementalDedupStream(incoming: org.apache.spark.sql.DataFrame,
       corpus: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       tsCol: String, watermarkDelay: String, k: Int, numHashes: Int,

@@ -66,6 +66,19 @@ object SemanticMaintenance {
       graft.operators.Similarity.assignToCells(admitted, centroids)
         .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb")))
 
+  /** DELETE maintenance of the cell index — the right-to-be-forgotten step
+    * for the semantic side, pairing with [[appendedIndex]] the way
+    * `TextOps.bm25IndexDelete` pairs with `bm25IndexMerge`: removal ids
+    * broadcast into one anti-join; rows are (cluster, id, norm) scalars so
+    * nothing re-assigns and centroids stay frozen. Equals a rebuild over
+    * the filtered vector set exactly (spec-pinned), because assignment is
+    * a pure per-row function of the frozen centroids. */
+  def deletedIndex(cellIndex: DataFrame, removeIds: DataFrame,
+      idCol: String): DataFrame =
+    cellIndex.join(
+      broadcast(removeIds.select(col(idCol).cast("long").as("c_id")).distinct()),
+      Seq("c_id"), "left_anti")
+
   /** One HYBRID ingest epoch: documents (text + embedding) stream through
     * [[StreamingPipelines.hybridDedupStream]] against BOTH maintained
     * indexes; returns each decision row (doc_id, keep). */

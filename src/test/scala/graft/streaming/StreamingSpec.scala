@@ -526,6 +526,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally { idx.unpersist(); () }
   }
 
+  test("index deletes: lexical signature index and semantic cell index equal rebuilds after delete") {
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val removals = docs.where(col("doc_id") % 7 === 3).select("doc_id")
+      .union(docs.sparkSession.range(999999999L, 999999999L + 1)
+        .select(col("id").as("doc_id"))) // absent id must be a no-op
+    // lexical (buckets, sets)
+    val (b0, s0) = StreamingPipelines.dedupIndex(docs, "doc_id", "text",
+      k = 3, numHashes = 8, numBands = 4)
+    val (bd, sd) = StreamingPipelines.dedupIndexDelete(b0, s0, removals, "doc_id")
+    val (br, sr) = StreamingPipelines.dedupIndex(docs.where(col("doc_id") % 7 =!= 3),
+      "doc_id", "text", k = 3, numHashes = 8, numBands = 4)
+    assert(bd.collect().map(_.toSeq).toSet === br.collect().map(_.toSeq).toSet)
+    assert(sd.collect().map(_.toSeq).toSet === sr.collect().map(_.toSeq).toSet)
+    // semantic cell index under frozen centroids
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, nlist = 4, dim = 64)
+    val c0 = Similarity.assignToCells(emb, centroids)
+      .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb"))
+    val cd = graft.tools.SemanticMaintenance.deletedIndex(c0,
+      emb.where(col("vec_id") % 7 === 3).select("vec_id"), "vec_id")
+    val cr = Similarity.assignToCells(emb.where(col("vec_id") % 7 =!= 3), centroids)
+      .select(col("cluster"), col("vec_id").as("c_id"), col("nemb").as("c_nemb"))
+    // nemb is a pure per-row function of the embedding (identical on both
+    // sides by construction); membership is the thing the delete changes
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("cluster", "c_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(cells(cd) === cells(cr))
+  }
+
   test("mixture monitor: streamed frozen-model losses merged into accumulators equal batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
