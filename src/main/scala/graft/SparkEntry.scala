@@ -1238,6 +1238,19 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- retrieval-assisted decontamination: BM25 retrieves each eval
+    //      item's top-20 lexically-closest corpus docs, EXACT 8-token
+    //      window verification runs on those candidate pairs only — the
+    //      per-eval-release audit whose cost is independent of corpus
+    //      size past the index probe (candidate ids broadcast back so the
+    //      window explode touches ≤ |eval|·k docs). ----
+    "e2e_retrieval_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.retrievalDecontam(docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0), "doc_id", "text", k = 20, n = 8)
+        .orderBy("eval_id")
+    }),
+
     // ---- right-to-be-forgotten audit: removal requests (doc_id % 37 == 5)
     //      broadcast-marked in the scan projection, then ONE map-side
     //      aggregate emits the per-(source, shard) rewrite plan — dirty
@@ -4209,6 +4222,49 @@ object SparkEntry {
           |  floor(f_q6::DOUBLE/100.0 + 0.5)/10000.0 AS rrf_score,
           |  CAST(lrank AS BIGINT) AS lex_rank, CAST(drank AS BIGINT) AS dense_rank
           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // bm25 stack over the disjoint corpus/eval split, then the n=8
+      // window CTEs (the split-leakage form) restricted to candidate
+      // pairs; left join keeps zero-shared candidates in the rollup
+      "e2e_retrieval_decontam" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+          |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+          |ctoks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term FROM corpus),
+          |ch AS (SELECT doc_id, ('0x' || substr(md5(term),1,15))::BIGINT AS th FROM ctoks),
+          |tf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf FROM ch GROUP BY doc_id, th),
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+          |dfreq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY th),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+          |etoks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term FROM ev),
+          |q AS (SELECT DISTINCT doc_id AS query_id, ('0x' || substr(md5(term),1,15))::BIGINT AS th FROM etoks),
+          |m AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, stats.n_docs, stats.total_dl
+          |      FROM q JOIN tf USING (th) JOIN dl ON tf.doc_id = dl.doc_id JOIN dfreq ON q.th = dfreq.th, stats
+          |      WHERE tf.doc_id <> q.query_id),
+          |terms AS (SELECT query_id, doc_id,
+          |  CAST(floor(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
+          |    ((tf::DOUBLE * (1.2 + 1.0)) / (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE/(total_dl::DOUBLE/n_docs::DOUBLE))))) * 1000000.0 + 0.5) AS BIGINT) AS t_q6 FROM m),
+          |scored AS (SELECT query_id, doc_id, CAST(sum(t_q6) AS BIGINT) AS s_q6 FROM terms GROUP BY query_id, doc_id),
+          |cands AS (SELECT query_id AS eval_id, doc_id AS cand_id FROM (
+          |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY s_q6 DESC, doc_id) AS rank FROM scored) WHERE rank <= 20),
+          |ewt AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws FROM ev),
+          |ew AS (SELECT DISTINCT doc_id AS eval_id, u.h FROM (
+          |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |    i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |  FROM ewt WHERE len(ws) >= 8)),
+          |cwt AS (SELECT c.doc_id, list_filter(string_split(c.text,' '), x -> x <> '') AS ws
+          |        FROM corpus c JOIN (SELECT DISTINCT cand_id FROM cands) ci ON c.doc_id = ci.cand_id),
+          |cw AS (SELECT DISTINCT doc_id AS cand_id, u.h FROM (
+          |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+          |    i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+          |  FROM cwt WHERE len(ws) >= 8)),
+          |sh AS (SELECT c.eval_id, c.cand_id, CAST(count(*) AS BIGINT) AS shared
+          |       FROM cands c JOIN ew ON c.eval_id = ew.eval_id JOIN cw ON c.cand_id = cw.cand_id AND ew.h = cw.h
+          |       GROUP BY 1, 2)
+          |SELECT cands.eval_id, count(*) AS n_candidates,
+          |       CAST(sum(CASE WHEN coalesce(sh.shared, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed,
+          |       CAST(max(coalesce(sh.shared, 0)) AS BIGINT) AS max_shared
+          |FROM cands LEFT JOIN sh ON cands.eval_id = sh.eval_id AND cands.cand_id = sh.cand_id
+          |GROUP BY cands.eval_id ORDER BY cands.eval_id""".stripMargin,
 
       // removal predicate and hash-shard layout replayed inline; one
       // grouped aggregate, CASE sums in the same operand order

@@ -416,6 +416,51 @@ object Dedup {
       wins.join(occ.where(col("occ") >= minOccurrences), "h").select("doc_id", "pos"), n)
   }
 
+  /** Retrieval-assisted decontamination — the production pattern for
+    * auditing a corpus against a benchmark when the full corpus-wide
+    * window semi-join ([[splitLeakage]]) is too expensive to run per eval
+    * release: BM25 retrieves each eval item's top-k lexically-closest
+    * corpus documents, and the EXACT n-token window verification runs
+    * only on those candidate pairs. One row per eval item:
+    * (eval_id, n_candidates, n_confirmed, max_shared) — candidates with
+    * ≥ 1 shared verbatim window are confirmed contamination.
+    *
+    * Recall caveat (by design): contamination in a document BM25 does not
+    * retrieve into the top-k is missed — this is the cheap
+    * per-eval-release audit; [[contaminationSpans]]/[[splitLeakage]]
+    * remain the exhaustive forms.
+    *
+    * Scale shape: the retrieval stage is [[TextOps.bm25Search]]'s bounded
+    * shape; past it EVERYTHING runs at candidate cardinality — candidate
+    * ids broadcast back into the corpus scan so the window explode
+    * touches ≤ |eval|·k documents, never the corpus; shared-window
+    * counting joins (id, 128-bit hash) rows only. Audit cost is
+    * independent of corpus size beyond the index probe. */
+  def retrievalDecontam(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, k: Int, n: Int): DataFrame = {
+    val cands = TextOps.bm25Search(corpus, evalSet, idCol, textCol, idCol,
+        textCol, k)
+      .select(col("query_id").as("eval_id"), col("doc_id").as("cand_id"))
+    val candIds = cands.select(col("cand_id")).distinct()
+    val candDocs = corpus.join(
+      broadcast(candIds.select(col("cand_id").cast("long").as("__cid"))),
+      col(idCol).cast("long") === col("__cid"))
+    val evalW = windowHashes(evalSet, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), col("h")).distinct()
+    val candW = windowHashes(candDocs, idCol, textCol, n)
+      .select(col("doc_id").as("cand_id"), col("h")).distinct()
+    val shared = cands
+      .join(evalW, Seq("eval_id"))
+      .join(candW, Seq("cand_id", "h"))
+      .groupBy("eval_id", "cand_id").agg(count(lit(1)).as("__shared"))
+    cands.join(shared, Seq("eval_id", "cand_id"), "left")
+      .withColumn("__shared", coalesce(col("__shared"), lit(0L)))
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__shared") > 0, lit(1L)).otherwise(lit(0L))).as("n_confirmed"),
+        max(col("__shared")).as("max_shared"))
+  }
+
   /** Every n-token window of every document as (doc_id, pos, md5-hash) —
     * the exploded frame behind [[duplicateSpans]] and
     * [[contaminationSpans]]; the full 128-bit hash keeps window identity

@@ -1644,6 +1644,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.size === 6)
   }
 
+  test("retrievalDecontam: the planted verbatim copy is retrieved and confirmed; clean eval reads zero") {
+    import spark.implicits._
+    val phrase = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (1L, s"$phrase plus trailing corpus words here"), // contains the eval item's windows
+      (2L, "totally unrelated corpus document about other things entirely"),
+      (3L, "another unrelated corpus document with different words again"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, phrase),                                          // contaminated
+      (200L, "clean benchmark item sharing no verbatim windows at all ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.retrievalDecontam(corpus, evalSet, "doc_id", "text", k = 3, n = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(100L)._2 === 1L, s"the verbatim copy must be confirmed: $got")
+    assert(got(100L)._3 === 3L, "10-token phrase shares 3 distinct 8-token windows")
+    assert(got.get(200L).forall(_._2 === 0L), s"the clean item must confirm nothing: $got")
+  }
+
   test("rankBiasedOverlap: identical lists hit the exact truncated mass, disjoint lists zero") {
     import spark.implicits._
     val la = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
