@@ -1449,6 +1449,14 @@ object SparkEntry {
       TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- interpolated Kneser–Ney bigram perplexity: absolute-discount
+    //      smoothing with continuation-unigram backoff (the KenLM/CCNet
+    //      model family), every probability an exact rational over integer
+    //      counts in oracle-identical IEEE op order, NLL q6-summed ----
+    "x15_kn_perplexity" -> ((s, d) => {
+      TextOps.knPerplexity(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
     // ---- model-based quality filter TRAINED IN THE ENGINE: full-batch
     //      logistic regression over hashed bag-of-tokens features with
     //      exact fixed-point gradient sums (bit-deterministic training),
@@ -3420,6 +3428,35 @@ object SparkEntry {
           |         CAST(floor(-ln((c_vw::DOUBLE + 0.5) / (c_v::DOUBLE + 0.5 * vocab.v_size))
           |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
           |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v), vocab)
+          |SELECT doc_id, count(*) AS n_trans,
+          |       CAST(sum(nll_q6) AS BIGINT) AS sum_nll_q6,
+          |       floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS avg_nll,
+          |       floor(exp(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ppl
+          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // interpolated Kneser–Ney bigram model: same transition frame as x11;
+      // discount D=0.75 (binary-exact); probability written in the SAME
+      // textual op order as the Spark side — (c_vw−D)/c_v + (D·n1_v/c_v)·
+      // (n1_w/B) — over exact integer counts, so every double agrees
+      // bitwise; NLL q6-fixed per transition and summed as longs
+      "x15_kn_perplexity" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |trans AS (
+          |  SELECT doc_id, toks[i - 1] AS v, toks[i] AS w
+          |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+          |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
+          |ctx AS (SELECT v, count(*) AS c_v, count(DISTINCT w) AS n1_v FROM trans GROUP BY v),
+          |cont AS (SELECT w, count(DISTINCT v) AS n1_w FROM trans GROUP BY w),
+          |bt AS (SELECT count(*)::DOUBLE AS btypes FROM bigram),
+          |scored AS (
+          |  SELECT trans.doc_id,
+          |         CAST(floor(-ln((c_vw::DOUBLE - 0.75) / c_v::DOUBLE
+          |                        + (0.75 * n1_v::DOUBLE / c_v::DOUBLE)
+          |                          * (n1_w::DOUBLE / btypes))
+          |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
+          |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v) JOIN cont USING (w), bt)
           |SELECT doc_id, count(*) AS n_trans,
           |       CAST(sum(nll_q6) AS BIGINT) AS sum_nll_q6,
           |       floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS avg_nll,

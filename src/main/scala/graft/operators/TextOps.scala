@@ -360,6 +360,72 @@ object TextOps {
           col("n_trans").cast("double"))).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity — the standard n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999) that add-k
+    * ([[bigramPerplexity]]) only approximates. KN discounts every observed
+    * bigram by a fixed absolute mass D and redistributes it through a
+    * CONTINUATION unigram ("how many distinct contexts does w follow?")
+    * instead of raw frequency — the distinction that makes "Francisco"
+    * (frequent but only after "San") score low as a continuation. This is
+    * the LM behind KenLM, i.e. the actual CCNet filter model.
+    *
+    * Model (interpolated, bigram order):
+    *   P(w|v)   = (c(v,w) − D)/c(v) + (D·N1+(v·)/c(v)) · Pcont(w)
+    *   Pcont(w) = N1+(·w) / B
+    * with c(v) the transition-context count, N1+(v·) the distinct
+    * followers of v, N1+(·w) the distinct predecessors of w, and B the
+    * total number of distinct bigram types (= Σ_w N1+(·w)). D = 0.75
+    * (binary-exact, the textbook default). Scoring the training corpus
+    * itself means every scored transition has c(v,w) ≥ 1 > D, so the
+    * max(·,0) branch of the discount never fires and P ∈ (0, 1] always;
+    * per-context Σ_w P(w|v) = 1 exactly (pinned in OperatorsSpec).
+    *
+    * Determinism: every probability is a fixed arithmetic expression over
+    * exact integer counts, written in the SAME IEEE operation order as the
+    * SQL oracle; each transition's NLL is q6-fixed and summed as longs
+    * (the [[bigramPerplexity]] contract).
+    *
+    * Scale shape: identical to [[bigramPerplexity]] — model tables at
+    * bigram-vocabulary cardinality (map-side combinable), scoring joins
+    * carry (doc_id, v, w) pairs, text never shuffles. */
+  def knPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val trans = base.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+            expr("transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS v, toks[i-1] AS w))"))
+          .otherwise(expr("array()"))).as("t"))
+      .select(col("doc_id"), col("t.v").as("v"), col("t.w").as("w"))
+    val bigram = trans.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+    // context stats: transition count AND distinct-follower count per v —
+    // one aggregate at context-vocabulary cardinality
+    val ctx = trans.groupBy("v").agg(count(lit(1)).as("c_v"),
+      countDistinct(col("w")).as("n1_v"))
+    // continuation stats: distinct predecessors per w
+    val cont = trans.groupBy("w").agg(countDistinct(col("v")).as("n1_w"))
+    // total distinct bigram types B = Σ_w N1+(·w)
+    val btypes = bigram.agg(count(lit(1)).cast("double").as("btypes"))
+    // same textual op order as the oracle:
+    //   (c_vw - D)/c_v + (D*n1_v/c_v)*(n1_w/B)
+    val p = (col("c_vw").cast("double") - lit(discount)) / col("c_v").cast("double") +
+      (lit(discount) * col("n1_v").cast("double") / col("c_v").cast("double")) *
+        (col("n1_w").cast("double") / col("btypes"))
+    trans
+      .join(bigram, Seq("v", "w"))
+      .join(ctx, Seq("v"))
+      .join(cont, Seq("w"))
+      .crossJoin(broadcast(btypes))
+      .withColumn("nll_q6", floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum(col("nll_q6")).as("sum_nll_q6"))
+      .select(col("doc_id"), col("n_trans"), col("sum_nll_q6"),
+        round4(col("sum_nll_q6").cast("double") / lit(1000000.0) /
+          col("n_trans").cast("double")).as("avg_nll"),
+        round4(exp(col("sum_nll_q6").cast("double") / lit(1000000.0) /
+          col("n_trans").cast("double"))).as("ppl"))
+  }
+
   /** DoReMi-style domain-mixture reweighting (Xie et al. 2023, reduced to
     * its group-DRO core): per-source model loss → T rounds of
     * exponentiated-gradient updates that up-weight sources with loss

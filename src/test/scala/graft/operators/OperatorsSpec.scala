@@ -785,6 +785,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(repart.toSeq === r.toSeq)
   }
 
+  test("knPerplexity: interpolated KN is a true distribution per context; continuation beats raw frequency; layout-invariant") {
+    import spark.implicits._
+    // "z" is FREQUENT but only ever follows "a" (the San-Francisco shape);
+    // "b" follows many distinct contexts. Raw-frequency smoothing (add-k)
+    // over-rewards z as a continuation; KN's continuation unigram must not.
+    val docs = Seq(
+      (0L, "a z a z a z a z a z"),
+      (1L, "c b d b e b f b"),
+      (2L, "g b h b a z"),
+      (3L, "x")                      // no transitions → dropped
+    ).toDF("doc_id", "text")
+    val r = TextOps.knPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(0L, 1L, 2L))
+
+    // replay the model single-node from first principles
+    val toks = Map(0L -> "a z a z a z a z a z", 1L -> "c b d b e b f b",
+      2L -> "g b h b a z").map { case (k, t) => k -> t.split(" ").toSeq }
+    val trans = toks.toSeq.flatMap { case (d, ts) => ts.sliding(2).map(p => (d, p(0), p(1))).toSeq }
+    val cVW = trans.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.size.toLong }
+    val cV = trans.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n1V = trans.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).distinct.size.toLong }
+    val n1W = trans.groupBy(_._3).map { case (k, v) => k -> v.map(_._2).distinct.size.toLong }
+    val b = cVW.size.toDouble
+    def p(v: String, w: String): Double =
+      math.max(cVW.getOrElse((v, w), 0L).toDouble - 0.75, 0.0) / cV(v).toDouble +
+        (0.75 * n1V(v).toDouble / cV(v).toDouble) * (n1W(w).toDouble / b)
+    // interpolated KN is a true distribution: summed over the continuation
+    // vocabulary (unseen (v,w) pairs carry only the continuation term,
+    // max(c−D,0)=0), each context's mass is EXACTLY 1
+    for (v <- cV.keys) {
+      val mass = n1W.keys.toSeq.sorted.map(w => p(v, w)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context $v mass $mass")
+    }
+    // engine matches the replica transition-for-transition
+    def q6(x: Double): Long = math.floor(-math.log(x) * 1e6 + 0.5).toLong
+    val expected = trans.groupBy(_._1).map { case (d, ts) =>
+      d -> ts.map(t => q6(p(t._2, t._3))).sum
+    }
+    r.foreach { row => assert(row._3 === expected(row._1), s"doc ${row._1}") }
+    // the continuation distinction: context "a" is fully predictable into z
+    // (c(a,z)=6 of c(a)=6) while doc 1's contexts are one-shot — doc 0 must
+    // score far more predictable
+    assert(r(0)._5 < r(1)._5)
+    // physical layout must not change a single byte
+    val repart = TextOps.knPerplexity(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Double)].collect()
+    assert(repart.toSeq === r.toSeq)
+  }
+
   test("temperatureMixSample: exact integer allocation, flatter than proportional, layout-invariant") {
     import spark.implicits._
     // sources with counts 100 / 25 / 4 / 1 → √ masses 10 / 5 / 2 / 1 (exact
