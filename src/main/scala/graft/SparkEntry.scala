@@ -1037,6 +1037,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- first-occurrence-wins BLOCK dedup (MassiveText-style): the
+    //      corpus in 16-token blocks, each block content kept exactly once
+    //      corpus-wide (globally smallest (doc, idx) occurrence), later
+    //      copies cut from the reassembled text — dedup semantics (content
+    //      survives once), vs boilerplate's cut-everywhere chrome rule ----
+    "d20_block_dedup" -> ((s, d) => {
+      Dedup.blockDedup(Tables.documents(s, d), "doc_id", "text", blockTokens = 16)
+        .orderBy("doc_id")
+    }),
+
     // ---- k-center greedy coreset selection (geometric data pruning): the
     //      k vectors that best cover the embedding space, each round one
     //      shuffle-free map+reduce; the dist² column is the covering-radius
@@ -3778,6 +3788,33 @@ object SparkEntry {
           |       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
           |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text
           |FROM documents d ORDER BY doc_id""".stripMargin,
+
+      // first-occurrence block dedup: same 16-token blocks (md5 over the
+      // space-joined slice), winner per hash = row_number 1 under
+      // (doc_id, block_index) — identical to Spark's min(struct) — later
+      // copies dropped, text reassembled from surviving block indexes
+      "d20_block_dedup" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |n AS (SELECT doc_id, toks,
+          |             CAST(ceil(len(toks) / 16.0) AS BIGINT) AS nb FROM t),
+          |b AS (SELECT doc_id, i AS bi,
+          |             md5(array_to_string(toks[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)], ' ')) AS h
+          |      FROM n, unnest(range(0, nb)) AS u(i)),
+          |w AS (SELECT h, doc_id AS wd, bi AS wb FROM (
+          |        SELECT h, doc_id, bi,
+          |               row_number() OVER (PARTITION BY h ORDER BY doc_id, bi) AS rn
+          |        FROM b) WHERE rn = 1),
+          |drp AS (SELECT b.doc_id, b.bi FROM b JOIN w USING (h)
+          |        WHERE NOT (b.doc_id = w.wd AND b.bi = w.wb)),
+          |da AS (SELECT doc_id, list(bi ORDER BY bi) AS drops FROM drp GROUP BY doc_id)
+          |SELECT n.doc_id, n.nb AS n_blocks,
+          |       CAST(COALESCE(len(da.drops), 0) AS BIGINT) AS n_dropped,
+          |       COALESCE(array_to_string(flatten(list_transform(
+          |         list_filter(range(0, n.nb), i -> NOT list_contains(COALESCE(da.drops, []), i)),
+          |         i -> toks[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)])), ' '), '') AS clean_text
+          |FROM n LEFT JOIN da USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       // the boilerplate df table re-aimed at a per-document audit: every
       // window joins its df, then one per-doc aggregate

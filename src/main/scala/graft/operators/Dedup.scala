@@ -791,6 +791,58 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** First-occurrence-wins BLOCK dedup (the MassiveText/RefinedWeb
+    * sub-document rule): the corpus is cut into fixed-width token blocks
+    * (`blockTokens`, trailing partial block included), every block content
+    * keeps exactly ONE copy — the globally smallest (doc_id, block_index)
+    * occurrence — and all later copies are cut from their documents'
+    * reassembled text. Differs from [[stripBoilerplate]] (df-threshold
+    * rule, cuts EVERY occurrence including the first) and from
+    * [[duplicateSpans]] (maximal recurring runs, also cut everywhere):
+    * here repeated content survives exactly once corpus-wide, which is
+    * the dedup semantics (remove redundancy, lose no content), not the
+    * chrome-removal semantics. Within-document repeats dedup too (the
+    * first occurrence in the owning doc wins).
+    *
+    * Output: (doc_id, n_blocks, n_dropped, clean_text), every document
+    * present (empty docs keep `clean_text = ''`).
+    *
+    * Scale shape: blocks are md5'd IN THE SCAN PROJECTION — the exploded
+    * rows carry (doc_id, block_index, 128-bit hash), never text; the
+    * winner per hash is one `min(struct(doc_id, idx))` aggregate with
+    * map-side partials; dropped indexes aggregate to one small array per
+    * AFFECTED document (the duplicate mass, far smaller than the corpus
+    * at scale) and join back ids-only (AQE → broadcast); reassembly is a
+    * codegen'd higher-order filter over the local token array. */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 16): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    val b = blockTokens
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__nb",
+        ceil(size(col("__toks")).cast("double") / lit(b.toDouble)).cast("long"))
+    val blocks = base.select(col("doc_id"),
+        posexplode(when(col("__nb") >= 1, expr(
+            s"transform(sequence(0, __nb - 1), i -> md5(array_join(slice(__toks, cast(i * $b + 1 as int), $b), ' ')))"))
+          .otherwise(expr("array()"))).as(Seq("bi", "h")))
+    val winners = blocks.groupBy("h")
+      .agg(min(struct(col("doc_id").as("d"), col("bi").as("i"))).as("w"))
+    val dropped = blocks.join(winners, "h")
+      .where(!(col("doc_id") === col("w.d") && col("bi") === col("w.i")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("bi"))).as("__drops"))
+    base.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__nb").as("n_blocks"),
+        coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"),
+        expr(
+          s"""concat_ws(' ', flatten(transform(
+             |  filter(CASE WHEN __nb >= 1 THEN sequence(0L, __nb - 1L) ELSE array() END,
+             |         i -> NOT array_contains(coalesce(__drops, cast(array() as array<int>)), cast(i as int))),
+             |  i -> slice(__toks, cast(i * $b + 1 as int), $b))))""".stripMargin)
+          .as("clean_text"))
+  }
+
   /** 32-bit SimHash over token occurrences: bit b set iff the sum of ±1 votes
     * (tokens whose hash has bit b set vote +1) is positive.
     *

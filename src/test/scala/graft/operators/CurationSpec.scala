@@ -222,6 +222,36 @@ class CurationSpec extends AnyFunSuite {
     assert(occSpans > 0)
   }
 
+  test("blockDedup: first occurrence survives corpus-wide (incl. within-doc), later copies cut") {
+    import spark.implicits._
+    // 4-token blocks for a readable fixture
+    val blockA = "w1 w2 w3 w4"
+    val blockB = "x1 x2 x3 x4"
+    val docs = Seq(
+      (0L, s"$blockA u1 u2 u3 u4"),          // owns first copy of A
+      (1L, s"$blockB $blockA"),              // A repeated → cut; owns B
+      (2L, s"$blockA $blockB"),              // both repeated → collapses to ''
+      (3L, s"$blockA $blockA v1 v2"),        // within-doc repeat: A already
+                                             // owned by doc 0 → both cut;
+                                             // trailing partial block kept
+      (4L, "")                               // empty doc present, '' text
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs, "doc_id", "text", blockTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) === ((2L, 0L, s"$blockA u1 u2 u3 u4")))
+    assert(out(1L) === ((2L, 1L, blockB)))
+    assert(out(2L) === ((2L, 2L, "")))
+    assert(out(3L) === ((3L, 2L, "v1 v2")))
+    assert(out(4L) === ((0L, 0L, "")))
+    // every block content appears exactly once across the cleaned corpus
+    val cleaned = out.values.map(_._3).mkString(" ").split(" ").filter(_.nonEmpty)
+    assert(cleaned.count(_ == "w1") === 1 && cleaned.count(_ == "x1") === 1)
+    // physical layout must not change the result
+    val repart = Dedup.blockDedup(docs.repartition(7), "doc_id", "text", blockTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(repart === out)
+  }
+
   test("e2e_web_pipeline: survivors are quality-kept, content-distinct, min-id") {
     val rows = SparkEntry.queries("e2e_web_pipeline")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
