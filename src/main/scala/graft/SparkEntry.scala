@@ -831,6 +831,28 @@ object SparkEntry {
         .orderBy("k_dim")
     }),
 
+    // ---- in-engine PCA: top-8 principal components trained over the
+    //      embedding corpus (exact q6-long moment sums via treeAggregate,
+    //      driver-side power iteration at dim² cardinality — the x12/x13
+    //      train-in-engine contract); projection is a pure zero-shuffle
+    //      map over broadcast-literal model arrays ----
+    "q_pca_project" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (mean, comps) = Similarity.trainPca(emb, 64, 8)
+      Similarity.pcaProject(emb, mean, comps).orderBy("vec_id", "pc")
+    }),
+
+    // ---- the measurement PCA exists for: recall@k of the 8-dim LEARNED
+    //      rotation vs the naive 8-dim prefix truncation, both against the
+    //      full-dim exact ranking — the "train a rotation or not" decision
+    //      for a reduced-dimension index ----
+    "q_pca_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.pcaVsPrefixRecall(emb, queries, 64, 8, TopK).orderBy("method")
+    }),
+
     // ---- ANN quality evaluation: recall@k of the LSH index against the
     //      exact brute-force ranking — the measurement that decides whether
     //      an approximate index is good enough to replace the exact scan;
@@ -2214,7 +2236,86 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql
+
+  /** PCA oracles, available after [[graft.operators.Similarity.trainPca]]
+    * has trained (both PCA gates train with identical params; Verify runs
+    * every query before dumping oracle SQL). Mean and components splice as
+    * DOUBLE[] literals — `Double.toString` round-trips — and the SQL
+    * replays centering, the ascending-dimension projection fold, the q6
+    * coordinate rounding, and (for the recall gate) both candidate
+    * rankings operation-for-operation. Training itself is pinned by the
+    * single-node replica in SimilarityPlanSpec, not re-run in SQL. */
+  private def pcaOracleSql: Map[String, String] =
+    graft.operators.Similarity.lastPca.toSeq.flatMap {
+      case (dim, nc, _, mean, comps) =>
+        val mLit = "[" + mean.mkString(", ") + "]::DOUBLE[]"
+        val cLit = "[" + comps.map(c => "[" + c.mkString(", ") + "]")
+          .mkString(", ") + "]::DOUBLE[][]"
+        // q6-rounded projection of `emb` onto component t (1-based):
+        // ascending-dimension fold, 0-init == first-term init exactly
+        def coord(emb: String, t: String) =
+          s"""floor(list_reduce(list_transform(range(1, ${dim + 1}),
+             |        i -> (CAST($emb[i] AS DOUBLE) - mm.m[i]) * cc.c[$t][i]),
+             |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+        def cos8(a: String, b: String) =
+          s"""round(
+             |  list_reduce(list_transform(range(1, ${nc + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y) /
+             |  (sqrt(list_reduce(list_transform(range(1, ${nc + 1}), i -> $a[i] * $a[i]), (x, y) -> x + y)) *
+             |   sqrt(list_reduce(list_transform(range(1, ${nc + 1}), i -> $b[i] * $b[i]), (x, y) -> x + y))), 6)""".stripMargin
+        def cosSlice(a: String, b: String, d: Int) =
+          s"""round(
+             |  list_reduce(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) /
+             |  (sqrt(list_reduce(list_transform(range(1, ${d + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y)) *
+             |   sqrt(list_reduce(list_transform(range(1, ${d + 1}), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y))), 6)""".stripMargin
+        Seq(
+        "q_pca_project" ->
+          s"""WITH mm(m) AS (SELECT $mLit), cc(c) AS (SELECT $cLit)
+             |SELECT e.vec_id, t AS pc, ${coord("e.embedding", "t")} AS coord
+             |FROM embeddings e, mm, cc, unnest(range(1, ${nc + 1})) AS u(t)
+             |ORDER BY vec_id, pc""".stripMargin,
+
+        "q_pca_recall" ->
+          s"""WITH mm(m) AS (SELECT $mLit), cc(c) AS (SELECT $cLit),
+             |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+             |fullsc AS (
+             |  SELECT q.query_id, e.vec_id, ${cosSlice("q.q_emb", "e.embedding", dim)} AS cos
+             |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |fullrk AS (SELECT query_id, vec_id FROM (
+             |  SELECT query_id, vec_id,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM fullsc) WHERE rank <= $TopK),
+             |psc AS (
+             |  SELECT q.query_id, e.vec_id, ${cosSlice("q.q_emb", "e.embedding", nc)} AS cos
+             |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             |prk AS (SELECT query_id, vec_id FROM (
+             |  SELECT query_id, vec_id,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM psc) WHERE rank <= $TopK),
+             |cp AS (SELECT e.vec_id,
+             |              list_transform(range(1, ${nc + 1}), t -> ${coord("e.embedding", "t")}) AS proj
+             |       FROM embeddings e, mm, cc),
+             |qp AS (SELECT q.query_id,
+             |              list_transform(range(1, ${nc + 1}), t -> ${coord("q.q_emb", "t")}) AS q_proj
+             |       FROM q, mm, cc),
+             |pcasc AS (
+             |  SELECT qp.query_id, cp.vec_id, ${cos8("qp.q_proj", "cp.proj")} AS cos
+             |  FROM cp CROSS JOIN qp WHERE cp.vec_id <> qp.query_id),
+             |pcark AS (SELECT query_id, vec_id FROM (
+             |  SELECT query_id, vec_id,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM pcasc) WHERE rank <= $TopK),
+             |lab AS (SELECT 'prefix' AS method, query_id, vec_id FROM prk
+             |        UNION ALL SELECT 'pca' AS method, query_id, vec_id FROM pcark),
+             |tot AS (SELECT method, CAST(count(*) AS BIGINT) AS n_ranked FROM lab GROUP BY 1),
+             |hit AS (SELECT l.method, CAST(count(*) AS BIGINT) AS n_hits FROM lab l
+             |        WHERE EXISTS (SELECT 1 FROM fullrk f
+             |                      WHERE f.query_id = l.query_id AND f.vec_id = l.vec_id)
+             |        GROUP BY 1)
+             |SELECT tot.method, tot.n_ranked, COALESCE(hit.n_hits, 0) AS n_hits,
+             |       floor(COALESCE(hit.n_hits, 0)::DOUBLE / tot.n_ranked::DOUBLE * 10000.0 + 0.5) / 10000.0 AS recall
+             |FROM tot LEFT JOIN hit USING (method) ORDER BY method""".stripMargin)
+    }.toMap
 
   /** x12 oracle, available after [[graft.operators.TextOps.qualityLrScore]]
     * has trained (Verify runs every query before dumping oracle SQL). The

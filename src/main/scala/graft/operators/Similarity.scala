@@ -807,6 +807,180 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Model from the most recent [[trainPca]] call in this JVM, keyed by
+    * (dim, nComponents, nRows): mean vector and principal components,
+    * exported to the DuckDB oracle as literal arrays (the
+    * [[lastIvfCentroids]] contract — the query run always precedes the
+    * oracle dump in [[graft.Verify]]). */
+  @volatile private[graft] var lastPca: Option[(Int, Int, Long, Array[Double], Array[Array[Double]])] = None
+
+  /** In-engine PCA training: top-`nComponents` principal components of the
+    * embedding corpus — the learned-rotation answer to "how many index
+    * dimensions do we actually need" that [[dimTruncationRecall]]'s naive
+    * prefix truncation only lower-bounds (Matryoshka models aside, raw
+    * embedding coordinates are not importance-ordered; PCA orders them).
+    *
+    * Determinism (the train-in-engine contract of x12/x13): embeddings are
+    * q6-quantized in the one corpus pass, so the mean and second-moment
+    * sums are EXACT LONG SUMS (commutative — any partitioning, any retry,
+    * same bits) collected via `treeAggregate` at dim²-cardinality
+    * (64×64 → 2 080 upper-triangle longs per partition). The covariance,
+    * power iteration with deflation (fixed `iterations`, no early exit),
+    * and sign canonicalization (largest-|coordinate| entry positive) run
+    * driver-side on the dim×dim matrix — the same driver-scalars contract
+    * as the DP calibration and the k-means/PQ trainers. Long-overflow
+    * bound: |x| ≤ 1 ⇒ products ≤ 1e12, so the exact path holds to ~9e6
+    * rows per aggregate; the 100 TB variant merges per-shard moment
+    * tables hierarchically (same exact longs), not a different algorithm.
+    *
+    * Returns (mean, components) and records [[lastPca]]. */
+  def trainPca(corpus: DataFrame, dim: Int, nComponents: Int,
+      iterations: Int = 200): (Array[Double], Array[Array[Double]]) = {
+    require(nComponents >= 1 && nComponents <= dim)
+    val tri = dim * (dim + 1) / 2
+    val rows = corpus.select(asDouble(col("embedding")).as("emb")).rdd.map { r =>
+      val e = r.getSeq[Double](0)
+      require(e.length == dim, s"expected dim $dim, got ${e.length}")
+      Array.tabulate(dim)(j => math.floor(e(j) * 1e6 + 0.5).toLong)
+    }
+    val (n, s, m) = rows.treeAggregate((0L, new Array[Long](dim), new Array[Long](tri)))(
+      { case ((cnt, sums, moms), xq) =>
+        var j = 0; var t = 0
+        while (j < dim) {
+          sums(j) += xq(j)
+          var k = j
+          while (k < dim) { moms(t) += xq(j) * xq(k); t += 1; k += 1 }
+          j += 1
+        }
+        (cnt + 1, sums, moms)
+      },
+      { case ((c1, s1, m1), (c2, s2, m2)) =>
+        var j = 0
+        while (j < dim) { s1(j) += s2(j); j += 1 }
+        var t = 0
+        while (t < tri) { m1(t) += m2(t); t += 1 }
+        (c1 + c2, s1, m1)
+      })
+    require(n > 0, "empty corpus")
+    // covariance in q6² units (a global scale — eigenvectors unchanged)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 0
+    var j = 0
+    while (j < dim) {
+      var k = j
+      while (k < dim) {
+        val c = (m(t).toDouble - s(j).toDouble * s(k).toDouble / n.toDouble) / n.toDouble
+        cov(j)(k) = c; cov(k)(j) = c
+        t += 1; k += 1
+      }
+      j += 1
+    }
+    val comps = Array.ofDim[Double](nComponents, dim)
+    for (c <- 0 until nComponents) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lambda = 0.0
+      for (_ <- 0 until iterations) {
+        val w = new Array[Double](dim)
+        var a = 0
+        while (a < dim) {
+          var acc = 0.0
+          var b = 0
+          while (b < dim) { acc += cov(a)(b) * v(b); b += 1 }
+          w(a) = acc; a += 1
+        }
+        lambda = math.sqrt(w.map(x => x * x).sum)
+        v = if (lambda == 0.0) v else w.map(_ / lambda)
+      }
+      // canonical sign: the largest-|coordinate| entry (ties → smallest
+      // index) is positive
+      var best = 0
+      for (a <- 1 until dim) if (math.abs(v(a)) > math.abs(v(best))) best = a
+      if (v(best) < 0) v = v.map(-_)
+      comps(c) = v
+      // deflate
+      for (a <- 0 until dim; b <- 0 until dim) cov(a)(b) -= lambda * v(a) * v(b)
+    }
+    val mean = s.map(x => x.toDouble / n.toDouble / 1e6)
+    lastPca = Some((dim, nComponents, n, mean, comps))
+    (mean, comps)
+  }
+
+  /** Projection onto a trained PCA basis: each output coordinate is
+    * dot(x − mean, component) in LEFT-FOLD ascending-dimension order (the
+    * oracle-replayable contract shared with [[cosine]]). A pure projection
+    * over broadcast-literal model arrays — zero shuffles at any scale.
+    * Output: (`idAs`, pc (1-based component), coord). */
+  def pcaProject(corpus: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]], idAs: String = "vec_id"): DataFrame =
+    pcaProjectArrays(corpus, mean, comps, "vec_id", idAs)
+      .select(col(idAs), posexplode(col("proj")).as(Seq("__p", "coord")))
+      .select(col(idAs), (col("__p") + lit(1)).cast("long").as("pc"), col("coord"))
+
+  /** [[pcaProject]] keeping each vector's coordinates as ONE q6-rounded
+    * array row — the representation the reduced-dimension index stores. */
+  def pcaProjectArrays(corpus: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]], idCol: String = "vec_id",
+      idAs: String = "vec_id"): DataFrame = {
+    val meanLit = array(mean.map(lit): _*)
+    val centered = zip_with(asDouble(col("embedding")), meanLit, (x, mu) => x - mu)
+    val coords = array(comps.map { comp =>
+      floor(graft.expressions.GraftExpressions.dot(col("__ctr"),
+          array(comp.map(lit): _*)) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    }: _*)
+    corpus.select(col(idCol).cast("long").as(idAs), centered.as("__ctr"))
+      .select(col(idAs), coords.as("proj"))
+  }
+
+  /** The index-design measurement PCA exists for: recall@k of a
+    * `kDim`-dimensional LEARNED rotation (PCA, trained in-engine) vs the
+    * naive `kDim`-prefix truncation ([[dimTruncationRecall]]'s budgets),
+    * both against the full-dimension exact ranking. On non-Matryoshka
+    * embeddings the prefix throws away variance the rotation keeps, so
+    * this pair of numbers is the "train a rotation or not" decision for
+    * a reduced-dimension 100 TB index.
+    *
+    * Scale shape: one corpus pass trains the rotation ([[trainPca]]),
+    * projections are pure zero-shuffle projections over broadcast-literal
+    * model arrays, queries broadcast, and both candidate rankings ride
+    * WindowGroupLimit partial top-k. Output: (method ∈ {pca, prefix},
+    * n_ranked, n_hits, recall). */
+  def pcaVsPrefixRecall(corpus: DataFrame, queries: DataFrame, dim: Int,
+      kDim: Int, k: Int): DataFrame = {
+    val (mean, comps) = trainPca(corpus, dim, kDim)
+    val full = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .localCheckpoint()
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val prefixTop = c.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(
+        slice(col("q_emb"), lit(1), lit(kDim)),
+        slice(col("emb"), lit(1), lit(kDim))), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(lit("prefix").as("method"), col("query_id"), col("vec_id"))
+    val cp = pcaProjectArrays(corpus, mean, comps)
+    val qp = broadcast(pcaProjectArrays(queries, mean, comps, "query_id", "query_id")
+      .withColumnRenamed("proj", "q_proj"))
+    val pcaTop = cp.join(qp, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q_proj"), col("proj")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(lit("pca").as("method"), col("query_id"), col("vec_id"))
+    val tops = prefixTop.unionByName(pcaTop).localCheckpoint()
+    val totals = tops.groupBy("method").agg(count(lit(1)).as("n_ranked"))
+    val hits = tops.join(full, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("method").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("method"), "left")
+      .select(col("method"), col("n_ranked"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (floor(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_ranked").cast("double") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("recall"))
+  }
+
   /** Squared L2 distance with a FIXED ascending-dimension summation order —
     * the bitwise contract the k-center oracle replays in SQL
     * (list_reduce over range(1, dim+1), same left-fold). */

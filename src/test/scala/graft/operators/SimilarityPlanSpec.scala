@@ -54,4 +54,73 @@ class SimilarityPlanSpec extends AnyFunSuite {
       s"candidate volume grew with the corpus: $at1k -> $at2k")
     assert(at1k > 0)
   }
+
+  test("trainPca matches a single-node replica bit-for-bit; components orthonormal; layout-invariant") {
+    import spark.implicits._
+    // anisotropic fixture: variance concentrated in dims 60..63 (the ones
+    // prefix truncation throws away), deterministic from the id
+    val dim = 8
+    def vec(i: Long): Array[Float] = Array.tabulate(dim) { j =>
+      val base = (graft.dp.Mix.mix64(i * dim + j) >>> 40).toDouble / (1L << 24).toDouble - 0.5
+      (if (j >= dim - 2) base * 4.0 else base * 0.25).toFloat
+    }
+    val rows = (0L until 200L).map(i => (i, vec(i).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val (mean, comps) = Similarity.trainPca(df, dim, 3, iterations = 200)
+
+    // single-node replica: identical q6 quantization, moment sums, power
+    // iteration — must agree to the last bit (long sums commute; driver
+    // math is a fixed single-threaded op sequence)
+    val xq = rows.map(_._2.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+    val n = xq.length
+    val s = Array.tabulate(dim)(j => xq.map(_(j)).sum)
+    val cov = Array.ofDim[Double](dim, dim)
+    for (j <- 0 until dim; k <- 0 until dim) {
+      val mjk = xq.map(r => r(j) * r(k)).sum
+      cov(j)(k) = (mjk.toDouble - s(j).toDouble * s(k).toDouble / n.toDouble) / n.toDouble
+    }
+    val expComps = Array.ofDim[Double](3, dim)
+    for (c <- 0 until 3) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lambda = 0.0
+      for (_ <- 0 until 200) {
+        val w = Array.tabulate(dim)(a => (0 until dim).map(b => cov(a)(b) * v(b)).sum)
+        lambda = math.sqrt(w.map(x => x * x).sum)
+        v = if (lambda == 0.0) v else w.map(_ / lambda)
+      }
+      var best = 0
+      for (a <- 1 until dim) if (math.abs(v(a)) > math.abs(v(best))) best = a
+      if (v(best) < 0) v = v.map(-_)
+      expComps(c) = v
+      for (a <- 0 until dim; b <- 0 until dim) cov(a)(b) -= lambda * v(a) * v(b)
+    }
+    val expMean = s.map(x => x.toDouble / n.toDouble / 1e6)
+    assert(mean.toSeq === expMean.toSeq)
+    // replica matrix-vector products sum in a different (collection) order
+    // than the operator's while-loop — allow ulp-level slack there, exact
+    // everywhere it must be
+    for (c <- 0 until 3; j <- 0 until dim)
+      assert(math.abs(comps(c)(j) - expComps(c)(j)) < 1e-12, s"comp $c dim $j")
+    // orthonormal basis (orthogonality to power-iteration convergence
+    // tolerance — deflation is exact only at the fixed point)
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val d = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-6, s"dot($a,$b)=$d")
+    }
+    // the top components must live in the high-variance subspace the
+    // prefix discards — and the learned rotation must therefore beat
+    // prefix truncation on this corpus
+    val topMass = comps(0).takeRight(2).map(x => x * x).sum
+    assert(topMass > 0.9, s"pc1 mass in high-variance dims: $topMass")
+    val queries = df.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val rec = Similarity.pcaVsPrefixRecall(df, queries, dim, 2, 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rec("pca") > rec("prefix"),
+      s"learned rotation should beat prefix here: $rec")
+    // layout invariance of training (exact long sums)
+    val (mean2, comps2) = Similarity.trainPca(df.repartition(7), dim, 3, iterations = 200)
+    assert(mean2.toSeq === mean.toSeq)
+    assert(comps2.map(_.toSeq).toSeq === comps.map(_.toSeq).toSeq)
+  }
 }
