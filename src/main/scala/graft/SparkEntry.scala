@@ -831,6 +831,19 @@ object SparkEntry {
         .orderBy("k_dim")
     }),
 
+    // ---- c-TF-IDF cluster topic labeling (BERTopic-style): each k-means
+    //      cluster treated as one pseudo-document, terms ranked by
+    //      tf_cw · ln(1 + avg_tokens_per_cluster / f_w) — the step that
+    //      names semantic clusters after curation; scores are exact long
+    //      products of a q6-fixed per-word idf ----
+    "q_cluster_topics" -> ((s, d) => {
+      val labels = Similarity.kmeansAssign(Tables.embeddings(s, d))
+        .select(col("vec_id").as("doc_id"), col("cluster"))
+      TextOps.classTfidfTopTerms(Tables.documents(s, d), "doc_id", "text",
+          labels, nClasses = 16, topM = 3)
+        .orderBy("cluster", "rank")
+    }),
+
     // ---- in-engine PCA: top-8 principal components trained over the
     //      embedding corpus (exact q6-long moment sums via treeAggregate,
     //      driver-side power iteration at dim² cardinality — the x12/x13
@@ -2857,6 +2870,38 @@ object SparkEntry {
              |  FROM assign)
              |SELECT cluster, vec_id FROM sampled WHERE r <= 10
              |ORDER BY cluster, vec_id""".stripMargin,
+
+        // c-TF-IDF topics: same assignment CTEs, then token rows labeled
+        // by their doc's cluster; idf q6-fixed per word from exact longs
+        // (same ln input order: 1.0 + (n/16)/fw), score = exact long
+        // product, rank on (score desc, word)
+        "q_cluster_topics" ->
+          s"""WITH centroids(c, nsq, w) AS (VALUES $values),
+             |corp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |dists AS (
+             |  SELECT v.vec_id, ct.c, ct.nsq - 2.0 * ${dotq("ct.w", "v.emb")} AS d
+             |  FROM corp v CROSS JOIN centroids ct),
+             |rankedc AS (SELECT vec_id, c,
+             |                   row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+             |assign AS (SELECT vec_id, CAST(c AS INT) AS cluster FROM rankedc WHERE rn = 1),
+             |tok AS (SELECT a.cluster,
+             |               unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS word
+             |        FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+             |tf AS (SELECT cluster, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+             |fw AS (SELECT word, CAST(count(*) AS BIGINT) AS fw FROM tok GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+             |idf AS (SELECT word,
+             |               CAST(floor(ln(1.0 + (n::DOUBLE / 16.0) / fw::DOUBLE)
+             |                          * 1000000.0 + 0.5) AS BIGINT) AS idf_q6
+             |        FROM fw, tot),
+             |sc AS (SELECT tf.cluster, tf.word, tf.tf, tf.tf * idf.idf_q6 AS score_q6
+             |       FROM tf JOIN idf USING (word)),
+             |rk AS (SELECT cluster, word, tf, score_q6,
+             |              row_number() OVER (PARTITION BY cluster
+             |                ORDER BY score_q6 DESC, word) AS rank
+             |       FROM sc)
+             |SELECT cluster, rank, word, tf, score_q6 FROM rk WHERE rank <= 3
+             |ORDER BY cluster, rank""".stripMargin,
 
         // the incremental form: the held-out fifth (vec_id % 5 = 0) pairs
         // against the other fifths' cell index under the same exported

@@ -426,6 +426,48 @@ object TextOps {
           col("n_trans").cast("double"))).as("ppl"))
   }
 
+  /** Class-based TF-IDF topic terms (the BERTopic c-TF-IDF rule,
+    * Grootendorst 2022): treat each document CLASS (e.g. a semantic
+    * cluster from k-means assignment) as one pseudo-document and rank its
+    * terms by tf_{c,w} · ln(1 + A / f_w), where tf_{c,w} is the term's
+    * count inside the class, f_w its corpus-wide count, and A the average
+    * tokens per class (total / `nClasses`) — the labeling step that turns
+    * anonymous cluster ids into human-readable topics after semantic
+    * curation.
+    *
+    * Determinism: the idf factor is q6-fixed per WORD (exact inputs: two
+    * longs and the literal class count), the score is the exact long
+    * product tf · idf_q6, and the per-class rank orders on (score_q6
+    * desc, word) — bit-identical in any engine.
+    *
+    * Scale shape: token rows (doc_id, word) join the ids-only `labels`
+    * map (never text); tf aggregates at class×vocabulary cardinality and
+    * f_w at vocabulary cardinality, both map-side combinable; the final
+    * rank rides WindowGroupLimit at class cardinality. */
+  def classTfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, nClasses: Int, topM: Int = 3): DataFrame = {
+    require(nClasses >= 1 && topM >= 1)
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+      .join(labels, "doc_id")
+      .select(col("cluster"), col("word"))
+    val tf = tok.groupBy("cluster", "word").agg(count(lit(1)).as("tf"))
+    val fw = tok.groupBy("word").agg(count(lit(1)).as("fw"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    val idf = fw.crossJoin(broadcast(tot))
+      .select(col("word"),
+        floor(log(lit(1.0) + (col("n").cast("double") / lit(nClasses.toDouble))
+            / col("fw").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("idf_q6"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score_q6").desc, col("word"))
+    tf.join(idf, "word")
+      .withColumn("score_q6", col("tf") * col("idf_q6"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topM)
+      .select(col("cluster"), col("rank"), col("word"), col("tf"), col("score_q6"))
+  }
+
   /** DoReMi-style domain-mixture reweighting (Xie et al. 2023, reduced to
     * its group-DRO core): per-source model loss → T rounds of
     * exponentiated-gradient updates that up-weight sources with loss

@@ -252,6 +252,35 @@ class CurationSpec extends AnyFunSuite {
     assert(repart === out)
   }
 
+  test("classTfidfTopTerms: class-exclusive terms outrank corpus-wide stopwords") {
+    import spark.implicits._
+    // two classes; 'the' dominates both by raw count, 'kernel'/'recipe'
+    // are exclusive — c-TF-IDF must surface the exclusive terms first
+    val docs = Seq(
+      (0L, "the kernel driver kernel module the kernel"),
+      (1L, "the kernel panic driver kernel the"),
+      (2L, "the recipe flour recipe sugar the recipe"),
+      (3L, "the recipe oven flour recipe the")
+    ).toDF("doc_id", "text")
+    val labels = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1)).toDF("doc_id", "cluster")
+    val r = TextOps.classTfidfTopTerms(docs, "doc_id", "text", labels,
+        nClasses = 2, topM = 2)
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getString(2))).toSeq
+    val byCluster = r.groupBy(_._1).map { case (c, rows) =>
+      c -> rows.sortBy(_._2).map(_._3)
+    }
+    assert(byCluster(0).head === "kernel")
+    assert(byCluster(1).head === "recipe")
+    // the stopword never makes a top-2 despite being the most frequent
+    // term in BOTH classes
+    assert(!r.exists(_._3 == "the"))
+    // determinism under layout
+    val repart = TextOps.classTfidfTopTerms(docs.repartition(5), "doc_id", "text",
+        labels, nClasses = 2, topM = 2)
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getString(2))).toSeq
+    assert(repart.toSet === r.toSet)
+  }
+
   test("e2e_web_pipeline: survivors are quality-kept, content-distinct, min-id") {
     val rows = SparkEntry.queries("e2e_web_pipeline")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
