@@ -1261,6 +1261,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- graded-relevance nDCG@10 of the BM25 retriever: relevance =
+    //      min(3, distinct shared words with the query doc), gain 2^rel−1,
+    //      q6-fixed discounts spliced identically into plan and oracle —
+    //      the position-weighted ranking-quality metric completing
+    //      recall@k (membership) and RBO (list agreement) ----
+    "q_ndcg_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.ndcgAt(docs, docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", "doc_id", "text", k = 10, maxGrade = 7, gradeDiv = 4)
+        .orderBy("query_id")
+    }),
+
     // ---- rank-biased overlap between the lexical and dense top-20 lists
     //      per query (p = 0.9, depth 20): the redundancy measure that
     //      justifies (or retires) RRF fusion — NO transcendentals, the
@@ -4351,6 +4363,62 @@ object SparkEntry {
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
           |       floor(s_q6::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // the BM25 stack at k=10, then graded relevance from distinct shared
+      // words, the same spliced q6 discount literals as the Spark plan,
+      // exact long gain×discount sums, ideal via the re-sorted gain window
+      "q_ndcg_eval" -> {
+        val disc = (1 to 10).map(i =>
+          math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+        val discLit = disc.mkString("[", ", ", "]") + "::BIGINT[]"
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term FROM documents),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(term),1,15))::BIGINT AS th FROM toks),
+           |tf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf FROM h GROUP BY doc_id, th),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+           |dfreq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY th),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+           |q AS (SELECT DISTINCT doc_id AS query_id, th FROM h WHERE doc_id % 50 = 0),
+           |m AS (
+           |  SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, stats.n_docs, stats.total_dl
+           |  FROM q JOIN tf USING (th) JOIN dl ON tf.doc_id = dl.doc_id
+           |         JOIN dfreq ON q.th = dfreq.th, stats
+           |  WHERE tf.doc_id <> q.query_id),
+           |terms AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(
+           |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+           |      ((tf::DOUBLE * (1.2 + 1.0)) /
+           |       (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE / (total_dl::DOUBLE / n_docs::DOUBLE)))))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS t_q6
+           |  FROM m),
+           |scored AS (SELECT query_id, doc_id, CAST(sum(t_q6) AS BIGINT) AS s_q6 FROM terms GROUP BY query_id, doc_id),
+           |res AS (SELECT query_id, doc_id, rank FROM (
+           |  SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY s_q6 DESC, doc_id) AS rank
+           |  FROM scored) WHERE rank <= 10),
+           |dw AS (SELECT DISTINCT doc_id, term FROM toks),
+           |qw AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id % 50 = 0),
+           |sh AS (SELECT r.query_id, r.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |       FROM res r JOIN dw ON dw.doc_id = r.doc_id
+           |                  JOIN qw ON qw.query_id = r.query_id AND qw.term = dw.term
+           |       GROUP BY r.query_id, r.doc_id),
+           |g AS (SELECT res.query_id, res.rank,
+           |             (1::BIGINT << CAST(LEAST(7::BIGINT, COALESCE(sh.n_shared, 0) // 4) AS INTEGER)) - 1 AS gain
+           |      FROM res LEFT JOIN sh ON sh.query_id = res.query_id AND sh.doc_id = res.doc_id),
+           |i AS (SELECT query_id, rank, gain,
+           |             row_number() OVER (PARTITION BY query_id ORDER BY gain DESC, rank) AS ipos
+           |      FROM g),
+           |d(disc) AS (SELECT $discLit),
+           |agg AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_results,
+           |               CAST(sum(gain * disc[rank]) AS BIGINT) AS dcg_q6,
+           |               CAST(sum(gain * disc[ipos]) AS BIGINT) AS idcg_q6
+           |        FROM i, d GROUP BY query_id)
+           |SELECT query_id, n_results, dcg_q6, idcg_q6,
+           |       CASE WHEN idcg_q6 = 0 THEN 0.0
+           |            ELSE floor(dcg_q6::DOUBLE / idcg_q6::DOUBLE * 10000.0 + 0.5) / 10000.0 END AS ndcg
+           |FROM agg ORDER BY query_id""".stripMargin
+      },
 
       // the two retriever CTE stacks again, a RECURSIVE integer weight
       // CTE (w_d = (w_{d-1}*90) // 100 -- no pow()), and the depth rollup

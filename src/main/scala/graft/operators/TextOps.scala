@@ -1310,6 +1310,66 @@ object TextOps {
           / lit(10000.0)).as("score"))
   }
 
+  /** Graded-relevance nDCG@k of the BM25 retriever — the ranking-quality
+    * measurement that completes the retrieval-evaluation family
+    * (recall@k grades set membership, RBO grades list agreement; nDCG
+    * grades POSITION × GRADED relevance, the standard search metric).
+    *
+    * Relevance grade: rel(q, d) = min(`maxGrade`, (#distinct words shared
+    * between the query document and the result) div `gradeDiv`) — a
+    * deterministic graded label derivable in any engine (the term-overlap
+    * labeling used when no human judgments exist; the divisor widens the
+    * band so grades actually spread). Gain 2^rel − 1, discount
+    * 1/log2(i+1).
+    *
+    * Determinism: the k discount values are computed ONCE in Scala,
+    * q6-fixed, and spliced as literals into BOTH the Spark plan and the
+    * SQL oracle (no cross-engine log2); gains and discounts multiply and
+    * sum as exact longs; nDCG (and its ideal-ranking denominator, the
+    * same gain multiset re-sorted descending) is one final guarded IEEE
+    * divide, round4'd. nDCG = 0 when the ideal DCG is 0 (nothing
+    * relevant retrieved).
+    *
+    * Scale shape: the retrieval itself is [[bm25Search]]'s bounded
+    * machinery; grading joins touch ≤ |queries|·k result rows against
+    * (id, word) distinct-token rows; the per-query aggregate is
+    * result-set cardinality. Output: (query_id, n_results, dcg_q6,
+    * idcg_q6, ndcg). */
+  def ndcgAt(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qIdCol: String, qTextCol: String, k: Int,
+      maxGrade: Int = 3, gradeDiv: Int = 8): DataFrame = {
+    require(k >= 1 && maxGrade >= 1 && gradeDiv >= 1)
+    val retrieved = bm25Search(corpus, queries, idCol, textCol, qIdCol, qTextCol, k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+      .localCheckpoint() // consumed by the grading join AND the final agg
+    val dWords = corpus.select(col(idCol).cast("long").as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("word"))
+    val qWords = queries.select(col(qIdCol).cast("long").as("query_id"),
+      explode(array_distinct(tokens(col(qTextCol)))).as("word"))
+    val shared = retrieved.join(dWords, "doc_id")
+      .join(qWords, Seq("query_id", "word"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_shared"))
+    val discQ6 = (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+    val discArr = array(discQ6.map(lit): _*)
+    val graded = retrieved.join(shared, Seq("query_id", "doc_id"), "left")
+      .withColumn("gain", expr(
+        s"shiftleft(1L, cast(least(${maxGrade}L, coalesce(n_shared, 0L) div $gradeDiv) as int)) - 1L"))
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("gain").desc, col("rank"))
+    graded.withColumn("ipos", row_number().over(wIdeal))
+      .withColumn("d_rank", element_at(discArr, col("rank").cast("int")))
+      .withColumn("d_ipos", element_at(discArr, col("ipos")))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_results"),
+        sum(col("gain") * col("d_rank")).as("dcg_q6"),
+        sum(col("gain") * col("d_ipos")).as("idcg_q6"))
+      .select(col("query_id"), col("n_results"), col("dcg_q6"), col("idcg_q6"),
+        when(col("idcg_q6") === 0L, lit(0.0))
+          .otherwise(round4(col("dcg_q6").cast("double") / col("idcg_q6").cast("double")))
+          .as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval rank
     * lists — the standard hybrid-retrieval combiner a curation platform
     * uses to merge lexical (BM25) and dense (embedding-cosine) signals

@@ -281,6 +281,39 @@ class CurationSpec extends AnyFunSuite {
     assert(repart.toSet === r.toSet)
   }
 
+  test("ndcgAt: perfect ranking scores 1; tf-inflated low-overlap doc above high-overlap docs costs nDCG") {
+    import spark.implicits._
+    // query 0 shares ONE rare word with doc 1, which repeats it — high
+    // idf × saturated tf outscores docs 2/3, which share TWO moderate
+    // words each (higher grade). BM25 then ranks the grade-1 doc first
+    // and the ideal re-sort must beat the retrieved order: nDCG < 1.
+    val docs = Seq(
+      (0L, "rare1 c1 c2 q1 q2 q3 q4 q5"),
+      (1L, "rare1 rare1 rare1 rare1 rare1 rare1 rare1 rare1 rare1 rare1 rare1 rare1"),
+      (2L, "c1 c2 f1 f2 f3 f4 f5 f6"),
+      (3L, "c1 c2 g1 g2 g3 g4 g5 g6")
+    ).toDF("doc_id", "text")
+    val queries = docs.where(col("doc_id") === 0L)
+    val r = TextOps.ndcgAt(docs, queries, "doc_id", "text", "doc_id", "text",
+        k = 3, maxGrade = 7, gradeDiv = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(r.length === 1)
+    val (_, n, dcg, idcg, ndcg) = r.head
+    assert(n === 3L)
+    assert(dcg < idcg && ndcg < 1.0, s"expected imperfect ranking, got $r")
+    assert(ndcg > 0.0)
+    // a query whose results are already in grade order must score exactly 1
+    val r2 = TextOps.ndcgAt(docs.where(col("doc_id") =!= 1L), queries,
+        "doc_id", "text", "doc_id", "text", k = 3, maxGrade = 7, gradeDiv = 1)
+      .collect().map(x => x.getDouble(4))
+    assert(r2.toSeq === Seq(1.0))
+    // layout invariance
+    val repart = TextOps.ndcgAt(docs.repartition(5), queries, "doc_id", "text",
+        "doc_id", "text", k = 3, maxGrade = 7, gradeDiv = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    assert(repart.toSeq === r.toSeq)
+  }
+
   test("e2e_web_pipeline: survivors are quality-kept, content-distinct, min-id") {
     val rows = SparkEntry.queries("e2e_web_pipeline")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
