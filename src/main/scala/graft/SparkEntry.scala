@@ -831,6 +831,24 @@ object SparkEntry {
         .orderBy("k_dim")
     }),
 
+    // ---- chance-corrected agreement between two quality signals: Cohen's
+    //      kappa over the heuristic-quality quartile vs the bigram-LM
+    //      difficulty quartile (both via the exact integer NTILE) — the
+    //      redundant-or-complementary decision for a signal ensemble;
+    //      kappa's numerator/denominator are exact longs ----
+    "q_signal_kappa" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qa = CoreOps.curriculumPhases(
+          docs.select(col("doc_id"), TextOps.qualityCol(col("text")).as("q")),
+          Seq("q", "doc_id"), 4)
+        .select(col("doc_id"), col("phase").as("phase_a"))
+      val qb = CoreOps.curriculumPhases(
+          TextOps.bigramPerplexity(docs, "doc_id", "text").select("doc_id", "avg_nll"),
+          Seq("avg_nll", "doc_id"), 4)
+        .select(col("doc_id"), col("phase").as("phase_b"))
+      CoreOps.agreementKappa(qa, qb, "doc_id", "phase_a", "phase_b")
+    }),
+
     // ---- c-TF-IDF cluster topic labeling (BERTopic-style): each k-means
     //      cluster treated as one pseudo-document, terms ranked by
     //      tf_cw · ln(1 + avg_tokens_per_cluster / f_w) — the step that
@@ -4134,6 +4152,68 @@ object SparkEntry {
           |                 ELSE (n % 4) + (idx - (n % 4) * (n // 4 + 1)) // (n // 4)
           |            END + 1 AS INT) AS phase
           |FROM r, n ORDER BY doc_id""".stripMargin,
+
+      // both signals' quartiles re-derived (x2's quality blend, x11's
+      // avg_nll, the exact integer NTILE of q_curriculum_phases), then
+      // Cohen's kappa from exact long confusion arithmetic
+      "q_signal_kappa" -> {
+        val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val phase4 = (idx: String, n: String) =>
+          s"""CAST(CASE WHEN $idx < ($n % 4) * ($n // 4 + 1)
+             |          THEN $idx // ($n // 4 + 1)
+             |          ELSE ($n % 4) + ($idx - ($n % 4) * ($n // 4 + 1)) // ($n // 4)
+             |     END + 1 AS INT)""".stripMargin
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |raw AS (
+           |  SELECT doc_id,
+           |         least(1.0, len(toks)::DOUBLE / 50.0) AS ls,
+           |         len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+           |         len(list_filter(toks, x -> list_contains($stopArr, x)))::DOUBLE / len(toks)::DOUBLE AS sr
+           |  FROM t),
+           |qa0 AS (SELECT doc_id,
+           |               floor((0.4 * ls + 0.3 * ttr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS q
+           |        FROM raw),
+           |ra AS (SELECT doc_id, row_number() OVER (ORDER BY q, doc_id) - 1 AS idx FROM qa0),
+           |na AS (SELECT count(*) AS n FROM qa0),
+           |pa AS (SELECT doc_id, ${phase4("idx", "n")} AS la FROM ra, na),
+           |trans AS (
+           |  SELECT doc_id, toks[i - 1] AS v, toks[i] AS w
+           |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+           |vocab AS (
+           |  SELECT count(DISTINCT tok)::DOUBLE AS v_size
+           |  FROM (SELECT unnest(toks) AS tok FROM t)),
+           |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
+           |ctx AS (SELECT v, count(*) AS c_v FROM trans GROUP BY v),
+           |scored0 AS (
+           |  SELECT trans.doc_id,
+           |         CAST(floor(-ln((c_vw::DOUBLE + 0.5) / (c_v::DOUBLE + 0.5 * vocab.v_size))
+           |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
+           |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v), vocab),
+           |qb0 AS (
+           |  SELECT doc_id,
+           |         floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS avg_nll
+           |  FROM scored0 GROUP BY doc_id),
+           |rb AS (SELECT doc_id, row_number() OVER (ORDER BY avg_nll, doc_id) - 1 AS idx FROM qb0),
+           |nb AS (SELECT count(*) AS n FROM qb0),
+           |pb AS (SELECT doc_id, ${phase4("idx", "n")} AS lb FROM rb, nb),
+           |jn AS (SELECT pa.la, pb.lb FROM pa JOIN pb USING (doc_id)),
+           |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |                CAST(count(CASE WHEN la = lb THEN 1 END) AS BIGINT) AS n_agree
+           |         FROM jn),
+           |ma AS (SELECT la, CAST(count(*) AS BIGINT) AS ra FROM jn GROUP BY 1),
+           |mb AS (SELECT lb, CAST(count(*) AS BIGINT) AS rb FROM jn GROUP BY 1),
+           |cx AS (SELECT CAST(COALESCE(sum(ma.ra * mb.rb), 0) AS BIGINT) AS sum_cross
+           |       FROM ma JOIN mb ON ma.la = mb.lb)
+           |SELECT n, n_agree, sum_cross,
+           |       floor(n_agree::DOUBLE / n::DOUBLE * 10000.0 + 0.5) / 10000.0 AS po,
+           |       floor(sum_cross::DOUBLE / (n * n)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS pe,
+           |       CASE WHEN n * n - sum_cross = 0 THEN 1.0
+           |            ELSE floor((n * n_agree - sum_cross)::DOUBLE
+           |                       / (n * n - sum_cross)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 END AS kappa
+           |FROM base, cx""".stripMargin
+      },
 
       // the LSH candidate set (shared CTEs) scored against d4's exact
       // df-capped truth pairs; precision/recall are identical IEEE divides

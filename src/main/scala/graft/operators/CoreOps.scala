@@ -664,6 +664,47 @@ object CoreOps {
       .drop("__idx", "__n")
   }
 
+  /** Cohen's kappa between two labelings of the same ids — the
+    * chance-corrected agreement audit (Cohen 1960). A curation platform
+    * uses it to decide whether two quality signals are redundant (high
+    * kappa → one can be dropped) or complementary, and to score
+    * annotator/model agreement on preference data — the categorical
+    * counterpart of the rank-level RBO gate.
+    *
+    * Exactness: with integer confusion counts, kappa = (n·agree − Σ_k
+    * ra_k·rb_k) / (n² − Σ_k ra_k·rb_k) has exact long numerator and
+    * denominator; po and pe are single IEEE divides of agreed longs.
+    * kappa is negative when agreement is below chance — the q6 floor
+    * rounding is sign-agnostic and engine-identical. Degenerate case
+    * (both labelings a single identical constant ⇒ denominator 0 ⇒
+    * agreement perfect but chance-correction undefined) reports 1.0.
+    *
+    * Scale shape: one 1:1 ids join, then everything aggregates at LABEL
+    * cardinality with map-side partials; the output is one row. */
+  def agreementKappa(a: DataFrame, b: DataFrame, idCol: String,
+      aCol: String, bCol: String): DataFrame = {
+    val j = a.select(col(idCol).as("__id"), col(aCol).as("__la"))
+      .join(b.select(col(idCol).as("__id"), col(bCol).as("__lb")), "__id")
+      .localCheckpoint() // three small consumers of one joined table
+    val base = j.agg(count(lit(1)).as("n"),
+      count(when(col("__la") === col("__lb"), lit(1))).as("n_agree"))
+    val ma = j.groupBy("__la").agg(count(lit(1)).as("__ra"))
+    val mb = j.groupBy("__lb").agg(count(lit(1)).as("__rb"))
+    val cross = ma.join(mb, col("__la") === col("__lb"))
+      .agg(coalesce(sum(col("__ra") * col("__rb")), lit(0L)).as("sum_cross"))
+    base.crossJoin(cross)
+      .withColumn("__num", col("n") * col("n_agree") - col("sum_cross"))
+      .withColumn("__den", col("n") * col("n") - col("sum_cross"))
+      .select(col("n"), col("n_agree"), col("sum_cross"),
+        TextOps.round4(col("n_agree").cast("double") / col("n").cast("double")).as("po"),
+        TextOps.round4(col("sum_cross").cast("double")
+          / (col("n") * col("n")).cast("double")).as("pe"),
+        when(col("__den") === 0L, lit(1.0))
+          .otherwise(floor(col("__num").cast("double") / col("__den").cast("double")
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("kappa"))
+  }
+
   /** Carry-forward epoch timeline (σ=0, μ=0 semantics): each key's cumulative
     * sum at every epoch where it has appeared so far — what the streaming
     * pipeline emits per trigger, expressed as a running window so batch and

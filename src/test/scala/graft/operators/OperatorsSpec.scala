@@ -835,6 +835,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(repart.toSeq === r.toSeq)
   }
 
+  test("agreementKappa: identity is 1, disjoint constant labels below chance, hand-checked confusion") {
+    import spark.implicits._
+    def df(pairs: Seq[(Long, Int)]) = pairs.toDF("id", "label")
+    val a = df(Seq(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2))
+    // perfect agreement
+    val same = CoreOps.agreementKappa(a, a.withColumnRenamed("label", "lb"),
+      "id", "label", "lb").head()
+    assert(same.getDouble(5) === 1.0 && same.getDouble(3) === 1.0)
+    // below-chance: labels systematically swapped → kappa negative
+    val flipped = df(Seq(1L -> 2, 2L -> 2, 3L -> 1, 4L -> 1))
+      .withColumnRenamed("label", "lb")
+    val anti = CoreOps.agreementKappa(a, flipped, "id", "label", "lb").head()
+    assert(anti.getDouble(5) < 0.0, s"expected negative kappa, got $anti")
+    // hand-checked partial agreement: agree on 3 of 4; marginals
+    // a: {1:2, 2:2}, b: {1:1, 2:3} → sum_cross = 2*1 + 2*3 = 8
+    // kappa = (4*3 − 8)/(16 − 8) = 0.5
+    val partial = df(Seq(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 2))
+      .withColumnRenamed("label", "lb")
+    val p = CoreOps.agreementKappa(a, partial, "id", "label", "lb").head()
+    assert(p.getLong(0) === 4L && p.getLong(1) === 3L && p.getLong(2) === 8L)
+    assert(p.getDouble(5) === 0.5)
+    // degenerate chance-free case: both constant and equal → 1.0
+    val const = df(Seq(1L -> 7, 2L -> 7))
+    val deg = CoreOps.agreementKappa(const,
+      const.withColumnRenamed("label", "lb"), "id", "label", "lb").head()
+    assert(deg.getDouble(5) === 1.0)
+  }
+
   test("temperatureMixSample: exact integer allocation, flatter than proportional, layout-invariant") {
     import spark.implicits._
     // sources with counts 100 / 25 / 4 / 1 → √ masses 10 / 5 / 2 / 1 (exact
