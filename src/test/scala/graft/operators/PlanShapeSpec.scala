@@ -395,6 +395,43 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("block dedup: blocks are hashed in the scan — neither text nor token arrays enter any exchange") {
+    val df = Dedup.blockDedup(Tables.documents(spark, sfDir),
+      "doc_id", "text", blockTokens = 16)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("__toks#"), s"an exchange carries a token array:\n$b")
+    }
+  }
+
+  test("KN perplexity: model tables at bigram cardinality — text never enters an exchange") {
+    val df = TextOps.knPerplexity(Tables.documents(spark, sfDir), "doc_id", "text")
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("toks#"), s"an exchange carries a token array:\n$b")
+    }
+  }
+
+  test("cluster topics: token rows join the ids-only label map — text never enters an exchange") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = Similarity.kmeansAssign(emb)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val df = TextOps.classTfidfTopTerms(Tables.documents(spark, sfDir),
+      "doc_id", "text", labels, nClasses = 16, topM = 3)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("embedding#"), s"an exchange carries an embedding:\n$b")
+    }
+  }
+
+  test("PCA projection: a pure projection over broadcast-literal model arrays — zero exchanges") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (mean, comps) = Similarity.trainPca(emb, 64, 4, iterations = 50)
+    val df = Similarity.pcaProjectArrays(emb, mean, comps)
+    assert(exchangeBlocks(df).isEmpty,
+      s"the PCA projection should not shuffle:\n${exchangeBlocks(df).mkString("\n---\n")}")
+  }
+
   test("e2e_web_pipeline: post-checkpoint plan moves only (id, md5, scalars)") {
     val df = SparkEntry.queries("e2e_web_pipeline")(spark, sfDir)
     val fmt = df.queryExecution.explainString(
