@@ -981,6 +981,74 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998): from each query's dense top-`candK` candidates,
+    * greedily select `k` results maximizing
+    * λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s) — the standard
+    * redundancy-suppressing re-rank for RAG context assembly (ten
+    * near-identical passages waste nine context slots; MMR trades
+    * relevance for coverage). Round 1 has an empty selected set and
+    * scores λ·rel alone.
+    *
+    * Determinism: rel and pairwise sims are the round6 cosines the d5
+    * family already bit-matches; every greedy score is q6-fixed with the
+    * SAME literal λ arithmetic as the SQL oracle (floor((0.7·rel −
+    * 0.3·ms)·10⁶ + 0.5)); ties break to the smaller doc id. The oracle
+    * replays EVERY greedy round inductively (the k-center contract).
+    *
+    * Scale shape: the corpus-scale work is the candidate retrieval
+    * ([[bruteForceTopK]]'s WindowGroupLimit shape — or any bounded ANN
+    * variant) and the candidate pair scoring (≤ |queries|·candK² rows,
+    * one broadcast self-join); the greedy itself runs on the COLLECTED
+    * result set (≤ |queries|·candK rels + candK² sims — the documented
+    * result-set-cardinality driver contract shared with the BT trainer
+    * and DP calibration). Output: (query_id, sel_rank, doc_id, mmr_q6). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, candK: Int, k: Int,
+      lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && candK >= k, s"need candK >= k >= 1, got candK=$candK k=$k")
+    require(lambdaPct >= 0 && lambdaPct <= 100)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lam = lambdaPct / 100.0
+    val cands = bruteForceTopK(corpus, queries, candK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cos").as("rel"))
+      .localCheckpoint() // feeds both the collect and the pair join
+    val ce = cands.join(
+      corpus.select(col("vec_id").as("doc_id"), asDouble(col("embedding")).as("emb")),
+      "doc_id")
+    val pairs = ce.select(col("query_id"), col("doc_id").as("a"), col("emb").as("ea"))
+      .join(ce.select(col("query_id"), col("doc_id").as("b"), col("emb").as("eb")),
+        Seq("query_id"))
+      .where(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+    val relRows = cands.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simMap = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val out = relRows.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val rel = rows.map(r => r._2 -> r._3).toMap
+      var remaining = rows.map(_._2).sorted.toVector
+      var selected = Vector.empty[Long]
+      (1 to k).map { round =>
+        val scored = remaining.map { d =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(s => simMap((qid, s, d))).max
+          val mmr =
+            if (selected.isEmpty) math.floor(lam * rel(d) * 1e6 + 0.5).toLong
+            else math.floor((lam * rel(d) - (1.0 - lam) * ms) * 1e6 + 0.5).toLong
+          (d, mmr)
+        }
+        val (best, score) = scored.maxBy { case (d, m) => (m, -d) }
+        selected :+= best
+        remaining = remaining.filterNot(_ == best)
+        (qid, round, best, score)
+      }
+    }
+    out.sortBy(r => (r._1, r._2))
+      .toDF("query_id", "sel_rank", "doc_id", "mmr_q6")
+  }
+
   /** Squared L2 distance with a FIXED ascending-dimension summation order —
     * the bitwise contract the k-center oracle replays in SQL
     * (list_reduce over range(1, dim+1), same left-fold). */

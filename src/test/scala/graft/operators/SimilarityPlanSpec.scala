@@ -55,6 +55,29 @@ class SimilarityPlanSpec extends AnyFunSuite {
     assert(at1k > 0)
   }
 
+  test("mmrRerank: the redundant near-duplicate of the top pick is demoted for a diverse result") {
+    import spark.implicits._
+    // d1 ≈ query; d2 ≈ d1 (redundant, second-most relevant); d3 less
+    // relevant but pointing away. Relevance alone ranks (d1, d2); at
+    // λ=0.5 MMR must pick (d1, d3).
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)),            // the query (vec_id 0)
+      (1L, Seq(0.995f, 0.1f)),          // d1
+      (2L, Seq(0.99f, 0.141f)),         // d2 — near-dup of d1
+      (3L, Seq(0.3f, -0.954f))          // d3 — diverse
+    ).toDF("vec_id", "embedding")
+    val queries = rows.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val mmr = Similarity.mmrRerank(rows, queries, candK = 3, k = 2, lambdaPct = 50)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(mmr.toSeq === Seq((1, 1L), (2, 3L)), s"got ${mmr.toSeq}")
+    // pure relevance (λ=1) keeps the redundant order — the contrast that
+    // proves the diversity term did the work
+    val rel = Similarity.mmrRerank(rows, queries, candK = 3, k = 2, lambdaPct = 100)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(rel.toSeq === Seq((1, 1L), (2, 2L)), s"got ${rel.toSeq}")
+  }
+
   test("trainPca matches a single-node replica bit-for-bit; components orthonormal; layout-invariant") {
     import spark.implicits._
     // anisotropic fixture: variance concentrated in dims 60..63 (the ones
