@@ -993,6 +993,58 @@ object Bench {
             -1.0
         } finally idx.unpersist()
       }),
+      "streaming_block_epoch" -> (() => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        import graft.operators.Dedup
+        val docs = Tables.documents(spark, sfDir)
+        val corpus = docs.where(col("doc_id") % 5 =!= 0)
+        val epochRows = docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect().toSeq
+        var streamed: Set[(Long, Long, Long, Seq[Int])] = Set.empty
+        var idx: org.apache.spark.sql.DataFrame = null
+        val t = timed("streaming_block_epoch") {
+          idx = Dedup.blockHashIndex(corpus, "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          idx.count()
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String, java.sql.Timestamp)]
+          val out = graft.streaming.StreamingPipelines.blockDedupStream(
+            mem.toDF().toDF("doc_id", "text", "ts"), idx, "doc_id", "text",
+            "ts", watermarkDelay = "0 seconds")
+          val qn = s"blockbench_${System.nanoTime()}"
+          val q = out.writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try {
+            mem.addData(epochRows.map { case (id, t0) =>
+              (id, t0, new java.sql.Timestamp(1000L)) })
+            q.processAllAvailable()
+            mem.addData(Seq((-1L, "flush", new java.sql.Timestamp(100000L * 1000))))
+            q.processAllAvailable()
+            mem.addData(Seq((-2L, "flush", new java.sql.Timestamp(200000L * 1000))))
+            q.processAllAvailable()
+          } finally q.stop()
+          streamed = spark.table(qn).where(col("doc_id") >= 0)
+            .as[(Long, Long, Long, Seq[Int])].collect().toSet
+        }
+        if (t < 0) { if (idx != null) idx.unpersist(); t }
+        else try {
+          val batch = Dedup.incrementalBlockDedupAgainst(
+              epochRows.toDF("doc_id", "text"), idx, "doc_id", "text")
+            .select("doc_id", "n_blocks", "n_dropped", "dropped")
+            .as[(Long, Long, Long, Seq[Int])].collect().toSet
+          require(streamed == batch,
+            s"diverged: ${streamed.size} vs ${batch.size} rows")
+          System.err.println(s"[bench] streaming_block_epoch docs=${streamed.size} " +
+            s"blocks_cut=${streamed.iterator.map(_._3).sum} (batch agrees)")
+          t
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] streaming_block_epoch equality audit failed: ${e.getMessage}")
+            -1.0
+        } finally idx.unpersist()
+      }),
       // COLD BPE merge training A/B (no per-JVM model cache — the x13
       // gate's min-of-repeats measures the apply path once the model
       // parquet exists; these entries are the training loop itself, every

@@ -884,6 +884,18 @@ object SparkEntry {
       Similarity.pcaVsPrefixRecall(emb, queries, 64, 8, TopK).orderBy("method")
     }),
 
+    // ---- MMR diversified re-ranking: greedy λ·rel − (1−λ)·max-sim over
+    //      the dense top-20, the redundancy-suppressing re-rank for RAG
+    //      context assembly; every greedy round's q6 score and tiebreak
+    //      replayed inductively by the oracle ----
+    "q_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.mmrRerank(emb, queries, candK = 20, k = 5)
+        .orderBy("query_id", "sel_rank")
+    }),
+
     // ---- ANN quality evaluation: recall@k of the LSH index against the
     //      exact brute-force ranking — the measurement that decides whether
     //      an approximate index is good enough to replace the exact scan;
@@ -1097,6 +1109,18 @@ object SparkEntry {
     //      survives once), vs boilerplate's cut-everywhere chrome rule ----
     "d20_block_dedup" -> ((s, d) => {
       Dedup.blockDedup(Tables.documents(s, d), "doc_id", "text", blockTokens = 16)
+        .orderBy("doc_id")
+    }),
+
+    // ---- incremental first-occurrence block dedup: the held-out fifth's
+    //      blocks probed against the other fifths' maintained block-hash
+    //      index (the sub-document d12); blocks the standing corpus
+    //      already holds are cut from the reassembled text ----
+    "d21_incremental_block_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalBlockDedup(docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text", blockTokens = 16)
+        .drop("dropped")
         .orderBy("doc_id")
     }),
 
@@ -3992,6 +4016,31 @@ object SparkEntry {
           |         i -> toks[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)])), ' '), '') AS clean_text
           |FROM n LEFT JOIN da USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+      // d20's block frame split at the maintained-index boundary: the
+      // corpus fifths' DISTINCT block hashes form the index; incoming
+      // blocks that hit it are dropped, text reassembled as in d20
+      "d21_incremental_block_dedup" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |n AS (SELECT doc_id, toks,
+          |             CAST(ceil(len(toks) / 16.0) AS BIGINT) AS nb FROM t),
+          |cb AS (SELECT DISTINCT
+          |             md5(array_to_string(toks[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)], ' ')) AS h
+          |      FROM n, unnest(range(0, nb)) AS u(i) WHERE doc_id % 5 <> 0),
+          |ib AS (SELECT doc_id, i AS bi,
+          |             md5(array_to_string(toks[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)], ' ')) AS h
+          |      FROM n, unnest(range(0, nb)) AS u(i) WHERE doc_id % 5 = 0),
+          |drp AS (SELECT ib.doc_id, ib.bi FROM ib JOIN cb USING (h)),
+          |da AS (SELECT doc_id, list(bi ORDER BY bi) AS drops FROM drp GROUP BY doc_id)
+          |SELECT n.doc_id, n.nb AS n_blocks,
+          |       CAST(COALESCE(len(da.drops), 0) AS BIGINT) AS n_dropped,
+          |       COALESCE(array_to_string(flatten(list_transform(
+          |         list_filter(range(0, n.nb), i -> NOT list_contains(COALESCE(da.drops, []), i)),
+          |         i -> toks[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)])), ' '), '') AS clean_text
+          |FROM n LEFT JOIN da USING (doc_id) WHERE n.doc_id % 5 = 0
+          |ORDER BY doc_id""".stripMargin,
+
       // the boilerplate df table re-aimed at a per-document audit: every
       // window joins its df, then one per-doc aggregate
       "q_memorization_risk" ->
@@ -5031,6 +5080,64 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, rank, neg_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin,
+
+      // every MMR greedy round replayed inductively (the k-center oracle
+      // contract): round 1 = argmax λ·rel; round n scores against the
+      // max-sim to rounds 1..n−1. λ and (1−λ) splice as Double.toString —
+      // (1.0 − 0.7) is NOT the 0.3 literal in IEEE, so the subtraction's
+      // exact result is exported, never re-derived
+      "q_mmr_rerank" -> {
+        val lam = 0.7
+        val lamLit = lam.toString
+        val omLit = (1.0 - lam).toString
+        def cosE(a: String, b: String) =
+          s"""round(
+             |      list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) /
+             |      (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y)) *
+             |       sqrt(list_reduce(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y))), 6)""".stripMargin
+        val rounds = (2 to 5).map { n =>
+          s"""ms$n AS (SELECT s.query_id, s.b AS doc_id, max(s.sim) AS m
+             |         FROM sims s JOIN p${n - 1} p ON p.query_id = s.query_id AND p.doc_id = s.a
+             |         GROUP BY 1, 2),
+             |s$n AS (SELECT query_id, doc_id, mmr FROM (
+             |  SELECT c.query_id, c.doc_id,
+             |         CAST(floor(($lamLit * c.rel - $omLit * ms.m) * 1000000.0 + 0.5) AS BIGINT) AS mmr,
+             |         row_number() OVER (PARTITION BY c.query_id
+             |           ORDER BY floor(($lamLit * c.rel - $omLit * ms.m) * 1000000.0 + 0.5) DESC, c.doc_id) AS rn
+             |  FROM cands c JOIN ms$n ms ON ms.query_id = c.query_id AND ms.doc_id = c.doc_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM p${n - 1} p
+             |                    WHERE p.query_id = c.query_id AND p.doc_id = c.doc_id)) WHERE rn = 1),
+             |p$n AS (SELECT * FROM p${n - 1} UNION ALL SELECT query_id, doc_id FROM s$n)""".stripMargin
+        }.mkString(",\n")
+        val sel = (1 to 5).map(n =>
+          s"SELECT query_id, $n AS sel_rank, doc_id, mmr AS mmr_q6 FROM s$n")
+          .mkString("\n UNION ALL ")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+           |sc AS (
+           |  SELECT q.query_id, e.vec_id AS doc_id,
+           |    ${cosE("q.q_emb", "e.embedding")} AS rel
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+           |cands AS (SELECT query_id, doc_id, rel FROM (
+           |  SELECT query_id, doc_id, rel,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+           |  FROM sc) WHERE rk <= 20),
+           |ce AS (SELECT c.query_id, c.doc_id, e.embedding AS emb
+           |       FROM cands c JOIN embeddings e ON e.vec_id = c.doc_id),
+           |sims AS (
+           |  SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+           |    ${cosE("x.emb", "y.emb")} AS sim
+           |  FROM ce x JOIN ce y ON x.query_id = y.query_id AND x.doc_id <> y.doc_id),
+           |s1 AS (SELECT query_id, doc_id, mmr FROM (
+           |  SELECT query_id, doc_id,
+           |         CAST(floor(($lamLit * rel) * 1000000.0 + 0.5) AS BIGINT) AS mmr,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY floor(($lamLit * rel) * 1000000.0 + 0.5) DESC, doc_id) AS rn
+           |  FROM cands) WHERE rn = 1),
+           |p1 AS (SELECT query_id, doc_id FROM s1),
+           |$rounds
+           |$sel
+           |ORDER BY query_id, sel_rank""".stripMargin
+      },
 
       // floor(x·10⁴ + 0.5)/10⁴ == TextOps.round4: same IEEE ops both engines,
       // immune to the round() half-boundary divergence (Spark rounds the

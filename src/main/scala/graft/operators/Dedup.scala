@@ -814,18 +814,28 @@ object Dedup {
     * AFFECTED document (the duplicate mass, far smaller than the corpus
     * at scale) and join back ids-only (AQE → broadcast); reassembly is a
     * codegen'd higher-order filter over the local token array. */
+  /** (doc_id, __toks, __nb) projection shared by the block-dedup family. */
+  private[graft] def blockBase(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__nb",
+        ceil(size(col("__toks")).cast("double") / lit(blockTokens.toDouble)).cast("long"))
+
+  /** Exploded (doc_id, bi, h) block-hash rows — md5 computed IN the scan
+    * projection, so text never survives past this select. */
+  private[graft] def blockRows(base: DataFrame, blockTokens: Int): DataFrame =
+    base.select(col("doc_id"),
+      posexplode(when(col("__nb") >= 1, expr(
+          s"transform(sequence(0, __nb - 1), i -> md5(array_join(slice(__toks, cast(i * $blockTokens + 1 as int), $blockTokens), ' ')))"))
+        .otherwise(expr("array()"))).as(Seq("bi", "h")))
+
   def blockDedup(docs: DataFrame, idCol: String, textCol: String,
       blockTokens: Int = 16): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
     val b = blockTokens
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-        TextOps.tokens(col(textCol)).as("__toks"))
-      .withColumn("__nb",
-        ceil(size(col("__toks")).cast("double") / lit(b.toDouble)).cast("long"))
-    val blocks = base.select(col("doc_id"),
-        posexplode(when(col("__nb") >= 1, expr(
-            s"transform(sequence(0, __nb - 1), i -> md5(array_join(slice(__toks, cast(i * $b + 1 as int), $b), ' ')))"))
-          .otherwise(expr("array()"))).as(Seq("bi", "h")))
+    val base = blockBase(docs, idCol, textCol, b)
+    val blocks = blockRows(base, b)
     val winners = blocks.groupBy("h")
       .agg(min(struct(col("doc_id").as("d"), col("bi").as("i"))).as("w"))
     val dropped = blocks.join(winners, "h")
@@ -835,12 +845,77 @@ object Dedup {
     base.join(dropped, Seq("doc_id"), "left")
       .select(col("doc_id"), col("__nb").as("n_blocks"),
         coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"),
-        expr(
-          s"""concat_ws(' ', flatten(transform(
-             |  filter(CASE WHEN __nb >= 1 THEN sequence(0L, __nb - 1L) ELSE array() END,
-             |         i -> NOT array_contains(coalesce(__drops, cast(array() as array<int>)), cast(i as int))),
-             |  i -> slice(__toks, cast(i * $b + 1 as int), $b))))""".stripMargin)
-          .as("clean_text"))
+        blockCleanText(b).as("clean_text"))
+  }
+
+  /** The reassembly expression shared by the block-dedup family: the local
+    * token array minus the `__drops` block indexes — a codegen'd
+    * higher-order filter, no shuffle. */
+  private def blockCleanText(b: Int): Column = expr(
+    s"""concat_ws(' ', flatten(transform(
+       |  filter(CASE WHEN __nb >= 1 THEN sequence(0L, __nb - 1L) ELSE array() END,
+       |         i -> NOT array_contains(coalesce(__drops, cast(array() as array<int>)), cast(i as int))),
+       |  i -> slice(__toks, cast(i * $b + 1 as int), $b))))""".stripMargin)
+
+  /** The maintained BLOCK-HASH index behind incremental/streaming block
+    * dedup — one row per distinct block content in the standing corpus:
+    * (h, rep_doc, rep_idx), the lexicographically first occurrence. The
+    * sub-document sibling of [[graft.streaming.StreamingPipelines
+    * .dedupIndex]] (document signatures) and the asset signature index.
+    * Production materializes this once per snapshot and APPENDS admitted
+    * epochs' novel blocks between ingest queries. */
+  def blockHashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 16): DataFrame =
+    blockRows(blockBase(corpus, idCol, textCol, blockTokens), blockTokens)
+      .groupBy("h")
+      .agg(min(struct(col("doc_id").as("d"), col("bi").as("i"))).as("w"))
+      .select(col("h"), col("w.d").as("rep_doc"), col("w.i").as("rep_idx"))
+
+  /** Append an ADMITTED ingest epoch's blocks to a maintained
+    * [[blockHashIndex]]: hashes already indexed keep their standing
+    * representative (the corpus came first); novel hashes enter with the
+    * epoch's first occurrence. Equals rebuilding the index over
+    * corpus ∪ epoch whenever epoch ids follow corpus ids — the
+    * ingest-order precedence every maintained index here assumes. */
+  def blockIndexAppend(index: DataFrame, epochDocs: DataFrame, idCol: String,
+      textCol: String, blockTokens: Int = 16): DataFrame = {
+    val epochIdx = blockHashIndex(epochDocs, idCol, textCol, blockTokens)
+    index.unionByName(epochIdx.join(index.select("h"), Seq("h"), "left_anti"))
+  }
+
+  /** Incremental first-occurrence block dedup: an incoming batch against
+    * the STANDING corpus's [[blockHashIndex]] — the sub-document d12. An
+    * incoming block is cut iff its content already exists in the index;
+    * duplicates WITHIN the incoming batch are, as with d12's document
+    * rule, this operator's caller's business (the maintenance loop
+    * appends each admitted epoch before the next). Output adds the cut
+    * block indexes (`dropped`) to [[blockDedup]]'s columns so streaming
+    * monitors can carry the decision without re-deriving it.
+    *
+    * Scale shape: the corpus is never self-joined — incoming blocks
+    * equi-join the (h, rep) index; everything else is [[blockDedup]]'s
+    * projection/local-filter machinery. */
+  def incrementalBlockDedup(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, blockTokens: Int = 16): DataFrame =
+    incrementalBlockDedupAgainst(incoming,
+      blockHashIndex(corpus, idCol, textCol, blockTokens),
+      idCol, textCol, blockTokens)
+
+  /** [[incrementalBlockDedup]] against an already-materialized index. */
+  def incrementalBlockDedupAgainst(incoming: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, blockTokens: Int = 16): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    val b = blockTokens
+    val base = blockBase(incoming, idCol, textCol, b)
+    val dropped = blockRows(base, b)
+      .join(index.select("h"), "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("bi"))).as("__drops"))
+    base.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__nb").as("n_blocks"),
+        coalesce(size(col("__drops")), lit(0)).cast("long").as("n_dropped"),
+        coalesce(col("__drops"), expr("cast(array() as array<int>)")).as("dropped"),
+        blockCleanText(b).as("clean_text"))
   }
 
   /** 32-bit SimHash over token occurrences: bit b set iff the sum of ±1 votes

@@ -1015,6 +1015,48 @@ object StreamingPipelines {
         col("rep_id").as("dup_of"), col("rep_id").isNull.as("keep"))
   }
 
+  /** Streaming first-occurrence BLOCK dedup — the ingest form of
+    * [[graft.operators.Dedup.incrementalBlockDedup]]: incoming documents'
+    * 16-token blocks are hashed row-wise (the identical md5-over-slice
+    * expression as the batch operator) and probed stream-static against a
+    * maintained [[graft.operators.Dedup.blockHashIndex]]; blocks whose
+    * content the standing corpus already holds are reported as cut.
+    * Output per document (on watermark passage): (doc_id, n_blocks,
+    * n_dropped, dropped) — the batch decision columns; the maintenance
+    * sink reassembles clean text locally from `dropped` and appends the
+    * admitted epoch via [[graft.operators.Dedup.blockIndexAppend]] before
+    * the next ingest cycle (the d12/d18 maintained-index loop, one level
+    * below documents).
+    *
+    * Scale shape: block hashing is a pure projection (text never leaves
+    * it); the index joins stream-static on the 128-bit hash; the ONLY
+    * stateful operator is the watermark-bounded per-(doc, event-time)
+    * collect of cut indexes, bounded by blocks-per-document. */
+  def blockDedupStream(incoming: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermarkDelay: String, blockTokens: Int = 16)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val b = blockTokens
+    val probes = incoming
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+        graft.operators.TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__nb",
+        ceil(size(col("__toks")).cast("double") / lit(b.toDouble)).cast("long"))
+      .select(col("doc_id"), col("__ts"), col("__nb"),
+        posexplode_outer(when(col("__nb") >= 1, expr(
+            s"transform(sequence(0, __nb - 1), i -> md5(array_join(slice(__toks, cast(i * $b + 1 as int), $b), ' ')))"))
+          .otherwise(expr("array()"))).as(Seq("bi", "h")))
+      .withWatermark("__ts", watermarkDelay)
+    probes
+      .join(index.select(col("h"), lit(1).as("__hit")), Seq("h"), "left_outer")
+      .withColumn("__cut", when(col("__hit").isNotNull, col("bi")))
+      .groupBy(col("doc_id"), col("__ts"), col("__nb"))
+      .agg(sort_array(collect_list(col("__cut"))).as("dropped"))
+      .select(col("doc_id"), col("__nb").as("n_blocks"),
+        size(col("dropped")).cast("long").as("n_dropped"), col("dropped"))
+  }
+
   /** Streaming mixture-loss monitor — the ingest half of a maintained
     * DoReMi loop: incoming documents are scored under a FROZEN bigram
     * model ([[graft.operators.TextOps.bigramModel]] held as maintained

@@ -1032,6 +1032,66 @@ class StreamingSpec extends AnyFunSuite {
     cellIndex.unpersist(); cellIndex2.unpersist()
   }
 
+  test("incremental block dedup: streaming equals batch; appended index catches cross-epoch repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val bt = 4
+    val corpus = Seq(
+      (0L, "a1 a2 a3 a4 b1 b2 b3 b4"),  // blocks A, B
+      (1L, "c1 c2 c3 c4")               // block C
+    ).toDF("doc_id", "text")
+    val idx = Dedup.blockHashIndex(corpus, "doc_id", "text", bt).cache()
+    val epoch1 = Seq(
+      (10L, "a1 a2 a3 a4 n1 n2 n3 n4"), // A repeated from corpus + novel N
+      (11L, "m1 m2 m3 m4 m5"))          // all novel (incl. trailing partial)
+
+    val batch1 = Dedup.incrementalBlockDedupAgainst(
+        epoch1.toDF("doc_id", "text"), idx, "doc_id", "text", bt)
+      .select("doc_id", "n_blocks", "n_dropped", "dropped")
+      .as[(Long, Long, Long, Seq[Int])].collect().toSet
+    assert(batch1 === Set((10L, 2L, 1L, Seq(0)), (11L, 2L, 0L, Seq())))
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = StreamingPipelines.blockDedupStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), idx, "doc_id", "text",
+      "ts", watermarkDelay = "0 seconds", blockTokens = bt)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("blockdedup").start()
+    try {
+      mem.addData(epoch1.map { case (id, t) => (id, t, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      mem.addData(Seq((99L, "flush", new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((98L, "flush", new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("blockdedup")
+      .where(col("doc_id") < 90)
+      .select("doc_id", "n_blocks", "n_dropped", "dropped")
+      .as[(Long, Long, Long, Seq[Int])].collect().toSet
+    assert(streamed === batch1, s"streaming $streamed != batch $batch1")
+
+    // maintain BETWEEN epochs: append the admitted epoch, then a later
+    // epoch repeating epoch-1's novel block must be cut — and the
+    // appended index must equal a from-scratch rebuild over the union
+    val idx2 = Dedup.blockIndexAppend(idx, epoch1.toDF("doc_id", "text"),
+      "doc_id", "text", bt).cache()
+    val rebuilt = Dedup.blockHashIndex(
+      corpus.unionByName(epoch1.toDF("doc_id", "text")), "doc_id", "text", bt)
+    assert(idx2.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet ===
+      rebuilt.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet,
+      "append != rebuild")
+    val epoch2 = Seq((20L, "n1 n2 n3 n4 x1 x2")).toDF("doc_id", "text")
+    val under1 = Dedup.incrementalBlockDedupAgainst(epoch2, idx, "doc_id", "text", bt)
+      .select("doc_id", "n_dropped").as[(Long, Long)].collect().toSet
+    val under2 = Dedup.incrementalBlockDedupAgainst(epoch2, idx2, "doc_id", "text", bt)
+      .select("doc_id", "n_dropped").as[(Long, Long)].collect().toSet
+    assert(under1 === Set((20L, 0L)), "pre-append index should not know epoch-1 blocks")
+    assert(under2 === Set((20L, 1L)), "appended index must catch the cross-epoch repeat")
+    idx.unpersist(); idx2.unpersist()
+  }
+
   test("hybrid incremental dedup: streaming equals batch; each signal fires independently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
