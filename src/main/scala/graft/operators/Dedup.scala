@@ -871,6 +871,35 @@ object Dedup {
       .agg(min(struct(col("doc_id").as("d"), col("bi").as("i"))).as("w"))
       .select(col("h"), col("w.d").as("rep_doc"), col("w.i").as("rep_idx"))
 
+  /** Per-OCCURRENCE block rows (h, doc_id, bi) of a corpus — the
+    * maintained-STORAGE form of the block index when right-to-be-forgotten
+    * deletes must hold: per-row occurrence rows mean delete is a pure
+    * anti-join with no cross-entry repair (the same reason the BM25
+    * posting, lexical signature, and semantic cell indexes keep per-
+    * document rows), and the (h, rep) view re-derives by one aggregate. */
+  def blockOccurrences(corpus: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 16): DataFrame =
+    blockRows(blockBase(corpus, idCol, textCol, blockTokens), blockTokens)
+
+  /** The (h, rep_doc, rep_idx) view of a [[blockOccurrences]] table. */
+  def blockIndexFromOccurrences(occ: DataFrame): DataFrame =
+    occ.groupBy("h")
+      .agg(min(struct(col("doc_id").as("d"), col("bi").as("i"))).as("w"))
+      .select(col("h"), col("w.d").as("rep_doc"), col("w.i").as("rep_idx"))
+
+  /** Right-to-be-forgotten DELETE on the maintained block index: drop the
+    * removed documents' occurrence rows (one broadcast anti-join — the
+    * removal set is small) and re-derive the rep view. When a removed
+    * document WAS a hash's representative, the next-smallest surviving
+    * occurrence is re-elected by the same min(struct) rule; hashes whose
+    * only occurrences were removed vanish. Equals a from-scratch rebuild
+    * over the filtered corpus EXACTLY (spec-pinned) — the fourth
+    * maintained index to carry the delete == rebuild contract. */
+  def blockIndexDelete(occ: DataFrame, removals: DataFrame,
+      idCol: String): DataFrame =
+    occ.join(broadcast(removals.select(col(idCol).cast("long").as("doc_id"))),
+      Seq("doc_id"), "left_anti")
+
   /** Append an ADMITTED ingest epoch's blocks to a maintained
     * [[blockHashIndex]]: hashes already indexed keep their standing
     * representative (the corpus came first); novel hashes enter with the

@@ -1092,6 +1092,30 @@ class StreamingSpec extends AnyFunSuite {
     idx.unpersist(); idx2.unpersist()
   }
 
+  test("block index delete: anti-join on occurrences == rebuild; representatives re-elected") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val bt = 4
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4"),              // block A — rep for A
+      (1L, "a1 a2 a3 a4 b1 b2 b3 b4"),  // A again + B
+      (2L, "c1 c2 c3 c4")               // C
+    ).toDF("doc_id", "text")
+    val occ = Dedup.blockOccurrences(docs, "doc_id", "text", bt)
+    // delete doc 0 (the A representative) and doc 2 (C's only holder)
+    val removals = Seq(0L, 2L).toDF("doc_id")
+    val deleted = Dedup.blockIndexFromOccurrences(
+        Dedup.blockIndexDelete(occ, removals, "doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val rebuilt = Dedup.blockHashIndex(
+        docs.where(!col("doc_id").isin(0L, 2L)), "doc_id", "text", bt)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(deleted === rebuilt, s"delete $deleted != rebuild $rebuilt")
+    // A re-elected to doc 1 (next-smallest surviving occurrence); C gone
+    assert(deleted.map(x => (x._2, x._3)) === Set((1L, 0), (1L, 1)))
+    assert(deleted.size === 2)
+  }
+
   test("hybrid incremental dedup: streaming equals batch; each signal fires independently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
