@@ -884,6 +884,35 @@ object SparkEntry {
       Similarity.pcaVsPrefixRecall(emb, queries, 64, 8, TopK).orderBy("method")
     }),
 
+    // ---- the composed reduced-dimension ANN index (the 100 TB build
+    //      recipe): PCA-project → IVF coarse-quantize IN THE PROJECTED
+    //      SPACE → candidates from nprobe projected cells → EXACT
+    //      full-dim rescore; both trained models exported to the oracle ----
+    "d22_reduced_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.reducedIvfTopK(emb, queries, TopK).orderBy("query_id", "rank")
+    }),
+
+    // ---- recall@k of the reduced-dimension index against the exact
+    //      ranking — the acceptance measurement for the composed design ----
+    "q_reduced_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, queries, TopK)
+        .select("query_id", "neighbor_id")
+      val ann = Similarity.reducedIvfTopK(emb, queries, TopK)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("__hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ---- MMR diversified re-ranking: greedy λ·rel − (1−λ)·max-sim over
     //      the dense top-20, the redundancy-suppressing re-rank for RAG
     //      context assembly; every greedy round's q6 score and tiebreak
@@ -2303,7 +2332,85 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql ++ reducedIvfOracleSql
+
+  /** Oracles for the composed reduced-dimension index: require BOTH
+    * exported models — [[graft.operators.Similarity.lastPca]] (the
+    * rotation) and [[graft.operators.Similarity.lastReducedIvf]] (the
+    * projected-space coarse quantizer, its own slot so d8's full-space
+    * model survives). The SQL replays projection (q6 coords), assignment
+    * (nsq − 2·w·proj argmin, ties to the lowest index), nprobe probing,
+    * the candidate cell join, and the exact full-dim rescore. */
+  private def reducedIvfOracleSql: Map[String, String] = (for {
+    (dim, nc, _, mean, comps) <- graft.operators.Similarity.lastPca.toSeq
+    (nlist, rdim, _, cents) <- graft.operators.Similarity.lastReducedIvf.toSeq
+    if rdim == nc
+  } yield {
+    val mLit = "[" + mean.mkString(", ") + "]::DOUBLE[]"
+    val cLit = "[" + comps.map(c => "[" + c.mkString(", ") + "]")
+      .mkString(", ") + "]::DOUBLE[][]"
+    val values = cents.zipWithIndex.map { case (w, i) =>
+      val nsq = w.map(x => x * x).sum
+      s"($i, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    def coord(emb: String, t: String) =
+      s"""floor(list_reduce(list_transform(range(1, ${dim + 1}),
+         |        i -> (CAST($emb[i] AS DOUBLE) - mm.m[i]) * cc.c[$t][i]),
+         |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+    def dotR(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${nc + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def dotF(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def cosF(a: String, b: String) =
+      s"round(${dotF(a, b)} / (sqrt(${dotF(a, a)}) * sqrt(${dotF(b, b)})), 6)"
+    val shared =
+      s"""WITH mm(m) AS (SELECT $mLit), cc(c) AS (SELECT $cLit),
+         |rcent(c, nsq, w) AS (VALUES $values),
+         |cp AS (SELECT e.vec_id,
+         |              list_transform(range(1, ${nc + 1}), t -> ${coord("e.embedding", "t")}) AS proj
+         |       FROM embeddings e, mm, cc),
+         |dists AS (
+         |  SELECT v.vec_id, rc.c, rc.nsq - 2.0 * ${dotR("rc.w", "v.proj")} AS d
+         |  FROM cp v CROSS JOIN rcent rc),
+         |rankedc AS (SELECT vec_id, c,
+         |                   row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+         |assign AS (SELECT vec_id, c AS cell FROM rankedc WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, c AS cell FROM rankedc
+         |           WHERE vec_id < 10 AND rn <= $IvfNprobe),
+         |cands AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT cd.query_id, cd.vec_id, ${cosF("qq.embedding", "ee.embedding")} AS cos
+         |  FROM cands cd JOIN embeddings qq ON qq.vec_id = cd.query_id
+         |                JOIN embeddings ee ON ee.vec_id = cd.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id AS neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)""".stripMargin
+    Seq(
+      "d22_reduced_ivf_topk" ->
+        s"""$shared
+           |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+           |ORDER BY query_id, rank""".stripMargin,
+
+      "q_reduced_ivf_recall" ->
+        s"""$shared,
+           |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+           |fullsc AS (
+           |  SELECT q.query_id, e.vec_id, ${cosF("q.q_emb", "e.embedding")} AS cos
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+           |fullrk AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM fullsc) WHERE rank <= $TopK),
+           |annk AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK)
+           |SELECT f.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           |       count(a.neighbor_id)::DOUBLE / ${TopK}.0 AS recall
+           |FROM fullrk f LEFT JOIN annk a
+           |  ON a.query_id = f.query_id AND a.neighbor_id = f.vec_id
+           |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin)
+  }).flatten.toMap
 
   /** PCA oracles, available after [[graft.operators.Similarity.trainPca]]
     * has trained (both PCA gates train with identical params; Verify runs

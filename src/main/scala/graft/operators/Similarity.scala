@@ -248,8 +248,20 @@ object Similarity {
 
   def trainIvfCentroids(corpus: DataFrame, nlist: Int, dim: Int,
       iterations: Int = 8, sampleSize: Int = 4096, seed: Long = 42L): Array[Array[Double]] = {
-    val sample = corpus
-      .select(col("vec_id").cast("long").as("vid"), asDouble(col("embedding")).as("emb"))
+    val cs = trainCentroidsOn(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("__vec")),
+      nlist, dim, iterations, sampleSize, seed)
+    lastIvfCentroids = Some((nlist, dim, seed, cs))
+    cs
+  }
+
+  /** The k-means core of [[trainIvfCentroids]] over any (vec_id, __vec)
+    * table — shared with the REDUCED-space trainer so the projected-index
+    * path cannot clobber the full-space export slot. */
+  private def trainCentroidsOn(df: DataFrame, nlist: Int, dim: Int,
+      iterations: Int, sampleSize: Int, seed: Long): Array[Array[Double]] = {
+    val sample = df
+      .select(col("vec_id").cast("long").as("vid"), col("__vec").as("emb"))
       .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
       .limit(sampleSize)
       .collect()
@@ -273,7 +285,6 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    lastIvfCentroids = Some((nlist, dim, seed, centroids))
     centroids
   }
 
@@ -979,6 +990,62 @@ object Similarity {
         (floor(coalesce(col("n_hits"), lit(0L)).cast("double")
           / col("n_ranked").cast("double") * lit(10000.0) + lit(0.5)) / lit(10000.0))
           .as("recall"))
+  }
+
+  /** Reduced-space centroids from the most recent [[reducedIvfTopK]] call
+    * — a SEPARATE export slot from [[lastIvfCentroids]] so the projected
+    * index cannot clobber the full-space d8/d9c oracle model. */
+  @volatile private[graft] var lastReducedIvf: Option[(Int, Int, Long, Array[Array[Double]])] = None
+
+  /** The composed reduced-dimension ANN index — the 100 TB index build
+    * recipe in one operator: PCA-project the corpus ([[trainPca]], the
+    * learned rotation [[pcaVsPrefixRecall]] justifies), train the IVF
+    * coarse quantizer IN THE PROJECTED SPACE (8-dim distances: 8× less
+    * arithmetic and 8× smaller cell index than full-dim), bound
+    * candidates to nprobe projected cells, and rescore candidates with
+    * the EXACT full-dimension cosine (the d9 rescore discipline: the
+    * reduced space only selects, never scores the final ranking).
+    *
+    * Both trained models export for the oracle — PCA via [[lastPca]],
+    * the reduced centroids via [[lastReducedIvf]] — and the SQL replays
+    * projection, assignment (argmin with ties to the lowest index),
+    * probing, and the exact rescore operation-for-operation.
+    *
+    * Scale shape: projection is zero-shuffle; cell assignment is a pure
+    * projection over broadcast-literal centroids; the candidate join is
+    * (cell) equi; full embeddings join back ONLY for candidate rescore
+    * (≤ Σ probed-cell occupancy per query); ranking rides
+    * WindowGroupLimit. */
+  def reducedIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, pcaDims: Int = 8, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 43L): DataFrame = {
+    val (mean, comps) = trainPca(corpus, dim, pcaDims)
+    val cp = pcaProjectArrays(corpus, mean, comps)
+    val qp = pcaProjectArrays(queries, mean, comps, "query_id", "query_id")
+      .withColumnRenamed("proj", "q_proj")
+    val cents = trainCentroidsOn(
+      cp.select(col("vec_id"), col("proj").as("__vec")),
+      nlist, pcaDims, iterations = 8, sampleSize = 4096, seed = seed)
+    lastReducedIvf = Some((nlist, pcaDims, seed, cents))
+    val cAssign = cp.withColumn("cell",
+        array_min(centroidDists(col("proj"), cents)).getField("c"))
+      .select(col("vec_id"), col("cell"))
+    val q = broadcast(qp
+      .join(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb")), "query_id")
+      .withColumn("cell", explode(transform(
+        slice(sort_array(centroidDists(col("q_proj"), cents)), 1, nprobe),
+        s => s.getField("c")))))
+    val cands = cAssign.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+    // full embeddings enter ONLY here, for candidate rescore
+    val scored = cands
+      .join(corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb")), "vec_id")
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
   /** Maximal-marginal-relevance diversified re-ranking (Carbonell &
