@@ -301,6 +301,8 @@ object Bench {
     // release-count cross-check of the two Hamming arms (a mismatched pair
     // count would make the A/B meaningless)
     var hammingBlockedPairs = -1L
+    // winner-count cross-check of the two block-election arms
+    var blockWinnersAgg = -1L
 
     // held BM25 index of the delete-maintenance A/B (untimed build; the
     // steady state an ingest monitor keeps persisted across epochs)
@@ -1124,6 +1126,26 @@ object Bench {
         require(n == hammingBlockedPairs,
           s"hamming A/B arms disagree: allpairs=$n blocked=$hammingBlockedPairs")
         System.err.println(s"[bench] hamming_pairs_allpairs pairs=$n (blocked agrees)")
+      }),
+      // A/B receipt for d20's winner election: one map-side-combinable
+      // min(struct) aggregate vs the row_number window (which must shuffle
+      // and sort EVERY block row before discarding the losers)
+      "block_winners_agg" -> (() => timed("block_winners_agg") {
+        val docs = Tables.documents(spark, sfDir)
+        blockWinnersAgg = graft.operators.Dedup
+          .blockHashIndex(docs, "doc_id", "text").count()
+        System.err.println(s"[bench] block_winners_agg winners=$blockWinnersAgg")
+      }),
+      "block_winners_window" -> (() => timed("block_winners_window") {
+        val docs = Tables.documents(spark, sfDir)
+        val occ = graft.operators.Dedup.blockOccurrences(docs, "doc_id", "text")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"), col("bi"))
+        val n = occ.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).count()
+        require(n == blockWinnersAgg,
+          s"block winner A/B arms disagree: window=$n agg=$blockWinnersAgg")
+        System.err.println(s"[bench] block_winners_window winners=$n (agg agrees)")
       }),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference strong-scaling sizes (run-scaling-benchmark.sh:27-34 uses

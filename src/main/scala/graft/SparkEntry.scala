@@ -1624,6 +1624,27 @@ object SparkEntry {
           (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"))
     }),
 
+    // ---- Hamming index quality: precision/recall of the SimHash
+    //      pigeonhole-blocked candidate pairs against the same exact
+    //      df-capped Jaccard truth as q_lsh_candidate_quality — the
+    //      measurement that picks between the MinHash/LSH and
+    //      SimHash/Hamming dedup indexes before a 100 TB run ----
+    "q_hamming_candidate_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.simHashHammingPairs(docs, "doc_id", "text",
+          radius = 3, maxBlockFrequency = 50)
+        .select("doc_a", "doc_b")
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", ShingleK,
+          JaccardThreshold, maxDocFrequency = JaccardMaxDf)
+        .select("doc_a", "doc_b")
+      cands.agg(count(lit(1)).as("n_cands"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(cands.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit")))
+        .select(col("n_cands"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_cands").cast("double")).as("precision"),
+          (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"))
+    }),
+
     // ---- DSIR data selection (importance resampling toward a target
     //      domain): hashed-bigram log-likelihood-ratio weights, exact long
     //      sums, deterministic md5-Gumbel top-k ----
@@ -4376,6 +4397,48 @@ object SparkEntry {
       "q_lsh_candidate_quality" ->
         s"""WITH $sigCte,
            |$lshCandsCte,
+           |csh AS ($DuckShingles),
+           |ch AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
+           |cdf AS (SELECT h, count(*) AS df FROM ch GROUP BY h),
+           |rare AS (SELECT ch.doc_id, ch.h FROM ch JOIN cdf USING (h) WHERE cdf.df <= $JaccardMaxDf),
+           |tcands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM ch GROUP BY doc_id),
+           |tinter AS (SELECT tc.doc_a, tc.doc_b, count(*) AS inter
+           |           FROM tcands tc JOIN ch x ON x.doc_id = tc.doc_a
+           |           JOIN ch y ON y.doc_id = tc.doc_b AND y.h = x.h GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT doc_a, doc_b FROM tinter
+           |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+           |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold),
+           |nc AS (SELECT count(*) AS n_cands FROM cands),
+           |nt AS (SELECT count(*) AS n_true FROM truth),
+           |nh AS (SELECT count(*) AS n_hit FROM cands JOIN truth USING (doc_a, doc_b))
+           |SELECT CAST(n_cands AS BIGINT) AS n_cands, CAST(n_true AS BIGINT) AS n_true,
+           |       CAST(n_hit AS BIGINT) AS n_hit,
+           |       n_hit::DOUBLE / n_cands::DOUBLE AS precision,
+           |       n_hit::DOUBLE / n_true::DOUBLE AS recall
+           |FROM nc, nt, nh""".stripMargin,
+
+      // d3b's Hamming candidate stack scored against the same exact
+      // df-capped Jaccard truth as the LSH quality gate
+      "q_hamming_candidate_quality" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token FROM documents),
+           |hh AS (SELECT doc_id, ('0x' || substr(md5(token),1,15))::BIGINT AS h FROM toks),
+           |votes AS (
+           |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           |  FROM hh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits GROUP BY doc_id, b),
+           |sh AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+           |       FROM votes GROUP BY doc_id),
+           |blk AS (SELECT doc_id, s, b, (s >> CAST(15*b AS INTEGER)) & 32767 AS v
+           |        FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bl),
+           |keep AS (SELECT b, v FROM blk GROUP BY b, v HAVING count(*) <= 50),
+           |cb AS (SELECT blk.doc_id, blk.s, blk.b, blk.v FROM blk JOIN keep USING (b, v)),
+           |hc AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s AS sa, y.s AS sb
+           |       FROM cb x JOIN cb y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+           |cands AS (SELECT doc_a, doc_b FROM hc WHERE bit_count(xor(sa, sb)) <= 3),
            |csh AS ($DuckShingles),
            |ch AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
            |cdf AS (SELECT h, count(*) AS df FROM ch GROUP BY h),

@@ -432,6 +432,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the PCA projection should not shuffle:\n${exchangeBlocks(df).mkString("\n---\n")}")
   }
 
+  test("reduced IVF: projected coordinates never enter an exchange; top-k keeps WindowGroupLimit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val df = Similarity.reducedIvfTopK(emb, queries, 5)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("proj#"),
+        s"a projected-coordinate array crosses an exchange:\n$b")
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "reduced-IVF top-k lost the WindowGroupLimit rewrite")
+  }
+
   test("e2e_web_pipeline: post-checkpoint plan moves only (id, md5, scalars)") {
     val df = SparkEntry.queries("e2e_web_pipeline")(spark, sfDir)
     val fmt = df.queryExecution.explainString(
