@@ -1141,6 +1141,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- NFC-normalized exact dedup: fingerprints over Unicode-
+    //      canonicalized text (native graft_nfc expression — composed and
+    //      decomposed forms of the same content collide); equals d1 on
+    //      ASCII input, diverges exactly where composition forms differ ----
+    "d1b_nfc_dedup_groups" -> ((s, d) => {
+      Dedup.normalizedExactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
     // ---- incremental first-occurrence block dedup: the held-out fifth's
     //      blocks probed against the other fifths' maintained block-hash
     //      index (the sub-document d12); blocks the standing corpus
@@ -3864,6 +3873,12 @@ object SparkEntry {
 
       "d1_exact_dedup_groups" ->
         """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS copies
+          |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+
+      // both engines implement UAX #15 NFC, so fingerprints agree
+      // byte-for-byte (and equal d1's on this ASCII corpus)
+      "d1b_nfc_dedup_groups" ->
+        """SELECT md5(nfc_normalize(text)) AS fingerprint, min(doc_id) AS keep_id, count(*) AS copies
           |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
 
       "d2_minhash_signatures" ->

@@ -581,6 +581,46 @@ final class SimHashHelper extends Serializable {
   }
 }
 
+/** NFC Unicode normalization (UAX #15 canonical composition) — the text
+  * canonicalization step before exact/near dedup: the same visible string
+  * arrives composed ("é" U+00E9) from one scraper and decomposed
+  * ("e"+U+0301) from another, md5-distinct but content-identical, and an
+  * unnormalized exact dedup silently keeps both. Fast path: strings
+  * already in NFC (virtually all real text) return the INPUT UTF8String
+  * unchanged — `Normalizer.isNormalized` is a cheap scan, so the
+  * expression is ~free on ASCII corpora. DuckDB oracle: `nfc_normalize`
+  * (both implement UAX #15, so outputs agree byte-for-byte). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+
+  @transient private lazy val helper = new NfcHelper
+
+  override def nullSafeEval(t: Any): Any = helper.nfc(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("nfcHelper", helper, classOf[NfcHelper].getName)
+    defineCodeGen(ctx, ev, c => s"$helperRef.nfc($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** Serializable NFC worker ([[NfcNormalize]]); `java.text.Normalizer` is
+  * static and thread-safe. */
+class NfcHelper extends Serializable {
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object GraftExpressions {
   def dot(a: Column, b: Column): Column =
@@ -606,6 +646,9 @@ object GraftExpressions {
 
   def simhash60(text: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(text)))
+
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 
   def unseal(sealedStruct: Column, keyBytes: Array[Byte], scheme: String,
       expectedSource: String, expectedDestination: String): Column =
@@ -653,7 +696,8 @@ object GraftExpressions {
       "graft_winnow" -> (exprs =>
         WinnowingFingerprintSet(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
       "graft_simhash" -> (exprs => SimHash32(exprs.head)),
-      "graft_simhash60" -> (exprs => SimHash60(exprs.head)))
+      "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
+      "graft_nfc" -> (exprs => NfcNormalize(exprs.head)))
   }
 
   /** SQL registration (`graft_dot`, `graft_l2_normalize`, `graft_minhash`,

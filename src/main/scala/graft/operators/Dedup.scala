@@ -45,6 +45,24 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** [[exactDuplicateGroups]] over NFC-NORMALIZED text (the native
+    * [[graft.expressions.GraftExpressions.nfcNormalize]] expression):
+    * catches content-identical documents whose bytes differ only by
+    * Unicode composition form ("é" composed vs "e"+combining-acute),
+    * which byte-level md5 dedup silently keeps twice. Normalization is a
+    * scan-speed projection with an already-NFC fast path, so this is the
+    * drop-in d1 for multilingual corpora; on pure-ASCII input it equals
+    * [[exactDuplicateGroups]] exactly (the gate's property — the
+    * composition-form semantics are spec-pinned on constructed fixtures). */
+  def normalizedExactDuplicateGroups(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(
+        md5(graft.expressions.GraftExpressions.nfcNormalize(col(textCol)))
+          .as("fingerprint"),
+        col(idCol).cast("long").as("doc_id"))
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+
   /** Exact dedup: keeps the min-id document per distinct text. */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))

@@ -118,6 +118,46 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(rows(1L).isEmpty && rows(2L).isEmpty)
   }
 
+  test("NfcNormalize: composed == decomposed after normalization; ASCII untouched; dedup merges forms") {
+    import spark.implicits._
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"   // precomposed U+00E9
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"  // e + combining U+0301
+    val df = Seq((0L, composed), (1L, decomposed), (2L, "plain ascii"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        GraftExpressions.nfcNormalize(col("text")).as("norm"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // both composition forms normalize to the same (composed) bytes
+    assert(rows(0L)._2 === composed)
+    assert(rows(1L)._2 === composed)
+    assert(rows(0L)._1 !== rows(1L)._1, "fixture must start byte-distinct")
+    // already-NFC text passes through unchanged
+    assert(rows(2L)._2 === "plain ascii")
+    // the dedup consequence: d1 keeps both forms, the NFC variant merges them
+    val docs = Seq((0L, composed), (1L, decomposed)).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.exactDuplicateGroups(docs, "doc_id", "text").count() === 2)
+    val merged = graft.operators.Dedup
+      .normalizedExactDuplicateGroups(docs, "doc_id", "text").collect()
+    assert(merged.length === 1 && merged.head.getLong(1) === 0L
+      && merged.head.getLong(2) === 2L)
+    // matches java.text.Normalizer on a mixed corpus, including Hangul
+    val mixed = Seq("각", "å b̧", "ﬁxed")
+    val got = mixed.toDF("t")
+      .select(GraftExpressions.nfcNormalize(col("t"))).as[String].collect()
+    val want = mixed.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq === want)
+  }
+
+  test("NfcNormalize participates in whole-stage codegen (no fallback)") {
+    val df = spark.range(0, 100)
+      .selectExpr("concat('café doc ', cast(id as string)) AS t")
+      .select(GraftExpressions.nfcNormalize(col("t")).as("n"))
+      .where(length(col("n")) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.trim.startsWith("*(") && l.contains("graft_nfc")), plan)
+    assert(df.count() === 100)
+  }
+
   test("SQL registration: graft_dot usable from spark.sql") {
     GraftExpressions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
@@ -162,7 +202,7 @@ class GraftExpressionsSpec extends AnyFunSuite {
     // registered on one surface and forgotten on the other
     assert(GraftExpressions.sqlBuilders.map(_._1) === Seq("graft_dot",
       "graft_l2_normalize", "graft_minhash", "graft_shingle_set",
-      "graft_winnow", "graft_simhash", "graft_simhash60"))
+      "graft_winnow", "graft_simhash", "graft_simhash60", "graft_nfc"))
   }
 
   test("AeadUnseal expression: roundtrip, wrong route null, tampered null") {
