@@ -1141,6 +1141,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- temperature mix under a hard 25% per-language cap: the skewed
+    //      'en' share is pinned at the cap and its excess redistributes
+    //      among the other languages by their √ masses (one capping round
+    //      converges here; the loop is general) — the data-constrained
+    //      scaling constraint production mixtures carry ----
+    "q_capped_mix" -> ((s, d) => {
+      CoreOps.cappedTemperatureMix(Tables.documents(s, d), "lang", "doc_id",
+          totalN = 200L, capPct = 25)
+        .orderBy("lang", "doc_id")
+    }),
+
     // ---- NFC-normalized exact dedup: fingerprints over Unicode-
     //      canonicalized text (native graft_nfc expression — composed and
     //      decomposed forms of the same content collide); equals d1 on
@@ -6550,6 +6561,32 @@ object SparkEntry {
         |SELECT r.source, r.doc_id, a.n_alloc
         |FROM ranked r JOIN alloc a USING (source)
         |WHERE r.r <= a.n_alloc ORDER BY source, doc_id""".stripMargin,
+
+    // the capping loop unrolled: round 1 allocates over all languages and
+    // caps the over-cap groups at 50 (= 200·25%); round 2 reallocates the
+    // reduced budget over the remainder (LEAST guards the general rule;
+    // convergence in 2 rounds verified at both sf scales)
+    "q_capped_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |m AS (SELECT lang,
+        |             CAST(floor(sqrt(c::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS a FROM counts),
+        |t1 AS (SELECT CAST(sum(a) AS BIGINT) AS w FROM m),
+        |a1 AS (SELECT lang, a, CAST((200 * a) // w AS BIGINT) AS n1 FROM m, t1),
+        |over1 AS (SELECT lang, CAST(50 AS BIGINT) AS n_alloc FROM a1 WHERE n1 > 50),
+        |rem1 AS (SELECT lang, a FROM a1 WHERE n1 <= 50),
+        |b2 AS (SELECT 200 - 50 * (SELECT count(*) FROM over1) AS b),
+        |t2 AS (SELECT CAST(sum(a) AS BIGINT) AS w FROM rem1),
+        |a2 AS (SELECT lang, CAST(LEAST((b2.b * a) // t2.w, 50) AS BIGINT) AS n_alloc
+        |       FROM rem1, t2, b2),
+        |alloc AS (SELECT lang, n_alloc FROM over1 UNION ALL SELECT lang, n_alloc FROM a2),
+        |ranked AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents)
+        |SELECT r.lang, r.doc_id, al.n_alloc
+        |FROM ranked r JOIN alloc al USING (lang)
+        |WHERE r.r <= al.n_alloc ORDER BY lang, doc_id""".stripMargin,
 
     "q_upsert" ->
       """SELECT doc_id, text FROM (

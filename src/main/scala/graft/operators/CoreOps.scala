@@ -105,6 +105,64 @@ object CoreOps {
       .select(col(keyCol), col(idCol), col("n_alloc"))
   }
 
+  /** Temperature-flattened source mix under a HARD PER-GROUP CAP — the
+    * data-constrained-scaling constraint every production mixture carries
+    * ("no single source above 25% of the training budget", Llama/PaLM
+    * style): √-mass proportional allocation ([[temperatureMixSample]]'s
+    * rule), but any group whose share exceeds `capPct`% of `totalN` is
+    * pinned AT the cap and its excess redistributes among the uncapped
+    * groups by their masses — iterated until no group exceeds the cap
+    * (≤ |groups| rounds; each round caps ≥1 group or terminates).
+    *
+    * Determinism: masses are the q6 √ counts, every round's allocation is
+    * pure long floor division, and the redistribution loop runs on the
+    * COLLECTED group-cardinality mass table (the DP-calibration/DoReMi
+    * driver-scalars contract). Selection is the same md5-rank as the
+    * uncapped mix. At petabyte budgets the long products want BigInt —
+    * group cardinality is tens, so the driver-side swap is free.
+    *
+    * Output: (keyCol, idCol, n_alloc). */
+  def cappedTemperatureMix(df: DataFrame, keyCol: String, idCol: String,
+      totalN: Long, capPct: Int): DataFrame = {
+    require(totalN >= 0, s"totalN must be >= 0, got $totalN")
+    require(capPct >= 1 && capPct <= 100, s"capPct must be in [1,100], got $capPct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val masses = df.groupBy(keyCol).agg(count(lit(1)).as("__c"))
+      .select(col(keyCol).cast("string"),
+        floor(sqrt(col("__c").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("__a"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toVector
+    val cap = totalN * capPct / 100
+    var active = masses
+    var fixed = Vector.empty[(String, Long)]
+    var budget = totalN
+    var done = false
+    while (!done) {
+      val w = active.map(_._2).sum
+      val alloc = active.map { case (k, a) =>
+        (k, if (w == 0L) 0L else budget * a / w)
+      }
+      val over = alloc.filter(_._2 > cap)
+      if (over.isEmpty || over.size == active.size) {
+        fixed = fixed ++ alloc.map { case (k, n) => (k, math.min(n, cap)) }
+        done = true
+      } else {
+        fixed = fixed ++ over.map { case (k, _) => (k, cap) }
+        budget -= cap * over.size
+        val overKeys = over.map(_._1).toSet
+        active = active.filterNot(t => overKeys.contains(t._1))
+      }
+    }
+    val allocDf = broadcast(fixed.toDF(keyCol, "n_alloc"))
+    df.select(col(keyCol).cast("string").as(keyCol), col(idCol))
+      .withColumn("__r", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .join(allocDf, Seq(keyCol))
+      .where(col("__r") <= col("n_alloc"))
+      .select(col(keyCol), col(idCol), col("n_alloc"))
+  }
+
   /** Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis A-ES
     * scheme: each row draws key u^(1/w) for uniform u and weight w, and the
     * k largest keys are exactly a weight-proportional sample without

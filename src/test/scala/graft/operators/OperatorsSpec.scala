@@ -835,6 +835,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(repart.toSeq === r.toSeq)
   }
 
+  test("cappedTemperatureMix: over-cap group pinned, excess redistributed, never exceeds cap; cap=100% == uncapped") {
+    import spark.implicits._
+    // √ masses 100/10/10 → uncapped shares ~83%/8%/8%; a 40% cap must pin
+    // 'big' at 40 and push the excess to the small groups
+    val docs = (0 until 10000).map(i => ("big", i.toLong)) ++
+      (0 until 100).map(i => ("mid", 20000L + i)) ++
+      (0 until 100).map(i => ("low", 30000L + i))
+    val df = docs.toDF("source", "doc_id")
+    val r = CoreOps.cappedTemperatureMix(df, "source", "doc_id", 100L, 40)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val alloc = r.groupBy(_._1).map { case (s, rows) => s -> rows.head._3 }
+    assert(alloc("big") === 40L, s"big must sit AT the cap: $alloc")
+    // round 2: 60 budget over equal masses → 30 each
+    assert(alloc("mid") === 30L && alloc("low") === 30L, s"$alloc")
+    assert(r.count(_._1 == "big") === 40)
+    assert(alloc.values.forall(_ <= 40L))
+    // with a non-binding cap the allocation equals the uncapped operator
+    val capped100 = CoreOps.cappedTemperatureMix(df, "source", "doc_id", 100L, 100)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    val uncapped = CoreOps.temperatureMixSample(df, "source", "doc_id", 100L)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(capped100 === uncapped)
+    // layout invariance (collected masses + md5 rank are layout-free)
+    val repart = CoreOps.cappedTemperatureMix(df.repartition(7), "source", "doc_id", 100L, 40)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(repart === r.toSet)
+  }
+
   test("agreementKappa: identity is 1, disjoint constant labels below chance, hand-checked confusion") {
     import spark.implicits._
     def df(pairs: Seq[(Long, Int)]) = pairs.toDF("id", "label")
