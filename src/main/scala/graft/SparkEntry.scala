@@ -1141,6 +1141,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the round-11 operators composed as ONE query: first-occurrence
+    //      block dedup → Kneser–Ney perplexity over the CLEANED text →
+    //      per-language exact-median predictability gate → capped
+    //      temperature mix of the kept set; the oracle replays all four
+    //      stages (cleaned text pinned by md5) ----
+    "e2e_block_kn_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cleaned = Dedup.blockDedup(docs, "doc_id", "text", blockTokens = 16)
+        .select(col("doc_id"), col("clean_text"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .localCheckpoint() // consumed by KN scoring, the gate join, and md5
+      val scored = TextOps.knPerplexity(cleaned, "doc_id", "clean_text")
+        .select(col("doc_id"), (-col("avg_nll")).as("pred"))
+        .join(cleaned, "doc_id")
+      val kept = CoreOps.perGroupMedianFilter(scored, "lang", "pred")
+      val mixed = CoreOps.cappedTemperatureMix(kept, "lang", "doc_id",
+        totalN = 100L, capPct = 25)
+      mixed.join(kept.select(col("doc_id"), col("pred"),
+          md5(col("clean_text")).as("clean_md5")), "doc_id")
+        .select(col("lang"), col("doc_id"), col("n_alloc"), col("pred"), col("clean_md5"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // ---- temperature mix under a hard 25% per-language cap: the skewed
     //      'en' share is pinned at the cap and its excess redistributes
     //      among the other languages by their √ masses (one capping round
@@ -6561,6 +6584,80 @@ object SparkEntry {
         |SELECT r.source, r.doc_id, a.n_alloc
         |FROM ranked r JOIN alloc a USING (source)
         |WHERE r.r <= a.n_alloc ORDER BY source, doc_id""".stripMargin,
+
+    // all four round-11 stages replayed: d20's block dedup (clean_text
+    // reassembled), x15's interpolated-KN model RETRAINED on the cleaned
+    // corpus, the quantized-histogram lower-median gate on the negated
+    // round4 NLL, and the capped-mix rounds over the kept counts
+    "e2e_block_kn_mix" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 16.0) AS BIGINT) AS nb FROM t0),
+        |b0 AS (SELECT doc_id, i AS bi,
+        |              md5(array_to_string(toks[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)], ' ')) AS h
+        |       FROM n0, unnest(range(0, nb)) AS u(i)),
+        |w0 AS (SELECT h, doc_id AS wd, bi AS wb FROM (
+        |         SELECT h, doc_id, bi,
+        |                row_number() OVER (PARTITION BY h ORDER BY doc_id, bi) AS rn
+        |         FROM b0) WHERE rn = 1),
+        |drp AS (SELECT b0.doc_id, b0.bi FROM b0 JOIN w0 USING (h)
+        |        WHERE NOT (b0.doc_id = w0.wd AND b0.bi = w0.wb)),
+        |da AS (SELECT doc_id, list(bi ORDER BY bi) AS drops FROM drp GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT n0.doc_id, d.lang,
+        |         COALESCE(array_to_string(flatten(list_transform(
+        |           list_filter(range(0, n0.nb), i -> NOT list_contains(COALESCE(da.drops, []), i)),
+        |           i -> toks[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)])), ' '), '') AS clean_text
+        |  FROM n0 LEFT JOIN da USING (doc_id) JOIN documents d USING (doc_id)),
+        |t AS (SELECT doc_id, lang, clean_text,
+        |             list_filter(string_split(clean_text, ' '), x -> x <> '') AS toks
+        |      FROM cleaned),
+        |trans AS (SELECT doc_id, toks[i - 1] AS v, toks[i] AS w
+        |          FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+        |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
+        |ctx AS (SELECT v, count(*) AS c_v, count(DISTINCT w) AS n1_v FROM trans GROUP BY v),
+        |cont AS (SELECT w, count(DISTINCT v) AS n1_w FROM trans GROUP BY w),
+        |bt AS (SELECT count(*)::DOUBLE AS btypes FROM bigram),
+        |sc0 AS (
+        |  SELECT trans.doc_id,
+        |         CAST(floor(-ln((c_vw::DOUBLE - 0.75) / c_v::DOUBLE
+        |                        + (0.75 * n1_v::DOUBLE / c_v::DOUBLE)
+        |                          * (n1_w::DOUBLE / btypes))
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
+        |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v) JOIN cont USING (w), bt),
+        |scored AS (
+        |  SELECT doc_id,
+        |         -(floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0) AS pred
+        |  FROM sc0 GROUP BY doc_id),
+        |sl AS (SELECT s.doc_id, t.lang, s.pred, t.clean_text FROM scored s JOIN t USING (doc_id)),
+        |h1 AS (SELECT lang, pred, count(*) AS c FROM sl GROUP BY 1, 2),
+        |cw AS (SELECT lang, pred,
+        |              sum(c) OVER (PARTITION BY lang ORDER BY pred) AS cum,
+        |              sum(c) OVER (PARTITION BY lang) AS tot FROM h1),
+        |thr AS (SELECT lang, min(pred) AS p_thr FROM cw
+        |        WHERE cum >= (tot + 1) // 2 GROUP BY lang),
+        |kept AS (SELECT sl.* FROM sl JOIN thr USING (lang) WHERE sl.pred >= thr.p_thr),
+        |counts AS (SELECT lang, count(*) AS c FROM kept GROUP BY lang),
+        |m AS (SELECT lang,
+        |             CAST(floor(sqrt(c::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS a FROM counts),
+        |t1 AS (SELECT CAST(sum(a) AS BIGINT) AS w FROM m),
+        |a1 AS (SELECT lang, a, CAST((100 * a) // w AS BIGINT) AS n1 FROM m, t1),
+        |over1 AS (SELECT lang, CAST(25 AS BIGINT) AS n_alloc FROM a1 WHERE n1 > 25),
+        |rem1 AS (SELECT lang, a FROM a1 WHERE n1 <= 25),
+        |b2 AS (SELECT 100 - 25 * (SELECT count(*) FROM over1) AS b),
+        |t2 AS (SELECT CAST(sum(a) AS BIGINT) AS w FROM rem1),
+        |a2 AS (SELECT lang, CAST(LEAST((b2.b * a) // t2.w, 25) AS BIGINT) AS n_alloc
+        |       FROM rem1, t2, b2),
+        |alloc AS (SELECT lang, n_alloc FROM over1 UNION ALL SELECT lang, n_alloc FROM a2),
+        |ranked AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM kept)
+        |SELECT r.lang, r.doc_id, al.n_alloc, k.pred, md5(k.clean_text) AS clean_md5
+        |FROM ranked r JOIN alloc al USING (lang) JOIN kept k ON k.doc_id = r.doc_id
+        |WHERE r.r <= al.n_alloc ORDER BY r.lang, r.doc_id""".stripMargin,
 
     // the capping loop unrolled: round 1 allocates over all languages and
     // caps the over-cap groups at 50 (= 200·25%); round 2 reallocates the
