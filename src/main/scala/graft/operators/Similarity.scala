@@ -1097,7 +1097,9 @@ object Similarity {
       val rel = rows.map(r => r._2 -> r._3).toMap
       var remaining = rows.map(_._2).sorted.toVector
       var selected = Vector.empty[Long]
-      (1 to k).map { round =>
+      // a query can retrieve fewer than k candidates (tiny corpus /
+      // selective predicate) — emit what exists, never throw
+      (1 to math.min(k, remaining.size)).map { round =>
         val scored = remaining.map { d =>
           val ms = if (selected.isEmpty) 0.0
             else selected.map(s => simMap((qid, s, d))).max
