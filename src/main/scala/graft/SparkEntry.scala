@@ -862,6 +862,14 @@ object SparkEntry {
         .orderBy("cluster", "rank")
     }),
 
+    // ---- ANALYZE for the vector side: per-dimension mean/variance/min/
+    //      max from the same exact q6-long moment sums as the PCA trainer
+    //      — the diagnostic that motivates (or retires) a trained
+    //      rotation ----
+    "q_embedding_profile" -> ((s, d) => {
+      Similarity.embeddingProfile(Tables.embeddings(s, d), 64).orderBy("dim")
+    }),
+
     // ---- in-engine PCA: top-8 principal components trained over the
     //      embedding corpus (exact q6-long moment sums via treeAggregate,
     //      driver-side power iteration at dim² cardinality — the x12/x13
@@ -5299,6 +5307,24 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, rank, neg_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin,
+
+      // same q6 moment sums and one-expression finishers as the Spark side
+      "q_embedding_profile" ->
+        """WITH x AS (
+          |  SELECT u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+          |  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+          |q AS (SELECT dim, v, CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS xq FROM x),
+          |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          |             CAST(sum(xq) AS BIGINT) AS s, CAST(sum(xq * xq) AS BIGINT) AS m2,
+          |             min(v) AS min_v, max(v) AS max_v
+          |      FROM q GROUP BY dim)
+          |SELECT dim, n,
+          |       floor(s::DOUBLE / n::DOUBLE + 0.5) / 1000000.0 AS mean,
+          |       floor((m2::DOUBLE / n::DOUBLE
+          |              - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE))
+          |             / 1000000.0 + 0.5) / 1000000.0 AS variance,
+          |       min_v, max_v
+          |FROM a ORDER BY dim""".stripMargin,
 
       // every MMR greedy round replayed inductively (the k-center oracle
       // contract): round 1 = argmax λ·rel; round n scores against the

@@ -818,6 +818,35 @@ object Similarity {
           .as("recall"))
   }
 
+  /** ANALYZE-style profile of an embedding table, per DIMENSION: mean,
+    * variance, min, max — the vector-side sibling of the numeric table
+    * profile, and the diagnostic that motivates (or retires) a trained
+    * rotation: near-zero-variance dimensions are dead weight in every
+    * distance, and grossly unequal variances are what [[trainPca]]
+    * exploits. Means/variances come from the same exact q6-long moment
+    * sums as the PCA trainer (commutative — layout/retry-proof), finished
+    * by one fixed IEEE expression; min/max are exact float→double casts.
+    *
+    * Scale shape: one explode to (dim, value) with map-side partial
+    * aggregation — the shuffle carries dim-cardinality long rows. */
+  def embeddingProfile(corpus: DataFrame, dim: Int): DataFrame = {
+    val rows = corpus.select(posexplode(asDouble(col("embedding"))).as(Seq("__p", "v")))
+      .select((col("__p") + lit(1)).cast("long").as("dim"), col("v"),
+        floor(col("v") * lit(1000000.0) + lit(0.5)).cast("long").as("xq"))
+    rows.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("__s"),
+        sum(col("xq") * col("xq")).as("__m2"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .select(col("dim"), col("n"),
+        (floor(col("__s").cast("double") / col("n").cast("double") + lit(0.5))
+          / lit(1000000.0)).as("mean"),
+        (floor((col("__m2").cast("double") / col("n").cast("double")
+            - (col("__s").cast("double") / col("n").cast("double"))
+              * (col("__s").cast("double") / col("n").cast("double")))
+          / lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("variance"),
+        col("min_v"), col("max_v"))
+  }
+
   /** Model from the most recent [[trainPca]] call in this JVM, keyed by
     * (dim, nComponents, nRows): mean vector and principal components,
     * exported to the DuckDB oracle as literal arrays (the

@@ -78,6 +78,26 @@ class SimilarityPlanSpec extends AnyFunSuite {
     assert(rel.toSeq === Seq((1, 1L), (2, 2L)), s"got ${rel.toSeq}")
   }
 
+  test("embeddingProfile: hand-computed per-dimension stats; layout-invariant") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0f, -2.0f)),
+      (1L, Seq(3.0f, 2.0f)),
+      (2L, Seq(5.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingProfile(rows, 2).orderBy("dim")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5)))
+    // dim 1: values 1,3,5 → mean 3, var 8/3, min 1, max 5
+    assert(r(0) === ((1L, 3L, 3.0, math.floor(8.0 / 3.0 * 1e6 + 0.5) / 1e6, 1.0, 5.0)))
+    // dim 2: values -2,2,0 → mean 0, var 8/3
+    assert(r(1)._3 === 0.0 && r(1)._5 === -2.0 && r(1)._6 === 2.0)
+    val repart = Similarity.embeddingProfile(rows.repartition(5), 2).orderBy("dim")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5)))
+    assert(repart.toSeq === r.toSeq)
+  }
+
   test("trainPca matches a single-node replica bit-for-bit; components orthonormal; layout-invariant") {
     import spark.implicits._
     // anisotropic fixture: variance concentrated in dims 60..63 (the ones
