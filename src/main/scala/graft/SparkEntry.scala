@@ -921,6 +921,17 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- OPQ-style ROTATED product quantization: codes trained in the
+    //      PCA-rotated space (variance concentrated → better cells for
+    //      the same code budget), rotated-ADC candidate ranking, exact
+    //      full-dim rescore — completes the quantization matrix ----
+    "d9e_reduced_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.reducedPqTopK(emb, queries, TopK).orderBy("query_id", "rank")
+    }),
+
     // ---- MMR diversified re-ranking: greedy λ·rel − (1−λ)·max-sim over
     //      the dense top-20, the redundancy-suppressing re-rank for RAG
     //      context assembly; every greedy round's q6 score and tiebreak
@@ -2404,7 +2415,80 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql ++ reducedIvfOracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql ++ reducedIvfOracleSql ++ reducedPqOracleSql
+
+  /** Oracle for the rotated-PQ index: needs the exported PCA rotation AND
+    * the rotated-space codebooks ([[graft.operators.Similarity
+    * .lastReducedPq]], its own slot so d9d's full-space model survives).
+    * The SQL replays projection, per-subspace argmin encoding, the
+    * j-ordered ADC fold, and the exact full-dim rescore — the d9d oracle
+    * pattern with the projected coordinates as its vector space. */
+  private def reducedPqOracleSql: Map[String, String] = (for {
+    (dim, nc, _, mean, comps) <- graft.operators.Similarity.lastPca.toSeq
+    (rdim, m, ksub, _, books) <- graft.operators.Similarity.lastReducedPq.toSeq
+    if rdim == nc
+  } yield {
+    val dsub = rdim / m
+    val mLit = "[" + mean.mkString(", ") + "]::DOUBLE[]"
+    val cLit = "[" + comps.map(c => "[" + c.mkString(", ") + "]")
+      .mkString(", ") + "]::DOUBLE[][]"
+    val values = (for (j <- books.indices; c <- books(j).indices) yield {
+      val w = books(j)(c)
+      val nsq = w.map(x => x * x).sum
+      s"($j, $c, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
+    }).mkString(", ")
+    def coord(emb: String, t: String) =
+      s"""floor(list_reduce(list_transform(range(1, ${dim + 1}),
+         |        i -> (CAST($emb[i] AS DOUBLE) - mm.m[i]) * cc.c[$t][i]),
+         |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+    def dotF(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    def cosF(a: String, b: String) =
+      s"round(${dotF(a, b)} / (sqrt(${dotF(a, a)}) * sqrt(${dotF(b, b)})), 6)"
+    Map("d9e_reduced_pq_topk" ->
+      s"""WITH mm(m) AS (SELECT $mLit), cc(c) AS (SELECT $cLit),
+         |books(j, c, nsq, w) AS (VALUES $values),
+         |cp AS (SELECT e.vec_id,
+         |              list_transform(range(1, ${nc + 1}), t -> ${coord("e.embedding", "t")}) AS proj
+         |       FROM embeddings e, mm, cc),
+         |subd AS (
+         |  SELECT v.vec_id, b.j, b.c,
+         |         b.nsq - 2.0 * list_reduce(list_transform(range(1, ${dsub + 1}),
+         |           i -> b.w[i] * v.proj[b.j * $dsub + i]), (x, y) -> x + y) AS d
+         |  FROM cp v CROSS JOIN books b),
+         |codes AS (
+         |  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+         |    SELECT vec_id, j, c,
+         |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM subd)
+         |  WHERE rn = 1 GROUP BY vec_id),
+         |qadc AS (
+         |  SELECT vec_id AS query_id, list(dl ORDER BY j) AS adc FROM (
+         |    SELECT vec_id, j, list(d ORDER BY c) AS dl FROM subd
+         |    WHERE vec_id < 10 GROUP BY vec_id, j)
+         |  GROUP BY vec_id),
+         |approx AS (
+         |  SELECT q.query_id, v.vec_id,
+         |         list_reduce(list_transform(range(1, ${m + 1}),
+         |           j -> q.adc[j][v.codes[j] + 1]), (x, y) -> x + y) AS approx
+         |  FROM codes v CROSS JOIN qadc q WHERE v.vec_id <> q.query_id),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS rn
+         |    FROM approx)
+         |  WHERE rn <= 20),
+         |exact AS (
+         |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+         |         ${cosF("qq.embedding", "ee.embedding")} AS cos
+         |  FROM cand cd JOIN embeddings qq ON qq.vec_id = cd.query_id
+         |               JOIN embeddings ee ON ee.vec_id = cd.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM exact)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin)
+  }).flatten.toMap
 
   /** Oracles for the composed reduced-dimension index: require BOTH
     * exported models — [[graft.operators.Similarity.lastPca]] (the

@@ -471,10 +471,22 @@ object Similarity {
     * the representation that makes billion-vector indexes fit on disk. */
   def trainPqCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
       iterations: Int = 8, sampleSize: Int = 4096, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val books = trainPqOn(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("__vec")),
+      dim, m, ksub, iterations, sampleSize, seed)
+    lastPqCodebooks = Some((dim, m, ksub, seed, books))
+    books
+  }
+
+  /** The per-subspace k-means core of [[trainPqCodebooks]] over any
+    * (vec_id, __vec) table — shared with the ROTATED-space trainer so the
+    * reduced-PQ path cannot clobber the full-space d9d export slot. */
+  private def trainPqOn(df: DataFrame, dim: Int, m: Int, ksub: Int,
+      iterations: Int, sampleSize: Int, seed: Long): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val sample = corpus
-      .select(col("vec_id").cast("long").as("vid"), asDouble(col("embedding")).as("emb"))
+    val sample = df
+      .select(col("vec_id").cast("long").as("vid"), col("__vec").as("emb"))
       .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
       .limit(sampleSize)
       .collect()
@@ -501,7 +513,6 @@ object Similarity {
       }
       centroids
     }
-    lastPqCodebooks = Some((dim, m, ksub, seed, books))
     books
   }
 
@@ -1073,6 +1084,72 @@ object Similarity {
       .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Rotated-space codebooks from the most recent [[reducedPqTopK]] call
+    * — a separate slot from [[lastPqCodebooks]] (the d9d full-space
+    * model). */
+  @volatile private[graft] var lastReducedPq: Option[(Int, Int, Int, Long, Array[Array[Array[Double]]])] = None
+
+  /** OPQ-style ROTATED product quantization (Ge et al. 2013, with the
+    * learned PCA rotation standing in for the full OPQ alternating
+    * optimization): project onto the trained rotation ([[trainPca]] —
+    * the same (64, 8) model every PCA gate shares), train per-subspace
+    * codebooks IN THE ROTATED SPACE, rank candidates by the rotated ADC
+    * sum, and rescore survivors with the exact full-dimension cosine.
+    * The rotation concentrates variance into the kept coordinates, so
+    * the same code budget quantizes better than flat PQ on raw prefix
+    * dims — completing the quantization matrix (PQ flat / PQ×LSH /
+    * PQ×IVF / PQ×rotation).
+    *
+    * Scale shape: projection and encoding are pure projections over
+    * broadcast-literal models; the ADC exchange carries (query, vec,
+    * approx) scalars only (the d9d discipline); true embeddings join
+    * back only for rescore survivors. */
+  def reducedPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, pcaDims: Int = 8, m: Int = 4, ksub: Int = 16,
+      rescoreCands: Int = 20, seed: Long = 44L): DataFrame = {
+    val (mean, comps) = trainPca(corpus, dim, pcaDims)
+    val cp = pcaProjectArrays(corpus, mean, comps)
+    val qp = pcaProjectArrays(queries, mean, comps, "query_id", "query_id")
+      .withColumnRenamed("proj", "q_proj")
+    val books = trainPqOn(cp.select(col("vec_id"), col("proj").as("__vec")),
+      pcaDims, m, ksub, iterations = 8, sampleSize = 4096, seed = seed)
+    lastReducedPq = Some((pcaDims, m, ksub, seed, books))
+    val dsub = pcaDims / m
+    def subv(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    def wNormSq(w: Array[Double]): Double = w.map(x => x * x).sum
+    val coded = cp.withColumn("codes", array((0 until m).map { j =>
+        array_min(array(books(j).zipWithIndex.map { case (w, c) =>
+          struct((lit(wNormSq(w)) - lit(2.0) * dot(array(w.map(lit): _*), subv(col("proj"), j))).as("d"),
+            lit(c).as("c"))
+        }: _*)).getField("c")
+      }: _*))
+      .select("vec_id", "codes")
+    val q = broadcast(qp.withColumn("adc", array((0 until m).map { j =>
+        array(books(j).map { w =>
+          lit(wNormSq(w)) - lit(2.0) * dot(array(w.map(lit): _*), subv(col("q_proj"), j))
+        }: _*)
+      }: _*))
+      .select("query_id", "adc"))
+    val approx = coded.crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", (0 until m).map { j =>
+        element_at(element_at(col("adc"), j + 1), element_at(col("codes"), j + 1) + 1)
+      }.reduce(_ + _))
+      .select("query_id", "vec_id", "approx")
+    val wa = Window.partitionBy(col("query_id")).orderBy(col("approx"), col("vec_id"))
+    val cands = approx.withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= rescoreCands)
+      .select("query_id", "vec_id")
+    val corpusEmb = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val qEmb = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb")))
+    val rescored = cands.join(corpusEmb, "vec_id").join(qEmb, "query_id")
+      .withColumn("cos", round(cosine(col("q_emb"), col("emb")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
