@@ -1176,7 +1176,7 @@ object SparkEntry {
         .join(cleaned, "doc_id")
       val kept = CoreOps.perGroupMedianFilter(scored, "lang", "pred")
       val mixed = CoreOps.cappedTemperatureMix(kept, "lang", "doc_id",
-        totalN = 100L, capPct = 25)
+        totalN = 100L, capPct = 25, maxRounds = 2)
       mixed.join(kept.select(col("doc_id"), col("pred"),
           md5(col("clean_text")).as("clean_md5")), "doc_id")
         .select(col("lang"), col("doc_id"), col("n_alloc"), col("pred"), col("clean_md5"))
@@ -1190,7 +1190,7 @@ object SparkEntry {
     //      scaling constraint production mixtures carry ----
     "q_capped_mix" -> ((s, d) => {
       CoreOps.cappedTemperatureMix(Tables.documents(s, d), "lang", "doc_id",
-          totalN = 200L, capPct = 25)
+          totalN = 200L, capPct = 25, maxRounds = 2)
         .orderBy("lang", "doc_id")
     }),
 
@@ -4525,9 +4525,12 @@ object SparkEntry {
            |cx AS (SELECT CAST(COALESCE(sum(ma.ra * mb.rb), 0) AS BIGINT) AS sum_cross
            |       FROM ma JOIN mb ON ma.la = mb.lb)
            |SELECT n, n_agree, sum_cross,
-           |       floor(n_agree::DOUBLE / n::DOUBLE * 10000.0 + 0.5) / 10000.0 AS po,
-           |       floor(sum_cross::DOUBLE / (n * n)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS pe,
-           |       CASE WHEN n * n - sum_cross = 0 THEN 1.0
+           |       CASE WHEN n = 0 THEN NULL
+           |            ELSE floor(n_agree::DOUBLE / n::DOUBLE * 10000.0 + 0.5) / 10000.0 END AS po,
+           |       CASE WHEN n = 0 THEN NULL
+           |            ELSE floor(sum_cross::DOUBLE / (n * n)::DOUBLE * 10000.0 + 0.5) / 10000.0 END AS pe,
+           |       CASE WHEN n = 0 THEN NULL
+           |            WHEN n * n - sum_cross = 0 THEN 1.0
            |            ELSE floor((n * n_agree - sum_cross)::DOUBLE
            |                       / (n * n - sum_cross)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 END AS kappa
            |FROM base, cx""".stripMargin

@@ -123,9 +123,10 @@ object CoreOps {
     *
     * Output: (keyCol, idCol, n_alloc). */
   def cappedTemperatureMix(df: DataFrame, keyCol: String, idCol: String,
-      totalN: Long, capPct: Int): DataFrame = {
+      totalN: Long, capPct: Int, maxRounds: Int = Int.MaxValue): DataFrame = {
     require(totalN >= 0, s"totalN must be >= 0, got $totalN")
     require(capPct >= 1 && capPct <= 100, s"capPct must be in [1,100], got $capPct")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = df.sparkSession
     import spark.implicits._
     val masses = df.groupBy(keyCol).agg(count(lit(1)).as("__c"))
@@ -137,8 +138,10 @@ object CoreOps {
     var active = masses
     var fixed = Vector.empty[(String, Long)]
     var budget = totalN
+    var rounds = 0
     var done = false
     while (!done) {
+      rounds += 1
       val w = active.map(_._2).sum
       val alloc = active.map { case (k, a) =>
         (k, if (w == 0L) 0L else budget * a / w)
@@ -154,6 +157,11 @@ object CoreOps {
         active = active.filterNot(t => overKeys.contains(t._1))
       }
     }
+    // a caller whose oracle (or contract) unrolls a fixed round count can
+    // bound the loop fail-CLOSED: a corpus shift that needs more rounds
+    // raises here instead of silently diverging from the replayed rounds
+    require(rounds <= maxRounds,
+      s"capped allocation needed $rounds rounds, caller allows $maxRounds")
     val allocDf = broadcast(fixed.toDF(keyCol, "n_alloc"))
     df.select(col(keyCol).cast("string").as(keyCol), col(idCol))
       .withColumn("__r", row_number().over(Window.partitionBy(col(keyCol))
@@ -754,10 +762,16 @@ object CoreOps {
       .withColumn("__num", col("n") * col("n_agree") - col("sum_cross"))
       .withColumn("__den", col("n") * col("n") - col("sum_cross"))
       .select(col("n"), col("n_agree"), col("sum_cross"),
-        TextOps.round4(col("n_agree").cast("double") / col("n").cast("double")).as("po"),
-        TextOps.round4(col("sum_cross").cast("double")
-          / (col("n") * col("n")).cast("double")).as("pe"),
-        when(col("__den") === 0L, lit(1.0))
+        // zero overlap is "no evidence", not perfect agreement: po/pe/kappa
+        // all NULL so a mis-joined id column cannot read as redundancy
+        when(col("n") === 0L, lit(null).cast("double"))
+          .otherwise(TextOps.round4(
+            col("n_agree").cast("double") / col("n").cast("double"))).as("po"),
+        when(col("n") === 0L, lit(null).cast("double"))
+          .otherwise(TextOps.round4(col("sum_cross").cast("double")
+            / (col("n") * col("n")).cast("double"))).as("pe"),
+        when(col("n") === 0L, lit(null).cast("double"))
+          .when(col("__den") === 0L, lit(1.0))
           .otherwise(floor(col("__num").cast("double") / col("__den").cast("double")
             * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
           .as("kappa"))

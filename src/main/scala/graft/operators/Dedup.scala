@@ -832,21 +832,31 @@ object Dedup {
     * AFFECTED document (the duplicate mass, far smaller than the corpus
     * at scale) and join back ids-only (AQE → broadcast); reassembly is a
     * codegen'd higher-order filter over the local token array. */
+  /** Block count ceil(|__toks| / b) — the single definition batch AND
+    * streaming block dedup share, so stream == batch holds by
+    * construction (expects a `__toks` column in scope). */
+  private[graft] def blockCountCol(b: Int): Column =
+    ceil(size(col("__toks")).cast("double") / lit(b.toDouble)).cast("long")
+
+  /** md5-per-block array over `__toks`/`__nb` columns in scope — ONE
+    * definition of the block fingerprint for the whole family. */
+  private[graft] def blockHashesCol(b: Int): Column =
+    when(col("__nb") >= 1, expr(
+        s"transform(sequence(0, __nb - 1), i -> md5(array_join(slice(__toks, cast(i * $b + 1 as int), $b), ' ')))"))
+      .otherwise(expr("array()"))
+
   /** (doc_id, __toks, __nb) projection shared by the block-dedup family. */
   private[graft] def blockBase(docs: DataFrame, idCol: String, textCol: String,
       blockTokens: Int): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(col(textCol)).as("__toks"))
-      .withColumn("__nb",
-        ceil(size(col("__toks")).cast("double") / lit(blockTokens.toDouble)).cast("long"))
+      .withColumn("__nb", blockCountCol(blockTokens))
 
   /** Exploded (doc_id, bi, h) block-hash rows — md5 computed IN the scan
     * projection, so text never survives past this select. */
   private[graft] def blockRows(base: DataFrame, blockTokens: Int): DataFrame =
     base.select(col("doc_id"),
-      posexplode(when(col("__nb") >= 1, expr(
-          s"transform(sequence(0, __nb - 1), i -> md5(array_join(slice(__toks, cast(i * $blockTokens + 1 as int), $blockTokens), ' ')))"))
-        .otherwise(expr("array()"))).as(Seq("bi", "h")))
+      posexplode(blockHashesCol(blockTokens)).as(Seq("bi", "h")))
 
   def blockDedup(docs: DataFrame, idCol: String, textCol: String,
       blockTokens: Int = 16): DataFrame = {
@@ -884,10 +894,7 @@ object Dedup {
     * epochs' novel blocks between ingest queries. */
   def blockHashIndex(corpus: DataFrame, idCol: String, textCol: String,
       blockTokens: Int = 16): DataFrame =
-    blockRows(blockBase(corpus, idCol, textCol, blockTokens), blockTokens)
-      .groupBy("h")
-      .agg(min(struct(col("doc_id").as("d"), col("bi").as("i"))).as("w"))
-      .select(col("h"), col("w.d").as("rep_doc"), col("w.i").as("rep_idx"))
+    blockIndexFromOccurrences(blockOccurrences(corpus, idCol, textCol, blockTokens))
 
   /** Per-OCCURRENCE block rows (h, doc_id, bi) of a corpus — the
     * maintained-STORAGE form of the block index when right-to-be-forgotten

@@ -841,7 +841,14 @@ object Similarity {
     * Scale shape: one explode to (dim, value) with map-side partial
     * aggregation — the shuffle carries dim-cardinality long rows. */
   def embeddingProfile(corpus: DataFrame, dim: Int): DataFrame = {
-    val rows = corpus.select(posexplode(asDouble(col("embedding"))).as(Seq("__p", "v")))
+    // fail closed on ragged/mis-sized vectors (the trainPca contract):
+    // a 32-dim corpus must error, not silently profile 32 rows while the
+    // oracle expects `dim`
+    val checked = corpus.select(
+      when(size(col("embedding")) === dim, asDouble(col("embedding")))
+        .otherwise(raise_error(concat(lit(s"expected dim $dim, got "),
+          size(col("embedding")).cast("string")))).as("embedding"))
+    val rows = checked.select(posexplode(col("embedding")).as(Seq("__p", "v")))
       .select((col("__p") + lit(1)).cast("long").as("dim"), col("v"),
         floor(col("v") * lit(1000000.0) + lit(0.5)).cast("long").as("xq"))
     rows.groupBy("dim")

@@ -390,6 +390,10 @@ object TextOps {
     * carry (doc_id, v, w) pairs, text never shuffles. */
   def knPerplexity(docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
+    // P ∈ (0, 1] depends on c_vw ≥ 1 > D — enforce it rather than let a
+    // bad discount surface as -log(negative) = NaN deep in the plan
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       tokens(col(textCol)).as("toks"))
     val trans = base.select(col("doc_id"),

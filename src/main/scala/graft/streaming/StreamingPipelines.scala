@@ -1038,15 +1038,14 @@ object StreamingPipelines {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val b = blockTokens
+    // the block count and per-block fingerprint are Dedup's SINGLE
+    // definitions — stream == batch by construction, not by copy
     val probes = incoming
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
         graft.operators.TextOps.tokens(col(textCol)).as("__toks"))
-      .withColumn("__nb",
-        ceil(size(col("__toks")).cast("double") / lit(b.toDouble)).cast("long"))
+      .withColumn("__nb", graft.operators.Dedup.blockCountCol(b))
       .select(col("doc_id"), col("__ts"), col("__nb"),
-        posexplode_outer(when(col("__nb") >= 1, expr(
-            s"transform(sequence(0, __nb - 1), i -> md5(array_join(slice(__toks, cast(i * $b + 1 as int), $b), ' ')))"))
-          .otherwise(expr("array()"))).as(Seq("bi", "h")))
+        posexplode_outer(graft.operators.Dedup.blockHashesCol(b)).as(Seq("bi", "h")))
       .withWatermark("__ts", watermarkDelay)
     probes
       .join(index.select(col("h"), lit(1).as("__hit")), Seq("h"), "left_outer")
