@@ -204,20 +204,24 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("d9d_pq_topk: ADC ranking exchange carries scalars only — never codes, ADC tables, or embeddings") {
-    val df = SparkEntry.queries("d9d_pq_topk")(spark, sfDir)
-    for (b <- exchangeBlocks(df) if b.contains("hashpartitioning")) {
-      assert(!b.contains("codes#"), s"PQ codes reached a shuffle:\n$b")
-      assert(!b.contains("adc#"), s"a per-query ADC table reached a shuffle:\n$b")
+    for (gate <- Seq("d9d_pq_topk", "d9e_reduced_pq_topk")) {
+      val df = SparkEntry.queries(gate)(spark, sfDir)
+      for (b <- exchangeBlocks(df) if b.contains("hashpartitioning")) {
+        assert(!b.contains("codes#"), s"$gate: PQ codes reached a shuffle:\n$b")
+        assert(!b.contains("adc#"), s"$gate: a per-query ADC table reached a shuffle:\n$b")
+        assert(!b.contains("proj#"), s"$gate: a projected-coordinate array reached a shuffle:\n$b")
+      }
+      // embeddings cross an exchange only on the rescore join's corpus side
+      // (cands × corpus), never in the ADC ranking window's exchange
+      val ranking = exchangeBlocks(df).filter(b =>
+        b.contains("approx#") && b.contains("hashpartitioning"))
+      ranking.foreach { b =>
+        assert(!b.contains("emb#") && !b.contains("embedding#"),
+          s"$gate: the ADC ranking exchange carries an embedding array:\n$b")
+      }
+      assert(ranking.nonEmpty,
+        s"$gate: could not locate the ADC ranking exchange — test needs updating")
     }
-    // embeddings cross an exchange only on the rescore join's corpus side
-    // (cands × corpus), never in the ADC ranking window's exchange
-    val ranking = exchangeBlocks(df).filter(b =>
-      b.contains("approx#") && b.contains("hashpartitioning"))
-    ranking.foreach { b =>
-      assert(!b.contains("emb#") && !b.contains("embedding#"),
-        s"the ADC ranking exchange carries an embedding array:\n$b")
-    }
-    assert(ranking.nonEmpty, "could not locate the ADC ranking exchange — test needs updating")
   }
 
   test("d16_semantic_dedup: within-cluster pairing is a hash equi-join, never a pair explosion") {
