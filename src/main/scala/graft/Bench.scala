@@ -995,6 +995,51 @@ object Bench {
             -1.0
         } finally idx.unpersist()
       }),
+      "streaming_exact_epoch" -> (() => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val docs = Tables.documents(spark, sfDir)
+        val corpus = docs.where(col("doc_id") % 5 =!= 0)
+        val epochRows = docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect().toSeq
+        var streamed: Set[(Long, String, Option[Long], Boolean)] = Set.empty
+        var idx: org.apache.spark.sql.DataFrame = null
+        val t = timed("streaming_exact_epoch") {
+          idx = graft.streaming.StreamingPipelines
+            .contentFingerprintIndex(corpus, "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          idx.count()
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String)]
+          val out = graft.streaming.StreamingPipelines.exactDedupStream(
+            mem.toDF().toDF("doc_id", "text"), idx, "doc_id", "text")
+          val qn = s"exactbench_${System.nanoTime()}"
+          val q = out.writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try {
+            mem.addData(epochRows)
+            q.processAllAvailable()
+          } finally q.stop()
+          streamed = spark.table(qn)
+            .as[(Long, String, Option[Long], Boolean)].collect().toSet
+        }
+        if (t < 0) { if (idx != null) idx.unpersist(); t }
+        else try {
+          val batch = graft.streaming.StreamingPipelines.exactDedupStream(
+              epochRows.toDF("doc_id", "text"), idx, "doc_id", "text")
+            .as[(Long, String, Option[Long], Boolean)].collect().toSet
+          require(streamed == batch,
+            s"diverged: ${streamed.size} vs ${batch.size} rows")
+          System.err.println(s"[bench] streaming_exact_epoch docs=${streamed.size} " +
+            s"admitted=${streamed.count(_._4)} (batch agrees)")
+          t
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] streaming_exact_epoch equality audit failed: ${e.getMessage}")
+            -1.0
+        } finally idx.unpersist()
+      }),
       "streaming_block_epoch" -> (() => {
         import spark.implicits._
         implicit val sqlCtx = spark.sqlContext

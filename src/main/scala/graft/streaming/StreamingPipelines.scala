@@ -1015,6 +1015,48 @@ object StreamingPipelines {
         col("rep_id").as("dup_of"), col("rep_id").isNull.as("keep"))
   }
 
+  /** Per-fingerprint canonical representative of a document corpus under
+    * NFC-normalized content ([[graft.operators.Dedup
+    * .normalizedExactDuplicateGroups]]'s fingerprint): (fingerprint,
+    * rep_id) — one row per distinct canonical content, the maintained
+    * index [[exactDedupStream]] joins against (the text sibling of
+    * [[assetSignatureIndex]]). */
+  def contentFingerprintIndex(corpus: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    corpus.select(
+        md5(graft.expressions.GraftExpressions.nfcNormalize(col(textCol)))
+          .as("fingerprint"),
+        col(idCol).cast("long").as("doc_id"))
+      .groupBy("fingerprint").agg(min(col("doc_id")).as("rep_id"))
+  }
+
+  /** Streaming EXACT dedup at ingest against a maintained
+    * [[contentFingerprintIndex]]: incoming documents are fingerprinted
+    * over NFC-canonicalized content (composition-form variants of indexed
+    * content dedup too — the d1b rule at ingest) and left-joined
+    * stream-static. Because fingerprint equality is exact, the pipeline
+    * is STATELESS end-to-end (the [[assetDedupStream]] contract): no
+    * watermark, no aggregation — ingest latency is join-probe latency.
+    * Output per document: (doc_id, fingerprint, dup_of, keep).
+    *
+    * Scale shape: the index is one (16-byte fingerprint, id) row per
+    * DISTINCT content; the stream side shuffles (id, fingerprint) only —
+    * text never leaves its projection. The maintenance loop appends
+    * admitted fingerprints between ingest cycles, and delete is the
+    * per-row anti-join every maintained index here shares. */
+  def exactDedupStream(incoming: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    incoming.select(col(idCol).cast("long").as("doc_id"),
+        md5(graft.expressions.GraftExpressions.nfcNormalize(col(textCol)))
+          .as("fingerprint"))
+      .join(index, Seq("fingerprint"), "left_outer")
+      .select(col("doc_id"), col("fingerprint"),
+        col("rep_id").as("dup_of"), col("rep_id").isNull.as("keep"))
+  }
+
   /** Streaming first-occurrence BLOCK dedup — the ingest form of
     * [[graft.operators.Dedup.incrementalBlockDedup]]: incoming documents'
     * 16-token blocks are hashed row-wise (the identical md5-over-slice

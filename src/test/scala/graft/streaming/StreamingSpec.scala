@@ -1092,6 +1092,37 @@ class StreamingSpec extends AnyFunSuite {
     idx.unpersist(); idx2.unpersist()
   }
 
+  test("exact dedup stream: stateless ingest vs the fingerprint index; NFC variants dedup; stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val composed = "caf\u00e9 menu item"      // precomposed U+00E9
+    val decomposed = "cafe\u0301 menu item"   // e + combining U+0301
+    val corpus = Seq((0L, composed), (1L, "a corpus doc")).toDF("doc_id", "text")
+    val idx = StreamingPipelines.contentFingerprintIndex(corpus, "doc_id", "text").cache()
+    val incomingRows = Seq(
+      (10L, decomposed),        // NFC variant of doc 0 → dup_of 0
+      (11L, "a genuinely novel document"))
+    val batch = StreamingPipelines.exactDedupStream(
+        incomingRows.toDF("doc_id", "text"), idx, "doc_id", "text")
+      .as[(Long, String, Option[Long], Boolean)].collect().toSet
+    assert(batch.exists { case (id, _, dup, keep) => id == 10L && dup.contains(0L) && !keep })
+    assert(batch.exists { case (id, _, dup, keep) => id == 11L && dup.isEmpty && keep })
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingPipelines.exactDedupStream(
+      mem.toDF().toDF("doc_id", "text"), idx, "doc_id", "text")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("exactdedup").start()
+    try {
+      mem.addData(incomingRows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("exactdedup")
+      .as[(Long, String, Option[Long], Boolean)].collect().toSet
+    assert(streamed === batch, s"streaming $streamed != batch $batch")
+    idx.unpersist()
+  }
+
   test("block index delete: anti-join on occurrences == rebuild; representatives re-elected") {
     import spark.implicits._
     import graft.operators.Dedup
