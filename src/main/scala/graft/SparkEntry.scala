@@ -932,6 +932,24 @@ object SparkEntry {
       Similarity.reducedPqTopK(emb, queries, TopK).orderBy("query_id", "rank")
     }),
 
+    // ---- recall@k of the rotated-PQ index against the exact ranking —
+    //      the acceptance measurement for the d9e design ----
+    "q_reduced_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, queries, TopK)
+        .select("query_id", "neighbor_id")
+      val ann = Similarity.reducedPqTopK(emb, queries, TopK)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("__hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(TopK.toDouble)).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ---- MMR diversified re-ranking: greedy λ·rel − (1−λ)·max-sim over
     //      the dense top-20, the redundancy-suppressing re-rank for RAG
     //      context assembly; every greedy round's q6 score and tiebreak
@@ -2487,7 +2505,62 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM exact)
          |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+
+      "q_reduced_pq_recall" ->
+        s"""WITH mm(m) AS (SELECT $mLit), cc(c) AS (SELECT $cLit),
+           |books(j, c, nsq, w) AS (VALUES $values),
+           |cp AS (SELECT e.vec_id,
+           |              list_transform(range(1, ${nc + 1}), t -> ${coord("e.embedding", "t")}) AS proj
+           |       FROM embeddings e, mm, cc),
+           |subd AS (
+           |  SELECT v.vec_id, b.j, b.c,
+           |         b.nsq - 2.0 * list_reduce(list_transform(range(1, ${dsub + 1}),
+           |           i -> b.w[i] * v.proj[b.j * $dsub + i]), (x, y) -> x + y) AS d
+           |  FROM cp v CROSS JOIN books b),
+           |codes AS (
+           |  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+           |    SELECT vec_id, j, c,
+           |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM subd)
+           |  WHERE rn = 1 GROUP BY vec_id),
+           |qadc AS (
+           |  SELECT vec_id AS query_id, list(dl ORDER BY j) AS adc FROM (
+           |    SELECT vec_id, j, list(d ORDER BY c) AS dl FROM subd
+           |    WHERE vec_id < 10 GROUP BY vec_id, j)
+           |  GROUP BY vec_id),
+           |approx AS (
+           |  SELECT q.query_id, v.vec_id,
+           |         list_reduce(list_transform(range(1, ${m + 1}),
+           |           j -> q.adc[j][v.codes[j] + 1]), (x, y) -> x + y) AS approx
+           |  FROM codes v CROSS JOIN qadc q WHERE v.vec_id <> q.query_id),
+           |cand AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS rn
+           |    FROM approx)
+           |  WHERE rn <= 20),
+           |exactr AS (
+           |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+           |         ${cosF("qq.embedding", "ee.embedding")} AS cos
+           |  FROM cand cd JOIN embeddings qq ON qq.vec_id = cd.query_id
+           |               JOIN embeddings ee ON ee.vec_id = cd.vec_id),
+           |annk AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM exactr) WHERE rank <= $TopK),
+           |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+           |fullsc AS (
+           |  SELECT q.query_id, e.vec_id, ${cosF("q.q_emb", "e.embedding")} AS cos
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+           |fullrk AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM fullsc) WHERE rank <= $TopK)
+           |SELECT f.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           |       count(a.neighbor_id)::DOUBLE / ${TopK}.0 AS recall
+           |FROM fullrk f LEFT JOIN annk a
+           |  ON a.query_id = f.query_id AND a.neighbor_id = f.vec_id
+           |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin)
   }).flatten.toMap
 
   /** Oracles for the composed reduced-dimension index: require BOTH
