@@ -537,29 +537,22 @@ object Similarity {
       dim: Int = 64, m: Int = 16, ksub: Int = 16, rescoreCands: Int = 20,
       seed: Long = 42L): DataFrame = {
     val books = trainPqCodebooks(corpus, dim, m, ksub, seed = seed)
-    val dsub = dim / m
-    def subv(emb: Column, j: Int): Column = slice(emb, j * dsub + 1, dsub)
-    def wNormSq(w: Array[Double]): Double = w.map(x => x * x).sum
+    // encoding, ADC tables, and the ranking sum are native expressions
+    // holding the codebooks as ONE codegen reference object: the earlier
+    // literal-array formulation (m·ksub codeword literals inlined per
+    // projection) grew the fused ranking stage past Janino's 64 KB method
+    // limit and silently fell back to interpreted eval — see
+    // [[graft.expressions.PqEncode]]
+    import graft.expressions.GraftExpressions.{pqEncode, pqAdcTable, pqAdcScore}
     val coded = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("codes", array((0 until m).map { j =>
-        array_min(array(books(j).zipWithIndex.map { case (w, c) =>
-          struct((lit(wNormSq(w)) - lit(2.0) * dot(array(w.map(lit): _*), subv(col("emb"), j))).as("d"),
-            lit(c).as("c"))
-        }: _*)).getField("c")
-      }: _*))
+      .withColumn("codes", pqEncode(col("emb"), books))
       .select("vec_id", "codes")
     val q = broadcast(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
-      .withColumn("adc", array((0 until m).map { j =>
-        array(books(j).map { w =>
-          lit(wNormSq(w)) - lit(2.0) * dot(array(w.map(lit): _*), subv(col("q_emb"), j))
-        }: _*)
-      }: _*))
+      .withColumn("adc", pqAdcTable(col("q_emb"), books))
       .select("query_id", "adc"))
     val approx = coded.crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("approx", (0 until m).map { j =>
-        element_at(element_at(col("adc"), j + 1), element_at(col("codes"), j + 1) + 1)
-      }.reduce(_ + _))
+      .withColumn("approx", pqAdcScore(col("adc"), col("codes")))
       // project BEFORE the ranking window: its exchange must carry three
       // scalars per candidate, not the codes + the per-query ADC table
       .select("query_id", "vec_id", "approx")
@@ -1125,27 +1118,17 @@ object Similarity {
     val books = trainPqOn(cp.select(col("vec_id"), col("proj").as("__vec")),
       pcaDims, m, ksub, iterations = 8, sampleSize = 4096, seed = seed)
     lastReducedPq = Some((pcaDims, m, ksub, seed, books))
-    val dsub = pcaDims / m
-    def subv(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
-    def wNormSq(w: Array[Double]): Double = w.map(x => x * x).sum
-    val coded = cp.withColumn("codes", array((0 until m).map { j =>
-        array_min(array(books(j).zipWithIndex.map { case (w, c) =>
-          struct((lit(wNormSq(w)) - lit(2.0) * dot(array(w.map(lit): _*), subv(col("proj"), j))).as("d"),
-            lit(c).as("c"))
-        }: _*)).getField("c")
-      }: _*))
+    // same native-expression ADC path as [[pqTopK]] — the rotated variant
+    // doubled the literal mass that broke 64 KB codegen, so it benefits
+    // even more from the reference-object codebooks
+    import graft.expressions.GraftExpressions.{pqEncode, pqAdcTable, pqAdcScore}
+    val coded = cp.withColumn("codes", pqEncode(col("proj"), books))
       .select("vec_id", "codes")
-    val q = broadcast(qp.withColumn("adc", array((0 until m).map { j =>
-        array(books(j).map { w =>
-          lit(wNormSq(w)) - lit(2.0) * dot(array(w.map(lit): _*), subv(col("q_proj"), j))
-        }: _*)
-      }: _*))
+    val q = broadcast(qp.withColumn("adc", pqAdcTable(col("q_proj"), books))
       .select("query_id", "adc"))
     val approx = coded.crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
-      .withColumn("approx", (0 until m).map { j =>
-        element_at(element_at(col("adc"), j + 1), element_at(col("codes"), j + 1) + 1)
-      }.reduce(_ + _))
+      .withColumn("approx", pqAdcScore(col("adc"), col("codes")))
       .select("query_id", "vec_id", "approx")
     val wa = Window.partitionBy(col("query_id")).orderBy(col("approx"), col("vec_id"))
     val cands = approx.withColumn("arank", row_number().over(wa))

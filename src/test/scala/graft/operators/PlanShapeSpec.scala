@@ -221,6 +221,22 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       assert(ranking.nonEmpty,
         s"$gate: could not locate the ADC ranking exchange — test needs updating")
+      // codegen-participation pin (VERDICT r11 #2): every WholeStageCodegen
+      // subtree of the gate must actually COMPILE. The literal-array ADC
+      // formulation grew the fused ranking method past Janino's 64 KB limit
+      // and the stage silently ran interpreted — maxMethodCodeSize == -1
+      // (ByteCodeStats.UNAVAILABLE) is exactly that failure. Run the query
+      // first: under AQE the codegen stages only exist in the final plan.
+      df.collect()
+      val subtrees = org.apache.spark.sql.execution.debug
+        .codegenStringSeq(df.queryExecution.executedPlan)
+      assert(subtrees.nonEmpty, s"$gate: no WholeStageCodegen subtree found")
+      subtrees.foreach { case (subtree, _, stats) =>
+        assert(stats.maxMethodCodeSize >= 0,
+          s"$gate: a WholeStageCodegen subtree failed to compile (64 KB fallback):\n$subtree")
+        assert(stats.maxMethodCodeSize < 65536,
+          s"$gate: generated method exceeds the JVM method limit:\n$subtree")
+      }
     }
   }
 
