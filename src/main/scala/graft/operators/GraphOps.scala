@@ -67,6 +67,21 @@ object GraphOps {
     * word key + one aggregate, with `localCheckpoint` truncation per
     * round; driver sees only bounded scalars (N, V, Σy). Output top-k
     * rides one ordered limit at vocabulary cardinality. */
+  /** The q6 PPMI edge table `(v, w, m)` of the most recent
+    * [[ppmiWordCentrality]] call (localCheckpointed — alive until the
+    * session stops), exported to the DuckDB oracle as a VALUES splice, the
+    * [[graft.operators.Similarity.lastIvfCentroids]] contract. This is the
+    * de-flake for the one transcendental in the gate (VERDICT r11 #1): the
+    * PPMI `ln` runs on exactly-agreed integer inputs, but JVM `Math.log`
+    * and DuckDB's libm are different 1-ulp-accurate implementations, and an
+    * input within an ulp of a `floor(x·1e6+0.5)` boundary flips a q6 long
+    * that 8 power-iteration rounds then amplify into a different table.
+    * Splicing the ENGINE's m values removes the cross-engine `ln` from the
+    * hash gate; the oracle still recomputes its own `ln` edge table and
+    * fails closed unless the splice agrees within ±1 micro-unit (the exact
+    * 1-ulp-at-a-floor-boundary envelope) with identical support. */
+  @volatile private[graft] var lastPpmiEdges: Option[DataFrame] = None
+
   def ppmiWordCentrality(docs: DataFrame, textCol: String,
       iterations: Int = 8, k: Int = 20): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -90,6 +105,7 @@ object GraphOps {
           * lit(1000000.0) + lit(0.5)).cast("long")).as("m"))
       .where(col("m") > 0)
       .localCheckpoint()
+    lastPpmiEdges = Some(ppmi)
     val nodes = cv.select("v")
     val nv = nodes.count()
     var x = nodes.select(col("v"), lit(1000000L / nv).as("x"))

@@ -517,6 +517,21 @@ object TextOps {
       .toDF("source", "loss_q6", "w_q6", "weight", "target_tokens")
   }
 
+  /** Per-round EG trace of the most recent [[egMixtureRows]] call:
+    * (round, source, excess_q6, exp factor) rows, exported to the DuckDB
+    * oracle as a VALUES splice. De-flake (VERDICT r11 #1): JVM `Math.exp`
+    * is 1-ulp-accurate and can even differ between interpreted and
+    * C2-compiled code, DuckDB's libm is a third implementation — a factor
+    * landing within an ulp of a `floor(w·f + 0.5)` boundary flips a q6
+    * long that the remaining EG rounds amplify. Splicing the ENGINE's
+    * factors removes the cross-engine `exp` from the hash gate; the oracle
+    * joins each round on its OWN recomputed `excess_q6` (pure long
+    * arithmetic), so a trace that disagrees with the recurrence drops rows
+    * and fails closed. The factor's `Double.toString` round-trips exactly
+    * through DuckDB's correctly-rounded parser, and `w·f` is a single IEEE
+    * multiply both engines evaluate identically. */
+  @volatile private[graft] var lastEgTrace: Option[(Int, Int, Seq[(Int, String, Long, Double)])] = None
+
   /** The EG + allocation core of [[doremiMixWeights]] as a pure function
     * over (source, loss_q6) rows — shared by the batch trainer and the
     * streaming mixture monitor (whose accumulators produce the same rows),
@@ -529,16 +544,19 @@ object TextOps {
     require(nSrc >= 1, "corpus must contain at least one source with >= 2-token docs")
     val losses = perSource.map(_._2)
     var w = Array.fill(nSrc)(1000000L / nSrc)
-    for (_ <- 1 to iterations) {
+    val trace = Seq.newBuilder[(Int, String, Long, Double)]
+    for (round <- 1 to iterations) {
       val meanQ6 = w.zip(losses).map { case (wq, lq) => wq * lq }.sum / 1000000L
-      val u = w.zip(losses).map { case (wq, lq) =>
+      val u = w.zip(losses).zipWithIndex.map { case ((wq, lq), i) =>
         val excessQ6 = math.max(0L, lq - meanQ6)
-        math.floor(wq.toDouble * math.exp((etaPct.toDouble / 100.0 * excessQ6.toDouble)
-          / 1000000.0) + 0.5).toLong
+        val factor = math.exp((etaPct.toDouble / 100.0 * excessQ6.toDouble) / 1000000.0)
+        trace += ((round, perSource(i)._1, excessQ6, factor))
+        math.floor(wq.toDouble * factor + 0.5).toLong
       }
       val uSum = u.sum
       w = u.map(uq => uq * 1000000L / uSum)
     }
+    lastEgTrace = Some((iterations, etaPct, trace.result()))
     // exact integer allocation of tokenBudget: floor shares, then the
     // whole deficit dealt (deficit div nSrc) to everyone and the
     // remainder to the largest fractional shares (source-name tiebreak) —
