@@ -144,6 +144,13 @@ object CoreOps {
       rounds += 1
       val w = active.map(_._2).sum
       val alloc = active.map { case (k, a) =>
+        // budget·a must not overflow Long (a is ~1e6·√count; petabyte
+        // budgets × large groups can exceed 2⁶³): fail CLOSED here rather
+        // than silently mis-allocate — the documented BigInt swap is the
+        // fix for callers that legitimately need the range (ADVICE r11)
+        require(budget == 0L || a <= Long.MaxValue / budget,
+          s"allocation product budget=$budget × mass=$a overflows Long for group '$k' — " +
+            "use a BigInt-based allocation for budgets of this magnitude")
         (k, if (w == 0L) 0L else budget * a / w)
       }
       val over = alloc.filter(_._2 > cap)
@@ -745,12 +752,20 @@ object CoreOps {
     * (both labelings a single identical constant ⇒ denominator 0 ⇒
     * agreement perfect but chance-correction undefined) reports 1.0.
     *
+    * NULL labels: rows where either labeling is NULL are DROPPED before
+    * aggregation (ADVICE r11) — a NULL can never agree, and the
+    * null-rejecting marginal joins would otherwise exclude it from pe
+    * while n still counted it, silently deflating po/pe/kappa. Dropping
+    * is the standard "unlabeled item" treatment; a caller auditing
+    * label coverage should count NULLs separately.
+    *
     * Scale shape: one 1:1 ids join, then everything aggregates at LABEL
     * cardinality with map-side partials; the output is one row. */
   def agreementKappa(a: DataFrame, b: DataFrame, idCol: String,
       aCol: String, bCol: String): DataFrame = {
     val j = a.select(col(idCol).as("__id"), col(aCol).as("__la"))
       .join(b.select(col(idCol).as("__id"), col(bCol).as("__lb")), "__id")
+      .where(col("__la").isNotNull && col("__lb").isNotNull)
       .localCheckpoint() // three small consumers of one joined table
     val base = j.agg(count(lit(1)).as("n"),
       count(when(col("__la") === col("__lb"), lit(1))).as("n_agree"))

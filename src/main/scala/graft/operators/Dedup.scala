@@ -955,14 +955,20 @@ object Dedup {
       blockHashIndex(corpus, idCol, textCol, blockTokens),
       idCol, textCol, blockTokens)
 
-  /** [[incrementalBlockDedup]] against an already-materialized index. */
+  /** [[incrementalBlockDedup]] against an already-materialized index —
+    * EITHER form: the (h, rep) view or the per-occurrence storage table
+    * ([[blockOccurrences]] output, which repeats h once per occurrence).
+    * The probe joins `index.select("h").distinct()` so duplicate h rows
+    * cannot multiply matched blocks and corrupt n_dropped/clean_text
+    * (ADVICE r11); with an already-distinct (h, rep) view the distinct
+    * is a cheap no-op pre-aggregation. */
   def incrementalBlockDedupAgainst(incoming: DataFrame, index: DataFrame,
       idCol: String, textCol: String, blockTokens: Int = 16): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
     val b = blockTokens
     val base = blockBase(incoming, idCol, textCol, b)
     val dropped = blockRows(base, b)
-      .join(index.select("h"), "h")
+      .join(index.select("h").distinct(), "h")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("bi"))).as("__drops"))
     base.join(dropped, Seq("doc_id"), "left")

@@ -844,9 +844,14 @@ object Similarity {
     val rows = checked.select(posexplode(col("embedding")).as(Seq("__p", "v")))
       .select((col("__p") + lit(1)).cast("long").as("dim"), col("v"),
         floor(col("v") * lit(1000000.0) + lit(0.5)).cast("long").as("xq"))
+    // the squared-moment sum runs in DECIMAL(38,0) (ADVICE r11): a long
+    // sum silently wraps past 2⁶³ (~9e6 unit-scale rows per dim), while
+    // the decimal sum stays exact to 38 digits — the same headroom as
+    // DuckDB's HUGEINT sum in the oracle — and the downstream math reads
+    // it through the identical cast-to-double
     rows.groupBy("dim")
-      .agg(count(lit(1)).as("n"), sum(col("xq")).as("__s"),
-        sum(col("xq") * col("xq")).as("__m2"),
+      .agg(count(lit(1)).as("n"), sum(col("xq").cast("decimal(38,0)")).as("__s"),
+        sum(col("xq").cast("decimal(38,0)") * col("xq")).as("__m2"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
       .select(col("dim"), col("n"),
         (floor(col("__s").cast("double") / col("n").cast("double") + lit(0.5))
@@ -881,8 +886,11 @@ object Similarity {
     * driver-side on the dim×dim matrix — the same driver-scalars contract
     * as the DP calibration and the k-means/PQ trainers. Long-overflow
     * bound: |x| ≤ 1 ⇒ products ≤ 1e12, so the exact path holds to ~9e6
-    * rows per aggregate; the 100 TB variant merges per-shard moment
-    * tables hierarchically (same exact longs), not a different algorithm.
+    * rows per aggregate — and the accumulation is CHECKED
+    * (addExact/multiplyExact), so exceeding the bound raises instead of
+    * silently training a wrong model; the 100 TB variant merges per-shard
+    * moment tables hierarchically (same exact longs), not a different
+    * algorithm.
     *
     * Returns (mean, components) and records [[lastPca]]. */
   def trainPca(corpus: DataFrame, dim: Int, nComponents: Int,
@@ -894,22 +902,32 @@ object Similarity {
       require(e.length == dim, s"expected dim $dim, got ${e.length}")
       Array.tabulate(dim)(j => math.floor(e(j) * 1e6 + 0.5).toLong)
     }
+    // CHECKED long arithmetic throughout (ADVICE r11): the |x| <= 1
+    // scaladoc bound guarantees headroom to ~9e6 rows, but nothing used to
+    // enforce it — out-of-range embeddings (or a larger corpus than the
+    // bound allows) silently wrapped into a wrong model. multiplyExact/
+    // addExact make any overflow raise ArithmeticException (fail closed,
+    // like the ragged-dimension case); the 100 TB variant merges per-shard
+    // moment tables hierarchically before either bound binds.
     val (n, s, m) = rows.treeAggregate((0L, new Array[Long](dim), new Array[Long](tri)))(
       { case ((cnt, sums, moms), xq) =>
         var j = 0; var t = 0
         while (j < dim) {
-          sums(j) += xq(j)
+          sums(j) = Math.addExact(sums(j), xq(j))
           var k = j
-          while (k < dim) { moms(t) += xq(j) * xq(k); t += 1; k += 1 }
+          while (k < dim) {
+            moms(t) = Math.addExact(moms(t), Math.multiplyExact(xq(j), xq(k)))
+            t += 1; k += 1
+          }
           j += 1
         }
         (cnt + 1, sums, moms)
       },
       { case ((c1, s1, m1), (c2, s2, m2)) =>
         var j = 0
-        while (j < dim) { s1(j) += s2(j); j += 1 }
+        while (j < dim) { s1(j) = Math.addExact(s1(j), s2(j)); j += 1 }
         var t = 0
-        while (t < tri) { m1(t) += m2(t); t += 1 }
+        while (t < tri) { m1(t) = Math.addExact(m1(t), m2(t)); t += 1 }
         (c1 + c2, s1, m1)
       })
     require(n > 0, "empty corpus")

@@ -1090,7 +1090,12 @@ object StreamingPipelines {
         posexplode_outer(graft.operators.Dedup.blockHashesCol(b)).as(Seq("bi", "h")))
       .withWatermark("__ts", watermarkDelay)
     probes
-      .join(index.select(col("h"), lit(1).as("__hit")), Seq("h"), "left_outer")
+      // distinct: accept EITHER index form — the (h, rep) view or the
+      // per-occurrence storage table, whose repeated h rows would
+      // otherwise multiply matched probe rows (ADVICE r11, the same
+      // guard as Dedup.incrementalBlockDedupAgainst)
+      .join(index.select(col("h")).distinct().withColumn("__hit", lit(1)),
+        Seq("h"), "left_outer")
       .withColumn("__cut", when(col("__hit").isNotNull, col("bi")))
       .groupBy(col("doc_id"), col("__ts"), col("__nb"))
       .agg(sort_array(collect_list(col("__cut"))).as("dropped"))

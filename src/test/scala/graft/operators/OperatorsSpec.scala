@@ -861,6 +861,13 @@ class OperatorsSpec extends AnyFunSuite {
     val repart = CoreOps.cappedTemperatureMix(df.repartition(7), "source", "doc_id", 100L, 40)
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
     assert(repart === r.toSet)
+    // overflow fail-closed (ADVICE r11): a budget where budget·mass would
+    // exceed Long.MaxValue raises instead of silently mis-allocating
+    // (mass for 'big' is 1e6·√10000 = 1e8, so budget 9.2e15 overflows)
+    val overflow = intercept[IllegalArgumentException] {
+      CoreOps.cappedTemperatureMix(df, "source", "doc_id", Long.MaxValue / 1000, 40)
+    }
+    assert(overflow.getMessage.contains("overflows"))
   }
 
   test("agreementKappa: identity is 1, disjoint constant labels below chance, hand-checked confusion") {
@@ -889,6 +896,17 @@ class OperatorsSpec extends AnyFunSuite {
     val deg = CoreOps.agreementKappa(const,
       const.withColumnRenamed("label", "lb"), "id", "label", "lb").head()
     assert(deg.getDouble(5) === 1.0)
+    // NULL labels drop BEFORE aggregation (ADVICE r11): rows 5 (null in a)
+    // and 6 (null in b) vanish entirely, so the result equals the
+    // hand-checked 4-row partial case — n=4, kappa=0.5 — instead of a
+    // deflated 6-row mixture
+    val aNull = Seq((1L, Some(1)), (2L, Some(1)), (3L, Some(2)), (4L, Some(2)),
+      (5L, None), (6L, Some(1))).toDF("id", "label")
+    val bNull = Seq((1L, Some(1)), (2L, Some(2)), (3L, Some(2)), (4L, Some(2)),
+      (5L, Some(1)), (6L, None)).toDF("id", "lb")
+    val nk = CoreOps.agreementKappa(aNull, bNull, "id", "label", "lb").head()
+    assert(nk.getLong(0) === 4L && nk.getLong(1) === 3L, s"nulls not dropped: $nk")
+    assert(nk.getDouble(5) === 0.5, s"kappa deflated by null labels: $nk")
   }
 
   test("temperatureMixSample: exact integer allocation, flatter than proportional, layout-invariant") {

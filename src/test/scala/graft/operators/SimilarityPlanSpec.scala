@@ -166,4 +166,33 @@ class SimilarityPlanSpec extends AnyFunSuite {
     assert(mean2.toSeq === mean.toSeq)
     assert(comps2.map(_.toSeq).toSeq === comps.map(_.toSeq).toSeq)
   }
+
+  test("trainPca moment overflow fails closed; embeddingProfile decimal moments survive past long range (ADVICE r11)") {
+    import spark.implicits._
+    // a magnitude whose q6 square exceeds 2⁶³ on a single row: the checked
+    // accumulation must raise, never wrap into a silently wrong model
+    val bad = Seq((0L, Seq(4e9f, 0.5f)), (1L, Seq(0.1f, -0.2f)))
+      .toDF("vec_id", "embedding")
+    val pcaErr = intercept[org.apache.spark.SparkException] {
+      Similarity.trainPca(bad, 2, 1, iterations = 5)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(pcaErr).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected a checked-arithmetic overflow, got $pcaErr")
+    // the profile's decimal(38,0) moment sum stays EXACT where a long sum
+    // would wrap: one row of xq = 4e9 has xq² = 1.6e19 > 2⁶³ (the old
+    // long-typed product wrapped right here), while the q6 variance still
+    // fits the display rounding's long floor
+    val prof2 = Seq((0L, Seq(4000.0f, 0.5f)), (1L, Seq(0.1f, -0.2f)))
+      .toDF("vec_id", "embedding")
+    val prof = Similarity.embeddingProfile(prof2, 2).orderBy("dim").collect()
+    val xq = math.floor(4000.0f.toDouble * 1e6 + 0.5)
+    val xq2 = math.floor(0.1f.toDouble * 1e6 + 0.5)
+    val m2 = xq * xq + xq2 * xq2 // exact in double here (hand value)
+    val s = xq + xq2
+    val expVar = math.floor((m2 / 2.0 - (s / 2.0) * (s / 2.0)) / 1e6 + 0.5) / 1e6
+    assert(prof(0).getDouble(3) === expVar,
+      s"decimal moment path diverged: ${prof(0)}")
+  }
 }

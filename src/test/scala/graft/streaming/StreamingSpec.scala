@@ -1052,6 +1052,18 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Seq[Int])].collect().toSet
     assert(batch1 === Set((10L, 2L, 1L, Seq(0)), (11L, 2L, 0L, Seq())))
 
+    // ADVICE r11: the per-occurrence STORAGE form (h repeated per
+    // occurrence) must be accepted as the index too — duplicate h rows
+    // must not multiply matched blocks and inflate n_dropped
+    val occForm = Dedup.blockOccurrences(
+      corpus.unionByName(corpus.withColumn("doc_id", col("doc_id") + 100)),
+      "doc_id", "text", bt)
+    val batchOcc = Dedup.incrementalBlockDedupAgainst(
+        epoch1.toDF("doc_id", "text"), occForm, "doc_id", "text", bt)
+      .select("doc_id", "n_blocks", "n_dropped", "dropped")
+      .as[(Long, Long, Long, Seq[Int])].collect().toSet
+    assert(batchOcc === batch1, s"occurrence-form index diverged: $batchOcc")
+
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
     val stream = StreamingPipelines.blockDedupStream(
       mem.toDF().toDF("doc_id", "text", "ts"), idx, "doc_id", "text",
@@ -1071,6 +1083,29 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "n_blocks", "n_dropped", "dropped")
       .as[(Long, Long, Long, Seq[Int])].collect().toSet
     assert(streamed === batch1, s"streaming $streamed != batch $batch1")
+
+    // streaming against the per-occurrence index form (same ADVICE r11
+    // guard as the batch operator): duplicate h rows must not multiply
+    // matched probe rows
+    val mem2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream2 = StreamingPipelines.blockDedupStream(
+      mem2.toDF().toDF("doc_id", "text", "ts"), occForm, "doc_id", "text",
+      "ts", watermarkDelay = "0 seconds", blockTokens = bt)
+    val q2 = stream2.writeStream.outputMode("append").format("memory")
+      .queryName("blockdedup_occ").start()
+    try {
+      mem2.addData(epoch1.map { case (id, t) => (id, t, new java.sql.Timestamp(1000L)) })
+      q2.processAllAvailable()
+      mem2.addData(Seq((99L, "flush", new java.sql.Timestamp(100000L * 1000))))
+      q2.processAllAvailable()
+      mem2.addData(Seq((98L, "flush", new java.sql.Timestamp(200000L * 1000))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val streamedOcc = spark.table("blockdedup_occ")
+      .where(col("doc_id") < 90)
+      .select("doc_id", "n_blocks", "n_dropped", "dropped")
+      .as[(Long, Long, Long, Seq[Int])].collect().toSet
+    assert(streamedOcc === batch1, s"occurrence-form streaming $streamedOcc != batch $batch1")
 
     // maintain BETWEEN epochs: append the admitted epoch, then a later
     // epoch repeating epoch-1's novel block must be cut — and the
