@@ -2206,16 +2206,16 @@ object SparkEntry {
         .orderBy("cluster", "vec_id")
     }),
 
-    // ---- hybrid dedup: lexical (MinHash/LSH-verified Jaccard) and
+    // ---- hybrid dedup: lexical (MinHash/LSH-verified Jaccard — the
+    //      EXPLICIT default generator of Dedup.lexicalNearDupPairs; the
+    //      Hamming pigeonhole is the measured-recall-0.52 opt-in) and
     //      semantic (within-cluster cosine) near-dup edges UNIONED into one
     //      component closure — a doc is a duplicate if EITHER signal says
     //      so (the embeddings table is 1:1 with documents by id) ----
     "d17_hybrid_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", ShingleK, NumMinHashes)
-      val candidates = Dedup.lshCandidatePairs(sigs, NumMinHashes, NumBands)
-      val lexical = Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", ShingleK,
-          candidates, JaccardThreshold)
+      val lexical = Dedup.lexicalNearDupPairs(docs, "doc_id", "text",
+          ShingleK, NumMinHashes, NumBands, JaccardThreshold)
         .select("doc_a", "doc_b")
       val semantic = Similarity.semanticNearDupPairs(Tables.embeddings(s, d), CosineNearDupThreshold)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))

@@ -1020,7 +1020,19 @@ object Dedup {
     * Scale shape: fingerprints are a zero-shuffle projection; the only
     * exchanges carry (block, value, doc_id, print) — ids+scalars, never
     * text; the distinct pass and the verification run at candidate
-    * cardinality. */
+    * cardinality.
+    *
+    * DEFAULT-CHOICE NOTE (measured, r11 `q_hamming_candidate_quality`):
+    * against exact Jaccard-0.7 truth on the documents corpus the Hamming
+    * pigeonhole candidates scored precision 1.0 but recall 0.52, while
+    * MinHash/LSH banding stays the tunable-recall generator (bands/rows
+    * trade directly against the threshold). SimHash candidates are the
+    * cheaper fingerprint (8 bytes vs a signature array) and the right
+    * choice when candidate VOLUME is the binding constraint and missing
+    * half the near-dups is acceptable — but the near-dup DEFAULT
+    * throughout this engine (d17/d19 hybrid and the e2e pipelines) is
+    * MinHash/LSH, made explicit by [[lexicalNearDupPairs]]'s default
+    * generator. */
   def simHashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
       radius: Int = 3, maxBlockFrequency: Long = Long.MaxValue): DataFrame = {
     require(radius >= 0 && radius <= 3,
@@ -1050,6 +1062,43 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Candidate-generation strategy for [[lexicalNearDupPairs]] — the
+    * explicit choice the r11 candidate-quality measurements argue should
+    * be a visible knob, not an implicit composition. */
+  sealed trait LexicalCandidateGenerator
+  /** MinHash-signature LSH banding — the DEFAULT: recall is tunable via
+    * (numHashes, numBands) against the Jaccard threshold (the standard
+    * S-curve), and measured recall at the engine's defaults is ~1.0 on the
+    * planted near-dups (`q_lsh_candidate_quality`). */
+  case object LshCandidates extends LexicalCandidateGenerator
+  /** SimHash60 Hamming pigeonhole ([[simHashHammingPairs]]) — opt-in:
+    * precision 1.0 but recall 0.52 against Jaccard-0.7 truth
+    * (`q_hamming_candidate_quality`); choose it only when fingerprint
+    * bytes / candidate volume bind harder than recall. */
+  case object HammingCandidates extends LexicalCandidateGenerator
+
+  /** Lexical near-duplicate pairs = candidate generation → exact Jaccard
+    * verification, with the generator an EXPLICIT parameter defaulting to
+    * MinHash/LSH (see [[LshCandidates]] / [[HammingCandidates]] for the
+    * measured trade). d17's hybrid gate and the e2e near-dup pipelines
+    * compose exactly this operator; d19's incremental form keeps the same
+    * LSH default through [[incrementalDedup]]'s signature index.
+    * Output: (doc_a, doc_b, jaccard) verified at ≥ `threshold`. */
+  def lexicalNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, numBands: Int, threshold: Double,
+      generator: LexicalCandidateGenerator = LshCandidates,
+      hammingRadius: Int = 3): DataFrame = {
+    val candidates = generator match {
+      case LshCandidates =>
+        lshCandidatePairs(minHashSignatures(docs, idCol, textCol, k, numHashes),
+          numHashes, numBands)
+      case HammingCandidates =>
+        simHashHammingPairs(docs, idCol, textCol, hammingRadius)
+          .select("doc_a", "doc_b")
+    }
+    verifyCandidatesJaccard(docs, idCol, textCol, k, candidates, threshold)
+  }
+
   /** The declarative (explode → 32-vote aggregate) form of [[simHash]] —
     * map-side combined to one row/doc before its shuffle. Kept as the
     * spec-pinned equivalence baseline for the native expression. */
@@ -1070,7 +1119,9 @@ object Dedup {
   /** HYBRID incremental dedup — d17's either-signal rule applied at ingest:
     * an incoming document is admitted only when BOTH maintained indexes say
     * novel — the lexical signature index ([[incrementalDedup]]'s
-    * MinHash/LSH → Jaccard rule over the corpus text) AND the semantic
+    * MinHash/LSH → Jaccard rule over the corpus text; LSH is the measured
+    * DEFAULT lexical candidate generator, see [[LexicalCandidateGenerator]])
+    * AND the semantic
     * cell index ([[Similarity.incrementalSemanticDedup]]'s
     * within-cell cosine rule over the corpus embeddings; documents and
     * embeddings are 1:1 by id). One row per incoming document with both

@@ -557,4 +557,29 @@ class CurationSpec extends AnyFunSuite {
     // s2 shares less vocabulary with the corpus than s1 does
     assert(out("s2")._3 > out("s1")._3)
   }
+
+  test("lexicalNearDupPairs: DEFAULT generator is MinHash/LSH (bit-identical to the explicit composition); Hamming is the opt-in") {
+    val docs = Tables.documents(spark, sfDir)
+    val k = 5; val numHashes = 64; val numBands = 16; val thr = 0.7
+    // the default must be the LSH pipeline d17/d19 ride — same pairs, same
+    // verified jaccard values, to the last bit
+    val default = Dedup.lexicalNearDupPairs(docs, "doc_id", "text",
+        k, numHashes, numBands, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val explicitLsh = Dedup.verifyCandidatesJaccard(docs, "doc_id", "text", k,
+        Dedup.lshCandidatePairs(
+          Dedup.minHashSignatures(docs, "doc_id", "text", k, numHashes),
+          numHashes, numBands), thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(default === explicitLsh, "default generator is not the LSH composition")
+    assert(default.nonEmpty, "fixture has planted near-dups; LSH must find some")
+    // the Hamming pigeonhole generator is selectable and, being
+    // precision-1.0 / recall-0.52 (q_hamming_candidate_quality), yields a
+    // SUBSET of the exact-verified pairs the LSH default admits here
+    val hamming = Dedup.lexicalNearDupPairs(docs, "doc_id", "text",
+        k, numHashes, numBands, thr, generator = Dedup.HammingCandidates)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hamming.subsetOf(default),
+      s"hamming candidates admitted pairs LSH verification did not: ${hamming -- default}")
+  }
 }
