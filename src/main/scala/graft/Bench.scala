@@ -703,6 +703,41 @@ object Bench {
             s"of ${epoch.size} (batch agrees)")
         } finally { idx.unpersist(); () }
       }),
+      // Per-epoch latency of the REDUCED-dimension index maintenance loop:
+      // the frozen model (PCA rotation + reduced centroids) trains once on
+      // the standing corpus, the maintained (cell, id, nemb) index is
+      // built and persisted, and the held-out fifth streams through
+      // reducedDedupStream (8-dim assignment arithmetic on the probe
+      // side). The admitted count must equal the batch
+      // incrementalReducedDedup on the same index exactly, or the entry
+      // fails rather than time a different computation.
+      "streaming_reduced_epoch" -> (() => timed("streaming_reduced_epoch") {
+        import spark.implicits._
+        import graft.operators.Similarity
+        val thr = 0.4
+        val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+        val corpus = emb.where(col("vec_id") % 5 =!= 0)
+        val model = Similarity.trainReducedModel(corpus)
+        val idx = Similarity.reducedIndexOf(corpus, model)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idx.count()
+        try {
+          val epoch = emb.where(col("vec_id") % 5 === 0)
+            .select(col("vec_id"), col("embedding"))
+            .as[(Long, Seq[Float])].collect().toSeq
+          val decisions = graft.tools.SemanticMaintenance.runReducedEpoch(
+            spark, model, idx, epoch, thr, s"red_epoch_${System.nanoTime()}")
+          val streamKeep = decisions.count(_._4)
+          val batchKeep = Similarity.incrementalReducedDedup(
+              epoch.toDF("vec_id", "embedding"), model, idx, thr)
+            .where(col("keep")).count()
+          require(streamKeep == batchKeep && decisions.size == epoch.size,
+            s"streaming_reduced_epoch stream admitted $streamKeep of ${decisions.size}, " +
+              s"batch admitted $batchKeep of ${epoch.size}")
+          System.err.println(s"[bench] streaming_reduced_epoch admitted=$streamKeep " +
+            s"of ${epoch.size} (batch agrees)")
+        } finally { idx.unpersist(); () }
+      }),
       // One HYBRID ingest epoch against BOTH maintained indexes: the
       // documents∩embeddings corpus minus a held-out fifth supplies the
       // lexical signature index and the semantic cell index (each built

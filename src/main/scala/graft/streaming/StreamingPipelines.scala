@@ -705,6 +705,46 @@ object StreamingPipelines {
       .select("vec_id", "dup_of", "best_cos", "keep")
   }
 
+  /** Streaming dedup against the MAINTAINED REDUCED-dimension index — the
+    * streaming consumer of [[graft.operators.Similarity.reducedIndexOf]]
+    * under its FROZEN model ([[graft.operators.Similarity
+    * .trainReducedModel]]): incoming vectors PCA-project and assign to
+    * reduced cells row-wise (8-dim argmin arithmetic — the cheap path the
+    * reduced index exists for), candidates come from a stateless
+    * stream-static left-outer join on the cell, the exact FULL-dimension
+    * normalized dot verifies, and the only stateful operator is the
+    * watermark-bounded per-(vector, event-time) min/max aggregate. Output
+    * columns equal batch [[graft.operators.Similarity
+    * .incrementalReducedDedup]] exactly (value-equal on a replay —
+    * StreamingSpec pins it, including epoch-append and delete==rebuild).
+    *
+    * At 100 TB the index side is maintained storage appended between
+    * queries ([[graft.operators.Similarity.reducedIndexAppend]]); the
+    * model (rotation + reduced centroids) rides the closure as broadcast
+    * literals and retrains only on scheduled full rebuilds. */
+  def reducedDedupStream(incoming: org.apache.spark.sql.DataFrame,
+      model: graft.operators.Similarity.ReducedModel,
+      index: org.apache.spark.sql.DataFrame,
+      tsCol: String, watermarkDelay: String, threshold: Double)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val inc = Similarity.reducedAssign(
+        incoming.withColumn("__rn", Similarity.normalizedEmbedding(col("embedding"))),
+        model, carry = Seq("__rn", tsCol))
+      .withColumnRenamed(tsCol, "__ts")
+      .withWatermark("__ts", watermarkDelay)
+    inc.join(index, Seq("cell"), "left_outer")
+      .withColumn("cos", when(col("r_nemb").isNotNull,
+        round(graft.expressions.GraftExpressions.dot(col("__rn"), col("r_nemb")), 6)))
+      .withColumn("dup_id", when(col("cos") >= threshold, col("r_id")))
+      .withColumn("dup_c", when(col("cos") >= threshold, col("cos")))
+      .groupBy(col("vec_id"), col("__ts"))
+      .agg(min(col("dup_id")).as("dup_of"), max(col("dup_c")).as("best_cos"))
+      .withColumn("keep", col("dup_of").isNull)
+      .select("vec_id", "dup_of", "best_cos", "keep")
+  }
+
   /** Streaming HYBRID cross-split leakage monitor — [[splitLeakageStream]]
     * (verbatim n-gram windows) plus the SEMANTIC signal (embedding-cosine
     * near-train, [[graft.operators.Similarity.semanticSplitLeakage]]'s

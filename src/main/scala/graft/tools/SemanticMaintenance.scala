@@ -79,6 +79,39 @@ object SemanticMaintenance {
       broadcast(removeIds.select(col(idCol).cast("long").as("c_id")).distinct()),
       Seq("c_id"), "left_anti")
 
+  /** One REDUCED-index ingest epoch: streams `batch` through
+    * [[StreamingPipelines.reducedDedupStream]] against the maintained
+    * reduced-dimension index under its FROZEN model; returns every
+    * decision row (vec_id, dup_of, best_cos, keep). Same harness contract
+    * as [[runEpoch]]. */
+  def runReducedEpoch(spark: SparkSession,
+      model: graft.operators.Similarity.ReducedModel,
+      index: DataFrame, batch: Seq[(Long, Seq[Float])],
+      threshold: Double, queryName: String)
+      : Seq[(Long, Option[Long], Option[Double], Boolean)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val out = StreamingPipelines.reducedDedupStream(
+      mem.toDF().toDF("vec_id", "embedding", "ts"),
+      model, index, "ts", watermarkDelay = "0 seconds", threshold)
+    val flushVec: Seq[Float] = 1f +: Seq.fill(model.dim - 1)(0f)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    try {
+      mem.addData(batch.map { case (id, e) => (id, e, new java.sql.Timestamp(1000L)) })
+      q.processAllAvailable()
+      mem.addData(Seq((FlushIdBase, flushVec, new java.sql.Timestamp(100000L * 1000))))
+      q.processAllAvailable()
+      mem.addData(Seq((FlushIdBase + 1L, flushVec, new java.sql.Timestamp(200000L * 1000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName)
+      .where(col("vec_id") < FlushIdBase)
+      .select("vec_id", "dup_of", "best_cos", "keep")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSeq
+  }
+
   /** One HYBRID ingest epoch: documents (text + embedding) stream through
     * [[StreamingPipelines.hybridDedupStream]] against BOTH maintained
     * indexes; returns each decision row (doc_id, keep). */

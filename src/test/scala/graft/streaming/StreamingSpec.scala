@@ -1032,6 +1032,71 @@ class StreamingSpec extends AnyFunSuite {
     cellIndex.unpersist(); cellIndex2.unpersist()
   }
 
+  test("maintained reduced-dimension index: stream == batch; append == rebuild; delete == rebuild") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.tools.SemanticMaintenance
+    val thr = 0.4
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val corpus = emb.where(col("vec_id") % 5 =!= 0)
+    // the FROZEN model trains once on the base corpus
+    val model = Similarity.trainReducedModel(corpus)
+    val idx = Similarity.reducedIndexOf(corpus, model).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "r_id", "r_nemb")
+        .as[(Int, Long, Seq[Double])].collect().toSet
+    val epoch1 = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(epoch1.nonEmpty)
+
+    // epoch 1: stream == batch, value for value
+    val batch1 = Similarity.incrementalReducedDedup(
+        epoch1.toDF("vec_id", "embedding"), model, idx, thr)
+      .select("vec_id", "dup_of", "best_cos", "keep")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSet
+    val stream1 = SemanticMaintenance.runReducedEpoch(
+      spark, model, idx, epoch1, thr, "reddedup1").toSet
+    assert(stream1 === batch1, s"epoch-1 streaming $stream1 != batch $batch1")
+    val admitted1 = stream1.collect { case (id, _, _, true) => id }
+    assert(admitted1.nonEmpty, "need novel epoch-1 vectors for the maintenance half")
+
+    // APPEND == REBUILD under the frozen model, row for row (incl. the
+    // normalized full embedding the verification path reads)
+    val admittedDf = epoch1.filter(e => admitted1.contains(e._1))
+      .toDF("vec_id", "embedding")
+    val idx2 = Similarity.reducedIndexAppend(idx, admittedDf, model).cache()
+    assert(rows(idx2) === rows(Similarity.reducedIndexOf(
+        corpus.unionByName(admittedDf), model)),
+      "append != rebuild over corpus ∪ admitted")
+
+    // epoch 2: exact copies of epoch 1 under new ids — all rejected, and a
+    // copy of an admitted original pins dup_of to that original
+    val epoch2 = epoch1.map { case (id, e) => (id + 100000L, e) }
+    val batch2 = Similarity.incrementalReducedDedup(
+        epoch2.toDF("vec_id", "embedding"), model, idx2, thr)
+      .select("vec_id", "dup_of", "best_cos", "keep")
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSet
+    val stream2 = SemanticMaintenance.runReducedEpoch(
+      spark, model, idx2, epoch2, thr, "reddedup2").toSet
+    assert(stream2 === batch2, s"epoch-2 streaming $stream2 != batch $batch2")
+    assert(stream2.forall(!_._4), "an exact copy of an indexed vector was admitted")
+    for (id <- admitted1)
+      assert(stream2.exists { case (cid, dup, cos, _) =>
+        cid == id + 100000L && dup.contains(id) && cos.contains(1.0) },
+        s"copy of admitted vector $id did not dedup against the appended index")
+
+    // DELETE == REBUILD: forget half the admitted epoch (broadcast
+    // anti-join) and the surviving rows equal a from-scratch build over
+    // the filtered corpus exactly
+    val removals = admitted1.toSeq.sorted.take(math.max(1, admitted1.size / 2))
+    val idx3 = Similarity.reducedIndexDelete(idx2, removals.toDF("vec_id"), "vec_id")
+    val rebuilt3 = Similarity.reducedIndexOf(
+      corpus.unionByName(admittedDf).where(!col("vec_id").isin(removals: _*)), model)
+    assert(rows(idx3) === rows(rebuilt3), "delete != rebuild over the filtered corpus")
+    idx.unpersist(); idx2.unpersist()
+  }
+
   test("incremental block dedup: streaming equals batch; appended index catches cross-epoch repeats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
