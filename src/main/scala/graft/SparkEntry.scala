@@ -1248,6 +1248,18 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // ---- AGGRESSIVE canonicalized dedup (the MassiveText/CCNet tier):
+    //      fingerprints over NFKD + accent-strip + lowercase +
+    //      punctuation-collapse text (native graft_canon expression) —
+    //      case/punctuation/ligature/accent variants of the same content
+    //      collide; on this ASCII corpus the oracle replays it with
+    //      lower/strip_accents/regexp_replace, the Unicode semantics are
+    //      spec-pinned on constructed fixtures ----
+    "d1c_canonical_dedup_groups" -> ((s, d) => {
+      Dedup.canonicalExactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
     // ---- incremental first-occurrence block dedup: the held-out fifth's
     //      blocks probed against the other fifths' maintained block-hash
     //      index (the sub-document d12); blocks the standing corpus
@@ -4288,6 +4300,16 @@ object SparkEntry {
       // byte-for-byte (and equal d1's on this ASCII corpus)
       "d1b_nfc_dedup_groups" ->
         """SELECT md5(nfc_normalize(text)) AS fingerprint, min(doc_id) AS keep_id, count(*) AS copies
+          |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+
+      // the aggressive tier: on ASCII text graft_canon reduces to
+      // lowercase + non-alphanumeric-run collapse, which DuckDB replays
+      // exactly (strip_accents is a no-op here); compat-decomposition and
+      // accent-strip semantics are spec-pinned on constructed fixtures
+      "d1c_canonical_dedup_groups" ->
+        """SELECT md5(trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')))
+          |         AS fingerprint,
+          |       min(doc_id) AS keep_id, count(*) AS copies
           |FROM documents GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
 
       "d2_minhash_signatures" ->

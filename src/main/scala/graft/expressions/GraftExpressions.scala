@@ -782,6 +782,69 @@ class NfcHelper extends Serializable {
   }
 }
 
+/** AGGRESSIVE canonicalization for web-scale exact dedup — the tier above
+  * [[NfcNormalize]] that real pipelines (MassiveText, CCNet) apply before
+  * fingerprinting, where "Café—MENU!!" and "cafe   menu" are the same
+  * document. Fixed op order (each step deterministic, engine-portable):
+  *
+  *   1. NFKD compatibility decomposition (ﬁ→fi, ①→1, ﬂ/½/full-width →
+  *      ASCII forms, accents split off their base letters);
+  *   2. strip combining marks (Unicode category Mn — removes the accents
+  *      step 1 decomposed);
+  *   3. per-codepoint Unicode lowercase (`Character.toLowerCase` —
+  *      context-free and locale-independent, so every engine and JVM
+  *      locale maps a codepoint the same way);
+  *   4. collapse every run of non-letter/digit codepoints to ONE space,
+  *      trimmed at both ends.
+  *
+  * On ASCII input this reduces to lowercase + punctuation/whitespace
+  * collapse — exactly what the DuckDB oracle replays with
+  * `lower`/`regexp_replace`/`trim`; the compat-decomposition and
+  * accent-strip semantics are spec-pinned on constructed fixtures (the
+  * [[NfcNormalize]] gate contract). Digit folding (CCNet's 5→0) is NOT
+  * part of this tier — it changes retrieval semantics, not identity. */
+case class CanonicalFold(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_canon"
+
+  @transient private lazy val helper = new CanonicalFoldHelper
+
+  override def nullSafeEval(t: Any): Any = helper.canon(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("canonHelper", helper, classOf[CanonicalFoldHelper].getName)
+    defineCodeGen(ctx, ev, c => s"$helperRef.canon($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalFold =
+    copy(child = newChild)
+}
+
+/** Serializable worker for [[CanonicalFold]]. */
+class CanonicalFoldHelper extends Serializable {
+  def canon(text: UTF8String): UTF8String = {
+    val d = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) {
+        if (Character.isLetterOrDigit(cp)) {
+          if (pendingSpace && sb.length > 0) sb.append(' ')
+          pendingSpace = false
+          sb.appendCodePoint(Character.toLowerCase(cp))
+        } else pendingSpace = true
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object GraftExpressions {
   def dot(a: Column, b: Column): Column =
@@ -810,6 +873,9 @@ object GraftExpressions {
 
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  def canonicalFold(text: Column): Column =
+    ColumnBridge.column(CanonicalFold(ColumnBridge.expression(text)))
 
   def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), books))
@@ -867,7 +933,8 @@ object GraftExpressions {
         WinnowingFingerprintSet(exprs(0), intArg(exprs(1)), intArg(exprs(2)))),
       "graft_simhash" -> (exprs => SimHash32(exprs.head)),
       "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
-      "graft_nfc" -> (exprs => NfcNormalize(exprs.head)))
+      "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
+      "graft_canon" -> (exprs => CanonicalFold(exprs.head)))
   }
 
   /** SQL registration (`graft_dot`, `graft_l2_normalize`, `graft_minhash`,

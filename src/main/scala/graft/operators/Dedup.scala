@@ -63,6 +63,25 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** [[exactDuplicateGroups]] over AGGRESSIVELY canonicalized text (the
+    * native [[graft.expressions.GraftExpressions.canonicalFold]]
+    * expression: NFKD compat decomposition → accent strip → per-codepoint
+    * lowercase → non-alphanumeric runs collapsed to one space) — the
+    * MassiveText/CCNet normalization tier above [[
+    * normalizedExactDuplicateGroups]]'s NFC, where case, punctuation,
+    * ligatures, and accents no longer distinguish documents. On ASCII
+    * input it reduces to lowercase + punctuation collapse (the gate's
+    * DuckDB-replayable property); the Unicode semantics are spec-pinned
+    * on constructed fixtures. */
+  def canonicalExactDuplicateGroups(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(
+        md5(graft.expressions.GraftExpressions.canonicalFold(col(textCol)))
+          .as("fingerprint"),
+        col(idCol).cast("long").as("doc_id"))
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+
   /** Exact dedup: keeps the min-id document per distinct text. */
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))

@@ -158,6 +158,52 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(df.count() === 100)
   }
 
+  test("CanonicalFold: case/punct/ligature/accent/width variants collide; digit identity kept; codegen participates") {
+    import spark.implicits._
+    // every row is "the same document" under the MassiveText/CCNet tier
+    val variants = Seq(
+      "Café—MENU!!",          // precomposed accent, em-dash, caps, punct
+      "café   menu",              // decomposed accent, run of spaces
+      "CAFE MENU",                      // accent absent entirely — stripping makes it match
+      "cafe,menu.")
+    val got = variants.toDF("t")
+      .select(GraftExpressions.canonicalFold(col("t"))).as[String].collect().toSet
+    assert(got === Set("cafe menu"), s"variants did not collapse: $got")
+    // compat decompositions: ligature ﬁ → fi, fullwidth Ａ → a, ① → 1
+    val compat = Seq("ﬁne", "Ａ ①").toDF("t")
+      .select(GraftExpressions.canonicalFold(col("t"))).as[String].collect()
+    assert(compat.toSeq === Seq("fine", "a 1"))
+    // digits are NOT folded (5 ≠ 0 — identity, unlike CCNet retrieval norm)
+    val dig = Seq("version 5", "version 0").toDF("t")
+      .select(GraftExpressions.canonicalFold(col("t"))).as[String].collect()
+    assert(dig.toSeq === Seq("version 5", "version 0"))
+    // all-punctuation input → empty string, not a crash
+    val empty = Seq("?!—…", "").toDF("t")
+      .select(GraftExpressions.canonicalFold(col("t"))).as[String].collect()
+    assert(empty.toSeq === Seq("", ""))
+    // dedup consequence: d1 and d1b keep the variants apart, d1c merges all
+    val docs = variants.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(graft.operators.Dedup.exactDuplicateGroups(docs, "doc_id", "text").count() === 4)
+    assert(graft.operators.Dedup.normalizedExactDuplicateGroups(docs, "doc_id", "text").count() >= 3)
+    val merged = graft.operators.Dedup
+      .canonicalExactDuplicateGroups(docs, "doc_id", "text").collect()
+    assert(merged.length === 1 && merged.head.getLong(1) === 0L
+      && merged.head.getLong(2) === 4L)
+    // the ASCII-reduction property the DuckDB oracle replays: lowercase +
+    // non-alphanumeric-run collapse, trimmed
+    val ascii = Seq("Hello,   World!x2", " lead and trail ").toDF("t")
+      .select(GraftExpressions.canonicalFold(col("t"))).as[String].collect()
+    assert(ascii.toSeq === Seq("hello world x2", "lead and trail"))
+    // whole-stage codegen participation (the NfcNormalize pin)
+    val df = spark.range(0, 100)
+      .selectExpr("concat('Café Doc ', cast(id as string)) AS t")
+      .select(GraftExpressions.canonicalFold(col("t")).as("n"))
+      .where(length(col("n")) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.trim.startsWith("*(") && l.contains("graft_canon")), plan)
+    assert(df.count() === 100)
+  }
+
   test("SQL registration: graft_dot usable from spark.sql") {
     GraftExpressions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
@@ -202,7 +248,8 @@ class GraftExpressionsSpec extends AnyFunSuite {
     // registered on one surface and forgotten on the other
     assert(GraftExpressions.sqlBuilders.map(_._1) === Seq("graft_dot",
       "graft_l2_normalize", "graft_minhash", "graft_shingle_set",
-      "graft_winnow", "graft_simhash", "graft_simhash60", "graft_nfc"))
+      "graft_winnow", "graft_simhash", "graft_simhash60", "graft_nfc",
+      "graft_canon"))
   }
 
   test("AeadUnseal expression: roundtrip, wrong route null, tampered null") {
