@@ -70,6 +70,59 @@ object Bench {
     val ExtCpuRetryThreshold = 0.20
     val MaxNoiseRetries = 12
     var noiseRetries = 0
+    // ---- fail-closed quiet-machine gate for the A/B receipts (r11 verdict
+    // #3): min-of-2 + drift retries demonstrably cannot rescue a sweep
+    // under SUSTAINED contention — r11 ran at loadavg 6–10 and the
+    // published skew_join_aqe_{on,off} ordering INVERTED. Before each arm
+    // of an A/B pair the bench now waits until the external-CPU share of
+    // the machine over a short idle window drops below QuietExtCpu
+    // (loadavg is useless here: it cannot separate our own 32 busy cores
+    // from a concurrent process, and decays over minutes). The wait is
+    // bounded; on timeout the arm runs anyway and lands in
+    // "load_gate_timeouts" so the receipt reads FLAGGED, never silently
+    // trusted. Waits are logged per entry in "load_gate_waits".
+    val QuietExtCpu = 0.15
+    val QuietProbeMs = 400L
+    val QuietMaxWaitMs = 90000L
+    val loadGateWaits = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val loadGateTimeouts = scala.collection.mutable.ArrayBuffer.empty[String]
+    /** Entries whose value is an A/B ORDERING claim, not a throughput
+      * number — the ones a contaminated sample can invert. */
+    val abReceiptEntries: Set[String] = Set(
+      "synthetic_dp_t20", "synthetic_dp_t20_identity_state",
+      "eager_dp_sharded_t20", "eager_dp_tws_timers_t20", "eager_dp_lazy_t20",
+      "colocated_join_plain", "colocated_join_bucketed",
+      "skew_join_aqe_off", "skew_join_aqe_on",
+      "runtime_bloom_off", "runtime_bloom_on",
+      "e2e_build_one_shuffle", "e2e_build_joins",
+      "median_filter_hist", "median_filter_sortwindow",
+      "source_divergence_ckpt", "source_divergence_nockpt",
+      "distinct_users_exact", "distinct_users_hll",
+      "bm25_index_delete_incremental", "bm25_index_rebuild",
+      "hamming_pairs_blocked", "hamming_pairs_allpairs",
+      "block_winners_agg", "block_winners_window",
+      "bpe_train_corpus", "bpe_train_local")
+    def awaitQuiet(name: String): Unit = {
+      val t0 = System.nanoTime()
+      externalCpu() // reset the interval so the first probe covers our sleep
+      var waitedMs = 0L
+      Thread.sleep(QuietProbeMs)
+      var ext = externalCpu()
+      while (ext > QuietExtCpu && waitedMs < QuietMaxWaitMs) {
+        Thread.sleep(QuietProbeMs)
+        waitedMs += QuietProbeMs
+        ext = externalCpu()
+      }
+      val waitedSec = (System.nanoTime() - t0) / 1e9
+      if (ext > QuietExtCpu) {
+        loadGateTimeouts += name
+        System.err.println(f"[bench] load gate TIMED OUT for '$name' after $waitedSec%.1f s " +
+          f"(external CPU still $ext%.2f) — running anyway, receipt flagged")
+      } else if (waitedMs > 0) {
+        loadGateWaits(name) = waitedSec
+        System.err.println(f"[bench] load gate held '$name' $waitedSec%.1f s for a quiet machine")
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -1256,7 +1309,12 @@ object Bench {
         // externally contaminated (>threshold of the machine went to other
         // processes), one extra repeat is added — min-of-repeats only
         // de-noises when at least one repeat ran clean.
-        def sampled(): (Double, Double) = { externalCpu(); val t = run(); (t, externalCpu()) }
+        // A/B receipt arms additionally wait for a quiet machine first
+        // (fail-closed load gate, r11 verdict #3).
+        def sampled(): (Double, Double) = {
+          if (abReceiptEntries.contains(name)) awaitQuiet(name)
+          externalCpu(); val t = run(); (t, externalCpu())
+        }
         // the amortized streaming entry self-averages over its own steady
         // epochs — repeating the whole 5-epoch cycle would double its cost
         // for no extra signal
@@ -1399,8 +1457,13 @@ object Bench {
     // the flagged list (and drift-retry evidence) must reach the committed
     // per-round summary, which is the captured compact line — keep both
     // short and always present
+    val loadGateJson =
+      s"""{"waits":${loadGateWaits.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}")},""" +
+        s""""timeouts":${loadGateTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val compactExtra =
       s""""drift_retries":$driftJson,""" +
+        s""""load_gate_timeouts":${loadGateTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""scaling_flagged":${scaling.map(_._2.map("\"" + _ + "\"").mkString("[", ",", "]")).getOrElse("null")}"""
     val compact = graft.tools.BenchReport.compactLine(all, headline, sfDir,
       runs = repeats, load = Seq(loadPre, loadPost), extra = compactExtra)
@@ -1408,6 +1471,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
         s""""repeats":$repeats,"runs_detail":$runsJson,"load":[${r3(loadPre)},${r3(loadPost)}],""" +
         s""""noise_retries":$noiseRetries,"drift_retries":$driftJson,"ext_cpu":$extJson,""" +
+        s""""load_gate":$loadGateJson,""" +
         s""""eager_releases":$eagerJson,"eager_seed":42,""" +
         s""""scaling":$scalingJson,""" +
         s""""profile":$profile,"sf":"$sfDir"}"""
