@@ -948,6 +948,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- MAINTAINED rotated-PQ index lifecycle (the d23 treatment for
+    //      d9e): rotation + codebooks train ONCE on the pre-epoch base
+    //      and FREEZE; the index stores m-byte codes per vector; an
+    //      ingest epoch's codes APPEND (frozen-codebook encoding — pure
+    //      per-row), a right-to-be-forgotten set DELETES, and ADC probes
+    //      rank the maintained codes with exact full-dim rescore. The
+    //      oracle re-encodes the filtered corpus from the exported frozen
+    //      model — append==rebuild AND delete==rebuild proven end-to-end. ----
+    "d24_maintained_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(col("vec_id") % 7 =!= 3)
+      val epoch = emb.where(col("vec_id") % 7 === 3)
+      val model = Similarity.trainReducedPqModel(base)
+      val idx = Similarity.reducedPqIndexDelete(
+        Similarity.reducedPqIndexAppend(
+          Similarity.reducedPqIndexOf(base, model), epoch, model),
+        emb.where(col("vec_id") % 11 === 5).select("vec_id"), "vec_id")
+      Similarity.reducedPqProbeTopK(emb, idx, model,
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = TopK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- OPQ-style ROTATED product quantization: codes trained in the
     //      PCA-rotated space (variance concentrated → better cells for
     //      the same code budget), rotated-ADC candidate ranking, exact
@@ -2472,7 +2496,84 @@ object SparkEntry {
     * in both, only deterministic model/generator output crosses the
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql ++ reducedIvfOracleSql ++ reducedPqOracleSql ++ ppmiOracleSql ++ egOracleSql ++ maintainedReducedOracleSql
+    coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql ++ reducedIvfOracleSql ++ reducedPqOracleSql ++ ppmiOracleSql ++ egOracleSql ++ maintainedReducedOracleSql ++ maintainedPqOracleSql
+
+  /** d24 oracle, available after [[graft.operators.Similarity
+    * .trainReducedPqModel]] has trained (own slot, base-corpus model):
+    * re-encodes the post-maintenance index membership (all vectors minus
+    * the deleted set) from the exported frozen rotation + codebooks and
+    * replays the j-ordered ADC ranking and the exact rescore — the
+    * executable form of the codes index's append==rebuild /
+    * delete==rebuild claims. */
+  private def maintainedPqOracleSql: Map[String, String] =
+    graft.operators.Similarity.lastMaintainedReducedPq.toSeq.flatMap {
+      case m if m.dim != 64 || m.pcaDims != 8 =>
+        Nil // a differently-shaped training overwrote the slot — rows-only
+      case mdl =>
+        val dim = mdl.dim
+        val nc = mdl.pcaDims
+        val m = mdl.m
+        val dsub = nc / m
+        val mLit = "[" + mdl.mean.mkString(", ") + "]::DOUBLE[]"
+        val cLit = "[" + mdl.comps.map(c => "[" + c.mkString(", ") + "]")
+          .mkString(", ") + "]::DOUBLE[][]"
+        val values = (for (j <- mdl.books.indices; c <- mdl.books(j).indices) yield {
+          val w = mdl.books(j)(c)
+          val nsq = w.map(x => x * x).sum
+          s"($j, $c, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
+        }).mkString(", ")
+        def coord(emb: String, t: String) =
+          s"""floor(list_reduce(list_transform(range(1, ${dim + 1}),
+             |        i -> (CAST($emb[i] AS DOUBLE) - mm.m[i]) * cc.c[$t][i]),
+             |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+        def dotF(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+        def cosF(a: String, b: String) =
+          s"round(${dotF(a, b)} / (sqrt(${dotF(a, a)}) * sqrt(${dotF(b, b)})), 6)"
+        Seq("d24_maintained_pq_topk" ->
+          s"""WITH mm(m) AS (SELECT $mLit), cc(c) AS (SELECT $cLit),
+             |books(j, c, nsq, w) AS (VALUES $values),
+             |cp AS (SELECT e.vec_id,
+             |              list_transform(range(1, ${nc + 1}), t -> ${coord("e.embedding", "t")}) AS proj
+             |       FROM embeddings e, mm, cc),
+             |subd AS (
+             |  SELECT v.vec_id, b.j, b.c,
+             |         b.nsq - 2.0 * list_reduce(list_transform(range(1, ${dsub + 1}),
+             |           i -> b.w[i] * v.proj[b.j * $dsub + i]), (x, y) -> x + y) AS d
+             |  FROM cp v CROSS JOIN books b),
+             |codes AS (
+             |  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+             |    SELECT vec_id, j, c,
+             |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM subd)
+             |  WHERE rn = 1 AND vec_id % 11 <> 5 GROUP BY vec_id),
+             |qadc AS (
+             |  SELECT vec_id AS query_id, list(dl ORDER BY j) AS adc FROM (
+             |    SELECT vec_id, j, list(d ORDER BY c) AS dl FROM subd
+             |    WHERE vec_id < 10 GROUP BY vec_id, j)
+             |  GROUP BY vec_id),
+             |approx AS (
+             |  SELECT q.query_id, v.vec_id,
+             |         list_reduce(list_transform(range(1, ${m + 1}),
+             |           j -> q.adc[j][v.codes[j] + 1]), (x, y) -> x + y) AS approx
+             |  FROM codes v CROSS JOIN qadc q WHERE v.vec_id <> q.query_id),
+             |cand AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           row_number() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS rn
+             |    FROM approx)
+             |  WHERE rn <= 20),
+             |exact AS (
+             |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+             |         ${cosF("qq.embedding", "ee.embedding")} AS cos
+             |  FROM cand cd JOIN embeddings qq ON qq.vec_id = cd.query_id
+             |               JOIN embeddings ee ON ee.vec_id = cd.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM exact)
+             |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+             |ORDER BY query_id, rank""".stripMargin)
+    }.toMap
 
   /** d23 oracle, available after [[graft.operators.Similarity
     * .trainReducedModel]] has trained (its own slot — the maintained gate

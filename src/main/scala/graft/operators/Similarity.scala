@@ -1257,20 +1257,90 @@ object Similarity {
       rescoreCands: Int = 20, seed: Long = 44L): DataFrame = {
     val (mean, comps) = trainPca(corpus, dim, pcaDims)
     val cp = pcaProjectArrays(corpus, mean, comps)
-    val qp = pcaProjectArrays(queries, mean, comps, "query_id", "query_id")
-      .withColumnRenamed("proj", "q_proj")
     val books = trainPqOn(cp.select(col("vec_id"), col("proj").as("__vec")),
       pcaDims, m, ksub, iterations = 8, sampleSize = 4096, seed = seed)
     lastReducedPq = Some((pcaDims, m, ksub, seed, books))
-    // same native-expression ADC path as [[pqTopK]] — the rotated variant
-    // doubled the literal mass that broke 64 KB codegen, so it benefits
-    // even more from the reference-object codebooks
-    import graft.expressions.GraftExpressions.{pqEncode, pqAdcTable, pqAdcScore}
-    val coded = cp.withColumn("codes", pqEncode(col("proj"), books))
-      .select("vec_id", "codes")
-    val q = broadcast(qp.withColumn("adc", pqAdcTable(col("q_proj"), books))
+    // same native-expression ADC path as [[pqTopK]] (the rotated variant
+    // doubled the literal mass that broke 64 KB codegen), composed through
+    // the maintained probe so one-shot and maintained rankings share one
+    // definition
+    val model = ReducedPqModel(dim, pcaDims, m, ksub, mean, comps, books)
+    reducedPqProbeTopK(corpus, reducedPqIndexOf(corpus, model), model,
+      queries, k, rescoreCands)
+  }
+
+  /** A FROZEN rotated-PQ index model — [[ReducedModel]]'s sibling for the
+    * d9e path: the PCA rotation plus the per-subspace codebooks trained in
+    * the rotated space. At 100 TB these are exactly the artifacts trained
+    * once per corpus release; the index stores m-byte CODES per vector
+    * (the representation that fits a billion-vector index on disk), and
+    * append/delete maintenance never touches the model. */
+  final case class ReducedPqModel(dim: Int, pcaDims: Int, m: Int, ksub: Int,
+      mean: Array[Double], comps: Array[Array[Double]],
+      books: Array[Array[Array[Double]]])
+
+  /** Model from the most recent [[trainReducedPqModel]] call — its own
+    * export slot (the maintained gate trains on the pre-epoch base). */
+  @volatile private[graft] var lastMaintainedReducedPq: Option[ReducedPqModel] = None
+
+  /** Train the frozen rotated-PQ model. [[lastPca]]/[[lastReducedPq]] are
+    * saved and restored around training — the full-corpus d9e/pca oracles
+    * read those slots at dump time and this model may be trained on a
+    * different (maintained-index base) slice. */
+  def trainReducedPqModel(corpus: DataFrame, dim: Int = 64, pcaDims: Int = 8,
+      m: Int = 4, ksub: Int = 16, seed: Long = 44L): ReducedPqModel = {
+    val savedPca = lastPca
+    val (mean, comps) = trainPca(corpus, dim, pcaDims)
+    lastPca = savedPca
+    val books = trainPqOn(
+      pcaProjectArrays(corpus, mean, comps)
+        .select(col("vec_id"), col("proj").as("__vec")),
+      pcaDims, m, ksub, iterations = 8, sampleSize = 4096, seed = seed)
+    val model = ReducedPqModel(dim, pcaDims, m, ksub, mean, comps, books)
+    lastMaintainedReducedPq = Some(model)
+    model
+  }
+
+  /** The maintained rotated-PQ index: one (r_id, codes) row per vector —
+    * projection + native [[graft.expressions.PqEncode]] under the frozen
+    * model, a pure zero-shuffle scan at any scale. */
+  def reducedPqIndexOf(corpus: DataFrame, model: ReducedPqModel): DataFrame =
+    pcaProjectArrays(corpus, model.mean, model.comps)
+      .select(col("vec_id").as("r_id"),
+        graft.expressions.GraftExpressions.pqEncode(col("proj"), model.books).as("codes"))
+
+  /** Append an ADMITTED ingest epoch's codes: encoding under the frozen
+    * codebooks is per-row, so append == rebuild over corpus ∪ epoch
+    * EXACTLY (spec-pinned). */
+  def reducedPqIndexAppend(index: DataFrame, epoch: DataFrame,
+      model: ReducedPqModel): DataFrame =
+    index.unionByName(reducedPqIndexOf(epoch, model))
+
+  /** Right-to-be-forgotten DELETE on the codes index — one broadcast
+    * anti-join over per-vector rows; equals a rebuild over the filtered
+    * corpus exactly (spec-pinned), the [[reducedIndexDelete]] contract. */
+  def reducedPqIndexDelete(index: DataFrame, removeIds: DataFrame,
+      idCol: String): DataFrame =
+    index.join(
+      broadcast(removeIds.select(col(idCol).cast("long").as("r_id")).distinct()),
+      Seq("r_id"), "left_anti")
+
+  /** ADC top-k against the MAINTAINED codes index under its frozen model —
+    * [[reducedPqTopK]]'s ranking decoupled from training: queries project
+    * and build their ADC tables (native expressions, broadcast), the
+    * ranking sum runs over the stored m-byte codes (scalars-only
+    * exchange), and the `rescoreCands` best candidates per query rescore
+    * with the exact full-dimension cosine from `corpus`. */
+  def reducedPqProbeTopK(corpus: DataFrame, index: DataFrame,
+      model: ReducedPqModel, queries: DataFrame, k: Int,
+      rescoreCands: Int = 20): DataFrame = {
+    import graft.expressions.GraftExpressions.{pqAdcTable, pqAdcScore}
+    val qp = pcaProjectArrays(queries, model.mean, model.comps, "query_id", "query_id")
+      .withColumnRenamed("proj", "q_proj")
+    val q = broadcast(qp.withColumn("adc", pqAdcTable(col("q_proj"), model.books))
       .select("query_id", "adc"))
-    val approx = coded.crossJoin(q)
+    val approx = index.select(col("r_id").as("vec_id"), col("codes"))
+      .crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("approx", pqAdcScore(col("adc"), col("codes")))
       .select("query_id", "vec_id", "approx")

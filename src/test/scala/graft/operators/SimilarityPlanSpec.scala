@@ -167,6 +167,42 @@ class SimilarityPlanSpec extends AnyFunSuite {
     assert(comps2.map(_.toSeq).toSeq === comps.map(_.toSeq).toSeq)
   }
 
+  test("maintained rotated-PQ codes index: append == rebuild, delete == rebuild, probe == from-scratch") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val epoch = emb.where(col("vec_id") % 5 === 0)
+    // FROZEN model trained on the base corpus only
+    val model = Similarity.trainReducedPqModel(base)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Int])].collect().toSet
+    val idx = Similarity.reducedPqIndexOf(base, model)
+    // encoding under frozen codebooks is per-row ⇒ append == rebuild exactly
+    val idx2 = Similarity.reducedPqIndexAppend(idx, epoch, model)
+    assert(rows(idx2) === rows(Similarity.reducedPqIndexOf(emb, model)),
+      "append != rebuild over corpus ∪ epoch")
+    // right-to-be-forgotten delete == rebuild over the filtered corpus
+    val removals = Seq(0L, 5L, 10L)
+    val idx3 = Similarity.reducedPqIndexDelete(idx2, removals.toDF("vec_id"), "vec_id")
+    assert(rows(idx3) === rows(Similarity.reducedPqIndexOf(
+        emb.where(!col("vec_id").isin(removals: _*)), model)),
+      "delete != rebuild over the filtered corpus")
+    // the maintained probe equals a probe over a from-scratch index of the
+    // same membership, value for value — and deleted ids never surface
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def probe(i: org.apache.spark.sql.DataFrame) =
+      Similarity.reducedPqProbeTopK(emb, i, model, queries, 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val maintained = probe(idx3)
+    assert(maintained === probe(Similarity.reducedPqIndexOf(
+      emb.where(!col("vec_id").isin(removals: _*)), model)))
+    assert(maintained.nonEmpty)
+    assert(maintained.forall { case (_, _, nid, _) => !removals.contains(nid) },
+      "a deleted vector surfaced as a neighbor")
+  }
+
   test("trainPca moment overflow fails closed; embeddingProfile decimal moments survive past long range (ADVICE r11)") {
     import spark.implicits._
     // a magnitude whose q6 square exceeds 2⁶³ on a single row: the checked
