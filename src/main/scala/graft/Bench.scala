@@ -105,7 +105,9 @@ object Bench {
     def awaitQuiet(name: String): Unit = {
       val t0 = System.nanoTime()
       externalCpu() // reset the interval so the first probe covers our sleep
-      var waitedMs = 0L
+      // the first probe sleep counts toward the cap too (ADVICE r12: the
+      // 90 s bound used to overshoot by one probe interval)
+      var waitedMs = QuietProbeMs
       Thread.sleep(QuietProbeMs)
       var ext = externalCpu()
       while (ext > QuietExtCpu && waitedMs < QuietMaxWaitMs) {
@@ -118,8 +120,10 @@ object Bench {
         loadGateTimeouts += name
         System.err.println(f"[bench] load gate TIMED OUT for '$name' after $waitedSec%.1f s " +
           f"(external CPU still $ext%.2f) — running anyway, receipt flagged")
-      } else if (waitedMs > 0) {
-        loadGateWaits(name) = waitedSec
+      } else if (waitedMs > QuietProbeMs) {
+        // SUM repeated samples of one entry (ADVICE r12: keying by bare
+        // name used to overwrite earlier waits in the receipt)
+        loadGateWaits(name) = loadGateWaits.getOrElse(name, 0.0) + waitedSec
         System.err.println(f"[bench] load gate held '$name' $waitedSec%.1f s for a quiet machine")
       }
     }

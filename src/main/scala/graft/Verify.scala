@@ -18,6 +18,13 @@ object Verify {
     // optional comma-separated filter for local iteration (unset in the
     // driver's per-round run → full dump)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Pre-load frozen oracle splices from a prior run in this out-dir, so
+    // a filtered run still dumps a complete oracle_sql.json; gates that DO
+    // run overwrite their entries with this run's gate-time rows
+    // (VERDICT r12 #1b). A plain file, so the driver's per-query dir scan
+    // never mistakes it for a query output.
+    val spliceFile = Paths.get(s"$outDir/oracle_splices.properties")
+    SpliceStore.loadAll(spliceFile)
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(deleteRec)
       f.delete(); ()
@@ -60,6 +67,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // oracleSql just pushed every live dynamic oracle into the store —
+    // persist it for the next (possibly filtered) run
+    SpliceStore.saveAll(spliceFile)
     spark.stop()
   }
 }

@@ -1102,17 +1102,23 @@ object Dedup {
     * measured trade). d17's hybrid gate and the e2e near-dup pipelines
     * compose exactly this operator; d19's incremental form keeps the same
     * LSH default through [[incrementalDedup]]'s signature index.
-    * Output: (doc_a, doc_b, jaccard) verified at ≥ `threshold`. */
+    * `hammingRadius` / `hammingMaxBlockFrequency` parameterize the opt-in
+    * generator ([[simHashHammingPairs]]'s full surface — the frequency cap
+    * bounds hot-block candidate blowup, ADVICE r12); both are ignored
+    * under the LSH default. Output: (doc_a, doc_b, jaccard) verified at
+    * ≥ `threshold`. */
   def lexicalNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, numBands: Int, threshold: Double,
       generator: LexicalCandidateGenerator = LshCandidates,
-      hammingRadius: Int = 3): DataFrame = {
+      hammingRadius: Int = 3,
+      hammingMaxBlockFrequency: Long = Long.MaxValue): DataFrame = {
     val candidates = generator match {
       case LshCandidates =>
         lshCandidatePairs(minHashSignatures(docs, idCol, textCol, k, numHashes),
           numHashes, numBands)
       case HammingCandidates =>
-        simHashHammingPairs(docs, idCol, textCol, hammingRadius)
+        simHashHammingPairs(docs, idCol, textCol, hammingRadius,
+            hammingMaxBlockFrequency)
           .select("doc_a", "doc_b")
     }
     verifyCandidatesJaccard(docs, idCol, textCol, k, candidates, threshold)

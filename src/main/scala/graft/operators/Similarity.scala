@@ -1110,10 +1110,12 @@ object Similarity {
     * not clobber [[lastPca]]/[[lastReducedIvf]]). */
   @volatile private[graft] var lastMaintainedReduced: Option[ReducedModel] = None
 
-  /** Train the frozen reduced-index model on a corpus release. The shared
-    * [[lastPca]]/[[lastReducedIvf]] slots are saved and restored around
-    * training: this model may be trained on a maintained-index BASE slice,
-    * and the full-corpus gates' oracles read those slots at dump time. */
+  /** Train the frozen reduced-index model on a corpus release. Only the
+    * shared [[lastPca]] slot needs save/restore around training (this
+    * model may be trained on a maintained-index BASE slice, and the
+    * full-corpus gates' oracles read that slot at dump time);
+    * [[trainCentroidsOn]] never writes [[lastReducedIvf]], so that slot is
+    * untouched by construction. */
   def trainReducedModel(corpus: DataFrame, dim: Int = 64, pcaDims: Int = 8,
       nlist: Int = 16, seed: Long = 43L): ReducedModel = {
     val savedPca = lastPca
@@ -1283,10 +1285,11 @@ object Similarity {
     * export slot (the maintained gate trains on the pre-epoch base). */
   @volatile private[graft] var lastMaintainedReducedPq: Option[ReducedPqModel] = None
 
-  /** Train the frozen rotated-PQ model. [[lastPca]]/[[lastReducedPq]] are
-    * saved and restored around training — the full-corpus d9e/pca oracles
-    * read those slots at dump time and this model may be trained on a
-    * different (maintained-index base) slice. */
+  /** Train the frozen rotated-PQ model. Only the shared [[lastPca]] slot
+    * needs save/restore around training — the full-corpus pca oracle reads
+    * it at dump time and this model may be trained on a different
+    * (maintained-index base) slice; [[trainPqOn]] never writes
+    * [[lastReducedPq]], so d9e's slot is untouched by construction. */
   def trainReducedPqModel(corpus: DataFrame, dim: Int = 64, pcaDims: Int = 8,
       m: Int = 4, ksub: Int = 16, seed: Long = 44L): ReducedPqModel = {
     val savedPca = lastPca

@@ -517,20 +517,27 @@ object TextOps {
       .toDF("source", "loss_q6", "w_q6", "weight", "target_tokens")
   }
 
-  /** Per-round EG trace of the most recent [[egMixtureRows]] call:
-    * (round, source, excess_q6, exp factor) rows, exported to the DuckDB
-    * oracle as a VALUES splice. De-flake (VERDICT r11 #1): JVM `Math.exp`
-    * is 1-ulp-accurate and can even differ between interpreted and
-    * C2-compiled code, DuckDB's libm is a third implementation — a factor
-    * landing within an ulp of a `floor(w·f + 0.5)` boundary flips a q6
-    * long that the remaining EG rounds amplify. Splicing the ENGINE's
-    * factors removes the cross-engine `exp` from the hash gate; the oracle
-    * joins each round on its OWN recomputed `excess_q6` (pure long
-    * arithmetic), so a trace that disagrees with the recurrence drops rows
-    * and fails closed. The factor's `Double.toString` round-trips exactly
-    * through DuckDB's correctly-rounded parser, and `w·f` is a single IEEE
+  /** Inputs + per-round EG trace of the most recent [[egMixtureRows]]
+    * call: (iterations, etaPct, per-source (source, loss_q6) rows, and
+    * (round, source, excess_q6, exp factor) rows), exported to the DuckDB
+    * oracle as VALUES splices. De-flake (VERDICT r11 #1 / r12 #1): JVM
+    * `Math.exp`/`Math.log` are 1-ulp-accurate and can even differ between
+    * interpreted and C2-compiled code, DuckDB's libm is a third
+    * implementation — a value landing within an ulp of a
+    * `floor(x·1e6 + 0.5)` boundary flips a q6 long that the remaining EG
+    * rounds amplify. Splicing the ENGINE's factors removes the
+    * cross-engine `exp` from the hash gate, and splicing the ENGINE's
+    * per-source losses (r12: the residual live cross-engine `ln` in the
+    * loss rollup — it flipped an excess=0 source's OUTPUT `loss_q6`
+    * column without dropping any trace-join rows, the observed hash-only
+    * failure) removes the `ln`. The oracle recomputes both independently
+    * and FAILS CLOSED: losses must agree within ±1 q6 with identical
+    * support, factors within 1e-12 relative of DuckDB's own
+    * `exp(eta·excess/1e6)`, and each round still joins the trace on its
+    * OWN recomputed excess. `Double.toString` round-trips exactly through
+    * DuckDB's correctly-rounded parser, and `w·f` is a single IEEE
     * multiply both engines evaluate identically. */
-  @volatile private[graft] var lastEgTrace: Option[(Int, Int, Seq[(Int, String, Long, Double)])] = None
+  @volatile private[graft] var lastEgTrace: Option[(Int, Int, Seq[(String, Long)], Seq[(Int, String, Long, Double)])] = None
 
   /** The EG + allocation core of [[doremiMixWeights]] as a pure function
     * over (source, loss_q6) rows — shared by the batch trainer and the
@@ -556,7 +563,7 @@ object TextOps {
       val uSum = u.sum
       w = u.map(uq => uq * 1000000L / uSum)
     }
-    lastEgTrace = Some((iterations, etaPct, trace.result()))
+    lastEgTrace = Some((iterations, etaPct, perSource, trace.result()))
     // exact integer allocation of tokenBudget: floor shares, then the
     // whole deficit dealt (deficit div nSrc) to everyone and the
     // remainder to the largest fractional shares (source-name tiebreak) —

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.{SparkEntry, Tables}
+import graft.{SparkEntry, SpliceStore, Tables}
 import graft.dp.{DpParams, NoiseSource, StreamingDpMechanism}
 
 /** Spark-level operator tests: pins the distributed operators against
@@ -1825,6 +1825,38 @@ class OperatorsSpec extends AnyFunSuite {
         iterations = 8, tokenBudget = 1000003L)
       .collect().map(r => (r.getString(0), r.getLong(2))).toMap
     assert(again("hard") === hard._2 && again("easy") === easy._2)
+  }
+
+  test("gate-time splice freeze: x14/doremi oracles come from frozen rows and survive a store round-trip") {
+    SpliceStore.clear()
+    assert(!SparkEntry.oracleSql.contains("q_doremi_mix"),
+      "doremi oracle must be absent before its gate has frozen a splice")
+    assert(!SparkEntry.oracleSql.contains("x14_word_centrality"))
+    // running the gate lambdas freezes the splice rows at GATE time — no
+    // dump-time re-read window (VERDICT r12 #1b)
+    SparkEntry.queries("q_doremi_mix")(spark, sfDir).collect()
+    SparkEntry.queries("x14_word_centrality")(spark, sfDir).collect()
+    val sql = SparkEntry.oracleSql
+    val eg = sql("q_doremi_mix")
+    assert(eg.contains("engloss(src, loss_q6) AS (VALUES"),
+      "doremi oracle must splice the ENGINE's per-source losses (the r12 residual live ln)")
+    assert(eg.contains("abs(e.loss_q6 - d.loss_q6) > 1"),
+      "spliced losses must fail closed against DuckDB's own recomputation within +-1 q6")
+    assert(eg.contains("exp(0.5 * f.excess_q6 / 1000000.0)") && eg.contains("1e-12 * f.factor"),
+      "spliced exp factors must fail closed against DuckDB's own exp (ADVICE r12)")
+    assert(eg.contains("chk.bad = 0"))
+    assert(sql("x14_word_centrality").contains("ppmi_e(v, w, m) AS (VALUES"))
+    // durability: save -> clear -> load reproduces both oracles byte-for-byte
+    // (the filtered-Verify-run path that used to emit 148/182 oracles)
+    val f = java.nio.file.Files.createTempFile("graft_splices", ".properties")
+    SpliceStore.saveAll(f)
+    SpliceStore.clear()
+    assert(!SparkEntry.oracleSql.contains("q_doremi_mix"))
+    SpliceStore.loadAll(f)
+    val sql2 = SparkEntry.oracleSql
+    assert(sql2("q_doremi_mix") === eg)
+    assert(sql2("x14_word_centrality") === sql("x14_word_centrality"))
+    java.nio.file.Files.delete(f)
   }
 
   test("every declared query runs and every oracle name has a query") {
