@@ -102,6 +102,47 @@ object Bench {
       "hamming_pairs_blocked", "hamming_pairs_allpairs",
       "block_winners_agg", "block_winners_window",
       "bpe_train_corpus", "bpe_train_local")
+    // ---- same-sweep interleaved receipts (r12 verdict #3) ----
+    // The r12 sweep ran 61/226 entries >1.8x over committed minima while
+    // the load gate saw a quiet machine — cross-round ABSOLUTE times
+    // cannot carry an ordering claim on this box. The machine-independent
+    // rule: each A/B group's arms run INTERLEAVED (A,B[,C] per lap, laps
+    // back to back), and every ordering claim is decided by the MEDIAN of
+    // per-lap wall ratios from THIS sweep. Committed minima remain drift
+    // references (retry triggers), never receipts. Group order = the
+    // conservative order already documented per pair (our design first,
+    // so residual warmup bias lands on it).
+    val receiptGroups: Seq[Seq[String]] = Seq(
+      Seq("eager_dp_sharded_t20", "eager_dp_tws_timers_t20", "eager_dp_lazy_t20"),
+      Seq("colocated_join_plain", "colocated_join_bucketed"),
+      Seq("skew_join_aqe_off", "skew_join_aqe_on"),
+      Seq("runtime_bloom_off", "runtime_bloom_on"),
+      Seq("e2e_build_one_shuffle", "e2e_build_joins"),
+      Seq("median_filter_hist", "median_filter_sortwindow"),
+      Seq("source_divergence_ckpt", "source_divergence_nockpt"),
+      Seq("distinct_users_exact", "distinct_users_hll"),
+      Seq("bm25_index_delete_incremental", "bm25_index_rebuild"),
+      Seq("hamming_pairs_blocked", "hamming_pairs_allpairs"),
+      Seq("block_winners_agg", "block_winners_window"))
+    /** (faster, slower, metric): the published ordering claims. metric
+      * "wall" = median per-lap wall ratio < 1; "shuffle_read_bytes" =
+      * profiler byte ratio < 1 (runtime bloom's claim is the WIRE cut —
+      * its extra sequential build stage legitimately shows in local wall
+      * time against a warm page cache, so wall is reported but not the
+      * claim). */
+    val receiptClaims: Seq[(String, String, String)] = Seq(
+      ("eager_dp_lazy_t20", "eager_dp_tws_timers_t20", "wall"),
+      ("eager_dp_tws_timers_t20", "eager_dp_sharded_t20", "wall"),
+      ("colocated_join_bucketed", "colocated_join_plain", "wall"),
+      ("skew_join_aqe_on", "skew_join_aqe_off", "wall"),
+      ("runtime_bloom_on", "runtime_bloom_off", "shuffle_read_bytes"),
+      ("e2e_build_one_shuffle", "e2e_build_joins", "wall"),
+      ("median_filter_hist", "median_filter_sortwindow", "wall"),
+      ("source_divergence_ckpt", "source_divergence_nockpt", "wall"),
+      ("distinct_users_hll", "distinct_users_exact", "wall"),
+      ("bm25_index_delete_incremental", "bm25_index_rebuild", "wall"),
+      ("hamming_pairs_blocked", "hamming_pairs_allpairs", "wall"),
+      ("block_winners_agg", "block_winners_window", "wall"))
     def awaitQuiet(name: String): Unit = {
       val t0 = System.nanoTime()
       externalCpu() // reset the interval so the first probe covers our sleep
@@ -381,7 +422,7 @@ object Bench {
           .cast("long") % 10001L).cast("double")./(lit(10000.0)).as("q"),
         col("id"))
 
-    val synthetic = Seq[(String, () => Double)](
+    val syntheticEntries = Seq[(String, () => Double)](
       "synthetic_dp_t20" -> (() => timed("synthetic_dp_t20") {
         val contrib = SyntheticSource.zipfContributions(spark, 2000000L, 100000, 50000, 20)
         val preAgg = CoreOps.preAggregatePrevEpoch(contrib.toDF(), "key", "epoch", "userId", "value")
@@ -1305,47 +1346,99 @@ object Bench {
       "microbatch_0_5gb_p4" -> (() => microbatch(0.5, parallelism = 4, suffix = "_p4")),
       "microbatch_2_0gb_p16" -> (() => microbatch(2.0, parallelism = 16, suffix = "_p16")))
       .filter { case (name, _) => wanted(name) }
-      .map { case (name, run) =>
-        // back-to-back repetitions, min reported (profiler metrics for the
-        // name accumulate over all runs — A/B pairs are both scaled by
-        // `repeats`, so profile RATIOS stay valid); a failed run never
-        // hides behind a successful one's min. When EVERY repeat was
-        // externally contaminated (>threshold of the machine went to other
-        // processes), one extra repeat is added — min-of-repeats only
-        // de-noises when at least one repeat ran clean.
-        // A/B receipt arms additionally wait for a quiet machine first
-        // (fail-closed load gate, r11 verdict #3).
-        def sampled(): (Double, Double) = {
-          if (abReceiptEntries.contains(name)) awaitQuiet(name)
-          externalCpu(); val t = run(); (t, externalCpu())
-        }
-        // the amortized streaming entry self-averages over its own steady
-        // epochs — repeating the whole 5-epoch cycle would double its cost
-        // for no extra signal
-        val entryRepeats = if (name == "streaming_corpus_epoch5_amortized") 1 else repeats
-        var samples = (1 to entryRepeats).map(_ => sampled()).toVector
-        if (samples.forall { case (t, e) => t > 0.5 && e > ExtCpuRetryThreshold } &&
-            noiseRetries < MaxNoiseRetries) {
-          noiseRetries += 1
-          System.err.println(f"[bench] '$name': all $repeats repeats saw external CPU > " +
-            f"$ExtCpuRetryThreshold%.2f — one extra repeat")
-          samples = samples :+ sampled()
-        }
-        // in-process drift gate: even the min over repeats can be out of
-        // band when the whole suite position is GC-contaminated
-        // (eager_dp_sharded_t20 drifted 54.7→114.9 s across rounds on
-        // unchanged code); one extra repeat, historical min as reference.
-        // The amortized streaming entry self-averages and stays single-run.
-        if (name != "streaming_corpus_epoch5_amortized") {
-          val okTimes = samples.map(_._1).filter(_ >= 0)
-          if (okTimes.nonEmpty && driftGate(name, okTimes.min))
+
+    val syntheticRun: Map[String, () => Double] = syntheticEntries.toMap
+    // receipt-group membership restricted to groups with >= 2 present arms
+    // (a filtered run with one arm degrades to the single-entry path)
+    val interleavedGroup: Map[String, Seq[String]] = receiptGroups
+      .map(_.filter(syntheticRun.contains))
+      .filter(_.size >= 2)
+      .flatMap(g => g.map(_ -> g)).toMap
+    val ranViaGroup = scala.collection.mutable.Set.empty[String]
+    // per-arm (wall, extCpu) samples in LAP order — receipt ratios pair
+    // lap i of the faster arm with lap i of the slower arm
+    val lapDetail = scala.collection.mutable.Map.empty[String, Vector[(Double, Double)]]
+
+    def sampledEntry(name: String): (Double, Double) = {
+      if (abReceiptEntries.contains(name)) awaitQuiet(name)
+      externalCpu(); val t = syntheticRun(name)(); (t, externalCpu())
+    }
+
+    val synthetic = syntheticEntries.flatMap { case (name, run) =>
+      if (ranViaGroup.contains(name)) Nil
+      else interleavedGroup.get(name) match {
+        case Some(group) =>
+          // interleaved same-sweep laps: every arm runs once per lap, laps
+          // back to back, so each per-lap ratio compares samples taken
+          // minutes (not rounds) apart. min-of-laps still feeds "queries";
+          // the ORDERING claim reads the lap ratios (see "receipts").
+          var laps = (1 to repeats).map { _ =>
+            group.map(m => m -> sampledEntry(m)).toMap
+          }.toVector
+          // one extra JOINT lap (keeps samples paired) when any arm's best
+          // time drifts vs committed history, or every sample of an arm
+          // was externally contaminated
+          val contaminatedArm = group.exists { m =>
+            laps.forall { l => val (t, e) = l(m); t > 0.5 && e > ExtCpuRetryThreshold }
+          }
+          val extraForNoise = contaminatedArm && noiseRetries < MaxNoiseRetries
+          if (extraForNoise) {
+            noiseRetries += 1
+            System.err.println(s"[bench] group ${group.mkString("/")}: an arm saw external CPU " +
+              "in every lap — one extra joint lap")
+          }
+          val extraForDrift = group.exists { m =>
+            val ts = laps.map(_(m)._1).filter(_ >= 0)
+            ts.nonEmpty && driftGate(m, ts.min)
+          }
+          if (extraForNoise || extraForDrift)
+            laps = laps :+ group.map(m => m -> sampledEntry(m)).toMap
+          group.map { m =>
+            ranViaGroup += m
+            val ts = laps.map(_(m)._1)
+            runDetail(m) = ts
+            extDetail(m) = laps.map(_(m)._2)
+            lapDetail(m) = laps.map(_(m))
+            m -> (if (ts.forall(_ >= 0)) ts.min else -1.0)
+          }
+        case None =>
+          // back-to-back repetitions, min reported (profiler metrics for the
+          // name accumulate over all runs); a failed run never hides behind
+          // a successful one's min. When EVERY repeat was externally
+          // contaminated, one extra repeat is added — min-of-repeats only
+          // de-noises when at least one repeat ran clean.
+          def sampled(): (Double, Double) = {
+            if (abReceiptEntries.contains(name)) awaitQuiet(name)
+            externalCpu(); val t = run(); (t, externalCpu())
+          }
+          // the amortized streaming entry self-averages over its own steady
+          // epochs — repeating the whole 5-epoch cycle would double its cost
+          // for no extra signal
+          val entryRepeats = if (name == "streaming_corpus_epoch5_amortized") 1 else repeats
+          var samples = (1 to entryRepeats).map(_ => sampled()).toVector
+          if (samples.forall { case (t, e) => t > 0.5 && e > ExtCpuRetryThreshold } &&
+              noiseRetries < MaxNoiseRetries) {
+            noiseRetries += 1
+            System.err.println(f"[bench] '$name': all $repeats repeats saw external CPU > " +
+              f"$ExtCpuRetryThreshold%.2f — one extra repeat")
             samples = samples :+ sampled()
-        }
-        val times = samples.map(_._1)
-        runDetail(name) = times
-        extDetail(name) = samples.map(_._2)
-        name -> (if (times.forall(_ >= 0)) times.min else -1.0)
+          }
+          // in-process drift gate: even the min over repeats can be out of
+          // band when the whole suite position is GC-contaminated
+          // (eager_dp_sharded_t20 drifted 54.7→114.9 s across rounds on
+          // unchanged code); one extra repeat, historical min as reference.
+          // The amortized streaming entry self-averages and stays single-run.
+          if (name != "streaming_corpus_epoch5_amortized") {
+            val okTimes = samples.map(_._1).filter(_ >= 0)
+            if (okTimes.nonEmpty && driftGate(name, okTimes.min))
+              samples = samples :+ sampled()
+          }
+          val times = samples.map(_._1)
+          runDetail(name) = times
+          extDetail(name) = samples.map(_._2)
+          Seq(name -> (if (times.forall(_ >= 0)) times.min else -1.0))
       }
+    }
 
     Seq(benchLiTable, benchOrdTable)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -1419,9 +1512,53 @@ object Bench {
     }
 
     ListenerBridge.waitUntilEmpty(spark.sparkContext)
-    val profile = profiler.snapshot.toSeq.sortBy(_._1)
+    val profSnap = profiler.snapshot
+    val profile = profSnap.toSeq.sortBy(_._1)
       .map { case (name, m) => "\"" + name + "\":{" + m.jsonFields + "}" }
       .mkString("{", ",", "}")
+
+    // ---- same-sweep receipt evaluation (r12 verdict #3) ----
+    // Each claim: median of per-lap wall ratios (faster arm / slower arm,
+    // laps interleaved in this sweep) < 1, or for byte-metric claims the
+    // profiler's accumulated ratio < 1 (arms ran identical lap counts, so
+    // accumulated counters are comparable). task_ratio rides along as the
+    // wall-independent cross-check — it is CPU consumed, not latency, so
+    // a hypervisor-throttled box distorts both arms equally.
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def r3d(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val receiptRows = receiptClaims.flatMap { case (fast, slow, metric) =>
+      for { lf <- lapDetail.get(fast); ls <- lapDetail.get(slow) } yield {
+        val ratios = lf.map(_._1).zip(ls.map(_._1))
+          .collect { case (a, b) if a >= 0 && b > 0 => a / b }
+        val wallMedian = medianOf(ratios)
+        val taskRatio = (for {
+          mf <- profSnap.get(fast); ms <- profSnap.get(slow)
+          if ms.taskTimeMs > 0
+        } yield mf.taskTimeMs.toDouble / ms.taskTimeMs).getOrElse(-1.0)
+        val byteRatio = (for {
+          mf <- profSnap.get(fast); ms <- profSnap.get(slow)
+          if ms.shuffleReadBytes > 0
+        } yield mf.shuffleReadBytes.toDouble / ms.shuffleReadBytes).getOrElse(-1.0)
+        val ok = metric match {
+          case "shuffle_read_bytes" => byteRatio >= 0 && byteRatio < 1.0
+          case _ => ratios.nonEmpty && wallMedian < 1.0
+        }
+        val key = s"$fast<$slow"
+        if (!ok) System.err.println(s"[bench] RECEIPT BAD: $key (metric=$metric " +
+          f"wall_median=$wallMedian%.3f task=$taskRatio%.3f bytes=$byteRatio%.3f)")
+        (key, s""""$key":{"metric":"$metric","lap_ratios":[${ratios.map(r3d).mkString(",")}],""" +
+          s""""wall_median":${r3d(wallMedian)},"task_ratio":${r3d(taskRatio)},""" +
+          s""""shuffle_bytes_ratio":${r3d(byteRatio)},"ok":$ok}""", ok)
+      }
+    }
+    val receiptsJson = receiptRows.map(_._2).mkString("{", ",", "}")
+    val receiptsBad = receiptRows.collect { case (k, _, false) => k }
 
     val all = queryTimes ++ syntheticChecked ++ gbps ++ steadyEpoch
     val loadPost = osBean.getSystemLoadAverage
@@ -1468,6 +1605,7 @@ object Bench {
     val compactExtra =
       s""""drift_retries":$driftJson,""" +
         s""""load_gate_timeouts":${loadGateTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""receipts_bad":${receiptsBad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""scaling_flagged":${scaling.map(_._2.map("\"" + _ + "\"").mkString("[", ",", "]")).getOrElse("null")}"""
     val compact = graft.tools.BenchReport.compactLine(all, headline, sfDir,
       runs = repeats, load = Seq(loadPre, loadPost), extra = compactExtra)
@@ -1476,6 +1614,7 @@ object Bench {
         s""""repeats":$repeats,"runs_detail":$runsJson,"load":[${r3(loadPre)},${r3(loadPost)}],""" +
         s""""noise_retries":$noiseRetries,"drift_retries":$driftJson,"ext_cpu":$extJson,""" +
         s""""load_gate":$loadGateJson,""" +
+        s""""receipts":$receiptsJson,""" +
         s""""eager_releases":$eagerJson,"eager_seed":42,""" +
         s""""scaling":$scalingJson,""" +
         s""""profile":$profile,"sf":"$sfDir"}"""
