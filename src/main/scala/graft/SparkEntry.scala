@@ -972,6 +972,61 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- frozen-model STALENESS measurement for the maintained reduced
+    //      index (VERDICT r12 missing #1): the rebuild-trigger number the
+    //      "retrains only on scheduled rebuilds" contract leaves open.
+    //      The model freezes on the pre-drift base; two APPENDED epochs
+    //      carry a deterministic distribution shift (coordinate-reversed
+    //      embeddings — reversal preserves within-population cosines, so
+    //      drifted queries' true neighbors are drifted vectors, while the
+    //      base-trained rotation no longer concentrates their variance);
+    //      probe recall@k on drifted queries is measured for the
+    //      MAINTAINED (stale-model) index vs a FRESH full rebuild, both
+    //      against the exact full-dim ranking. The reported gap is what an
+    //      operator alarms on to schedule the rebuild. Oracle: built at
+    //      gate time from BOTH exported models (frozen + fresh), replaying
+    //      drift, assignment, probes, exact truth, and the recall rollup. ----
+    "q_reduced_index_staleness" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(col("vec_id") % 5 < 3)
+      val drifted = emb.where(col("vec_id") % 5 >= 3)
+        .withColumn("embedding", reverse(col("embedding")))
+      val corpus = base.unionByName(drifted)
+      // the staleness arms train on their own slices — the d23/d24 gates'
+      // exported models must survive this gate (same contract as
+      // trainReducedModel's internal lastPca save/restore)
+      val savedMaintained = Similarity.lastMaintainedReduced
+      val frozen = Similarity.trainReducedModel(base)
+      val stale = Similarity.reducedIndexAppend(
+        Similarity.reducedIndexAppend(
+          Similarity.reducedIndexOf(base, frozen),
+          drifted.where(col("vec_id") % 2 === 0), frozen),
+        drifted.where(col("vec_id") % 2 === 1), frozen)
+      val fresh = Similarity.trainReducedModel(corpus)
+      val freshIdx = Similarity.reducedIndexOf(corpus, fresh)
+      Similarity.lastMaintainedReduced = savedMaintained
+      val queries = drifted.where(col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(corpus, queries, TopK)
+        .select("query_id", "neighbor_id")
+      def recallOf(arm: String, ann: DataFrame) =
+        exact.join(
+            ann.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_expected"))
+          .select(lit(arm).as("arm"), col("n_hits"), col("n_expected"),
+            (col("n_hits").cast("double") / col("n_expected").cast("double"))
+              .as("recall"))
+      val out = recallOf("fresh_rebuild",
+          Similarity.reducedProbeTopK(corpus, freshIdx, fresh, queries, TopK, IvfNprobe))
+        .unionByName(recallOf("maintained_stale",
+          Similarity.reducedProbeTopK(corpus, stale, frozen, queries, TopK, IvfNprobe)))
+        .orderBy("arm")
+      SpliceStore.put("sql:q_reduced_index_staleness",
+        stalenessOracleSql(frozen, fresh))
+      out
+    }),
+
     // ---- OPQ-style ROTATED product quantization: codes trained in the
     //      PCA-rotated space (variance concentrated → better cells for
     //      the same code budget), rotated-ADC candidate ranking, exact
@@ -2683,6 +2738,97 @@ object SparkEntry {
              |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
              |ORDER BY query_id, rank""".stripMargin)
     }.toMap
+
+  /** Oracle for q_reduced_index_staleness, built AT GATE TIME from both
+    * exported models (frozen-on-base and fresh-on-union) and stored
+    * straight into the [[SpliceStore]] under `sql:` — no dump-time slot
+    * read at all, the fully durable form of the d23 oracle pattern. The
+    * SQL replays the deterministic drift (coordinate reversal of
+    * `vec_id % 5 >= 3`), both models' q6 projections, cell assignment and
+    * nprobe probes, candidate generation from the index rows, the exact
+    * full-dim cosine rescore, the brute-force truth, and the per-arm
+    * recall rollup — so the gate proves the MEASUREMENT, not just the
+    * probe: a wrong staleness gap cannot hash-match. */
+  private def stalenessOracleSql(frozen: graft.operators.Similarity.ReducedModel,
+      fresh: graft.operators.Similarity.ReducedModel): String = {
+    val dim = frozen.dim
+    val nc = frozen.pcaDims
+    require(dim == 64 && fresh.dim == 64, s"staleness oracle is written for dim=64 (cosD), got $dim/${fresh.dim}")
+    def modelCtes(p: String, m: graft.operators.Similarity.ReducedModel): String = {
+      val mLit = "[" + m.mean.mkString(", ") + "]::DOUBLE[]"
+      val cLit = "[" + m.comps.map(c => "[" + c.mkString(", ") + "]")
+        .mkString(", ") + "]::DOUBLE[][]"
+      val values = m.centroids.zipWithIndex.map { case (w, i) =>
+        val nsq = w.map(x => x * x).sum
+        s"($i, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      def coord(t: String) =
+        s"""floor(list_reduce(list_transform(range(1, ${dim + 1}),
+           |        i -> (v.emb[i] - ${p}m.m[i]) * ${p}c.c[$t][i]),
+           |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+      def dotR(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, ${nc + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+      s"""|${p}m(m) AS (SELECT $mLit), ${p}c(c) AS (SELECT $cLit),
+          |${p}cent(c, nsq, w) AS (VALUES $values),
+          |${p}proj AS (SELECT v.vec_id,
+          |             list_transform(range(1, ${nc + 1}), t -> ${coord("t")}) AS proj
+          |             FROM corpus v, ${p}m, ${p}c),
+          |${p}dists AS (
+          |  SELECT v.vec_id, rc.c, rc.nsq - 2.0 * ${dotR("rc.w", "v.proj")} AS d
+          |  FROM ${p}proj v CROSS JOIN ${p}cent rc),
+          |${p}rankedc AS (SELECT vec_id, c,
+          |                row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM ${p}dists),
+          |${p}assign AS (SELECT vec_id, c AS cell FROM ${p}rankedc WHERE rn = 1),
+          |${p}probes AS (SELECT vec_id AS query_id, c AS cell FROM ${p}rankedc
+          |               WHERE vec_id % 5 >= 3 AND vec_id < 25 AND rn <= $IvfNprobe),
+          |${p}cands AS (
+          |  SELECT DISTINCT pr.query_id, a.vec_id
+          |  FROM ${p}probes pr JOIN ${p}assign a ON a.cell = pr.cell AND a.vec_id <> pr.query_id),
+          |${p}scored AS (
+          |  SELECT cd.query_id, cd.vec_id, ${cosD("qq.emb", "ee.emb")} AS cos
+          |  FROM ${p}cands cd JOIN corpus qq ON qq.vec_id = cd.query_id
+          |                    JOIN corpus ee ON ee.vec_id = cd.vec_id),
+          |${p}top AS (
+          |  SELECT query_id, vec_id AS neighbor_id
+          |  FROM (SELECT query_id, vec_id,
+          |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          |        FROM ${p}scored) WHERE rank <= $TopK),
+          |${p}recall AS (
+          |  SELECT CAST(count(t.query_id) AS BIGINT) AS n_hits,
+          |         CAST(count(*) AS BIGINT) AS n_expected
+          |  FROM exact x LEFT JOIN ${p}top t
+          |    ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id)""".stripMargin
+    }
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CASE WHEN vec_id % 5 >= 3
+       |              THEN list_transform(range(1, ${dim + 1}), i -> CAST(embedding[${dim + 1} - i] AS DOUBLE))
+       |              ELSE list_transform(range(1, ${dim + 1}), i -> CAST(embedding[i] AS DOUBLE)) END AS emb
+       |  FROM embeddings),
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosD("q.emb", "c.emb")} DESC, c.vec_id) AS rank
+       |    FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 5 >= 3 AND q.vec_id < 25) WHERE rank <= $TopK),
+       |${modelCtes("f", fresh)},
+       |${modelCtes("s", frozen)}
+       |SELECT 'fresh_rebuild' AS arm, n_hits, n_expected,
+       |       CAST(n_hits AS DOUBLE) / CAST(n_expected AS DOUBLE) AS recall FROM frecall
+       |UNION ALL
+       |SELECT 'maintained_stale' AS arm, n_hits, n_expected,
+       |       CAST(n_hits AS DOUBLE) / CAST(n_expected AS DOUBLE) AS recall FROM srecall
+       |ORDER BY arm""".stripMargin
+  }
+
+  /** Exact cosine over DOUBLE[] columns, rounded to 6 — the
+    * [[maintainedReducedOracleSql]] `cosF` on pre-cast arrays. */
+  private def cosD(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $x[i] * $y[i]), (x, y) -> x + y)"
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+  }
 
   /** x14 oracle, available once the x14 gate lambda has frozen the
     * ENGINE's q6 PPMI edge table into the [[SpliceStore]] (gate time — no

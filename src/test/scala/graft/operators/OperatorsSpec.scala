@@ -1827,6 +1827,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again("hard") === hard._2 && again("easy") === easy._2)
   }
 
+  test("q_reduced_index_staleness: fresh rebuild beats the stale frozen model on drifted queries") {
+    val rows = SparkEntry.queries("q_reduced_index_staleness")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (fh, fe, fr) = rows("fresh_rebuild")
+    val (sh, se, sr) = rows("maintained_stale")
+    assert(fe === se && fe > 0, s"both arms must score the same query set: $rows")
+    // the measurement the gate exists for: appended drifted epochs degrade
+    // the FROZEN model's probe recall, and a scheduled rebuild recovers it
+    // — the reported gap is the rebuild trigger
+    assert(fr > sr, s"fresh rebuild must out-recall the stale frozen model on drifted data: $rows")
+    assert(fh === (fr * fe).round && sh === (sr * se).round)
+    // the oracle is built at gate time and durable (no dump-time slot read)
+    assert(SparkEntry.oracleSql("q_reduced_index_staleness").contains("maintained_stale"))
+  }
+
   test("gate-time splice freeze: x14/doremi oracles come from frozen rows and survive a store round-trip") {
     SpliceStore.clear()
     assert(!SparkEntry.oracleSql.contains("q_doremi_mix"),
