@@ -2376,6 +2376,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- canonical-shingle near-dup (VERDICT r12 next #6): MassiveText/
+    //      CCNet canonicalize BEFORE MinHash shingling, so case/punct
+    //      variants of near-dup docs are caught lexically. The gate plants
+    //      a deterministic variant per doc_id%17==2 document (uppercased,
+    //      ' -- ' interleaved between tokens — canon-identical, raw-
+    //      shingle-DISJOINT) and runs lexicalNearDupPairs both ways over
+    //      documents ∪ variants: every planted pair must be caught under
+    //      canonical shingles and missed under raw ones. The oracle
+    //      replays variants, canon (the d1c lower/strip_accents/
+    //      regexp_replace replay), signatures, banding, and Jaccard for
+    //      the planted pairs. ----
+    "d25_canonical_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val eligible = docs
+        .where(col("doc_id") % 17 === 2 &&
+          size(split(col("text"), " ")) >= ShingleK)
+        .select(col("doc_id"), col("text"))
+      val variants = eligible.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("upper(replace(text, ' ', ' -- '))").as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(variants)
+      def plantedCaught(pairs: DataFrame, flag: String) =
+        pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("variant_id"),
+          lit(true).as(flag))
+      val canonical = plantedCaught(Dedup.lexicalNearDupPairs(corpus, "doc_id",
+        "text", ShingleK, NumMinHashes, NumBands, JaccardThreshold,
+        canonicalize = true), "caught_canonical")
+      val raw = plantedCaught(Dedup.lexicalNearDupPairs(corpus, "doc_id",
+        "text", ShingleK, NumMinHashes, NumBands, JaccardThreshold),
+        "caught_raw")
+      eligible.select(col("doc_id"), (col("doc_id") + 100000L).as("variant_id"))
+        .join(canonical, Seq("doc_id", "variant_id"), "left")
+        .join(raw, Seq("doc_id", "variant_id"), "left")
+        .select(col("doc_id"), col("variant_id"),
+          coalesce(col("caught_canonical"), lit(false)).as("caught_canonical"),
+          coalesce(col("caught_raw"), lit(false)).as("caught_raw"))
+        .orderBy("doc_id")
+    }),
+
     // ---- chunk→document embedding pooling: element-wise fixed-point mean
     //      per group (10 chunks per synthetic document), long format ----
     "q_chunk_mean_pool" -> ((s, d) => {
@@ -4257,6 +4296,37 @@ object SparkEntry {
   //      the hybrid d17 oracle, which also needs the trained centroids) ----
   private lazy val paramValues = Dedup.minHashParams(NumMinHashes)
     .map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+
+  /** One d25 arm's CTE chain (prefix `p`, text source CTE `src` with
+    * (doc_id, text)): shingles → hash set → minhash signatures → band
+    * buckets → per-planted-pair band hit + exact Jaccard ≥ threshold,
+    * ending in `${p}ok(doc_id)` = planted originals whose variant was
+    * caught by this arm. The formulas are [[sigCte]]/[[lshCandsCte]]/
+    * [[jaccardCte]] verbatim, parameterized by source. */
+  private def neardupArmCtes(p: String, src: String): String =
+    s"""|${p}sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |       i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+        |  FROM $src),
+        |${p}hh AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM ${p}sh),
+        |${p}sigs AS (SELECT doc_id, j, min((a * h + b) % ${Dedup.MinHashPrime}) AS minhash
+        |            FROM ${p}hh CROSS JOIN params GROUP BY doc_id, j),
+        |${p}banded AS (
+        |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+        |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+        |  FROM ${p}sigs GROUP BY doc_id, band),
+        |${p}bandhit AS (SELECT DISTINCT pp.doc_id FROM planted pp
+        |  JOIN ${p}banded x ON x.doc_id = pp.doc_id
+        |  JOIN ${p}banded y ON y.doc_id = pp.variant_id AND y.band = x.band AND y.bucket = x.bucket),
+        |${p}sz AS (SELECT doc_id, count(*) AS sz FROM ${p}hh GROUP BY doc_id),
+        |${p}int AS (SELECT pp.doc_id, count(*) AS inter FROM planted pp
+        |  JOIN ${p}hh x ON x.doc_id = pp.doc_id
+        |  JOIN ${p}hh y ON y.doc_id = pp.variant_id AND y.h = x.h GROUP BY 1),
+        |${p}ok AS (SELECT pp.doc_id FROM planted pp
+        |  JOIN ${p}bandhit b ON b.doc_id = pp.doc_id
+        |  JOIN ${p}int i ON i.doc_id = pp.doc_id
+        |  JOIN ${p}sz sa ON sa.doc_id = pp.doc_id
+        |  JOIN ${p}sz sb ON sb.doc_id = pp.variant_id
+        |  WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)::DOUBLE, 6) >= $JaccardThreshold)""".stripMargin
   private lazy val sigCte =
       s"""sh AS ($DuckShingles),
          |h AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM sh),
@@ -4666,6 +4736,28 @@ object SparkEntry {
            |SELECT c.doc_a, c.doc_b, v.jaccard
            |FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
            |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+      // canonical-shingle near-dup: planted case/punct variants must be
+      // caught under canonicalized shingles and missed under raw ones;
+      // both arms replayed end-to-end (variants, canon, signatures,
+      // banding, Jaccard) for the planted pairs
+      "d25_canonical_neardup" ->
+        s"""WITH eligible AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 17 = 2 AND len(string_split(text, ' ')) >= $ShingleK),
+           |corpus AS MATERIALIZED (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, upper(replace(text, ' ', ' -- ')) FROM eligible),
+           |planted AS (SELECT doc_id, doc_id + 100000 AS variant_id FROM eligible),
+           |ctext AS (SELECT doc_id, trim(regexp_replace(lower(strip_accents(text)), '[^a-z0-9]+', ' ', 'g')) AS text FROM corpus),
+           |params(j, a, b) AS (VALUES $paramValues),
+           |${neardupArmCtes("c", "ctext")},
+           |${neardupArmCtes("r", "corpus")}
+           |SELECT pp.doc_id, pp.variant_id,
+           |       pp.doc_id IN (SELECT doc_id FROM cok) AS caught_canonical,
+           |       pp.doc_id IN (SELECT doc_id FROM rok) AS caught_raw
+           |FROM planted pp ORDER BY pp.doc_id""".stripMargin,
 
       "d10_dedup_components" ->
         s"""WITH RECURSIVE $sigCte,

@@ -1105,23 +1105,37 @@ object Dedup {
     * `hammingRadius` / `hammingMaxBlockFrequency` parameterize the opt-in
     * generator ([[simHashHammingPairs]]'s full surface — the frequency cap
     * bounds hot-block candidate blowup, ADVICE r12); both are ignored
-    * under the LSH default. Output: (doc_a, doc_b, jaccard) verified at
-    * ≥ `threshold`. */
+    * under the LSH default.
+    *
+    * `canonicalize = true` folds the text through the aggressive
+    * [[graft.expressions.GraftExpressions.canonicalFold]] tier BEFORE
+    * shingling AND verification — the MassiveText/CCNet discipline
+    * (canonicalize, then MinHash), so case/punctuation variants of
+    * near-dup documents are caught lexically instead of needing the
+    * semantic signal (VERDICT r12 next #6). A zero-shuffle per-row
+    * projection: the signature/verification scale shape is unchanged.
+    * Output: (doc_a, doc_b, jaccard) verified at ≥ `threshold`. */
   def lexicalNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, numBands: Int, threshold: Double,
       generator: LexicalCandidateGenerator = LshCandidates,
       hammingRadius: Int = 3,
-      hammingMaxBlockFrequency: Long = Long.MaxValue): DataFrame = {
+      hammingMaxBlockFrequency: Long = Long.MaxValue,
+      canonicalize: Boolean = false): DataFrame = {
+    val src =
+      if (canonicalize)
+        docs.withColumn(textCol,
+          graft.expressions.GraftExpressions.canonicalFold(col(textCol)))
+      else docs
     val candidates = generator match {
       case LshCandidates =>
-        lshCandidatePairs(minHashSignatures(docs, idCol, textCol, k, numHashes),
+        lshCandidatePairs(minHashSignatures(src, idCol, textCol, k, numHashes),
           numHashes, numBands)
       case HammingCandidates =>
-        simHashHammingPairs(docs, idCol, textCol, hammingRadius,
+        simHashHammingPairs(src, idCol, textCol, hammingRadius,
             hammingMaxBlockFrequency)
           .select("doc_a", "doc_b")
     }
-    verifyCandidatesJaccard(docs, idCol, textCol, k, candidates, threshold)
+    verifyCandidatesJaccard(src, idCol, textCol, k, candidates, threshold)
   }
 
   /** The declarative (explode → 32-vote aggregate) form of [[simHash]] —

@@ -1827,6 +1827,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again("hard") === hard._2 && again("easy") === easy._2)
   }
 
+  test("d25_canonical_neardup: punct/case variants caught only under canonical shingles") {
+    val rows = SparkEntry.queries("d25_canonical_neardup")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the plant must select at least one document")
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 100000L)
+      assert(r.getBoolean(2), s"canonical shingles must catch the planted variant of doc ${r.getLong(0)}")
+      assert(!r.getBoolean(3), s"raw shingles must NOT catch the planted variant of doc ${r.getLong(0)}")
+    }
+  }
+
   test("q_reduced_index_staleness: fresh rebuild beats the stale frozen model on drifted queries") {
     val rows = SparkEntry.queries("q_reduced_index_staleness")(spark, sfDir)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
