@@ -1027,6 +1027,57 @@ object SparkEntry {
       out
     }),
 
+    // ---- the same staleness measurement for the maintained rotated-PQ
+    //      CODES index (d24): frozen rotation+codebooks on the pre-drift
+    //      base, two drifted epochs appended as codes, ADC probe recall@k
+    //      vs a fresh full retrain+re-encode — the rebuild trigger for the
+    //      quantized index family. Oracle built at gate time from BOTH
+    //      exported models (rotation, codebooks), replaying drift,
+    //      encoding, ADC ranking, rescore, exact truth, and the rollup. ----
+    "q_pq_index_staleness" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(col("vec_id") % 5 < 3)
+      val drifted = emb.where(col("vec_id") % 5 >= 3)
+        .withColumn("embedding", reverse(col("embedding")))
+      val corpus = base.unionByName(drifted)
+      val savedMaintained = Similarity.lastMaintainedReducedPq
+      val frozen = Similarity.trainReducedPqModel(base)
+      val stale = Similarity.reducedPqIndexAppend(
+        Similarity.reducedPqIndexAppend(
+          Similarity.reducedPqIndexOf(base, frozen),
+          drifted.where(col("vec_id") % 2 === 0), frozen),
+        drifted.where(col("vec_id") % 2 === 1), frozen)
+      val fresh = Similarity.trainReducedPqModel(corpus)
+      val freshIdx = Similarity.reducedPqIndexOf(corpus, fresh)
+      Similarity.lastMaintainedReducedPq = savedMaintained
+      val queries = drifted.where(col("vec_id") < 25)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(corpus, queries, TopK)
+        .select("query_id", "neighbor_id")
+      def recallOf(arm: String, ann: DataFrame) =
+        exact.join(
+            ann.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("n_expected"))
+          .select(lit(arm).as("arm"), col("n_hits"), col("n_expected"),
+            (col("n_hits").cast("double") / col("n_expected").cast("double"))
+              .as("recall"))
+      // rescoreCands widened to 50 for the staleness measurement: at the
+      // probe default (20) BOTH arms bottom out on the drifted corpus and
+      // the decay signal compresses; 50 candidates keeps the ADC ranking
+      // decisive while giving the rescue rescore room to show the gap
+      val out = recallOf("fresh_rebuild",
+          Similarity.reducedPqProbeTopK(corpus, freshIdx, fresh, queries, TopK,
+            rescoreCands = 50))
+        .unionByName(recallOf("maintained_stale",
+          Similarity.reducedPqProbeTopK(corpus, stale, frozen, queries, TopK,
+            rescoreCands = 50)))
+        .orderBy("arm")
+      SpliceStore.put("sql:q_pq_index_staleness",
+        pqStalenessOracleSql(frozen, fresh))
+      out
+    }),
+
     // ---- OPQ-style ROTATED product quantization: codes trained in the
     //      PCA-rotated space (variance concentrated → better cells for
     //      the same code budget), rotated-ADC candidate ranking, exact
@@ -2832,6 +2883,102 @@ object SparkEntry {
           |  FROM (SELECT query_id, vec_id,
           |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
           |        FROM ${p}scored) WHERE rank <= $TopK),
+          |${p}recall AS (
+          |  SELECT CAST(count(t.query_id) AS BIGINT) AS n_hits,
+          |         CAST(count(*) AS BIGINT) AS n_expected
+          |  FROM exact x LEFT JOIN ${p}top t
+          |    ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id)""".stripMargin
+    }
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CASE WHEN vec_id % 5 >= 3
+       |              THEN list_transform(range(1, ${dim + 1}), i -> CAST(embedding[${dim + 1} - i] AS DOUBLE))
+       |              ELSE list_transform(range(1, ${dim + 1}), i -> CAST(embedding[i] AS DOUBLE)) END AS emb
+       |  FROM embeddings),
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosD("q.emb", "c.emb")} DESC, c.vec_id) AS rank
+       |    FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 5 >= 3 AND q.vec_id < 25) WHERE rank <= $TopK),
+       |${modelCtes("f", fresh)},
+       |${modelCtes("s", frozen)}
+       |SELECT 'fresh_rebuild' AS arm, n_hits, n_expected,
+       |       CAST(n_hits AS DOUBLE) / CAST(n_expected AS DOUBLE) AS recall FROM frecall
+       |UNION ALL
+       |SELECT 'maintained_stale' AS arm, n_hits, n_expected,
+       |       CAST(n_hits AS DOUBLE) / CAST(n_expected AS DOUBLE) AS recall FROM srecall
+       |ORDER BY arm""".stripMargin
+  }
+
+  /** Oracle for q_pq_index_staleness — [[stalenessOracleSql]]'s shape with
+    * the rotated-PQ probe as the replayed mechanism: per arm, projection
+    * under the arm's rotation, per-subspace argmin ENCODING of the whole
+    * (drifted) corpus, the queries' ADC tables, the ADC candidate ranking
+    * with the engine's rescore cutoff, the exact full-dim rescore, and the
+    * recall rollup against the shared brute-force truth. Built at gate
+    * time from both exported models; durable via the [[SpliceStore]]. */
+  private def pqStalenessOracleSql(frozen: graft.operators.Similarity.ReducedPqModel,
+      fresh: graft.operators.Similarity.ReducedPqModel): String = {
+    val dim = frozen.dim
+    val nc = frozen.pcaDims
+    val m = frozen.m
+    val dsub = nc / m
+    require(dim == 64 && fresh.dim == 64 && fresh.pcaDims == nc && fresh.m == m,
+      s"pq staleness oracle is written for one model shape, got $frozen vs $fresh")
+    def modelCtes(p: String, mdl: graft.operators.Similarity.ReducedPqModel): String = {
+      val mLit = "[" + mdl.mean.mkString(", ") + "]::DOUBLE[]"
+      val cLit = "[" + mdl.comps.map(c => "[" + c.mkString(", ") + "]")
+        .mkString(", ") + "]::DOUBLE[][]"
+      val values = (for (j <- mdl.books.indices; c <- mdl.books(j).indices) yield {
+        val w = mdl.books(j)(c)
+        val nsq = w.map(x => x * x).sum
+        s"($j, $c, CAST($nsq AS DOUBLE), [${w.mkString(", ")}]::DOUBLE[])"
+      }).mkString(", ")
+      def coord(t: String) =
+        s"""floor(list_reduce(list_transform(range(1, ${dim + 1}),
+           |        i -> (v.emb[i] - ${p}m.m[i]) * ${p}c.c[$t][i]),
+           |      (x, y) -> x + y) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+      s"""|${p}m(m) AS (SELECT $mLit), ${p}c(c) AS (SELECT $cLit),
+          |${p}b(j, c, nsq, w) AS (VALUES $values),
+          |${p}cp AS (SELECT v.vec_id,
+          |           list_transform(range(1, ${nc + 1}), t -> ${coord("t")}) AS proj
+          |           FROM corpus v, ${p}m, ${p}c),
+          |${p}subd AS (
+          |  SELECT v.vec_id, b.j, b.c,
+          |         b.nsq - 2.0 * list_reduce(list_transform(range(1, ${dsub + 1}),
+          |           i -> b.w[i] * v.proj[b.j * $dsub + i]), (x, y) -> x + y) AS d
+          |  FROM ${p}cp v CROSS JOIN ${p}b b),
+          |${p}codes AS (
+          |  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+          |    SELECT vec_id, j, c,
+          |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn FROM ${p}subd)
+          |  WHERE rn = 1 GROUP BY vec_id),
+          |${p}qadc AS (
+          |  SELECT vec_id AS query_id, list(dl ORDER BY j) AS adc FROM (
+          |    SELECT vec_id, j, list(d ORDER BY c) AS dl FROM ${p}subd
+          |    WHERE vec_id % 5 >= 3 AND vec_id < 25 GROUP BY vec_id, j)
+          |  GROUP BY vec_id),
+          |${p}approx AS (
+          |  SELECT q.query_id, v.vec_id,
+          |         list_reduce(list_transform(range(1, ${m + 1}),
+          |           j -> q.adc[j][v.codes[j] + 1]), (x, y) -> x + y) AS approx
+          |  FROM ${p}codes v CROSS JOIN ${p}qadc q WHERE v.vec_id <> q.query_id),
+          |${p}cand AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |           row_number() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS rn
+          |    FROM ${p}approx)
+          |  WHERE rn <= 50),
+          |${p}top AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT cd.query_id, cd.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY cd.query_id
+          |             ORDER BY ${cosD("qq.emb", "ee.emb")} DESC, cd.vec_id) AS rank
+          |    FROM ${p}cand cd JOIN corpus qq ON qq.vec_id = cd.query_id
+          |                     JOIN corpus ee ON ee.vec_id = cd.vec_id)
+          |  WHERE rank <= $TopK),
           |${p}recall AS (
           |  SELECT CAST(count(t.query_id) AS BIGINT) AS n_hits,
           |         CAST(count(*) AS BIGINT) AS n_expected

@@ -1852,6 +1852,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("q_reduced_index_staleness").contains("maintained_stale"))
   }
 
+  test("q_pq_index_staleness: fresh rebuild beats the stale frozen codebooks on drifted queries") {
+    val rows = SparkEntry.queries("q_pq_index_staleness")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (fh, fe, fr) = rows("fresh_rebuild")
+    val (sh, se, sr) = rows("maintained_stale")
+    assert(fe === se && fe > 0, s"both arms must score the same query set: $rows")
+    assert(fr > sr, s"fresh rebuild must out-recall the stale frozen codebooks on drifted data: $rows")
+    assert(fh === (fr * fe).round && sh === (sr * se).round)
+    assert(SparkEntry.oracleSql("q_pq_index_staleness").contains("maintained_stale"))
+  }
+
   test("gate-time splice freeze: x14/doremi oracles come from frozen rows and survive a store round-trip") {
     SpliceStore.clear()
     assert(!SparkEntry.oracleSql.contains("q_doremi_mix"),
