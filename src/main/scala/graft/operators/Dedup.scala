@@ -284,17 +284,30 @@ object Dedup {
     * bucket occupancy, never corpus². */
   def incrementalDedup(corpus: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, k: Int, numHashes: Int, numBands: Int,
-      threshold: Double, seed: Long = 42L): DataFrame = {
+      threshold: Double, seed: Long = 42L,
+      canonicalize: Boolean = false): DataFrame = {
+    // canonicalize = true applies the [[lexicalNearDupPairs]] discipline to
+    // the STEADY-STATE path: the maintained signature index and the
+    // incoming batch both fold through graft_canon before shingling and
+    // verification, so case/punct variants dedup at ingest too — a
+    // zero-shuffle per-row projection on each side
+    def fold(df: DataFrame): DataFrame =
+      if (canonicalize)
+        df.withColumn(textCol,
+          graft.expressions.GraftExpressions.canonicalFold(col(textCol)))
+      else df
+    val corpusF = fold(corpus)
+    val incomingF = fold(incoming)
     val cBuckets = bandBuckets(
-      minHashSignatures(corpus, idCol, textCol, k, numHashes, seed), numHashes, numBands)
+      minHashSignatures(corpusF, idCol, textCol, k, numHashes, seed), numHashes, numBands)
     val iBuckets = bandBuckets(
-      minHashSignatures(incoming, idCol, textCol, k, numHashes, seed), numHashes, numBands)
+      minHashSignatures(incomingF, idCol, textCol, k, numHashes, seed), numHashes, numBands)
     val candidates = iBuckets.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
       .join(cBuckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select("doc_a", "doc_b").distinct()
     val verified = verifyCandidatesJaccardTwoSided(
-      incoming, corpus, idCol, textCol, k, candidates, threshold)
+      incomingF, corpusF, idCol, textCol, k, candidates, threshold)
     val matches = verified.groupBy("doc_a").agg(
       min(col("doc_b")).as("dup_of"), max(col("jaccard")).as("best_jaccard"))
     incoming.select(col(idCol).cast("long").as("doc_id"))

@@ -1852,6 +1852,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("q_reduced_index_staleness").contains("maintained_stale"))
   }
 
+  test("incrementalDedup canonicalize: an ingest-time punct/case variant dedups only under canonical shingles") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "ALPHA -- BETA -- GAMMA -- DELTA -- EPSILON -- ZETA!!"),
+      (11L, "totally different words entirely present here now")).toDF("doc_id", "text")
+    def keeps(canonicalize: Boolean) =
+      Dedup.incrementalDedup(corpus, incoming, "doc_id", "text",
+          k = 3, numHashes = 8, numBands = 4, threshold = 0.5,
+          canonicalize = canonicalize)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val raw = keeps(canonicalize = false)
+    assert(raw(10L) && raw(11L), s"raw shingles must keep both incoming docs: $raw")
+    val canon = keeps(canonicalize = true)
+    assert(!canon(10L), s"canonical shingles must flag the planted variant as a dup at ingest: $canon")
+    assert(canon(11L), s"the novel doc must survive under canonical shingles: $canon")
+  }
+
   test("q_pq_index_staleness: fresh rebuild beats the stale frozen codebooks on drifted queries") {
     val rows = SparkEntry.queries("q_pq_index_staleness")(spark, sfDir)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
