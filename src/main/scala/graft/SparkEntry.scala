@@ -1865,6 +1865,48 @@ object SparkEntry {
       TextOps.knPerplexity(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- vocabulary-blocklist audit (C4 bad-words gate): planted banned
+    //      terms caught per doc via a broadcast token join (never a regex
+    //      alternation scan); the % 22 docs plant a DUPLICATE hit to pin
+    //      the distinct-per-doc rule ----
+    "x16_blocklist_hits" -> ((s, d) => {
+      val planted = Tables.documents(s, d)
+        .withColumn("dirty", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" zzbadalpha"))).otherwise(col("text")))
+        .withColumn("dirty", when(col("doc_id") % 22 === 0,
+          concat(col("dirty"), lit(" zzbadbeta zzbadalpha"))).otherwise(col("dirty")))
+      TextOps.blocklistHits(planted, "doc_id", "dirty",
+        Seq("zzbadalpha", "zzbadbeta", "zzbadgamma"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- HTML→text extraction (the WET step): planted page chrome
+    //      (head/style/script/entities) stripped at scan speed; the
+    //      script body deliberately contains '<' and '&&' to pin the
+    //      element-before-tag-strip order, and '&amp;amp;' pins the
+    //      single-pass entity decode ----
+    "x17_html_extract" -> ((s, d) => {
+      val page = when(col("doc_id") % 7 === 0, concat(
+        lit("<html><head><title>T</title><style type=\"text/css\">p { color: red; }</style></head><body><p class=\"main\">"),
+        col("text"),
+        lit("</p><script>var x = 1 < 2 && 2 > 1;</script><br/>&lt;tag&gt; &amp;amp; &quot;q&#39; x&nbsp;end</body></html>")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.extractHtmlText(page).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- KMV approximate-distinct sketch over the corpus vocabulary:
+    //      the deterministic answer to "how many distinct values at
+    //      100 TB" (distinct URLs/users/tokens) without an exact
+    //      value-cardinality shuffle; the exact count rides along as the
+    //      in-gate error receipt ----
+    "q_kmv_distinct" -> ((s, d) => {
+      val words = CoreOps.tokenize(Tables.documents(s, d), "text").select("word")
+      CoreOps.kmvDistinct(words, "word", 256)
+        .crossJoin(words.agg(countDistinct(col("word")).as("exact_distinct")))
+    }),
+
     // ---- model-based quality filter TRAINED IN THE ENGINE: full-batch
     //      logistic regression over hashed bag-of-tokens features with
     //      exact fixed-point gradient sums (bit-deterministic training),
@@ -4746,6 +4788,61 @@ object SparkEntry {
           |       floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS avg_nll,
           |       floor(exp(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ppl
           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // same planted terms, same tokenization as p1, distinct per (doc,
+      // token) before the IN-list join
+      "x16_blocklist_hits" ->
+        """WITH dirty AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 22 = 0 THEN text || ' zzbadalpha' || ' zzbadbeta zzbadalpha'
+          |         WHEN doc_id % 11 = 0 THEN text || ' zzbadalpha'
+          |         ELSE text END AS dirty
+          |  FROM documents),
+          |toks AS (
+          |  SELECT DISTINCT doc_id, unnest(string_split(lower(dirty), ' ')) AS tok FROM dirty),
+          |hits AS (
+          |  SELECT doc_id, tok FROM toks
+          |  WHERE tok IN ('zzbadalpha', 'zzbadbeta', 'zzbadgamma'))
+          |SELECT doc_id, count(*) AS n_blocked, min(tok) AS first_blocked
+          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // identical planted chrome and the identical RE2-safe replace chain
+      // in the identical order: script/style elements, tags, entities
+      // (&amp; last, single-pass), whitespace collapse; DuckDB needs the
+      // explicit 'g' flag to match Spark's replace-all default, and the
+      // '(?s)' inline flag is RE2-native
+      "x17_html_extract" ->
+        """SELECT doc_id, trim(regexp_replace(
+          |  replace(replace(replace(replace(replace(replace(
+          |    regexp_replace(regexp_replace(regexp_replace(
+          |      CASE WHEN doc_id % 7 = 0
+          |           THEN '<html><head><title>T</title><style type="text/css">p { color: red; }</style></head><body><p class="main">'
+          |                || text ||
+          |                '</p><script>var x = 1 < 2 && 2 > 1;</script><br/>&lt;tag&gt; &amp;amp; &quot;q&#39; x&nbsp;end</body></html>'
+          |           ELSE text END,
+          |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          |      '<[^>]*>', ' ', 'g'),
+          |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          |  '[ \t\n\r\f]+', ' ', 'g')) AS clean
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // same md5-derived 48-bit hashes (+1 to dodge a zero divisor), same
+      // BIGINT floor division — the sketch is bit-identical by design
+      "q_kmv_distinct" ->
+        s"""WITH w AS (
+           |  SELECT word FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+           |  WHERE word <> ''),
+           |h AS (
+           |  SELECT DISTINCT ('0x' || substr(md5('kmv:' || word), 1, 12))::BIGINT + 1 AS h FROM w),
+           |mink AS (SELECT h FROM h ORDER BY h LIMIT 256),
+           |agg AS (SELECT count(*) AS n, max(h) AS kth_hash FROM mink)
+           |SELECT 256 AS k, n, kth_hash,
+           |       CAST(CASE WHEN n < 256 THEN n
+           |                 ELSE (255 * ${1L << 48}) // kth_hash END AS BIGINT) AS est_distinct,
+           |       (SELECT count(DISTINCT word) FROM w) AS exact_distinct
+           |FROM agg""".stripMargin,
 
       // per-source JS divergence: identical q6 per-term quantization and
       // the same exact-long absent-mass closed form as the Spark side —

@@ -206,6 +206,42 @@ object CoreOps {
       .select("rank", "doc_id", "weight", "key_q6")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002):
+    * hash every value into [1, 2⁴⁸], keep the k smallest DISTINCT hashes,
+    * estimate D ≈ (k−1)·2⁴⁸ div h_k where h_k is the k-th smallest. With
+    * fewer than k distinct values the k-th hash does not exist and the
+    * estimate IS the exact count. Returns one row
+    * (k, n, kth_hash, est_distinct).
+    *
+    * Determinism is the design constraint: md5-derived 48-bit hashes and
+    * pure BIGINT floor division mean the DuckDB oracle reproduces the
+    * sketch BIT-FOR-BIT — unlike `approx_count_distinct`, whose HLL
+    * registers are engine-private. 48 bits keeps (k−1)·2⁴⁸ inside a long
+    * for any practical sketch size (k < 2¹⁵; k=1024 gives ~3% standard
+    * error); a production corpus with billions of distinct URLs would
+    * widen to 60-bit hashes and decimal division, same plan.
+    *
+    * Scale shape: the hash is a pure projection; `distinct` shuffles
+    * 8-byte hashes only (never the values — a distinct-cardinality
+    * exchange of fixed-width rows); orderBy+limit(k) is
+    * TakeOrderedAndProject — per-partition top-k heaps merged on the
+    * driver, never a global sort; the single-row estimate is computed from
+    * the k survivors. */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int,
+      tag: String = "kmv"): DataFrame = {
+    require(k >= 2 && k < (1 << 15), "need 2 <= k < 2^15 ((k-1)*2^48 must fit a long)")
+    val h = conv(substring(md5(concat(lit(s"$tag:"), col(valueCol).cast("string"))), 1, 12), 16, 10)
+      .cast("long") + lit(1L)
+    df.where(col(valueCol).isNotNull)
+      .select(h.as("h")).distinct()
+      .orderBy("h").limit(k)
+      .agg(count(lit(1)).as("n"), max(col("h")).as("kth_hash"))
+      .select(lit(k).as("k"), col("n"), col("kth_hash"),
+        when(col("n") < k, col("n"))
+          .otherwise(expr(s"CAST(${(k - 1).toLong * (1L << 48)} AS BIGINT) div kth_hash"))
+          .as("est_distinct"))
+  }
+
   /** Winsorization: clamps a numeric column to its [pLo, pHi] exact
     * interpolated percentiles computed PER GROUP — the outlier-robust
     * normalization step of feature pipelines. Two declarative passes: one

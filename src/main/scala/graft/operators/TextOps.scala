@@ -36,6 +36,65 @@ object TextOps {
       regexp_replace(text, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
       "[0-9]{6,}", "<NUM>")
 
+  /** HTML→text extraction (the WET step of a web-crawl pipeline: strip
+    * markup, keep prose). Order matters and is part of the contract:
+    * (1) `<script>`/`<style>` ELEMENTS go first, content and all — their
+    * bodies are code, not prose, and removing tags first would strand it;
+    * (2) remaining tags collapse to a space (so `a<br/>b` keeps its word
+    * break); (3) the five HTML entities that survive in text decode AFTER
+    * tag-stripping, so a decoded `&lt;tag&gt;` cannot be re-stripped —
+    * `&amp;` goes LAST so `&amp;lt;` decodes to the literal `&lt;` exactly
+    * once (single-pass `replace`, no rescan); (4) whitespace runs collapse.
+    * Pure `regexp_replace`/`replace` — codegen'd, scan-speed, no UDF.
+    * Patterns are RE2-safe (lazy quantifiers + inline `(?s)` only; the
+    * whitespace class is spelled explicitly because Java's `\s` includes
+    * `\x0B` and RE2's does not), so the DuckDB oracle replays them
+    * verbatim. */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(entities, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** Vocabulary-blocklist audit (the C4 "bad words" gate): per-document
+    * DISTINCT banned-term hits, as (doc_id, n_blocked, first_blocked) for
+    * flagged documents only.
+    *
+    * Scale shape: the corpus side reduces to distinct (doc, token) pairs —
+    * a pure projection, no shuffle — and the blocklist joins as a BROADCAST
+    * hash relation (term lists are model-cardinality: even a million-term
+    * list is a few MB), so the corpus is never shuffled by token; only the
+    * matched rows (blocklist-hit cardinality) reach the per-doc aggregate.
+    * This is why the join form beats a `rlike` alternation: the regex is
+    * O(terms) per CHARACTER at scan time and cannot be pushed into a hash
+    * lookup, while the join stays O(1) per token however long the list. */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = blocklist.distinct.toDF("term")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(tokens(lower(col(textCol))))).as("tok"))
+      .join(broadcast(terms), col("tok") === col("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocked"), min(col("tok")).as("first_blocked"))
+  }
+
+  /** The filtering form: documents with NO blocklist hit — a left-anti
+    * join against [[blocklistHits]]'s doc_ids. The right side is
+    * flagged-doc cardinality (ids only, 8 bytes each); AQE broadcasts it
+    * when small and falls back to a hash anti-join on doc_id when a dirty
+    * corpus makes it large — no hint, so neither case is pessimized. */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame =
+    docs.join(
+      blocklistHits(docs, idCol, textCol, blocklist).select(col("doc_id").as("__bad")),
+      col(idCol).cast("long") === col("__bad"), "left_anti")
+
   /** Per-document token statistics: token count, char count, distinct tokens,
     * mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =

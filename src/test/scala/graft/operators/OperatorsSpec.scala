@@ -1913,6 +1913,57 @@ class OperatorsSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("extractHtmlText: elements, tags, entities, whitespace — in the contract order") {
+    import spark.implicits._
+    val in = Seq(
+      // script body with '<' and '&&' survives only if elements go before tag-strip
+      "<p>a</p><script>if (1 < 2 && x) go();</script>b",
+      // style element, attribute-carrying tags, self-closing break
+      "<style type=\"a\">p{x}</style><div class=\"c\">hello</div>world<br/>now",
+      // entity decode AFTER tag strip (&lt;b&gt; must NOT be stripped) and
+      // &amp; last (single pass: &amp;amp; -> &amp;, not &)
+      "x &lt;b&gt; y &amp;amp; z &nbsp;&quot;&#39;",
+      // whitespace collapse + trim
+      "  a\t\tb\n\nc  ").toDF("html")
+    val out = in.select(TextOps.extractHtmlText(col("html")).as("t")).as[String].collect()
+    assert(out === Seq(
+      "a b",
+      "hello world now",
+      "x <b> y &amp; z \"'",
+      "a b c"))
+  }
+
+  test("blocklist: distinct hits per doc; filter keeps exactly the clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "bad BAD text"),          // case-folded AND deduped: one distinct hit
+      (3L, "bad and worse things"),  // two distinct hits
+      (4L, "badly worsen")           // substrings are NOT token matches
+    ).toDF("doc_id", "text")
+    val hits = TextOps.blocklistHits(docs, "doc_id", "text", Seq("bad", "worse"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(hits === Seq((2L, 1L, "bad"), (3L, 2L, "bad")))
+    val kept = TextOps.blocklistFilter(docs, "doc_id", "text", Seq("bad", "worse"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Seq(1L, 4L))
+  }
+
+  test("kmvDistinct: exact below k, calibrated above k, top-k never a global sort") {
+    import spark.implicits._
+    val small = (1 to 100).map(i => s"v${i % 37}").toDF("v") // 37 distinct, dups
+    val sr = CoreOps.kmvDistinct(small, "v", 256).collect()(0)
+    assert(sr.getLong(1) === 37L && sr.getLong(3) === 37L,
+      "below k the sketch IS the exact distinct count")
+    val big = (1 to 20000).map(i => s"u${i % 5000}").toDF("v") // 5000 distinct
+    val est = CoreOps.kmvDistinct(big, "v", 256).collect()(0).getLong(3)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25,
+      s"KMV k=256 (stderr ~6%) must land within 25% of truth, got $est")
+    val plan = CoreOps.kmvDistinct(big, "v", 256).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the k smallest hashes must come from per-partition heaps, not a global sort")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
