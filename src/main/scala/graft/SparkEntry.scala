@@ -532,6 +532,8 @@ object SparkEntry {
 
   // LLM-training-data pipeline operators over documents/embeddings.
   private val ShingleK = 3
+  private val LrPrThresholds: Seq[Long] =
+    Seq(-2000000L, -1000000L, -500000L, 0L, 500000L, 1000000L, 2000000L)
   private val NumMinHashes = 8
   private val NumBands = 4
   private val JaccardThreshold = 0.5
@@ -1907,6 +1909,12 @@ object SparkEntry {
         .crossJoin(words.agg(countDistinct(col("word")).as("exact_distinct")))
     }),
 
+    // ---- LSH banding auto-tuner: the S-curve (b, r) choice BEFORE a
+    //      100 TB dedup run (q_lsh_candidate_quality measures it after);
+    //      repeated-multiplication folds + per-term q6, no libm pow ----
+    "q_lsh_param_tuning" -> ((s, _) =>
+      Dedup.lshParameterSweep(s, NumMinHashes, 800000L).orderBy("b")),
+
     // ---- model-based quality filter TRAINED IN THE ENGINE: full-batch
     //      logistic regression over hashed bag-of-tokens features with
     //      exact fixed-point gradient sums (bit-deterministic training),
@@ -1915,6 +1923,37 @@ object SparkEntry {
     //      the EXACT q6 linear score ----
     "x12_lr_quality" -> ((s, d) => {
       TextOps.qualityLrScore(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- operating-point sweep for the trained quality filter: P/R/F1
+    //      at each candidate z-threshold, from exact integer confusion
+    //      counts (one pass over the scored corpus) — the number that
+    //      decides WHERE to cut before filtering 100 TB; x12 pins the
+    //      scores, this gate pins the choice ----
+    "q_lr_pr_curve" -> ((s, d) => {
+      import s.implicits._
+      val scored = TextOps.qualityLrScore(Tables.documents(s, d), "doc_id", "text")
+        .select(col("label"), col("z_q6"))
+      val thr = broadcast(LrPrThresholds.toDF("thr_q6"))
+      val pos = (col("z_q6") >= col("thr_q6"))
+      scored.crossJoin(thr)
+        .groupBy("thr_q6")
+        .agg(
+          sum(when(pos && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(pos && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(!pos && col("label") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(!pos && col("label") === 0, 1L).otherwise(0L)).as("tn"))
+        .select(col("thr_q6"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+            .otherwise(TextOps.round4(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double"))).as("prec4"),
+          when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+            .otherwise(TextOps.round4(col("tp").cast("double") /
+              (col("tp") + col("fn")).cast("double"))).as("rec4"),
+          when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, lit(null).cast("double"))
+            .otherwise(TextOps.round4((lit(2.0) * col("tp").cast("double")) /
+              (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))).as("f14"))
+        .orderBy("thr_q6")
     }),
 
     // ---- curriculum phase assignment: corpus cut into 4 near-equal
@@ -3555,7 +3594,35 @@ object SparkEntry {
              |       CAST(floor(sc.z * 1000000.0 + 0.5) AS BIGINT) AS z_q6,
              |       floor(1.0 / (1.0 + exp(-sc.z)) * 10000.0 + 0.5) / 10000.0 AS score,
              |       sc.z >= 0 AS pred
-             |FROM sc JOIN lab USING (doc_id) ORDER BY sc.doc_id""".stripMargin)
+             |FROM sc JOIN lab USING (doc_id) ORDER BY sc.doc_id""".stripMargin,
+
+        // operating-point sweep over the same scores/labels: exact integer
+        // confusion counts per q6 threshold; P/R/F1 are single IEEE
+        // divisions from those integers, round4'd identically
+        "q_lr_pr_curve" ->
+          s"""WITH $scoringCtes,
+             |lab AS (SELECT doc_id,
+             |               CASE WHEN len(list_filter(ws, t -> t IN ($stopList)))::DOUBLE
+             |                         / n::DOUBLE >= $thr THEN 1 ELSE 0 END AS label
+             |        FROM base),
+             |scored AS (SELECT lab.label, CAST(floor(sc.z * 1000000.0 + 0.5) AS BIGINT) AS z_q6
+             |           FROM sc JOIN lab USING (doc_id)),
+             |thr AS (SELECT CAST(unnest([-2000000, -1000000, -500000, 0, 500000, 1000000, 2000000]) AS BIGINT) AS thr_q6),
+             |cells AS (
+             |  SELECT thr_q6,
+             |    CAST(sum(CASE WHEN z_q6 >= thr_q6 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN z_q6 >= thr_q6 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    CAST(sum(CASE WHEN z_q6 < thr_q6 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |    CAST(sum(CASE WHEN z_q6 < thr_q6 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |  FROM scored, thr GROUP BY thr_q6)
+             |SELECT thr_q6, tp, fp, fn, tn,
+             |  CASE WHEN tp + fp = 0 THEN NULL
+             |       ELSE floor(tp::DOUBLE / (tp + fp)::DOUBLE * 10000.0 + 0.5) / 10000.0 END AS prec4,
+             |  CASE WHEN tp + fn = 0 THEN NULL
+             |       ELSE floor(tp::DOUBLE / (tp + fn)::DOUBLE * 10000.0 + 0.5) / 10000.0 END AS rec4,
+             |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+             |       ELSE floor(2.0 * tp::DOUBLE / (2 * tp + fp + fn)::DOUBLE * 10000.0 + 0.5) / 10000.0 END AS f14
+             |FROM cells ORDER BY thr_q6""".stripMargin)
     }.toMap
 
   /** Where the s3 gate materialized its generator output (set when the gate
@@ -4843,6 +4910,35 @@ object SparkEntry {
            |                 ELSE (255 * ${1L << 48}) // kth_hash END AS BIGINT) AS est_distinct,
            |       (SELECT count(DISTINCT word) FROM w) AS exact_distinct
            |FROM agg""".stripMargin,
+
+      // identical midpoint grid, identical LEFT-TO-RIGHT multiplication
+      // folds (list_reduce starts at the first element; Spark's fold
+      // starts at 1.0 — 1.0*s == s bit-exact, so the products agree),
+      // identical per-term q6 quantization before exact long sums
+      "q_lsh_param_tuning" ->
+        s"""WITH pairs AS (
+           |  SELECT CAST(b AS INTEGER) AS b, CAST($NumMinHashes / b AS INTEGER) AS r
+           |  FROM range(1, ${NumMinHashes + 1}) tb(b) WHERE $NumMinHashes % b = 0),
+           |grid AS (SELECT (i + 0.5) / 1000.0 AS s FROM range(0, 1000) ti(i)),
+           |terms AS (
+           |  SELECT b, r, s,
+           |    1.0 - list_reduce(list_transform(range(b), x -> 1.0 -
+           |            list_reduce(list_transform(range(r), y -> s), (a, c) -> a * c)),
+           |          (a, c) -> a * c) AS p
+           |  FROM pairs, grid),
+           |q AS (
+           |  SELECT b, r,
+           |    CASE WHEN s < 0.8 THEN CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS fp_term,
+           |    CASE WHEN s >= 0.8 THEN CAST(floor((1.0 - p) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS fn_term
+           |  FROM terms),
+           |curve AS (
+           |  SELECT b, r, CAST(sum(fp_term) AS BIGINT) AS fp_q6,
+           |         CAST(sum(fn_term) AS BIGINT) AS fn_q6,
+           |         CAST(sum(fp_term) + sum(fn_term) AS BIGINT) AS err_q6
+           |  FROM q GROUP BY b, r)
+           |SELECT b, r, fp_q6, fn_q6, err_q6,
+           |       row_number() OVER (ORDER BY err_q6, b) = 1 AS is_best
+           |FROM curve ORDER BY b""".stripMargin,
 
       // per-source JS divergence: identical q6 per-term quantization and
       // the same exact-long absent-mass closed form as the Spark side —

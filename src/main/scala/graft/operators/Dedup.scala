@@ -152,6 +152,55 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** LSH banding auto-tuner (the datasketch-style S-curve optimization):
+    * for every factorization b·r = n of the MinHash signature budget,
+    * integrate the band-collision probability p(s) = 1 − (1 − s^r)^b on a
+    * midpoint grid against the ideal step function at the target Jaccard
+    * threshold: FP mass below the threshold (pairs LSH would surface that
+    * the verify stage then pays to reject) and FN mass above it (true
+    * near-dups banding never surfaces — unrecoverable at corpus scale).
+    * Returns one row per (b, r) with q6 masses and `is_best` on the error
+    * minimizer (ties → smaller b). This is the knob-setting step BEFORE a
+    * 100 TB dedup pass; `q_lsh_candidate_quality` is the post-hoc
+    * measurement of the same choice.
+    *
+    * Numeric contract (oracle-replayable bit-for-bit): powers are
+    * LEFT-TO-RIGHT repeated-multiplication folds, never `pow` — IEEE
+    * multiply reproduces exactly across engines while libm `pow` does
+    * not; every grid term is quantized to q6 BEFORE the sum, so each mass
+    * is an exact long sum; midpoint abscissae (i+½)/steps never equal the
+    * threshold, so no FP/FN branch rides a float tie.
+    *
+    * Scale shape: tuning-table cardinality (divisors × grid — thousands
+    * of rows); declared as a broadcast crossJoin so it runs like any
+    * other plan, but its value is that the chosen (b, r) governs the real
+    * corpus pass. */
+  def lshParameterSweep(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      thresholdQ6: Long, gridSteps: Int = 1000): DataFrame = {
+    require(numHashes >= 1 && gridSteps >= 10, "need a positive budget and grid")
+    import spark.implicits._
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b)).toDF("b", "r")
+    val q6 = (c: Column) => floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+    val t = lit(thresholdQ6.toDouble / 1000000.0)
+    val terms = spark.range(gridSteps).select(col("id").as("i"))
+      .crossJoin(broadcast(divisors))
+      .withColumn("s", (col("i").cast("double") + lit(0.5)) / lit(gridSteps.toDouble))
+      .withColumn("sr",
+        aggregate(sequence(lit(1), col("r")), lit(1.0), (acc, _) => acc * col("s")))
+      .withColumn("p", lit(1.0) -
+        aggregate(sequence(lit(1), col("b")), lit(1.0), (acc, _) => acc * (lit(1.0) - col("sr"))))
+      .select(col("b"), col("r"),
+        when(col("s") < t, q6(col("p"))).otherwise(lit(0L)).as("fp_term"),
+        when(col("s") >= t, q6(lit(1.0) - col("p"))).otherwise(lit(0L)).as("fn_term"))
+    terms.groupBy("b", "r")
+      .agg(sum("fp_term").as("fp_q6"), sum("fn_term").as("fn_q6"))
+      .withColumn("err_q6", col("fp_q6") + col("fn_q6"))
+      .withColumn("is_best",
+        row_number().over(Window.orderBy(col("err_q6"), col("b"))) === 1)
+      .select("b", "r", "fp_q6", "fn_q6", "err_q6", "is_best")
+  }
+
   /** (doc_id, band, bucket) rows: each doc's signature split into
     * `numBands` bands, each band reduced to a deterministic md5 bucket of
     * its minhashes concatenated in j order — the LSH equi-join key. */

@@ -1964,6 +1964,34 @@ class OperatorsSpec extends AnyFunSuite {
       "the k smallest hashes must come from per-partition heaps, not a global sort")
   }
 
+  test("lshParameterSweep: q6 masses replicate single-node; best is the unique argmin") {
+    val rows = Dedup.lshParameterSweep(spark, 8, 800000L).orderBy("b").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      Seq((1, 8), (2, 4), (4, 2), (8, 1)), "divisor pairs of the budget, ascending b")
+    // plain-Scala replica of the (b=2, r=4) integration, same op order
+    var fp = 0L; var fn = 0L
+    for (i <- 0 until 1000) {
+      val s = (i + 0.5) / 1000.0
+      var sr = 1.0; (0 until 4).foreach(_ => sr *= s)
+      var q = 1.0; (0 until 2).foreach(_ => q *= (1.0 - sr))
+      val p = 1.0 - q
+      if (s < 0.8) fp += math.floor(p * 1e6 + 0.5).toLong
+      else fn += math.floor((1.0 - p) * 1e6 + 0.5).toLong
+    }
+    val b2 = rows.find(_.getInt(0) == 2).get
+    assert((b2.getLong(2), b2.getLong(3)) === ((fp, fn)))
+    // exactly one best, and it carries the minimal error
+    val best = rows.filter(_.getBoolean(5))
+    assert(best.length === 1 && best(0).getLong(4) === rows.map(_.getLong(4)).min)
+    // the degenerate extremes behave as the S-curve says: b=n surfaces
+    // nearly everything (huge FP mass), r=n surfaces nearly nothing below
+    // threshold but misses near-dups (FN-heavy relative to FP)
+    val bN = rows.find(_.getInt(0) == 8).get
+    val rN = rows.find(_.getInt(0) == 1).get
+    assert(bN.getLong(2) > rN.getLong(2), "aggressive banding pays in false positives")
+    assert(rN.getLong(3) > bN.getLong(3), "one giant band pays in false negatives")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
