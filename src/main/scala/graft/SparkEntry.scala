@@ -1487,6 +1487,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- web-INGEST pipeline composed as ONE query: HTML→text
+    //      extraction → vocabulary-blocklist filter → exact content
+    //      dedup (min-id survivor) → token accounting — the r13 ops
+    //      chained the way a crawl ingest runs them. The planted chrome
+    //      extracts back to the ORIGINAL text, so a (wrapped, plain)
+    //      duplicate pair collapses to one survivor post-extraction ----
+    "e2e_web_ingest" -> ((s, d) => {
+      val spam = when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" zzspamword"))).otherwise(col("text"))
+      val page = when(col("doc_id") % 7 === 0, concat(
+        lit("<html><body><p>"), spam,
+        lit("</p><script>drop();</script>&nbsp;</body></html>"))).otherwise(spam)
+      val clean = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.extractHtmlText(page).as("clean"))
+      val kept = TextOps.blocklistFilter(clean, "doc_id", "clean", Seq("zzspamword"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("clean_md5").orderBy("doc_id")
+      kept.select(col("doc_id"), col("clean"), md5(col("clean")).as("clean_md5"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("clean_md5"),
+          size(TextOps.tokens(col("clean"))).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- DPO-style preference-pair table: every aggregated (winner,
     //      loser) comparison annotated with the trained Bradley–Terry
     //      expected win probability r_w/(r_w+r_l) and rating margin — the
@@ -4939,6 +4963,42 @@ object SparkEntry {
            |SELECT b, r, fp_q6, fn_q6, err_q6,
            |       row_number() OVER (ORDER BY err_q6, b) = 1 AS is_best
            |FROM curve ORDER BY b""".stripMargin,
+
+      // the same planted chrome/spam and the same three stages chained:
+      // the x17 replace chain, the x16 token filter, md5 min-id dedup
+      "e2e_web_ingest" ->
+        """WITH spam AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 13 = 0 THEN text || ' zzspamword' ELSE text END AS t
+          |  FROM documents),
+          |page AS (
+          |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+          |    THEN '<html><body><p>' || t || '</p><script>drop();</script>&nbsp;</body></html>'
+          |    ELSE t END AS page FROM spam),
+          |clean AS (
+          |  SELECT doc_id, trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(regexp_replace(regexp_replace(page,
+          |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          |        '<[^>]*>', ' ', 'g'),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          |    '[ \t\n\r\f]+', ' ', 'g')) AS clean
+          |  FROM page),
+          |flagged AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT doc_id, unnest(string_split(lower(clean), ' ')) AS tok FROM clean) u
+          |  WHERE tok = 'zzspamword'),
+          |kept AS (
+          |  SELECT c.doc_id, c.clean FROM clean c
+          |  WHERE c.doc_id NOT IN (SELECT doc_id FROM flagged)),
+          |dedup AS (
+          |  SELECT doc_id, md5(clean) AS clean_md5,
+          |    len(list_filter(string_split(clean, ' '), x -> x <> '')) AS n_tokens,
+          |    row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+          |  FROM kept)
+          |SELECT doc_id, clean_md5, CAST(n_tokens AS BIGINT) AS n_tokens
+          |FROM dedup WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       // per-source JS divergence: identical q6 per-term quantization and
       // the same exact-long absent-mass closed form as the Spark side —

@@ -1992,6 +1992,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rN.getLong(3) > bN.getLong(3), "one giant band pays in false negatives")
   }
 
+  test("e2e_web_ingest: the pipeline is exactly 'identity minus spam docs' on this plant") {
+    val out = SparkEntry.queries("e2e_web_ingest")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty && !out.exists(_._1 % 13 == 0),
+      "every % 13 doc carries the planted spam token (even inside chrome) and must drop")
+    assert(out.map(_._2).distinct.length === out.length, "one survivor per content")
+    // independent replica: planted chrome must extract AWAY entirely, so a
+    // survivor row is just (min doc_id, md5, token count) of the
+    // whitespace-normalized original text over the non-spam docs
+    val norm = trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " "))
+    val expected = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), md5(norm).as("m"), size(TextOps.tokens(norm)).cast("long").as("n"))
+      .groupBy("m").agg(min("doc_id").as("doc_id"), min("n").as("n"))
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === expected.toSeq)
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
