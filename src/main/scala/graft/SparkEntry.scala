@@ -545,6 +545,8 @@ object SparkEntry {
   private val TopK = 5
   /** ivfTopK's nprobe default, mirrored in the d8 oracle SQL. */
   private val IvfNprobe = 4
+  /** d26 margin-mining neighborhood size, mirrored in its oracle SQL. */
+  private val MarginK = 8
 
   /** The composed cleaning pipeline behind `e2e_clean_corpus_build` — see
     * the gate's comment for the stage list. The gate persists the
@@ -794,6 +796,17 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.bruteForceTopK(emb, queries, TopK)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- margin-based aligned-pair mining (Artetxe–Schwenk ratio margin,
+    //      mutual-best): even-id vectors are the source side, odd-id the
+    //      target — the cross-corpus alignment step of a parallel-data
+    //      pipeline. Margins are one IEEE division of exact q6 longs. ----
+    "d26_margin_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.where(col("vec_id") % 2 === 0).select(col("vec_id"), col("embedding"))
+      val b = emb.where(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding"))
+      Similarity.marginMinedPairs(a, b, MarginK).orderBy("src_id")
     }),
 
     // ---- robust per-source quality calibration: (x − median)/MAD with
@@ -6274,6 +6287,37 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
            |ORDER BY query_id, rank""".stripMargin,
+
+      // d5's cosine expression lifted to q6 longs, neighbor ranking and
+      // top-k sums on the longs, margin = 2k·cq/(Σᴬ+Σᴮ) as ONE double
+      // division of exact integers (16*cq stays in BIGINT; the CAST is the
+      // only lossy op) — no live transcendental, the x11 discipline
+      "d26_margin_pairs" ->
+        s"""WITH a AS (SELECT vec_id AS x, embedding AS xe FROM embeddings WHERE vec_id % 2 = 0),
+           |b AS (SELECT vec_id AS y, embedding AS ye FROM embeddings WHERE vec_id % 2 = 1),
+           |p AS (
+           |  SELECT x, y, CAST(floor(round(
+           |    list_reduce(list_transform(range(1, 65), i -> CAST(xe[i] AS DOUBLE) * CAST(ye[i] AS DOUBLE)), (u, v) -> u + v) /
+           |    (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(xe[i] AS DOUBLE) * CAST(xe[i] AS DOUBLE)), (u, v) -> u + v)) *
+           |     sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(ye[i] AS DOUBLE) * CAST(ye[i] AS DOUBLE)), (u, v) -> u + v))), 6) * 1e6 + 0.5) AS BIGINT) AS cq
+           |  FROM a CROSS JOIN b),
+           |fwd AS (SELECT x, y, cq FROM (
+           |  SELECT x, y, cq, row_number() OVER (PARTITION BY x ORDER BY cq DESC, y) AS r FROM p) WHERE r <= $MarginK),
+           |bwd AS (SELECT x, y, cq FROM (
+           |  SELECT x, y, cq, row_number() OVER (PARTITION BY y ORDER BY cq DESC, x) AS r FROM p) WHERE r <= $MarginK),
+           |sa AS (SELECT x, sum(cq) AS sa FROM fwd GROUP BY x),
+           |sb AS (SELECT y, sum(cq) AS sb FROM bwd GROUP BY y),
+           |fm AS (SELECT f.x, f.y, round(CAST(2 * $MarginK * f.cq AS DOUBLE) / CAST(sa.sa + sb.sb AS DOUBLE), 6) AS margin
+           |       FROM fwd f JOIN sa ON f.x = sa.x JOIN sb ON f.y = sb.y WHERE sa.sa + sb.sb > 0),
+           |bm AS (SELECT f.x, f.y, round(CAST(2 * $MarginK * f.cq AS DOUBLE) / CAST(sa.sa + sb.sb AS DOUBLE), 6) AS margin
+           |       FROM bwd f JOIN sa ON f.x = sa.x JOIN sb ON f.y = sb.y WHERE sa.sa + sb.sb > 0),
+           |xb AS (SELECT x, y, margin FROM (
+           |  SELECT x, y, margin, row_number() OVER (PARTITION BY x ORDER BY margin DESC, y) AS r FROM fm) WHERE r = 1),
+           |yb AS (SELECT x, y FROM (
+           |  SELECT x, y, row_number() OVER (PARTITION BY y ORDER BY margin DESC, x) AS r FROM bm) WHERE r = 1)
+           |SELECT xb.x AS src_id, xb.y AS tgt_id, xb.margin
+           |FROM xb JOIN yb ON xb.x = yb.x AND xb.y = yb.y
+           |ORDER BY src_id""".stripMargin,
 
       // same two-level layer/chunk arithmetic; integer div both sides
       "q_contrastive_batches" ->

@@ -1508,4 +1508,62 @@ object Similarity {
       out.toSeq
     } finally { ds.unpersist(); () }
   }
+
+  /** Margin-based aligned-pair mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix bitext-mining rule; reference has no analogue — this is
+    * the cross-corpus alignment step of a parallel-data pipeline): a pair
+    * (x ∈ A, y ∈ B) is mined when each side is the other's margin-best
+    * candidate, with the RATIO margin
+    *
+    *   margin(x,y) = cos(x,y) / ((avgₖ cos(x, NNᴮ(x)) + avgₖ cos(y, NNᴬ(y))) / 2)
+    *
+    * Absolute cosine is miscalibrated across hubness regimes (a vector in a
+    * dense region scores high against EVERYTHING); dividing by the average
+    * neighborhood similarity normalizes the score, and mutual-best
+    * ("intersection" strategy) makes the output a partial matching with no
+    * tuned threshold.
+    *
+    * Cross-engine determinism: per-pair cosines are rounded to 6 dp (the d5
+    * contract), lifted to exact q6 longs, neighbor ranking and the top-k
+    * sums happen on those longs, and the margin is ONE IEEE division of
+    * exact integers — `2k·cq / (Σₖᴬ + Σₖᴮ)` — so both engines produce
+    * bit-identical margins with no live transcendental.
+    *
+    * Scale shape: neighbor search is [[bruteForceTopK]] here (the exactness
+    * baseline — O(|A|·|B|) with WindowGroupLimit partial top-k, so the
+    * exchange carries O(tasks·k) rows); at 100 TB swap its output for
+    * [[ivfTopK]]/[[reducedProbeTopK]] candidates — everything downstream
+    * (q6 sums, margins, mutual-best) touches only O((|A|+|B|)·k) candidate
+    * rows, never the cross product.
+    *
+    * @param a (id, embedding) — source side
+    * @param b (id, embedding) — target side; ids must be disjoint from `a`'s
+    * @param k neighborhood size for the margin denominator
+    */
+  def marginMinedPairs(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)).cast("long")
+    def side(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(df.columns.head).as(idAs), col(df.columns(1)).as("embedding"))
+    val fwd = bruteForceTopK(side(b, "vec_id"), side(a, "query_id"), k)
+      .select(col("query_id").as("x"), col("neighbor_id").as("y"), q6(col("cos")).as("cq"))
+    val bwd = bruteForceTopK(side(a, "vec_id"), side(b, "query_id"), k)
+      .select(col("neighbor_id").as("x"), col("query_id").as("y"), q6(col("cos")).as("cq"))
+    val sumA = fwd.groupBy("x").agg(sum("cq").as("sa"))
+    val sumB = bwd.groupBy("y").agg(sum("cq").as("sb"))
+    // 2k·cq ≤ 2k·10⁶ is exact in double; one division; round for display —
+    // every input to the IEEE ops is an agreed integer
+    def withMargin(p: DataFrame): DataFrame = p
+      .join(sumA, "x").join(sumB, "y")
+      .where(col("sa") + col("sb") > 0)
+      .withColumn("margin", round(lit(2.0 * k) * col("cq") / (col("sa") + col("sb")), 6))
+    val xbest = withMargin(fwd).withColumn("r",
+        row_number().over(Window.partitionBy("x").orderBy(col("margin").desc, col("y"))))
+      .where(col("r") === 1).select("x", "y", "margin")
+    val ybest = withMargin(bwd).withColumn("r",
+        row_number().over(Window.partitionBy("y").orderBy(col("margin").desc, col("x"))))
+      .where(col("r") === 1).select("x", "y")
+    xbest.join(ybest, Seq("x", "y"))
+      .select(col("x").as("src_id"), col("y").as("tgt_id"), col("margin"))
+  }
 }

@@ -2010,6 +2010,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === expected.toSeq)
   }
 
+  test("d26_margin_pairs: mutual margin-best matching matches an exact single-node replica") {
+    val out = SparkEntry.queries("d26_margin_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length === out.length, "src side is a partial matching")
+    assert(out.map(_._2).distinct.length === out.length, "tgt side is a partial matching")
+    // exact replica of the whole rule — q6 cosines in the operator's fold
+    // order, top-8 neighborhoods on the longs, one-division margins,
+    // mutual best — computed with plain Scala loops
+    val k = 8
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    def cq(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(r6(d / (math.sqrt(na) * math.sqrt(nb))) * 1e6 + 0.5).toLong
+    }
+    val aS = emb.filter(_._1 % 2 == 0); val bS = emb.filter(_._1 % 2 == 1)
+    val pm = (for ((x, xe) <- aS; (y, ye) <- bS) yield ((x, y), cq(xe, ye))).toMap
+    val fwd = aS.map { case (x, _) =>
+      x -> bS.map { case (y, _) => (y, pm((x, y))) }.sortBy { case (y, c) => (-c, y) }.take(k)
+    }.toMap
+    val bwd = bS.map { case (y, _) =>
+      y -> aS.map { case (x, _) => (x, pm((x, y))) }.sortBy { case (x, c) => (-c, x) }.take(k)
+    }.toMap
+    val sa = fwd.map { case (x, l) => x -> l.map(_._2).sum }
+    val sb = bwd.map { case (y, l) => y -> l.map(_._2).sum }
+    def margin(x: Long, y: Long) = r6(2.0 * k * pm((x, y)) / (sa(x) + sb(y)))
+    val xbest = fwd.toSeq.flatMap { case (x, l) =>
+      val cs = l.collect { case (y, _) if sa(x) + sb(y) > 0 => (y, margin(x, y)) }
+      if (cs.isEmpty) None
+      else { val (y, m) = cs.minBy { case (y2, m2) => (-m2, y2) }; Some((x, y, m)) }
+    }
+    val ybest = bwd.toSeq.flatMap { case (y, l) =>
+      val cs = l.collect { case (x, _) if sa(x) + sb(y) > 0 => (x, margin(x, y)) }
+      if (cs.isEmpty) None
+      else { val (x, _) = cs.minBy { case (x2, m2) => (-m2, x2) }; Some((x, y)) }
+    }.toSet
+    val expected = xbest.filter { case (x, y, _) => ybest((x, y)) }.sortBy(_._1)
+    assert(out.toSeq.sortBy(_._1) === expected)
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
