@@ -2630,6 +2630,19 @@ object SparkEntry {
       Similarity.pqTopK(emb, queries, TopK).orderBy("query_id", "rank")
     }),
 
+    // ---- 1-bit sign quantization: Hamming ranking over packed sign bits
+    //      (8 B/vector — the binary-hash tier below int8 and PQ), exact
+    //      cosine rescore of the survivors fetched by id. Signatures are
+    //      sign projections of the RAW floats (scale-invariant), so the
+    //      index build is scan-speed with zero training and no rounding
+    //      contract for two engines to disagree on ----
+    "d27_signbit_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.signBitTopK(emb, queries, TopK, rescoreFactor = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- semantic outlier pruning: the 3 vectors farthest from their
     //      cluster centroid per cluster — the embedding-space noise filter
     //      (garbage scrapes sit far from every centroid) ----
@@ -7033,6 +7046,43 @@ object SparkEntry {
            |cand AS (
            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS arank
            |  FROM approx),
+           |exact AS (
+           |  SELECT query_id, vec_id AS neighbor_id, round(${cos("q_e", "e")}, 6) AS cos
+           |  FROM cand WHERE arank <= ${TopK * 4}),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM exact)
+           |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $TopK
+           |ORDER BY query_id, rank""".stripMargin
+      },
+
+      // same two 32-bit sign words off the raw floats (bit i set iff
+      // component > 0 — no arithmetic, nothing to round), same integer
+      // Hamming via bit_count(xor), same (hamming, vec_id) candidate
+      // order, same exact-cosine rescore of the top 4k survivors
+      "d27_signbit_topk" -> {
+        def dot(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+        def cos(a: String, b: String) =
+          s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+        def word(from: Int, until: Int) =
+          s"""list_reduce(list_transform(range($from, $until), i ->
+             |    CASE WHEN e[i] > 0 THEN CAST(1 AS BIGINT) << (i - $from) ELSE CAST(0 AS BIGINT) END),
+             |    (x, y) -> x + y)""".stripMargin
+        s"""WITH pe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |sg AS (SELECT vec_id, e,
+           |  ${word(1, 33)} AS lo,
+           |  ${word(33, 65)} AS hi
+           |  FROM pe),
+           |q AS (SELECT vec_id AS query_id, e AS q_e, lo AS q_lo, hi AS q_hi FROM sg WHERE vec_id < 10),
+           |ham AS (
+           |  SELECT q.query_id, c.vec_id, c.e, q.q_e,
+           |         bit_count(xor(c.lo, q.q_lo)) + bit_count(xor(c.hi, q.q_hi)) AS hamming
+           |  FROM sg c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+           |cand AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS arank
+           |  FROM ham),
            |exact AS (
            |  SELECT query_id, vec_id AS neighbor_id, round(${cos("q_e", "e")}, 6) AS cos
            |  FROM cand WHERE arank <= ${TopK * 4}),

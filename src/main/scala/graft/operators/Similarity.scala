@@ -1566,4 +1566,77 @@ object Similarity {
     xbest.join(ybest, Seq("x", "y"))
       .select(col("x").as("src_id"), col("y").as("tgt_id"), col("margin"))
   }
+
+  /** Pack the sign bits of `dim` embedding components into two 32-bit words
+    * (`lo` = dims 0–31, `hi` = dims 32–63, bit i set iff component > 0).
+    * Two words, not one long, so neither sum can touch the sign bit — the
+    * DuckDB oracle replays the pack as checked BIGINT additions that would
+    * overflow at 2^63. Sign is SCALE-INVARIANT, so the bits come straight
+    * off the raw floats: no normalization, no rounding contract, nothing
+    * for two engines to disagree on. */
+  private def signWord(e: Column, from: Int, until: Int): Column =
+    (from until until).map(i =>
+      when(e.getItem(i) > lit(0.0), lit(1L << (i - from))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** 1-bit sign-quantization ANN (the binary-hash tier below int8 [[d9
+    * quantizedTopK]] and PQ: 8 bytes/vector at dim=64, a 32× reduction vs
+    * float32): candidates rank by Hamming distance between sign signatures
+    * — `bit_count(lo⊕lo') + bit_count(hi⊕hi')`, pure integer ops, no
+    * arithmetic on the vector at all — and the top `rescoreFactor·k` per
+    * query are rescored with exact cosine ([[bruteForceTopK]]'s contract).
+    *
+    * Sign bits are axis-aligned hyperplane LSH without the planes: zero
+    * training, zero dot products at index-build time, and the signature is
+    * a deterministic projection of the raw floats (component > 0), so the
+    * index build is scan-speed and bit-identical across engines by
+    * construction.
+    *
+    * Scale shape: the Hamming ranking runs over a SLIM frame — (vec_id,
+    * lo, hi), 24 bytes/vector, the stored index — pruned by the same
+    * partial WindowGroupLimit as every top-k here (map tasks keep
+    * `rescoreFactor·k` rows per query before the exchange). Full vectors
+    * are fetched only for the surviving candidate ids, via a broadcast
+    * semi-join of the O(queries·rescoreFactor·k) candidate set against the
+    * corpus — the codes-then-fetch architecture every binary-hash index
+    * uses on disk.
+    *
+    * @param corpus  (vec_id, embedding)
+    * @param queries (query_id, embedding) — small side, broadcast
+    * @param k       neighbors per query
+    * @param rescoreFactor exact-rescore pool = rescoreFactor·k per query
+    * @param dim     embedding width (≤ 64)
+    */
+  def signBitTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rescoreFactor: Int = 4, dim: Int = 64): DataFrame = {
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    require(dim >= 2 && dim <= 64, s"dim must be in [2, 64], got $dim")
+    val mid = math.min(32, dim)
+    def sig(df: DataFrame, idAs: String): DataFrame = {
+      val e = asDouble(col("embedding"))
+      df.select(col(df.columns.head).as(idAs),
+        signWord(e, 0, mid).as("lo"),
+        (if (dim > 32) signWord(e, 32, dim) else lit(0L)).as("hi"))
+    }
+    val cSig = sig(corpus.select("vec_id", "embedding"), "vec_id")
+    val qSig = broadcast(sig(queries.select("query_id", "embedding"), "query_id")
+      .select(col("query_id"), col("lo").as("q_lo"), col("hi").as("q_hi")))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col("vec_id"))
+    val cands = cSig.join(qSig, col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+         bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast("long"))
+      .withColumn("arank", row_number().over(w1))
+      .where(col("arank") <= k * rescoreFactor)
+      .select("query_id", "vec_id")
+    val cFull = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val qFull = broadcast(queries.select(col("query_id"),
+      asDouble(col("embedding")).as("q_e")))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cFull.join(broadcast(cands), Seq("vec_id")).join(qFull, Seq("query_id"))
+      .withColumn("cos", round(cosine(col("q_e"), col("e")), 6))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
 }

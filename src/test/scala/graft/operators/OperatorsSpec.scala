@@ -2053,6 +2053,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq.sortBy(_._1) === expected)
   }
 
+  test("d27_signbit_topk: Hamming candidates + exact rescore match a single-node replica") {
+    val out = SparkEntry.queries("d27_signbit_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // exact replica: sign words off the raw floats, integer Hamming,
+    // (hamming, vec_id) candidate order, top-20 rescored by 6-dp cosine
+    val k = 5; val pool = k * 4
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    def words(e: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) { if (e(i) > 0) lo |= 1L << i; if (e(i + 32) > 0) hi |= 1L << i }
+      (lo, hi)
+    }
+    def cosd(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val sigs = emb.map { case (id, e) => id -> words(e) }.toMap
+    val expected = emb.filter(_._1 < 10).flatMap { case (qid, qe) =>
+      val (qlo, qhi) = sigs(qid)
+      val cands = emb.filter(_._1 != qid).map { case (cid, _) =>
+        val (lo, hi) = sigs(cid)
+        (cid, java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi))
+      }.sortBy { case (cid, h) => (h, cid) }.take(pool)
+      val byId = emb.toMap
+      cands.map { case (cid, _) => (cid, cosd(qe, byId(cid))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(k).zipWithIndex
+        .map { case ((cid, c), i) => (qid, i + 1, cid, c) }
+    }
+    assert(out.toSeq === expected.toSeq)
+    // the 1-bit tier must still find most true neighbors after rescore
+    val exact = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sfDir),
+      Tables.embeddings(spark, sfDir).where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")), k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = out.count { case (q, _, n, _) => exact((q, n)) }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.4, s"sign-bit recall@$k too low: $recall")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))

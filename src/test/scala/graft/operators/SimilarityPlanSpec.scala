@@ -30,11 +30,18 @@ class SimilarityPlanSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), col("embedding"))
     for ((name, df) <- Seq(
         "bruteForce" -> Similarity.bruteForceTopK(emb, queries, 5),
-        "lsh" -> Similarity.lshBucketTopK(emb, queries, 5))) {
+        "lsh" -> Similarity.lshBucketTopK(emb, queries, 5),
+        "signBit" -> Similarity.signBitTopK(emb, queries, 5))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),
         s"$name top-k lost the WindowGroupLimit rewrite:\n$plan")
     }
+    // the sign-bit rescore must fetch full vectors by broadcasting the
+    // small candidate set against the corpus scan, never shuffling it
+    val sbPlan = Similarity.signBitTopK(emb, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(sbPlan.contains("BroadcastHashJoin"),
+      s"signBit rescore lost the broadcast candidate fetch:\n$sbPlan")
   }
 
   test("LSH candidate volume stays bounded when the corpus doubles (auto-derived bits)") {
