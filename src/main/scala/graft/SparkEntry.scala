@@ -540,6 +540,8 @@ object SparkEntry {
   // skew guard for d4: shingles in more docs than this generate no candidates
   // (verification still uses full sets — see Dedup.jaccardPairs)
   private val JaccardMaxDf = 10L
+  /** d28's max(cont_a, cont_b) cut, mirrored in its oracle SQL. */
+  private val ContainmentThreshold = 0.9
   private val CosineNearDupThreshold = 0.4
   private val HeavyHitterThreshold = 300L
   private val TopK = 5
@@ -787,6 +789,22 @@ object SparkEntry {
     "d4_jaccard_pairs" -> ((s, d) => {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", ShingleK, JaccardThreshold,
           maxDocFrequency = JaccardMaxDf)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- shingle containment (the asymmetric near-dup Jaccard misses):
+    //      every % 9 doc gets a planted EXCERPT (its first half) whose
+    //      Jaccard vs the original is ~0.5 but whose containment is
+    //      exactly 1 — the quotation/concatenation family ----
+    "d28_containment_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nTok = size(split(col("text"), " "))
+      val excerpts = docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            greatest(lit(6), (nTok / lit(2)).cast("int"))), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(excerpts), "doc_id", "text",
+          ShingleK, ContainmentThreshold, maxDocFrequency = JaccardMaxDf)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -6283,6 +6301,42 @@ object SparkEntry {
            |       round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
            |FROM cinter JOIN csizes sa ON doc_a = sa.doc_id JOIN csizes sb ON doc_b = sb.doc_id
            |WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // same planted excerpts (// is DuckDB's integer division, matching
+      // Spark's truncating int cast on positive counts), same df-capped
+      // rare-shingle candidates, same exact hash-set intersection — each
+      // containment one IEEE division of integer set sizes
+      "d28_containment_pairs" ->
+        s"""WITH src AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |         array_to_string(list_slice(string_split(text, ' '), 1,
+           |           greatest(6, len(string_split(text, ' ')) // 2)), ' ')
+           |  FROM documents WHERE doc_id % 9 = 0),
+           |csh AS (
+           |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           |         i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+           |  FROM src),
+           |ch AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
+           |cdf AS (SELECT h, count(*) AS df FROM ch GROUP BY h),
+           |rare AS (SELECT ch.doc_id, ch.h FROM ch JOIN cdf USING (h) WHERE cdf.df <= $JaccardMaxDf),
+           |ccands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+           |csizes AS (SELECT doc_id, count(*) AS sz FROM ch GROUP BY doc_id),
+           |cinter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM ccands c JOIN ch a ON a.doc_id = c.doc_a JOIN ch b ON b.doc_id = c.doc_b AND a.h = b.h
+           |  GROUP BY 1, 2),
+           |conts AS (
+           |  SELECT doc_a, doc_b,
+           |         round(inter::DOUBLE / sa.sz::DOUBLE, 6) AS cont_a,
+           |         round(inter::DOUBLE / sb.sz::DOUBLE, 6) AS cont_b
+           |  FROM cinter JOIN csizes sa ON doc_a = sa.doc_id JOIN csizes sb ON doc_b = sb.doc_id)
+           |SELECT doc_a, doc_b, cont_a, cont_b FROM conts
+           |WHERE greatest(cont_a, cont_b) >= $ContainmentThreshold
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "d5_cosine_topk" ->

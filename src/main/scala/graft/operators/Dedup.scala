@@ -313,6 +313,43 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Shingle CONTAINMENT verification over candidate pairs — the asymmetric
+    * companion to [[verifyCandidatesJaccard]] (Broder 1997 defines both
+    * resemblance and containment; resemblance alone misses the
+    * excerpt/quotation/concatenation family): when a short document is a
+    * verbatim slice of a long one, Jaccard ≈ |A|/|B| stays far below any
+    * dedup threshold while containment |A∩B|/|A| is exactly 1. Emits both
+    * directions — `cont_a` = how much of doc_a is inside doc_b, `cont_b`
+    * the reverse — and keeps pairs where EITHER direction clears
+    * `threshold`, each a single IEEE division of exact integer set sizes
+    * rounded to 6 dp.
+    *
+    * Scale shape: identical to the Jaccard verifier — work is
+    * O(|candidates| × shingles/doc) with per-doc hash SETS joined by id,
+    * no shingle-level self-join, and only (long, long, array) rows in the
+    * candidate-bounded join. */
+  def verifyCandidatesContainment(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, candidates: DataFrame, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.expressions.GraftExpressions.shingleHashSet(col(textCol), k).as("hs"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .where(size(col("hs_a")) > 0 && size(col("hs_b")) > 0)
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("cont_a", round(col("inter").cast("double") / size(col("hs_a")).cast("double"), 6))
+      .withColumn("cont_b", round(col("inter").cast("double") / size(col("hs_b")).cast("double"), 6))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+  }
+
+  /** [[rareShingleCandidatePairs]] recall + [[verifyCandidatesContainment]]
+    * precision in one call — the containment analogue of [[jaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double, maxDocFrequency: Long): DataFrame =
+    verifyCandidatesContainment(docs, idCol, textCol, k,
+      rareShingleCandidatePairs(docs, idCol, textCol, k, maxDocFrequency), threshold)
+
   /** Incremental (cross-corpus) dedup — the steady-state form a 100 TB
     * corpus actually runs: a NEW batch of documents is deduplicated AGAINST
     * the existing corpus without ever comparing corpus docs to each other.

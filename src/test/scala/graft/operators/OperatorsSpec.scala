@@ -2097,6 +2097,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"sign-bit recall@$k too low: $recall")
   }
 
+  test("d28_containment_pairs: excerpts caught by containment, missed by Jaccard at the same cut") {
+    import spark.implicits._
+    // docA: 12 unique tokens; docB: its first 6 tokens (a verbatim excerpt);
+    // docC: unrelated. J(A,B) = 4/10 = 0.4 — below even d4's 0.5 cut —
+    // while containment of B in A is exactly 1.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9, 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(cont.keySet === Set((1L, 2L)))
+    assert(cont((1L, 2L)) === ((0.4, 1.0)), s"got ${cont((1L, 2L))}")
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, 10L).collect()
+    assert(jac.isEmpty, "Jaccard at 0.5 must miss the excerpt pair containment catches")
+    // the gate's planted excerpts: every caught planted pair has excerpt-side
+    // containment exactly 1 (prefix shingles are a subset), and most planted
+    // originals are caught at all
+    val out = SparkEntry.queries("d28_containment_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val planted = out.filter { case (a, b, _, _) => b == a + 1000000L }
+    assert(planted.nonEmpty)
+    planted.foreach { case (a, _, _, cb) =>
+      assert(cb === 1.0, s"excerpt of doc $a not fully contained: $cb") }
+    val nPlantedDocs = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 9 === 0).count()
+    assert(planted.length >= nPlantedDocs * 0.8,
+      s"only ${planted.length} of $nPlantedDocs planted excerpts caught")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
