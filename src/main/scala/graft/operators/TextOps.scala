@@ -60,6 +60,51 @@ object TextOps {
     trim(regexp_replace(entities, "[ \\t\\n\\r\\f]+", " "))
   }
 
+  /** URL canonicalization — the identity rule BEFORE any URL-level dedup or
+    * frequency count (a crawl sees the same page as `HTTP://WWW.Site.com/a/
+    * ?utm_source=x&b=2&a=1#frag` and `http://site.com/a?a=1&b=2`; counting
+    * or deduplicating raw strings splits every page's mass across its
+    * spellings). Rules, in order, each a codegen'd `regexp_replace`/
+    * higher-order-function step the DuckDB oracle replays verbatim:
+    *
+    *   1. drop the fragment (`#...` — client-side only, never reaches the
+    *      server);
+    *   2. lowercase the scheme and host (case-insensitive per RFC 3986
+    *      §6.2.2.1 — the PATH stays case-sensitive and is left alone);
+    *   3. strip a `www.` host prefix and the scheme's default port
+    *      (`:80` http, `:443` https);
+    *   4. strip trailing slashes from the path;
+    *   5. drop tracking parameters (`utm_*`, `gclid`, `fbclid`, `ref` —
+    *      the client-analytics family that never changes the resource) and
+    *      SORT the survivors (query order is not semantic for the
+    *      overwhelming majority of endpoints, and canonical ordering is
+    *      what makes equality a string compare).
+    *
+    * Patterns are RE2-safe (character classes and lazy-free quantifiers
+    * only); parameter filtering uses `substr` prefix compares, not LIKE
+    * (whose `_` wildcard would match any character). Scale shape: a pure
+    * scan-speed projection — the 100 TB use is `groupBy(canonical)` where
+    * the canonical string, not the raw spelling, is the shuffle key. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // scheme://host[:port] — everything before the first '/' or '?' past
+    // the scheme separator
+    val rawHost = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    val host1 = regexp_replace(lower(rawHost), "^(https?://)www\\.", "$1")
+    val host = regexp_replace(regexp_replace(host1,
+      "^(http://.*):80$", "$1"), "^(https://.*):443$", "$1")
+    val path = regexp_replace(regexp_replace(rest, "\\?.*", ""), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)", 1)
+    val params = array_join(array_sort(filter(split(query, "&"), p =>
+      p =!= "" &&
+      substring(p, 1, 4) =!= "utm_" &&
+      substring(p, 1, 6) =!= "gclid=" &&
+      substring(p, 1, 7) =!= "fbclid=" &&
+      substring(p, 1, 4) =!= "ref=")), "&")
+    concat(host, path, when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+  }
+
   /** Vocabulary-blocklist audit (the C4 "bad words" gate): per-document
     * DISTINCT banned-term hits, as (doc_id, n_blocked, first_blocked) for
     * flagged documents only.
