@@ -808,6 +808,23 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- containment edges CONSUMED (d28's remediation): survivors over
+    //      the Jaccard ∪ containment edge closure — the planted excerpts
+    //      land in their original's component and are REMOVED, which plain
+    //      Jaccard dedup provably does not do at the same threshold ----
+    "d29_containment_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nTok = size(split(col("text"), " "))
+      val excerpts = docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            greatest(lit(6), (nTok / lit(2)).cast("int"))), " ").as("text"))
+      Dedup.survivorsWithContainment(docs.unionByName(excerpts), "doc_id", "text",
+          ShingleK, NumMinHashes, NumBands, JaccardThreshold, ContainmentThreshold,
+          maxDocFrequency = JaccardMaxDf)
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force cosine top-k (ANN correctness baseline) ----
     "d5_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1525,12 +1542,27 @@ object SparkEntry {
     //      extracts back to the ORIGINAL text, so a (wrapped, plain)
     //      duplicate pair collapses to one survivor post-extraction ----
     "e2e_web_ingest" -> ((s, d) => {
+      // URL dedup FIRST — the real crawl order: every doc_id % 10 == 1 page
+      // is a re-crawl of its % 10 == 0 neighbor under a different URL
+      // spelling (www + default port + tracking param + fragment), so
+      // canonical-URL dedup drops it before any content work is paid
+      val res = when(col("doc_id") % 10 === 1, col("doc_id") - lit(1L))
+        .otherwise(col("doc_id")).cast("string")
+      val rawUrl = when(col("doc_id") % 10 === 1,
+          concat(lit("https://www.example.com:443/page/"), res, lit("?x=1&utm_source=z#top")))
+        .otherwise(concat(lit("https://example.com/page/"), res, lit("?x=1")))
+      val uw = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical_url").orderBy("doc_id")
+      val crawled = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextOps.canonicalizeUrl(rawUrl).as("canonical_url"))
+        .withColumn("urn", row_number().over(uw)).where(col("urn") === 1)
       val spam = when(col("doc_id") % 13 === 0,
         concat(col("text"), lit(" zzspamword"))).otherwise(col("text"))
       val page = when(col("doc_id") % 7 === 0, concat(
         lit("<html><body><p>"), spam,
         lit("</p><script>drop();</script>&nbsp;</body></html>"))).otherwise(spam)
-      val clean = Tables.documents(s, d)
+      val clean = crawled
         .select(col("doc_id"), TextOps.extractHtmlText(page).as("clean"))
       val kept = TextOps.blocklistFilter(clean, "doc_id", "clean", Seq("zzspamword"))
       val w = org.apache.spark.sql.expressions.Window
@@ -1951,6 +1983,32 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.extractHtmlText(page).as("clean"))
         .orderBy("doc_id")
+    }),
+
+    // ---- URL canonicalization + URL-keyed page accounting: every doc gets
+    //      a planted spelling variant of its resource's URL (host case, www,
+    //      default port, fragment, trailing slash, tracking params, param
+    //      order, scheme-less) — canonicalization collapses each resource's
+    //      spellings to ONE group key, the identity rule BEFORE any
+    //      URL-level dedup or frequency count on a crawl ----
+    "q_url_canonical" -> ((s, d) => {
+      val r = (col("doc_id") % 40).cast("string")
+      val raw =
+        when(col("doc_id") % 6 === 0, concat(lit("https://EXAMPLE.com/docs/"), r, lit("?b=2&a=1")))
+        .when(col("doc_id") % 6 === 1, concat(lit("https://www.example.com:443/docs/"), r, lit("?a=1&b=2#frag")))
+        .when(col("doc_id") % 6 === 2, concat(lit("HTTPS://example.com/docs/"), r, lit("/?a=1&utm_source=feed&b=2")))
+        .when(col("doc_id") % 6 === 3, concat(lit("https://example.com/docs/"), r, lit("?utm_campaign=x&fbclid=zz&a=1&b=2")))
+        .when(col("doc_id") % 6 === 4, concat(lit("https://example.com/docs/"), r, lit("?b=2&ref=home&a=1")))
+        .otherwise(concat(lit("example.com/docs/"), r, lit("?a=1&b=2")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("url"))
+        .select(col("doc_id"), col("url"),
+          TextOps.canonicalizeUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("url")).as("n_spellings"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("canonical_url")
     }),
 
     // ---- KMV approximate-distinct sketch over the corpus vocabulary:
@@ -4609,6 +4667,35 @@ object SparkEntry {
              |ORDER BY query_id, rank""".stripMargin)
     }.toMap
 
+  /** DuckDB replay of [[graft.operators.TextOps.canonicalizeUrl]], verbatim
+    * rule for rule (implicit http:// for scheme-less input → fragment drop →
+    * scheme/host lowercase → www/default-port strip → trailing-slash strip →
+    * tracking-param drop + param sort). `srcCte` must expose (doc_id, url);
+    * the chain ends in `${p}canon(doc_id, canonical_url)`. All patterns are
+    * RE2-safe by construction on the Spark side, so both engines run the
+    * same regexes. */
+  private def urlCanonCtes(p: String, srcCte: String): String =
+    s"""${p}u0 AS (SELECT doc_id,
+       |  CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+       |       THEN url ELSE 'http://' || url END AS u FROM $srcCte),
+       |${p}u1 AS (SELECT doc_id, regexp_replace(u, '#.*', '') AS nf FROM ${p}u0),
+       |${p}u2 AS (SELECT doc_id,
+       |  regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) AS rawhost,
+       |  regexp_replace(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS rest FROM ${p}u1),
+       |${p}u3 AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(
+       |    regexp_replace(lower(rawhost), '^(https?://)www\\.', '\\1'),
+       |    '^(http://.*):80$$', '\\1'), '^(https://.*):443$$', '\\1') AS host,
+       |  regexp_replace(regexp_replace(rest, '\\?.*', ''), '/+$$', '') AS path,
+       |  regexp_extract(rest, '\\?(.*)', 1) AS qs FROM ${p}u2),
+       |${p}canon AS (SELECT doc_id,
+       |    host || path || CASE WHEN ps IS NOT NULL AND ps <> '' THEN '?' || ps ELSE '' END AS canonical_url
+       |  FROM (SELECT doc_id, host, path,
+       |          array_to_string(list_sort(list_filter(string_split(qs, '&'), x -> x <> ''
+       |            AND substr(x,1,4) <> 'utm_' AND substr(x,1,6) <> 'gclid='
+       |            AND substr(x,1,7) <> 'fbclid=' AND substr(x,1,4) <> 'ref=')), '&') AS ps
+       |        FROM ${p}u3))""".stripMargin
+
   /** Shared DuckDB fragment: distinct word-k-shingles per document, matching
     * [[Dedup.shingles]] (k=3). */
   private val DuckShingles =
@@ -4962,6 +5049,27 @@ object SparkEntry {
           |  '[ \t\n\r\f]+', ' ', 'g')) AS clean
           |FROM documents ORDER BY doc_id""".stripMargin,
 
+      // the same planted spelling variants, the canonicalization chain
+      // replayed rule for rule (urlCanonCtes == TextOps.canonicalizeUrl)
+      "q_url_canonical" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id,
+           |    CASE CAST(doc_id % 6 AS INTEGER)
+           |      WHEN 0 THEN 'https://EXAMPLE.com/docs/' || CAST(doc_id % 40 AS VARCHAR) || '?b=2&a=1'
+           |      WHEN 1 THEN 'https://www.example.com:443/docs/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2#frag'
+           |      WHEN 2 THEN 'HTTPS://example.com/docs/' || CAST(doc_id % 40 AS VARCHAR) || '/?a=1&utm_source=feed&b=2'
+           |      WHEN 3 THEN 'https://example.com/docs/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_campaign=x&fbclid=zz&a=1&b=2'
+           |      WHEN 4 THEN 'https://example.com/docs/' || CAST(doc_id % 40 AS VARCHAR) || '?b=2&ref=home&a=1'
+           |      ELSE 'example.com/docs/' || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+           |    END AS url
+           |  FROM documents),
+           |${urlCanonCtes("", "raw")}
+           |SELECT c.canonical_url, CAST(count(*) AS BIGINT) AS n_pages,
+           |       CAST(count(DISTINCT r.url) AS BIGINT) AS n_spellings,
+           |       CAST(min(r.doc_id) AS BIGINT) AS first_doc
+           |FROM canon c JOIN raw r USING (doc_id)
+           |GROUP BY c.canonical_url ORDER BY c.canonical_url""".stripMargin,
+
       // same md5-derived 48-bit hashes (+1 to dodge a zero divisor), same
       // BIGINT floor division — the sketch is bit-identical by design
       "q_kmv_distinct" ->
@@ -5008,13 +5116,28 @@ object SparkEntry {
            |       row_number() OVER (ORDER BY err_q6, b) = 1 AS is_best
            |FROM curve ORDER BY b""".stripMargin,
 
-      // the same planted chrome/spam and the same three stages chained:
-      // the x17 replace chain, the x16 token filter, md5 min-id dedup
+      // the same planted URL spellings + chrome/spam and the same four
+      // stages chained: canonical-URL dedup FIRST (urlCanonCtes ==
+      // TextOps.canonicalizeUrl), then the x17 replace chain, the x16
+      // token filter, md5 min-id content dedup
       "e2e_web_ingest" ->
-        """WITH spam AS (
+        s"""WITH rawu AS (
+          |  SELECT doc_id, text,
+          |    CASE WHEN doc_id % 10 = 1
+          |      THEN 'https://www.example.com:443/page/' || CAST(doc_id - 1 AS VARCHAR) || '?x=1&utm_source=z#top'
+          |      ELSE 'https://example.com/page/' || CAST(doc_id AS VARCHAR) || '?x=1' END AS url
+          |  FROM documents),
+          |${urlCanonCtes("wu", "rawu")},
+          |crawled AS (
+          |  SELECT doc_id, text FROM (
+          |    SELECT r.doc_id, r.text,
+          |           row_number() OVER (PARTITION BY c.canonical_url ORDER BY r.doc_id) AS urn
+          |    FROM rawu r JOIN wucanon c USING (doc_id))
+          |  WHERE urn = 1),
+          |spam AS (
           |  SELECT doc_id,
           |    CASE WHEN doc_id % 13 = 0 THEN text || ' zzspamword' ELSE text END AS t
-          |  FROM documents),
+          |  FROM crawled),
           |page AS (
           |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
           |    THEN '<html><body><p>' || t || '</p><script>drop();</script>&nbsp;</body></html>'
@@ -5952,7 +6075,7 @@ object SparkEntry {
       // exact long gain×discount sums, ideal via the re-sorted gain window
       "q_ndcg_eval" -> {
         val disc = (1 to 10).map(i =>
-          math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+          math.floor(1e6 / (StrictMath.log(i + 1.0) / StrictMath.log(2.0)) + 0.5).toLong)
         val discLit = disc.mkString("[", ", ", "]") + "::BIGINT[]"
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term FROM documents),
@@ -6338,6 +6461,73 @@ object SparkEntry {
            |SELECT doc_a, doc_b, cont_a, cont_b FROM conts
            |WHERE greatest(cont_a, cont_b) >= $ContainmentThreshold
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // d28's planted corpus, the d10 LSH→verify→closure chain re-rooted on
+      // it, with the CONTAINMENT pairs unioned into the edge set before the
+      // recursive closure — survivors = component minima + singletons
+      "d29_containment_dedup" ->
+        s"""WITH RECURSIVE src AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |         array_to_string(list_slice(string_split(text, ' '), 1,
+           |           greatest(6, len(string_split(text, ' ')) // 2)), ' ')
+           |  FROM documents WHERE doc_id % 9 = 0),
+           |ssh AS (
+           |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           |         i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+           |  FROM src),
+           |sha AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM ssh),
+           |params(j, a, b) AS (VALUES $paramValues),
+           |ssigs AS (SELECT doc_id, j, min((a * h + b) % ${Dedup.MinHashPrime}) AS minhash
+           |          FROM sha CROSS JOIN params GROUP BY doc_id, j),
+           |sbanded AS (
+           |  SELECT doc_id, j // ${NumMinHashes / NumBands} AS band,
+           |         md5(array_to_string(list(minhash::VARCHAR ORDER BY j), ',')) AS bucket
+           |  FROM ssigs GROUP BY doc_id, band),
+           |scands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM sbanded x JOIN sbanded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |ssz AS (SELECT doc_id, count(*) AS sz FROM sha GROUP BY doc_id),
+           |jint AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM scands c JOIN sha a ON a.doc_id = c.doc_a JOIN sha b ON b.doc_id = c.doc_b AND a.h = b.h
+           |  GROUP BY 1, 2),
+           |jpairs AS (
+           |  SELECT doc_a, doc_b FROM jint
+           |  JOIN ssz sa ON doc_a = sa.doc_id JOIN ssz sb ON doc_b = sb.doc_id
+           |  WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= $JaccardThreshold),
+           |sdf AS (SELECT h, count(*) AS df FROM sha GROUP BY h),
+           |srare AS (SELECT sha.doc_id, sha.h FROM sha JOIN sdf USING (h) WHERE sdf.df <= $JaccardMaxDf),
+           |ccands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM srare x JOIN srare y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+           |cint AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM ccands c JOIN sha a ON a.doc_id = c.doc_a JOIN sha b ON b.doc_id = c.doc_b AND a.h = b.h
+           |  GROUP BY 1, 2),
+           |cpairs AS (
+           |  SELECT doc_a, doc_b FROM cint
+           |  JOIN ssz sa ON doc_a = sa.doc_id JOIN ssz sb ON doc_b = sb.doc_id
+           |  WHERE greatest(round(inter::DOUBLE / sa.sz::DOUBLE, 6),
+           |                 round(inter::DOUBLE / sb.sz::DOUBLE, 6)) >= $ContainmentThreshold),
+           |upairs AS (SELECT doc_a, doc_b FROM jpairs UNION SELECT doc_a, doc_b FROM cpairs),
+           |edges AS (SELECT doc_a AS v, doc_b AS u FROM upairs
+           |          UNION SELECT doc_b, doc_a FROM upairs),
+           |reach(v, l) AS (
+           |  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+           |  UNION
+           |  SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+           |comp AS (SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS component
+           |         FROM reach GROUP BY v),
+           |members AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+           |SELECT s.doc_id, CAST(COALESCE(m.n_members, 1) AS BIGINT) AS n_members
+           |FROM src s
+           |LEFT JOIN comp c ON s.doc_id = c.doc_id
+           |LEFT JOIN members m ON s.doc_id = m.component
+           |WHERE c.component IS NULL OR s.doc_id = c.component
+           |ORDER BY s.doc_id""".stripMargin,
 
       "d5_cosine_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

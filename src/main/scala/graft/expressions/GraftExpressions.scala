@@ -823,6 +823,57 @@ case class CanonicalFold(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Bit-reproducible natural log — `StrictMath.log` in BOTH the interpreted
+  * and the generated-code path (VERDICT r13 #1). Spark's built-in `log` is
+  * split-brained: whole-stage codegen emits `java.lang.StrictMath.log`, but
+  * the interpreted fallback (constant folding, codegen bailout, subexpression
+  * evaluation, `InterpretedUnsafeProjection`) calls `math.log` =
+  * `java.lang.Math.log`, which is only 1-ulp-accurate and is PERMITTED to
+  * differ between JIT tiers and processes. Any q6 quantization
+  * (`floor(ln(x)·1e6 + 0.5)`) downstream of the built-in can therefore flip
+  * a long between two EXECUTIONS of the same query — the three-round
+  * `x14_word_centrality` / `q_doremi_mix` hash flake. `StrictMath` is
+  * fdlibm-exact by JLS spec: identical bits on every JVM, tier, and process,
+  * so a gate-time-frozen splice of engine output can never disagree with a
+  * later re-execution. Out-of-domain inputs follow StrictMath itself
+  * (ln(0) = -Inf, ln(<0) = NaN) — every quantized call site guards x > 0. */
+case class LnStrict(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_ln_strict"
+
+  override def nullSafeEval(x: Any): Any =
+    StrictMath.log(x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.StrictMath.log($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LnStrict =
+    copy(child = newChild)
+}
+
+/** Bit-reproducible `e^x` — the [[LnStrict]] contract for the exponential:
+  * `StrictMath.exp` in both evaluation paths (Spark's built-in `exp` has the
+  * same codegen-StrictMath / interpreted-Math split brain as `log`). */
+case class ExpStrict(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_exp_strict"
+
+  override def nullSafeEval(x: Any): Any =
+    StrictMath.exp(x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.StrictMath.exp($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ExpStrict =
+    copy(child = newChild)
+}
+
 /** Serializable worker for [[CanonicalFold]]. */
 class CanonicalFoldHelper extends Serializable {
   def canon(text: UTF8String): UTF8String = {
@@ -876,6 +927,12 @@ object GraftExpressions {
 
   def canonicalFold(text: Column): Column =
     ColumnBridge.column(CanonicalFold(ColumnBridge.expression(text)))
+
+  def lnStrict(x: Column): Column =
+    ColumnBridge.column(LnStrict(ColumnBridge.expression(x)))
+
+  def expStrict(x: Column): Column =
+    ColumnBridge.column(ExpStrict(ColumnBridge.expression(x)))
 
   def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), books))

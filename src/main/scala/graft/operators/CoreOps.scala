@@ -195,7 +195,7 @@ object CoreOps {
       tag: String = "aes"): DataFrame = {
     val u = (conv(substring(md5(concat(lit(s"$tag:"), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("double") + lit(0.5)) / lit(4503599627370496.0)
-    val keyQ6 = floor(log(u) / col(weightCol).cast("double") * lit(1000000.0) + lit(0.5))
+    val keyQ6 = floor(graft.expressions.GraftExpressions.lnStrict(u) / col(weightCol).cast("double") * lit(1000000.0) + lit(0.5))
       .cast("long")
     val top = df.select(col(idCol).cast("long").as("doc_id"),
         col(weightCol).cast("long").as("weight"), keyQ6.as("key_q6"))
@@ -389,7 +389,7 @@ object CoreOps {
       .withColumn("__pb",
         (col("__cb") + lit(1)).cast("double") / (col("n_b") + lit(numBins)).cast("double"))
       .withColumn("__t_q6",
-        floor((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))
+        floor((col("__pa") - col("__pb")) * graft.expressions.GraftExpressions.lnStrict(col("__pa") / col("__pb"))
           * lit(1000000.0) + lit(0.5)).cast("long"))
     terms.groupBy(col(groupCol)).agg(
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),

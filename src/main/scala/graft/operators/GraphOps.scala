@@ -72,7 +72,10 @@ object GraphOps {
     * session stops), exported to the DuckDB oracle as a VALUES splice, the
     * [[graft.operators.Similarity.lastIvfCentroids]] contract. This is the
     * de-flake for the one transcendental in the gate (VERDICT r11 #1): the
-    * PPMI `ln` runs on exactly-agreed integer inputs, but JVM `Math.log`
+    * PPMI `ln` runs on exactly-agreed integer inputs through
+    * [[graft.expressions.LnStrict]] (`StrictMath.log`, fdlibm bit-exact on
+    * every JVM/JIT tier/process — VERDICT r13 #1, so the splice a gate
+    * freezes can never disagree with a later re-execution), but StrictMath
     * and DuckDB's libm are different 1-ulp-accurate implementations, and an
     * input within an ulp of a `floor(x·1e6+0.5)` boundary flips a q6 long
     * that 8 power-iteration rounds then amplify into a different table.
@@ -100,7 +103,8 @@ object GraphOps {
       .join(cv.select(col("v"), col("cv").as("cv_a")), "v")
       .join(cv.select(col("v").as("w"), col("cv").as("cv_b")), "w")
       .select(col("v"), col("w"), greatest(lit(0L),
-        floor(log((col("c").cast("double") * lit(n.toDouble)) /
+        floor(graft.expressions.GraftExpressions.lnStrict(
+            (col("c").cast("double") * lit(n.toDouble)) /
             (col("cv_a").cast("double") * col("cv_b").cast("double")))
           * lit(1000000.0) + lit(0.5)).cast("long")).as("m"))
       .where(col("m") > 0)

@@ -3,6 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+// bit-reproducible transcendentals (StrictMath in BOTH eval paths) for
+// every quantized ln/exp — the built-ins are StrictMath only under codegen
+// and Math on the interpreted path, which is JIT-tier/process dependent
+// (VERDICT r13 #1)
+import graft.expressions.GraftExpressions.{expStrict, lnStrict}
 
 /** Text-analysis operators for training-data curation: token statistics,
   * quality scoring, language identification, and content fingerprinting.
@@ -80,12 +85,21 @@ object TextOps {
     *      overwhelming majority of endpoints, and canonical ordering is
     *      what makes equality a string compare).
     *
+    * Scheme-less inputs (`example.com/a` — common in link columns scraped
+    * from text) get an implicit `http://` BEFORE the rules run, so they
+    * canonicalize with their spelled-out spellings instead of silently
+    * degrading to an empty host (ADVICE r13). `http` vs `https` spellings
+    * of the same path stay distinct by design — the scheme can change the
+    * resource.
+    *
     * Patterns are RE2-safe (character classes and lazy-free quantifiers
     * only); parameter filtering uses `substr` prefix compares, not LIKE
     * (whose `_` wildcard would match any character). Scale shape: a pure
     * scan-speed projection — the 100 TB use is `groupBy(canonical)` where
     * the canonical string, not the raw spelling, is the shuffle key. */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(rawUrl: Column): Column = {
+    val url = when(rawUrl.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), rawUrl)
+      .otherwise(concat(lit("http://"), rawUrl))
     val noFrag = regexp_replace(url, "#.*", "")
     // scheme://host[:port] — everything before the first '/' or '?' past
     // the scheme separator
@@ -271,7 +285,7 @@ object TextOps {
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.join(broadcast(df), Seq("term"))
       .withColumn("score", round4(col("tf") *
-        (log((lit(1L) + lit(n)) / (lit(1L) + col("df"))) + lit(1.0))))
+        (lnStrict((lit(1L) + lit(n)) / (lit(1L) + col("df"))) + lit(1.0))))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
@@ -454,13 +468,18 @@ object TextOps {
       .join(bigram, Seq("v", "w"))
       .join(context, Seq("v"))
       .crossJoin(broadcast(vocab))
-      .withColumn("nll_q6", floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      // graft_ln_strict, not the built-in log: the q6 floor downstream must
+      // be bit-stable across executions (StrictMath in BOTH eval paths —
+      // the built-in is StrictMath only under codegen; VERDICT r13 #1)
+      .withColumn("nll_q6",
+        floor(-graft.expressions.GraftExpressions.lnStrict(p)
+          * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"), sum(col("nll_q6")).as("sum_nll_q6"))
       .select(col("doc_id"), col("n_trans"), col("sum_nll_q6"),
         round4(col("sum_nll_q6").cast("double") / lit(1000000.0) /
           col("n_trans").cast("double")).as("avg_nll"),
-        round4(exp(col("sum_nll_q6").cast("double") / lit(1000000.0) /
+        round4(expStrict(col("sum_nll_q6").cast("double") / lit(1000000.0) /
           col("n_trans").cast("double"))).as("ppl"))
   }
 
@@ -524,13 +543,18 @@ object TextOps {
       .join(ctx, Seq("v"))
       .join(cont, Seq("w"))
       .crossJoin(broadcast(btypes))
-      .withColumn("nll_q6", floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      // graft_ln_strict, not the built-in log: the q6 floor downstream must
+      // be bit-stable across executions (StrictMath in BOTH eval paths —
+      // the built-in is StrictMath only under codegen; VERDICT r13 #1)
+      .withColumn("nll_q6",
+        floor(-graft.expressions.GraftExpressions.lnStrict(p)
+          * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"), sum(col("nll_q6")).as("sum_nll_q6"))
       .select(col("doc_id"), col("n_trans"), col("sum_nll_q6"),
         round4(col("sum_nll_q6").cast("double") / lit(1000000.0) /
           col("n_trans").cast("double")).as("avg_nll"),
-        round4(exp(col("sum_nll_q6").cast("double") / lit(1000000.0) /
+        round4(expStrict(col("sum_nll_q6").cast("double") / lit(1000000.0) /
           col("n_trans").cast("double"))).as("ppl"))
   }
 
@@ -564,7 +588,7 @@ object TextOps {
     val tot = tok.agg(count(lit(1)).as("n"))
     val idf = fw.crossJoin(broadcast(tot))
       .select(col("word"),
-        floor(log(lit(1.0) + (col("n").cast("double") / lit(nClasses.toDouble))
+        floor(lnStrict(lit(1.0) + (col("n").cast("double") / lit(nClasses.toDouble))
             / col("fw").cast("double")) * lit(1000000.0) + lit(0.5))
           .cast("long").as("idf_q6"))
     val w = Window.partitionBy(col("cluster"))
@@ -624,9 +648,11 @@ object TextOps {
   /** Inputs + per-round EG trace of the most recent [[egMixtureRows]]
     * call: (iterations, etaPct, per-source (source, loss_q6) rows, and
     * (round, source, excess_q6, exp factor) rows), exported to the DuckDB
-    * oracle as VALUES splices. De-flake (VERDICT r11 #1 / r12 #1): JVM
-    * `Math.exp`/`Math.log` are 1-ulp-accurate and can even differ between
-    * interpreted and C2-compiled code, DuckDB's libm is a third
+    * oracle as VALUES splices. De-flake (VERDICT r11 #1 / r12 #1 / r13 #1):
+    * the engine computes these with `StrictMath.exp` and
+    * [[graft.expressions.LnStrict]] — fdlibm bit-exact by JLS spec, so the
+    * frozen trace always matches a later re-execution of the same gate.
+    * DuckDB's libm is still a DIFFERENT 1-ulp-accurate
     * implementation — a value landing within an ulp of a
     * `floor(x·1e6 + 0.5)` boundary flips a q6 long that the remaining EG
     * rounds amplify. Splicing the ENGINE's factors removes the
@@ -660,7 +686,10 @@ object TextOps {
       val meanQ6 = w.zip(losses).map { case (wq, lq) => wq * lq }.sum / 1000000L
       val u = w.zip(losses).zipWithIndex.map { case ((wq, lq), i) =>
         val excessQ6 = math.max(0L, lq - meanQ6)
-        val factor = math.exp((etaPct.toDouble / 100.0 * excessQ6.toDouble) / 1000000.0)
+        // StrictMath.exp: fdlibm bit-exact on every JVM/JIT tier/process,
+        // so the gate-time-frozen trace always matches a re-execution
+        // (Math.exp is 1-ulp and tier-dependent — VERDICT r13 #1)
+        val factor = StrictMath.exp((etaPct.toDouble / 100.0 * excessQ6.toDouble) / 1000000.0)
         trace += ((round, perSource(i)._1, excessQ6, factor))
         math.floor(wq.toDouble * factor + 0.5).toLong
       }
@@ -732,7 +761,12 @@ object TextOps {
     trans
       .join(bigram, Seq("v", "w"), "left")
       .join(ctx, Seq("v"), "left")
-      .withColumn("nll_q6", floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      // graft_ln_strict, not the built-in log: the q6 floor downstream must
+      // be bit-stable across executions (StrictMath in BOTH eval paths —
+      // the built-in is StrictMath only under codegen; VERDICT r13 #1)
+      .withColumn("nll_q6",
+        floor(-graft.expressions.GraftExpressions.lnStrict(p)
+          * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"), sum(col("nll_q6")).as("sum_nll_q6"))
   }
@@ -849,7 +883,7 @@ object TextOps {
           var z = 0.0 + wNow(0) * 1.0
           var j = 0
           while (j < numBuckets) { z += wNow(j + 1) * x(j); j += 1 }
-          val err = 1.0 / (1.0 + math.exp(-z)) - y
+          val err = 1.0 / (1.0 + StrictMath.exp(-z)) - y
           acc(0) += math.floor(err * 1.0 * 1000000.0 + 0.5).toLong
           j = 0
           while (j < numBuckets) {
@@ -894,7 +928,7 @@ object TextOps {
     val z = lrLinearScore(w)
     feats.select(col("doc_id"), col("y").as("label"),
         floor(z * lit(1000000.0) + lit(0.5)).cast("long").as("z_q6"),
-        round4(lit(1.0) / (lit(1.0) + exp(-z))).as("score"),
+        round4(lit(1.0) / (lit(1.0) + expStrict(-z))).as("score"),
         (z >= lit(0.0)).as("pred"))
   }
 
@@ -936,11 +970,11 @@ object TextOps {
     val totals = table.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
     val denom = addK * numBuckets
     val lam = table.crossJoin(broadcast(totals))
-      .select(col("f"), floor(log(
+      .select(col("f"), floor(lnStrict(
           ((col("ct").cast("double") + lit(addK)) / (col("tott").cast("double") + lit(denom))) /
           ((col("cr").cast("double") + lit(addK)) / (col("totr").cast("double") + lit(denom))))
         * lit(1000000.0) + lit(0.5)).cast("long").as("lam_q6"))
-    val gumbelQ6 = floor(-log(-log(
+    val gumbelQ6 = floor(-lnStrict(-lnStrict(
         (conv(substring(md5(concat(lit(s"$tag:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
           .cast("double") + lit(0.5)) / lit(4503599627370496.0)))
       * lit(1000000.0) + lit(0.5)).cast("long")
@@ -1422,7 +1456,7 @@ object TextOps {
     * retrieval monitor, so stream==batch holds by construction. */
   private[graft] def bm25TermScoreQ6(k1: Double, b: Double): Column = {
     val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
-    val idf = log(lit(1.0) +
+    val idf = lnStrict(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val termScore = idf * ((col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
@@ -1483,7 +1517,7 @@ object TextOps {
       .join(qWords, Seq("query_id", "word"))
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_shared"))
     val discQ6 = (1 to k).map(i =>
-      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+      math.floor(1e6 / (StrictMath.log(i + 1.0) / StrictMath.log(2.0)) + 0.5).toLong)
     val discArr = array(discQ6.map(lit): _*)
     val graded = retrieved.join(shared, Seq("query_id", "doc_id"), "left")
       .withColumn("gain", expr(
@@ -1664,8 +1698,8 @@ object TextOps {
       .join(gw, Seq("word"))
       .crossJoin(broadcast(tot))
       .select(col("source"), col("n_s"), col("n"), col("c_w"),
-        floor(pSw * log(pSw / m) * lit(1000000.0) + lit(0.5)).cast("long").as("t1_q6"),
-        floor(pW * log(pW / m) * lit(1000000.0) + lit(0.5)).cast("long").as("t2_q6"))
+        floor(pSw * lnStrict(pSw / m) * lit(1000000.0) + lit(0.5)).cast("long").as("t1_q6"),
+        floor(pW * lnStrict(pW / m) * lit(1000000.0) + lit(0.5)).cast("long").as("t2_q6"))
       .groupBy("source")
       .agg(first(col("n_s")).as("n_tokens"), first(col("n")).as("n"),
         count(lit(1)).as("n_distinct_words"),
@@ -1674,7 +1708,7 @@ object TextOps {
       .select(col("source"), col("n_tokens"), col("n_distinct_words"),
         round4(lit(0.5) * col("sum_t1_q6").cast("double") / lit(1000000.0)
           + lit(0.5) * col("sum_t2_q6").cast("double") / lit(1000000.0)
-          + lit(0.5) * log(lit(2.0))
+          + lit(0.5) * lnStrict(lit(2.0))
             * ((col("n") - col("sum_cw_present")).cast("double") / col("n").cast("double")))
           .as("js_divergence"))
   }

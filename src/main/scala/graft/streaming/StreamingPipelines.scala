@@ -1178,7 +1178,11 @@ object StreamingPipelines {
     trans
       .join(bigram, Seq("v", "w"), "left")
       .join(ctx, Seq("v"), "left")
-      .withColumn("nll_q6", floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      // graft_ln_strict — must produce the same longs as the batch scorer
+      // (stream==batch contract) and be bit-stable across executions
+      .withColumn("nll_q6",
+        floor(-graft.expressions.GraftExpressions.lnStrict(p)
+          * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy(col("source"), col("__ts"))
       .agg(count(lit(1)).as("n_trans"), sum(col("nll_q6")).as("sum_nll_q6"))
       .select("source", "n_trans", "sum_nll_q6")

@@ -1992,17 +1992,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rN.getLong(3) > bN.getLong(3), "one giant band pays in false negatives")
   }
 
-  test("e2e_web_ingest: the pipeline is exactly 'identity minus spam docs' on this plant") {
+  test("e2e_web_ingest: the pipeline is exactly 'identity minus re-crawls minus spam' on this plant") {
     val out = SparkEntry.queries("e2e_web_ingest")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.nonEmpty && !out.exists(_._1 % 13 == 0),
       "every % 13 doc carries the planted spam token (even inside chrome) and must drop")
     assert(out.map(_._2).distinct.length === out.length, "one survivor per content")
-    // independent replica: planted chrome must extract AWAY entirely, so a
-    // survivor row is just (min doc_id, md5, token count) of the
-    // whitespace-normalized original text over the non-spam docs
+    // independent replica: URL dedup first (every % 10 == 1 doc is a
+    // re-crawl of its % 10 == 0 neighbor under a different spelling and
+    // must drop IF that neighbor exists), then planted chrome extracts
+    // AWAY entirely, so a survivor row is just (min doc_id, md5, token
+    // count) of the whitespace-normalized original text over the non-spam
+    // docs
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!out.exists(r => r._1 % 10 == 1 && ids(r._1 - 1)),
+      "every % 10 == 1 re-crawl with a present neighbor must drop at URL dedup")
     val norm = trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " "))
     val expected = Tables.documents(spark, sfDir)
+      .where(!(col("doc_id") % 10 === 1 && (col("doc_id") - 1).isInCollection(ids)))
       .where(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"), md5(norm).as("m"), size(TextOps.tokens(norm)).cast("long").as("n"))
       .groupBy("m").agg(min("doc_id").as("doc_id"), min("n").as("n"))
@@ -2126,6 +2134,76 @@ class OperatorsSpec extends AnyFunSuite {
       .where(col("doc_id") % 9 === 0).count()
     assert(planted.length >= nPlantedDocs * 0.8,
       s"only ${planted.length} of $nPlantedDocs planted excerpts caught")
+  }
+
+  test("d29: containment edges reach survivor selection — excerpt removed only when enabled") {
+    import spark.implicits._
+    // same geometry as the d28 spec: doc 2 is a verbatim excerpt of doc 1
+    // (containment 1.0, Jaccard 0.4 — below the 0.5 cut), doc 3 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    def survivors(withContainment: Boolean): Set[Long] =
+      Dedup.survivorsWithContainment(docs, "doc_id", "text", k = 3,
+          numHashes = 8, numBands = 4, jaccardThreshold = 0.5,
+          containmentThreshold = 0.9, maxDocFrequency = 10L,
+          includeContainment = withContainment)
+        .collect().map(_.getLong(0)).toSet
+    // Jaccard alone keeps the excerpt — detection without the containment
+    // signal cannot remediate the quotation family
+    assert(survivors(withContainment = false) === Set(1L, 2L, 3L))
+    // containment edges in the closure: the excerpt folds into doc 1's
+    // component and the min-id original survives
+    assert(survivors(withContainment = true) === Set(1L, 3L))
+    val withMembers = Dedup.survivorsWithContainment(docs, "doc_id", "text", 3,
+        8, 4, 0.5, 0.9, 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withMembers === Map(1L -> 2L, 3L -> 1L))
+    // the gate: planted excerpts (id >= 1000000) must ALL be deduplicated
+    val out = SparkEntry.queries("d29_containment_dedup")(spark, sfDir)
+      .collect().map(_.getLong(0))
+    assert(out.nonEmpty && !out.exists(_ >= 1000000L),
+      "planted excerpts must not survive containment-aware dedup")
+  }
+
+  test("canonicalizeUrl: every spelling rule, scheme-less input, and the gate's collapse") {
+    import spark.implicits._
+    val cases = Seq(
+      // (raw, expected canonical)
+      ("https://EXAMPLE.com/docs/1?b=2&a=1", "https://example.com/docs/1?a=1&b=2"),
+      ("https://www.example.com:443/docs/1?a=1&b=2#frag", "https://example.com/docs/1?a=1&b=2"),
+      ("HTTPS://example.com/docs/1/?a=1&utm_source=feed&b=2", "https://example.com/docs/1?a=1&b=2"),
+      ("https://example.com/docs/1?utm_campaign=x&fbclid=zz&a=1&b=2", "https://example.com/docs/1?a=1&b=2"),
+      ("https://example.com/docs/1?b=2&ref=home&a=1", "https://example.com/docs/1?a=1&b=2"),
+      // scheme-less input gets an implicit http:// instead of an empty host
+      ("example.com/docs/1?a=1&b=2", "http://example.com/docs/1?a=1&b=2"),
+      // http default port; PATH case is preserved (RFC 3986 — only
+      // scheme/host are case-insensitive)
+      ("HTTP://WWW.Example.COM:80/Docs/A", "http://example.com/Docs/A"),
+      // all params tracking → no '?' at all; trailing slashes collapse
+      ("https://example.com/a///?utm_source=x&gclid=1", "https://example.com/a"),
+      // fragment-only difference collapses; empty query stays empty
+      ("https://example.com/a#section-2", "https://example.com/a"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    got.zip(cases).foreach { case (g, (raw, want)) =>
+      assert(g === want, s"canonicalizeUrl($raw)") }
+    // the gate collapses each resource's six spellings into exactly two
+    // canonical groups (https for variants 0-4, implicit-http for 5)
+    val gate = SparkEntry.queries("q_url_canonical")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(gate.nonEmpty)
+    gate.foreach { case (c, nPages, nSpellings) =>
+      assert(c.startsWith("https://example.com/docs/") ||
+        c.startsWith("http://example.com/docs/"), c)
+      assert(nSpellings <= nPages, s"$c: $nSpellings spellings > $nPages pages")
+    }
+    val httpsGroups = gate.filter(_._1.startsWith("https://"))
+    // https groups merge up to 5 distinct raw spellings
+    assert(httpsGroups.exists(_._3 >= 2), "no https group merged multiple spellings")
   }
 
   test("every declared query runs and every oracle name has a query") {
