@@ -184,18 +184,25 @@ object Bench {
       df.write.mode("overwrite").format("noop").save()
 
     /** Time one named workload under a job group (for profiler attribution);
-      * failures are surfaced on stderr, never silently -1'd away. */
+      * failures are surfaced on stderr, never silently -1'd away. Every call
+      * closes ONE profiler run (after draining the listener bus), so the
+      * emitted profile is the min-wall run's metrics, not an accumulation
+      * over repeats/retries/laps (VERDICT r13 #5). */
     def timed(name: String)(body: => Unit): Double = {
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
-      try {
-        val t0 = System.nanoTime()
-        body
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case NonFatal(e) =>
-          System.err.println(s"[bench] query '$name' FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          -1.0
-      } finally spark.sparkContext.clearJobGroup()
+      val t =
+        try {
+          val t0 = System.nanoTime()
+          body
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] query '$name' FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            -1.0
+        } finally spark.sparkContext.clearJobGroup()
+      ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      profiler.endRun(name, t)
+      t
     }
 
     // Optional comma-separated workload filter for local iteration
@@ -1561,6 +1568,22 @@ object Bench {
     val receiptsBad = receiptRows.collect { case (k, _, false) => k }
 
     val all = queryTimes ++ syntheticChecked ++ gbps ++ steadyEpoch
+    // Profiler sanity (VERDICT r13 #5): the per-entry profile is the
+    // min-wall run's metrics, so task time can never exceed wall × cores
+    // (25% slack + 1 s for sub-second jitter and stage events that straddle
+    // a run boundary). A violation is an attribution bug in the harness,
+    // never a plan property — surface it loudly and in the artifact.
+    val wallByName = all.toMap
+    val profileViolations = profSnap.toSeq.sortBy(_._1).flatMap { case (name, m) =>
+      wallByName.get(name).filter(_ > 0).flatMap { wall =>
+        val cap = wall * cpus.toInt * 1.25 + 1.0
+        if (m.taskTimeMs / 1000.0 > cap)
+          Some(f"$name task=${m.taskTimeMs / 1000.0}%.1fs wall=$wall%.1fs")
+        else None
+      }
+    }
+    profileViolations.foreach(v =>
+      System.err.println(s"[bench] PROFILE BAD: task time exceeds wall x cores: $v"))
     val loadPost = osBean.getSystemLoadAverage
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Failed (-1) entries live ONLY in "failed": a consumer summing "queries"
@@ -1617,6 +1640,7 @@ object Bench {
         s""""receipts":$receiptsJson,""" +
         s""""eager_releases":$eagerJson,"eager_seed":42,""" +
         s""""scaling":$scalingJson,""" +
+        s""""profile_violations":${profileViolations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""profile":$profile,"sf":"$sfDir"}"""
 
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -22,9 +22,25 @@ object Verify {
     // a filtered run still dumps a complete oracle_sql.json; gates that DO
     // run overwrite their entries with this run's gate-time rows
     // (VERDICT r12 #1b). A plain file, so the driver's per-query dir scan
-    // never mistakes it for a query output.
+    // never mistakes it for a query output. The store is keyed to the
+    // builder's class bytes: a recompile of SparkEntry (= any oracle-shape
+    // change, conservatively) invalidates frozen rows instead of silently
+    // re-emitting them (ADVICE r13 fail-open).
     val spliceFile = Paths.get(s"$outDir/oracle_splices.properties")
-    SpliceStore.loadAll(spliceFile)
+    val builderVersion = {
+      val is = getClass.getResourceAsStream("/graft/SparkEntry$.class")
+      if (is == null) "" else try {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](8192)
+        var n = is.read(buf)
+        while (n > 0) { md.update(buf, 0, n); n = is.read(buf) }
+        md.digest().map("%02x".format(_)).mkString
+      } finally is.close()
+    }
+    if (!SpliceStore.loadAll(spliceFile, builderVersion) &&
+        java.nio.file.Files.exists(spliceFile))
+      System.err.println(
+        "[verify] discarding frozen splices from a different builder version")
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(deleteRec)
       f.delete(); ()
@@ -39,6 +55,12 @@ object Verify {
         .filter(f => f.isDirectory && !live.contains(f.getName))
         .foreach { f => System.err.println(s"[verify] dropping stale ${f.getName}"); deleteRec(f) }
     }
+    // fragment keys each gate freezes OUTSIDE the `sql:<name>` convention —
+    // dropped alongside it when the gate throws, so a pre-loaded frozen row
+    // is never re-emitted for a gate that no longer produces it
+    val gateFragments = Map(
+      "x14_word_centrality" -> Seq("x14_edges"),
+      "q_doremi_mix" -> Seq("doremi_losses", "doremi_trace"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -47,7 +69,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must yield MISSING in the driver's compare, never
-        // a stale parquet from an earlier run of the same name
+        // a stale parquet from an earlier run of the same name — and its
+        // frozen splices must go with it (ADVICE r13 fail-open)
+        (gateFragments.getOrElse(name, Nil) :+ s"sql:$name")
+          .foreach(SpliceStore.remove)
         val d = new java.io.File(s"$outDir/$name")
         if (d.exists) deleteRec(d)
       }
@@ -68,8 +93,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // oracleSql just pushed every live dynamic oracle into the store —
-    // persist it for the next (possibly filtered) run
-    SpliceStore.saveAll(spliceFile)
+    // persist it for the next (possibly filtered) run, stamped with this
+    // builder's version
+    SpliceStore.saveAll(spliceFile, builderVersion)
     spark.stop()
   }
 }

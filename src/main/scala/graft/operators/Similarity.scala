@@ -1601,25 +1601,38 @@ object Similarity {
     * corpus — the codes-then-fetch architecture every binary-hash index
     * uses on disk.
     *
-    * @param corpus  (vec_id, embedding)
-    * @param queries (query_id, embedding) — small side, broadcast
+    * @param corpus  (id, embedding) — columns resolved positionally, like
+    *                [[marginMinedPairs]]
+    * @param queries (id, embedding) — small side, broadcast
     * @param k       neighbors per query
     * @param rescoreFactor exact-rescore pool = rescoreFactor·k per query
-    * @param dim     embedding width (≤ 64)
+    * @param dim     embedding width (≤ 64); must not exceed the actual
+    *                array length — `getItem` past the end yields null and
+    *                the bit would silently read 0 (ADVICE r13), so the
+    *                signature projection REQUIRES `size(embedding) >= dim`
+    *                per row and fails loudly on a too-wide `dim`
     */
   def signBitTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       rescoreFactor: Int = 4, dim: Int = 64): DataFrame = {
     require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
     require(dim >= 2 && dim <= 64, s"dim must be in [2, 64], got $dim")
     val mid = math.min(32, dim)
+    def side(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(df.columns.head).as(idAs), col(df.columns(1)).as("embedding"))
     def sig(df: DataFrame, idAs: String): DataFrame = {
+      val s = side(df, idAs)
       val e = asDouble(col("embedding"))
-      df.select(col(df.columns.head).as(idAs),
-        signWord(e, 0, mid).as("lo"),
+      // raise_error, not a silent zero bit: a row narrower than `dim`
+      // means the caller's dim is wrong for this corpus
+      s.select(col(idAs),
+        when(size(col("embedding")) < dim, raise_error(concat(
+            lit(s"signBitTopK: dim=$dim exceeds embedding width "),
+            size(col("embedding")).cast("string"))))
+          .otherwise(signWord(e, 0, mid)).as("lo"),
         (if (dim > 32) signWord(e, 32, dim) else lit(0L)).as("hi"))
     }
-    val cSig = sig(corpus.select("vec_id", "embedding"), "vec_id")
-    val qSig = broadcast(sig(queries.select("query_id", "embedding"), "query_id")
+    val cSig = sig(corpus, "vec_id")
+    val qSig = broadcast(sig(queries, "query_id")
       .select(col("query_id"), col("lo").as("q_lo"), col("hi").as("q_hi")))
     val w1 = Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col("vec_id"))
     val cands = cSig.join(qSig, col("vec_id") =!= col("query_id"))
@@ -1629,8 +1642,8 @@ object Similarity {
       .withColumn("arank", row_number().over(w1))
       .where(col("arank") <= k * rescoreFactor)
       .select("query_id", "vec_id")
-    val cFull = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val qFull = broadcast(queries.select(col("query_id"),
+    val cFull = side(corpus, "vec_id").select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val qFull = broadcast(side(queries, "query_id").select(col("query_id"),
       asDouble(col("embedding")).as("q_e")))
     val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     cFull.join(broadcast(cands), Seq("vec_id")).join(qFull, Seq("query_id"))

@@ -925,6 +925,25 @@ object TextOps {
       labelThreshold, stopwords)
     val w = trainOnFeatures(feats, numBuckets, iters, lr, unpersistFeatures = false)
     lastQualityLr = Some((numBuckets, iters, lr, scale, labelThreshold, w))
+    scoreProjection(feats, w)
+  }
+
+  /** Score a corpus under an ALREADY-TRAINED model from [[lastQualityLr]]'s
+    * tuple shape — the pure-projection scoring path, zero training stages
+    * (VERDICT r13 #6: the PR-curve sweep's contract is "pin the choice
+    * given the filter", so it must not pay full training cost when the
+    * filter is already trained in this JVM). Output is identical to
+    * [[qualityLrScore]] given the same model, by construction (the same
+    * projection over the same feature build). */
+  def scoreQualityLr(docs: DataFrame, idCol: String, textCol: String,
+      model: (Int, Int, Double, Double, Double, Array[Double]),
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val (numBuckets, _, _, scale, labelThreshold, w) = model
+    scoreProjection(
+      lrFeatures(docs, idCol, textCol, numBuckets, scale, labelThreshold, stopwords), w)
+  }
+
+  private def scoreProjection(feats: DataFrame, w: Array[Double]): DataFrame = {
     val z = lrLinearScore(w)
     feats.select(col("doc_id"), col("y").as("label"),
         floor(z * lit(1000000.0) + lit(0.5)).cast("long").as("z_q6"),

@@ -13,8 +13,20 @@ import scala.collection.mutable
   * `sc.setJobGroup(queryName, …)` and this listener buckets each completed
   * stage under the job group of the job that submitted it.
   *
-  * Scale note: the listener keeps one small accumulator per query name (a few
-  * counters), independent of data size or task count — safe at any scale.
+  * Attribution is PER RUN (VERDICT r13 #5): a bench entry executes its
+  * workload several times (min-of-2, drift retries, interleaved A/B laps) and
+  * reports the MIN wall, so accumulating metrics across runs made task time
+  * exceed wall×cores by an order of magnitude (utility_t100_reduced: 4310 s
+  * of task time against a 14.5 s reported wall, because a cold 131 s first
+  * run was folded into the same counters). The bench closes a run with
+  * [[endRun]] after draining the listener bus; the snapshot keeps the metrics
+  * of the run whose wall MATCHES the reported number — the min — so
+  * `task_time_ms ≤ wall × cores` holds for every entry by construction
+  * (asserted in the bench harness).
+  *
+  * Scale note: the listener keeps one small accumulator per query name plus
+  * one kept-run record (a few counters each), independent of data size or
+  * task count — safe at any scale.
   */
 final class QueryProfiler extends SparkListener {
 
@@ -26,15 +38,20 @@ final class QueryProfiler extends SparkListener {
       var shuffleWriteBytes: Long = 0L,
       var inputBytes: Long = 0L,
       var outputRows: Long = 0L,
-      var spilledBytes: Long = 0L) {
+      var spilledBytes: Long = 0L,
+      var wallSec: Double = -1.0,
+      var runs: Int = 0) {
     def jsonFields: String =
       s""""stages":$stages,"tasks":$tasks,"task_time_ms":$taskTimeMs,""" +
         s""""shuffle_read_bytes":$shuffleReadBytes,"shuffle_write_bytes":$shuffleWriteBytes,""" +
-        s""""input_bytes":$inputBytes,"spilled_bytes":$spilledBytes"""
+        s""""input_bytes":$inputBytes,"spilled_bytes":$spilledBytes,"runs":$runs"""
   }
 
   private val stageGroup = mutable.Map[Int, String]() // stageId -> job group
-  private val byGroup = mutable.Map[String, QueryMetrics]()
+  // metrics of the run currently executing per group (no endRun yet)
+  private val live = mutable.Map[String, QueryMetrics]()
+  // per group: the kept (min-wall successful) run, with the total run count
+  private val kept = mutable.Map[String, QueryMetrics]()
 
   override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
     val group = Option(e.properties)
@@ -46,7 +63,7 @@ final class QueryProfiler extends SparkListener {
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit = synchronized {
     val si = e.stageInfo
     stageGroup.remove(si.stageId).foreach { group =>
-      val acc = byGroup.getOrElseUpdate(group, QueryMetrics())
+      val acc = live.getOrElseUpdate(group, QueryMetrics())
       acc.stages += 1
       acc.tasks += si.numTasks
       val m = si.taskMetrics
@@ -61,9 +78,28 @@ final class QueryProfiler extends SparkListener {
     }
   }
 
-  /** Immutable copy of the per-query metrics collected so far. Call
+  /** Close the run that just finished for `group` at `wallSec` (negative =
+    * the run failed). Call after `ListenerBridge.waitUntilEmpty` so the
+    * run's async stage events have drained into the live accumulator. The
+    * kept record for the group becomes the SUCCESSFUL run with the smallest
+    * wall so far — the one whose wall the bench reports. */
+  def endRun(group: String, wallSec: Double): Unit = synchronized {
+    val m = live.remove(group).getOrElse(QueryMetrics())
+    m.wallSec = wallSec
+    val prev = kept.get(group)
+    val better = wallSec >= 0 &&
+      prev.forall(p => p.wallSec < 0 || wallSec < p.wallSec)
+    val next = if (better) m else prev.getOrElse(m)
+    next.runs = prev.map(_.runs).getOrElse(0) + 1
+    kept(group) = next
+  }
+
+  /** Immutable copy of the per-query metrics: for groups with closed runs,
+    * the min-wall successful run (plus the total run count); for groups
+    * still live (never [[endRun]]'d), whatever has accumulated. Call
     * `ListenerBridge.waitUntilEmpty` first so async events have drained. */
   def snapshot: Map[String, QueryMetrics] = synchronized {
-    byGroup.map { case (k, v) => k -> v.copy() }.toMap
+    val liveOnly = live.view.filterKeys(!kept.contains(_))
+    (kept ++ liveOnly).map { case (k, v) => k -> v.copy() }.toMap
   }
 }

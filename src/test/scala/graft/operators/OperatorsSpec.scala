@@ -1881,6 +1881,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("q_pq_index_staleness").contains("maintained_stale"))
   }
 
+  test("q_index_rebuild_policy: the rebuild decision composes both staleness measurements exactly") {
+    val rows = SparkEntry.queries("q_index_rebuild_policy")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getBoolean(7)))).toMap
+    assert(rows.keySet === Set("reduced", "rotated_pq"), s"one row per maintained family: $rows")
+    rows.foreach { case (fam, (stale, freshH, expected, gap, sr, fr, rebuild)) =>
+      assert(expected > 0 && gap === freshH - stale, s"$fam: $rows")
+      assert(fr >= sr, s"$fam: fresh must not under-recall stale on drifted data")
+      // the decision is the exact integer rule, never a rounded recall
+      assert(rebuild === (gap * 10 >= expected), s"$fam decision mismatches its own gap")
+      assert(sr === stale.toDouble / expected && fr === freshH.toDouble / expected)
+    }
+    assert(SparkEntry.oracleSql("q_index_rebuild_policy").contains("rebuild"),
+      "the policy gate must freeze its composed oracle")
+  }
+
   test("gate-time splice freeze: x14/doremi oracles come from frozen rows and survive a store round-trip") {
     SpliceStore.clear()
     assert(!SparkEntry.oracleSql.contains("q_doremi_mix"),
@@ -1910,6 +1927,27 @@ class OperatorsSpec extends AnyFunSuite {
     val sql2 = SparkEntry.oracleSql
     assert(sql2("q_doremi_mix") === eg)
     assert(sql2("x14_word_centrality") === sql("x14_word_centrality"))
+    // version keying (ADVICE r13 fail-open): a store frozen under a
+    // DIFFERENT builder version loads NOTHING — a changed oracle builder
+    // invalidates its frozen rows instead of silently re-emitting them —
+    // and a failed gate's fragments are individually removable (Verify's
+    // gate-throw path)
+    val f2 = java.nio.file.Files.createTempFile("graft_splices_v", ".properties")
+    SpliceStore.saveAll(f2, "builder-A")
+    SpliceStore.clear()
+    assert(!SpliceStore.loadAll(f2, "builder-B"), "version mismatch must reject the file")
+    assert(!SparkEntry.oracleSql.contains("q_doremi_mix"))
+    assert(SpliceStore.loadAll(f2, "builder-A"), "matching version must load")
+    assert(SparkEntry.oracleSql("q_doremi_mix") === eg)
+    // the failed-gate removal is the FULL set Verify drops: the raw
+    // fragments AND the persisted `sql:` form (the backfill path would
+    // re-emit the latter on its own)
+    Seq("doremi_losses", "doremi_trace", "sql:q_doremi_mix")
+      .foreach(SpliceStore.remove)
+    assert(!SparkEntry.oracleSql.contains("q_doremi_mix"),
+      "a removed gate's oracle must disappear, not re-emit a stale one")
+    SpliceStore.loadAll(f2, "builder-A") // restore for later tests
+    java.nio.file.Files.delete(f2)
     java.nio.file.Files.delete(f)
   }
 

@@ -44,6 +44,28 @@ class SimilarityPlanSpec extends AnyFunSuite {
       s"signBit rescore lost the broadcast candidate fetch:\n$sbPlan")
   }
 
+  test("signBitTopK: positional column contract and loud failure on a too-wide dim") {
+    import spark.implicits._
+    // nonstandard column names — the operator must resolve (id, embedding)
+    // positionally like marginMinedPairs, not by hard-coded names
+    val corpus = Seq(
+      (1L, Seq(0.5f, -0.2f, 0.3f, 0.1f)),
+      (2L, Seq(-0.5f, 0.2f, -0.3f, 0.4f)),
+      (3L, Seq(0.4f, 0.1f, -0.2f, -0.1f))).toDF("my_id", "my_emb")
+    val queries = Seq((10L, Seq(0.5f, -0.1f, 0.2f, 0.2f))).toDF("qid", "qemb")
+    val out = Similarity.signBitTopK(corpus, queries, k = 2, rescoreFactor = 2, dim = 4)
+      .collect()
+    assert(out.length === 2)
+    // dim wider than the actual embedding: getItem past the end would
+    // silently zero the bit — the projection must raise instead
+    val err = intercept[Throwable] {
+      Similarity.signBitTopK(corpus, queries, k = 1, dim = 8).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${chain(t.getCause)}"
+    assert(chain(err).contains("signBitTopK"), chain(err))
+  }
+
   test("LSH candidate volume stays bounded when the corpus doubles (auto-derived bits)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val queries = emb.where(col("vec_id") < 10)
