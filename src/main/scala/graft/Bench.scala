@@ -219,16 +219,16 @@ object Bench {
     // entry's best prior time at the same sf — any fresh measurement
     // exceeding DriftRetryFactor × that min is re-run once and the min
     // reported, with the retry recorded in bench.json.
-    // Two references merged at the min: the driver-round tails (compact,
-    // may drop small entries) and the committed full-history file (keeps
-    // every entry, so sub-second gates stay drift-protected too).
+    // bench_history.json is the AUTHORITATIVE reference (VERDICT r13 next
+    // #4): it is committed and can be re-founded when the sandbox slows,
+    // while the driver-round tails are immutable artifacts whose old fast
+    // minima would otherwise burn a drift retry on every sweep forever.
+    // Tails only seed entries the history file does not know yet.
     val histMins: Map[String, Double] = {
       val tails = graft.tools.BenchReport.committedMins(new java.io.File("."), sfDir)
       val full = graft.tools.BenchReport.historyMins(
         new java.io.File("bench_history.json"), sfDir)
-      (tails.keySet ++ full.keySet).map { k =>
-        k -> math.min(tails.getOrElse(k, Double.MaxValue), full.getOrElse(k, Double.MaxValue))
-      }.toMap
+      tails ++ full
     }
     if (histMins.nonEmpty)
       System.err.println(s"[bench] drift reference: ${histMins.size} entries from committed rounds")
