@@ -47,6 +47,32 @@ object Bench {
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(2).max(1)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadPre = osBean.getSystemLoadAverage
+
+    // ---- box-speed probe (r14): this sandbox phase-throttles on a
+    // tens-of-minutes timescale — two back-to-back quiet sweeps measured
+    // 675 s vs 908 s totals with ZERO external CPU, some entries 10× apart.
+    // Committed minima are therefore fast-phase numbers, and a fixed 1.5×
+    // drift threshold burns its whole retry budget whenever the box is in a
+    // slow phase. The probe is a deterministic CPU-bound workload (SHA-256
+    // over a fixed buffer on every core); its time relative to the FASTEST
+    // committed probe scales the drift threshold, so the gate fires on
+    // RELATIVE regressions, not on hypervisor phase. ----
+    val boxProbeSec: Double = {
+      val t0 = System.nanoTime()
+      val threads = (1 to cpus.toInt).map { i =>
+        val t = new Thread(() => {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val buf = new Array[Byte](1 << 20)
+          buf(0) = i.toByte
+          var k = 0
+          while (k < 600) { md.update(buf); buf(k % buf.length) = md.digest()(0); k += 1 }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ProbeKey = "__box_probe_s"
     // EXTERNAL-load detector for noise-gated retries: loadavg alone cannot
     // distinguish our own 32 busy cores from a concurrent sbt/DuckDB run
     // (r5/r7: unchanged-code entries swung 24–58% under mid-suite load), but
@@ -230,9 +256,18 @@ object Bench {
         new java.io.File("bench_history.json"), sfDir)
       tails ++ full
     }
-    if (histMins.nonEmpty)
-      System.err.println(s"[bench] drift reference: ${histMins.size} entries from committed rounds")
-    val DriftRetryFactor = 1.5
+    // slow-phase scaling: committed minima were necessarily set in fast
+    // phases (min-merge keeps them), so when the probe says the box is
+    // currently N× slower than its fastest committed phase, the drift
+    // threshold widens by N — capped at 3× so a truly broken box still
+    // surfaces as retries rather than silence
+    val probeRatio: Double = {
+      val best = histMins.getOrElse(ProbeKey, -1.0)
+      if (best <= 0) 1.0 else math.min(3.0, math.max(1.0, boxProbeSec / best))
+    }
+    System.err.println(f"[bench] box probe ${boxProbeSec}%.2f s (best committed " +
+      f"${histMins.getOrElse(ProbeKey, -1.0)}%.2f s) -> drift threshold x$probeRatio%.2f")
+    val DriftRetryFactor = 1.5 * probeRatio
     // sized to the suite: the cap exists to bound pathological churn, not
     // to ration retries — r10's 204-entry suite exhausted the old cap of
     // 20 on the alphabetically-early entries and left later out-of-band
@@ -1636,6 +1671,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
         s""""repeats":$repeats,"runs_detail":$runsJson,"load":[${r3(loadPre)},${r3(loadPost)}],""" +
         s""""noise_retries":$noiseRetries,"drift_retries":$driftJson,"ext_cpu":$extJson,""" +
+        s""""box_probe_s":${r3(boxProbeSec)},"probe_ratio":${r3(probeRatio)},""" +
         s""""load_gate":$loadGateJson,""" +
         s""""receipts":$receiptsJson,""" +
         s""""eager_releases":$eagerJson,"eager_seed":42,""" +
@@ -1652,7 +1688,7 @@ object Bench {
     // the worst round forever, so they stay out of the reference.
     graft.tools.BenchReport.updateHistory(
       new java.io.File("bench_history.json"), sfDir,
-      all.filterNot(_._1.endsWith("_gbps")))
+      all.filterNot(_._1.endsWith("_gbps")) :+ (ProbeKey -> boxProbeSec))
     spark.stop()
     // The compact line is the VERY LAST stdout write (after spark.stop so no
     // Spark shutdown chatter can land after it in the captured tail).

@@ -1972,6 +1972,35 @@ object SparkEntry {
         .orderBy("canonical_url")
     }),
 
+    // ---- per-HOST crawl accounting: canonicalized pages rolled up by
+    //      authority (pages, distinct canonical resources, token mass) —
+    //      the per-site table crawl curation reads to keep/cap/block a
+    //      domain; host collapses spelling variants ACROSS schemes ----
+    "q_domain_stats" -> ((s, d) => {
+      val hostN = (col("doc_id") % 5).cast("string")
+      val res = (col("doc_id") % 20).cast("string")
+      val raw =
+        when(col("doc_id") % 4 === 0,
+          concat(lit("https://WWW.h"), hostN, lit(".com/p/"), res, lit("?a=1")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://h"), hostN, lit(".com:443/p/"), res, lit("?a=1&utm_x=1")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("h"), hostN, lit(".com/p/"), res, lit("?a=1")))
+        .otherwise(
+          concat(lit("https://h"), hostN, lit(".com/p/"), res, lit("/?a=1")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.canonicalizeUrl(raw).as("canonical_url"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        .select(col("canonical_url"),
+          TextOps.urlHost(col("canonical_url")).as("host"), col("n_toks"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("canonical_url")).as("n_resources"),
+          sum(col("n_toks")).as("n_tokens"))
+        .orderBy("host")
+    }),
+
     // ---- KMV approximate-distinct sketch over the corpus vocabulary:
     //      the deterministic answer to "how many distinct values at
     //      100 TB" (distinct URLs/users/tokens) without an exact
@@ -5159,6 +5188,29 @@ object SparkEntry {
            |       CAST(min(r.doc_id) AS BIGINT) AS first_doc
            |FROM canon c JOIN raw r USING (doc_id)
            |GROUP BY c.canonical_url ORDER BY c.canonical_url""".stripMargin,
+
+      // same planted multi-host spellings, same canonicalization chain,
+      // host = the same authority regex, token counts over raw text
+      "q_domain_stats" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id, text,
+           |    CASE CAST(doc_id % 4 AS INTEGER)
+           |      WHEN 0 THEN 'https://WWW.h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1'
+           |      WHEN 1 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1&utm_x=1'
+           |      WHEN 2 THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1'
+           |      ELSE 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/' || CAST(doc_id % 20 AS VARCHAR) || '/?a=1'
+           |    END AS url
+           |  FROM documents),
+           |${urlCanonCtes("ds", "raw")},
+           |hosts AS (
+           |  SELECT c.doc_id, c.canonical_url,
+           |         regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS host,
+           |         len(list_filter(string_split(r.text, ' '), x -> x <> '')) AS n_toks
+           |  FROM dscanon c JOIN raw r USING (doc_id))
+           |SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+           |       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_resources,
+           |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+           |FROM hosts GROUP BY host ORDER BY host""".stripMargin,
 
       // same md5-derived 48-bit hashes (+1 to dodge a zero divisor), same
       // BIGINT floor division — the sketch is bit-identical by design

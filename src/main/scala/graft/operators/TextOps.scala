@@ -119,6 +119,15 @@ object TextOps {
     concat(host, path, when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
   }
 
+  /** The authority (host[:non-default-port]) of a [[canonicalizeUrl]]
+    * output — the per-domain rollup key of a crawl (pages/tokens/dup-rate
+    * per site is how crawl curation decides what to keep, cap, or block).
+    * Host-level by design: true registrable-domain (eTLD+1) grouping needs
+    * the public-suffix list, which is a lookup TABLE decision, not an
+    * operator — join one against this column when available. */
+  def urlHost(canonical: Column): Column =
+    regexp_extract(canonical, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
+
   /** Vocabulary-blocklist audit (the C4 "bad words" gate): per-document
     * DISTINCT banned-term hits, as (doc_id, n_blocked, first_blocked) for
     * flagged documents only.

@@ -2244,6 +2244,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(httpsGroups.exists(_._3 >= 2), "no https group merged multiple spellings")
   }
 
+  test("q_domain_stats: host rollup collapses spelling variants across schemes") {
+    import spark.implicits._
+    // urlHost: authority only, non-default port kept, scheme/path dropped
+    val hosts = Seq("https://example.com/a?x=1", "http://example.com/a",
+        "https://example.com:8443/a").toDF("u")
+      .select(TextOps.urlHost(col("u")).as("h")).collect().map(_.getString(0))
+    assert(hosts.toSeq === Seq("example.com", "example.com", "example.com:8443"))
+    val rows = SparkEntry.queries("q_domain_stats")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every planted host is hN.com — www/port/scheme variants all fold in
+    assert(rows.nonEmpty && rows.forall(_._1.matches("h[0-4]\\.com")), rows.mkString(","))
+    val total = rows.map(_._2).sum
+    assert(total === Tables.documents(spark, sfDir).count(),
+      "every page lands in exactly one host bucket")
+    rows.foreach { case (h, nPages, nRes, nToks) =>
+      assert(nRes <= nPages, s"$h: resources exceed pages")
+      assert(nToks > 0, s"$h: token mass missing")
+    }
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
