@@ -589,4 +589,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx.size === 1,
       s"conversation assembly re-shuffled after sessionization:\n${hashEx.mkString("\n---\n")}")
   }
+
+  test("q_url_canonical: scan reads ONLY doc_id — the planted-URL projection prunes text away") {
+    val df = SparkEntry.queries("q_url_canonical")(spark, sfDir)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the URL is synthesized from doc_id, so a scan that still reads `text`
+    // means canonicalization stopped being a pure projection
+    val reads = """ReadSchema: struct<([^>]*)>""".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(r => !r.contains("text")),
+      s"q_url_canonical scan reads more than doc_id: $reads")
+    // canonicalization itself must not introduce an exchange — only the
+    // groupBy(canonical) aggregation and the presentation sort shuffle
+    val ex = exchangeBlocks(df)
+    assert(ex.size <= 3, s"unexpected exchanges:\n${ex.mkString("\n---\n")}")
+    assert(ex.forall(!_.contains("text")), "document text crossed an exchange")
+  }
+
+  test("q_domain_stats: host rollup shuffles host-keyed scalars, never text or URLs") {
+    val df = SparkEntry.queries("q_domain_stats")(spark, sfDir)
+    val ex = exchangeBlocks(df)
+    assert(ex.forall(b => !b.contains("text")),
+      s"document text crossed an exchange:\n${ex.mkString("\n---\n")}")
+  }
 }
