@@ -1243,6 +1243,78 @@ object Bench {
             -1.0
         } finally idx.unpersist()
       }),
+      // one crawl epoch through the stateless web-ingest stream: 1/5 of the
+      // corpus arrives as raw pages (some re-crawled URLs, some
+      // chrome-wrapped, some spam) probing maintained url + fingerprint
+      // indexes built from the standing 4/5; in-entry stream==batch audit
+      "streaming_webingest_epoch" -> (() => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val docs = Tables.documents(spark, sfDir)
+        val corpus = docs.where(col("doc_id") % 5 =!= 0)
+        val epochRows = docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            // %10: a re-crawl spelling of corpus page doc_id+1 (always in
+            // the corpus: (id+1) % 5 == 1); otherwise a fresh URL
+            when(col("doc_id") % 10 === 0,
+              concat(lit("https://WWW.example.com:443/page/"),
+                (col("doc_id") + 1).cast("string"), lit("?x=1&utm_s=z#f")))
+              .otherwise(concat(lit("https://example.com/new/"),
+                col("doc_id").cast("string"))).as("url"),
+            when(col("doc_id") % 7 === 0, concat(lit("<html><body><p>"),
+                col("text"), lit("</p><script>x();</script></body></html>")))
+              .when(col("doc_id") % 13 === 0, concat(col("text"), lit(" zzspamword")))
+              .otherwise(col("text")).as("page"))
+          .as[(Long, String, String)].collect().toSeq
+        var streamed: Set[(Long, Boolean, Boolean, Option[Long], Boolean)] = Set.empty
+        var urlIdx: org.apache.spark.sql.DataFrame = null
+        var cIdx: org.apache.spark.sql.DataFrame = null
+        def decisions(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), col("url_dup"), col("spam"), col("dup_of"), col("keep"))
+            .as[(Long, Boolean, Boolean, Option[Long], Boolean)].collect().toSet
+        val t = timed("streaming_webingest_epoch") {
+          urlIdx = corpus.select(graft.operators.TextOps.canonicalizeUrl(
+              concat(lit("https://example.com/page/"), col("doc_id").cast("string"),
+                lit("?x=1"))).as("canonical_url"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cIdx = corpus.groupBy(md5(graft.operators.TextOps.extractHtmlText(col("text")))
+              .as("fingerprint"))
+            .agg(min(col("doc_id").cast("long")).as("rep_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          urlIdx.count(); cIdx.count()
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String, String)]
+          val out = graft.streaming.StreamingPipelines.webIngestStream(
+            mem.toDF().toDF("doc_id", "url", "page"), urlIdx, cIdx,
+            "doc_id", "url", "page", Seq("zzspamword"))
+          val qn = s"webingestbench_${System.nanoTime()}"
+          val q = out.writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try {
+            mem.addData(epochRows)
+            q.processAllAvailable()
+          } finally q.stop()
+          streamed = decisions(spark.table(qn))
+        }
+        if (t < 0) { if (urlIdx != null) urlIdx.unpersist(); if (cIdx != null) cIdx.unpersist(); t }
+        else try {
+          val batch = decisions(graft.streaming.StreamingPipelines.webIngestStream(
+            epochRows.toDF("doc_id", "url", "page"), urlIdx, cIdx,
+            "doc_id", "url", "page", Seq("zzspamword")))
+          require(streamed == batch,
+            s"diverged: ${streamed.size} vs ${batch.size} rows")
+          val kept = streamed.count(_._5)
+          require(streamed.exists(_._2), "no planted re-crawl was url-deduped")
+          require(streamed.exists(_._3), "no planted spam was flagged")
+          System.err.println(s"[bench] streaming_webingest_epoch pages=${streamed.size} " +
+            s"kept=$kept (batch agrees)")
+          t
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] streaming_webingest_epoch equality audit failed: ${e.getMessage}")
+            -1.0
+        } finally { urlIdx.unpersist(); cIdx.unpersist() }
+      }),
       "streaming_block_epoch" -> (() => {
         import spark.implicits._
         implicit val sqlCtx = spark.sqlContext

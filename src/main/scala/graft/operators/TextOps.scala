@@ -128,6 +128,18 @@ object TextOps {
   def urlHost(canonical: Column): Column =
     regexp_extract(canonical, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
 
+  /** Pure-projection blocklist flag — the ingest-path form of
+    * [[blocklistHits]]: the terms ride the plan as ONE array literal and
+    * the test is a codegen'd `arrays_overlap`, no shuffle and no stateful
+    * aggregate, so a STREAMING pipeline can flag spam without state. True
+    * iff [[blocklistHits]] would emit the document. The join form below
+    * stays the 100 TB default for LARGE lists (a literal array probe is
+    * O(terms) per row); this form is for model-cardinality lists that fit
+    * a broadcast literal. */
+  def blocklistFlagCol(text: Column, blocklist: Seq[String]): Column =
+    arrays_overlap(tokens(lower(text)),
+      org.apache.spark.sql.functions.typedlit(blocklist.distinct))
+
   /** Vocabulary-blocklist audit (the C4 "bad words" gate): per-document
     * DISTINCT banned-term hits, as (doc_id, n_blocked, first_blocked) for
     * flagged documents only.

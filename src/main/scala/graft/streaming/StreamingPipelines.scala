@@ -1097,6 +1097,55 @@ object StreamingPipelines {
         col("rep_id").as("dup_of"), col("rep_id").isNull.as("keep"))
   }
 
+  /** Streaming WEB-INGEST — the steady-state form of the `e2e_web_ingest`
+    * gate: each incoming raw page is canonical-URL-checked against the
+    * standing crawl (re-crawl suppression BEFORE any content work),
+    * HTML→text extracted, blocklist-flagged, and exact-content-probed
+    * against the admitted corpus' fingerprint index. One decision row per
+    * page: `keep` ⇔ not a re-crawl, not spam, content unseen; the
+    * maintenance sink appends kept pages' (canonical_url) and
+    * (fingerprint, doc_id) rows to the two indexes before the next cycle
+    * (the d12/d18 maintained-index loop for a crawl frontier).
+    *
+    * Every stage is the BATCH pipeline's single definition
+    * ([[graft.operators.TextOps.canonicalizeUrl]] /
+    * `extractHtmlText` / [[graft.operators.TextOps.blocklistFlagCol]] /
+    * the same md5 fingerprint), so stream == batch holds by construction —
+    * the function itself runs unchanged on a batch frame (spec-pinned).
+    *
+    * Scale shape: extraction, canonicalization, flagging, and token
+    * accounting are pure codegen projections; the ONLY joins are two
+    * stream-static equi-joins on (canonical_url) and (fingerprint) against
+    * maintained indexes; there is NO stateful operator at all — per-batch
+    * cost is O(batch), state lives in the indexes. */
+  def webIngestStream(incoming: org.apache.spark.sql.DataFrame,
+      urlIndex: org.apache.spark.sql.DataFrame,
+      contentIndex: org.apache.spark.sql.DataFrame,
+      idCol: String, urlCol: String, pageCol: String,
+      blocklist: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    incoming.select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.TextOps.canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        graft.operators.TextOps.extractHtmlText(col(pageCol)).as("__clean"))
+      .withColumn("spam",
+        graft.operators.TextOps.blocklistFlagCol(col("__clean"), blocklist))
+      .withColumn("fingerprint", md5(col("__clean")))
+      .withColumn("n_tokens",
+        size(graft.operators.TextOps.tokens(col("__clean"))).cast("long"))
+      // distinct: accept either the (canonical_url) view or a per-page
+      // crawl log whose repeated urls would multiply probe rows (the
+      // blockDedupStream ADVICE r11 guard)
+      .join(urlIndex.select(col("canonical_url")).distinct()
+        .withColumn("__uhit", lit(1)), Seq("canonical_url"), "left_outer")
+      .join(contentIndex.select(col("fingerprint"), col("rep_id")),
+        Seq("fingerprint"), "left_outer")
+      .select(col("doc_id"), col("canonical_url"),
+        col("__uhit").isNotNull.as("url_dup"), col("spam"),
+        col("fingerprint"), col("rep_id").as("dup_of"), col("n_tokens"),
+        (col("__uhit").isNull && !col("spam") && col("rep_id").isNull)
+          .as("keep"))
+  }
+
   /** Streaming first-occurrence BLOCK dedup — the ingest form of
     * [[graft.operators.Dedup.incrementalBlockDedup]]: incoming documents'
     * 16-token blocks are hashed row-wise (the identical md5-over-slice

@@ -1192,6 +1192,49 @@ class StreamingSpec extends AnyFunSuite {
     idx.unpersist(); idx2.unpersist()
   }
 
+  test("web-ingest stream: url/extract/blocklist/content decisions, zero stateful ops, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // standing crawl: one admitted page (url + clean-text fingerprint)
+    val corpusClean = "the original article body text"
+    val urlIdx = Seq("https://example.com/a?x=1").toDF("canonical_url").cache()
+    val cIdx = spark.sql(
+      s"SELECT md5('$corpusClean') AS fingerprint, CAST(0 AS BIGINT) AS rep_id").cache()
+    val incoming = Seq(
+      // re-crawl: a spelling variant of the indexed URL → url_dup, dropped
+      (10L, "https://WWW.example.com:443/a?x=1&utm_s=z#f", "<p>whatever fresh text</p>"),
+      // content dup: new URL, chrome-wrapped copy of the admitted body
+      (11L, "https://example.com/b", s"<html><body><p>$corpusClean</p><script>x();</script></body></html>"),
+      // spam: new URL, blocklisted token inside chrome
+      (12L, "https://example.com/c", "<p>buy zzspamword now</p>"),
+      // clean: new URL, novel body → the only keeper
+      (13L, "https://example.com/d", "<p>a genuinely novel page body</p>"))
+    def decisions(df: org.apache.spark.sql.DataFrame)
+        : Set[(String, Long, Boolean, Boolean, Option[Long], Long, Boolean)] =
+      df.select("canonical_url", "doc_id", "url_dup", "spam", "dup_of", "n_tokens", "keep")
+        .as[(String, Long, Boolean, Boolean, Option[Long], Long, Boolean)]
+        .collect().toSet
+    val batch = decisions(StreamingPipelines.webIngestStream(
+      incoming.toDF("doc_id", "url", "page"), urlIdx, cIdx,
+      "doc_id", "url", "page", Seq("zzspamword")))
+    def row(id: Long) = batch.find(_._2 == id).get
+    assert(row(10L)._3 && !row(10L)._7, "re-crawl must flag url_dup and drop")
+    assert(row(11L)._5.contains(0L) && !row(11L)._7, "chrome-wrapped copy must content-dup")
+    assert(row(12L)._4 && !row(12L)._7, "blocklisted page must flag spam")
+    assert(!row(13L)._3 && !row(13L)._4 && row(13L)._5.isEmpty && row(13L)._7)
+    val mem = MemoryStream[(Long, String, String)]
+    val out = StreamingPipelines.webIngestStream(
+      mem.toDF().toDF("doc_id", "url", "page"), urlIdx, cIdx,
+      "doc_id", "url", "page", Seq("zzspamword"))
+    // zero stateful operators: the whole ingest is projections + two
+    // stream-static joins, so append mode needs no watermark
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("webingest").start()
+    try { mem.addData(incoming); q.processAllAvailable() } finally q.stop()
+    assert(decisions(spark.table("webingest")) === batch)
+    urlIdx.unpersist(); cIdx.unpersist()
+  }
+
   test("exact dedup stream: stateless ingest vs the fingerprint index; NFC variants dedup; stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
