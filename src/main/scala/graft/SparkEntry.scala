@@ -1915,6 +1915,40 @@ object SparkEntry {
       TextOps.knPerplexity(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- CCNet head/middle/tail partition: per-language KN-perplexity
+    //      terciles, thresholds derived EXACTLY from the per-value
+    //      histogram (the quantized-histogram-median trick, so no
+    //      full-corpus sort) and assignment by threshold comparison (ties
+    //      can never straddle a bucket). The canonical LM-quality
+    //      partition a CCNet-style pipeline materializes before choosing
+    //      what to train on. ----
+    "q_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lang = TextOps.knPerplexity(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_trans"), col("sum_nll_q6"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        // exact long floor division — the rational avg would need
+        // cross-multiplication to compare; the micro-quantized floor is
+        // identical in both engines and monotone in the true average
+        .select(col("doc_id"), col("lang"),
+          expr("sum_nll_q6 div n_trans").as("avg_nll_micro"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("avg_nll_micro")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val th = lang.groupBy("lang", "avg_nll_micro").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("tot", sum(col("c")).over(wAll))
+        .groupBy("lang").agg(
+          min(when(col("cum") * 3 >= col("tot"), col("avg_nll_micro"))).as("t1"),
+          min(when(col("cum") * 3 >= col("tot") * 2, col("avg_nll_micro"))).as("t2"))
+      lang.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_nll_micro"),
+          when(col("avg_nll_micro") <= col("t1"), "head")
+            .when(col("avg_nll_micro") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // ---- vocabulary-blocklist audit (C4 bad-words gate): planted banned
     //      terms caught per doc via a broadcast token join (never a regex
     //      alternation scan); the % 22 docs plant a DUPLICATE hit to pin
@@ -5129,6 +5163,47 @@ object SparkEntry {
           |       floor(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS avg_nll,
           |       floor(exp(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ppl
           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the x15 KN chain + the exact histogram-tercile thresholds: floor
+      // division both sides, thresholds from per-value cumulative counts,
+      // assignment by comparison (ties never straddle a bucket)
+      "q_ppl_buckets" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |trans AS (
+          |  SELECT doc_id, toks[i - 1] AS v, toks[i] AS w
+          |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+          |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
+          |ctx AS (SELECT v, count(*) AS c_v, count(DISTINCT w) AS n1_v FROM trans GROUP BY v),
+          |cont AS (SELECT w, count(DISTINCT v) AS n1_w FROM trans GROUP BY w),
+          |bt AS (SELECT count(*)::DOUBLE AS btypes FROM bigram),
+          |scored AS (
+          |  SELECT trans.doc_id,
+          |         CAST(floor(-ln((c_vw::DOUBLE - 0.75) / c_v::DOUBLE
+          |                        + (0.75 * n1_v::DOUBLE / c_v::DOUBLE)
+          |                          * (n1_w::DOUBLE / btypes))
+          |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
+          |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v) JOIN cont USING (w), bt),
+          |per_doc AS (
+          |  SELECT doc_id, CAST(sum(nll_q6) AS BIGINT) // count(*) AS k
+          |  FROM scored GROUP BY doc_id),
+          |langd AS (
+          |  SELECT p.doc_id, d.lang, p.k FROM per_doc p JOIN documents d USING (doc_id)),
+          |hist AS (SELECT lang, k, count(*) AS c FROM langd GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT lang, k,
+          |         sum(c) OVER (PARTITION BY lang ORDER BY k) AS cum,
+          |         sum(c) OVER (PARTITION BY lang) AS tot
+          |  FROM hist),
+          |th AS (
+          |  SELECT lang, min(CASE WHEN cum * 3 >= tot THEN k END) AS t1,
+          |         min(CASE WHEN cum * 3 >= 2 * tot THEN k END) AS t2
+          |  FROM cum GROUP BY lang)
+          |SELECT l.doc_id, l.lang, l.k AS avg_nll_micro,
+          |       CASE WHEN l.k <= t.t1 THEN 'head'
+          |            WHEN l.k <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
+          |FROM langd l JOIN th t USING (lang) ORDER BY l.doc_id""".stripMargin,
 
       // same planted terms, same tokenization as p1, distinct per (doc,
       // token) before the IN-list join

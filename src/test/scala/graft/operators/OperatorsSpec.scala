@@ -2244,6 +2244,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(httpsGroups.exists(_._3 >= 2), "no https group merged multiple spellings")
   }
 
+  test("q_ppl_buckets: per-language terciles are threshold-consistent and tie-safe") {
+    val rows = SparkEntry.queries("q_ppl_buckets")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("head", "middle", "tail")(r._4)))
+    rows.groupBy(_._2).foreach { case (lang, ls) =>
+      // threshold semantics: bucket ranges are disjoint and ordered —
+      // every head key < every middle key < every tail key is too strong
+      // under ties AT the threshold, but max(head) <= min(middle) and
+      // max(middle) <= min(tail) hold exactly
+      def keys(b: String) = ls.filter(_._4 == b).map(_._3)
+      for ((lo, hi) <- Seq("head" -> "middle", "middle" -> "tail"))
+        if (keys(lo).nonEmpty && keys(hi).nonEmpty)
+          assert(keys(lo).max <= keys(hi).min, s"$lang: $lo/$hi ranges overlap")
+      // equal scores can never straddle a bucket (the rank form would)
+      ls.groupBy(_._3).foreach { case (k, same) =>
+        assert(same.map(_._4).distinct.length === 1,
+          s"$lang: tied key $k split across buckets") }
+      // head holds at least a third of the language (threshold inclusive)
+      // and never everything when scores actually vary
+      val n = ls.length
+      assert(keys("head").length * 3 >= n, s"$lang: head under a third")
+      if (ls.map(_._3).distinct.length >= 3)
+        assert(keys("head").length < n, s"$lang: head swallowed the language")
+    }
+  }
+
   test("q_domain_stats: host rollup collapses spelling variants across schemes") {
     import spark.implicits._
     // urlHost: authority only, non-default port kept, scheme/path dropped
