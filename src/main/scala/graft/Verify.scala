@@ -22,21 +22,47 @@ object Verify {
     // a filtered run still dumps a complete oracle_sql.json; gates that DO
     // run overwrite their entries with this run's gate-time rows
     // (VERDICT r12 #1b). A plain file, so the driver's per-query dir scan
-    // never mistakes it for a query output. The store is keyed to the
-    // builder's class bytes: a recompile of SparkEntry (= any oracle-shape
-    // change, conservatively) invalidates frozen rows instead of silently
-    // re-emitting them (ADVICE r13 fail-open).
+    // never mistakes it for a query output. The store is keyed to a
+    // BUILD-WIDE fingerprint — a digest of every .class under graft/ in
+    // this build's output (ADVICE r14: splice contents are engine OUTPUTS
+    // that depend on TextOps/Similarity/GraphOps/…, not just on
+    // SparkEntry; hashing one class file left a fail-open where a
+    // behavior change in another compilation unit silently re-emitted
+    // stale frozen rows). Any recompile of any graft class invalidates
+    // the frozen rows instead of re-emitting them.
     val spliceFile = Paths.get(s"$outDir/oracle_splices.properties")
-    val builderVersion = {
-      val is = getClass.getResourceAsStream("/graft/SparkEntry$.class")
-      if (is == null) "" else try {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val buf = new Array[Byte](8192)
-        var n = is.read(buf)
-        while (n > 0) { md.update(buf, 0, n); n = is.read(buf) }
-        md.digest().map("%02x".format(_)).mkString
-      } finally is.close()
-    }
+    val builderVersion = try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def digest(relPath: String, bytes: Array[Byte]): Unit = {
+        md.update(relPath.getBytes("UTF-8")); md.update(bytes)
+      }
+      val loc = getClass.getProtectionDomain.getCodeSource.getLocation.toURI
+      val root = Paths.get(loc)
+      if (Files.isDirectory(root)) {
+        val stream = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala
+            .filter(p => p.toString.endsWith(".class"))
+            .map(p => root.relativize(p).toString.replace('\\', '/'))
+            .filter(_.startsWith("graft/"))
+            .toSeq.sorted
+            .foreach(rel => digest(rel, Files.readAllBytes(root.resolve(rel))))
+        } finally stream.close()
+      } else { // packaged jar
+        val zf = new java.util.zip.ZipFile(root.toFile)
+        try {
+          import scala.jdk.CollectionConverters._
+          zf.entries().asScala.map(_.getName)
+            .filter(n => n.startsWith("graft/") && n.endsWith(".class"))
+            .toSeq.sorted.foreach { n =>
+              val is = zf.getInputStream(zf.getEntry(n))
+              try digest(n, is.readAllBytes()) finally is.close()
+            }
+        } finally zf.close()
+      }
+      md.digest().map("%02x".format(_)).mkString
+    } catch { case scala.util.control.NonFatal(_) => "" }
     if (!SpliceStore.loadAll(spliceFile, builderVersion) &&
         java.nio.file.Files.exists(spliceFile))
       System.err.println(
@@ -64,8 +90,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Lint (VERDICT r14 #1c): a splice-backed gate's output schema
+        // must be double-free — its hash gate must never depend on
+        // version-specific IEEE formatting/parsing in the verifier.
+        if (gateFragments.contains(name))
+          df.schema.fields.foreach { f =>
+            require(f.dataType != org.apache.spark.sql.types.DoubleType &&
+                f.dataType != org.apache.spark.sql.types.FloatType,
+              s"splice-backed gate $name emits IEEE column ${f.name} (VERDICT r14 #1)")
+          }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must yield MISSING in the driver's compare, never
@@ -75,6 +112,20 @@ object Verify {
           .foreach(SpliceStore.remove)
         val d = new java.io.File(s"$outDir/$name")
         if (d.exists) deleteRec(d)
+      }
+    }
+    // Lint (VERDICT r14 #1c): no IEEE literal inside any frozen VALUES
+    // splice — a DOUBLE cast/literal is the one thing a
+    // differently-versioned DuckDB can parse 1 ulp differently. A tainted
+    // gate degrades to the driver's rows-only check (its dynamic oracle is
+    // dropped) rather than shipping a flake-prone hash gate.
+    gateFragments.foreach { case (gate, keys) =>
+      val tainted = keys.exists(k => SpliceStore.get(k).exists(v =>
+        v.toUpperCase.contains("DOUBLE") || v.toUpperCase.contains("FLOAT")))
+      if (tainted) {
+        System.err.println(
+          s"[verify] LINT: $gate froze an IEEE-bearing VALUES splice — dropping its oracle (VERDICT r14 #1)")
+        (keys :+ s"sql:$gate").foreach(SpliceStore.remove)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

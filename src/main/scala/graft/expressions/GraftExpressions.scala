@@ -837,8 +837,13 @@ case class CanonicalFold(child: Expression) extends UnaryExpression {
   * so a gate-time-frozen splice of engine output can never disagree with a
   * later re-execution. Out-of-domain inputs follow StrictMath itself
   * (ln(0) = -Inf, ln(<0) = NaN) — every quantized call site guards x > 0. */
-case class LnStrict(child: Expression) extends UnaryExpression {
+case class LnStrict(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  // analyzer-inserted cast for non-double children on BOTH eval paths —
+  // without it, generated `StrictMath.log($c)` silently widens an int
+  // while nullSafeEval's asInstanceOf[Double] throws (ADVICE r14)
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = child.nullable
   override def nullIntolerant: Boolean = true
@@ -857,8 +862,10 @@ case class LnStrict(child: Expression) extends UnaryExpression {
 /** Bit-reproducible `e^x` — the [[LnStrict]] contract for the exponential:
   * `StrictMath.exp` in both evaluation paths (Spark's built-in `exp` has the
   * same codegen-StrictMath / interpreted-Math split brain as `log`). */
-case class ExpStrict(child: Expression) extends UnaryExpression {
+case class ExpStrict(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = child.nullable
   override def nullIntolerant: Boolean = true

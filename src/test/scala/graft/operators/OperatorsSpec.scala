@@ -1813,7 +1813,7 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "source")
     val res = TextOps.doremiMixWeights(docs, "doc_id", "text", "source",
         iterations = 8, tokenBudget = 1000003L)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     val hard = res("hard"); val easy = res("easy")
     assert(hard._1 > easy._1, s"hard source must have higher loss: $res")
