@@ -1919,7 +1919,7 @@ object SparkEntry {
     }),
 
     // ---- CCNet head/middle/tail partition: per-language KN-perplexity
-    //      terciles, thresholds derived EXACTLY from the per-value
+    //      terciles, thresholds derived EXACTLY from the per-GRID-value
     //      histogram (the quantized-histogram-median trick, so no
     //      full-corpus sort) and assignment by threshold comparison (ties
     //      can never straddle a bucket). The canonical LM-quality
@@ -1935,21 +1935,47 @@ object SparkEntry {
         // identical in both engines and monotone in the true average
         .select(col("doc_id"), col("lang"),
           expr("sum_nll_q6 div n_trans").as("avg_nll_micro"))
+        // milli-nat grid for THRESHOLD derivation (VERDICT r14 #2): the
+        // micro average has ~doc-count distinct values, so a per-value
+        // histogram window degenerates to one task per language on a
+        // monolingual corpus; div 1000 bounds the grid by the score
+        // RANGE in milli-nats (thousands of cells, data-independent).
+        // Assignment compares the SAME grid value, so grid-resolution
+        // ties still never straddle a bucket, and bucket ranges on the
+        // micro value stay disjoint (div is monotone).
+        .withColumn("kg", expr("avg_nll_micro div 1000"))
+        // materialize ids+scalars ONCE (doc-cardinality, no text): the
+        // oracle splice below and the returned plan consume the same
+        // rows — the x14 no-re-read-window contract (VERDICT r12 #1b)
+        .localCheckpoint()
       val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("avg_nll_micro")
+        .partitionBy("lang").orderBy("kg")
       val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-      val th = lang.groupBy("lang", "avg_nll_micro").agg(count(lit(1)).as("c"))
+      val th = lang.groupBy("lang", "kg").agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(wOrd))
         .withColumn("tot", sum(col("c")).over(wAll))
         .groupBy("lang").agg(
-          min(when(col("cum") * 3 >= col("tot"), col("avg_nll_micro"))).as("t1"),
-          min(when(col("cum") * 3 >= col("tot") * 2, col("avg_nll_micro"))).as("t2"))
-      lang.join(broadcast(th), Seq("lang"))
+          min(when(col("cum") * 3 >= col("tot"), col("kg"))).as("t1"),
+          min(when(col("cum") * 3 >= col("tot") * 2, col("kg"))).as("t2"))
+      val out = lang.join(broadcast(th), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("avg_nll_micro"),
-          when(col("avg_nll_micro") <= col("t1"), "head")
-            .when(col("avg_nll_micro") <= col("t2"), "middle")
+          when(col("kg") <= col("t1"), "head")
+            .when(col("kg") <= col("t2"), "middle")
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
+      // Freeze the engine's per-doc micro averages NOW (gate time, from
+      // the checkpointed rows) as a pure-BIGINT VALUES splice: the KN
+      // chain's `ln` runs through LnStrict engine-side, but DuckDB's libm
+      // is a different 1-ulp implementation, and a doc landing within an
+      // ulp of the q6 floor flips its avg — which the tercile thresholds
+      // then amplify to the whole language (ADVICE r14). The oracle
+      // recomputes its own chain and FAILS CLOSED (±1 micro, identical
+      // support); the collect is the verification-harness oracle export
+      // at doc cardinality, not the operator's data path.
+      SpliceStore.put("ppl_k", lang.select("doc_id", "avg_nll_micro")
+        .collect().map(r => s"(${r.getLong(0)}, ${r.getLong(1)})")
+        .sorted.mkString(", "))
+      out
     }),
 
     // ---- vocabulary-blocklist audit (C4 bad-words gate): planted banned
@@ -2907,7 +2933,7 @@ object SparkEntry {
     * boundary; everything downstream is re-derived in SQL. */
   def oracleSql: Map[String, String] = {
     val live =
-      coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql ++ reducedIvfOracleSql ++ reducedPqOracleSql ++ ppmiOracleSql ++ egOracleSql ++ maintainedReducedOracleSql ++ maintainedPqOracleSql
+      coreOracleSql ++ llmOracleSql ++ d8OracleSql ++ pqOracleSql ++ s3OracleSql ++ lrOracleSql ++ x13OracleSql ++ btOracleSql ++ kCenterOracleSql ++ pcaOracleSql ++ reducedIvfOracleSql ++ reducedPqOracleSql ++ ppmiOracleSql ++ egOracleSql ++ pplOracleSql ++ maintainedReducedOracleSql ++ maintainedPqOracleSql
     // Durability (VERDICT r12 #1b): persist every dynamically-constructed
     // oracle into the SpliceStore, and backfill gates whose export slot is
     // empty in THIS process from the persisted store — so a filtered
@@ -3484,6 +3510,66 @@ object SparkEntry {
          |  AND (SELECT coalesce(sum(bad), 0) FROM ($uBad)) = 0
          |ORDER BY source""".stripMargin
   }).toSeq.toMap
+
+  /** q_ppl_buckets oracle, available once the gate lambda has frozen the
+    * engine's per-doc (doc_id, avg_nll_micro) rows into the
+    * [[SpliceStore]] (gate time, from the same checkpointed rows the
+    * returned plan consumes). The tercile machinery amplifies a single
+    * 1-ulp cross-engine `ln` disagreement into a whole language's bucket
+    * labels (ADVICE r14 — the x14/doremi flake class), so the spliced
+    * BIGINT averages drive the replay; the oracle still recomputes its
+    * OWN KN chain and FAILS CLOSED — zero rows — unless every spliced
+    * average sits within ±1 micro of its recomputation with identical
+    * support. Thresholds replay the engine's milli-nat grid
+    * (`k // 1000`, VERDICT r14 #2) over the spliced integers. */
+  private def pplOracleSql: Map[String, String] =
+    SpliceStore.get("ppl_k").toSeq.map { values =>
+      "q_ppl_buckets" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           |  FROM documents),
+           |trans AS (
+           |  SELECT doc_id, toks[i - 1] AS v, toks[i] AS w
+           |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+           |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
+           |ctx AS (SELECT v, count(*) AS c_v, count(DISTINCT w) AS n1_v FROM trans GROUP BY v),
+           |cont AS (SELECT w, count(DISTINCT v) AS n1_w FROM trans GROUP BY w),
+           |bt AS (SELECT count(*)::DOUBLE AS btypes FROM bigram),
+           |scored AS (
+           |  SELECT trans.doc_id,
+           |         CAST(floor(-ln((c_vw::DOUBLE - 0.75) / c_v::DOUBLE
+           |                        + (0.75 * n1_v::DOUBLE / c_v::DOUBLE)
+           |                          * (n1_w::DOUBLE / btypes))
+           |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
+           |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v) JOIN cont USING (w), bt),
+           |per_doc AS (
+           |  SELECT doc_id, CAST(sum(nll_q6) AS BIGINT) // count(*) AS k
+           |  FROM scored GROUP BY doc_id),
+           |engk(doc_id, k) AS (VALUES $values),
+           |chk AS MATERIALIZED (SELECT
+           |  (SELECT count(*) FROM engk e LEFT JOIN per_doc d ON e.doc_id = d.doc_id
+           |     WHERE d.doc_id IS NULL OR abs(e.k - d.k) > 1)
+           |  + (SELECT count(*) FROM per_doc d LEFT JOIN engk e ON e.doc_id = d.doc_id
+           |     WHERE e.doc_id IS NULL) AS bad),
+           |langd AS (
+           |  SELECT e.doc_id, d.lang, e.k, e.k // 1000 AS kg
+           |  FROM engk e JOIN documents d USING (doc_id)),
+           |hist AS (SELECT lang, kg, count(*) AS c FROM langd GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT lang, kg,
+           |         sum(c) OVER (PARTITION BY lang ORDER BY kg) AS cum,
+           |         sum(c) OVER (PARTITION BY lang) AS tot
+           |  FROM hist),
+           |th AS (
+           |  SELECT lang, min(CASE WHEN cum * 3 >= tot THEN kg END) AS t1,
+           |         min(CASE WHEN cum * 3 >= 2 * tot THEN kg END) AS t2
+           |  FROM cum GROUP BY lang)
+           |SELECT l.doc_id, l.lang, l.k AS avg_nll_micro,
+           |       CASE WHEN l.kg <= t.t1 THEN 'head'
+           |            WHEN l.kg <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM langd l JOIN th t USING (lang), chk WHERE chk.bad = 0
+           |ORDER BY l.doc_id""".stripMargin
+    }.toMap
 
   /** Oracle for the rotated-PQ index: needs the exported PCA rotation AND
     * the rotated-space codebooks ([[graft.operators.Similarity
@@ -5169,46 +5255,11 @@ object SparkEntry {
           |       floor(exp(sum(nll_q6)::DOUBLE / 1000000.0 / count(*)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ppl
           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-      // the x15 KN chain + the exact histogram-tercile thresholds: floor
-      // division both sides, thresholds from per-value cumulative counts,
-      // assignment by comparison (ties never straddle a bucket)
-      "q_ppl_buckets" ->
-        """WITH t AS (
-          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-          |  FROM documents),
-          |trans AS (
-          |  SELECT doc_id, toks[i - 1] AS v, toks[i] AS w
-          |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
-          |bigram AS (SELECT v, w, count(*) AS c_vw FROM trans GROUP BY v, w),
-          |ctx AS (SELECT v, count(*) AS c_v, count(DISTINCT w) AS n1_v FROM trans GROUP BY v),
-          |cont AS (SELECT w, count(DISTINCT v) AS n1_w FROM trans GROUP BY w),
-          |bt AS (SELECT count(*)::DOUBLE AS btypes FROM bigram),
-          |scored AS (
-          |  SELECT trans.doc_id,
-          |         CAST(floor(-ln((c_vw::DOUBLE - 0.75) / c_v::DOUBLE
-          |                        + (0.75 * n1_v::DOUBLE / c_v::DOUBLE)
-          |                          * (n1_w::DOUBLE / btypes))
-          |                    * 1000000.0 + 0.5) AS BIGINT) AS nll_q6
-          |  FROM trans JOIN bigram USING (v, w) JOIN ctx USING (v) JOIN cont USING (w), bt),
-          |per_doc AS (
-          |  SELECT doc_id, CAST(sum(nll_q6) AS BIGINT) // count(*) AS k
-          |  FROM scored GROUP BY doc_id),
-          |langd AS (
-          |  SELECT p.doc_id, d.lang, p.k FROM per_doc p JOIN documents d USING (doc_id)),
-          |hist AS (SELECT lang, k, count(*) AS c FROM langd GROUP BY 1, 2),
-          |cum AS (
-          |  SELECT lang, k,
-          |         sum(c) OVER (PARTITION BY lang ORDER BY k) AS cum,
-          |         sum(c) OVER (PARTITION BY lang) AS tot
-          |  FROM hist),
-          |th AS (
-          |  SELECT lang, min(CASE WHEN cum * 3 >= tot THEN k END) AS t1,
-          |         min(CASE WHEN cum * 3 >= 2 * tot THEN k END) AS t2
-          |  FROM cum GROUP BY lang)
-          |SELECT l.doc_id, l.lang, l.k AS avg_nll_micro,
-          |       CASE WHEN l.k <= t.t1 THEN 'head'
-          |            WHEN l.k <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
-          |FROM langd l JOIN th t USING (lang) ORDER BY l.doc_id""".stripMargin,
+      // q_ppl_buckets' oracle moved to the dynamic [[pplOracleSql]]: the
+      // engine's per-doc micro averages splice in as BIGINT VALUES with a
+      // fail-closed +/-1 check against the oracle's own KN recompute
+      // (ADVICE r14: the live cross-engine ln fed EXACT integer tercile
+      // thresholds — the x14/doremi flake class, amplified by the grid).
 
       // same planted terms, same tokenization as p1, distinct per (doc,
       // token) before the IN-list join

@@ -86,7 +86,8 @@ object Verify {
     // is never re-emitted for a gate that no longer produces it
     val gateFragments = Map(
       "x14_word_centrality" -> Seq("x14_edges"),
-      "q_doremi_mix" -> Seq("doremi_losses", "doremi_trace"))
+      "q_doremi_mix" -> Seq("doremi_losses", "doremi_trace"),
+      "q_ppl_buckets" -> Seq("ppl_k"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -86,4 +86,35 @@ class DeterminismSpec extends AnyFunSuite {
   test("q_doremi_mix is bit-identical across codegen/interpreted/repeat runs") {
     assertBitStable("q_doremi_mix", Seq("doremi_losses", "doremi_trace"))
   }
+
+  test("q_ppl_buckets is bit-identical across codegen/interpreted/repeat runs") {
+    assertBitStable("q_ppl_buckets", Seq("ppl_k"))
+  }
+
+  /** VERDICT r14 #1c sweep lint, spec form (Verify enforces it at dump
+    * time too): a splice-backed hash gate must be double-free end-to-end —
+    * no IEEE column in its output schema, no IEEE literal in its frozen
+    * VALUES splices. DOUBLE literals/columns are the one surface a
+    * differently-versioned DuckDB in the verification environment can
+    * parse or format differently. */
+  test("splice-backed gates are double-free: schemas and VALUES splices carry no IEEE values") {
+    val gates = Map(
+      "x14_word_centrality" -> Seq("x14_edges"),
+      "q_doremi_mix" -> Seq("doremi_losses", "doremi_trace"),
+      "q_ppl_buckets" -> Seq("ppl_k"))
+    gates.foreach { case (gate, keys) =>
+      val df = SparkEntry.queries(gate)(spark, sfDir)
+      df.collect()
+      df.schema.fields.foreach { f =>
+        assert(f.dataType != org.apache.spark.sql.types.DoubleType &&
+            f.dataType != org.apache.spark.sql.types.FloatType,
+          s"$gate emits IEEE column ${f.name}")
+      }
+      keys.foreach { k =>
+        val frag = SpliceStore.get(k).getOrElse(fail(s"$gate did not freeze $k"))
+        assert(!frag.toUpperCase.contains("DOUBLE") && !frag.toUpperCase.contains("FLOAT"),
+          s"$gate splice $k carries an IEEE cast/literal")
+      }
+    }
+  }
 }

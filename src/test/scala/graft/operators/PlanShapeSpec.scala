@@ -580,6 +580,23 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!b.contains("text#"), s"text reached a shuffle:\n$b")
   }
 
+  test("q_ppl_buckets: tercile window runs on the milli-nat grid, never per-doc micro values") {
+    val df = SparkEntry.queries("q_ppl_buckets")(spark, sfDir)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val windows = fmt.split("\n\n").toSeq
+      .filter(_.linesIterator.nextOption().exists(_.matches("""\(\d+\) Window.*""")))
+    assert(windows.nonEmpty, s"tercile window disappeared from the plan:\n$fmt")
+    // the cumulative window must consume the (lang, kg) GRID histogram —
+    // a window ordered on raw avg_nll_micro has ~doc-count distinct values
+    // and degenerates to one task per language (VERDICT r14 #2)
+    windows.foreach { b =>
+      assert(b.contains("kg#"), s"tercile window no longer on the grid key:\n$b")
+      assert(!b.contains("avg_nll_micro#"),
+        s"tercile window consumes per-doc micro values (unbounded grid):\n$b")
+    }
+  }
+
   test("q_session_conversations: sessionize + assembly share ONE hash exchange") {
     val df = SparkEntry.queries("q_session_conversations")(spark, sfDir)
     val hashEx = exchangeBlocks(df).filter(_.contains("hashpartitioning"))
