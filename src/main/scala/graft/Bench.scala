@@ -1293,8 +1293,14 @@ object Bench {
           try {
             mem.addData(epochRows)
             q.processAllAvailable()
-          } finally q.stop()
-          streamed = decisions(spark.table(qn))
+            streamed = decisions(spark.table(qn))
+          } finally {
+            q.stop()
+            // drop the per-run memory-sink table — with repeats/drift
+            // retries each run's collected rows would otherwise stay
+            // pinned in driver memory for the rest of the sweep (ADVICE r14)
+            spark.catalog.dropTempView(qn); ()
+          }
         }
         if (t < 0) { if (urlIdx != null) urlIdx.unpersist(); if (cIdx != null) cIdx.unpersist(); t }
         else try {
@@ -1662,8 +1668,10 @@ object Bench {
     // ---- same-sweep receipt evaluation (r12 verdict #3) ----
     // Each claim: median of per-lap wall ratios (faster arm / slower arm,
     // laps interleaved in this sweep) < 1, or for byte-metric claims the
-    // profiler's accumulated ratio < 1 (arms ran identical lap counts, so
-    // accumulated counters are comparable). task_ratio rides along as the
+    // ratio of the two arms' MIN-WALL-run shuffle bytes < 1 (per-run
+    // deterministic bytes make single runs comparable — profSnap holds
+    // the min-wall run's metrics since the per-run endRun change, not
+    // accumulated counters; ADVICE r14). task_ratio rides along as the
     // wall-independent cross-check — it is CPU consumed, not latency, so
     // a hypervisor-throttled box distorts both arms equally.
     def medianOf(xs: Seq[Double]): Double = {
@@ -1704,8 +1712,28 @@ object Bench {
           s""""shuffle_bytes_ratio":${r3d(byteRatio)},"ok":$ok}""", ok)
       }
     }
-    val receiptsJson = receiptRows.map(_._2).mkString("{", ",", "}")
-    val receiptsBad = receiptRows.collect { case (k, _, false) => k }
+    // In-sweep receipt for the steady-state amortization claim (VERDICT
+    // r14 #3): epochs 2..N of the SAME 5-epoch run against its first
+    // (cold-start: query start + checkpoint creation) epoch. The arms are
+    // interleaved by construction — seconds apart, same JVM state, same
+    // box phase — so the claim "a long-lived query + persisted index
+    // amortizes startup" is ordering-receipted no matter where the
+    // sweep's absolute wall sits that day (measured 6.4 s/epoch isolated
+    // vs 19 s deep in a 100-entry sweep JVM at probe_ratio 1.06: the
+    // absolute is JVM-state weather; the ratio is the claim).
+    val steadyReceipt = epochSeconds.toSeq.map { es =>
+      val ratios = es.drop(1).map(_ / es.head)
+      val m = medianOf(ratios)
+      val ok = ratios.nonEmpty && m < 1.0
+      if (!ok) System.err.println(
+        f"[bench] RECEIPT BAD: streaming_corpus_steady<cold (wall_median=$m%.3f)")
+      ("streaming_corpus_steady<cold",
+        s""""streaming_corpus_steady<cold":{"metric":"wall","lap_ratios":[${ratios.map(r3d).mkString(",")}],""" +
+        s""""wall_median":${r3d(m)},"task_ratio":-1.0,"shuffle_bytes_ratio":-1.0,"ok":$ok}""", ok)
+    }
+    val allReceiptRows = receiptRows ++ steadyReceipt
+    val receiptsJson = allReceiptRows.map(_._2).mkString("{", ",", "}")
+    val receiptsBad = allReceiptRows.collect { case (k, _, false) => k }
 
     val all = queryTimes ++ syntheticChecked ++ gbps ++ steadyEpoch
     // Profiler sanity (VERDICT r13 #5): the per-entry profile is the
