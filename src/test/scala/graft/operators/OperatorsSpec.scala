@@ -2291,6 +2291,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("registrableDomainMap: PSL longest-match incl. multi-label, wildcard, exception, default") {
+    import spark.implicits._
+    val hosts = Seq(
+      "www.example.com", "news.example.com", "example.com", // plain com
+      "b.blogspot.com", "x.b.blogspot.com",                 // private-section suffix
+      "x.y.co.uk", "y.co.uk", "co.uk",                      // multi-label suffix
+      "bar.ck", "x.bar.ck",                                 // wildcard *.ck
+      "www.ck", "foo.www.ck",                               // exception !www.ck
+      "foo.zz", "a.foo.zz",                                 // unknown TLD → default * rule
+      "example.com:8443",                                   // port stripped
+      "10.1.2.3",                                           // IPv4 → none
+      "com")                                                // host IS a suffix → none
+      .toDF("host")
+    val got = TextOps.registrableDomainMap(hosts, "host")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("www.example.com") === Some("example.com"))
+    assert(got("news.example.com") === Some("example.com"))
+    assert(got("example.com") === Some("example.com"))
+    // blogspot.com outranks com (longest match): each blog is its own site
+    assert(got("b.blogspot.com") === Some("b.blogspot.com"))
+    assert(got("x.b.blogspot.com") === Some("b.blogspot.com"))
+    // co.uk outranks uk
+    assert(got("x.y.co.uk") === Some("y.co.uk"))
+    assert(got("y.co.uk") === Some("y.co.uk"))
+    assert(got("co.uk") === None)
+    // *.ck: every 2-label ck domain is itself a public suffix
+    assert(got("bar.ck") === None)
+    assert(got("x.bar.ck") === Some("x.bar.ck"))
+    // !www.ck overrides the wildcard: suffix is ck, registrable www.ck
+    assert(got("www.ck") === Some("www.ck"))
+    assert(got("foo.www.ck") === Some("www.ck"))
+    // the PSL's implicit * default: the bare TLD is the suffix
+    assert(got("foo.zz") === Some("foo.zz"))
+    assert(got("a.foo.zz") === Some("foo.zz"))
+    assert(got("example.com:8443") === Some("example.com"))
+    assert(got("10.1.2.3") === None)
+    assert(got("com") === None)
+    assert(got.size === hosts.count())
+  }
+
+  test("q_registrable_domain_stats: subdomains fold, each blogspot blog stays separate") {
+    val rows = SparkEntry.queries("q_registrable_domain_stats")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 5 sites × 3 registrables (hN.com, hN.blogspot.com, hN.co.uk)
+    assert(rows.length === 15, rows.mkString(","))
+    rows.foreach { case (reg, nHosts, nPages, nToks) =>
+      assert(reg.matches("h[0-4]\\.(com|blogspot\\.com|co\\.uk)"), reg)
+      // hN.com absorbs both the www (canonical-stripped) and news hosts
+      if (reg.endsWith(".com") && !reg.contains("blogspot"))
+        assert(nHosts === 2L, s"$reg: got $nHosts hosts")
+      else assert(nHosts === 1L, s"$reg: got $nHosts hosts")
+      assert(nPages > 0 && nToks > 0)
+    }
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
