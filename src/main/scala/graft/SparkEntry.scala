@@ -825,6 +825,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- containment remediation, STRIP form (d29's drop alternative,
+    //      VERDICT r14 #6): every % 9 doc gets a planted HOST — its full
+    //      text quoted verbatim plus a 12-token novel commentary trailer.
+    //      The host survives with the quote cut (only the trailer
+    //      remains); the quoted original survives intact — drop-vs-strip
+    //      is the pipeline decision this gate pins against d29. ----
+    "d29b_containment_strip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val trailer = concat_ws(" ", "abcdefghijkl".map(c =>
+        concat(lit(s"zzq$c"), col("doc_id").cast("string"))): _*)
+      val hosts = docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(col("text"), lit(" "), trailer).as("text"))
+      Dedup.stripContainedSpans(docs.unionByName(hosts), "doc_id", "text",
+          ShingleK, ContainmentThreshold, maxDocFrequency = JaccardMaxDf, n = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- brute-force cosine top-k (ANN correctness baseline) ----
     "d5_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -6902,6 +6920,74 @@ object SparkEntry {
            |LEFT JOIN members m ON s.doc_id = m.component
            |WHERE c.component IS NULL OR s.doc_id = c.component
            |ORDER BY s.doc_id""".stripMargin,
+
+      // d28's containment chain re-rooted on the quotation-HOST plant,
+      // then the pair orientation (greater containment = excerpt, tie →
+      // larger id) and the d14b window/islands/strip machinery applied to
+      // the host side only
+      "d29b_containment_strip" ->
+        s"""WITH src AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |         text || ${"abcdefghijkl".map(c => s"' zzq$c' || CAST(doc_id AS VARCHAR)").mkString(" || ")}
+           |  FROM documents WHERE doc_id % 9 = 0),
+           |csh AS (
+           |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+           |         i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingle
+           |  FROM src),
+           |ch AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM csh),
+           |cdf AS (SELECT h, count(*) AS df FROM ch GROUP BY h),
+           |rare AS (SELECT ch.doc_id, ch.h FROM ch JOIN cdf USING (h) WHERE cdf.df <= $JaccardMaxDf),
+           |ccands AS (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+           |csizes AS (SELECT doc_id, count(*) AS sz FROM ch GROUP BY doc_id),
+           |cinter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM ccands c JOIN ch a ON a.doc_id = c.doc_a JOIN ch b ON b.doc_id = c.doc_b AND a.h = b.h
+           |  GROUP BY 1, 2),
+           |cp AS (
+           |  SELECT doc_a, doc_b,
+           |         round(inter::DOUBLE / sa.sz::DOUBLE, 6) AS cont_a,
+           |         round(inter::DOUBLE / sb.sz::DOUBLE, 6) AS cont_b
+           |  FROM cinter JOIN csizes sa ON doc_a = sa.doc_id JOIN csizes sb ON doc_b = sb.doc_id
+           |  WHERE greatest(round(inter::DOUBLE / sa.sz::DOUBLE, 6),
+           |                 round(inter::DOUBLE / sb.sz::DOUBLE, 6)) >= $ContainmentThreshold),
+           |ori AS (
+           |  SELECT CASE WHEN cont_a > cont_b THEN doc_b WHEN cont_b > cont_a THEN doc_a
+           |              ELSE least(doc_a, doc_b) END AS host_id,
+           |         CASE WHEN cont_a > cont_b THEN doc_a WHEN cont_b > cont_a THEN doc_b
+           |              ELSE greatest(doc_a, doc_b) END AS excerpt_id
+           |  FROM cp),
+           |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM src),
+           |w AS (
+           |  SELECT doc_id, u.pos, u.h FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+           |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+           |    FROM t WHERE len(ws) >= 8)),
+           |exw AS (SELECT DISTINCT o.host_id, w.h FROM ori o JOIN w ON w.doc_id = o.excerpt_id),
+           |hot AS (SELECT DISTINCT w.doc_id, w.pos FROM w JOIN exw ON w.doc_id = exw.host_id AND w.h = exw.h),
+           |g AS (SELECT doc_id, pos,
+           |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |      FROM hot),
+           |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM g GROUP BY doc_id, grp),
+           |tk AS (
+           |  SELECT doc_id, u.i, u.tok FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, len(ws) + 1),
+           |        i -> struct_pack(i := i - 1, tok := ws[i]))) AS u
+           |    FROM t)),
+           |kept AS (
+           |  SELECT tk.doc_id, tk.i, tk.tok FROM tk
+           |  WHERE NOT EXISTS (SELECT 1 FROM sp
+           |                    WHERE sp.doc_id = tk.doc_id AND tk.i >= sp.s AND tk.i < sp.e))
+           |SELECT s.doc_id,
+           |       s.doc_id IN (SELECT host_id FROM ori) AS is_host,
+           |       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+           |                 FROM kept k WHERE k.doc_id = s.doc_id), '') AS clean_text
+           |FROM src s ORDER BY s.doc_id""".stripMargin,
 
       "d5_cosine_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

@@ -394,6 +394,58 @@ object Dedup {
         coalesce(col("n_members"), lit(1L)).as("n_members"))
   }
 
+  /** Containment remediation, STRIP form (VERDICT r14 #6 — the d14b-style
+    * alternative to [[survivorsWithContainment]]'s whole-doc drop): for
+    * every verified containment pair the EXCERPT side (the doc whose
+    * shingles sit inside the other — the quotation's source) survives
+    * INTACT, and the HOST is re-emitted with the quoted region cut: the
+    * host's n-token windows appearing verbatim among its excerpt's
+    * windows merge to maximal spans ([[mergeSpans]]) and strip
+    * ([[stripSpans]]), so the host's novel remainder — the commentary
+    * around the quote — survives. Drop-vs-strip is a pipeline decision:
+    * drop loses that commentary; strip keeps it, and keeps the quoted
+    * content exactly once, in its source document.
+    *
+    * Orientation: excerpt = the side with the GREATER containment; on an
+    * exact tie (mutual near-full dup) the LARGER doc_id is the excerpt,
+    * so the lower id survives untouched — consistent with the min-id
+    * survivor convention everywhere else.
+    *
+    * Output: (doc_id, is_host, clean_text) for EVERY document; non-hosts
+    * carry whitespace-normalized text (the [[stripSpans]] contract).
+    *
+    * Scale shape: pairs are [[containmentPairs]]' bucket/df-bounded set;
+    * the excerpt-window join fans out to (host, 128-bit hash) rows at
+    * pair-windows cardinality, the host-window match is an ids+hash
+    * equi-join, and text is touched only inside stripSpans' local
+    * higher-order filter — never an exchange. */
+  def stripContainedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, containmentThreshold: Double, maxDocFrequency: Long,
+      n: Int): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, k,
+      containmentThreshold, maxDocFrequency)
+    val oriented = pairs.select(
+      when(col("cont_a") > col("cont_b"), col("doc_b"))
+        .when(col("cont_b") > col("cont_a"), col("doc_a"))
+        .otherwise(least(col("doc_a"), col("doc_b"))).as("host_id"),
+      when(col("cont_a") > col("cont_b"), col("doc_a"))
+        .when(col("cont_b") > col("cont_a"), col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("excerpt_id"))
+    val wins = windowHashes(docs, idCol, textCol, n)
+    val exWins = wins.select(col("doc_id").as("excerpt_id"), col("h")).distinct()
+    val hostHot = oriented.join(exWins, Seq("excerpt_id"))
+      .select(col("host_id").as("doc_id"), col("h")).distinct()
+    val spans = mergeSpans(
+      wins.join(hostHot, Seq("doc_id", "h")).select("doc_id", "pos"), n)
+    val hosts = oriented.select(col("host_id").as("doc_id")).distinct()
+      .withColumn("is_host", lit(true))
+    stripSpans(docs, idCol, textCol, spans)
+      .join(hosts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_host"), lit(false)).as("is_host"),
+        col("clean_text"))
+  }
+
   /** Incremental (cross-corpus) dedup — the steady-state form a 100 TB
     * corpus actually runs: a NEW batch of documents is deduplicated AGAINST
     * the existing corpus without ever comparing corpus docs to each other.

@@ -2291,6 +2291,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stripContainedSpans: host survives with the quote cut; source intact; drop form removes a doc") {
+    import spark.implicits._
+    val original = (1 to 20).map(i => s"w$i").mkString(" ")
+    val trailer = (1 to 12).map(i => s"novel$i").mkString(" ")
+    val other = "completely unrelated prose about something else entirely with many words"
+    val docs = Seq(
+      (1L, original),               // the quotation's source
+      (2L, s"$original $trailer"),  // host: quotes doc 1 verbatim + novel commentary
+      (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.stripContainedSpans(docs, "doc_id", "text",
+        k = 3, containmentThreshold = 0.8, maxDocFrequency = 100, n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got(1L) === ((false, original)), "the quoted source must survive INTACT")
+    assert(got(2L)._1, "the quoting doc must be flagged as host")
+    assert(got(2L)._2 === trailer,
+      s"the host must keep exactly its novel remainder: '${got(2L)._2}'")
+    assert(got(3L) === ((false, other)), "untouched docs pass through normalized")
+    // drop-vs-strip pinned BOTH ways on the same corpus: the d29 drop form
+    // removes the whole non-minimum member; the strip form kept its novel
+    // remainder above
+    val dropSurvivors = Dedup.survivorsWithContainment(docs, "doc_id", "text",
+        k = 3, numHashes = 64, numBands = 16, jaccardThreshold = 0.8,
+        containmentThreshold = 0.8, maxDocFrequency = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropSurvivors === Set(1L, 3L),
+      s"drop form must remove the host entirely: $dropSurvivors")
+  }
+
   test("registrableDomainMap: PSL longest-match incl. multi-label, wildcard, exception, default") {
     import spark.implicits._
     val hosts = Seq(
