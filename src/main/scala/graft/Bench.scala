@@ -1513,6 +1513,15 @@ object Bench {
     }
 
     val synthetic = syntheticEntries.flatMap { case (name, run) =>
+      // Drop memory-sink temp views leaked by PRIOR entries (every
+      // streaming bench names its sink <kind>bench_<nanos>): with repeats
+      // and retries each sink pins its collected rows in driver memory
+      // for the rest of the sweep — part of the in-process deep-sweep
+      // slowdown behind r14's retry churn (ADVICE r14, generalized past
+      // the webingest entry to all eight sinks).
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.matches(".*bench_\\d+"))
+        .foreach(v => { spark.catalog.dropTempView(v); () })
       if (ranViaGroup.contains(name)) Nil
       else interleavedGroup.get(name) match {
         case Some(group) =>
@@ -1781,7 +1790,23 @@ object Bench {
       s"""{"data_ratio":10.0,"flag_above":${r3(SuperLinearFlagRatio)},""" +
         s""""ratios":$ratios,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.getOrElse("null")
-    val driftJson = driftRetried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Retry triage (VERDICT r14 #5): r14's 20 "drift" retries were, in 16
+    // cases, a COLD FIRST SAMPLE — the retry immediately recovered the
+    // committed min (e.g. 2.02→0.96 s, 2.12→0.43 s), i.e. per-entry
+    // codegen/broadcast/model-training warmth the suite-head warmup cannot
+    // pre-pay. Those are the retry mechanism WORKING, not drift. Split the
+    // report: an entry whose post-retry min is back inside the threshold
+    // is a self-healed `cold_retry`; only an entry STILL out of band after
+    // its retry is real `drift` demanding attention (stale min or genuine
+    // regression). runs_detail keeps every raw sample either way.
+    val (stillDrift, coldRecovered) = driftRetried.distinct.partition { n =>
+      val ts = runDetail.getOrElse(n, Seq.empty).filter(_ >= 0)
+      ts.isEmpty || histMins.get(n).forall(h => ts.min > h * DriftRetryFactor + 0.3)
+    }
+    if (stillDrift.nonEmpty) System.err.println(
+      s"[bench] DRIFT (still out of band after retry): ${stillDrift.mkString(", ")}")
+    val driftJson = stillDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val coldJson = coldRecovered.map("\"" + _ + "\"").mkString("[", ",", "]")
     val eagerJson = eagerCounts.toSeq.sortBy(_._1)
       .map { case (arm, ns) => "\"" + arm + "\":[" + ns.mkString(",") + "]" }
       .mkString("{", ",", "}")
@@ -1794,7 +1819,7 @@ object Bench {
           .mkString("{", ",", "}")},""" +
         s""""timeouts":${loadGateTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val compactExtra =
-      s""""drift_retries":$driftJson,""" +
+      s""""drift_retries":$driftJson,"cold_retries":$coldJson,""" +
         s""""load_gate_timeouts":${loadGateTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""receipts_bad":${receiptsBad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""scaling_flagged":${scaling.map(_._2.map("\"" + _ + "\"").mkString("[", ",", "]")).getOrElse("null")}"""
@@ -1803,7 +1828,8 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
         s""""repeats":$repeats,"runs_detail":$runsJson,"load":[${r3(loadPre)},${r3(loadPost)}],""" +
-        s""""noise_retries":$noiseRetries,"drift_retries":$driftJson,"ext_cpu":$extJson,""" +
+        s""""noise_retries":$noiseRetries,"drift_retries":$driftJson,""" +
+        s""""cold_retries":$coldJson,"ext_cpu":$extJson,""" +
         s""""box_probe_s":${r3(boxProbeSec)},"probe_ratio":${r3(probeRatio)},""" +
         s""""load_gate":$loadGateJson,""" +
         s""""receipts":$receiptsJson,""" +
