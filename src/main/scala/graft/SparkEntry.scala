@@ -1858,6 +1858,23 @@ object SparkEntry {
       TextOps.languageId(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // ---- Unicode-script mix (the model-free writing-system signal next
+    //      to x3's n-gram language ID): % 26 docs become pure Cyrillic
+    //      (dominant flips), % 13 get a Cyrillic phrase appended (mixed,
+    //      dominant stays latin), % 17 a CJK phrase — catches mixed-script
+    //      spam / wrong-script routing at scan speed ----
+    "x18_script_mix" -> ((s, d) => {
+      val planted = Tables.documents(s, d)
+        .withColumn("mixed",
+          when(col("doc_id") % 26 === 0, expr("repeat('привет мир ', 30)"))
+          .when(col("doc_id") % 13 === 0, concat(col("text"), lit(" привет мир")))
+          .otherwise(col("text")))
+        .withColumn("mixed",
+          when(col("doc_id") % 17 === 0, concat(col("mixed"), lit(" 你好世界")))
+            .otherwise(col("mixed")))
+      TextOps.scriptMix(planted, "doc_id", "mixed").orderBy("doc_id")
+    }),
+
     // ---- content fingerprint ----
     "x4_fingerprint" -> ((s, d) => {
       TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
@@ -2111,6 +2128,37 @@ object SparkEntry {
           count(lit(1)).as("n_pages"),
           sum(col("n_toks")).as("n_tokens"))
         .orderBy("registrable_domain")
+    }),
+
+    // ---- per-registrable-domain crawl CAP (the curation rule the eTLD+1
+    //      rollup exists to drive): keep at most K pages per registrable
+    //      domain, longest-first (token count, doc_id tiebreak) — the
+    //      "don't let one site dominate the corpus" gate. The rank+filter
+    //      rides WindowGroupLimit (per-partition top-K heaps, plan
+    //      spec-pinned), never a full per-domain sort; the PSL dimension
+    //      broadcasts. ----
+    "q_domain_cap" -> ((s, d) => {
+      val hostN = (col("doc_id") % 5).cast("string")
+      val res = (col("doc_id") % 20).cast("string")
+      val host =
+        when(col("doc_id") % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
+        .when(col("doc_id") % 4 === 1, concat(lit("news.h"), hostN, lit(".com")))
+        .when(col("doc_id") % 4 === 2, concat(lit("h"), hostN, lit(".blogspot.com")))
+        .otherwise(concat(lit("a.h"), hostN, lit(".co.uk")))
+      val raw = concat(lit("https://"), host, lit("/p/"), res, lit("?a=1"))
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.urlHost(TextOps.canonicalizeUrl(raw)).as("host"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val dim = TextOps.registrableDomainMap(pages.select("host"), "host")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("registrable_domain")
+        .orderBy(col("n_toks").desc, col("doc_id"))
+      pages.join(broadcast(dim), Seq("host"))
+        .withColumn("rank_in_domain", row_number().over(w).cast("long"))
+        .where(col("rank_in_domain") <= 8)
+        .select("registrable_domain", "rank_in_domain", "doc_id", "n_toks")
+        .orderBy("registrable_domain", "rank_in_domain")
     }),
 
     // ---- KMV approximate-distinct sketch over the corpus vocabulary:
@@ -4974,6 +5022,56 @@ object SparkEntry {
       s"('$key', $kind)"
     }.mkString(", ")
 
+  /** Shared CTE stack for the eTLD+1 crawl gates
+    * (`q_registrable_domain_stats`, `q_domain_cap`): the planted
+    * multi-suffix URL corpus → canonicalization → host + token count
+    * (`pages`) → the publicsuffix.org longest-matching-rule replay over
+    * [[pslValues]] (`reg`: host → registrable_domain). One definition so
+    * a rule change hits both oracles or neither. */
+  private def crawlPslCtes: String =
+    s"""raw AS (
+       |  SELECT doc_id, text,
+       |    'https://' ||
+       |    CASE CAST(doc_id % 4 AS INTEGER)
+       |      WHEN 0 THEN 'WWW.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+       |      WHEN 1 THEN 'news.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+       |      WHEN 2 THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.blogspot.com'
+       |      ELSE 'a.h' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+       |    END || '/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1' AS url
+       |  FROM documents),
+       |${urlCanonCtes("rd", "raw")},
+       |pages AS (
+       |  SELECT c.doc_id,
+       |         regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS host,
+       |         len(list_filter(string_split(r.text, ' '), x -> x <> '')) AS n_toks
+       |  FROM rdcanon c JOIN raw r USING (doc_id)),
+       |psl(rule, kind) AS (VALUES $pslValues),
+       |hl AS (
+       |  SELECT host, string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS ls
+       |  FROM (SELECT DISTINCT host FROM pages)),
+       |cand AS (
+       |  SELECT host, len(ls) AS nl, CAST(i AS INTEGER) AS i,
+       |         array_to_string(ls[len(ls) - i + 1:], '.') AS exact_c,
+       |         CASE WHEN i >= 2 THEN '*.' || array_to_string(ls[len(ls) - i + 2:], '.') END AS wild_c
+       |  FROM hl, unnest(range(1, least(len(ls), 5) + 1)) AS u(i)),
+       |mt AS (
+       |  SELECT c.host, c.i, r.kind,
+       |         CASE WHEN r.kind = 2 THEN 1 ELSE 0 END AS exc,
+       |         CASE WHEN r.kind = 2 THEN c.i - 1 ELSE c.i END AS ps
+       |  FROM cand c JOIN psl r
+       |    ON (r.kind <> 1 AND r.rule = c.exact_c) OR (r.kind = 1 AND r.rule = c.wild_c)),
+       |bq AS (
+       |  SELECT host, ps,
+       |         row_number() OVER (PARTITION BY host ORDER BY exc DESC, i DESC, kind ASC) AS rn
+       |  FROM mt),
+       |reg AS (
+       |  SELECT h.host,
+       |    CASE WHEN regexp_matches(array_to_string(h.ls, '.'), '^[0-9.]+$$') THEN NULL
+       |         WHEN len(h.ls) > coalesce(b.ps, 1)
+       |           THEN array_to_string(h.ls[len(h.ls) - coalesce(b.ps, 1):], '.')
+       |         ELSE NULL END AS registrable_domain
+       |  FROM hl h LEFT JOIN (SELECT host, ps FROM bq WHERE rn = 1) b USING (host))""".stripMargin
+
   /** DuckDB replay of [[graft.operators.TextOps.canonicalizeUrl]], verbatim
     * rule for rule (implicit http:// for scheme-less input → fragment drop →
     * scheme/host lowercase → www/default-port strip → trailing-slash strip →
@@ -5413,54 +5511,26 @@ object SparkEntry {
       // labels (minus the leftmost for an exception), default bare TLD;
       // registrable = suffix + one label, NULL when the host IS a suffix
       "q_registrable_domain_stats" ->
-        s"""WITH raw AS (
-           |  SELECT doc_id, text,
-           |    'https://' ||
-           |    CASE CAST(doc_id % 4 AS INTEGER)
-           |      WHEN 0 THEN 'WWW.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
-           |      WHEN 1 THEN 'news.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
-           |      WHEN 2 THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.blogspot.com'
-           |      ELSE 'a.h' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
-           |    END || '/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1' AS url
-           |  FROM documents),
-           |${urlCanonCtes("rd", "raw")},
-           |pages AS (
-           |  SELECT c.doc_id,
-           |         regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS host,
-           |         len(list_filter(string_split(r.text, ' '), x -> x <> '')) AS n_toks
-           |  FROM rdcanon c JOIN raw r USING (doc_id)),
-           |psl(rule, kind) AS (VALUES $pslValues),
-           |hl AS (
-           |  SELECT host, string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS ls
-           |  FROM (SELECT DISTINCT host FROM pages)),
-           |cand AS (
-           |  SELECT host, len(ls) AS nl, CAST(i AS INTEGER) AS i,
-           |         array_to_string(ls[len(ls) - i + 1:], '.') AS exact_c,
-           |         CASE WHEN i >= 2 THEN '*.' || array_to_string(ls[len(ls) - i + 2:], '.') END AS wild_c
-           |  FROM hl, unnest(range(1, least(len(ls), 5) + 1)) AS u(i)),
-           |mt AS (
-           |  SELECT c.host, c.i, r.kind,
-           |         CASE WHEN r.kind = 2 THEN 1 ELSE 0 END AS exc,
-           |         CASE WHEN r.kind = 2 THEN c.i - 1 ELSE c.i END AS ps
-           |  FROM cand c JOIN psl r
-           |    ON (r.kind <> 1 AND r.rule = c.exact_c) OR (r.kind = 1 AND r.rule = c.wild_c)),
-           |bq AS (
-           |  SELECT host, ps,
-           |         row_number() OVER (PARTITION BY host ORDER BY exc DESC, i DESC, kind ASC) AS rn
-           |  FROM mt),
-           |reg AS (
-           |  SELECT h.host,
-           |    CASE WHEN regexp_matches(array_to_string(h.ls, '.'), '^[0-9.]+$$') THEN NULL
-           |         WHEN len(h.ls) > coalesce(b.ps, 1)
-           |           THEN array_to_string(h.ls[len(h.ls) - coalesce(b.ps, 1):], '.')
-           |         ELSE NULL END AS registrable_domain
-           |  FROM hl h LEFT JOIN (SELECT host, ps FROM bq WHERE rn = 1) b USING (host))
+        s"""WITH $crawlPslCtes
            |SELECT r.registrable_domain,
            |       CAST(count(DISTINCT p.host) AS BIGINT) AS n_hosts,
            |       CAST(count(*) AS BIGINT) AS n_pages,
            |       CAST(sum(p.n_toks) AS BIGINT) AS n_tokens
            |FROM pages p JOIN reg r USING (host)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the same crawl + PSL stack, then the cap: longest-first rank per
+      // registrable domain, kept rows only
+      "q_domain_cap" ->
+        s"""WITH $crawlPslCtes,
+           |rk AS (
+           |  SELECT r.registrable_domain, p.doc_id, CAST(p.n_toks AS BIGINT) AS n_toks,
+           |         CAST(row_number() OVER (PARTITION BY r.registrable_domain
+           |                                 ORDER BY p.n_toks DESC, p.doc_id) AS BIGINT) AS rank_in_domain
+           |  FROM pages p JOIN reg r USING (host))
+           |SELECT registrable_domain, rank_in_domain, doc_id, n_toks
+           |FROM rk WHERE rank_in_domain <= 8
+           |ORDER BY registrable_domain, rank_in_domain""".stripMargin,
 
       // same md5-derived 48-bit hashes (+1 to dodge a zero divisor), same
       // BIGINT floor division — the sketch is bit-identical by design
@@ -7361,6 +7431,35 @@ object SparkEntry {
            |      FROM sel)
            |ORDER BY doc_id""".stripMargin
       },
+
+      // same BMP codepoint ranges, same count-by-removal (DuckDB
+      // regexp_replace needs the 'g' flag; Spark's is global by default),
+      // same deterministic dominant-tie order, same round4 share
+      "x18_script_mix" ->
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 26 = 0 THEN repeat('привет мир ', 30)
+          |         WHEN doc_id % 13 = 0 THEN text || ' привет мир'
+          |         ELSE text END ||
+          |    CASE WHEN doc_id % 17 = 0 THEN ' 你好世界' ELSE '' END AS t
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id,
+          |    CAST(len(t) - len(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+          |    CAST(len(t) - len(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+          |    CAST(len(t) - len(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+          |    CAST(len(t) - len(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+          |  FROM planted)
+          |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit,
+          |  n_latin + n_cyrillic + n_cjk AS n_letters,
+          |  CASE WHEN n_latin + n_cyrillic + n_cjk = 0 THEN NULL
+          |       WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+          |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant_script,
+          |  CASE WHEN n_latin + n_cyrillic + n_cjk = 0 THEN NULL
+          |       ELSE floor(greatest(n_latin, n_cyrillic, n_cjk)::DOUBLE
+          |              / (n_latin + n_cyrillic + n_cjk)::DOUBLE * 10000.0 + 0.5) / 10000.0
+          |  END AS dominant_share
+          |FROM c ORDER BY doc_id""".stripMargin,
 
       "x3_language_id" ->
         s"""WITH t AS (

@@ -264,6 +264,38 @@ object TextOps {
       blocklistHits(docs, idCol, textCol, blocklist).select(col("doc_id").as("__bad")),
       col(idCol).cast("long") === col("__bad"), "left_anti")
 
+  /** Per-document Unicode-SCRIPT mix — the writing-system signal a
+    * CCNet-style multilingual pipeline reads alongside the n-gram
+    * language ID ([[languageId]] can only rank languages whose n-gram
+    * profiles it carries; the script histogram is model-free and catches
+    * mixed-script spam, mojibake, and wrong-script routing at scan
+    * speed). Counts per explicit BMP codepoint range (identical count
+    * semantics in every engine — no locale/property-name dependence):
+    * Latin letters, Cyrillic, CJK unified ideographs, digits; plus the
+    * dominant script among the three letter classes (deterministic
+    * Latin > Cyrillic > CJK tie order) and its round4 share of all
+    * letter-class chars (NULL when the doc has none). Pure codegen'd
+    * regexp projections — no shuffle, no UDF. */
+  def scriptMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pattern: String) =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), pattern, ""))).cast("long")
+    val lat = cnt("[A-Za-z]"); val cyr = cnt("[\\u0400-\\u04FF]")
+    val cjk = cnt("[\\u4E00-\\u9FFF]"); val dig = cnt("[0-9]")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        lat.as("n_latin"), cyr.as("n_cyrillic"), cjk.as("n_cjk"), dig.as("n_digit"))
+      .withColumn("n_letters", col("n_latin") + col("n_cyrillic") + col("n_cjk"))
+      .withColumn("dominant_script",
+        when(col("n_letters") === 0, lit(null).cast("string"))
+        .when(col("n_latin") >= col("n_cyrillic") && col("n_latin") >= col("n_cjk"), "latin")
+        .when(col("n_cyrillic") >= col("n_cjk"), "cyrillic")
+        .otherwise("cjk"))
+      .withColumn("dominant_share",
+        when(col("n_letters") === 0, lit(null).cast("double"))
+          .otherwise(round4(greatest(col("n_latin"), col("n_cyrillic"), col("n_cjk"))
+            .cast("double") / col("n_letters").cast("double"))))
+  }
+
   /** Per-document token statistics: token count, char count, distinct tokens,
     * mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =

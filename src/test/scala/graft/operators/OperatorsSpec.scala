@@ -1913,8 +1913,11 @@ class OperatorsSpec extends AnyFunSuite {
       "doremi oracle must splice the ENGINE's per-source losses (the r12 residual live ln)")
     assert(eg.contains("abs(e.loss_q6 - d.loss_q6) > 1"),
       "spliced losses must fail closed against DuckDB's own recomputation within +-1 q6")
-    assert(eg.contains("exp(0.5 * f.excess_q6 / 1000000.0)") && eg.contains("1e-12 * f.factor"),
-      "spliced exp factors must fail closed against DuckDB's own exp (ADVICE r12)")
+    assert(eg.contains("egtrace(round, src, excess_q6, u) AS (VALUES"),
+      "doremi oracle must splice the POST-FLOOR BIGINT weights, never IEEE factors (VERDICT r14 #1)")
+    assert(eg.contains("exp(0.5 * f.excess_q6 / 1000000.0)") && eg.contains("abs(f.u - CAST(floor"),
+      "spliced u weights must fail closed against DuckDB's own floor(w*exp(.)+0.5) within +-1")
+    assert(!eg.contains("AS DOUBLE"), "the doremi oracle must be double-free end-to-end")
     assert(eg.contains("chk.bad = 0"))
     assert(sql("x14_word_centrality").contains("ppmi_e(v, w, m) AS (VALUES"))
     // durability: save -> clear -> load reproduces both oracles byte-for-byte
@@ -2318,6 +2321,30 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(dropSurvivors === Set(1L, 3L),
       s"drop form must remove the host entirely: $dropSurvivors")
+  }
+
+  test("scriptMix: per-range counts, dominant tie order, NULL on letterless docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world 123"),        // latin + digits
+      (2L, "привет мир"),             // pure cyrillic
+      (3L, "你好"),                    // pure cjk
+      (4L, "abc привет"),             // latin 3 vs cyrillic 6 → cyrillic
+      (5L, "ab пр"),                  // 2 vs 2 tie → latin (deterministic order)
+      (6L, "123 456 ..."))            // no letters → NULL dominant/share
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.getString(6)), if (r.isNullAt(7)) None else Some(r.getDouble(7)))))
+      .toMap
+    assert(got(1L) === ((10L, 0L, 0L, 3L, Some("latin"), Some(1.0))))
+    assert(got(2L) === ((0L, 9L, 0L, 0L, Some("cyrillic"), Some(1.0))))
+    assert(got(3L) === ((0L, 0L, 2L, 0L, Some("cjk"), Some(1.0))))
+    assert(got(4L)._5 === Some("cyrillic"))
+    assert(got(4L)._6 === Some(0.6667))
+    assert(got(5L)._5 === Some("latin"), "exact tie must break latin-first")
+    assert(got(6L) === ((0L, 0L, 0L, 6L, None, None)))
   }
 
   test("registrableDomainMap: PSL longest-match incl. multi-label, wildcard, exception, default") {

@@ -597,6 +597,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_domain_cap: per-domain top-K rides WindowGroupLimit heaps; text never shuffles") {
+    val df = SparkEntry.queries("q_domain_cap")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rank<=K filter stopped riding per-partition heaps:\n$plan")
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+  }
+
   test("q_session_conversations: sessionize + assembly share ONE hash exchange") {
     val df = SparkEntry.queries("q_session_conversations")(spark, sfDir)
     val hashEx = exchangeBlocks(df).filter(_.contains("hashpartitioning"))
