@@ -120,9 +120,14 @@ object Verify {
     // differently-versioned DuckDB can parse 1 ulp differently. A tainted
     // gate degrades to the driver's rows-only check (its dynamic oracle is
     // dropped) rather than shipping a flake-prone hash gate.
+    // match CAST syntax only ("::DOUBLE", "AS DOUBLE") — a bare substring
+    // test would false-positive on corpus WORDS inside the x14 edge
+    // splice (e.g. a document containing the token "double")
+    val ieeeCast = java.util.regex.Pattern.compile(
+      "(?i)(::\\s*|\\bAS\\s+)(DOUBLE|FLOAT|REAL)\\b")
     gateFragments.foreach { case (gate, keys) =>
       val tainted = keys.exists(k => SpliceStore.get(k).exists(v =>
-        v.toUpperCase.contains("DOUBLE") || v.toUpperCase.contains("FLOAT")))
+        ieeeCast.matcher(v).find()))
       if (tainted) {
         System.err.println(
           s"[verify] LINT: $gate froze an IEEE-bearing VALUES splice — dropping its oracle (VERDICT r14 #1)")
