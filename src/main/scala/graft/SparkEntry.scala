@@ -2161,6 +2161,35 @@ object SparkEntry {
         .orderBy("registrable_domain", "rank_in_domain")
     }),
 
+    // ---- per-domain crawl BUDGET, steady-state probe form (the batch
+    //      oracle of StreamingPipelines.domainBudgetStream): the % 5 == 0
+    //      docs arrive as an ingest epoch and probe the standing corpus's
+    //      maintained PSL dimension + per-domain admitted counts; with
+    //      budget 30 the two-host .com domains (~40 standing pages each
+    //      at sf0.01) are over while blogspot/co.uk (~20) stay under ----
+    "q_domain_budget" -> ((s, d) => {
+      val hostN = (col("doc_id") % 5).cast("string")
+      val res = (col("doc_id") % 20).cast("string")
+      val host =
+        when(col("doc_id") % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
+        .when(col("doc_id") % 4 === 1, concat(lit("news.h"), hostN, lit(".com")))
+        .when(col("doc_id") % 4 === 2, concat(lit("h"), hostN, lit(".blogspot.com")))
+        .otherwise(concat(lit("a.h"), hostN, lit(".co.uk")))
+      val raw = concat(lit("https://"), host, lit("/p/"), res, lit("?a=1"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), raw.as("url"))
+      val hosts = docs
+        .select(TextOps.urlHost(TextOps.canonicalizeUrl(col("url"))).as("host"))
+      val dim = TextOps.registrableDomainMap(hosts, "host")
+      val counts = docs.where(col("doc_id") % 5 =!= 0)
+        .select(TextOps.urlHost(TextOps.canonicalizeUrl(col("url"))).as("host"))
+        .join(broadcast(dim), Seq("host"))
+        .groupBy("registrable_domain").agg(count(lit(1)).as("n_pages"))
+      graft.streaming.StreamingPipelines.domainBudgetStream(
+          docs.where(col("doc_id") % 5 === 0), dim, counts,
+          "doc_id", "url", budget = 30L)
+        .orderBy("doc_id")
+    }),
+
     // ---- KMV approximate-distinct sketch over the corpus vocabulary:
     //      the deterministic answer to "how many distinct values at
     //      100 TB" (distinct URLs/users/tokens) without an exact
@@ -5518,6 +5547,23 @@ object SparkEntry {
            |       CAST(sum(p.n_toks) AS BIGINT) AS n_tokens
            |FROM pages p JOIN reg r USING (host)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the same crawl + PSL stack: standing (% 5 <> 0) per-domain counts,
+      // then the % 5 = 0 epoch's probe decisions at budget 30
+      "q_domain_budget" ->
+        s"""WITH $crawlPslCtes,
+           |cnt AS (
+           |  SELECT r.registrable_domain, count(*) AS n_pages
+           |  FROM pages p JOIN reg r USING (host)
+           |  WHERE p.doc_id % 5 <> 0 GROUP BY 1)
+           |SELECT p.doc_id, c.canonical_url, p.host, r.registrable_domain,
+           |       CAST(coalesce(cnt.n_pages, 0) AS BIGINT) AS domain_pages,
+           |       coalesce(cnt.n_pages, 0) >= 30 AS over_budget
+           |FROM pages p
+           |JOIN rdcanon c USING (doc_id)
+           |JOIN reg r USING (host)
+           |LEFT JOIN cnt USING (registrable_domain)
+           |WHERE p.doc_id % 5 = 0 ORDER BY p.doc_id""".stripMargin,
 
       // the same crawl + PSL stack, then the cap: longest-first rank per
       // registrable domain, kept rows only

@@ -1146,6 +1146,54 @@ object StreamingPipelines {
           .as("keep"))
   }
 
+  /** Streaming per-domain crawl-BUDGET gate — the steady-state form of
+    * the q_domain_cap curation rule ("one site must not dominate the
+    * corpus"): each incoming page canonicalizes, resolves its host, and
+    * probes TWO maintained tables stream-static — the host →
+    * registrable-domain PSL dimension
+    * ([[graft.operators.TextOps.registrableDomainMap]] computed over the
+    * STANDING host set; the maintenance sink adds newly-seen hosts each
+    * cycle) and the per-domain admitted-page counts. A page is
+    * `over_budget` when its domain has already admitted ≥ `budget`
+    * pages. Deliberately STATELESS (the [[webIngestStream]] contract):
+    * incoming pages never count against each other within an epoch — the
+    * sink folds the admitted epoch into the counts before the next
+    * cycle, so budget enforcement is exact at epoch granularity. A host
+    * absent from the dimension (a NEW site, or one whose host IS a
+    * public suffix) carries a NULL domain, matches no count row, and is
+    * never over budget.
+    *
+    * Works identically on a batch frame (all stages are stateless
+    * projections + stream-static-shaped equi-joins), which is how the
+    * `q_domain_budget` gate oracles it.
+    *
+    * Scale shape: canonicalize/host are codegen projections; both joins
+    * are broadcast-ready dimensions (site and domain cardinality);
+    * per-batch cost O(batch), zero stateful operators. */
+  def domainBudgetStream(incoming: org.apache.spark.sql.DataFrame,
+      pslDim: org.apache.spark.sql.DataFrame,
+      domainCounts: org.apache.spark.sql.DataFrame,
+      idCol: String, urlCol: String, budget: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    incoming.select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.TextOps.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .withColumn("host",
+        graft.operators.TextOps.urlHost(col("canonical_url")))
+      // distinct on both dimensions: accept either the curated view or a
+      // storage table with repeated rows (the blockDedupStream ADVICE
+      // r11 guard)
+      .join(pslDim.select(col("host"), col("registrable_domain")).distinct(),
+        Seq("host"), "left_outer")
+      .join(domainCounts.select(col("registrable_domain"), col("n_pages"))
+          .distinct(),
+        Seq("registrable_domain"), "left_outer")
+      .withColumn("domain_pages", coalesce(col("n_pages"), lit(0L)))
+      .select(col("doc_id"), col("canonical_url"), col("host"),
+        col("registrable_domain"), col("domain_pages"),
+        (col("domain_pages") >= budget).as("over_budget"))
+  }
+
   /** Streaming first-occurrence BLOCK dedup — the ingest form of
     * [[graft.operators.Dedup.incrementalBlockDedup]]: incoming documents'
     * 16-token blocks are hashed row-wise (the identical md5-over-slice

@@ -1235,6 +1235,48 @@ class StreamingSpec extends AnyFunSuite {
     urlIdx.unpersist(); cIdx.unpersist()
   }
 
+  test("domain-budget stream: over-budget domains flagged, new hosts never over, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // maintained tables: PSL dimension over the STANDING host set + the
+    // per-domain admitted counts (budget 3)
+    // dimension keys are CANONICAL hosts (the standing corpus's
+    // canonical-URL hosts — www already stripped), matching what the
+    // probe's own canonicalization produces
+    val dim = graft.operators.TextOps.registrableDomainMap(
+      Seq("example.com", "big.example.com", "small.site.org")
+        .toDF("host"), "host").cache()
+    val counts = Seq(("example.com", 5L), ("site.org", 1L))
+      .toDF("registrable_domain", "n_pages").cache()
+    val incoming = Seq(
+      (20L, "https://WWW.example.com/a?x=1"),   // example.com at 5 >= 3 → over
+      (21L, "https://big.example.com/b"),       // same domain via subdomain → over
+      (22L, "https://small.site.org/c"),        // site.org at 1 < 3 → under
+      (23L, "https://brand.new.io/d"))          // host absent from the dim → never over
+    def decisions(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, String, Option[String], Long, Boolean)] =
+      df.select("doc_id", "host", "registrable_domain", "domain_pages", "over_budget")
+        .as[(Long, String, Option[String], Long, Boolean)].collect().toSet
+    val batch = decisions(StreamingPipelines.domainBudgetStream(
+      incoming.toDF("doc_id", "url"), dim, counts, "doc_id", "url", budget = 3L))
+    def row(id: Long) = batch.find(_._1 == id).get
+    assert(row(20L)._3 === Some("example.com") && row(20L)._4 === 5L && row(20L)._5)
+    assert(row(21L)._3 === Some("example.com") && row(21L)._5,
+      "a subdomain spelling must charge the same registrable domain")
+    assert(row(22L)._4 === 1L && !row(22L)._5)
+    assert(row(23L)._3.isEmpty && row(23L)._4 === 0L && !row(23L)._5,
+      "a host the dimension has not seen is a new site: zero pages, never over")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingPipelines.domainBudgetStream(
+      mem.toDF().toDF("doc_id", "url"), dim, counts, "doc_id", "url", budget = 3L)
+    // stateless: projections + two stream-static joins, append needs no watermark
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("domainbudget").start()
+    try { mem.addData(incoming); q.processAllAvailable() } finally q.stop()
+    assert(decisions(spark.table("domainbudget")) === batch)
+    dim.unpersist(); counts.unpersist(); ()
+  }
+
   test("exact dedup stream: stateless ingest vs the fingerprint index; NFC variants dedup; stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
