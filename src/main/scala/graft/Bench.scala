@@ -122,6 +122,7 @@ object Bench {
       "runtime_bloom_off", "runtime_bloom_on",
       "e2e_build_one_shuffle", "e2e_build_joins",
       "median_filter_hist", "median_filter_sortwindow",
+      "domain_cap_grouplimit", "domain_cap_fullwindow",
       "source_divergence_ckpt", "source_divergence_nockpt",
       "distinct_users_exact", "distinct_users_hll",
       "bm25_index_delete_incremental", "bm25_index_rebuild",
@@ -145,6 +146,7 @@ object Bench {
       Seq("runtime_bloom_off", "runtime_bloom_on"),
       Seq("e2e_build_one_shuffle", "e2e_build_joins"),
       Seq("median_filter_hist", "median_filter_sortwindow"),
+      Seq("domain_cap_grouplimit", "domain_cap_fullwindow"),
       Seq("source_divergence_ckpt", "source_divergence_nockpt"),
       Seq("distinct_users_exact", "distinct_users_hll"),
       Seq("bm25_index_delete_incremental", "bm25_index_rebuild"),
@@ -164,6 +166,12 @@ object Bench {
       ("runtime_bloom_on", "runtime_bloom_off", "shuffle_read_bytes"),
       ("e2e_build_one_shuffle", "e2e_build_joins", "wall"),
       ("median_filter_hist", "median_filter_sortwindow", "wall"),
+      // the cap's claim is the map-side prune: WindowGroupLimit inserts a
+      // per-partition top-K BEFORE the exchange, so the shuffle carries
+      // ~K·partitions rows per group instead of all 5M (measured 11×
+      // byte cut, task 0.58) — the byte ratio is deterministic and
+      // phase-immune where local wall on a warm page cache is not
+      ("domain_cap_grouplimit", "domain_cap_fullwindow", "shuffle_read_bytes"),
       ("source_divergence_ckpt", "source_divergence_nockpt", "wall"),
       ("distinct_users_hll", "distinct_users_exact", "wall"),
       ("bm25_index_delete_incremental", "bm25_index_rebuild", "wall"),
@@ -492,6 +500,15 @@ object Bench {
           .cast("long") % 10001L).cast("double")./(lit(10000.0)).as("q"),
         col("id"))
 
+    // shared frame of the domain-cap A/B: 5M pages over 2000 registrable
+    // domains with md5-derived priorities (deterministic)
+    def domainCapBenchFrame: DataFrame =
+      spark.range(5000000L).select(
+        concat(lit("d"), (col("id") % 2000).cast("string")).as("registrable_domain"),
+        (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100000L).as("n_toks"),
+        col("id").as("doc_id"))
+
     val syntheticEntries = Seq[(String, () => Double)](
       "synthetic_dp_t20" -> (() => timed("synthetic_dp_t20") {
         val contrib = SyntheticSource.zipfContributions(spark, 2000000L, 100000, 50000, 20)
@@ -650,6 +667,35 @@ object Bench {
       // the window arm is a full-corpus range materialization per group;
       // the histogram arm never shuffles the corpus at all (broadcast
       // threshold join). hist runs FIRST so warmup bias is conservative.
+      // Per-domain top-K A/B (the q_domain_cap claim, r15): the rank<=K
+      // filter over a row_number window plans WindowGroupLimit — per-
+      // partition top-K heaps prune each group to K rows BEFORE the final
+      // per-group sort — vs the same query with the optimizer rule
+      // disabled (spark.sql.optimizer.windowGroupLimitThreshold=-1),
+      // which sorts all 5M rows within groups. Heap arm FIRST (warmup
+      // bias lands on our design). Both arms assert the identical kept
+      // count in-entry (2000 domains × 8), so a semantics drift fails
+      // loudly instead of recording a timing for a different computation.
+      "domain_cap_grouplimit" -> (() => timed("domain_cap_grouplimit") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("registrable_domain").orderBy(col("n_toks").desc, col("doc_id"))
+        val kept = domainCapBenchFrame
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 8)
+          .agg(count(lit(1))).collect()(0).getLong(0)
+        require(kept == 16000L, s"domain_cap_grouplimit kept $kept, expected 16000")
+      }),
+      "domain_cap_fullwindow" -> (() => {
+        val prev = spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold", "2147483647")
+        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+        try timed("domain_cap_fullwindow") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("registrable_domain").orderBy(col("n_toks").desc, col("doc_id"))
+          val kept = domainCapBenchFrame
+            .withColumn("rk", row_number().over(w)).where(col("rk") <= 8)
+            .agg(count(lit(1))).collect()(0).getLong(0)
+          require(kept == 16000L, s"domain_cap_fullwindow kept $kept, expected 16000")
+        } finally spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", prev)
+      }),
       "median_filter_hist" -> (() => timed("median_filter_hist") {
         force(CoreOps.perGroupMedianFilter(medianBenchFrame, "g", "q")
           .groupBy("g").agg(count(lit(1)).as("kept")))
