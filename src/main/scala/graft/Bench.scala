@@ -685,8 +685,11 @@ object Bench {
         require(kept == 16000L, s"domain_cap_grouplimit kept $kept, expected 16000")
       }),
       "domain_cap_fullwindow" -> (() => {
-        val prev = spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold", "2147483647")
-        spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+        // getOption, not get-with-fallback: restoring a made-up fallback
+        // would pin a non-default threshold for the rest of the sweep
+        val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "-1")
         try timed("domain_cap_fullwindow") {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("registrable_domain").orderBy(col("n_toks").desc, col("doc_id"))
@@ -694,7 +697,10 @@ object Bench {
             .withColumn("rk", row_number().over(w)).where(col("rk") <= 8)
             .agg(count(lit(1))).collect()(0).getLong(0)
           require(kept == 16000L, s"domain_cap_fullwindow kept $kept, expected 16000")
-        } finally spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", prev)
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       }),
       "median_filter_hist" -> (() => timed("median_filter_hist") {
         force(CoreOps.perGroupMedianFilter(medianBenchFrame, "g", "q")

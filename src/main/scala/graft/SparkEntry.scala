@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dp.DpParams
 import graft.operators.{AsOfJoin, CoreOps, Dedup, DpHistogram, GraphOps, Multimodal, RangeJoin, Sessionize, Similarity, SkewOps, TextOps}
@@ -2107,14 +2107,7 @@ object SparkEntry {
     //      The PSL mapping is a DISTINCT-host-cardinality dimension
     //      broadcast back to the page stats. ----
     "q_registrable_domain_stats" -> ((s, d) => {
-      val hostN = (col("doc_id") % 5).cast("string")
-      val res = (col("doc_id") % 20).cast("string")
-      val host =
-        when(col("doc_id") % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
-        .when(col("doc_id") % 4 === 1, concat(lit("news.h"), hostN, lit(".com")))
-        .when(col("doc_id") % 4 === 2, concat(lit("h"), hostN, lit(".blogspot.com")))
-        .otherwise(concat(lit("a.h"), hostN, lit(".co.uk")))
-      val raw = concat(lit("https://"), host, lit("/p/"), res, lit("?a=1"))
+      val raw = crawlPlantUrl
       val pages = Tables.documents(s, d)
         .select(col("doc_id"),
           TextOps.canonicalizeUrl(raw).as("canonical_url"),
@@ -2138,14 +2131,7 @@ object SparkEntry {
     //      spec-pinned), never a full per-domain sort; the PSL dimension
     //      broadcasts. ----
     "q_domain_cap" -> ((s, d) => {
-      val hostN = (col("doc_id") % 5).cast("string")
-      val res = (col("doc_id") % 20).cast("string")
-      val host =
-        when(col("doc_id") % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
-        .when(col("doc_id") % 4 === 1, concat(lit("news.h"), hostN, lit(".com")))
-        .when(col("doc_id") % 4 === 2, concat(lit("h"), hostN, lit(".blogspot.com")))
-        .otherwise(concat(lit("a.h"), hostN, lit(".co.uk")))
-      val raw = concat(lit("https://"), host, lit("/p/"), res, lit("?a=1"))
+      val raw = crawlPlantUrl
       val pages = Tables.documents(s, d)
         .select(col("doc_id"),
           TextOps.urlHost(TextOps.canonicalizeUrl(raw)).as("host"),
@@ -2168,14 +2154,7 @@ object SparkEntry {
     //      budget 30 the two-host .com domains (~40 standing pages each
     //      at sf0.01) are over while blogspot/co.uk (~20) stay under ----
     "q_domain_budget" -> ((s, d) => {
-      val hostN = (col("doc_id") % 5).cast("string")
-      val res = (col("doc_id") % 20).cast("string")
-      val host =
-        when(col("doc_id") % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
-        .when(col("doc_id") % 4 === 1, concat(lit("news.h"), hostN, lit(".com")))
-        .when(col("doc_id") % 4 === 2, concat(lit("h"), hostN, lit(".blogspot.com")))
-        .otherwise(concat(lit("a.h"), hostN, lit(".co.uk")))
-      val raw = concat(lit("https://"), host, lit("/p/"), res, lit("?a=1"))
+      val raw = crawlPlantUrl
       val docs = Tables.documents(s, d).select(col("doc_id"), raw.as("url"))
       val hosts = docs
         .select(TextOps.urlHost(TextOps.canonicalizeUrl(col("url"))).as("host"))
@@ -5051,6 +5030,21 @@ object SparkEntry {
       s"('$key', $kind)"
     }.mkString(", ")
 
+  /** The planted multi-suffix crawl URL shared by the three eTLD+1 gates
+    * (`q_registrable_domain_stats`, `q_domain_cap`, `q_domain_budget`) —
+    * ONE definition, mirrored by [[crawlPslCtes]]'s `raw` CTE on the
+    * oracle side, so a plant change hits every consumer or none. */
+  private def crawlPlantUrl: Column = {
+    val hostN = (col("doc_id") % 5).cast("string")
+    val res = (col("doc_id") % 20).cast("string")
+    val host =
+      when(col("doc_id") % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
+      .when(col("doc_id") % 4 === 1, concat(lit("news.h"), hostN, lit(".com")))
+      .when(col("doc_id") % 4 === 2, concat(lit("h"), hostN, lit(".blogspot.com")))
+      .otherwise(concat(lit("a.h"), hostN, lit(".co.uk")))
+    concat(lit("https://"), host, lit("/p/"), res, lit("?a=1"))
+  }
+
   /** Shared CTE stack for the eTLD+1 crawl gates
     * (`q_registrable_domain_stats`, `q_domain_cap`): the planted
     * multi-suffix URL corpus → canonicalization → host + token count
@@ -7038,9 +7032,10 @@ object SparkEntry {
            |ORDER BY s.doc_id""".stripMargin,
 
       // d28's containment chain re-rooted on the quotation-HOST plant,
-      // then the pair orientation (greater containment = excerpt, tie →
-      // larger id) and the d14b window/islands/strip machinery applied to
-      // the host side only
+      // then the pair orientation (greater containment = excerpt; tie →
+      // the LOWER id is the excerpt and survives intact, min-id-survivor
+      // convention) and the d14b window/islands/strip machinery applied
+      // to the host side only
       "d29b_containment_strip" ->
         s"""WITH src AS (
            |  SELECT doc_id, text FROM documents
@@ -7072,9 +7067,9 @@ object SparkEntry {
            |                 round(inter::DOUBLE / sb.sz::DOUBLE, 6)) >= $ContainmentThreshold),
            |ori AS (
            |  SELECT CASE WHEN cont_a > cont_b THEN doc_b WHEN cont_b > cont_a THEN doc_a
-           |              ELSE least(doc_a, doc_b) END AS host_id,
+           |              ELSE greatest(doc_a, doc_b) END AS host_id,
            |         CASE WHEN cont_a > cont_b THEN doc_a WHEN cont_b > cont_a THEN doc_b
-           |              ELSE greatest(doc_a, doc_b) END AS excerpt_id
+           |              ELSE least(doc_a, doc_b) END AS excerpt_id
            |  FROM cp),
            |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM src),
            |w AS (
@@ -7498,7 +7493,8 @@ object SparkEntry {
           |  FROM planted)
           |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit,
           |  n_latin + n_cyrillic + n_cjk AS n_letters,
-          |  CASE WHEN n_latin + n_cyrillic + n_cjk = 0 THEN NULL
+          |  CASE WHEN n_latin + n_cyrillic + n_cjk IS NULL THEN NULL
+          |       WHEN n_latin + n_cyrillic + n_cjk = 0 THEN NULL
           |       WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
           |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant_script,
           |  CASE WHEN n_latin + n_cyrillic + n_cjk = 0 THEN NULL

@@ -38,6 +38,10 @@ object Verify {
       }
       val loc = getClass.getProtectionDomain.getCodeSource.getLocation.toURI
       val root = Paths.get(loc)
+      // ALL classes in this build's output — not just graft/* (the
+      // graftbridge classes live under org/apache/spark and are part of
+      // the same build; filtering them out would reopen the stale-splice
+      // fail-open for that compilation unit)
       if (Files.isDirectory(root)) {
         val stream = Files.walk(root)
         try {
@@ -45,7 +49,6 @@ object Verify {
           stream.iterator().asScala
             .filter(p => p.toString.endsWith(".class"))
             .map(p => root.relativize(p).toString.replace('\\', '/'))
-            .filter(_.startsWith("graft/"))
             .toSeq.sorted
             .foreach(rel => digest(rel, Files.readAllBytes(root.resolve(rel))))
         } finally stream.close()
@@ -54,7 +57,7 @@ object Verify {
         try {
           import scala.jdk.CollectionConverters._
           zf.entries().asScala.map(_.getName)
-            .filter(n => n.startsWith("graft/") && n.endsWith(".class"))
+            .filter(_.endsWith(".class"))
             .toSeq.sorted.foreach { n =>
               val is = zf.getInputStream(zf.getEntry(n))
               try digest(n, is.readAllBytes()) finally is.close()

@@ -838,11 +838,13 @@ case class CanonicalFold(child: Expression) extends UnaryExpression {
   * later re-execution. Out-of-domain inputs follow StrictMath itself
   * (ln(0) = -Inf, ln(<0) = NaN) — every quantized call site guards x > 0. */
 case class LnStrict(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
-  // analyzer-inserted cast for non-double children on BOTH eval paths —
-  // without it, generated `StrictMath.log($c)` silently widens an int
-  // while nullSafeEval's asInstanceOf[Double] throws (ADVICE r14)
+  // ImplicitCastInputTypes (NOT plain ExpectsInputTypes, which only
+  // VALIDATES): the analyzer inserts a cast for non-double children, so
+  // both eval paths see a double — without it, generated
+  // `StrictMath.log($c)` silently widens an int while nullSafeEval's
+  // asInstanceOf[Double] throws (ADVICE r14)
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = child.nullable
@@ -863,7 +865,7 @@ case class LnStrict(child: Expression)
   * `StrictMath.exp` in both evaluation paths (Spark's built-in `exp` has the
   * same codegen-StrictMath / interpreted-Math split brain as `log`). */
 case class ExpStrict(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] = Seq(DoubleType)
   override def dataType: DataType = DoubleType

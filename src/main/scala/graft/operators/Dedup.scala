@@ -407,8 +407,9 @@ object Dedup {
     * content exactly once, in its source document.
     *
     * Orientation: excerpt = the side with the GREATER containment; on an
-    * exact tie (mutual near-full dup) the LARGER doc_id is the excerpt,
-    * so the lower id survives untouched — consistent with the min-id
+    * exact tie (mutual near-full dup) the LOWER doc_id is the excerpt —
+    * the excerpt side survives INTACT, so the tie rule keeps the lower
+    * id untouched and strips the higher, consistent with the min-id
     * survivor convention everywhere else.
     *
     * Output: (doc_id, is_host, clean_text) for EVERY document; non-hosts
@@ -427,10 +428,10 @@ object Dedup {
     val oriented = pairs.select(
       when(col("cont_a") > col("cont_b"), col("doc_b"))
         .when(col("cont_b") > col("cont_a"), col("doc_a"))
-        .otherwise(least(col("doc_a"), col("doc_b"))).as("host_id"),
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("host_id"),
       when(col("cont_a") > col("cont_b"), col("doc_a"))
         .when(col("cont_b") > col("cont_a"), col("doc_b"))
-        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("excerpt_id"))
+        .otherwise(least(col("doc_a"), col("doc_b"))).as("excerpt_id"))
     val wins = windowHashes(docs, idCol, textCol, n)
     val exWins = wins.select(col("doc_id").as("excerpt_id"), col("h")).distinct()
     val hostHot = oriented.join(exWins, Seq("excerpt_id"))

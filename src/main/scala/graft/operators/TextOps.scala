@@ -286,7 +286,10 @@ object TextOps {
         lat.as("n_latin"), cyr.as("n_cyrillic"), cjk.as("n_cjk"), dig.as("n_digit"))
       .withColumn("n_letters", col("n_latin") + col("n_cyrillic") + col("n_cjk"))
       .withColumn("dominant_script",
-        when(col("n_letters") === 0, lit(null).cast("string"))
+        // NULL text first: NULL counts make every comparison NULL (falsy)
+        // and would fall through to otherwise("cjk")
+        when(col("n_letters").isNull || col("n_letters") === 0,
+          lit(null).cast("string"))
         .when(col("n_latin") >= col("n_cyrillic") && col("n_latin") >= col("n_cjk"), "latin")
         .when(col("n_cyrillic") >= col("n_cjk"), "cyrillic")
         .otherwise("cjk"))

@@ -2321,6 +2321,16 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(dropSurvivors === Set(1L, 3L),
       s"drop form must remove the host entirely: $dropSurvivors")
+    // exact-tie orientation (mutual full containment): the LOWER id is the
+    // excerpt and survives intact; the higher is the host and strips to
+    // empty — the min-id survivor convention
+    val dup = (1 to 20).map(i => s"t$i").mkString(" ")
+    val tied = Seq((7L, dup), (8L, dup)).toDF("doc_id", "text")
+    val tieGot = Dedup.stripContainedSpans(tied, "doc_id", "text",
+        k = 3, containmentThreshold = 0.8, maxDocFrequency = 100, n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(tieGot(7L) === ((false, dup)), "the lower id must survive untouched on a tie")
+    assert(tieGot(8L) === ((true, "")), "the higher id must be the stripped host on a tie")
   }
 
   test("scriptMix: per-range counts, dominant tie order, NULL on letterless docs") {
