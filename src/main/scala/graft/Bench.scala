@@ -1602,6 +1602,29 @@ object Bench {
           }
           if (extraForNoise || extraForDrift)
             laps = laps :+ group.map(m => m -> sampledEntry(m)).toMap
+          // An even-count lap median has no cold protection (VERDICT r15
+          // #3: a cold-poisoned first lap read [1.78, 0.62] and the
+          // 2-lap "median" averaged to 1.20 → ok:false while the claim
+          // held). When this group's wall-claim lap ratios STRADDLE 1
+          // and the lap count is even, one tie-break joint lap makes the
+          // median an odd-count order statistic — the cold lap is
+          // outvoted instead of averaged in. Agreeing laps stay at 2;
+          // the ratio rule itself is unchanged.
+          val wallClaims = receiptClaims.collect {
+            case (f, sl, "wall") if group.contains(f) && group.contains(sl) => (f, sl)
+          }
+          val straddles = laps.size % 2 == 0 && wallClaims.exists { case (f, sl) =>
+            val rs = laps.flatMap { l =>
+              val (a, b) = (l(f)._1, l(sl)._1)
+              if (a >= 0 && b > 0) Some(a / b) else None
+            }
+            rs.exists(_ < 1.0) && rs.exists(_ >= 1.0)
+          }
+          if (straddles) {
+            System.err.println(s"[bench] group ${group.mkString("/")}: " +
+              "wall-claim lap ratios straddle 1 — one tie-break joint lap")
+            laps = laps :+ group.map(m => m -> sampledEntry(m)).toMap
+          }
           group.map { m =>
             ranViaGroup += m
             val ts = laps.map(_(m)._1)

@@ -1553,6 +1553,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- crawl-CURATION pipeline composed as ONE query (VERDICT r15 #6:
+    //      a crawl-curation user runs cap + memorization audit in the
+    //      same pass, where the web pipelines stop at strip→quality→
+    //      dedup): URL canonicalize → host → PSL registrable domain
+    //      (broadcast dimension) → per-domain longest-first cap (rank
+    //      rides WindowGroupLimit) → per-document memorization-risk
+    //      audit over the POST-CAP corpus (the corpus a training run
+    //      would actually see). Kept ids broadcast back to the text
+    //      table, so document text never crosses an exchange
+    //      (PlanShapeSpec-pinned); the audit itself moves (doc_id, h)
+    //      pair rows only. ----
+    "e2e_crawl_curation" -> ((s, d) => {
+      val (kept, keptDocs) = crawlCurationStages(s, d)
+      val audit = Dedup.memorizationRisk(keptDocs, "doc_id", "text",
+        n = 8, hotDf = 3)
+      kept.join(audit, Seq("doc_id"), "left") // <8-token docs have no windows
+        .select(col("registrable_domain"), col("rank_in_domain"),
+          col("doc_id"), col("n_toks"),
+          coalesce(col("max_df"), lit(0L)).as("max_df"),
+          coalesce(col("n_hot"), lit(0L)).as("n_hot"),
+          (coalesce(col("hot_frac"), lit(0.0)) >= 0.5).as("memorization_flag"))
+        .orderBy("registrable_domain", "rank_in_domain")
+    }),
+
     // ---- DPO-style preference-pair table: every aggregated (winner,
     //      loser) comparison annotated with the trained Bradley–Terry
     //      expected win probability r_w/(r_w+r_l) and rating margin — the
@@ -2600,26 +2624,13 @@ object SparkEntry {
     //      SQL. Distribution shape itself stays golden-pinned in
     //      SyntheticSourceSpec. ----
     "s3_zipf_freq" -> ((s, d) => {
-      // per-JVM path: concurrent Verify/Bench processes must not overwrite
-      // each other's materialization (the oracle dump records this JVM's).
       // The write is a ONE-TIME side effect per JVM — repeat constructions
       // (bench repeats, re-runs) reuse the materialized parquet, so only
       // the first timed run pays the generator I/O (min-of-repeats then
-      // measures the read+aggregate path) — and the file is removed on JVM
-      // exit rather than accumulating under /tmp.
-      // (NOT deleted at this JVM's exit: the driver's DuckDB oracle reads
-      // the parquet AFTER Verify exits. Instead, materializations left by
-      // prior DEAD processes are swept here, so debris never outlives the
-      // round that needs it.)
-      val path = s"/tmp/graft_s3_zipf_input_${ProcessHandle.current().pid()}.parquet"
+      // measures the read+aggregate path). Path contract (pid-scoped /tmp
+      // vs Verify's replay-stable _models dir): [[modelExportPath]].
+      val path = modelExportPath("s3_zipf_input", d)
       if (!lastS3InputPath.contains(path)) {
-        Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.matches("graft_s3_zipf_input_\\d+\\.parquet"))
-          .foreach { f =>
-            val pid = f.getName.stripPrefix("graft_s3_zipf_input_").stripSuffix(".parquet").toLong
-            val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-            if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
-          }
         graft.sources.SyntheticSource.zipfContributions(s, 100000L, 1000, 500, 4).toDF()
           .write.mode("overwrite").parquet(path)
         lastS3InputPath = Some(path)
@@ -2971,6 +2982,11 @@ object SparkEntry {
     "q_quality_median_filter" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
         TextOps.qualityCol(col("text")).as("quality"))
+        // (id, source, quality) is text-free and tiny; its two consumers
+        // inside the filter (threshold histogram + kept-row side) must
+        // not each re-run the quality regex chain over the corpus
+        // (VERDICT r15 #2's sibling smell — 16.4× wall on 10× data)
+        .localCheckpoint()
       CoreOps.perGroupMedianFilter(scored, "source", "quality")
         .select("doc_id", "source", "quality")
         .orderBy("doc_id")
@@ -3539,7 +3555,7 @@ object SparkEntry {
            |vv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
            |x0 AS MATERIALIZED (SELECT v, 1000000 // vv.nv AS x FROM nodes, vv),
            $rounds
-           |SELECT CAST(row_number() OVER (ORDER BY x DESC, v) AS BIGINT) AS rank, v AS word, x AS centrality_q6
+           |SELECT CAST(row_number() OVER (ORDER BY x DESC, v) AS BIGINT) AS rank, v AS word, CAST(x AS BIGINT) AS centrality_q6
            |FROM x8, chk WHERE chk.bad = 0 ORDER BY x DESC, v LIMIT 20""".stripMargin
     }.toMap
 
@@ -3609,8 +3625,8 @@ object SparkEntry {
          |a AS (SELECT src, loss_q6, w, (1000000 * w) // 1000000 AS base, (1000000 * w) % 1000000 AS rem FROM eg8),
          |dd AS (SELECT 1000000 - sum(base) AS deficit, count(*) AS ns FROM a),
          |r AS (SELECT src, loss_q6, w, base, row_number() OVER (ORDER BY rem DESC, src) AS rk FROM a)
-         |SELECT src AS source, loss_q6, w AS w_q6,
-         |  base + (SELECT deficit // ns FROM dd) + CASE WHEN rk <= (SELECT deficit % ns FROM dd) THEN 1 ELSE 0 END AS target_tokens
+         |SELECT src AS source, loss_q6, CAST(w AS BIGINT) AS w_q6,
+         |  CAST(base + (SELECT deficit // ns FROM dd) + CASE WHEN rk <= (SELECT deficit % ns FROM dd) THEN 1 ELSE 0 END AS BIGINT) AS target_tokens
          |FROM r, chk WHERE chk.bad = 0
          |  AND (SELECT coalesce(sum(bad), 0) FROM ($uBad)) = 0
          |ORDER BY source""".stripMargin
@@ -4078,6 +4094,49 @@ object SparkEntry {
              |FROM cells ORDER BY thr_q6""".stripMargin)
     }.toMap
 
+  /** Base dir for every model/generator parquet a DuckDB oracle reads by
+    * absolute path. [[Verify]] points this at `<outDir>/_models` BEFORE
+    * running any gate, so the paths baked into the dumped `oracle_sql.json`
+    * outlive the JVM — a later replay (the driver's DuckDB pass, or
+    * `tools/check_oracle.py` against the committed dump) still finds its
+    * model tables (VERDICT r15 #4: nine oracles previously pointed at
+    * pid-scoped `/tmp` files that died with the process). Unset (bench and
+    * spec JVMs, where nothing replays the dumped SQL later) → the /tmp
+    * pid-scoped contract with a dead-JVM debris sweep. */
+  @volatile var modelExportDir: Option[String] = None
+
+  /** Export path for oracle-referenced model `family` (optionally
+    * variant-`suffix`ed) trained at sf-dir `d`. Under [[modelExportDir]]
+    * the name is pid-FREE — stable across JVMs, so a fresh full Verify run
+    * retrains and overwrites in place while a post-mortem DuckDB replay of
+    * the previous dump still resolves; under /tmp it is pid-scoped
+    * (concurrent Verify/Bench JVMs must not clobber each other) and dead
+    * JVMs' leftovers of the same family are swept first. The sf tag stays
+    * in the name in BOTH modes: the bench's cross-sf scaling rerun must
+    * retrain at the small sf rather than silently reuse the big-sf model. */
+  private def modelExportPath(family: String, d: String,
+      suffix: String = ""): String = {
+    val sf = d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val tail = if (suffix.isEmpty) "" else s"${suffix}_"
+    modelExportDir match {
+      case Some(base) =>
+        new java.io.File(base).mkdirs()
+        s"$base/${family}_$tail$sf.parquet"
+      case None =>
+        Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+          // (_.*)? also matches the pre-r16 suffix-less s3 name, so old
+          // debris from earlier builds is swept too
+          .filter(_.getName.matches(s"graft_${family}_\\d+(_.*)?\\.parquet"))
+          .foreach { f =>
+            val pid = f.getName.stripPrefix(s"graft_${family}_")
+              .takeWhile(_.isDigit).toLong
+            val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+            if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
+          }
+        s"/tmp/graft_${family}_${ProcessHandle.current().pid()}_$tail$sf.parquet"
+    }
+  }
+
   /** Where the s3 gate materialized its generator output (set when the gate
     * runs; Verify processes one dataset per JVM, same contract as
     * [[graft.operators.Similarity.lastIvfCentroids]]). */
@@ -4088,29 +4147,19 @@ object SparkEntry {
 
   /** Where the x13 gate exported its trained (word, n_tokens, freq,
     * tokens) model, and the learned merge list itself (spec
-    * introspection). The path embeds pid AND sf dir: the bench's cross-sf
-    * scaling rerun must retrain at the small sf rather than silently
-    * applying the big-sf model. */
+    * introspection). Path contract: [[modelExportPath]] (sf stays in the
+    * name, so the bench's cross-sf scaling rerun retrains at the small sf
+    * rather than silently applying the big-sf model). */
   @volatile private var lastX13ModelPath: Option[String] = None
   @volatile private[graft] var lastX13Merges: Option[Seq[(String, String)]] = None
 
   /** Train-once-per-(JVM, sf) BPE model export shared by the x13 gate and
-    * the e2e tokenizer gate: sweeps dead-JVM leftovers (the s3 pattern),
-    * trains [[graft.operators.TextOps.bpeTrain]] on the corpus, and
-    * materializes the model parquet the gates AND the DuckDB oracles read. */
+    * the e2e tokenizer gate: trains [[graft.operators.TextOps.bpeTrain]]
+    * on the corpus and materializes the model parquet the gates AND the
+    * DuckDB oracles read. Path contract: [[modelExportPath]]. */
   private def ensureBpeModel(s: SparkSession, d: String): String = {
-    val path = s"/tmp/graft_x13_bpe_model_${ProcessHandle.current().pid()}_" +
-      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    val path = modelExportPath("x13_bpe_model", d)
     if (!lastX13ModelPath.contains(path)) {
-      // sweep models left by dead JVMs (never this round's live ones)
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("graft_x13_bpe_model_\\d+_.*\\.parquet"))
-        .foreach { f =>
-          val pid = f.getName.stripPrefix("graft_x13_bpe_model_")
-            .takeWhile(_.isDigit).toLong
-          val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-          if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
-        }
       val (merges, wordTokens) =
         TextOps.bpeTrainAuto(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
           numMerges = X13NumMerges)
@@ -4127,8 +4176,7 @@ object SparkEntry {
     * both path families). */
   @volatile private var lastX13SplitModelPath: Option[String] = None
   private def ensureBpeModelSplit(s: SparkSession, d: String): String = {
-    val path = s"/tmp/graft_x13_bpe_model_${ProcessHandle.current().pid()}_split_" +
-      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    val path = modelExportPath("x13_bpe_model", d, suffix = "split")
     if (!lastX13SplitModelPath.contains(path)) {
       val (_, wordTokens) = TextOps.bpeTrainAuto(
         TextOps.bpeWordFreq(Tables.documents(s, d).where(col("doc_id") % 5 =!= 0), "text"),
@@ -4147,17 +4195,8 @@ object SparkEntry {
     * pid+sf path contract and dead-JVM sweep as [[ensureBpeModel]]. */
   @volatile private var lastBpeCurvePath: Option[String] = None
   private def ensureBpeCurveModel(s: SparkSession, d: String): String = {
-    val path = s"/tmp/graft_bpe_curve_${ProcessHandle.current().pid()}_" +
-      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    val path = modelExportPath("bpe_curve", d)
     if (!lastBpeCurvePath.contains(path)) {
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("graft_bpe_curve_\\d+_.*\\.parquet"))
-        .foreach { f =>
-          val pid = f.getName.stripPrefix("graft_bpe_curve_")
-            .takeWhile(_.isDigit).toLong
-          val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-          if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
-        }
       ensureBpeModel(s, d) // trains (or reuses) and publishes lastX13Merges
       TextOps.bpeSizeCurve(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
           lastX13Merges.get, BpeCurveGrid)
@@ -4178,17 +4217,8 @@ object SparkEntry {
     * an induction hypothesis, not a trusted answer. */
   @volatile private var lastKCenterPath: Option[String] = None
   private def ensureKCenterModel(s: SparkSession, d: String): String = {
-    val path = s"/tmp/graft_kcenter_${ProcessHandle.current().pid()}_" +
-      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    val path = modelExportPath("kcenter", d)
     if (!lastKCenterPath.contains(path)) {
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("graft_kcenter_\\d+_.*\\.parquet"))
-        .foreach { f =>
-          val pid = f.getName.stripPrefix("graft_kcenter_")
-            .takeWhile(_.isDigit).toLong
-          val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-          if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
-        }
       import s.implicits._
       graft.operators.Similarity.kCenterGreedy(Tables.embeddings(s, d), KCenterK)
         .toDF("rank", "vec_id", "dist2")
@@ -4264,17 +4294,8 @@ object SparkEntry {
   }
 
   private def ensureBtModel(s: SparkSession, d: String): String = {
-    val path = s"/tmp/graft_bt_ratings_${ProcessHandle.current().pid()}_" +
-      d.replaceAll("[^a-zA-Z0-9.]", "_") + ".parquet"
+    val path = modelExportPath("bt_ratings", d)
     if (!lastBtModelPath.contains(path)) {
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("graft_bt_ratings_\\d+_.*\\.parquet"))
-        .foreach { f =>
-          val pid = f.getName.stripPrefix("graft_bt_ratings_")
-            .takeWhile(_.isDigit).toLong
-          val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-          if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
-        }
       val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
       val comps = graft.operators.Preference.comparisonsFromEvents(
         ev, "user_id", "ts_us", "event_id", "event_type", "value")
@@ -5038,11 +5059,44 @@ object SparkEntry {
     val hostN = (col("doc_id") % 5).cast("string")
     val res = (col("doc_id") % 20).cast("string")
     val host =
-      when(col("doc_id") % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
+      // sparse IP-literal plants (VERDICT r15 #7): a bracketed IPv6
+      // authority with a non-default port and a bare dotted IPv4 — both
+      // map to a NULL registrable domain under the PSL (IP literals have
+      // none), exercising the NULL group/order path in all three gates
+      when(col("doc_id") % 19 === 3, lit("[2001:db8::1]:8080"))
+      .when(col("doc_id") % 19 === 7, lit("192.0.2.1"))
+      .when(col("doc_id") % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
       .when(col("doc_id") % 4 === 1, concat(lit("news.h"), hostN, lit(".com")))
       .when(col("doc_id") % 4 === 2, concat(lit("h"), hostN, lit(".blogspot.com")))
       .otherwise(concat(lit("a.h"), hostN, lit(".co.uk")))
     concat(lit("https://"), host, lit("/p/"), res, lit("?a=1"))
+  }
+
+  /** The cap and post-cap stages of the `e2e_crawl_curation` gate, split
+    * out so PlanShapeSpec can pin the pre-audit join shape (the
+    * [[graft.operators.Dedup.memorizationRisk]] audit localCheckpoints
+    * its pair table, which truncates the lineage the returned plan
+    * shows): `kept` is the per-domain longest-first cap output
+    * (registrable_domain, rank_in_domain, doc_id, n_toks, host); `keptDocs`
+    * is the documents table semi-joined to the kept ids with the id set
+    * explicitly BROADCAST — the text relation must never move through an
+    * exchange to meet the post-cap filter. */
+  private[graft] def crawlCurationStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val pages = docs.select(col("doc_id"),
+      TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    val dim = TextOps.registrableDomainMap(pages.select("host"), "host")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("registrable_domain")
+      .orderBy(col("n_toks").desc, col("doc_id"))
+    val kept = pages.join(broadcast(dim), Seq("host"))
+      .withColumn("rank_in_domain", row_number().over(w).cast("long"))
+      .where(col("rank_in_domain") <= 8)
+    val keptDocs = docs.join(broadcast(kept.select("doc_id")),
+      Seq("doc_id"), "left_semi")
+    (kept, keptDocs)
   }
 
   /** Shared CTE stack for the eTLD+1 crawl gates
@@ -5055,11 +5109,12 @@ object SparkEntry {
     s"""raw AS (
        |  SELECT doc_id, text,
        |    'https://' ||
-       |    CASE CAST(doc_id % 4 AS INTEGER)
-       |      WHEN 0 THEN 'WWW.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
-       |      WHEN 1 THEN 'news.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
-       |      WHEN 2 THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.blogspot.com'
-       |      ELSE 'a.h' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+       |    CASE WHEN doc_id % 19 = 3 THEN '[2001:db8::1]:8080'
+       |         WHEN doc_id % 19 = 7 THEN '192.0.2.1'
+       |         WHEN doc_id % 4 = 0 THEN 'WWW.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+       |         WHEN doc_id % 4 = 1 THEN 'news.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+       |         WHEN doc_id % 4 = 2 THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.blogspot.com'
+       |         ELSE 'a.h' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
        |    END || '/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1' AS url
        |  FROM documents),
        |${urlCanonCtes("rd", "raw")},
@@ -5076,7 +5131,7 @@ object SparkEntry {
        |  SELECT host, len(ls) AS nl, CAST(i AS INTEGER) AS i,
        |         array_to_string(ls[len(ls) - i + 1:], '.') AS exact_c,
        |         CASE WHEN i >= 2 THEN '*.' || array_to_string(ls[len(ls) - i + 2:], '.') END AS wild_c
-       |  FROM hl, unnest(range(1, least(len(ls), 5) + 1)) AS u(i)),
+       |  FROM hl, unnest(range(1, least(len(ls), ${graft.operators.TextOps.pslCandidateDepth()}) + 1)) AS u(i)),
        |mt AS (
        |  SELECT c.host, c.i, r.kind,
        |         CASE WHEN r.kind = 2 THEN 1 ELSE 0 END AS exc,
@@ -5089,7 +5144,8 @@ object SparkEntry {
        |  FROM mt),
        |reg AS (
        |  SELECT h.host,
-       |    CASE WHEN regexp_matches(array_to_string(h.ls, '.'), '^[0-9.]+$$') THEN NULL
+       |    CASE WHEN h.host LIKE '[%' THEN NULL
+       |         WHEN regexp_matches(array_to_string(h.ls, '.'), '^[0-9.]+$$') THEN NULL
        |         WHEN len(h.ls) > coalesce(b.ps, 1)
        |           THEN array_to_string(h.ls[len(h.ls) - coalesce(b.ps, 1):], '.')
        |         ELSE NULL END AS registrable_domain
@@ -5540,7 +5596,7 @@ object SparkEntry {
            |       CAST(count(*) AS BIGINT) AS n_pages,
            |       CAST(sum(p.n_toks) AS BIGINT) AS n_tokens
            |FROM pages p JOIN reg r USING (host)
-           |GROUP BY 1 ORDER BY 1""".stripMargin,
+           |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
       // the same crawl + PSL stack: standing (% 5 <> 0) per-domain counts,
       // then the % 5 = 0 epoch's probe decisions at budget 30
@@ -5570,7 +5626,44 @@ object SparkEntry {
            |  FROM pages p JOIN reg r USING (host))
            |SELECT registrable_domain, rank_in_domain, doc_id, n_toks
            |FROM rk WHERE rank_in_domain <= 8
-           |ORDER BY registrable_domain, rank_in_domain""".stripMargin,
+           |-- NULLS FIRST pins DuckDB to Spark's ascending default: the
+           |-- IP-literal plants put real rows in the NULL domain group
+           |-- (ADVICE r15)
+           |ORDER BY registrable_domain NULLS FIRST, rank_in_domain""".stripMargin,
+
+      // the composed crawl-curation chain: the same crawl + PSL + cap
+      // stack, then the q_memorization_risk window/df machinery replayed
+      // over the POST-CAP document set only
+      "e2e_crawl_curation" ->
+        s"""WITH $crawlPslCtes,
+           |rk AS (
+           |  SELECT r.registrable_domain, p.doc_id, CAST(p.n_toks AS BIGINT) AS n_toks,
+           |         CAST(row_number() OVER (PARTITION BY r.registrable_domain
+           |                                 ORDER BY p.n_toks DESC, p.doc_id) AS BIGINT) AS rank_in_domain
+           |  FROM pages p JOIN reg r USING (host)),
+           |kept AS (SELECT * FROM rk WHERE rank_in_domain <= 8),
+           |t AS (
+           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           |  FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)),
+           |w AS (
+           |  SELECT doc_id, u.pos, u.h FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, greatest(len(ws) - 8, -1) + 2),
+           |        i -> struct_pack(pos := i - 1, h := md5(array_to_string(ws[i:i+7], ' '))))) AS u
+           |    FROM t WHERE len(ws) >= 8)),
+           |f AS (SELECT h, count(DISTINCT doc_id) AS df FROM w GROUP BY h),
+           |a AS (
+           |  SELECT w.doc_id, count(*) AS nw, max(f.df) AS mdf,
+           |         count(CASE WHEN f.df >= 3 THEN 1 END) AS nh
+           |  FROM w JOIN f USING (h) GROUP BY w.doc_id)
+           |SELECT k.registrable_domain, k.rank_in_domain, k.doc_id, k.n_toks,
+           |       CAST(coalesce(a.mdf, 0) AS BIGINT) AS max_df,
+           |       CAST(coalesce(a.nh, 0) AS BIGINT) AS n_hot,
+           |       CASE WHEN a.doc_id IS NULL THEN FALSE
+           |            ELSE floor(a.nh::DOUBLE / a.nw::DOUBLE * 10000.0 + 0.5) / 10000.0 >= 0.5
+           |       END AS memorization_flag
+           |FROM kept k LEFT JOIN a USING (doc_id)
+           |ORDER BY k.registrable_domain NULLS FIRST, k.rank_in_domain""".stripMargin,
 
       // same md5-derived 48-bit hashes (+1 to dodge a zero divisor), same
       // BIGINT floor division — the sketch is bit-identical by design

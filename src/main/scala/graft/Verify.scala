@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Model/generator exports the oracles read by absolute path go UNDER
+    // the out-dir (VERDICT r15 #4): the dumped oracle_sql.json must replay
+    // after this JVM exits — pid-scoped /tmp paths died with the process,
+    // so `tools/check_oracle.py` against a committed dump read 9 ORACLE-ERR.
+    SparkEntry.modelExportDir = Some(s"$outDir/_models")
     // optional comma-separated filter for local iteration (unset in the
     // driver's per-round run → full dump)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -65,7 +70,15 @@ object Verify {
         } finally zf.close()
       }
       md.digest().map("%02x".format(_)).mkString
-    } catch { case scala.util.control.NonFatal(_) => "" }
+    } catch { case scala.util.control.NonFatal(_) =>
+      // fail CLOSED (ADVICE r15): an empty version reads as "unversioned"
+      // and accepts ANY persisted store — exactly the stale-splice
+      // fail-open the fingerprint exists to close. A unique sentinel can
+      // never match a stored stamp, so an unfingerprintable build discards
+      // the store (and stamps its save un-reloadably) instead.
+      System.err.println("[verify] build fingerprint failed - frozen splices disabled this run")
+      "unfingerprinted-" + java.util.UUID.randomUUID()
+    }
     if (!SpliceStore.loadAll(spliceFile, builderVersion) &&
         java.nio.file.Files.exists(spliceFile))
       System.err.println(
@@ -81,7 +94,10 @@ object Verify {
     if (only.isEmpty) {
       val live = SparkEntry.queries.keySet
       Option(new java.io.File(outDir).listFiles).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !live.contains(f.getName))
+        // "_"-prefixed dirs (_models) are harness artifacts, not query
+        // outputs — gates overwrite their own model files in place
+        .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+          !live.contains(f.getName))
         .foreach { f => System.err.println(s"[verify] dropping stale ${f.getName}"); deleteRec(f) }
     }
     // fragment keys each gate freezes OUTSIDE the `sql:<name>` convention —
@@ -149,13 +165,88 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val oracles = SparkEntry.oracleSql
+    def dump(m: Map[String, String]): Unit = {
+      val json = m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      ()
+    }
+    dump(oracles)
+    // Lint (VERDICT r15 #1): no oracle may type an output column as
+    // HUGEINT/DECIMAL under DuckDB. Spark writes int64; a type-aware
+    // driver canonicalization (Arrow decimal128 vs int64) hash-mismatches
+    // on type alone while values compare equal — the five-round
+    // q_doremi_mix/x14 signature (rows ✓ schema ✓ hash ✗, immune to every
+    // math-side fix). DuckDB silently widens BIGINT sum()/floor-div
+    // chains, so only a binder-side probe catches the class; a flagged
+    // gate degrades to the driver's rows-only check (same policy as the
+    // IEEE-splice lint) rather than shipping a flake-prone hash gate.
+    val tainted = OracleTypeLint.decimalColumns(sfDir, s"$outDir/oracle_sql.json")
+    if (tainted.nonEmpty) {
+      tainted.foreach { case (gate, col) =>
+        System.err.println(
+          s"[verify] LINT: $gate oracle output types as $col under DuckDB — dropping its oracle (VERDICT r15 #1)")
+      }
+      tainted.keys.foreach(g => SpliceStore.remove(s"sql:$g"))
+      dump(oracles -- tainted.keys)
+    }
     // oracleSql just pushed every live dynamic oracle into the store —
     // persist it for the next (possibly filtered) run, stamped with this
     // builder's version
     SpliceStore.saveAll(spliceFile, builderVersion)
     spark.stop()
+  }
+}
+
+/** Dump-time DuckDB output-type probe behind the Verify lint above. The
+  * only sound check for the HUGEINT class is the DuckDB binder itself
+  * (static SQL inspection cannot type-propagate: the r15 red `w AS w_q6`
+  * carries no arithmetic in its final projection), so this shells out to
+  * the verification environment's python3+duckdb — present wherever the
+  * driver's own DuckDB compare runs — and DESCRIBEs every dumped oracle
+  * (bind/plan only, nothing executes). Best-effort by design: where the
+  * tooling is absent (plain dev JVMs) the lint logs and keeps all oracles,
+  * and `tools/check_oracle.py` carries the same check as a hard FAIL. */
+private object OracleTypeLint {
+  private val py =
+    """import sys, json, duckdb
+      |sf, path = sys.argv[1], sys.argv[2]
+      |con = duckdb.connect()
+      |for t in ["region", "nation", "customer", "supplier", "part",
+      |          "orders", "lineitem", "events", "documents", "embeddings"]:
+      |    con.execute("CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'" % (t, sf, t))
+      |for name, sql in sorted(json.load(open(path)).items()):
+      |    try:
+      |        for row in con.execute("DESCRIBE " + sql).fetchall():
+      |            typ = str(row[1]).upper()
+      |            if "HUGEINT" in typ or "DECIMAL" in typ:
+      |                print("%s\t%s\t%s" % (name, row[0], typ))
+      |    except Exception:
+      |        pass  # runnability is the driver compare's business, not this lint's
+      |print("[verify] type lint probed %d oracles" % len(json.load(open(path))),
+      |      file=sys.stderr)
+      |""".stripMargin
+
+  /** gate -> "column TYPE" for every oracle in `jsonPath` whose DuckDB
+    * result schema contains a HUGEINT/DECIMAL column; empty when clean OR
+    * when the probe tooling is unavailable (logged). */
+  def decimalColumns(sfDir: String, jsonPath: String): Map[String, String] = try {
+    val pb = new ProcessBuilder("python3", "-c", py, sfDir, jsonPath)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor()
+    if (p.exitValue() != 0) {
+      System.err.println(s"[verify] type lint unavailable (python exit ${p.exitValue()})")
+      Map.empty
+    } else
+      out.linesIterator.flatMap(_.split("\t") match {
+        case Array(g, c, t) => Some(g -> s"$c $t")
+        case _ => None
+      }).toMap
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] type lint unavailable: ${e.getMessage}")
+      Map.empty
   }
 }

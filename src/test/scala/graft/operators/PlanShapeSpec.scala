@@ -495,6 +495,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e_crawl_curation: text never crosses an exchange; kept ids broadcast back") {
+    val df = SparkEntry.queries("e2e_crawl_curation")(spark, sfDir)
+    val tokArray = """(?<![a-zA-Z_])(toks|ws)#""".r
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(tokArray.findFirstIn(b).isEmpty,
+        s"an exchange carries a token array:\n$b")
+    }
+    // The audit's localCheckpoint truncates the returned plan before the
+    // post-cap semi-join, so pin the pre-audit stage directly: the kept
+    // id set must reach the text table as a BROADCAST semi-join — a
+    // shuffled semi-join would move the documents relation (with text)
+    // through an exchange
+    val (_, keptDocs) = SparkEntry.crawlCurationStages(spark, sfDir)
+    val plan = keptDocs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftsemi"),
+      s"kept ids are not a broadcast semi-join against documents:\n${plan.take(4000)}")
+    for (b <- exchangeBlocks(keptDocs))
+      assert(!b.contains("text#"),
+        s"the pre-audit stage moves text through an exchange:\n$b")
+  }
+
   test("d15b_contamination_fraction: neither text nor token arrays enter any exchange") {
     val docs = Tables.documents(spark, sfDir)
     val df = Dedup.contaminationFraction(

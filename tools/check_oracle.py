@@ -63,10 +63,24 @@ def main(sf_dir, out_dir):
             f"SELECT * FROM read_parquet({files!r})")
         spark_rows, spark_cols = spark.fetchall(), [d[0] for d in spark.description]
         try:
+            # Type gate (VERDICT r15 #1): DuckDB widens BIGINT sum()/
+            # floor-div chains to HUGEINT; Spark writes int64. A type-aware
+            # hash canonicalization (Arrow decimal128 vs int64) mismatches
+            # on type alone while values compare equal, so a HUGEINT/
+            # DECIMAL output column is a hard FAIL even when every cell
+            # matches. DESCRIBE binds without executing.
+            badtypes = [f"{c}:{t}" for c, t, *_ in
+                        con.execute("DESCRIBE " + sqls[name]).fetchall()
+                        if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()]
             oracle = con.execute(sqls[name])
             oracle_rows, oracle_cols = oracle.fetchall(), [d[0] for d in oracle.description]
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
+            n_fail += 1
+            continue
+        if badtypes:
+            print(f"FAIL     {name}: HUGEINT/DECIMAL oracle output {badtypes}"
+                  " (driver hash canonicalization mismatch, VERDICT r15 #1)")
             n_fail += 1
             continue
         issues = compare(name, spark_rows, spark_cols, oracle_rows, oracle_cols)
@@ -82,7 +96,8 @@ def main(sf_dir, out_dir):
     import os
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
-        if os.path.isdir(p) and d not in sqls:
+        # "_"-prefixed dirs (_models) are harness artifacts, not query outputs
+        if os.path.isdir(p) and not d.startswith("_") and d not in sqls:
             rows = duckdb.connect().execute(
                 f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
             status = "ROWS-OK " if rows > 0 else "ROWS-EMPTY"
