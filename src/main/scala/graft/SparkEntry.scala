@@ -2138,7 +2138,8 @@ object SparkEntry {
           size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
         .select(col("canonical_url"),
           TextOps.urlHost(col("canonical_url")).as("host"), col("n_toks"))
-      val dim = TextOps.registrableDomainMap(pages.select("host"), "host")
+      val dim = TextOps.registrableDomainMap(pages.select("host"), "host",
+        rules = TextOps.PublicSuffixRulesFull)
       pages.join(broadcast(dim), Seq("host"))
         .groupBy("registrable_domain")
         .agg(countDistinct(col("host")).as("n_hosts"),
@@ -2160,7 +2161,8 @@ object SparkEntry {
         .select(col("doc_id"),
           TextOps.urlHost(TextOps.canonicalizeUrl(raw)).as("host"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
-      val dim = TextOps.registrableDomainMap(pages.select("host"), "host")
+      val dim = TextOps.registrableDomainMap(pages.select("host"), "host",
+        rules = TextOps.PublicSuffixRulesFull)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("registrable_domain")
         .orderBy(col("n_toks").desc, col("doc_id"))
@@ -2182,7 +2184,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select(col("doc_id"), raw.as("url"))
       val hosts = docs
         .select(TextOps.urlHost(TextOps.canonicalizeUrl(col("url"))).as("host"))
-      val dim = TextOps.registrableDomainMap(hosts, "host")
+      val dim = TextOps.registrableDomainMap(hosts, "host",
+        rules = TextOps.PublicSuffixRulesFull)
       val counts = docs.where(col("doc_id") % 5 =!= 0)
         .select(TextOps.urlHost(TextOps.canonicalizeUrl(col("url"))).as("host"))
         .join(broadcast(dim), Seq("host"))
@@ -5037,13 +5040,14 @@ object SparkEntry {
              |ORDER BY query_id, rank""".stripMargin)
     }.toMap
 
-  /** The engine's [[graft.operators.TextOps.PublicSuffixRules]] as a
-    * DuckDB VALUES body, kind-encoded exactly like
+  /** The engine's [[graft.operators.TextOps.PublicSuffixRulesFull]] —
+    * the full packaged publicsuffix.org snapshot the crawl gates run
+    * under since r16 — as a DuckDB VALUES body, kind-encoded exactly like
     * [[graft.operators.TextOps.registrableDomainMap]] (0 exact,
     * 1 wildcard, 2 exception with the '!' stripped) — a deterministic
     * constant, not engine output, so it ships in the static oracle. */
   private def pslValues: String =
-    graft.operators.TextOps.PublicSuffixRules.map { r =>
+    graft.operators.TextOps.PublicSuffixRulesFull.map { r =>
       val (key, kind) =
         if (r.startsWith("!")) (r.drop(1), 2)
         else if (r.startsWith("*.")) (r, 1)
@@ -5087,7 +5091,8 @@ object SparkEntry {
     val pages = docs.select(col("doc_id"),
       TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
-    val dim = TextOps.registrableDomainMap(pages.select("host"), "host")
+    val dim = TextOps.registrableDomainMap(pages.select("host"), "host",
+        rules = TextOps.PublicSuffixRulesFull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("registrable_domain")
       .orderBy(col("n_toks").desc, col("doc_id"))
@@ -5131,7 +5136,7 @@ object SparkEntry {
        |  SELECT host, len(ls) AS nl, CAST(i AS INTEGER) AS i,
        |         array_to_string(ls[len(ls) - i + 1:], '.') AS exact_c,
        |         CASE WHEN i >= 2 THEN '*.' || array_to_string(ls[len(ls) - i + 2:], '.') END AS wild_c
-       |  FROM hl, unnest(range(1, least(len(ls), ${graft.operators.TextOps.pslCandidateDepth()}) + 1)) AS u(i)),
+       |  FROM hl, unnest(range(1, least(len(ls), ${graft.operators.TextOps.pslCandidateDepth(graft.operators.TextOps.PublicSuffixRulesFull)}) + 1)) AS u(i)),
        |mt AS (
        |  SELECT c.host, c.i, r.kind,
        |         CASE WHEN r.kind = 2 THEN 1 ELSE 0 END AS exc,

@@ -150,6 +150,23 @@ object TextOps {
     "blogspot.com", "github.io", "s3.amazonaws.com", "herokuapp.com",
     "netlify.app", "pages.dev", "vercel.app", "wordpress.com")
 
+  /** The FULL publicsuffix.org snapshot (9.5k rules), packaged as
+    * resource data from the Debian `publicsuffix` package's copy of the
+    * public list (VERDICT r15 #8) — ICANN and private sections both, the
+    * standard lookup behavior. [[PublicSuffixRules]] stays as the compact
+    * spec table; the operator is identical, only the rule data grows.
+    * Unicode IDN rules ride along verbatim; ASCII crawl hosts simply
+    * never match them (punycode normalization is the caller's contract,
+    * as in every PSL library). */
+  lazy val PublicSuffixRulesFull: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "packaged graft/public_suffix_list.dat missing from classpath")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+    } finally in.close()
+  }
+
   /** Deepest candidate index any rule in `rules` joins at: an exact or
     * `!`-stripped exception rule of L labels matches the i = L candidate;
     * a wildcard rule counts its `*` as a label and matches the

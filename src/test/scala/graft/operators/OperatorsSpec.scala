@@ -2400,9 +2400,16 @@ class OperatorsSpec extends AnyFunSuite {
   test("q_registrable_domain_stats: subdomains fold, each blogspot blog stays separate") {
     val rows = SparkEntry.queries("q_registrable_domain_stats")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // 5 sites × 3 registrables (hN.com, hN.blogspot.com, hN.co.uk)
-    assert(rows.length === 15, rows.mkString(","))
-    rows.foreach { case (reg, nHosts, nPages, nToks) =>
+    // 5 sites × 3 registrables (hN.com, hN.blogspot.com, hN.co.uk) plus
+    // the NULL group the IP-literal plants (bracketed IPv6 + dotted IPv4,
+    // VERDICT r15 #7) roll into — first in Spark's ascending NULL order
+    assert(rows.length === 16, rows.mkString(","))
+    val (nullRows, named) = rows.partition(_._1 == null)
+    assert(nullRows.length === 1 && rows.head._1 == null,
+      "exactly one NULL-domain group, ordered first")
+    // both IP literal hosts land in it
+    assert(nullRows.head._2 === 2L, s"NULL group hosts: ${nullRows.head}")
+    named.foreach { case (reg, nHosts, nPages, nToks) =>
       assert(reg.matches("h[0-4]\\.(com|blogspot\\.com|co\\.uk)"), reg)
       // hN.com absorbs both the www (canonical-stripped) and news hosts
       if (reg.endsWith(".com") && !reg.contains("blogspot"))

@@ -103,6 +103,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("registrableDomainMap under the FULL packaged PSL matches the independent reference") {
+    import spark.implicits._
+    val full = TextOps.PublicSuffixRulesFull
+    assert(full.size > 9000, s"packaged PSL unexpectedly small: ${full.size} rules")
+    assert(TextOps.pslCandidateDepth(full) === 5,
+      "full-list candidate depth drifted — re-check the explode bound derivation")
+    // pool biased toward the list's famous families: the *.kobe.jp
+    // wildcard + !city.kobe.jp exception, multi-label private-section
+    // suffixes (compute.amazonaws.com), plus plain junk labels
+    val pool = Seq("city", "kobe", "jp", "ide", "www", "ck", "uk", "co",
+      "com", "compute", "amazonaws", "s3", "blogspot", "github", "io",
+      "a", "bb", "x7")
+    val rnd = new scala.util.Random(99)
+    val hosts = ((1 to 250).map { _ =>
+      val n = 1 + rnd.nextInt(6)
+      Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(".")
+    } ++ Seq("[::1]", "[2001:db8::1]:8080", "[::ffff:192.0.2.1]",
+      "192.0.2.1", "192.0.2.1:443", "city.kobe.jp", "x.city.kobe.jp",
+      "other.kobe.jp", "a.b.compute.amazonaws.com")).distinct
+    val got = TextOps.registrableDomainMap(hosts.toDF("host"), "host",
+        rules = full)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    hosts.foreach { h =>
+      // bracketed IPv6 authorities are the operator's own contract (the
+      // reference's label machinery would shred IPv4-mapped forms): IP
+      // literals have no registrable domain, full stop
+      val want = if (h.startsWith("[")) None else refRegistrable(h, full)
+      assert(got(h) === want, s"host $h: operator ${got(h)} vs reference $want")
+    }
+  }
+
   // ---- canonicalizeUrl: idempotence on arbitrary URL-ish strings ----
 
   test("canonicalizeUrl is idempotent: canon(canon(u)) == canon(u)") {
