@@ -128,6 +128,7 @@ object Bench {
       "bm25_index_delete_incremental", "bm25_index_rebuild",
       "hamming_pairs_blocked", "hamming_pairs_allpairs",
       "block_winners_agg", "block_winners_window",
+      "memorization_pairs", "memorization_occurrence",
       "bpe_train_corpus", "bpe_train_local")
     // ---- same-sweep interleaved receipts (r12 verdict #3) ----
     // The r12 sweep ran 61/226 entries >1.8x over committed minima while
@@ -151,7 +152,8 @@ object Bench {
       Seq("distinct_users_exact", "distinct_users_hll"),
       Seq("bm25_index_delete_incremental", "bm25_index_rebuild"),
       Seq("hamming_pairs_blocked", "hamming_pairs_allpairs"),
-      Seq("block_winners_agg", "block_winners_window"))
+      Seq("block_winners_agg", "block_winners_window"),
+      Seq("memorization_pairs", "memorization_occurrence"))
     /** (faster, slower, metric): the published ordering claims. metric
       * "wall" = median per-lap wall ratio < 1; "shuffle_read_bytes" =
       * profiler byte ratio < 1 (runtime bloom's claim is the WIRE cut —
@@ -181,7 +183,8 @@ object Bench {
       // wall on a warm page cache is a coin flip (r14: wall medians 1.03 /
       // 1.07 across sweeps while the byte ratio held at 0.838), the same
       // reasoning as runtime_bloom's byte-metric claim
-      ("block_winners_agg", "block_winners_window", "shuffle_read_bytes"))
+      ("block_winners_agg", "block_winners_window", "shuffle_read_bytes"),
+      ("memorization_pairs", "memorization_occurrence", "wall"))
     def awaitQuiet(name: String): Unit = {
       val t0 = System.nanoTime()
       externalCpu() // reset the interval so the first probe covers our sleep
@@ -499,6 +502,28 @@ object Bench {
         (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 10001L).cast("double")./(lit(10000.0)).as("q"),
         col("id"))
+
+    // shared frame of the memorization A/B: 400k docs, each a per-doc
+    // md5-derived 20-token block repeated 6× — windows repeat WITHIN the
+    // document (occ ≈ 6), the shape boilerplate-heavy web text actually
+    // has and exactly the redundancy the pair reduction collapses BEFORE
+    // any exchange — and every third doc opens with the SAME 8-token
+    // span, so one window hash is maximally corpus-hot (hot windows ARE
+    // the audit's signal; the h key is as skewed as the operator will
+    // ever see). Deterministic, layout-independent.
+    def memorizationBenchFrame: DataFrame = {
+      val block = concat_ws(" ", (1 to 20).map(i =>
+        substring(md5(concat(col("id").cast("string"), lit(s":$i"))), 1, 6)): _*)
+      spark.range(400000L).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 3 === 0,
+            lit("hot0 hot1 hot2 hot3 hot4 hot5 hot6 hot7"))
+            .otherwise(concat(lit("c"),
+              substring(md5(concat(col("id").cast("string"), lit(":h"))), 1, 10))),
+          block, block, block, block, block, block).as("text"))
+    }
+    // result cross-check of the two memorization arms
+    var memorizationPairsAgg: (Long, Long, Long) = (-1L, -1L, -1L)
 
     // shared frame of the domain-cap A/B: 5M pages over 2000 registrable
     // domains with md5-derived priorities (deterministic)
@@ -1524,6 +1549,38 @@ object Bench {
         require(n == blockWinnersAgg,
           s"block winner A/B arms disagree: window=$n agg=$blockWinnersAgg")
         System.err.println(s"[bench] block_winners_window winners=$n (agg agrees)")
+      }),
+      // Memorization-audit plan A/B (VERDICT r15 #2): the shipped
+      // pair-reduced plan — occurrence table collapsed to distinct
+      // (doc_id, h) + occurrence count BEFORE any h-keyed exchange, pair
+      // table localCheckpointed once for its two consumers — vs the
+      // retired r15 plan, which recomputed the tokenize-and-hash lineage
+      // on both sides of the df join and shuffled the full per-occurrence
+      // table through distinct → groupBy(h) → join-on-h → groupBy(doc)
+      // (47.6× wall on 10× data in the r15 sweep). Identical output
+      // (cross-checked in-entry on rows / Σn_hot / Σmax_df). Pairs arm
+      // FIRST so warmup bias lands on our design; include BOTH names
+      // when using SPARK_GRAFT_BENCH_ONLY (the colocated_join pattern).
+      "memorization_pairs" -> (() => timed("memorization_pairs") {
+        val a = graft.operators.Dedup.memorizationRisk(
+            memorizationBenchFrame, "doc_id", "text", n = 8, hotDf = 1000L)
+          .agg(count(lit(1)), sum(col("n_hot")), sum(col("max_df"))).head
+        memorizationPairsAgg = (a.getLong(0), a.getLong(1), a.getLong(2))
+        System.err.println(s"[bench] memorization_pairs agg=$memorizationPairsAgg")
+      }),
+      "memorization_occurrence" -> (() => timed("memorization_occurrence") {
+        val wins = graft.operators.Dedup.windowHashes(
+          memorizationBenchFrame, "doc_id", "text", 8)
+        val df = wins.select("h", "doc_id").distinct()
+          .groupBy("h").agg(count(lit(1)).as("df"))
+        val a = wins.join(df, "h").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"), max(col("df")).as("max_df"),
+            count(when(col("df") >= 1000L, lit(1))).as("n_hot"))
+          .agg(count(lit(1)), sum(col("n_hot")), sum(col("max_df"))).head
+        val got = (a.getLong(0), a.getLong(1), a.getLong(2))
+        require(got == memorizationPairsAgg,
+          s"memorization A/B arms disagree: occurrence=$got pairs=$memorizationPairsAgg")
+        System.err.println(s"[bench] memorization_occurrence agg=$got (pairs agrees)")
       }),
       "microbatch_0_1gb" -> (() => microbatch(0.1)),
       // reference strong-scaling sizes (run-scaling-benchmark.sh:27-34 uses

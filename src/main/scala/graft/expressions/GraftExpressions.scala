@@ -356,6 +356,99 @@ final class ShingleSetHelper(k: Int) extends Serializable {
   }
 }
 
+/** All n-token window md5 hexes of a document in position order — the
+  * native form of the span/boilerplate/decontamination/memorization
+  * families' shared `md5(concat_ws(" ", slice(tokens, i+1, n)))`
+  * projection (r16: that declarative form allocates a sliced token array
+  * plus a concat per window inside an interpreted `transform`; this is
+  * one codegen'd call per document feeding the digest straight from the
+  * text's UTF-8 bytes, zero per-window allocation beyond the hex
+  * output). Bit-identical by construction: tokens are the maximal
+  * non-empty runs between 0x20 bytes (exactly `filter(split(text, " "),
+  * _ != "")` — a multi-byte UTF-8 char can never contain 0x20), windows
+  * join with a single space, and the hash is the same lowercase md5 hex
+  * `md5()` emits, so every DuckDB oracle replay
+  * (`md5(array_to_string(ws[i:i+n-1], ' '))`) is untouched. Fewer than n
+  * tokens → EMPTY array (posexplode then emits no rows, matching the
+  * declarative `when(size >= n, …).otherwise(array())`). */
+case class WindowHashArray(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_window_hashes"
+
+  @transient private lazy val helper = new WindowHashHelper(n)
+
+  override def nullSafeEval(t: Any): Any = helper.hashes(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helperRef = ctx.addReferenceObj("windowHashHelper", helper, classOf[WindowHashHelper].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helperRef.hashes($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashArray =
+    copy(child = newChild)
+}
+
+/** Serializable window-hash helper invoked from generated code. */
+final class WindowHashHelper(n: Int) extends Serializable {
+  require(n >= 1, s"window size must be >= 1, got $n")
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  def hashes(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    // token boundaries: maximal non-empty runs between 0x20 bytes
+    var cnt = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != ' ' && (i == 0 || bytes(i - 1) == ' ')) cnt += 1
+      i += 1
+    }
+    if (cnt < n) return empty
+    val starts = new Array[Int](cnt)
+    val lens = new Array[Int](cnt)
+    var t = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != ' ') {
+        if (i == 0 || bytes(i - 1) == ' ') { starts(t) = i; lens(t) = 1; t += 1 }
+        else lens(t - 1) += 1
+      }
+      i += 1
+    }
+    val digest = md.get()
+    val out = new Array[Any](cnt - n + 1)
+    var w = 0
+    while (w <= cnt - n) {
+      digest.reset()
+      var j = w
+      while (j < w + n) {
+        if (j > w) digest.update(' '.toByte)
+        digest.update(bytes, starts(j), lens(j))
+        j += 1
+      }
+      val d = digest.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(w) = UTF8String.fromBytes(hex)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Winnowing fingerprint set (Schleimer et al.): the distinct minima of
   * each sliding window of `w` consecutive k-shingle hashes, sorted — the
   * whole per-document computation in one codegen'd call. The declarative
@@ -921,6 +1014,9 @@ object GraftExpressions {
 
   def winnowingFingerprintSet(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingFingerprintSet(ColumnBridge.expression(text), k, w))
+
+  def windowHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WindowHashArray(ColumnBridge.expression(text), n))
 
   def cmsEstimate(key: Column, sketchBytes: Array[Byte]): Column =
     ColumnBridge.column(CmsEstimate(ColumnBridge.expression(key), sketchBytes))

@@ -697,17 +697,22 @@ object Dedup {
   /** Every n-token window of every document as (doc_id, pos, md5-hash) —
     * the exploded frame behind [[duplicateSpans]] and
     * [[contaminationSpans]]; the full 128-bit hash keeps window identity
-    * collision-free at any corpus size. */
-  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+    * collision-free at any corpus size. Since r16 the per-window
+    * tokenize/slice/concat/md5 chain is the native
+    * [[graft.expressions.WindowHashArray]] expression (one codegen'd call
+    * per document straight off the text's UTF-8 bytes — the declarative
+    * `transform` ran interpreted and allocated a sliced array + a concat
+    * per window); [[GraftExpressionsSpec]] pins bit-identity against the
+    * declarative form, so every window-family DuckDB oracle is untouched.
+    * `private[graft]` (not private) solely so Bench's memorization A/B
+    * can write the retired r15 occurrence-level plan as its
+    * deliberately-bad arm against the same window machinery. */
+  private[graft] def windowHashes(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"window size must be >= 1, got $n")
-    val toks = TextOps.tokens(col(textCol))
-    val winHashes = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
     docs.select(col(idCol).cast("long").as("doc_id"),
-      posexplode(winHashes).as(Seq("pos", "h")))
+      posexplode(graft.expressions.GraftExpressions.windowHashes(col(textCol), n))
+        .as(Seq("pos", "h")))
   }
 
   /** Flagged (doc_id, pos) window positions merged into maximal spans via
@@ -801,12 +806,9 @@ object Dedup {
   def sourceOverlapMatrix(docs: DataFrame, textCol: String, srcCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"window size must be >= 1, got $n")
-    val toks = TextOps.tokens(col(textCol))
-    val winHashes = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
-    val sh = docs.select(col(srcCol).as("source"), explode(winHashes).as("h")).distinct()
+    val sh = docs.select(col(srcCol).as("source"),
+      explode(graft.expressions.GraftExpressions.windowHashes(col(textCol), n))
+        .as("h")).distinct()
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

@@ -394,12 +394,10 @@ object TextOps {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum("c").as("n_words"), max("c").as("top_word_count"))
-    // sequence(1, stop) DESCENDS when stop < 1, so guard short docs explicitly
-    val gramArr = when(size(col("ws")) >= n,
-      transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-        i => md5(concat_ws(" ", slice(col("ws"), i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-    val grams = base.select(col("doc_id"), explode(gramArr).as("g"))
+    // native one-call-per-doc window md5s (same tokens, same windows — the
+    // r16 WindowHashArray identity, spec-pinned against the declarative form)
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(graft.expressions.GraftExpressions.windowHashes(col(textCol), n)).as("g"))
     val gramStats = grams
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(

@@ -96,6 +96,48 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(df.count() === 50)
   }
 
+  test("WindowHashArray equals the declarative transform/slice/md5 form bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real documents PLUS adversarial token layouts: empty, all-space,
+    // multi-space runs (empties filtered), exactly n tokens, n-1 tokens,
+    // multi-byte UTF-8, tabs/newlines inside tokens (only 0x20 splits)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, ""), (100002L, "    "), (100003L, "a  b   c d e f g h i"),
+        (100004L, "one two three four five six seven eight"),
+        (100005L, "one two three four five six seven"),
+        (100006L, "héllo wörld 中文 tok tok tok tok tok tok"),
+        (100007L, "a\tb c\nd e f g h i j k")).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val native = rows(docs.select(col("doc_id"),
+      posexplode(GraftExpressions.windowHashes(col("text"), 8)).as(Seq("pos", "h"))))
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val declarative = rows(docs.select(col("doc_id"), posexplode(
+      when(size(toks) >= 8, transform(sequence(lit(0), size(toks) - 8),
+          i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(8))))))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "h"))))
+    assert(native.nonEmpty && native === declarative)
+    // interpreted == codegen (the oracle identity must not depend on path)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(rows(docs.select(col("doc_id"),
+      posexplode(GraftExpressions.windowHashes(col("text"), 8)).as(Seq("pos", "h")))) === native)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("WindowHashArray participates in whole-stage codegen (no fallback)") {
+    val df = spark.range(0, 50)
+      .selectExpr("concat('w', id, ' a b c d e f g h') AS text")
+      .select(GraftExpressions.windowHashes(col("text"), 8).as("hs"))
+      .where(org.apache.spark.sql.functions.size(col("hs")) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.trim.startsWith("*(") && l.contains("graft_window_hashes")), plan)
+    assert(df.count() === 50)
+  }
+
   test("SimHash32 equals the declarative 32-vote aggregate form on real documents") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val native = graft.operators.Dedup.simHash(docs, "doc_id", "text")
