@@ -2173,6 +2173,19 @@ object SparkEntry {
         .orderBy("registrable_domain", "rank_in_domain")
     }),
 
+    // ---- robots.txt-style URL path-rule filter (prefix rules, documented
+    //      robots precedence: longest match wins, allow beats disallow on
+    //      the identical pattern, no match → allowed). Planted rules hit
+    //      the /p/1-vs-/p/12 longest-match pair and the /p/3 family over
+    //      the shared crawl corpus; a pure zero-shuffle literal-array
+    //      projection (plan spec-pinned). ----
+    "q_url_rules_filter" -> ((s, d) => {
+      val pages = Tables.documents(s, d).select(col("doc_id"),
+        TextOps.canonicalizeUrl(crawlPlantUrl).as("url"))
+      TextOps.urlRuleFilter(pages, "doc_id", "url", CrawlUrlRules)
+        .orderBy("doc_id")
+    }),
+
     // ---- per-domain crawl BUDGET, steady-state probe form (the batch
     //      oracle of StreamingPipelines.domainBudgetStream): the % 5 == 0
     //      docs arrive as an ingest epoch and probe the standing corpus's
@@ -5110,7 +5123,21 @@ object SparkEntry {
     * (`pages`) → the publicsuffix.org longest-matching-rule replay over
     * [[pslValues]] (`reg`: host → registrable_domain). One definition so
     * a rule change hits both oracles or neither. */
-  private def crawlPslCtes: String =
+  /** Rule table of the `q_url_rules_filter` gate (shared with its spec):
+    * exercises longest-match (`/p/1` vs `/p/12`), the identical pattern
+    * with both polarities (`/dup`, where allow wins), and the implicit
+    * allow for unmatched paths. */
+  val CrawlUrlRules: Seq[(String, Boolean)] = Seq(
+    "/p/1" -> false, "/p/12" -> true, "/p/3" -> false,
+    "/dup" -> true, "/dup" -> false)
+
+  private def urlRuleValues: String =
+    CrawlUrlRules.map { case (p, a) => s"('$p', ${if (a) 1 else 0})" }
+      .mkString(", ")
+
+  /** The `raw` CTE replaying [[crawlPlantUrl]] — ONE SQL definition shared
+    * by [[crawlPslCtes]] and the URL-rule oracle. */
+  private def crawlRawCte: String =
     s"""raw AS (
        |  SELECT doc_id, text,
        |    'https://' ||
@@ -5121,7 +5148,10 @@ object SparkEntry {
        |         WHEN doc_id % 4 = 2 THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.blogspot.com'
        |         ELSE 'a.h' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
        |    END || '/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1' AS url
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+
+  private def crawlPslCtes: String =
+    s"""$crawlRawCte,
        |${urlCanonCtes("rd", "raw")},
        |pages AS (
        |  SELECT c.doc_id,
@@ -5602,6 +5632,31 @@ object SparkEntry {
            |       CAST(sum(p.n_toks) AS BIGINT) AS n_tokens
            |FROM pages p JOIN reg r USING (host)
            |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+
+      // robots precedence replay: same canonical chain, same prefix rules
+      // as VALUES, winner by (len DESC, allow DESC, rule DESC) — the
+      // mirrored total order of the engine's max(struct) election
+      "q_url_rules_filter" ->
+        s"""WITH $crawlRawCte,
+           |${urlCanonCtes("ur", "raw")},
+           |p AS (
+           |  SELECT doc_id, canonical_url,
+           |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+           |  FROM (SELECT doc_id, canonical_url,
+           |          regexp_replace(regexp_extract(canonical_url,
+           |            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$$', 1), '\\?.*$$', '') AS p0
+           |        FROM urcanon)),
+           |r(rule, allow) AS (VALUES $urlRuleValues),
+           |m AS (
+           |  SELECT p.doc_id, r.rule, r.allow,
+           |         row_number() OVER (PARTITION BY p.doc_id
+           |           ORDER BY len(r.rule) DESC, r.allow DESC, r.rule DESC) AS rn
+           |  FROM p JOIN r ON starts_with(p.path, r.rule))
+           |SELECT p.doc_id, p.canonical_url, p.path,
+           |       m.rule AS matched_rule,
+           |       coalesce(m.allow = 1, TRUE) AS allowed
+           |FROM p LEFT JOIN (SELECT doc_id, rule, allow FROM m WHERE rn = 1) m USING (doc_id)
+           |ORDER BY p.doc_id""".stripMargin,
 
       // the same crawl + PSL stack: standing (% 5 <> 0) per-domain counts,
       // then the % 5 = 0 epoch's probe decisions at budget 30

@@ -207,7 +207,7 @@ object Verify {
   * (bind/plan only, nothing executes). Best-effort by design: where the
   * tooling is absent (plain dev JVMs) the lint logs and keeps all oracles,
   * and `tools/check_oracle.py` carries the same check as a hard FAIL. */
-private object OracleTypeLint {
+private[graft] object OracleTypeLint {
   private val py =
     """import sys, json, duckdb
       |sf, path = sys.argv[1], sys.argv[2]

@@ -254,6 +254,48 @@ object TextOps {
         .otherwise(lit(null).cast("string")).as("registrable_domain"))
   }
 
+  /** robots.txt-style URL path-rule filter — the crawl-side companion of
+    * the eTLD+1 family: PREFIX rules (the overwhelmingly-common robots
+    * form) with allow/disallow polarity, decided by the documented
+    * robots precedence — the LONGEST matching rule wins, allow beats
+    * disallow when the same pattern appears with both polarities, and a
+    * path no rule matches is implicitly allowed. The path is the
+    * canonical URL's portion after the authority with the query
+    * stripped; an authority-only URL is the root `/`.
+    *
+    * Output: (doc_id, canonical_url, path, matched_rule | NULL, allowed).
+    *
+    * Scale shape: the rule table rides the plan as ONE literal
+    * struct-array and the decision is `array_max(filter(…))` per row — a
+    * pure ZERO-SHUFFLE codegen projection (the [[blocklistFlagCol]]
+    * literal-form precedent; real robots/curation rule sets are dozens
+    * of rows). A deployment with thousands of rules should explode each
+    * path at its '/' boundaries into prefix candidates and equi-join a
+    * broadcast rule dimension instead (the [[registrableDomainMap]]
+    * candidate pattern). Text never enters; equal-length DIFFERENT
+    * prefixes cannot both match one path, so the struct's rule-string
+    * tiebreak only fires on duplicate rows — kept anyway (and mirrored
+    * DESC in the oracle) so the winner is total-ordered. */
+  def urlRuleFilter(pages: DataFrame, idCol: String, urlCol: String,
+      rules: Seq[(String, Boolean)]): DataFrame = {
+    require(rules.nonEmpty, "empty rule table: every page is trivially allowed")
+    val ruleArr = array(rules.map { case (p, a) =>
+      struct(lit(p.length.toLong).as("rlen"),
+        lit(if (a) 1L else 0L).as("rallow"), lit(p).as("rule"))
+    }: _*)
+    pages.select(col(idCol).cast("long").as("doc_id"),
+        col(urlCol).as("canonical_url"))
+      .withColumn("__p", regexp_replace(
+        regexp_extract(col("canonical_url"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$", 1), "\\?.*$", ""))
+      .withColumn("path", when(col("__p") === "", lit("/")).otherwise(col("__p")))
+      .withColumn("__w", array_max(filter(ruleArr,
+        r => col("path").startsWith(r.getField("rule")))))
+      .select(col("doc_id"), col("canonical_url"), col("path"),
+        col("__w.rule").as("matched_rule"),
+        coalesce(col("__w.rallow") === 1L, lit(true)).as("allowed"))
+  }
+
   /** Pure-projection blocklist flag — the ingest-path form of
     * [[blocklistHits]]: the terms ride the plan as ONE array literal and
     * the test is a codegen'd `arrays_overlap`, no shuffle and no stateful

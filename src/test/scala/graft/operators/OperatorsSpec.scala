@@ -2419,6 +2419,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("urlRuleFilter: robots precedence — longest match wins, allow beats disallow, implicit allow") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://x.com/p/1"), (2L, "https://x.com/p/12"),
+      (3L, "https://x.com/p/12sub"), (4L, "https://x.com/p/3x"),
+      (5L, "https://x.com/other"), (6L, "https://x.com"),
+      (7L, "https://x.com/dup/page?q=1")).toDF("doc_id", "url")
+    val rules = Seq("/p/1" -> false, "/p/12" -> true, "/p/3" -> false,
+      "/dup" -> true, "/dup" -> false)
+    val rows = TextOps.urlRuleFilter(pages, "doc_id", "url", rules).collect()
+    val got = rows.map(r => r.getLong(0) ->
+      ((Option(r.getString(3)), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((Some("/p/1"), false)))
+    assert(got(2L) === ((Some("/p/12"), true)), "the longer allow must override /p/1")
+    assert(got(3L) === ((Some("/p/12"), true)), "prefix semantics")
+    assert(got(4L) === ((Some("/p/3"), false)))
+    assert(got(5L) === ((None, true)), "no rule matches → implicit allow")
+    assert(got(6L) === ((None, true)), "authority-only URL is the root path")
+    assert(got(7L) === ((Some("/dup"), true)),
+      "the identical pattern with both polarities: allow wins")
+    val paths = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(paths(6L) === "/")
+    assert(paths(7L) === "/dup/page", "query must not count as path")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))

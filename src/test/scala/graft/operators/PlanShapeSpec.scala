@@ -495,6 +495,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_url_rules_filter: literal-array rule probe is a pure projection") {
+    val df = SparkEntry.queries("q_url_rules_filter")(spark, sfDir)
+    val ex = exchangeBlocks(df)
+    assert(ex.size <= 1, s"rule filter grew shuffles beyond the orderBy:\n${ex.mkString("\n---\n")}")
+    assert(ex.forall(_.contains("rangepartitioning")),
+      "the only exchange must be the presentation sort")
+  }
+
   test("e2e_crawl_curation: text never crosses an exchange; kept ids broadcast back") {
     val df = SparkEntry.queries("e2e_crawl_curation")(spark, sfDir)
     val tokArray = """(?<![a-zA-Z_])(toks|ws)#""".r
