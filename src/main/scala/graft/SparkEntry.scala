@@ -1930,6 +1930,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Luhn-validated card redaction: of the planted 13-19 digit
+    //      runs, only checksum-VALID card numbers redact to <CARD> (the
+    //      invalid ref number survives — the precision rule x7's blanket
+    //      digit mask lacks); the Luhn check is the native graft_luhn
+    //      codegen expression, replayed digit-for-digit by the oracle ----
+    "x19_card_redact" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" card 4242424242424242 ok")))
+        .when(col("doc_id") % 9 === 4,
+          concat(col("text"), lit(" ref 1234567890123456 x")))
+        .when(col("doc_id") % 9 === 7,
+          concat(col("text"), lit(" pay 4111111111111111 and 378282246310005 thx")))
+        .otherwise(col("text")).as("text"))
+      TextOps.redactCards(planted, "doc_id", "text")
+        .select(col("doc_id"), col("n_digit_runs"), col("n_cards"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- TF-IDF top terms (keyword extraction / relevance primitive) ----
     "x8_tfidf_topterms" -> ((s, d) => {
       TextOps.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", TopK)
@@ -8133,6 +8153,38 @@ object SparkEntry {
           |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
           |    '[0-9]{6,}', '<NUM>', 'g') AS clean
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // the identical alternate-double Luhn digit sum in SQL over the
+      // same RE2-safe candidate pattern; redaction folds exact-substring
+      // replaces exactly like the engine (distinct boundary-bounded runs
+      // cannot overlap, so the fold order is immaterial on both sides)
+      "x19_card_redact" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    text || CASE WHEN doc_id % 9 = 0 THEN ' card 4242424242424242 ok'
+          |                 WHEN doc_id % 9 = 4 THEN ' ref 1234567890123456 x'
+          |                 WHEN doc_id % 9 = 7 THEN ' pay 4111111111111111 and 378282246310005 thx'
+          |                 ELSE '' END AS text
+          |  FROM documents),
+          |cand AS (
+          |  SELECT doc_id, text,
+          |         regexp_extract_all(text, '\b[0-9]{13,19}\b') AS runs
+          |  FROM t),
+          |v AS (
+          |  SELECT doc_id, text, runs,
+          |    list_filter(runs, x ->
+          |      list_sum(list_transform(range(1, len(x) + 1), i ->
+          |        CASE WHEN i % 2 = 1 THEN CAST(substr(reverse(x), i, 1) AS INT)
+          |             ELSE CASE WHEN 2 * CAST(substr(reverse(x), i, 1) AS INT) > 9
+          |                       THEN 2 * CAST(substr(reverse(x), i, 1) AS INT) - 9
+          |                       ELSE 2 * CAST(substr(reverse(x), i, 1) AS INT) END
+          |        END)) % 10 = 0) AS valid
+          |  FROM cand)
+          |SELECT doc_id, CAST(len(runs) AS BIGINT) AS n_digit_runs,
+          |       CAST(len(valid) AS BIGINT) AS n_cards,
+          |       md5(list_reduce(list_prepend(text, valid),
+          |                       (a, b) -> replace(a, b, '<CARD>'))) AS redacted_md5
+          |FROM v ORDER BY doc_id""".stripMargin,
 
       // d7's candidate stage (corpus-scaled bits, raw embeddings) feeding
       // d9's quantized ranking + exact rescore

@@ -449,6 +449,52 @@ final class WindowHashHelper(n: Int) extends Serializable {
   }
 }
 
+/** Luhn checksum validity of a digit string — the PII-redaction
+  * validator that separates real card numbers from arbitrary digit runs
+  * (ISO/IEC 7812; the check every payment-format detector applies before
+  * redacting). True iff the input is 1+ ASCII digits whose Luhn sum ≡ 0
+  * (mod 10); any non-digit byte or an empty string is false, never an
+  * error — a detector probes arbitrary text fragments. Tight byte loop
+  * from the string's UTF-8 bytes in whole-stage codegen; the DuckDB
+  * oracle replays the identical alternate-double digit sum in SQL. */
+case class LuhnValid(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_luhn"
+
+  override def nullSafeEval(t: Any): Any =
+    LuhnValid.check(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${LuhnValid.getClass.getName.stripSuffix("$")}.check($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnValid =
+    copy(child = newChild)
+}
+
+object LuhnValid {
+  /** Static entry shared by eval and generated code. */
+  def check(s: UTF8String): Boolean = {
+    val b = s.getBytes
+    if (b.length == 0) return false
+    var sum = 0
+    var alt = false // true for every SECOND digit from the right
+    var i = b.length - 1
+    while (i >= 0) {
+      val c = b(i)
+      if (c < '0' || c > '9') return false
+      var d = c - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+}
+
 /** Winnowing fingerprint set (Schleimer et al.): the distinct minima of
   * each sliding window of `w` consecutive k-shingle hashes, sorted — the
   * whole per-document computation in one codegen'd call. The declarative
@@ -1018,6 +1064,9 @@ object GraftExpressions {
   def windowHashes(text: Column, n: Int): Column =
     ColumnBridge.column(WindowHashArray(ColumnBridge.expression(text), n))
 
+  def luhnValid(digits: Column): Column =
+    ColumnBridge.column(LuhnValid(ColumnBridge.expression(digits)))
+
   def cmsEstimate(key: Column, sketchBytes: Array[Byte]): Column =
     ColumnBridge.column(CmsEstimate(ColumnBridge.expression(key), sketchBytes))
 
@@ -1096,7 +1145,9 @@ object GraftExpressions {
       "graft_simhash" -> (exprs => SimHash32(exprs.head)),
       "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
       "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
-      "graft_canon" -> (exprs => CanonicalFold(exprs.head)))
+      "graft_canon" -> (exprs => CanonicalFold(exprs.head)),
+      "graft_window_hashes" -> (exprs => WindowHashArray(exprs(0), intArg(exprs(1)))),
+      "graft_luhn" -> (exprs => LuhnValid(exprs.head)))
   }
 
   /** SQL registration (`graft_dot`, `graft_l2_normalize`, `graft_minhash`,

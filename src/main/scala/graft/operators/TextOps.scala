@@ -41,6 +41,33 @@ object TextOps {
       regexp_replace(text, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
       "[0-9]{6,}", "<NUM>")
 
+  /** Luhn-validated payment-card redaction — the PII rule [[redactPii]]'s
+    * blanket `\d{6,}` → `<NUM>` is too blunt for: a 13–19 digit
+    * `\b`-bounded run redacts to `<CARD>` ONLY when it passes the Luhn
+    * checksum ([[graft.expressions.LuhnValid]], ISO/IEC 7812), so ids,
+    * timestamps, and hashes survive while real card numbers do not —
+    * the false-positive/false-negative tradeoff every payment-format
+    * detector makes. Output: (doc_id, n_digit_runs, n_cards, redacted);
+    * `n_cards` counts valid OCCURRENCES (duplicates included).
+    *
+    * Scale shape: candidates ride `regexp_extract_all` (RE2-safe — no
+    * lookarounds, so the DuckDB oracle replays the pattern verbatim),
+    * the Luhn check is the native codegen expression per candidate, and
+    * redaction is a candidate-cardinality fold of exact-substring
+    * replaces (distinct `\b`-bounded runs cannot overlap, so the fold
+    * order is immaterial). Pure zero-shuffle projection; text never
+    * leaves its scan. */
+  def redactCards(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit("\\b[0-9]{13,19}\\b"), lit(0))
+    val valid = filter(cands,
+      c => graft.expressions.GraftExpressions.luhnValid(c))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      size(cands).cast("long").as("n_digit_runs"),
+      size(valid).cast("long").as("n_cards"),
+      aggregate(valid, col(textCol),
+        (acc, c) => replace(acc, c, lit("<CARD>"))).as("redacted"))
+  }
+
   /** HTML→text extraction (the WET step of a web-crawl pipeline: strip
     * markup, keep prose). Order matters and is part of the contract:
     * (1) `<script>`/`<style>` ELEMENTS go first, content and all — their

@@ -138,6 +138,30 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(df.count() === 50)
   }
 
+  test("LuhnValid: known test cards valid, junk/transposed/non-digit false, codegen participates") {
+    import spark.implicits._
+    val cases = Seq(
+      ("4242424242424242", true), ("4111111111111111", true),
+      ("378282246310005", true),              // 15-digit Amex test number
+      ("1234567890123456", false),            // sum 64 — the x19 planted ref
+      ("4242424242424241", false),            // checksum digit off by one
+      ("", false), ("4242a42424242424", false), ("  42", false),
+      ("0", true))                            // degenerate: sum 0 ≡ 0 (mod 10)
+    val got = cases.map(_._1).toDF("d")
+      .select(col("d"), GraftExpressions.luhnValid(col("d")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (s, e) => assert(got(s) === e, s"'$s'") }
+    // genuinely id-dependent input (arithmetic like id*0 constant-folds,
+    // taking the whole expression with it): 16-digit candidates whose
+    // last 3 digits vary per row, so the check must run in codegen
+    val df = spark.range(50)
+      .selectExpr("concat('4242424242424', lpad(cast(id as string), 3, '0')) AS d")
+      .select(GraftExpressions.luhnValid(col("d")).as("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.trim.startsWith("*(") && l.contains("graft_luhn")), plan)
+    assert(df.count() === 50)
+  }
+
   test("SimHash32 equals the declarative 32-vote aggregate form on real documents") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val native = graft.operators.Dedup.simHash(docs, "doc_id", "text")
@@ -291,7 +315,7 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(GraftExpressions.sqlBuilders.map(_._1) === Seq("graft_dot",
       "graft_l2_normalize", "graft_minhash", "graft_shingle_set",
       "graft_winnow", "graft_simhash", "graft_simhash60", "graft_nfc",
-      "graft_canon"))
+      "graft_canon", "graft_window_hashes", "graft_luhn"))
   }
 
   test("AeadUnseal expression: roundtrip, wrong route null, tampered null") {

@@ -2444,6 +2444,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(paths(7L) === "/dup/page", "query must not count as path")
   }
 
+  test("redactCards: only Luhn-valid runs redact; refs, short and overlong runs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay 4242424242424242 now"),
+      (2L, "order 1234567890123456 shipped"),
+      (3L, "a 4111111111111111 b 378282246310005 c 4111111111111111"),
+      (4L, "short 123456 run"),
+      (5L, "twenty 12345678901234567890 digits")).toDF("doc_id", "text")
+    val got = TextOps.redactCards(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((1L, 1L, "pay <CARD> now")))
+    assert(got(2L) === ((1L, 0L, "order 1234567890123456 shipped")),
+      "a Luhn-invalid run is an id, not a card — it must survive")
+    assert(got(3L) === ((3L, 3L, "a <CARD> b <CARD> c <CARD>")),
+      "n_cards counts occurrences, duplicates included")
+    assert(got(4L) === ((0L, 0L, "short 123456 run")), "under 13 digits is no candidate")
+    assert(got(5L) === ((0L, 0L, "twenty 12345678901234567890 digits")),
+      "a 20-digit run is boundary-unmatchable, not a 19-digit card")
+  }
+
   test("every declared query runs and every oracle name has a query") {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
