@@ -1235,6 +1235,37 @@ class StreamingSpec extends AnyFunSuite {
     urlIdx.unpersist(); cIdx.unpersist()
   }
 
+  test("url-rule filter + card redaction run unchanged as streaming stages: stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // both r16 ops are pure zero-shuffle projections, so the SAME function
+    // runs on a streaming frame with no watermark and no state — the
+    // webIngestStream stage contract
+    val pages = Seq(
+      (1L, "https://x.com/p/1", "pay 4242424242424242 now"),
+      (2L, "https://x.com/p/12", "ref 1234567890123456"),
+      (3L, "https://x.com/other", "clean"))
+    val rules = Seq("/p/1" -> false, "/p/12" -> true)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.urlRuleFilter(df, "doc_id", "url", rules)
+        .join(graft.operators.TextOps.redactCards(df, "doc_id", "text"), "doc_id")
+        .select("doc_id", "path", "allowed", "n_cards", "redacted")
+    val batch = run(pages.toDF("doc_id", "url", "text"))
+      .as[(Long, String, Boolean, Long, String)].collect().toSet
+    assert(batch === Set(
+      (1L, "/p/1", false, 1L, "pay <CARD> now"),
+      (2L, "/p/12", true, 0L, "ref 1234567890123456"),
+      (3L, "/other", true, 0L, "clean")))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = run(mem.toDF().toDF("doc_id", "url", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("urlrules_cards").start()
+    try { mem.addData(pages); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("urlrules_cards")
+      .as[(Long, String, Boolean, Long, String)].collect().toSet
+    assert(streamed === batch, "a stateless projection must be stream/batch identical")
+  }
+
   test("domain-budget stream: over-budget domains flagged, new hosts never over, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
