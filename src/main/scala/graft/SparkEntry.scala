@@ -4159,17 +4159,22 @@ object SparkEntry {
         new java.io.File(base).mkdirs()
         s"$base/${family}_$tail$sf.parquet"
       case None =>
-        Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-          // (_.*)? also matches the pre-r16 suffix-less s3 name, so old
-          // debris from earlier builds is swept too
-          .filter(_.getName.matches(s"graft_${family}_\\d+(_.*)?\\.parquet"))
-          .foreach { f =>
-            val pid = f.getName.stripPrefix(s"graft_${family}_")
-              .takeWhile(_.isDigit).toLong
-            val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-            if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
-          }
-        s"/tmp/graft_${family}_${ProcessHandle.current().pid()}_$tail$sf.parquet"
+        val path = s"/tmp/graft_${family}_${ProcessHandle.current().pid()}_$tail$sf.parquet"
+        // sweep dead-JVM debris only BEFORE this family's first write —
+        // once the file exists, repeat constructions (timed bench loops)
+        // must not pay a /tmp listing per call
+        if (!new java.io.File(path).exists())
+          Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+            // (_.*)? also matches the pre-r16 suffix-less s3 name, so old
+            // debris from earlier builds is swept too
+            .filter(_.getName.matches(s"graft_${family}_\\d+(_.*)?\\.parquet"))
+            .foreach { f =>
+              val pid = f.getName.stripPrefix(s"graft_${family}_")
+                .takeWhile(_.isDigit).toLong
+              val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+              if (!alive) graft.tools.CorpusMaintenance.deleteRecursively(f.getPath)
+            }
+        path
     }
   }
 
