@@ -2229,6 +2229,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- anchor/outlink extraction (the crawl's link-side WET step):
+    //      planted absolute / root-relative / protocol-relative hrefs
+    //      extracted at scan speed, resolved against the doc's own
+    //      canonical base, and canonicalized — zero-shuffle codegen
+    //      end-to-end ----
+    "x20_link_extract" -> ((s, d) => linkGraphStages(s, d)._1
+      .select("doc_id", "link_no", "href", "url", "dst_host", "anchor")
+      .orderBy("doc_id", "link_no")),
+
+    // ---- registrable-domain link graph: extracted outlinks rolled to
+    //      (src eTLD+1 → dst eTLD+1, multiplicity), self-domain and
+    //      IP-literal endpoints excluded — the edge list a frontier
+    //      scheduler and a link-quality prior both consume; the only wide
+    //      exchange is the domain-pair count ----
+    "q_host_link_graph" -> ((s, d) => linkGraphStages(s, d)._2
+      .orderBy("src_domain", "dst_domain")),
+
+    // ---- link-endorsement rank over the domain graph: directed WEIGHTED
+    //      q6 PageRank (floor-div longs, bit-identical cross-engine) — the
+    //      PageRank-as-crawl-priority signal (Cho et al. 1998); per
+    //      iteration one O(edges) join + aggregate on (domain, long) rows ----
+    "q_link_pagerank" -> ((s, d) => GraphOps.weightedPageRankDirected(
+        linkGraphStages(s, d)._2, "src_domain", "dst_domain", "n_links",
+        iterations = 4)
+      .orderBy("node")),
+
+    // ---- per-domain anchor-text rollup: what the web CALLS each domain
+    //      (the classic anchor-text relevance signal) — top-3 anchor terms
+    //      per dst eTLD+1 via one count + ranked window at (domain, term)
+    //      cardinality ----
+    "q_anchor_topterms" -> ((s, d) => {
+      val links = linkGraphStages(s, d)._1
+      val dim = TextOps.registrableDomainMap(
+          links.select(col("dst_host").as("host")), "host",
+          rules = TextOps.PublicSuffixRulesFull)
+        .toDF("dst_host", "registrable_domain")
+      val terms = links.join(broadcast(dim), Seq("dst_host"))
+        .where(col("registrable_domain").isNotNull)
+        .select(col("registrable_domain"),
+          explode(TextOps.tokens(col("anchor"))).as("term"))
+        .groupBy("registrable_domain", "term").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("registrable_domain").orderBy(col("n").desc, col("term"))
+      terms.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .orderBy("registrable_domain", "rank")
+    }),
+
     // ---- KMV approximate-distinct sketch over the corpus vocabulary:
     //      the deterministic answer to "how many distinct values at
     //      100 TB" (distinct URLs/users/tokens) without an exact
@@ -5097,21 +5145,103 @@ object SparkEntry {
     * (`q_registrable_domain_stats`, `q_domain_cap`, `q_domain_budget`) —
     * ONE definition, mirrored by [[crawlPslCtes]]'s `raw` CTE on the
     * oracle side, so a plant change hits every consumer or none. */
-  private def crawlPlantUrl: Column = {
-    val hostN = (col("doc_id") % 5).cast("string")
-    val res = (col("doc_id") % 20).cast("string")
-    val host =
-      // sparse IP-literal plants (VERDICT r15 #7): a bracketed IPv6
-      // authority with a non-default port and a bare dotted IPv4 — both
-      // map to a NULL registrable domain under the PSL (IP literals have
-      // none), exercising the NULL group/order path in all three gates
-      when(col("doc_id") % 19 === 3, lit("[2001:db8::1]:8080"))
-      .when(col("doc_id") % 19 === 7, lit("192.0.2.1"))
-      .when(col("doc_id") % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
-      .when(col("doc_id") % 4 === 1, concat(lit("news.h"), hostN, lit(".com")))
-      .when(col("doc_id") % 4 === 2, concat(lit("h"), hostN, lit(".blogspot.com")))
+  private def crawlPlantUrl: Column =
+    concat(lit("https://"), crawlPlantHost(col("doc_id")), lit("/p/"),
+      (col("doc_id") % 20).cast("string"), lit("?a=1"))
+
+  /** The planted crawl HOST as a function of an arbitrary long key — the
+    * one host universe shared by the doc's own URL ([[crawlPlantUrl]],
+    * key = doc_id) and the link plant's anchor targets ([[linkPlantPage]],
+    * keys derived from doc_id), so the link graph's nodes are exactly the
+    * crawl gates' domains. Mirrored in SQL by [[crawlHostSql]]. */
+  private def crawlPlantHost(k: Column): Column = {
+    val hostN = (k % 5).cast("string")
+    // sparse IP-literal plants (VERDICT r15 #7): a bracketed IPv6
+    // authority with a non-default port and a bare dotted IPv4 — both
+    // map to a NULL registrable domain under the PSL (IP literals have
+    // none), exercising the NULL group/order path in all consumers
+    when(k % 19 === 3, lit("[2001:db8::1]:8080"))
+      .when(k % 19 === 7, lit("192.0.2.1"))
+      .when(k % 4 === 0, concat(lit("WWW.h"), hostN, lit(".com")))
+      .when(k % 4 === 1, concat(lit("news.h"), hostN, lit(".com")))
+      .when(k % 4 === 2, concat(lit("h"), hostN, lit(".blogspot.com")))
       .otherwise(concat(lit("a.h"), hostN, lit(".co.uk")))
-    concat(lit("https://"), host, lit("/p/"), res, lit("?a=1"))
+  }
+
+  /** Anchor-vocabulary keyword for link key `k` — keeps the planted
+    * anchor text a 3-term vocabulary so the per-domain anchor rollup has
+    * a meaningful term distribution. SQL mirror: [[linkKindSql]]. */
+  private def linkKindWord(k: Column): Column =
+    when(k % 3 === 0, lit("guide"))
+      .when(k % 3 === 1, lit("review"))
+      .otherwise(lit("news"))
+
+  /** The planted HTML page with outgoing anchors — the link-graph
+    * family's input, built over the SAME host universe as
+    * [[crawlPlantUrl]] so extracted edges land on the crawl gates'
+    * domains. Three anchor forms, one per href resolution arm of
+    * [[graft.operators.TextOps.resolveLink]]:
+    *
+    *   - a1 (every doc): ABSOLUTE href to host key 3·doc_id+1, carrying a
+    *     tracking param so resolution composes with canonicalization;
+    *   - a2 (every doc): ROOT-RELATIVE `/q/…` — resolves against the
+    *     doc's own authority (a self-domain edge, visible in
+    *     `x20_link_extract`, excluded from the domain graph);
+    *   - a3 (doc_id % 3 == 0): PROTOCOL-RELATIVE `//host/…` to host key
+    *     5·doc_id+2 — resolves with the base's scheme.
+    *
+    * SQL mirror: [[linkPageSql]] (char-for-char the same page string). */
+  private def linkPlantPage: Column = {
+    val d = col("doc_id")
+    val k1 = d * 3 + 1
+    val k3 = d * 5 + 2
+    val a1 = concat(lit("<a href=\"https://"), crawlPlantHost(k1), lit("/p/"),
+      (k1 % 20).cast("string"), lit("?a=1&utm_l=9\">visit h"),
+      (k1 % 5).cast("string"), lit(" "), linkKindWord(k1), lit("</a>"))
+    val a2 = concat(lit("<a href=\"/q/"), (d % 10).cast("string"),
+      lit("\">more "), linkKindWord(d), lit("</a>"))
+    val a3 = when(d % 3 === 0, concat(lit(" <a href=\"//"), crawlPlantHost(k3),
+      lit("/p/"), (k3 % 20).cast("string"), lit("\">visit h"),
+      (k3 % 5).cast("string"), lit(" "), linkKindWord(k3), lit("</a>")))
+      .otherwise(lit(""))
+    concat(lit("<html><body><p>"), col("text"), lit("</p>"), a1, lit(" "), a2,
+      a3, lit("</body></html>"))
+  }
+
+  /** The link-graph family's two shared stages: `links` — every planted
+    * anchor extracted, resolved against the doc's own canonical base, and
+    * canonicalized (doc_id, link_no, href, url, dst_host, anchor, base);
+    * `edges` — the registrable-domain (eTLD+1) link graph
+    * (src_domain, dst_domain, n_links), self-domain and NULL-domain (IP
+    * literal) endpoints excluded. Scale shape: extraction + resolution are
+    * zero-shuffle codegen projections; the PSL dimension is built at
+    * DISTINCT-host cardinality and BROADCAST back twice (src and dst
+    * sides); the only wide exchange is the final (domain, domain) count —
+    * domain-pair cardinality, never page cardinality. */
+  private[graft] def linkGraphStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val pages = docs.select(col("doc_id"),
+      TextOps.canonicalizeUrl(crawlPlantUrl).as("base"),
+      linkPlantPage.as("page"))
+    val links = TextOps.extractLinks(pages, "page")
+      .withColumn("url",
+        TextOps.canonicalizeUrl(TextOps.resolveLink(col("base"), col("href"))))
+      .withColumn("dst_host", TextOps.urlHost(col("url")))
+      .select("doc_id", "link_no", "href", "url", "dst_host", "anchor", "base")
+    val srcHost = TextOps.urlHost(col("base"))
+    val hosts = links.select(col("dst_host").as("host"))
+      .union(links.select(srcHost.as("host")))
+    val dim = TextOps.registrableDomainMap(hosts, "host",
+      rules = TextOps.PublicSuffixRulesFull)
+    val edges = links
+      .select(srcHost.as("src_host"), col("dst_host"))
+      .join(broadcast(dim.toDF("src_host", "src_domain")), Seq("src_host"))
+      .join(broadcast(dim.toDF("dst_host", "dst_domain")), Seq("dst_host"))
+      .where(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
+        col("src_domain") =!= col("dst_domain"))
+      .groupBy("src_domain", "dst_domain").agg(count(lit(1)).as("n_links"))
+    (links, edges)
   }
 
   /** The cap and post-cap stages of the `e2e_crawl_curation` gate, split
@@ -5160,19 +5290,111 @@ object SparkEntry {
     CrawlUrlRules.map { case (p, a) => s"('$p', ${if (a) 1 else 0})" }
       .mkString(", ")
 
+  /** SQL mirror of [[crawlPlantHost]] for an arbitrary key expression. */
+  private def crawlHostSql(k: String): String =
+    s"""CASE WHEN ($k) % 19 = 3 THEN '[2001:db8::1]:8080'
+       |         WHEN ($k) % 19 = 7 THEN '192.0.2.1'
+       |         WHEN ($k) % 4 = 0 THEN 'WWW.h' || CAST(($k) % 5 AS VARCHAR) || '.com'
+       |         WHEN ($k) % 4 = 1 THEN 'news.h' || CAST(($k) % 5 AS VARCHAR) || '.com'
+       |         WHEN ($k) % 4 = 2 THEN 'h' || CAST(($k) % 5 AS VARCHAR) || '.blogspot.com'
+       |         ELSE 'a.h' || CAST(($k) % 5 AS VARCHAR) || '.co.uk'
+       |    END""".stripMargin
+
+  /** SQL mirror of [[linkKindWord]]. */
+  private def linkKindSql(k: String): String =
+    s"CASE WHEN ($k) % 3 = 0 THEN 'guide' WHEN ($k) % 3 = 1 THEN 'review' ELSE 'news' END"
+
+  /** SQL mirror of [[linkPlantPage]] — char-for-char the same page. */
+  private def linkPageSql: String =
+    s"""'<html><body><p>' || text || '</p><a href="https://' ||
+       |      ${crawlHostSql("doc_id * 3 + 1")} ||
+       |      '/p/' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR) ||
+       |      '?a=1&utm_l=9">visit h' || CAST((doc_id * 3 + 1) % 5 AS VARCHAR) || ' ' ||
+       |      ${linkKindSql("doc_id * 3 + 1")} ||
+       |      '</a> <a href="/q/' || CAST(doc_id % 10 AS VARCHAR) || '">more ' ||
+       |      ${linkKindSql("doc_id")} || '</a>' ||
+       |      CASE WHEN doc_id % 3 = 0 THEN
+       |        ' <a href="//' || ${crawlHostSql("doc_id * 5 + 2")} ||
+       |        '/p/' || CAST((doc_id * 5 + 2) % 20 AS VARCHAR) ||
+       |        '">visit h' || CAST((doc_id * 5 + 2) % 5 AS VARCHAR) || ' ' ||
+       |        ${linkKindSql("doc_id * 5 + 2")} || '</a>'
+       |      ELSE '' END || '</body></html>'""".stripMargin
+
+  /** The link-graph family's shared CTE stack, replaying
+    * [[linkGraphStages]]'s `links` output: planted page → anchor tags →
+    * (href, anchor) per tag → [[graft.operators.TextOps.resolveLink]]'s
+    * four resolution arms → the canonicalization chain. The canon chain is
+    * keyed by `doc_id · 4 + link_no` (≤ 3 links per page, so the key is
+    * collision-free) because [[urlCanonCtes]] carries one id column; the
+    * final CTE splits the key back. Ends in
+    * `lout(doc_id, link_no, href, url, dst_host, anchor)`. */
+  private def linkCtes: String =
+    s"""$crawlRawCte,
+       |${urlCanonCtes("rd", "raw")},
+       |pg AS (
+       |  SELECT r.doc_id, $linkPageSql AS page, c.canonical_url AS base
+       |  FROM raw r JOIN rdcanon c USING (doc_id)),
+       |tg AS (SELECT doc_id, base,
+       |         regexp_extract_all(page, '<a href="[^"]*"[^>]*>[^<]*</a>') AS ls
+       |       FROM pg),
+       |lk AS (
+       |  SELECT doc_id, base, CAST(i - 1 AS BIGINT) AS link_no,
+       |         regexp_extract(ls[i], '<a href="([^"]*)"', 1) AS href,
+       |         regexp_extract(ls[i], '>([^<]*)</a>', 1) AS anchor
+       |  FROM tg, unnest(range(1, len(ls) + 1)) AS u(i)),
+       |rs AS (
+       |  SELECT doc_id, link_no, href, anchor,
+       |    CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+       |         WHEN starts_with(href, '//')
+       |           THEN regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) || ':' || href
+       |         WHEN starts_with(href, '/')
+       |           THEN regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) || href
+       |         ELSE regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) ||
+       |              regexp_replace(regexp_replace(regexp_replace(base,
+       |                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', ''), '\\?.*', ''),
+       |                '/[^/]*$$', '') || '/' || href
+       |    END AS url0
+       |  FROM lk),
+       |ku AS (SELECT doc_id * 4 + link_no AS doc_id, url0 AS url FROM rs),
+       |${urlCanonCtes("lx", "ku")},
+       |lout AS (
+       |  SELECT r.doc_id, r.link_no, r.href, x.canonical_url AS url,
+       |         regexp_extract(x.canonical_url,
+       |           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS dst_host,
+       |         r.anchor
+       |  FROM rs r JOIN lxcanon x ON x.doc_id = r.doc_id * 4 + r.link_no)""".stripMargin
+
+  /** [[linkCtes]] extended with the PSL replay over BOTH endpoints' hosts
+    * and the grouped registrable-domain edge list (self-domain and NULL
+    * endpoints excluded, matching [[linkGraphStages]]'s `edges`). Ends in
+    * `ledges(src_domain, dst_domain, w)`. */
+  private def linkEdgeCtes: String =
+    s"""$linkCtes,
+       |ah AS (
+       |  SELECT dst_host AS host FROM lout
+       |  UNION ALL
+       |  SELECT regexp_extract(canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS host
+       |  FROM rdcanon),
+       |${pslLookupCtes("a", "ah")},
+       |ed AS (
+       |  SELECT s.registrable_domain AS src_domain, t.registrable_domain AS dst_domain
+       |  FROM lout l
+       |  JOIN rdcanon c ON c.doc_id = l.doc_id
+       |  JOIN areg s ON s.host = regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+       |  JOIN areg t ON t.host = l.dst_host
+       |  WHERE s.registrable_domain IS NOT NULL AND t.registrable_domain IS NOT NULL
+       |    AND s.registrable_domain <> t.registrable_domain),
+       |ledges AS (
+       |  SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS w
+       |  FROM ed GROUP BY 1, 2)""".stripMargin
+
   /** The `raw` CTE replaying [[crawlPlantUrl]] — ONE SQL definition shared
-    * by [[crawlPslCtes]] and the URL-rule oracle. */
+    * by [[crawlPslCtes]], [[linkCtes]], and the URL-rule oracle. */
   private def crawlRawCte: String =
     s"""raw AS (
        |  SELECT doc_id, text,
        |    'https://' ||
-       |    CASE WHEN doc_id % 19 = 3 THEN '[2001:db8::1]:8080'
-       |         WHEN doc_id % 19 = 7 THEN '192.0.2.1'
-       |         WHEN doc_id % 4 = 0 THEN 'WWW.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
-       |         WHEN doc_id % 4 = 1 THEN 'news.h' || CAST(doc_id % 5 AS VARCHAR) || '.com'
-       |         WHEN doc_id % 4 = 2 THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.blogspot.com'
-       |         ELSE 'a.h' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
-       |    END || '/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1' AS url
+       |    ${crawlHostSql("doc_id")} || '/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1' AS url
        |  FROM documents)""".stripMargin
 
   private def crawlPslCtes: String =
@@ -5183,33 +5405,43 @@ object SparkEntry {
        |         regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS host,
        |         len(list_filter(string_split(r.text, ' '), x -> x <> '')) AS n_toks
        |  FROM rdcanon c JOIN raw r USING (doc_id)),
-       |psl(rule, kind) AS (VALUES $pslValues),
-       |hl AS (
+       |${pslLookupCtes("", "pages")}""".stripMargin
+
+  /** The publicsuffix.org longest-matching-rule replay over [[pslValues]]
+    * as a prefixable CTE stack: reads DISTINCT `host` from `$hostsCte`,
+    * ends in `${p}reg(host, registrable_domain)`. Shared by
+    * [[crawlPslCtes]] (prefix "") and the link-graph oracles, so a rule
+    * or algorithm change hits every consumer or none. NOTE: the stack
+    * includes `${p}psl` — at most one prefix may appear per statement
+    * unless the names differ. */
+  private def pslLookupCtes(p: String, hostsCte: String): String =
+    s"""${p}psl(rule, kind) AS (VALUES $pslValues),
+       |${p}hl AS (
        |  SELECT host, string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS ls
-       |  FROM (SELECT DISTINCT host FROM pages)),
-       |cand AS (
+       |  FROM (SELECT DISTINCT host FROM $hostsCte)),
+       |${p}cand AS (
        |  SELECT host, len(ls) AS nl, CAST(i AS INTEGER) AS i,
        |         array_to_string(ls[len(ls) - i + 1:], '.') AS exact_c,
        |         CASE WHEN i >= 2 THEN '*.' || array_to_string(ls[len(ls) - i + 2:], '.') END AS wild_c
-       |  FROM hl, unnest(range(1, least(len(ls), ${graft.operators.TextOps.pslCandidateDepth(graft.operators.TextOps.PublicSuffixRulesFull)}) + 1)) AS u(i)),
-       |mt AS (
+       |  FROM ${p}hl, unnest(range(1, least(len(ls), ${graft.operators.TextOps.pslCandidateDepth(graft.operators.TextOps.PublicSuffixRulesFull)}) + 1)) AS u(i)),
+       |${p}mt AS (
        |  SELECT c.host, c.i, r.kind,
        |         CASE WHEN r.kind = 2 THEN 1 ELSE 0 END AS exc,
        |         CASE WHEN r.kind = 2 THEN c.i - 1 ELSE c.i END AS ps
-       |  FROM cand c JOIN psl r
+       |  FROM ${p}cand c JOIN ${p}psl r
        |    ON (r.kind <> 1 AND r.rule = c.exact_c) OR (r.kind = 1 AND r.rule = c.wild_c)),
-       |bq AS (
+       |${p}bq AS (
        |  SELECT host, ps,
        |         row_number() OVER (PARTITION BY host ORDER BY exc DESC, i DESC, kind ASC) AS rn
-       |  FROM mt),
-       |reg AS (
+       |  FROM ${p}mt),
+       |${p}reg AS (
        |  SELECT h.host,
        |    CASE WHEN h.host LIKE '[%' THEN NULL
        |         WHEN regexp_matches(array_to_string(h.ls, '.'), '^[0-9.]+$$') THEN NULL
        |         WHEN len(h.ls) > coalesce(b.ps, 1)
        |           THEN array_to_string(h.ls[len(h.ls) - coalesce(b.ps, 1):], '.')
        |         ELSE NULL END AS registrable_domain
-       |  FROM hl h LEFT JOIN (SELECT host, ps FROM bq WHERE rn = 1) b USING (host))""".stripMargin
+       |  FROM ${p}hl h LEFT JOIN (SELECT host, ps FROM ${p}bq WHERE rn = 1) b USING (host))""".stripMargin
 
   /** DuckDB replay of [[graft.operators.TextOps.canonicalizeUrl]], verbatim
     * rule for rule (implicit http:// for scheme-less input → fragment drop →
@@ -5699,6 +5931,69 @@ object SparkEntry {
            |JOIN reg r USING (host)
            |LEFT JOIN cnt USING (registrable_domain)
            |WHERE p.doc_id % 5 = 0 ORDER BY p.doc_id""".stripMargin,
+
+      // the link CTE stack replays plant → tag extraction → the four
+      // resolution arms → canonicalization, verbatim rule for rule
+      "x20_link_extract" ->
+        s"""WITH $linkCtes
+           |SELECT doc_id, link_no, href, url, dst_host, anchor
+           |FROM lout ORDER BY doc_id, link_no""".stripMargin,
+
+      // extracted links + the PSL replay on BOTH endpoints' hosts; NULL
+      // (IP-literal) and self-domain edges excluded as in the engine
+      "q_host_link_graph" ->
+        s"""WITH $linkEdgeCtes
+           |SELECT src_domain, dst_domain, w AS n_links
+           |FROM ledges ORDER BY src_domain, dst_domain""".stripMargin,
+
+      // 4 unrolled directed-weighted q6 PageRank rounds over the domain
+      // edge list — same floor-div long arithmetic as the Spark loop
+      // ((85·r·w) // (100·outw), base 150000 // N), every sum CAST back
+      // to BIGINT (the r15 HUGEINT lesson)
+      "q_link_pagerank" -> {
+        val rounds = (1 to 4).map { i =>
+          s"""|r$i AS (
+              |  SELECT nodes.node, (SELECT 150000 // n FROM nn) + coalesce(s.c, 0) AS r
+              |  FROM nodes LEFT JOIN (
+              |    SELECT adj.dst_domain AS node,
+              |           CAST(sum((85 * r${i - 1}.r * adj.w) // (100 * adj.outw)) AS BIGINT) AS c
+              |    FROM adj JOIN r${i - 1} ON adj.src_domain = r${i - 1}.node GROUP BY 1) s USING (node))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $linkEdgeCtes,
+           |nodes AS (SELECT DISTINCT node FROM (
+           |  SELECT src_domain AS node FROM ledges
+           |  UNION ALL SELECT dst_domain FROM ledges)),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |ow AS (SELECT src_domain AS node, CAST(sum(w) AS BIGINT) AS outw FROM ledges GROUP BY 1),
+           |iw AS (SELECT dst_domain AS node, CAST(sum(w) AS BIGINT) AS inw FROM ledges GROUP BY 1),
+           |adj AS (SELECT e.src_domain, e.dst_domain, e.w, o.outw
+           |        FROM ledges e JOIN ow o ON o.node = e.src_domain),
+           |r0 AS (SELECT node, 1000000 // nn.n AS r FROM nodes, nn),
+           $rounds
+           |SELECT nodes.node, coalesce(ow.outw, 0) AS out_weight,
+           |       coalesce(iw.inw, 0) AS in_weight, CAST(r4.r AS BIGINT) AS pr_q6
+           |FROM nodes LEFT JOIN ow USING (node) LEFT JOIN iw USING (node)
+           |JOIN r4 USING (node) ORDER BY node""".stripMargin
+      },
+
+      // anchor tokens per dst eTLD+1, ranked (count DESC, term) — the
+      // engine's window replayed as row_number
+      "q_anchor_topterms" ->
+        s"""WITH $linkCtes,
+           |dh AS (SELECT dst_host AS host FROM lout),
+           |${pslLookupCtes("a", "dh")},
+           |at AS (
+           |  SELECT r.registrable_domain,
+           |         unnest(list_filter(string_split(l.anchor, ' '), x -> x <> '')) AS term
+           |  FROM lout l JOIN areg r ON r.host = l.dst_host
+           |  WHERE r.registrable_domain IS NOT NULL),
+           |ct AS (SELECT registrable_domain, term, CAST(count(*) AS BIGINT) AS n
+           |       FROM at GROUP BY 1, 2),
+           |rk AS (SELECT *, CAST(row_number() OVER (
+           |         PARTITION BY registrable_domain ORDER BY n DESC, term) AS BIGINT) AS rank
+           |       FROM ct)
+           |SELECT registrable_domain, term, n, rank FROM rk WHERE rank <= 3
+           |ORDER BY registrable_domain, rank""".stripMargin,
 
       // the same crawl + PSL stack, then the cap: longest-first rank per
       // registrable domain, kept rows only

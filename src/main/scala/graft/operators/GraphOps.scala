@@ -162,4 +162,75 @@ object GraphOps {
         (floor(col("r").cast("double") / lit(100.0) + lit(0.5)) / lit(10000.0))
           .as("pagerank"))
   }
+
+  /** PageRank over a DIRECTED, WEIGHTED edge list in the same q6
+    * fixed-point long arithmetic as [[quantizedPageRank]] — the link-graph
+    * form: nodes are string keys (registrable domains of a crawl's host
+    * link graph), edges carry a link multiplicity weight, and rank flows
+    * along edge DIRECTION with each source's outflow split proportional
+    * to weight. The crawl-curation read: a domain's rank is the standing
+    * link-endorsement signal a frontier scheduler and a quality prior both
+    * consume (the PageRank-as-crawl-priority loop, Cho et al. 1998 —
+    * public literature).
+    *
+    * Semantics (fixed, engine-portable; the DuckDB oracle replays it
+    * verbatim):
+    *   nodes    = distinct(src ∪ dst);
+    *   outw(u)  = Σ_{u→*} w (a node with no out-edges is DANGLING: its
+    *              mass leaks — the documented "remove dangling mass"
+    *              PageRank variant, chosen because it keeps every engine's
+    *              arithmetic a pure per-edge floor division with no global
+    *              redistribution term);
+    *   r_0      = 1e6 div N;
+    *   r_{t+1}(v) = (1e6 − damp·1e4) div N
+    *                + Σ_{u→v} (damp · r_t(u) · w_uv) div (100 · outw(u)).
+    *
+    * Overflow headroom: damp·r·w must fit a long — r ≤ ~1e6·N/N ≈ 1e6-ish
+    * and the guard below rejects per-edge weights above 1e9, far beyond
+    * any per-(src,dst) link multiplicity a capped crawl produces.
+    *
+    * Scale shape: out-weight table and weighted adjacency built ONCE and
+    * localCheckpointed; per iteration one O(edges) equi-join on `src` and
+    * one aggregate on `dst`, shuffling only (string key, long) rows; at
+    * link-graph scale nodes = registrable domains (millions, not pages)
+    * and edges = domain pairs — both ≪ corpus.
+    *
+    * Output: (node, out_weight, in_weight, pr_q6) — out/in weight totals
+    * ride along as the degree receipts (0 for a node with none). */
+  def weightedPageRankDirected(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iterations: Int = 4,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "edges must contain at least one edge")
+    val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
+    val adj = e.join(outw, "src").localCheckpoint()
+    require(adj.agg(max(col("w"))).head().getLong(0) <= 1000000000L,
+      "per-edge weight above 1e9: damp*r*w would overflow long arithmetic")
+    val baseQ6 = (1000000L - dampingPct * 10000L) / n
+    var ranks = nodes.select(col("node"), lit(1000000L / n).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr(s"($dampingPct * r * w) div (100 * outw)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), (lit(baseQ6) + coalesce(col("c"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    val inw = e.groupBy("dst").agg(sum(col("w")).as("inw"))
+    ranks
+      .join(outw, ranks("node") === outw("src"), "left")
+      .join(inw, ranks("node") === inw("dst"), "left")
+      .select(col("node"), coalesce(col("outw"), lit(0L)).as("out_weight"),
+        coalesce(col("inw"), lit(0L)).as("in_weight"), col("r").as("pr_q6"))
+  }
 }

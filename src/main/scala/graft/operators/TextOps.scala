@@ -154,6 +154,57 @@ object TextOps {
   def urlHost(canonical: Column): Column =
     regexp_extract(canonical, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)", 1)
 
+  /** RFC 3986 §5-style reference resolution for the href forms a crawler
+    * actually meets in anchor tags, against an absolute base URL (raw or
+    * [[canonicalizeUrl]] output — both carry an explicit scheme). Four
+    * arms, most-specific first:
+    *
+    *   - absolute (`scheme://…`)      → the href itself;
+    *   - protocol-relative (`//h/p`)  → base's scheme + href;
+    *   - root-relative (`/p`)         → base's scheme://authority + href;
+    *   - relative (`p`, `r/p`)        → base's scheme://authority +
+    *     base's path with its last segment dropped + `/` + href (the
+    *     merge rule of §5.3; an authority-only base contributes `/`).
+    *
+    * Dot-segment normalization (`../`) is deliberately out of scope —
+    * planted link corpora and the overwhelming share of real anchors are
+    * dot-free, and a resolver that silently half-handles `..` is worse
+    * than one that documents the boundary. A pure codegen projection. */
+  def resolveLink(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    val auth = concat(scheme, lit("://"), urlHost(base))
+    val basePath = regexp_replace(
+      regexp_replace(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", ""), "\\?.*", "")
+    val parent = regexp_replace(basePath, "/[^/]*$", "")
+    when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(auth, href))
+      .otherwise(concat(auth, parent, lit("/"), href))
+  }
+
+  /** Anchor extraction — the outlink step of a crawl's WET pass, sibling
+    * of [[extractHtmlText]]: every `<a href="…">text</a>` tag yields one
+    * (link_no, href, anchor) row, 0-indexed in document order. The shape
+    * is `regexp_extract_all` for the whole tags then per-element group
+    * extracts inside `transform` — a pure ZERO-SHUFFLE codegen projection
+    * (one pass over the page bytes; the explode multiplies rows by the
+    * per-page anchor count, never by corpus size). Unquoted/single-quoted
+    * href attributes are out of scope by the same documented-boundary
+    * rule as [[extractHtmlText]]'s entity subset.
+    *
+    * Output: input columns of `pages` + (link_no, href, anchor). */
+  def extractLinks(pages: DataFrame, htmlCol: String): DataFrame = {
+    val tags = expr(
+      s"""regexp_extract_all($htmlCol, '<a href="[^"]*"[^>]*>[^<]*</a>', 0)""")
+    pages
+      .select(col("*"), posexplode_outer(tags).as(Seq("link_no", "__tag")))
+      .where(col("__tag").isNotNull)
+      .withColumn("link_no", col("link_no").cast("long"))
+      .withColumn("href", regexp_extract(col("__tag"), "<a href=\"([^\"]*)\"", 1))
+      .withColumn("anchor", regexp_extract(col("__tag"), ">([^<]*)</a>", 1))
+      .drop("__tag")
+  }
+
   /** Compact subset of the public-suffix list (publicsuffix.org — public
     * data) carrying all three rule kinds: exact rules, `*.` wildcard rules
     * (the star matches exactly one label), and `!` exception rules that
