@@ -2288,6 +2288,41 @@ object SparkEntry {
         .crossJoin(words.agg(countDistinct(col("word")).as("exact_distinct")))
     }),
 
+    // ---- HLL register sketch (native TypedImperativeAggregate): the
+    //      MERGEABLE distinct-count sketch — map-side partials ship ONE
+    //      m-byte register row per partition instead of the value stream
+    //      (kmvDistinct, by contrast, needs a global ordered-limit);
+    //      registers are hash-exact integers the oracle reproduces from
+    //      the shared md5 contract ----
+    "q_hll_registers" -> ((s, d) => {
+      val words = CoreOps.tokenize(Tables.documents(s, d), "text").select("word")
+      words.agg(graft.expressions.GraftExpressions
+          .hllRegisters(col("word"), 10).as("regs"))
+        .select(posexplode(col("regs")).as(Seq("bucket", "rho")))
+        .where(col("rho") > 0)
+        .select(col("bucket").cast("long").as("bucket"),
+          col("rho").cast("long").as("max_rho"))
+        .orderBy("bucket")
+    }),
+
+    // ---- the sketch's estimate surface, kept integer-exact: the
+    //      harmonic-mean denominator Σ 2^(39−ρ_j) over ALL m buckets as a
+    //      q39 long (HLL's one IEEE step, α·m²·2^39/inv, is a single
+    //      division away — asserted statistically in the spec), with the
+    //      exact distinct riding along as the in-gate error receipt ----
+    "q_hll_distinct" -> ((s, d) => {
+      val words = CoreOps.tokenize(Tables.documents(s, d), "text").select("word")
+      val regs = words
+        .agg(graft.expressions.GraftExpressions
+          .hllRegisters(col("word"), 10).as("regs"))
+        .select(posexplode(col("regs")).as(Seq("bucket", "rho")))
+      regs.agg(
+          count(lit(1)).as("m"),
+          sum(when(col("rho") > 0, 1L).otherwise(0L)).as("n_buckets_hit"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 39 - rho)")).as("inv_q39"))
+        .crossJoin(words.agg(countDistinct(col("word")).as("exact_distinct")))
+    }),
+
     // ---- LSH banding auto-tuner: the S-curve (b, r) choice BEFORE a
     //      100 TB dedup run (q_lsh_candidate_quality measures it after);
     //      repeated-multiplication folds + per-term q6, no libm pow ----
@@ -6061,6 +6096,41 @@ object SparkEntry {
            |                 ELSE (255 * ${1L << 48}) // kth_hash END AS BIGINT) AS est_distinct,
            |       (SELECT count(DISTINCT word) FROM w) AS exact_distinct
            |FROM agg""".stripMargin,
+
+      // same md5('hll:'||word) 48-bit hash: top 10 bits route, ρ = 39 −
+      // bitlength(rest) (rest = 0 → 39) — registers are pure integers
+      "q_hll_registers" ->
+        s"""WITH w AS (
+           |  SELECT word FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+           |  WHERE word <> ''),
+           |h AS (SELECT ('0x' || substr(md5('hll:' || word), 1, 12))::BIGINT AS h FROM w),
+           |br AS (SELECT h // ${1L << 38} AS bucket, h % ${1L << 38} AS rest FROM h),
+           |rr AS (SELECT bucket,
+           |              CASE WHEN rest = 0 THEN 39 ELSE 39 - len(bin(rest)) END AS rho FROM br)
+           |SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho
+           |FROM rr GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      // full 1024-bucket frame (empty → ρ 0) for the exact q39 harmonic
+      // denominator; every sum CAST back to BIGINT
+      "q_hll_distinct" ->
+        s"""WITH w AS (
+           |  SELECT word FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+           |  WHERE word <> ''),
+           |h AS (SELECT ('0x' || substr(md5('hll:' || word), 1, 12))::BIGINT AS h FROM w),
+           |br AS (SELECT h // ${1L << 38} AS bucket, h % ${1L << 38} AS rest FROM h),
+           |rr AS (SELECT bucket,
+           |              CASE WHEN rest = 0 THEN 39 ELSE 39 - len(bin(rest)) END AS rho FROM br),
+           |mx AS (SELECT bucket, max(rho) AS rho FROM rr GROUP BY bucket),
+           |allb AS (SELECT CAST(i AS BIGINT) AS bucket FROM unnest(range(0, 1024)) AS u(i)),
+           |fr AS (SELECT a.bucket, coalesce(m.rho, 0) AS rho
+           |       FROM allb a LEFT JOIN mx m USING (bucket))
+           |SELECT CAST(count(*) AS BIGINT) AS m,
+           |       CAST(sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+           |       CAST(sum(CAST(1 AS BIGINT) << (39 - rho)) AS BIGINT) AS inv_q39,
+           |       (SELECT count(DISTINCT word) FROM w) AS exact_distinct
+           |FROM fr""".stripMargin,
 
       // identical midpoint grid, identical LEFT-TO-RIGHT multiplication
       // folds (list_reduce starts at the first element; Spark's fold

@@ -1044,8 +1044,106 @@ class CanonicalFoldHelper extends Serializable {
   }
 }
 
+/** HyperLogLog register sketch as a native
+  * [[org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate]] —
+  * the engine's MERGEABLE distinct-count sketch (complement of
+  * [[graft.operators.CoreOps.kmvDistinct]], which is a global ordered-limit
+  * and therefore cannot pre-aggregate map-side). Flajolet et al. 2007
+  * (public paper): hash each value, route it to one of m = 2^p registers by
+  * its top p bits, and keep per register the maximum ρ = 1 + (leading zero
+  * count of the remaining bits). The buffer is the m-byte register array;
+  * UPDATE is one hash + one byte max, MERGE is a bytewise max — associative
+  * and commutative, so Spark runs it with map-side partial aggregation and
+  * the shuffle carries ONE m-byte row per partition instead of the value
+  * stream (the 100 TB point of the sketch).
+  *
+  * The hash is the first 48 bits of md5("hll:" || value) — the
+  * [[graft.operators.CoreOps.kmvDistinct]] deterministic-hash contract, so
+  * the DuckDB oracle reproduces every register exactly (integer-exact gate,
+  * no estimator IEEE in the hash path; the estimate itself is asserted
+  * statistically in the spec and derivable from the integer registers).
+  *
+  * eval returns the registers as array<int> (index = register, value =
+  * max ρ; 0 = never touched). */
+case class HllRegistersAgg(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Byte]]
+  with ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+  private val m = 1 << p
+  private val restBits = 48 - p
+
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.TypeBridge.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_registers"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = HllRegistersAgg.hash48(v.asInstanceOf[UTF8String])
+      val bucket = (h >>> restBits).toInt
+      val rest = h & ((1L << restBits) - 1)
+      val rho =
+        (if (rest == 0L) restBits + 1
+         else restBits - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1).toByte
+      if (rho > buf(bucket)) buf(bucket) = rho
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toInt))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegistersAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegistersAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegistersAgg =
+    copy(child = newChild)
+}
+
+object HllRegistersAgg {
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val Prefix = "hll:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** First 48 bits (big-endian) of md5("hll:" || value) — one digest per
+    * value on a thread-local MessageDigest. */
+  def hash48(s: UTF8String): Long = {
+    val md = Md5.get()
+    md.reset()
+    md.update(Prefix)
+    md.update(s.getBytes)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object GraftExpressions {
+  def hllRegisters(value: Column, p: Int): Column =
+    ColumnBridge.column(
+      HllRegistersAgg(ColumnBridge.expression(value), p).toAggregateExpression())
+
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
