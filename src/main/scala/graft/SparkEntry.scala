@@ -2323,6 +2323,17 @@ object SparkEntry {
         .crossJoin(words.agg(countDistinct(col("word")).as("exact_distinct")))
     }),
 
+    // ---- exact phrase search via positional postings, rarest-term-first
+    //      intersection (the indexed retrieval path BM25 lacks — quote
+    //      attribution and exact-sequence decontamination need consecutive
+    //      positions, not bags); candidates bounded by the rarest term's
+    //      df, postings filtered to the phrase AT SCAN ----
+    "q_phrase_search" -> ((s, d) => {
+      TextOps.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+          Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LSH banding auto-tuner: the S-curve (b, r) choice BEFORE a
     //      100 TB dedup run (q_lsh_candidate_quality measures it after);
     //      repeated-multiplication folds + per-term q6, no libm pow ----
@@ -6131,6 +6142,20 @@ object SparkEntry {
            |       CAST(sum(CAST(1 AS BIGINT) << (39 - rho)) AS BIGINT) AS inv_q39,
            |       (SELECT count(DISTINCT word) FROM w) AS exact_distinct
            |FROM fr""".stripMargin,
+
+      // consecutive-window scan over the SAME empty-filtered token list
+      // (start is 0-based, matching posexplode)
+      "q_phrase_search" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start
+          |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+          |  WHERE toks[i] = 'slow' AND toks[i+1] = 'hash' AND toks[i+2] = 'batch')
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+          |       CAST(min(start) AS BIGINT) AS first_pos
+          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // identical midpoint grid, identical LEFT-TO-RIGHT multiplication
       // folds (list_reduce starts at the first element; Spark's fold

@@ -205,6 +205,60 @@ object TextOps {
       .drop("__tag")
   }
 
+  /** Exact phrase search over whitespace tokens via POSITIONAL POSTINGS —
+    * the indexed-retrieval companion of the BM25 family (BM25 ranks by
+    * bag-of-terms; decontamination and quote-attribution checks need the
+    * exact consecutive sequence). Classic rarest-first intersection
+    * (public IR-textbook algorithm, Manning et al. IIR §2.4): postings are
+    * (doc, position) pairs for the phrase's terms only; the RAREST term
+    * anchors, and every other term joins at its fixed offset from the
+    * anchor, so candidate volume is bounded by the rarest term's document
+    * frequency rather than any frequent term's.
+    *
+    * Overlapping occurrences all count (a search for "a a" in "a a a"
+    * matches at 0 and 1); a repeated term in the phrase joins its own
+    * posting list once per offset. Per-term document frequencies are read
+    * on the driver — phrase-cardinality scalars, the engine's bounded-
+    * collect contract.
+    *
+    * Scale shape: the postings projection filters to the phrase's terms
+    * AT SCAN (predicate on the exploded term — frequent-corpus tokens
+    * never leave the scan); each offset join is an equi-join on
+    * (doc, aligned start), co-partitioned after the first exchange. The
+    * no-index alternative (per-doc array scan) trades those joins for an
+    * O(len·k) codegen filter — right when the corpus is scanned exactly
+    * once; this operator is the maintained-postings path.
+    *
+    * Output: (idCol, n_matches, first_pos) for docs with ≥ 1 match. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val post = docs.select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__term")))
+      .where(col("__term").isin(phrase: _*))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"), col("__term"))
+    val dfByTerm = post.groupBy("__term").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rarest term first; offset index breaks ties so a repeated term
+    // anchors at its first occurrence
+    val order = phrase.zipWithIndex
+      .sortBy { case (t, i) => (dfByTerm.getOrElse(t, 0L), i) }
+    val (anchorTerm, anchorOff) = order.head
+    var cur = post.where(col("__term") === anchorTerm)
+      .select(col("__id"), (col("__pos") - lit(anchorOff.toLong)).as("__start"))
+    for ((t, off) <- order.tail) {
+      val p = post.where(col("__term") === t)
+        .select(col("__id").as("__id2"),
+          (col("__pos") - lit(off.toLong)).as("__start2"))
+      cur = cur.join(p,
+          col("__id") === col("__id2") && col("__start") === col("__start2"))
+        .select(col("__id"), col("__start"))
+    }
+    cur.groupBy("__id")
+      .agg(count(lit(1)).as("n_matches"), min(col("__start")).as("first_pos"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Compact subset of the public-suffix list (publicsuffix.org — public
     * data) carrying all three rule kinds: exact rules, `*.` wildcard rules
     * (the star matches exactly one label), and `!` exception rules that
