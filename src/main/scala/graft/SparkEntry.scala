@@ -2323,6 +2323,36 @@ object SparkEntry {
         .crossJoin(words.agg(countDistinct(col("word")).as("exact_distinct")))
     }),
 
+    // ---- composed crawl-frontier scheduling: the budget arm (standing
+    //      per-domain page counts vs the crawl cap) joined with the
+    //      priority arm (directed-weighted PageRank endorsement over the
+    //      extracted link graph) — over-budget domains are parked, the
+    //      rest get a fetch order by endorsement. The global rank rides
+    //      the O(P) two-phase prefix pass, never a single-task window;
+    //      everything else is broadcast dims + domain-cardinality rows ----
+    "e2e_crawl_frontier" -> ((s, d) => {
+      val pages = Tables.documents(s, d).select(
+        TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"))
+      val dim = TextOps.registrableDomainMap(pages, "host",
+        rules = TextOps.PublicSuffixRulesFull)
+      val counts = pages.join(broadcast(dim), Seq("host"))
+        .where(col("registrable_domain").isNotNull)
+        .groupBy("registrable_domain").agg(count(lit(1)).as("n_pages"))
+      val pr = GraphOps.weightedPageRankDirected(linkGraphStages(s, d)._2,
+          "src_domain", "dst_domain", "n_links", iterations = 4)
+        .select(col("node").as("registrable_domain"), col("pr_q6"))
+      val st = counts.join(pr, Seq("registrable_domain"), "left")
+        .select(col("registrable_domain").as("domain"), col("n_pages"),
+          coalesce(col("pr_q6"), lit(0L)).as("pr_q6"),
+          (col("n_pages") >= 30).as("over_budget"))
+      val under = st.where(!col("over_budget"))
+        .select(col("domain"), col("pr_q6"), lit(1L).as("__one"))
+      val ranked = CoreOps.globalPrefixSum(under,
+          Seq(col("pr_q6").desc, col("domain")), "__one", "__before")
+        .select(col("domain"), (col("__before") + lit(1L)).as("fetch_rank"))
+      st.join(ranked, Seq("domain"), "left").orderBy("domain")
+    }),
+
     // ---- exact phrase search via positional postings, rarest-term-first
     //      intersection (the indexed retrieval path BM25 lacks — quote
     //      attribution and exact-sequence decontamination need consecutive
@@ -5434,6 +5464,31 @@ object SparkEntry {
        |  SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS w
        |  FROM ed GROUP BY 1, 2)""".stripMargin
 
+  /** [[linkEdgeCtes]] + 4 unrolled directed-weighted q6 PageRank rounds —
+    * ends in `r4(node, r)` alongside `nodes`/`nn`/`ow`/`iw`/`adj`. Shared
+    * by the `q_link_pagerank` and `e2e_crawl_frontier` oracles. */
+  private def linkPageRankCtes: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""|r$i AS (
+          |  SELECT nodes.node, (SELECT 150000 // n FROM nn) + coalesce(s.c, 0) AS r
+          |  FROM nodes LEFT JOIN (
+          |    SELECT adj.dst_domain AS node,
+          |           CAST(sum((85 * r${i - 1}.r * adj.w) // (100 * adj.outw)) AS BIGINT) AS c
+          |    FROM adj JOIN r${i - 1} ON adj.src_domain = r${i - 1}.node GROUP BY 1) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""$linkEdgeCtes,
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src_domain AS node FROM ledges
+       |  UNION ALL SELECT dst_domain FROM ledges)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |ow AS (SELECT src_domain AS node, CAST(sum(w) AS BIGINT) AS outw FROM ledges GROUP BY 1),
+       |iw AS (SELECT dst_domain AS node, CAST(sum(w) AS BIGINT) AS inw FROM ledges GROUP BY 1),
+       |adj AS (SELECT e.src_domain, e.dst_domain, e.w, o.outw
+       |        FROM ledges e JOIN ow o ON o.node = e.src_domain),
+       |r0 AS (SELECT node, 1000000 // nn.n AS r FROM nodes, nn),
+       $rounds""".stripMargin
+  }
+
   /** The `raw` CTE replaying [[crawlPlantUrl]] — ONE SQL definition shared
     * by [[crawlPslCtes]], [[linkCtes]], and the URL-rule oracle. */
   private def crawlRawCte: String =
@@ -5996,31 +6051,35 @@ object SparkEntry {
       // edge list — same floor-div long arithmetic as the Spark loop
       // ((85·r·w) // (100·outw), base 150000 // N), every sum CAST back
       // to BIGINT (the r15 HUGEINT lesson)
-      "q_link_pagerank" -> {
-        val rounds = (1 to 4).map { i =>
-          s"""|r$i AS (
-              |  SELECT nodes.node, (SELECT 150000 // n FROM nn) + coalesce(s.c, 0) AS r
-              |  FROM nodes LEFT JOIN (
-              |    SELECT adj.dst_domain AS node,
-              |           CAST(sum((85 * r${i - 1}.r * adj.w) // (100 * adj.outw)) AS BIGINT) AS c
-              |    FROM adj JOIN r${i - 1} ON adj.src_domain = r${i - 1}.node GROUP BY 1) s USING (node))""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $linkEdgeCtes,
-           |nodes AS (SELECT DISTINCT node FROM (
-           |  SELECT src_domain AS node FROM ledges
-           |  UNION ALL SELECT dst_domain FROM ledges)),
-           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-           |ow AS (SELECT src_domain AS node, CAST(sum(w) AS BIGINT) AS outw FROM ledges GROUP BY 1),
-           |iw AS (SELECT dst_domain AS node, CAST(sum(w) AS BIGINT) AS inw FROM ledges GROUP BY 1),
-           |adj AS (SELECT e.src_domain, e.dst_domain, e.w, o.outw
-           |        FROM ledges e JOIN ow o ON o.node = e.src_domain),
-           |r0 AS (SELECT node, 1000000 // nn.n AS r FROM nodes, nn),
-           $rounds
+      "q_link_pagerank" ->
+        s"""WITH $linkPageRankCtes
            |SELECT nodes.node, coalesce(ow.outw, 0) AS out_weight,
            |       coalesce(iw.inw, 0) AS in_weight, CAST(r4.r AS BIGINT) AS pr_q6
            |FROM nodes LEFT JOIN ow USING (node) LEFT JOIN iw USING (node)
-           |JOIN r4 USING (node) ORDER BY node""".stripMargin
-      },
+           |JOIN r4 USING (node) ORDER BY node""".stripMargin,
+
+      // the composed frontier read: standing per-domain page counts (the
+      // budget arm) + PageRank endorsement (the priority arm); fetch_rank
+      // replays the engine's two-phase prefix rank as row_number over the
+      // under-budget subset
+      "e2e_crawl_frontier" ->
+        s"""WITH $linkPageRankCtes,
+           |pcount AS (
+           |  SELECT r.registrable_domain, CAST(count(*) AS BIGINT) AS n_pages
+           |  FROM rdcanon c JOIN areg r
+           |    ON r.host = regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+           |  WHERE r.registrable_domain IS NOT NULL GROUP BY 1),
+           |st AS (
+           |  SELECT p.registrable_domain AS domain, p.n_pages,
+           |         CAST(coalesce(r4.r, 0) AS BIGINT) AS pr_q6,
+           |         p.n_pages >= 30 AS over_budget
+           |  FROM pcount p LEFT JOIN r4 ON r4.node = p.registrable_domain),
+           |rk AS (
+           |  SELECT domain,
+           |         CAST(row_number() OVER (ORDER BY pr_q6 DESC, domain) AS BIGINT) AS fetch_rank
+           |  FROM st WHERE NOT over_budget)
+           |SELECT st.domain, st.n_pages, st.pr_q6, st.over_budget, rk.fetch_rank
+           |FROM st LEFT JOIN rk USING (domain) ORDER BY st.domain""".stripMargin,
 
       // anchor tokens per dst eTLD+1, ranked (count DESC, term) — the
       // engine's window replayed as row_number

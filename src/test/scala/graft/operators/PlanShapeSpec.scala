@@ -670,4 +670,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ex.forall(b => !b.contains("text")),
       s"document text crossed an exchange:\n${ex.mkString("\n---\n")}")
   }
+
+  test("link-graph edges: PSL dims broadcast; neither page HTML nor text shuffles") {
+    val df = SparkEntry.queries("q_host_link_graph")(spark, sfDir)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("page#"), s"an exchange carries page HTML:\n$b")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (host -> registrable_domain) dims must join as broadcasts")
+    assert(!plan.contains("SortMergeJoin"),
+      s"an edge-side join fell back to sort-merge:\n$plan")
+  }
+
+  test("x20_link_extract: extraction shuffles extracted rows only, never the page") {
+    val df = SparkEntry.queries("x20_link_extract")(spark, sfDir)
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("page#"), s"an exchange carries page HTML:\n$b")
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+    }
+  }
+
+  test("q_anchor_topterms: per-domain top-3 rides WindowGroupLimit heaps") {
+    val df = SparkEntry.queries("q_anchor_topterms")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank <= 3 must prune per-partition before the window exchange:\n$plan")
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("page#") && !b.contains("text#"),
+        s"an exchange carries page/text:\n$b")
+  }
+
+  test("q_phrase_search: exchanges carry (id, position) longs — never text") {
+    val df = SparkEntry.queries("q_phrase_search")(spark, sfDir)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+  }
+
+  test("e2e_crawl_frontier: fetch rank is the two-phase prefix pass, never a single-task window") {
+    val df = SparkEntry.queries("e2e_crawl_frontier")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the global rank must ride the prefix pass, not a window:\n$plan")
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("page#"), s"an exchange carries page HTML:\n$b")
+    }
+  }
 }
