@@ -2323,6 +2323,46 @@ object SparkEntry {
         .crossJoin(words.agg(countDistinct(col("word")).as("exact_distinct")))
     }),
 
+    // ---- maintained link-graph index, append == rebuild: the standing
+    //      corpus's domain edge list plus an ingest epoch's increment,
+    //      merged by SUMMING multiplicities — the d23/d24 maintenance
+    //      identity, here proven CROSS-ENGINE: the oracle rebuilds the
+    //      graph from scratch over the full corpus, so a hash match IS the
+    //      append==rebuild proof. Increment cost is the epoch's edges,
+    //      never the standing graph ----
+    "q_link_graph_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val standing = linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))._2
+      val epoch = linkGraphStagesFrom(docs.where(col("doc_id") % 5 === 0))._2
+      standing.unionByName(epoch)
+        .groupBy("src_domain", "dst_domain").agg(sum(col("n_links")).as("n_links"))
+        .orderBy("src_domain", "dst_domain")
+    }),
+
+    // ---- streaming link-frontier probe, batch oracle form (the
+    //      linkFrontierStream contract): the % 5 == 0 docs arrive as an
+    //      ingest epoch; their extracted outlinks probe the STANDING
+    //      corpus's maintained PSL dimension and domain-endorsement
+    //      (PageRank) table — which discovered URLs to enqueue first;
+    //      unseen/IP targets probe to rank 0 (the cold-start arm) ----
+    "q_link_frontier_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (slinks, sedges) =
+        linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))
+      val hosts = slinks.select(col("dst_host").as("host"))
+        .union(slinks.select(TextOps.urlHost(col("base")).as("host")))
+      val dim = TextOps.registrableDomainMap(hosts, "host",
+        rules = TextOps.PublicSuffixRulesFull)
+      val rank = GraphOps.weightedPageRankDirected(sedges,
+          "src_domain", "dst_domain", "n_links", iterations = 4)
+        .select(col("node").as("registrable_domain"), col("pr_q6"))
+      val epoch = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), crawlPlantUrl.as("base0"), linkPlantPage.as("page"))
+      graft.streaming.StreamingPipelines.linkFrontierStream(epoch, dim, rank,
+          "doc_id", "page", "base0")
+        .orderBy("doc_id", "link_no")
+    }),
+
     // ---- composed crawl-frontier scheduling: the budget arm (standing
     //      per-domain page counts vs the crawl cap) joined with the
     //      priority arm (directed-weighted PageRank endorsement over the
@@ -5295,8 +5335,13 @@ object SparkEntry {
     * sides); the only wide exchange is the final (domain, domain) count —
     * domain-pair cardinality, never page cardinality. */
   private[graft] def linkGraphStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    linkGraphStagesFrom(Tables.documents(s, d))
+
+  /** [[linkGraphStages]] over an arbitrary documents frame — the
+    * maintenance gates run it on standing/epoch splits. */
+  private[graft] def linkGraphStagesFrom(docs: DataFrame)
       : (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, d)
     val pages = docs.select(col("doc_id"),
       TextOps.canonicalizeUrl(crawlPlantUrl).as("base"),
       linkPlantPage.as("page"))
@@ -5443,14 +5488,16 @@ object SparkEntry {
   /** [[linkCtes]] extended with the PSL replay over BOTH endpoints' hosts
     * and the grouped registrable-domain edge list (self-domain and NULL
     * endpoints excluded, matching [[linkGraphStages]]'s `edges`). Ends in
-    * `ledges(src_domain, dst_domain, w)`. */
-  private def linkEdgeCtes: String =
+    * `ledges(src_domain, dst_domain, w)`. `docFilter` (a predicate on
+    * `doc_id`) restricts which documents CONTRIBUTE hosts and edges — the
+    * standing/epoch splits of the maintenance gates. */
+  private def linkEdgeCtes(docFilter: String = "TRUE"): String =
     s"""$linkCtes,
        |ah AS (
-       |  SELECT dst_host AS host FROM lout
+       |  SELECT dst_host AS host FROM lout WHERE $docFilter
        |  UNION ALL
        |  SELECT regexp_extract(canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS host
-       |  FROM rdcanon),
+       |  FROM rdcanon WHERE $docFilter),
        |${pslLookupCtes("a", "ah")},
        |ed AS (
        |  SELECT s.registrable_domain AS src_domain, t.registrable_domain AS dst_domain
@@ -5459,7 +5506,8 @@ object SparkEntry {
        |  JOIN areg s ON s.host = regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
        |  JOIN areg t ON t.host = l.dst_host
        |  WHERE s.registrable_domain IS NOT NULL AND t.registrable_domain IS NOT NULL
-       |    AND s.registrable_domain <> t.registrable_domain),
+       |    AND s.registrable_domain <> t.registrable_domain AND l.doc_id IN
+       |      (SELECT doc_id FROM rdcanon WHERE $docFilter)),
        |ledges AS (
        |  SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS w
        |  FROM ed GROUP BY 1, 2)""".stripMargin
@@ -5467,7 +5515,7 @@ object SparkEntry {
   /** [[linkEdgeCtes]] + 4 unrolled directed-weighted q6 PageRank rounds —
     * ends in `r4(node, r)` alongside `nodes`/`nn`/`ow`/`iw`/`adj`. Shared
     * by the `q_link_pagerank` and `e2e_crawl_frontier` oracles. */
-  private def linkPageRankCtes: String = {
+  private def linkPageRankCtes(docFilter: String = "TRUE"): String = {
     val rounds = (1 to 4).map { i =>
       s"""|r$i AS (
           |  SELECT nodes.node, (SELECT 150000 // n FROM nn) + coalesce(s.c, 0) AS r
@@ -5476,7 +5524,7 @@ object SparkEntry {
           |           CAST(sum((85 * r${i - 1}.r * adj.w) // (100 * adj.outw)) AS BIGINT) AS c
           |    FROM adj JOIN r${i - 1} ON adj.src_domain = r${i - 1}.node GROUP BY 1) s USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""$linkEdgeCtes,
+    s"""${linkEdgeCtes(docFilter)},
        |nodes AS (SELECT DISTINCT node FROM (
        |  SELECT src_domain AS node FROM ledges
        |  UNION ALL SELECT dst_domain FROM ledges)),
@@ -6043,7 +6091,15 @@ object SparkEntry {
       // extracted links + the PSL replay on BOTH endpoints' hosts; NULL
       // (IP-literal) and self-domain edges excluded as in the engine
       "q_host_link_graph" ->
-        s"""WITH $linkEdgeCtes
+        s"""WITH ${linkEdgeCtes()}
+           |SELECT src_domain, dst_domain, w AS n_links
+           |FROM ledges ORDER BY src_domain, dst_domain""".stripMargin,
+
+      // the maintenance identity's oracle IS the from-scratch rebuild over
+      // the full corpus — a hash match proves append == rebuild
+      // cross-engine (edge derivation is per-doc local, counts additive)
+      "q_link_graph_append" ->
+        s"""WITH ${linkEdgeCtes()}
            |SELECT src_domain, dst_domain, w AS n_links
            |FROM ledges ORDER BY src_domain, dst_domain""".stripMargin,
 
@@ -6052,18 +6108,33 @@ object SparkEntry {
       // ((85·r·w) // (100·outw), base 150000 // N), every sum CAST back
       // to BIGINT (the r15 HUGEINT lesson)
       "q_link_pagerank" ->
-        s"""WITH $linkPageRankCtes
+        s"""WITH ${linkPageRankCtes()}
            |SELECT nodes.node, coalesce(ow.outw, 0) AS out_weight,
            |       coalesce(iw.inw, 0) AS in_weight, CAST(r4.r AS BIGINT) AS pr_q6
            |FROM nodes LEFT JOIN ow USING (node) LEFT JOIN iw USING (node)
            |JOIN r4 USING (node) ORDER BY node""".stripMargin,
+
+      // the standing (% 5 <> 0) corpus's PSL dim + 4-round PageRank stack,
+      // then the % 5 = 0 epoch's extracted links probed against both —
+      // unseen hosts LEFT-JOIN to NULL domains, unendorsed domains to
+      // rank 0, the engine's cold-start arm
+      "q_link_frontier_probe" ->
+        s"""WITH ${linkPageRankCtes("doc_id % 5 <> 0")},
+           |ep AS (SELECT * FROM lout WHERE doc_id % 5 = 0)
+           |SELECT ep.doc_id, ep.link_no, ep.url, ep.dst_host,
+           |       a.registrable_domain,
+           |       CAST(coalesce(r4.r, 0) AS BIGINT) AS target_rank_q6,
+           |       r4.r IS NOT NULL AS known_domain
+           |FROM ep LEFT JOIN areg a ON a.host = ep.dst_host
+           |LEFT JOIN r4 ON r4.node = a.registrable_domain
+           |ORDER BY ep.doc_id, ep.link_no""".stripMargin,
 
       // the composed frontier read: standing per-domain page counts (the
       // budget arm) + PageRank endorsement (the priority arm); fetch_rank
       // replays the engine's two-phase prefix rank as row_number over the
       // under-budget subset
       "e2e_crawl_frontier" ->
-        s"""WITH $linkPageRankCtes,
+        s"""WITH ${linkPageRankCtes()},
            |pcount AS (
            |  SELECT r.registrable_domain, CAST(count(*) AS BIGINT) AS n_pages
            |  FROM rdcanon c JOIN areg r

@@ -1194,6 +1194,54 @@ object StreamingPipelines {
         (col("domain_pages") >= budget).as("over_budget"))
   }
 
+  /** Streaming link-frontier probe — the ingest form of the link-graph
+    * family: each incoming page's anchors are extracted
+    * ([[graft.operators.TextOps.extractLinks]]), resolved against the
+    * page's own URL, canonicalized, and scored stream-static against TWO
+    * maintained dimensions — the PSL host→eTLD+1 map and the standing
+    * domain-endorsement table (`q_link_pagerank` output, refreshed by the
+    * maintenance sink each cycle with the epoch's edges folded in via the
+    * `q_link_graph_append` identity). The crawl read: which of this
+    * batch's newly-discovered URLs to enqueue first.
+    *
+    * Deliberately STATELESS (the [[domainBudgetStream]] contract): links
+    * in one epoch never rescore each other; the sink folds the epoch's
+    * edges into the standing graph before the next cycle. A target whose
+    * domain the standing graph has never endorsed (a new site, or an IP
+    * literal with a NULL domain) probes to rank 0 / `known_domain` false —
+    * the frontier's cold-start arm.
+    *
+    * Works identically on a batch frame (projections + stream-static
+    * equi-joins only), which is how the `q_link_frontier_probe` gate
+    * oracles it. Scale shape: extraction/resolution are codegen
+    * projections on the page bytes; both dimensions are broadcast-ready
+    * (site and domain cardinality); per-batch cost O(batch links), zero
+    * stateful operators. */
+  def linkFrontierStream(incoming: org.apache.spark.sql.DataFrame,
+      pslDim: org.apache.spark.sql.DataFrame,
+      domainRank: org.apache.spark.sql.DataFrame,
+      idCol: String, htmlCol: String, baseUrlCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pages = incoming.select(col(idCol).cast("long").as("doc_id"),
+      graft.operators.TextOps.canonicalizeUrl(col(baseUrlCol)).as("base"),
+      col(htmlCol).as("__page"))
+    graft.operators.TextOps.extractLinks(pages, "__page")
+      .withColumn("url", graft.operators.TextOps.canonicalizeUrl(
+        graft.operators.TextOps.resolveLink(col("base"), col("href"))))
+      .withColumn("dst_host", graft.operators.TextOps.urlHost(col("url")))
+      .join(pslDim.select(col("host").as("dst_host"),
+          col("registrable_domain")).distinct(),
+        Seq("dst_host"), "left_outer")
+      .join(domainRank.select(col("registrable_domain"),
+          col("pr_q6")).distinct(),
+        Seq("registrable_domain"), "left_outer")
+      .select(col("doc_id"), col("link_no"), col("url"), col("dst_host"),
+        col("registrable_domain"),
+        coalesce(col("pr_q6"), lit(0L)).as("target_rank_q6"),
+        col("pr_q6").isNotNull.as("known_domain"))
+  }
+
   /** Streaming first-occurrence BLOCK dedup — the ingest form of
     * [[graft.operators.Dedup.incrementalBlockDedup]]: incoming documents'
     * 16-token blocks are hashed row-wise (the identical md5-over-slice

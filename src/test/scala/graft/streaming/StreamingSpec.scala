@@ -1308,6 +1308,47 @@ class StreamingSpec extends AnyFunSuite {
     dim.unpersist(); counts.unpersist(); ()
   }
 
+  test("link-frontier stream: known domains score, unseen hosts cold-start at 0, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // maintained tables: PSL dim over the STANDING host set + the standing
+    // domain-endorsement (PageRank) table
+    val dim = graft.operators.TextOps.registrableDomainMap(
+      Seq("hot.example.com", "example.com", "cold.org").toDF("host"), "host")
+      .cache()
+    val rank = Seq(("example.com", 777000L))
+      .toDF("registrable_domain", "pr_q6").cache()
+    val incoming = Seq(
+      (1L, "https://src.net/p/1",
+        """<a href="https://HOT.example.com/x?utm_z=1">endorsed</a> <a href="/local">self</a>"""),
+      (2L, "https://src.net/p/2",
+        """<a href="//cold.org/y">known host, unendorsed domain</a> <a href="https://brand.new.io/z">unseen</a>"""))
+    def probe(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, String, Option[String], Long, Boolean)] =
+      df.select("doc_id", "link_no", "url", "registrable_domain",
+          "target_rank_q6", "known_domain")
+        .as[(Long, Long, String, Option[String], Long, Boolean)].collect().toSet
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      StreamingPipelines.linkFrontierStream(df, dim, rank, "doc_id", "page", "url")
+    val batch = probe(run(incoming.toDF("doc_id", "url", "page")))
+    assert(batch === Set(
+      // canonicalization composes: host lowercased, tracking param cut
+      (1L, 0L, "https://hot.example.com/x", Some("example.com"), 777000L, true),
+      // root-relative resolves against the page's own host — unseen by the dim
+      (1L, 1L, "https://src.net/local", None, 0L, false),
+      // protocol-relative; host in the dim but its domain is unendorsed
+      (2L, 0L, "https://cold.org/y", Some("cold.org"), 0L, false),
+      (2L, 1L, "https://brand.new.io/z", None, 0L, false)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = run(mem.toDF().toDF("doc_id", "url", "page"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("linkfrontier").start()
+    try { mem.addData(incoming); q.processAllAvailable() } finally q.stop()
+    val streamed = probe(spark.table("linkfrontier"))
+    assert(streamed === batch, "stateless probe must be stream/batch identical")
+    dim.unpersist(); rank.unpersist(); ()
+  }
+
   test("exact dedup stream: stateless ingest vs the fingerprint index; NFC variants dedup; stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
