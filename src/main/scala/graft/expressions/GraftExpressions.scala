@@ -1109,7 +1109,10 @@ case class HllRegistersAgg(
   override def eval(buf: Array[Byte]): Any =
     new GenericArrayData(buf.map(_.toInt))
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  // both directions copy: the live buffer keeps mutating after a partial
+  // is serialized, and a deserialized buffer gets mutated by merge — an
+  // aliased byte array would corrupt whichever side the runtime reuses
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllRegistersAgg =

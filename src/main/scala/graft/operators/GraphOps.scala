@@ -203,10 +203,16 @@ object GraphOps {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
+    // materialize the edge list ONCE: nodes.count(), the overflow guard,
+    // out/in-weight tables, and the adjacency all derive from it — without
+    // this every one of those actions re-runs the caller's full upstream
+    // (extraction + PSL + edge aggregation), which benched 4-5x the cost
+    // of the iterations themselves
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"),
         col(weightCol).cast("long").as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
