@@ -2339,6 +2339,39 @@ object SparkEntry {
         .orderBy("src_domain", "dst_domain")
     }),
 
+    // ---- per-domain link reciprocity — the link-farm signal (public
+    //      web-spam literature: farms inflate rank with mutual links, so
+    //      a high reciprocated share of out-edges is the flag a curation
+    //      pass reads next to PageRank): per src domain, out-edge count
+    //      and how many are reciprocated. One self-join of the edge list
+    //      on the reversed pair, at domain-pair cardinality ----
+    "q_link_reciprocity" -> ((s, d) => {
+      val edges = linkGraphStages(s, d)._2
+      val rev = edges.select(col("dst_domain").as("src_domain"),
+        col("src_domain").as("dst_domain"), lit(1L).as("__rec"))
+      edges.join(rev, Seq("src_domain", "dst_domain"), "left")
+        .groupBy(col("src_domain").as("domain"))
+        .agg(count(lit(1)).as("n_out_edges"),
+          sum(coalesce(col("__rec"), lit(0L))).as("n_reciprocal"))
+        .orderBy("domain")
+    }),
+
+    // ---- grouped HLL: one register sketch PER SOURCE via the same
+    //      native aggregate under groupBy — the partial-merge path that
+    //      makes per-tenant/per-source distinct accounting one pass at
+    //      100 TB (each partition ships one m-byte row per source) ----
+    "q_hll_per_source" -> ((s, d) => {
+      CoreOps.tokenize(Tables.documents(s, d), "text")
+        .groupBy("source")
+        .agg(graft.expressions.GraftExpressions
+          .hllRegisters(col("word"), 8).as("regs"))
+        .select(col("source"), posexplode(col("regs")).as(Seq("bucket", "rho")))
+        .where(col("rho") > 0)
+        .select(col("source"), col("bucket").cast("long").as("bucket"),
+          col("rho").cast("long").as("max_rho"))
+        .orderBy("source", "bucket")
+    }),
+
     // ---- streaming link-frontier probe, batch oracle form (the
     //      linkFrontierStream contract): the % 5 == 0 docs arrive as an
     //      ingest epoch; their extracted outlinks probe the STANDING
@@ -6113,6 +6146,32 @@ object SparkEntry {
            |       coalesce(iw.inw, 0) AS in_weight, CAST(r4.r AS BIGINT) AS pr_q6
            |FROM nodes LEFT JOIN ow USING (node) LEFT JOIN iw USING (node)
            |JOIN r4 USING (node) ORDER BY node""".stripMargin,
+
+      // one self-join of the edge list on the reversed pair, rolled to
+      // per-domain out/reciprocal counts
+      "q_link_reciprocity" ->
+        s"""WITH ${linkEdgeCtes()}
+           |SELECT e.src_domain AS domain,
+           |       CAST(count(*) AS BIGINT) AS n_out_edges,
+           |       CAST(sum(CASE WHEN r.src_domain IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+           |FROM ledges e LEFT JOIN ledges r
+           |  ON r.src_domain = e.dst_domain AND r.dst_domain = e.src_domain
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // p=8 per-source registers: bucket = top 8 of the 48 hash bits,
+      // ρ = 41 − bitlength(rest) (rest = 0 → 41)
+      "q_hll_per_source" ->
+        s"""WITH w AS (
+           |  SELECT source, word FROM (
+           |    SELECT source, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+           |  WHERE word <> ''),
+           |h AS (SELECT source,
+           |        ('0x' || substr(md5('hll:' || word), 1, 12))::BIGINT AS h FROM w),
+           |br AS (SELECT source, h // ${1L << 40} AS bucket, h % ${1L << 40} AS rest FROM h),
+           |rr AS (SELECT source, bucket,
+           |              CASE WHEN rest = 0 THEN 41 ELSE 41 - len(bin(rest)) END AS rho FROM br)
+           |SELECT source, bucket, CAST(max(rho) AS BIGINT) AS max_rho
+           |FROM rr GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
       // the standing (% 5 <> 0) corpus's PSL dim + 4-round PageRank stack,
       // then the % 5 = 0 epoch's extracted links probed against both —

@@ -80,6 +80,26 @@ class HllSketchSpec extends AnyFunSuite {
     assert(h === 70838407235056L) // ('0x'||substr(md5('hll:spark'),1,12))::BIGINT
   }
 
+  test("streaming aggregation state: registers across micro-batches == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (0 until 3000).map(i => s"v$i")
+    val b2 = (1500 until 5000).map(i => s"v$i") // overlaps b1
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val out = mem.toDF().toDF("v")
+      .agg(GraftExpressions.hllRegisters(col("v"), P).as("regs"))
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("hllstream").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hllstream").head().getSeq[Int](0)
+    val batch = registers((b1 ++ b2).toDF("v"))
+    assert(streamed.toSeq === batch.toSeq,
+      "sketch state carried across micro-batches must equal the batch sketch")
+  }
+
   test("estimator: within 3 standard errors on 50k distinct values") {
     import spark.implicits._
     val n = 50000
