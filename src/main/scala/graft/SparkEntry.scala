@@ -2260,11 +2260,8 @@ object SparkEntry {
     //      per dst eTLD+1 via one count + ranked window at (domain, term)
     //      cardinality ----
     "q_anchor_topterms" -> ((s, d) => {
-      val links = linkGraphStages(s, d)._1
-      val dim = TextOps.registrableDomainMap(
-          links.select(col("dst_host").as("host")), "host",
-          rules = TextOps.PublicSuffixRulesFull)
-        .toDF("dst_host", "registrable_domain")
+      val (links, _, dim0) = linkGraphStages(s, d)
+      val dim = dim0.toDF("dst_host", "registrable_domain")
       val terms = links.join(broadcast(dim), Seq("dst_host"))
         .where(col("registrable_domain").isNotNull)
         .select(col("registrable_domain"),
@@ -2380,12 +2377,8 @@ object SparkEntry {
     //      unseen/IP targets probe to rank 0 (the cold-start arm) ----
     "q_link_frontier_probe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val (slinks, sedges) =
+      val (_, sedges, dim) =
         linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))
-      val hosts = slinks.select(col("dst_host").as("host"))
-        .union(slinks.select(TextOps.urlHost(col("base")).as("host")))
-      val dim = TextOps.registrableDomainMap(hosts, "host",
-        rules = TextOps.PublicSuffixRulesFull)
       val rank = GraphOps.weightedPageRankDirected(sedges,
           "src_domain", "dst_domain", "n_links", iterations = 4)
         .select(col("node").as("registrable_domain"), col("pr_q6"))
@@ -2404,14 +2397,13 @@ object SparkEntry {
     //      the O(P) two-phase prefix pass, never a single-task window;
     //      everything else is broadcast dims + domain-cardinality rows ----
     "e2e_crawl_frontier" -> ((s, d) => {
+      val (_, edges, dim) = linkGraphStages(s, d)
       val pages = Tables.documents(s, d).select(
         TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"))
-      val dim = TextOps.registrableDomainMap(pages, "host",
-        rules = TextOps.PublicSuffixRulesFull)
       val counts = pages.join(broadcast(dim), Seq("host"))
         .where(col("registrable_domain").isNotNull)
         .groupBy("registrable_domain").agg(count(lit(1)).as("n_pages"))
-      val pr = GraphOps.weightedPageRankDirected(linkGraphStages(s, d)._2,
+      val pr = GraphOps.weightedPageRankDirected(edges,
           "src_domain", "dst_domain", "n_links", iterations = 4)
         .select(col("node").as("registrable_domain"), col("pr_q6"))
       val st = counts.join(pr, Seq("registrable_domain"), "left")
@@ -5368,13 +5360,17 @@ object SparkEntry {
     * sides); the only wide exchange is the final (domain, domain) count —
     * domain-pair cardinality, never page cardinality. */
   private[graft] def linkGraphStages(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) =
+      : (DataFrame, DataFrame, DataFrame) =
     linkGraphStagesFrom(Tables.documents(s, d))
 
   /** [[linkGraphStages]] over an arbitrary documents frame — the
-    * maintenance gates run it on standing/epoch splits. */
+    * maintenance gates run it on standing/epoch splits. Returns
+    * (links, edges, dim): `dim` is the (host, registrable_domain) PSL
+    * dimension over BOTH endpoints' hosts — returned so every consumer
+    * (anchor rollup, frontier, probe) joins the SAME dimension instead of
+    * re-deriving its own copy (review r16). */
   private[graft] def linkGraphStagesFrom(docs: DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val pages = docs.select(col("doc_id"),
       TextOps.canonicalizeUrl(crawlPlantUrl).as("base"),
       linkPlantPage.as("page"))
@@ -5395,7 +5391,7 @@ object SparkEntry {
       .where(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
         col("src_domain") =!= col("dst_domain"))
       .groupBy("src_domain", "dst_domain").agg(count(lit(1)).as("n_links"))
-    (links, edges)
+    (links, edges, dim)
   }
 
   /** The cap and post-cap stages of the `e2e_crawl_curation` gate, split
@@ -5476,11 +5472,15 @@ object SparkEntry {
 
   /** The link-graph family's shared CTE stack, replaying
     * [[linkGraphStages]]'s `links` output: planted page → anchor tags →
-    * (href, anchor) per tag → [[graft.operators.TextOps.resolveLink]]'s
-    * four resolution arms → the canonicalization chain. The canon chain is
-    * keyed by `doc_id · 4 + link_no` (≤ 3 links per page, so the key is
-    * collision-free) because [[urlCanonCtes]] carries one id column; the
-    * final CTE splits the key back. Ends in
+    * (href, anchor) per element (non-greedy to the first `</a>`, inner
+    * markup stripped to spaces — the engine's nested-anchor rule) →
+    * [[graft.operators.TextOps.resolveLink]]'s resolution arms (any
+    * `scheme:` absolute, protocol-relative, fragment-only, query-only,
+    * root-relative, relative merge) → the canonicalization chain. The
+    * canon chain is keyed by `doc_id · 1024 + link_no` because
+    * [[urlCanonCtes]] carries one id column — the planted pages carry 2-3
+    * anchors, but the wide multiplier keeps the key collision-free even
+    * for pages with many extracted anchors. Ends in
     * `lout(doc_id, link_no, href, url, dst_host, anchor)`. */
   private def linkCtes: String =
     s"""$crawlRawCte,
@@ -5489,18 +5489,25 @@ object SparkEntry {
        |  SELECT r.doc_id, $linkPageSql AS page, c.canonical_url AS base
        |  FROM raw r JOIN rdcanon c USING (doc_id)),
        |tg AS (SELECT doc_id, base,
-       |         regexp_extract_all(page, '<a href="[^"]*"[^>]*>[^<]*</a>') AS ls
+       |         regexp_extract_all(page, '(?s)<a href="[^"]*"[^>]*>.*?</a>') AS ls
        |       FROM pg),
        |lk AS (
        |  SELECT doc_id, base, CAST(i - 1 AS BIGINT) AS link_no,
        |         regexp_extract(ls[i], '<a href="([^"]*)"', 1) AS href,
-       |         regexp_extract(ls[i], '>([^<]*)</a>', 1) AS anchor
+       |         trim(regexp_replace(regexp_replace(
+       |           regexp_extract(ls[i], '(?s)>(.*)</a>$$', 1),
+       |           '<[^>]*>', ' ', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS anchor
        |  FROM tg, unnest(range(1, len(ls) + 1)) AS u(i)),
        |rs AS (
        |  SELECT doc_id, link_no, href, anchor,
-       |    CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+       |    CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN href
        |         WHEN starts_with(href, '//')
        |           THEN regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) || ':' || href
+       |         WHEN starts_with(href, '#') THEN base || href
+       |         WHEN starts_with(href, '?')
+       |           THEN regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) ||
+       |                regexp_replace(regexp_replace(base,
+       |                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', ''), '\\?.*', '') || href
        |         WHEN starts_with(href, '/')
        |           THEN regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) || href
        |         ELSE regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) ||
@@ -5509,14 +5516,14 @@ object SparkEntry {
        |                '/[^/]*$$', '') || '/' || href
        |    END AS url0
        |  FROM lk),
-       |ku AS (SELECT doc_id * 4 + link_no AS doc_id, url0 AS url FROM rs),
+       |ku AS (SELECT doc_id * 1024 + link_no AS doc_id, url0 AS url FROM rs),
        |${urlCanonCtes("lx", "ku")},
        |lout AS (
        |  SELECT r.doc_id, r.link_no, r.href, x.canonical_url AS url,
        |         regexp_extract(x.canonical_url,
        |           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS dst_host,
        |         r.anchor
-       |  FROM rs r JOIN lxcanon x ON x.doc_id = r.doc_id * 4 + r.link_no)""".stripMargin
+       |  FROM rs r JOIN lxcanon x ON x.doc_id = r.doc_id * 1024 + r.link_no)""".stripMargin
 
   /** [[linkCtes]] extended with the PSL replay over BOTH endpoints' hosts
     * and the grouped registrable-domain edge list (self-domain and NULL

@@ -156,52 +156,70 @@ object TextOps {
 
   /** RFC 3986 §5-style reference resolution for the href forms a crawler
     * actually meets in anchor tags, against an absolute base URL (raw or
-    * [[canonicalizeUrl]] output — both carry an explicit scheme). Four
-    * arms, most-specific first:
+    * [[canonicalizeUrl]] output — both carry an explicit scheme). Arms,
+    * most-specific first:
     *
-    *   - absolute (`scheme://…`)      → the href itself;
+    *   - absolute (`scheme:…`, any scheme — http(s), and non-hierarchical
+    *     mailto:/tel:/javascript: links pass through UNCHANGED so a
+    *     downstream [[urlHost]] yields an empty authority and the link
+    *     graph drops them, instead of fabricating a fake self-edge);
     *   - protocol-relative (`//h/p`)  → base's scheme + href;
+    *   - fragment-only (`#s`)         → the base itself (same-document
+    *     reference, §4.4; canonicalization strips the fragment);
+    *   - query-only (`?q`)            → base's scheme://authority + path
+    *     with the new query;
     *   - root-relative (`/p`)         → base's scheme://authority + href;
     *   - relative (`p`, `r/p`)        → base's scheme://authority +
     *     base's path with its last segment dropped + `/` + href (the
     *     merge rule of §5.3; an authority-only base contributes `/`).
     *
-    * Dot-segment normalization (`../`) is deliberately out of scope —
-    * planted link corpora and the overwhelming share of real anchors are
-    * dot-free, and a resolver that silently half-handles `..` is worse
-    * than one that documents the boundary. A pure codegen projection. */
+    * A leading `scheme:` on an otherwise-relative reference is treated as
+    * absolute, which is the RFC rule (a relative first segment containing
+    * `:` must be written `./seg:…`). Dot-segment normalization (`../`) is
+    * deliberately out of scope — planted link corpora and the
+    * overwhelming share of real anchors are dot-free, and a resolver that
+    * silently half-handles `..` is worse than one that documents the
+    * boundary. A pure codegen projection. */
   def resolveLink(base: Column, href: Column): Column = {
     val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     val auth = concat(scheme, lit("://"), urlHost(base))
     val basePath = regexp_replace(
       regexp_replace(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", ""), "\\?.*", "")
     val parent = regexp_replace(basePath, "/[^/]*$", "")
-    when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+    when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), href)
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("#"), concat(base, href))
+      .when(href.startsWith("?"), concat(auth, basePath, href))
       .when(href.startsWith("/"), concat(auth, href))
       .otherwise(concat(auth, parent, lit("/"), href))
   }
 
   /** Anchor extraction — the outlink step of a crawl's WET pass, sibling
-    * of [[extractHtmlText]]: every `<a href="…">text</a>` tag yields one
-    * (link_no, href, anchor) row, 0-indexed in document order. The shape
-    * is `regexp_extract_all` for the whole tags then per-element group
-    * extracts inside `transform` — a pure ZERO-SHUFFLE codegen projection
-    * (one pass over the page bytes; the explode multiplies rows by the
-    * per-page anchor count, never by corpus size). Unquoted/single-quoted
-    * href attributes are out of scope by the same documented-boundary
-    * rule as [[extractHtmlText]]'s entity subset.
+    * of [[extractHtmlText]]: every `<a href="…">…</a>` element yields one
+    * (link_no, href, anchor) row, 0-indexed in document order. Anchor
+    * content may carry nested markup (`<a href="/x"><img …></a>`,
+    * `<b>bold</b>` — ubiquitous on real pages): the element match is
+    * non-greedy to the first `</a>` (RE2-supported on both engines) and
+    * the anchor text is the content with inner tags stripped to spaces,
+    * whitespace squeezed, and trimmed — the [[extractHtmlText]] rule. The
+    * shape is `regexp_extract_all` for the whole elements then per-element
+    * group extracts — a pure ZERO-SHUFFLE codegen projection (one pass
+    * over the page bytes; the explode multiplies rows by the per-page
+    * anchor count, never by corpus size). Unquoted/single-quoted href
+    * attributes are out of scope by the same documented-boundary rule as
+    * [[extractHtmlText]]'s entity subset.
     *
     * Output: input columns of `pages` + (link_no, href, anchor). */
   def extractLinks(pages: DataFrame, htmlCol: String): DataFrame = {
     val tags = expr(
-      s"""regexp_extract_all($htmlCol, '<a href="[^"]*"[^>]*>[^<]*</a>', 0)""")
+      s"""regexp_extract_all($htmlCol, '(?s)<a href="[^"]*"[^>]*>.*?</a>', 0)""")
+    val inner = regexp_extract(col("__tag"), "(?s)>(.*)</a>$", 1)
     pages
-      .select(col("*"), posexplode_outer(tags).as(Seq("link_no", "__tag")))
-      .where(col("__tag").isNotNull)
+      .select(col("*"), posexplode(tags).as(Seq("link_no", "__tag")))
       .withColumn("link_no", col("link_no").cast("long"))
       .withColumn("href", regexp_extract(col("__tag"), "<a href=\"([^\"]*)\"", 1))
-      .withColumn("anchor", regexp_extract(col("__tag"), ">([^<]*)</a>", 1))
+      .withColumn("anchor", trim(regexp_replace(
+        regexp_replace(inner, "<[^>]*>", " "), "[ \\t\\n\\r\\f]+", " ")))
       .drop("__tag")
   }
 
@@ -233,10 +251,16 @@ object TextOps {
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
+    // materialize the phrase-filtered postings ONCE: the df collect, the
+    // anchor branch, and every offset-join branch all read them, and
+    // Catalyst does not share a common subplan across self-join branches —
+    // without this a k-term phrase re-scans the corpus k+1 times (the
+    // weightedPageRankDirected lesson)
     val post = docs.select(col(idCol).as("__id"),
         posexplode(tokens(col(textCol))).as(Seq("__pos", "__term")))
       .where(col("__term").isin(phrase: _*))
       .select(col("__id"), col("__pos").cast("long").as("__pos"), col("__term"))
+      .localCheckpoint()
     val dfByTerm = post.groupBy("__term").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // rarest term first; offset index breaks ties so a repeated term

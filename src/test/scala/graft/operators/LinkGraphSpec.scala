@@ -36,6 +36,41 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(out === cases.map(_._2))
   }
 
+  test("resolveLink: non-path href forms — scheme-only, fragment, query") {
+    import spark.implicits._
+    val base = "https://h1.com/docs/page?a=1"
+    val cases = Seq(
+      // any scheme: absolute — non-hierarchical URIs pass through so the
+      // link graph drops them (empty authority) instead of fabricating a
+      // fake self-edge (review r16)
+      ("mailto:a@b.c", "mailto:a@b.c"),
+      ("javascript:void(0)", "javascript:void(0)"),
+      ("tel:+1-555-0100", "tel:+1-555-0100"),
+      // fragment-only: same-document reference
+      ("#top", "https://h1.com/docs/page?a=1#top"),
+      // query-only: base path, new query
+      ("?b=2", "https://h1.com/docs/page?b=2"))
+    val out = cases.map(_._1).toDF("href")
+      .select(TextOps.resolveLink(lit(base), col("href")).as("r"))
+      .as[String].collect().toSeq
+    assert(out === cases.map(_._2))
+    // and composed: a mailto target's host is empty -> NULL domain
+    assert(Seq("mailto:a@b.c").toDF("href")
+      .select(TextOps.urlHost(TextOps.resolveLink(lit(base), col("href"))).as("h"))
+      .as[String].head() === "")
+  }
+
+  test("extractLinks: nested markup inside the anchor is kept, tags stripped") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, """<a href="/x"><img src="t.png"></a> mid <a href="/y"><b>bold</b> plain</a>"""))
+      .toDF("doc_id", "page")
+    val out = TextOps.extractLinks(pages, "page")
+      .select("link_no", "href", "anchor")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(out === Seq((0L, "/x", ""), (1L, "/y", "bold plain")))
+  }
+
   test("resolveLink: authority-only base resolves a relative href at root") {
     import spark.implicits._
     val out = Seq("p/x").toDF("href")
@@ -107,7 +142,7 @@ class LinkGraphSpec extends AnyFunSuite {
   }
 
   test("link-graph edges exclude self-domain and IP-literal endpoints") {
-    val (links, edges) = graft.SparkEntry.linkGraphStages(spark, "/root/testdata/sf0.001")
+    val (links, edges, _) = graft.SparkEntry.linkGraphStages(spark, "/root/testdata/sf0.001")
     // every doc plants a root-relative self link -> links has same-host rows
     val selfHost = links.where(
       col("dst_host") === TextOps.urlHost(col("base"))).count()
