@@ -156,4 +156,37 @@ class PropertySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getString(0) === r.getString(1),
       s"not a fixed point: '${r.getString(0)}' -> '${r.getString(1)}'"))
   }
+
+  test("resolveLink agrees with java.net.URI.resolve on random references") {
+    // independent-reference property (the registrableDomainMap pattern):
+    // java.net.URI is a separate RFC implementation sharing no code with
+    // the operator. Domain = dot-segment-free references of every arm
+    // EXCEPT query-only ('?q'), where java follows RFC 2396 (drops the
+    // last path segment) and the operator follows RFC 3986 (keeps the
+    // path) — that arm is pinned by its own unit case in LinkGraphSpec.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    def seg() = s"s${rnd.nextInt(20)}"
+    val cases = (1 to 300).map { _ =>
+      val base = s"https://h${rnd.nextInt(5)}.example.com" +
+        (0 to rnd.nextInt(3)).drop(1).map(_ => "/" + seg()).mkString +
+        (if (rnd.nextBoolean()) "?a=1&b=2" else "")
+      val href = rnd.nextInt(6) match {
+        case 0 => s"http://ext${rnd.nextInt(9)}.org/${seg()}"
+        case 1 => s"//cdn${rnd.nextInt(9)}.net/${seg()}"
+        case 2 => s"/${seg()}/${seg()}"
+        case 3 => s"${seg()}/${seg()}"
+        case 4 => s"#f${rnd.nextInt(9)}"
+        case _ => s"mailto:u${rnd.nextInt(9)}@x.org"
+      }
+      (base, href, java.net.URI.create(base).resolve(href).toString)
+    }.distinct
+    val got = cases.map { case (b, h, _) => (b, h) }.toDF("base", "href")
+      .select(TextOps.resolveLink(col("base"), col("href")).as("r"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((b, h, expect), actual) =>
+      assert(actual === expect, s"base='$b' href='$h'")
+    }
+  }
 }
