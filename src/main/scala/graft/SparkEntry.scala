@@ -5489,11 +5489,11 @@ object SparkEntry {
        |  SELECT r.doc_id, $linkPageSql AS page, c.canonical_url AS base
        |  FROM raw r JOIN rdcanon c USING (doc_id)),
        |tg AS (SELECT doc_id, base,
-       |         regexp_extract_all(page, '(?s)<a href="[^"]*"[^>]*>.*?</a>') AS ls
+       |         regexp_extract_all(page, '(?s)<a\\b[^>]*?href="[^"]*"[^>]*>.*?</a>') AS ls
        |       FROM pg),
        |lk AS (
        |  SELECT doc_id, base, CAST(i - 1 AS BIGINT) AS link_no,
-       |         regexp_extract(ls[i], '<a href="([^"]*)"', 1) AS href,
+       |         regexp_extract(ls[i], '<a\\b[^>]*?href="([^"]*)"', 1) AS href,
        |         trim(regexp_replace(regexp_replace(
        |           regexp_extract(ls[i], '(?s)>(.*)</a>$$', 1),
        |           '<[^>]*>', ' ', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS anchor

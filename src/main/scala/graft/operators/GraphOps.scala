@@ -14,34 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** PageRank over an UNDIRECTED pair list in q6 fixed-point arithmetic —
-    * used to rank documents by centrality in the shared-rare-phrase graph
-    * ([[Dedup.rareShingleCandidatePairs]]): high-centrality docs share rare
-    * phrases with many other documents, which at corpus scale is the
-    * signature of template/boilerplate hubs and mass near-translations —
-    * exactly the documents a curation pass inspects first. Also the
-    * canonical-pick signal inside a duplicate component (most-central
-    * member, vs [[Dedup.bestSurvivors]]' quality-argmax).
-    *
-    * Semantics (fixed, engine-portable): nodes = endpoints of `pairs`
-    * (degree ≥ 1 by construction — no dangling mass); rank and all
-    * intermediates are q6 micro-units on longs with FLOOR division
-    * (`div`), so every engine computes bit-identical ranks:
-    * r_0 = 1e6 div N;
-    * r_{t+1}(v) = (1e6−damp·1e4) div N + Σ_{u~v} (damp·r_t(u)) div (100·deg(u)).
-    * Quantization drops ≤1 micro-unit per edge per round (display is
-    * round4, far above the error), in exchange for exact cross-engine
-    * reproducibility — the same trade every q6 gate in this engine makes.
-    *
-    * Scale shape: degree table and adjacency are built ONCE and
-    * checkpointed; each iteration is one O(edges) join on `src` (both
-    * sides hash-partitioned on the same key) and one aggregate on `dst`
-    * carrying (long, long) rows; ranks localCheckpoint per round. At
-    * 100 TB with a df-capped candidate graph, edges ≪ corpus² and the
-    * iteration cost is bounded by the candidate volume, never the corpus.
-    *
-    * Output: (doc_id, degree, pr_q6, pagerank) — `pr_q6` the exact
-    * fixed-point rank, `pagerank` its round4 display value. */
   /** Distributional word centrality: the Perron (principal) eigenvector of
     * the corpus's PPMI-weighted word co-occurrence graph, by quantized
     * power iteration — the spectral side of the train-in-engine family
@@ -135,6 +107,34 @@ object GraphOps {
         col("v").as("word"), col("x").as("centrality_q6"))
   }
 
+  /** PageRank over an UNDIRECTED pair list in q6 fixed-point arithmetic —
+    * used to rank documents by centrality in the shared-rare-phrase graph
+    * ([[Dedup.rareShingleCandidatePairs]]): high-centrality docs share rare
+    * phrases with many other documents, which at corpus scale is the
+    * signature of template/boilerplate hubs and mass near-translations —
+    * exactly the documents a curation pass inspects first. Also the
+    * canonical-pick signal inside a duplicate component (most-central
+    * member, vs [[Dedup.bestSurvivors]]' quality-argmax).
+    *
+    * Semantics (fixed, engine-portable): nodes = endpoints of `pairs`
+    * (degree ≥ 1 by construction — no dangling mass); rank and all
+    * intermediates are q6 micro-units on longs with FLOOR division
+    * (`div`), so every engine computes bit-identical ranks:
+    * r_0 = 1e6 div N;
+    * r_{t+1}(v) = (1e6−damp·1e4) div N + Σ_{u~v} (damp·r_t(u)) div (100·deg(u)).
+    * Quantization drops ≤1 micro-unit per edge per round (display is
+    * round4, far above the error), in exchange for exact cross-engine
+    * reproducibility — the same trade every q6 gate in this engine makes.
+    *
+    * Scale shape: degree table and adjacency are built ONCE and
+    * checkpointed; each iteration is one O(edges) join on `src` (both
+    * sides hash-partitioned on the same key) and one aggregate on `dst`
+    * carrying (long, long) rows; ranks localCheckpoint per round. At
+    * 100 TB with a df-capped candidate graph, edges ≪ corpus² and the
+    * iteration cost is bounded by the candidate volume, never the corpus.
+    *
+    * Output: (doc_id, degree, pr_q6, pagerank) — `pr_q6` the exact
+    * fixed-point rank, `pagerank` its round4 display value. */
   def quantizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -196,7 +196,17 @@ object GraphOps {
     * and edges = domain pairs — both ≪ corpus.
     *
     * Output: (node, out_weight, in_weight, pr_q6) — out/in weight totals
-    * ride along as the degree receipts (0 for a node with none). */
+    * ride along as the degree receipts (0 for a node with none).
+    *
+    * Fault tolerance (ADVICE r16): lineage is truncated with
+    * `localCheckpoint` — NON-reliable storage. Losing an executor
+    * mid-iteration makes the checkpointed blocks unrecoverable and fails
+    * the job instead of recomputing, which is the right trade for the
+    * verify/bench harness (iterations are seconds) but not for a
+    * long-running production rank over an hours-long upstream. Such a
+    * deployment should set a checkpoint dir and swap the per-round
+    * truncation to reliable `checkpoint()` — same plan shape, the blocks
+    * just land on fault-tolerant storage. */
   def weightedPageRankDirected(edges: DataFrame, srcCol: String,
       dstCol: String, weightCol: String, iterations: Int = 4,
       dampingPct: Int = 85): DataFrame = {

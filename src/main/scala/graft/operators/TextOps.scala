@@ -179,7 +179,13 @@ object TextOps {
     * deliberately out of scope — planted link corpora and the
     * overwhelming share of real anchors are dot-free, and a resolver that
     * silently half-handles `..` is worse than one that documents the
-    * boundary. A pure codegen projection. */
+    * boundary. Second documented boundary (ADVICE r16): because
+    * [[canonicalizeUrl]] STRIPS trailing slashes, a canonicalized base
+    * that originally ended in `/` (`https://h.com/docs/`) resolves
+    * plain-relative hrefs against the PARENT (`p` → `/p`, not `/docs/p`)
+    * and query-only hrefs against the slash-less path — resolve against
+    * the RAW base first when directory-relative semantics matter, then
+    * canonicalize the result. A pure codegen projection. */
   def resolveLink(base: Column, href: Column): Column = {
     val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     val auth = concat(scheme, lit("://"), urlHost(base))
@@ -205,19 +211,22 @@ object TextOps {
     * shape is `regexp_extract_all` for the whole elements then per-element
     * group extracts — a pure ZERO-SHUFFLE codegen projection (one pass
     * over the page bytes; the explode multiplies rows by the per-page
-    * anchor count, never by corpus size). Unquoted/single-quoted href
-    * attributes are out of scope by the same documented-boundary rule as
+    * anchor count, never by corpus size). `href` may sit at ANY attribute
+    * position (`<a class="nav" href="/x">` — the lazy `<a\b[^>]*?href="…"`
+    * element match, ADVICE r16); unquoted/single-quoted href attributes
+    * remain out of scope by the same documented-boundary rule as
     * [[extractHtmlText]]'s entity subset.
     *
     * Output: input columns of `pages` + (link_no, href, anchor). */
   def extractLinks(pages: DataFrame, htmlCol: String): DataFrame = {
-    val tags = expr(
-      s"""regexp_extract_all($htmlCol, '(?s)<a href="[^"]*"[^>]*>.*?</a>', 0)""")
+    val tags = regexp_extract_all(col(htmlCol),
+      lit("(?s)<a\\b[^>]*?href=\"[^\"]*\"[^>]*>.*?</a>"), lit(0))
     val inner = regexp_extract(col("__tag"), "(?s)>(.*)</a>$", 1)
     pages
       .select(col("*"), posexplode(tags).as(Seq("link_no", "__tag")))
       .withColumn("link_no", col("link_no").cast("long"))
-      .withColumn("href", regexp_extract(col("__tag"), "<a href=\"([^\"]*)\"", 1))
+      .withColumn("href",
+        regexp_extract(col("__tag"), "<a\\b[^>]*?href=\"([^\"]*)\"", 1))
       .withColumn("anchor", trim(regexp_replace(
         regexp_replace(inner, "<[^>]*>", " "), "[ \\t\\n\\r\\f]+", " ")))
       .drop("__tag")
@@ -237,7 +246,10 @@ object TextOps {
     * matches at 0 and 1); a repeated term in the phrase joins its own
     * posting list once per offset. Per-term document frequencies are read
     * on the driver — phrase-cardinality scalars, the engine's bounded-
-    * collect contract.
+    * collect contract. NOTE (ADVICE r16): this operator is EAGER — the
+    * postings `localCheckpoint` and the df collect run Spark jobs at
+    * DataFrame-CONSTRUCTION time, not first action, the price of
+    * rarest-first anchor election.
     *
     * Scale shape: the postings projection filters to the phrase's terms
     * AT SCAN (predicate on the exploded term — frequent-corpus tokens
@@ -261,7 +273,12 @@ object TextOps {
       .where(col("__term").isin(phrase: _*))
       .select(col("__id"), col("__pos").cast("long").as("__pos"), col("__term"))
       .localCheckpoint()
-    val dfByTerm = post.groupBy("__term").agg(count(lit(1)).as("n"))
+    // TRUE document frequency (countDistinct, ADVICE r16) — occurrence
+    // totals were a weaker rarest-first heuristic (never incorrect: the
+    // intersection result is order-independent; only candidate volume
+    // varies)
+    val dfByTerm = post.groupBy("__term")
+      .agg(countDistinct(col("__id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // rarest term first; offset index breaks ties so a repeated term
     // anchors at its first occurrence
@@ -341,8 +358,9 @@ object TextOps {
     * `news./www./cdn.` subdomain of one site is NOT).
     *
     * Algorithm (publicsuffix.org spec): each host emits its trailing
-    * label suffixes (≤ 5 — longer public suffixes do not exist in the
-    * PSL) plus their `*.`-wildcard forms as candidate keys; candidates
+    * label suffixes (up to [[pslCandidateDepth]] — derived from the rule
+    * table in force, never a frozen constant) plus their `*.`-wildcard
+    * forms as candidate keys; candidates
     * equi-join the broadcast rule table; per host the winning rule is
     * exception-first then longest; the public suffix is the matched
     * labels (minus the leftmost for an exception rule), defaulting to the

@@ -93,6 +93,24 @@ class LinkGraphSpec extends AnyFunSuite {
       (1L, 1L, "https://h.com/b", "second one")))
   }
 
+  test("extractLinks: href at any attribute position; <abbr…href> never matches") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, """<a class="nav" id="l1" href="/x">leading attrs</a>"""),
+      (2L, """<a data-h="href=decoy" href="/real">attr-value decoy</a>"""),
+      (3L, """<abbr title="a" href="/not-a-link">abbr</abbr><a href="/ok">ok</a>"""))
+      .toDF("doc_id", "page")
+    val out = TextOps.extractLinks(pages, "page")
+      .select("doc_id", "href", "anchor")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(out === Seq(
+      (1L, "/x", "leading attrs"),
+      // 'href=' inside another attribute's VALUE lacks the opening quote
+      // the pattern requires, so the real attribute wins
+      (2L, "/real", "attr-value decoy"),
+      (3L, "/ok", "ok")))
+  }
+
   test("extractLinks is a zero-shuffle projection") {
     import spark.implicits._
     val pages = spark.range(100).select(col("id").as("doc_id"),
