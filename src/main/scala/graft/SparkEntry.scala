@@ -2429,6 +2429,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- MAINTAINED positional-postings index (VERDICT r16 #3, the
+    //      sixth maintained-index family): the standing corpus indexed
+    //      once, an ingest epoch APPENDED (postings are per-doc local —
+    //      the merge is a pure union), a removal set DELETED (broadcast
+    //      anti-join), then the phrase probed against the maintained
+    //      index — the probe plan never touches document text
+    //      (spec-pinned). The oracle rebuilds postings from scratch over
+    //      the corpus minus the removals, so a hash match proves
+    //      append == rebuild AND delete == rebuild cross-engine (the
+    //      q_link_graph_append pattern) ----
+    "q_phrase_index_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val standing = TextOps.positionalPostingsIndex(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      val merged = TextOps.positionalIndexAppend(standing,
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      val maintained = TextOps.positionalIndexDelete(merged,
+        docs.where(col("doc_id") % 7 === 2).select("doc_id"), "doc_id")
+      TextOps.phraseIndexSearch(maintained, Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LSH banding auto-tuner: the S-curve (b, r) choice BEFORE a
     //      100 TB dedup run (q_lsh_candidate_quality measures it after);
     //      repeated-multiplication folds + per-term q6, no libm pow ----
@@ -6345,6 +6367,22 @@ object SparkEntry {
         """WITH t AS (
           |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
           |  FROM documents),
+          |m AS (
+          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start
+          |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+          |  WHERE toks[i] = 'slow' AND toks[i+1] = 'hash' AND toks[i+2] = 'batch')
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+          |       CAST(min(start) AS BIGINT) AS first_pos
+          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the maintenance identity's oracle IS the from-scratch rebuild over
+      // the corpus minus the removal set (standing ∪ epoch = all docs) —
+      // a hash match proves append == rebuild and delete == rebuild for
+      // the positional index cross-engine
+      "q_phrase_index_search" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |  FROM documents WHERE doc_id % 7 <> 2),
           |m AS (
           |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start
           |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)

@@ -273,6 +273,17 @@ object TextOps {
       .where(col("__term").isin(phrase: _*))
       .select(col("__id"), col("__pos").cast("long").as("__pos"), col("__term"))
       .localCheckpoint()
+    phraseProbe(post, phrase).withColumnRenamed("__id", idCol)
+  }
+
+  /** The rarest-first offset-join intersection over PRE-FILTERED,
+    * MATERIALIZED (__id, __pos, __term) postings — ONE probe core shared
+    * by [[phraseSearch]] (postings built from the corpus at query time)
+    * and [[phraseIndexSearch]] (postings read from a maintained index),
+    * so index-probe == corpus-scan holds by construction, not by copy.
+    * Caller contract: `post` is already filtered to the phrase's terms
+    * and materialized (every branch below re-reads it). */
+  private def phraseProbe(post: DataFrame, phrase: Seq[String]): DataFrame = {
     // TRUE document frequency (countDistinct, ADVICE r16) — occurrence
     // totals were a weaker rarest-first heuristic (never incorrect: the
     // intersection result is order-independent; only candidate volume
@@ -297,7 +308,99 @@ object TextOps {
     }
     cur.groupBy("__id")
       .agg(count(lit(1)).as("n_matches"), min(col("__start")).as("first_pos"))
-      .withColumnRenamed("__id", idCol)
+  }
+
+  /** The MATERIALIZABLE positional-postings index of the phrase family —
+    * (term, doc_id, pos) rows over whitespace tokens, the persisted form
+    * [[phraseSearch]]'s scaladoc promises (VERDICT r16 #3: the sixth
+    * maintained-index family, the d23/d24/BM25 lifecycle contract). A
+    * decontamination or quote-attribution user running MANY phrase
+    * queries builds this once and probes it per query
+    * ([[phraseIndexSearch]]) instead of re-tokenizing the corpus each
+    * time.
+    *
+    * Scale shape: building is one corpus pass (the posexplode
+    * projection) whose only wide operation is the WRITE of (term, doc,
+    * pos) rows — token cardinality, the same volume every inverted-index
+    * build moves; a deployment stores it partitioned/bucketed BY TERM so
+    * a phrase probe prunes to its terms' buckets at scan. */
+  def positionalPostingsIndex(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Merge an ADMITTED ingest epoch into a maintained positional index
+    * WITHOUT rebuilding: postings are per-document local, so the append
+    * is a pure union — equals [[positionalPostingsIndex]] over the
+    * unioned corpus exactly (spec-pinned; the `q_phrase_index_search`
+    * oracle proves it cross-engine by rebuilding from scratch).
+    * Precondition: epoch ids are disjoint from the indexed corpus (they
+    * are, for admitted NEW documents — re-ingesting an id duplicates its
+    * postings). Increment cost is the EPOCH's tokens, never the standing
+    * index. */
+  def positionalIndexAppend(post: DataFrame, epochDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    post.unionByName(positionalPostingsIndex(epochDocs, idCol, textCol))
+
+  /** Delete a removal set from a maintained positional index WITHOUT
+    * rebuild — the right-to-be-forgotten step (the [[bm25IndexDelete]]
+    * contract): removed docs' postings anti-join out against the
+    * BROADCAST removal set (removal requests are microscopic next to the
+    * corpus — the index itself shuffles nothing). Removal ids absent
+    * from the index are no-ops by construction. */
+  def positionalIndexDelete(post: DataFrame, removeIds: DataFrame,
+      idCol: String): DataFrame =
+    post.join(
+      broadcast(removeIds.select(col(idCol).cast("long").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
+
+  /** [[phraseSearch]] against a MAINTAINED (term, doc_id, pos) index
+    * instead of the corpus: filters the index to the phrase's terms,
+    * materializes that phrase-cardinality slice once, and runs the same
+    * rarest-first probe core — the query never touches document text, so
+    * repeated phrase queries cost index-probe work (bounded by the
+    * rarest term's postings), not a corpus scan (plan spec-pinned: no
+    * tokenize/explode in the probe plan). Same output contract as
+    * [[phraseSearch]]: (doc_id, n_matches, first_pos), matches only.
+    * EAGER like its sibling (the probe's df collect). */
+  def phraseIndexSearch(post: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val p = post
+      .where(col("term").isin(phrase: _*))
+      .select(col("doc_id").as("__id"), col("pos").as("__pos"),
+        col("term").as("__term"))
+      .localCheckpoint()
+    phraseProbe(p, phrase).withColumnRenamed("__id", "doc_id")
+  }
+
+  /** Index-FREE phrase scan: per-document O(len·k) consecutive-sequence
+    * match over the token array — the streaming-ingest form of the
+    * phrase family (a stateless projection, so it runs unchanged under
+    * Structured Streaming: [[graft.streaming.StreamingPipelines
+    * .phraseDecontamStream]]), and the right batch shape when the corpus
+    * is scanned exactly ONCE anyway. Bit-equal to [[phraseSearch]]
+    * (spec-pinned: two independent implementations agree on overlaps,
+    * repeats, and boundaries). Same output contract: (idCol, n_matches,
+    * first_pos), matches only. */
+  def phraseScanMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val k = phrase.length
+    val toks = tokens(col(textCol))
+    // candidate starts 0..len-k; sequence(a, b) is DESCENDING when a > b,
+    // so the short-document arm must short-circuit to an empty array
+    val starts = when(size(toks) >= k,
+      filter(sequence(lit(0L), size(toks).cast("long") - lit(k.toLong)),
+        i => phrase.zipWithIndex.map { case (t, j) =>
+          element_at(toks, (i + lit(j.toLong) + lit(1L)).cast("int")) === t
+        }.reduce(_ && _)))
+      .otherwise(typedlit(Seq.empty[Long]))
+    docs.select(col(idCol), starts.as("__starts"))
+      .where(size(col("__starts")) > 0)
+      .select(col(idCol),
+        size(col("__starts")).cast("long").as("n_matches"),
+        element_at(col("__starts"), 1).as("first_pos"))
   }
 
   /** Compact subset of the public-suffix list (publicsuffix.org — public

@@ -1242,6 +1242,26 @@ object StreamingPipelines {
         col("pr_q6").isNotNull.as("known_domain"))
   }
 
+  /** Streaming phrase-decontamination probe — the ingest form of the
+    * positional phrase family: each incoming document is scanned for a
+    * FORBIDDEN exact phrase (benchmark decontamination at ingest — the
+    * moment to catch a leaked eval sequence is BEFORE it joins the
+    * corpus) via [[graft.operators.TextOps.phraseScanMatches]], the
+    * index-free O(len·k) per-document form that is bit-equal to the
+    * maintained-index probe (spec-pinned). Emits (idCol, n_matches,
+    * first_pos) for HITS only — admitted-clean documents pass through
+    * the ingest path untouched.
+    *
+    * Deliberately STATELESS (the [[domainBudgetStream]] contract): a
+    * pure projection, so append mode needs no watermark and stream ==
+    * batch holds by construction; works identically on a batch frame.
+    * Scale shape: per-batch cost O(batch tokens · phrase length), zero
+    * joins, zero stateful operators. */
+  def phraseDecontamStream(incoming: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, phrase: Seq[String])
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.TextOps.phraseScanMatches(incoming, idCol, textCol, phrase)
+
   /** Streaming first-occurrence BLOCK dedup — the ingest form of
     * [[graft.operators.Dedup.incrementalBlockDedup]]: incoming documents'
     * 16-token blocks are hashed row-wise (the identical md5-over-slice

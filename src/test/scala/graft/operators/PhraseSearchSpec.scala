@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Positional phrase search: exact consecutive-sequence semantics,
@@ -60,5 +61,78 @@ class PhraseSearchSpec extends AnyFunSuite {
     // only the surviving tokens
     val out = search(Seq((1L, "x  slow  hash batch")), Seq("slow", "hash", "batch"))
     assert(out === Map(1L -> ((1L, 1L))))
+  }
+
+  // ---- the maintained positional index + the index-free scan form ----
+
+  private val trickyCorpora: Seq[(Seq[(Long, String)], Seq[String])] = Seq(
+    (Seq((1L, "x slow hash batch y"), (2L, "slow batch hash"),
+      (3L, "slow hash x batch"), (4L, "a b slow hash batch")),
+      Seq("slow", "hash", "batch")),
+    (Seq((1L, "a a a a"), (2L, "b a b")), Seq("a", "a")),
+    (Seq((1L, "go stop go"), (2L, "go go stop")), Seq("go", "stop", "go")),
+    (Seq((1L, "b a b b"), (2L, "")), Seq("b")),
+    (Seq((1L, "x  slow  hash batch"), (2L, "short")),
+      Seq("slow", "hash", "batch")))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("index-free scan form == postings form on overlaps, repeats, boundaries") {
+    import spark.implicits._
+    for ((docs, phrase) <- trickyCorpora) {
+      val df = docs.toDF("doc_id", "text")
+      val viaPostings = asMap(
+        TextOps.phraseSearch(df, "doc_id", "text", phrase))
+      val viaScan = asMap(
+        TextOps.phraseScanMatches(df, "doc_id", "text", phrase))
+      assert(viaScan === viaPostings, s"phrase=$phrase")
+    }
+  }
+
+  test("maintained index: append == rebuild and delete == rebuild, row for row") {
+    import spark.implicits._
+    val standing = Seq((1L, "slow hash batch"), (2L, "a b c")).toDF("doc_id", "text")
+    val epoch = Seq((3L, "slow hash"), (4L, "")).toDF("doc_id", "text")
+    val all = standing.unionByName(epoch)
+    // select by NAME: the delete's using-column anti-join moves doc_id
+    // first — column names, not positions, are the index contract
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc_id", "pos")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+    val appended = TextOps.positionalIndexAppend(
+      TextOps.positionalPostingsIndex(standing, "doc_id", "text"),
+      epoch, "doc_id", "text")
+    assert(rows(appended) ===
+      rows(TextOps.positionalPostingsIndex(all, "doc_id", "text")))
+    val deleted = TextOps.positionalIndexDelete(
+      appended, Seq(1L, 999L).toDF("doc_id"), "doc_id")
+    assert(rows(deleted) === rows(TextOps.positionalPostingsIndex(
+      all.where(col("doc_id") =!= 1L), "doc_id", "text")))
+  }
+
+  test("indexed search == corpus search after a full maintenance cycle") {
+    import spark.implicits._
+    for ((docs, phrase) <- trickyCorpora) {
+      val df = docs.toDF("doc_id", "text")
+      val idx = TextOps.positionalPostingsIndex(df, "doc_id", "text")
+      assert(asMap(TextOps.phraseIndexSearch(idx, phrase)) ===
+        asMap(TextOps.phraseSearch(df, "doc_id", "text", phrase)),
+        s"phrase=$phrase")
+    }
+  }
+
+  test("probing a MAINTAINED index never re-tokenizes: no Generate in the probe plan") {
+    import spark.implicits._
+    // materialize the index the way a deployment would (persisted table);
+    // localCheckpoint cuts lineage to the corpus exactly like a re-read
+    val idx = TextOps.positionalPostingsIndex(
+      Seq((1L, "slow hash batch x slow hash batch")).toDF("doc_id", "text"),
+      "doc_id", "text").localCheckpoint()
+    val probe = TextOps.phraseIndexSearch(idx, Seq("slow", "hash", "batch"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"index probe must not re-explode the corpus:\n$plan")
+    assert(asMap(probe) === Map(1L -> ((2L, 0L))))
   }
 }

@@ -1349,6 +1349,35 @@ class StreamingSpec extends AnyFunSuite {
     dim.unpersist(); rank.unpersist(); ()
   }
 
+  test("phrase-decontam stream: forbidden sequence flagged at ingest, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val phrase = Seq("eval", "answer", "key")
+    val incoming = Seq(
+      (1L, "benign text with eval answer but no key match"),
+      (2L, "leaked eval answer key mid document eval answer key"),  // 2 hits
+      (3L, "eval answer key"),                                      // exact-length doc
+      (4L, "short"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val batch = hits(StreamingPipelines.phraseDecontamStream(
+      incoming.toDF("doc_id", "text"), "doc_id", "text", phrase))
+    assert(batch === Set((2L, 2L, 1L), (3L, 1L, 0L)))
+    // and the batch form agrees with the maintained-index probe — the
+    // two independent implementations meet at the same rows
+    val idx = graft.operators.TextOps.positionalPostingsIndex(
+      incoming.toDF("doc_id", "text"), "doc_id", "text")
+    assert(hits(graft.operators.TextOps.phraseIndexSearch(idx, phrase)) === batch)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipelines.phraseDecontamStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", phrase)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("phrasedecontam").start()
+    try { mem.addData(incoming); q.processAllAvailable() } finally q.stop()
+    assert(hits(spark.table("phrasedecontam")) === batch,
+      "stateless scan must be stream/batch identical")
+  }
+
   test("exact dedup stream: stateless ingest vs the fingerprint index; NFC variants dedup; stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
