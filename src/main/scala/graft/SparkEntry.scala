@@ -1754,6 +1754,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- anchor-text retrieval enrichment (VERDICT r16 missing #2): the
+    //      extracted link graph's anchors union into the BM25 index as
+    //      weighted postings on their TARGET documents (the classic
+    //      anchor-text ranking signal — what the web calls a page),
+    //      targets resolved by the canonical url→doc dimension a crawl's
+    //      dedup maintains anyway (representative = min doc_id;
+    //      self-endorsement dropped). Queries over the anchor vocabulary
+    //      surface documents whose own body never says "guide"/"visit".
+    //      Oracle: full replay of plant → extraction → resolution → the
+    //      combined body+2·anchor postings → q6 scores → top-5 ----
+    "q_bm25_anchor_search" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val links = linkGraphStages(s, d)._1
+      val urlDoc = docs.select(
+          TextOps.canonicalizeUrl(crawlPlantUrl).as("url"), col("doc_id"))
+        .groupBy("url").agg(min(col("doc_id")).as("target_doc"))
+      val anchors = links.join(broadcast(urlDoc), Seq("url"))
+        .where(col("doc_id") =!= col("target_doc"))
+        .select(col("target_doc"), col("anchor"))
+      val (tfdl, dfreq, n, tdl) = TextOps.bm25IndexWithAnchors(
+        docs, "doc_id", "text", anchors, "target_doc", "anchor", weight = 2)
+      val queries = Seq((9000001L, "guide"), (9000002L, "review news"),
+        (9000003L, "visit h3")).toDF("qid", "qtext")
+      val qTerms = TextOps.bm25TermRows(queries, "qid", "query_id", "qtext")
+        .distinct()
+      TextOps.bm25TopK(TextOps.bm25MatchScores(qTerms, tfdl, dfreq, n, tdl), 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- distributional word centrality: Perron eigenvector of the
     //      PPMI-weighted word co-occurrence graph by quantized power
     //      iteration (8 rounds, pure long arithmetic, L1 renormalization —
@@ -7602,6 +7632,44 @@ object SparkEntry {
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
           |       floor(s_q6::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // the link stack replays plant → extraction → resolution; anchors
+      // attribute to min-doc_id canonical targets (self-endorsement
+      // dropped); combined postings = body tf + 2·anchor tf, then the
+      // identical q6 BM25 chain as q_bm25_delete_search
+      "q_bm25_anchor_search" ->
+        s"""WITH $linkCtes,
+          |ud AS (SELECT canonical_url AS url, CAST(min(doc_id) AS BIGINT) AS target_doc
+          |       FROM rdcanon GROUP BY 1),
+          |an AS (SELECT ud.target_doc AS doc_id, l.anchor
+          |       FROM lout l JOIN ud ON ud.url = l.url WHERE l.doc_id <> ud.target_doc),
+          |bt AS (SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS term FROM documents),
+          |bh AS (SELECT doc_id, ('0x' || substr(md5(term),1,15))::BIGINT AS th FROM bt),
+          |btf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf FROM bh GROUP BY 1, 2),
+          |at2 AS (SELECT doc_id, unnest(list_filter(string_split(anchor,' '), t -> t <> '')) AS term FROM an),
+          |ah2 AS (SELECT doc_id, ('0x' || substr(md5(term),1,15))::BIGINT AS th FROM at2),
+          |atf AS (SELECT doc_id, th, CAST(2 * count(*) AS BIGINT) AS tf FROM ah2 GROUP BY 1, 2),
+          |ctf AS (SELECT doc_id, th, CAST(sum(tf) AS BIGINT) AS tf
+          |        FROM (SELECT * FROM btf UNION ALL SELECT * FROM atf) GROUP BY 1, 2),
+          |cdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
+          |cdfreq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM ctf GROUP BY 1),
+          |cstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM cdl),
+          |qv(query_id, qtext) AS (VALUES (9000001, 'guide'), (9000002, 'review news'), (9000003, 'visit h3')),
+          |qq AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+          |         ('0x' || substr(md5(term),1,15))::BIGINT AS th
+          |       FROM (SELECT query_id, unnest(list_filter(string_split(qtext,' '), t -> t <> '')) AS term FROM qv)),
+          |qm AS (SELECT qq.query_id, ctf.doc_id, ctf.tf, cdl.dl, cdfreq.df, cstats.n_docs, cstats.total_dl
+          |       FROM qq JOIN ctf USING (th) JOIN cdl ON ctf.doc_id = cdl.doc_id
+          |       JOIN cdfreq ON qq.th = cdfreq.th, cstats
+          |       WHERE ctf.doc_id <> qq.query_id),
+          |qterms AS (SELECT query_id, doc_id,
+          |  CAST(floor(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
+          |    ((tf::DOUBLE * (1.2 + 1.0)) / (tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 * (dl::DOUBLE/(total_dl::DOUBLE/n_docs::DOUBLE))))) * 1000000.0 + 0.5) AS BIGINT) AS t_q6 FROM qm),
+          |qscored AS (SELECT query_id, doc_id, CAST(sum(t_q6) AS BIGINT) AS s_q6 FROM qterms GROUP BY 1, 2),
+          |qranked AS (SELECT query_id, doc_id, s_q6, row_number() OVER (PARTITION BY query_id ORDER BY s_q6 DESC, doc_id) AS rank FROM qscored)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+          |       floor(s_q6::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
+          |FROM qranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       // x14's oracle moved to the dynamic [[ppmiOracleSql]]: the engine's
       // q6 PPMI edge table splices in as VALUES so no cross-engine `ln`
