@@ -2448,6 +2448,66 @@ object SparkEntry {
       st.join(ranked, Seq("domain"), "left").orderBy("domain")
     }),
 
+    // ---- per-URL frontier fetch order (VERDICT r16 #5): the composed
+    //      read a crawler actually dequeues. Three arms over the % 5 == 0
+    //      ingest epoch's DISCOVERED urls: (1) endorsement — each url's
+    //      target domain probed against the standing corpus's PageRank
+    //      table (the q_link_frontier_probe arm); (2) admissibility — the
+    //      robots rule election spliced in as a zero-shuffle struct
+    //      column; (3) budget — the standing per-domain page counts vs
+    //      the crawl cap (over-budget domains parked). Novelty: one row
+    //      per url (first discoverer kept, discovery multiplicity rides
+    //      along); fetch_rank over admissible+under-budget urls by
+    //      (endorsement DESC, url) via the O(P) two-phase prefix pass —
+    //      never a single-task window (plan spec-pinned); PSL, rank, and
+    //      budget dims all broadcast ----
+    "e2e_url_frontier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, sedges, dim) =
+        linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))
+      val rank = GraphOps.weightedPageRankDirected(sedges,
+          "src_domain", "dst_domain", "n_links", iterations = 4)
+        .select(col("node").as("registrable_domain"), col("pr_q6"))
+      val epoch = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), crawlPlantUrl.as("base0"), linkPlantPage.as("page"))
+      val probe = graft.streaming.StreamingPipelines.linkFrontierStream(
+        epoch, dim, rank, "doc_id", "page", "base0")
+      // novelty arm: one queue row per discovered url — the FIRST
+      // discoverer (min (doc_id, link_no)) keeps it; domain/rank are
+      // functions of the url, so max() just picks the shared value
+      val perUrl = probe.groupBy("url").agg(
+          min(struct(col("doc_id"), col("link_no"))).as("__d"),
+          max(col("registrable_domain")).as("registrable_domain"),
+          max(col("target_rank_q6")).as("target_rank_q6"),
+          max(col("known_domain")).as("known_domain"),
+          count(lit(1)).as("n_discoveries"))
+        .select(col("url"), col("__d.doc_id").as("src_doc"),
+          col("__d.link_no").as("src_link"), col("registrable_domain"),
+          col("target_rank_q6"), col("known_domain"), col("n_discoveries"))
+      val budget = docs.where(col("doc_id") % 5 =!= 0)
+        .select(TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"))
+        .join(broadcast(dim), Seq("host"))
+        .where(col("registrable_domain").isNotNull)
+        .groupBy("registrable_domain").agg(count(lit(1)).as("__np"))
+        .select(col("registrable_domain"), (col("__np") >= 30).as("over_budget"))
+      val st = perUrl
+        .withColumn("allowed",
+          TextOps.urlRuleDecisionCol(col("url"), CrawlUrlRules).getField("allowed"))
+        .join(broadcast(budget), Seq("registrable_domain"), "left")
+        .withColumn("over_budget", coalesce(col("over_budget"), lit(false)))
+      val eligible = st.where(col("allowed") && !col("over_budget"))
+        .select(col("url"), col("target_rank_q6"), lit(1L).as("__one"))
+      val ranked = CoreOps.globalPrefixSum(eligible,
+          Seq(col("target_rank_q6").desc, col("url")), "__one", "__before")
+        .select(col("url"), (col("__before") + lit(1L)).as("fetch_rank"))
+      st.join(ranked, Seq("url"), "left")
+        .select(col("url"), col("src_doc"), col("src_link"),
+          col("registrable_domain"), col("target_rank_q6"),
+          col("known_domain"), col("n_discoveries"), col("allowed"),
+          col("over_budget"), col("fetch_rank"))
+        .orderBy("url")
+    }),
+
     // ---- exact phrase search via positional postings, rarest-term-first
     //      intersection (the indexed retrieval path BM25 lacks — quote
     //      attribution and exact-sequence decontamination need consecutive
@@ -6269,6 +6329,61 @@ object SparkEntry {
            |  FROM st WHERE NOT over_budget)
            |SELECT st.domain, st.n_pages, st.pr_q6, st.over_budget, rk.fetch_rank
            |FROM st LEFT JOIN rk USING (domain) ORDER BY st.domain""".stripMargin,
+
+      // the per-URL queue: standing (% 5 <> 0) PSL + PageRank stack; the
+      // epoch's discovered urls dedup to first discoverer (min packed
+      // (doc, link) — link_no < 1024 on planted pages); endorsement via
+      // the url's host against areg/r4; admissibility replays the robots
+      // election; budget replays the standing per-domain counts at 30;
+      // fetch_rank = row_number over the eligible set, the engine's
+      // two-phase prefix rank
+      "e2e_url_frontier" ->
+        s"""WITH ${linkPageRankCtes("doc_id % 5 <> 0")},
+           |ep AS (SELECT * FROM lout WHERE doc_id % 5 = 0),
+           |eu AS (
+           |  SELECT url, CAST(min(doc_id * 1024 + link_no) AS BIGINT) AS dk,
+           |         CAST(count(*) AS BIGINT) AS n_discoveries
+           |  FROM ep GROUP BY url),
+           |pu AS (
+           |  SELECT eu.url, CAST(eu.dk // 1024 AS BIGINT) AS src_doc,
+           |         CAST(eu.dk % 1024 AS BIGINT) AS src_link,
+           |         a.registrable_domain,
+           |         CAST(coalesce(r4.r, 0) AS BIGINT) AS target_rank_q6,
+           |         r4.r IS NOT NULL AS known_domain, eu.n_discoveries
+           |  FROM eu
+           |  LEFT JOIN areg a ON a.host =
+           |    regexp_extract(eu.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+           |  LEFT JOIN r4 ON r4.node = a.registrable_domain),
+           |upath AS (
+           |  SELECT url, CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+           |  FROM (SELECT url, regexp_replace(regexp_extract(url,
+           |          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$$', 1), '\\?.*$$', '') AS p0
+           |        FROM eu)),
+           |urules(rule, allow) AS (VALUES $urlRuleValues),
+           |um AS (
+           |  SELECT upath.url, ru.allow,
+           |         row_number() OVER (PARTITION BY upath.url
+           |           ORDER BY len(ru.rule) DESC, ru.allow DESC, ru.rule DESC) AS rn
+           |  FROM upath JOIN urules ru ON starts_with(upath.path, ru.rule)),
+           |ub AS (
+           |  SELECT a.registrable_domain, CAST(count(*) AS BIGINT) AS n_pages
+           |  FROM rdcanon c JOIN areg a
+           |    ON a.host = regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+           |  WHERE c.doc_id % 5 <> 0 AND a.registrable_domain IS NOT NULL GROUP BY 1),
+           |ust AS (
+           |  SELECT pu.*, coalesce(um.allow = 1, TRUE) AS allowed,
+           |         coalesce(ub.n_pages >= 30, FALSE) AS over_budget
+           |  FROM pu
+           |  LEFT JOIN (SELECT url, allow FROM um WHERE rn = 1) um USING (url)
+           |  LEFT JOIN ub ON ub.registrable_domain = pu.registrable_domain),
+           |urk AS (
+           |  SELECT url, CAST(row_number() OVER (
+           |    ORDER BY target_rank_q6 DESC, url) AS BIGINT) AS fetch_rank
+           |  FROM ust WHERE allowed AND NOT over_budget)
+           |SELECT ust.url, ust.src_doc, ust.src_link, ust.registrable_domain,
+           |       ust.target_rank_q6, ust.known_domain, ust.n_discoveries,
+           |       ust.allowed, ust.over_budget, urk.fetch_rank
+           |FROM ust LEFT JOIN urk USING (url) ORDER BY ust.url""".stripMargin,
 
       // anchor tokens per dst eTLD+1, ranked (count DESC, term) — the
       // engine's window replayed as row_number

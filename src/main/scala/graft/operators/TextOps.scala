@@ -554,23 +554,34 @@ object TextOps {
     * tiebreak only fires on duplicate rows — kept anyway (and mirrored
     * DESC in the oracle) so the winner is total-ordered. */
   def urlRuleFilter(pages: DataFrame, idCol: String, urlCol: String,
-      rules: Seq[(String, Boolean)]): DataFrame = {
+      rules: Seq[(String, Boolean)]): DataFrame =
+    pages.select(col(idCol).cast("long").as("doc_id"),
+        col(urlCol).as("canonical_url"))
+      .withColumn("__d", urlRuleDecisionCol(col("canonical_url"), rules))
+      .select(col("doc_id"), col("canonical_url"),
+        col("__d.path").as("path"),
+        col("__d.matched_rule").as("matched_rule"),
+        col("__d.allowed").as("allowed"))
+
+  /** The per-URL robots decision of [[urlRuleFilter]] as ONE reusable
+    * struct column `(path, matched_rule, allowed)` — the form a composed
+    * pipeline (the per-URL frontier) splices into its own projection
+    * without a join, so admissibility stays zero-shuffle wherever it is
+    * consumed. Same literal-struct-array election, same precedence. */
+  def urlRuleDecisionCol(canonicalUrl: Column,
+      rules: Seq[(String, Boolean)]): Column = {
     require(rules.nonEmpty, "empty rule table: every page is trivially allowed")
     val ruleArr = array(rules.map { case (p, a) =>
       struct(lit(p.length.toLong).as("rlen"),
         lit(if (a) 1L else 0L).as("rallow"), lit(p).as("rule"))
     }: _*)
-    pages.select(col(idCol).cast("long").as("doc_id"),
-        col(urlCol).as("canonical_url"))
-      .withColumn("__p", regexp_replace(
-        regexp_extract(col("canonical_url"),
-          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$", 1), "\\?.*$", ""))
-      .withColumn("path", when(col("__p") === "", lit("/")).otherwise(col("__p")))
-      .withColumn("__w", array_max(filter(ruleArr,
-        r => col("path").startsWith(r.getField("rule")))))
-      .select(col("doc_id"), col("canonical_url"), col("path"),
-        col("__w.rule").as("matched_rule"),
-        coalesce(col("__w.rallow") === 1L, lit(true)).as("allowed"))
+    val p0 = regexp_replace(regexp_extract(canonicalUrl,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$", 1), "\\?.*$", "")
+    val path = when(p0 === "", lit("/")).otherwise(p0)
+    val w = array_max(filter(ruleArr,
+      r => path.startsWith(r.getField("rule"))))
+    struct(path.as("path"), w.getField("rule").as("matched_rule"),
+      coalesce(w.getField("rallow") === 1L, lit(true)).as("allowed"))
   }
 
   /** Pure-projection blocklist flag — the ingest-path form of

@@ -718,4 +718,20 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!b.contains("page#"), s"an exchange carries page HTML:\n$b")
     }
   }
+
+  test("e2e_url_frontier: per-URL rank rides the prefix pass; no exchange carries page bytes") {
+    val df = SparkEntry.queries("e2e_url_frontier")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the per-URL fetch rank must ride the prefix pass, not a window:\n$plan")
+    for (b <- exchangeBlocks(df)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("page#"), s"an exchange carries page HTML:\n$b")
+    }
+    // both decision polarities must actually occur, or the gate's rule
+    // and budget arms silently stop testing anything
+    val rows = df.select("allowed", "over_budget").collect()
+    assert(rows.exists(!_.getBoolean(0)) && rows.exists(_.getBoolean(0)))
+    assert(rows.exists(_.getBoolean(1)) && rows.exists(!_.getBoolean(1)))
+  }
 }
