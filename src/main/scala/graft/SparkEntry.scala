@@ -2148,30 +2148,37 @@ object SparkEntry {
     //      authority (pages, distinct canonical resources, token mass) —
     //      the per-site table crawl curation reads to keep/cap/block a
     //      domain; host collapses spelling variants ACROSS schemes ----
-    "q_domain_stats" -> ((s, d) => {
-      val hostN = (col("doc_id") % 5).cast("string")
-      val res = (col("doc_id") % 20).cast("string")
-      val raw =
-        when(col("doc_id") % 4 === 0,
-          concat(lit("https://WWW.h"), hostN, lit(".com/p/"), res, lit("?a=1")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("https://h"), hostN, lit(".com:443/p/"), res, lit("?a=1&utm_x=1")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("h"), hostN, lit(".com/p/"), res, lit("?a=1")))
-        .otherwise(
-          concat(lit("https://h"), hostN, lit(".com/p/"), res, lit("/?a=1")))
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextOps.canonicalizeUrl(raw).as("canonical_url"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
-        .select(col("canonical_url"),
-          TextOps.urlHost(col("canonical_url")).as("host"), col("n_toks"))
+    "q_domain_stats" -> ((s, d) =>
+      domainStatsPages(s, d)
         .groupBy("host")
         .agg(count(lit(1)).as("n_pages"),
           countDistinct(col("canonical_url")).as("n_resources"),
           sum(col("n_toks")).as("n_tokens"))
-        .orderBy("host")
-    }),
+        .orderBy("host")),
+
+    // ---- the same per-host crawl rollup with the distinct-resource
+    //      count as a GROUPED HLL SKETCH next to the exact one (VERDICT
+    //      r16 #7): at 100 TB the exact countDistinct is the expensive
+    //      arm (a value-cardinality shuffle per host); the register
+    //      sketch ships ONE m-byte row per (partition, host) and merges
+    //      by bytewise max. Kept integer-exact cross-engine: the
+    //      harmonic-mean denominator Σ 2^(39−ρ) over all m buckets as a
+    //      q39 long (the q_hll_distinct surface, here per host), with
+    //      the exact distinct riding along as the in-gate error receipt
+    //      — est-vs-exact in one row ----
+    "q_domain_stats_hll" -> ((s, d) =>
+      domainStatsPages(s, d)
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("canonical_url")).as("exact_resources"),
+          graft.expressions.GraftExpressions
+            .hllRegisters(col("canonical_url"), 10).as("__regs"))
+        .select(col("host"), col("n_pages"), col("exact_resources"),
+          size(col("__regs")).cast("long").as("m"),
+          size(filter(col("__regs"), r => r > 0)).cast("long").as("n_buckets_hit"),
+          expr("aggregate(__regs, CAST(0 AS BIGINT), " +
+            "(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 39 - r))").as("inv_q39"))
+        .orderBy("host")),
 
     // ---- registrable-domain (eTLD+1) crawl rollup (VERDICT r14 missing
     //      #2): q_domain_stats' host column capped at the public-suffix
@@ -5394,6 +5401,31 @@ object SparkEntry {
       s"('$key', $kind)"
     }.mkString(", ")
 
+  /** The multi-spelling page projection of the `q_domain_stats` pair —
+    * (canonical_url, host, n_toks) over the four planted raw-URL arms
+    * (www prefix, default port, scheme-less, trailing slash), ONE
+    * definition for the exact and HLL gates so their est-vs-exact
+    * comparison reads the identical page set. */
+  private def domainStatsPages(s: SparkSession, d: String): DataFrame = {
+    val hostN = (col("doc_id") % 5).cast("string")
+    val res = (col("doc_id") % 20).cast("string")
+    val raw =
+      when(col("doc_id") % 4 === 0,
+        concat(lit("https://WWW.h"), hostN, lit(".com/p/"), res, lit("?a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://h"), hostN, lit(".com:443/p/"), res, lit("?a=1&utm_x=1")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("h"), hostN, lit(".com/p/"), res, lit("?a=1")))
+      .otherwise(
+        concat(lit("https://h"), hostN, lit(".com/p/"), res, lit("/?a=1")))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.canonicalizeUrl(raw).as("canonical_url"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      .select(col("canonical_url"),
+        TextOps.urlHost(col("canonical_url")).as("host"), col("n_toks"))
+  }
+
   /** The planted multi-suffix crawl URL shared by the three eTLD+1 gates
     * (`q_registrable_domain_stats`, `q_domain_cap`, `q_domain_budget`) —
     * ONE definition, mirrored by [[crawlPslCtes]]'s `raw` CTE on the
@@ -6175,6 +6207,47 @@ object SparkEntry {
            |       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_resources,
            |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
            |FROM hosts GROUP BY host ORDER BY host""".stripMargin,
+
+      // the same canonical chain, then the p=10 register replay PER HOST
+      // (bucket = top 10 of the 48 hash bits, ρ = 39 − bitlength(rest),
+      // empty buckets ρ = 0 contribute 2^39 to the q39 harmonic sum) with
+      // the exact distinct alongside
+      "q_domain_stats_hll" ->
+        s"""WITH raw AS (
+           |  SELECT doc_id, text,
+           |    CASE CAST(doc_id % 4 AS INTEGER)
+           |      WHEN 0 THEN 'https://WWW.h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1'
+           |      WHEN 1 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.com:443/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1&utm_x=1'
+           |      WHEN 2 THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1'
+           |      ELSE 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/' || CAST(doc_id % 20 AS VARCHAR) || '/?a=1'
+           |    END AS url
+           |  FROM documents),
+           |${urlCanonCtes("dh", "raw")},
+           |hosts AS (
+           |  SELECT c.doc_id, c.canonical_url,
+           |         regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1) AS host
+           |  FROM dhcanon c),
+           |hh AS (SELECT host,
+           |         ('0x' || substr(md5('hll:' || canonical_url), 1, 12))::BIGINT AS h FROM hosts),
+           |hbr AS (SELECT host, h // ${1L << 38} AS bucket, h % ${1L << 38} AS rest FROM hh),
+           |hrr AS (SELECT host, bucket,
+           |          CASE WHEN rest = 0 THEN 39 ELSE 39 - len(bin(rest)) END AS rho FROM hbr),
+           |hmx AS (SELECT host, bucket, max(rho) AS rho FROM hrr GROUP BY 1, 2),
+           |hhosts AS (SELECT DISTINCT host FROM hosts),
+           |hallb AS (SELECT hhosts.host, CAST(i AS BIGINT) AS bucket
+           |          FROM hhosts, unnest(range(0, 1024)) AS u(i)),
+           |hfr AS (SELECT a.host, a.bucket, coalesce(m.rho, 0) AS rho
+           |        FROM hallb a LEFT JOIN hmx m ON m.host = a.host AND m.bucket = a.bucket),
+           |hex AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+           |               CAST(count(DISTINCT canonical_url) AS BIGINT) AS exact_resources
+           |        FROM hosts GROUP BY 1)
+           |SELECT hex.host, hex.n_pages, hex.exact_resources,
+           |       CAST(count(*) AS BIGINT) AS m,
+           |       CAST(sum(CASE WHEN hfr.rho > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+           |       CAST(sum(CAST(1 AS BIGINT) << (39 - hfr.rho)) AS BIGINT) AS inv_q39
+           |FROM hfr JOIN hex ON hex.host = hfr.host
+           |GROUP BY hex.host, hex.n_pages, hex.exact_resources
+           |ORDER BY hex.host""".stripMargin,
 
       // replays the publicsuffix.org longest-matching-rule algorithm over
       // the SAME rule table: candidates = trailing-label suffixes (≤5) +
