@@ -2975,8 +2975,9 @@ object SparkEntry {
       // vs Verify's replay-stable _models dir): [[modelExportPath]].
       val path = modelExportPath("s3_zipf_input", d)
       if (!lastS3InputPath.contains(path)) {
-        graft.sources.SyntheticSource.zipfContributions(s, 100000L, 1000, 500, 4).toDF()
-          .write.mode("overwrite").parquet(path)
+        writeModelParquet(
+          graft.sources.SyntheticSource.zipfContributions(s, 100000L, 1000, 500, 4).toDF(),
+          path)
         lastS3InputPath = Some(path)
       }
       s.read.parquet(path)
@@ -4465,7 +4466,13 @@ object SparkEntry {
     modelExportDir match {
       case Some(base) =>
         new java.io.File(base).mkdirs()
-        s"$base/${family}_$tail$sf.parquet"
+        // "model_"-prefixed PLAIN FILE directly in the out-dir (VERDICT
+        // r16 #8): the driver's correctness scan rows every top-level
+        // DIRECTORY, so the old _models/ dir surfaced as a phantom
+        // no-oracle row; top-level files are invisible to that scan. NO
+        // leading underscore — Spark's parquet reader treats "_"/"."
+        // prefixed files as hidden metadata and refuses to read them back
+        s"$base/model_${family}_$tail$sf.parquet"
       case None =>
         val path = s"/tmp/graft_${family}_${ProcessHandle.current().pid()}_$tail$sf.parquet"
         // sweep dead-JVM debris only BEFORE this family's first write —
@@ -4484,6 +4491,29 @@ object SparkEntry {
             }
         path
     }
+  }
+
+  /** Write a model/generator export as ONE PLAIN PARQUET FILE at `path`:
+    * stage dir → move the single part file onto `path` → drop the stage.
+    * Models are model-cardinality small, so coalesce(1) is the contract,
+    * not a bottleneck; a single file keeps the export invisible to the
+    * driver's per-directory correctness scan (VERDICT r16 #8) while
+    * DuckDB's `read_parquet('<path>')` and `spark.read.parquet` consume
+    * it unchanged in both the /tmp and out-dir modes. */
+  private def writeModelParquet(df: DataFrame, path: String): Unit = {
+    val stage = path + ".stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val parts = Option(new java.io.File(stage).listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    require(parts.length == 1,
+      s"expected exactly one part file in $stage, found ${parts.length}")
+    // the stable-name export overwrites in place across runs; an older
+    // run of the PRE-single-file layout may have left a directory here
+    graft.tools.CorpusMaintenance.deleteRecursively(path)
+    java.nio.file.Files.move(parts.head.toPath, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.tools.CorpusMaintenance.deleteRecursively(stage)
+    ()
   }
 
   /** Where the s3 gate materialized its generator output (set when the gate
@@ -4512,7 +4542,7 @@ object SparkEntry {
       val (merges, wordTokens) =
         TextOps.bpeTrainAuto(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
           numMerges = X13NumMerges)
-      wordTokens.write.mode("overwrite").parquet(path)
+      writeModelParquet(wordTokens, path)
       lastX13Merges = Some(merges)
       lastX13ModelPath = Some(path)
     }
@@ -4530,7 +4560,7 @@ object SparkEntry {
       val (_, wordTokens) = TextOps.bpeTrainAuto(
         TextOps.bpeWordFreq(Tables.documents(s, d).where(col("doc_id") % 5 =!= 0), "text"),
         numMerges = X13NumMerges)
-      wordTokens.write.mode("overwrite").parquet(path)
+      writeModelParquet(wordTokens, path)
       lastX13SplitModelPath = Some(path)
     }
     path
@@ -4547,9 +4577,9 @@ object SparkEntry {
     val path = modelExportPath("bpe_curve", d)
     if (!lastBpeCurvePath.contains(path)) {
       ensureBpeModel(s, d) // trains (or reuses) and publishes lastX13Merges
-      TextOps.bpeSizeCurve(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
-          lastX13Merges.get, BpeCurveGrid)
-        .write.mode("overwrite").parquet(path)
+      writeModelParquet(
+        TextOps.bpeSizeCurve(TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
+          lastX13Merges.get, BpeCurveGrid), path)
       lastBpeCurvePath = Some(path)
     }
     path
@@ -4569,9 +4599,9 @@ object SparkEntry {
     val path = modelExportPath("kcenter", d)
     if (!lastKCenterPath.contains(path)) {
       import s.implicits._
-      graft.operators.Similarity.kCenterGreedy(Tables.embeddings(s, d), KCenterK)
-        .toDF("rank", "vec_id", "dist2")
-        .write.mode("overwrite").parquet(path)
+      writeModelParquet(
+        graft.operators.Similarity.kCenterGreedy(Tables.embeddings(s, d), KCenterK)
+          .toDF("rank", "vec_id", "dist2"), path)
       lastKCenterPath = Some(path)
     }
     path
@@ -4586,7 +4616,7 @@ object SparkEntry {
   private def kCenterOracleSql: Map[String, String] =
     lastKCenterPath.toSeq.map { path =>
       "q_coreset_select" ->
-        s"""WITH sel AS (SELECT rank, vec_id FROM read_parquet('$path/*.parquet')),
+        s"""WITH sel AS (SELECT rank, vec_id FROM read_parquet('$path')),
            |e AS (SELECT vec_id, embedding FROM embeddings),
            |d AS (
            |  SELECT s.rank AS srank, x.vec_id,
@@ -4648,8 +4678,8 @@ object SparkEntry {
       val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
       val comps = graft.operators.Preference.comparisonsFromEvents(
         ev, "user_id", "ts_us", "event_id", "event_type", "value")
-      graft.operators.Preference.btRatings(s, comps, iters = BtIters)
-        .write.mode("overwrite").parquet(path)
+      writeModelParquet(
+        graft.operators.Preference.btRatings(s, comps, iters = BtIters), path)
       lastBtModelPath = Some(path)
     }
     path
@@ -4679,7 +4709,7 @@ object SparkEntry {
            |m AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
            |w AS (SELECT winner AS item, CAST(sum(n) AS BIGINT) AS wins FROM m GROUP BY 1),
            |l AS (SELECT loser AS item, CAST(sum(n) AS BIGINT) AS losses FROM m GROUP BY 1),
-           |r AS (SELECT item, rating FROM read_parquet('$path/*.parquet'))
+           |r AS (SELECT item, rating FROM read_parquet('$path'))
            |SELECT r.item,
            |       COALESCE(w.wins, 0) AS wins,
            |       COALESCE(l.losses, 0) AS losses,
@@ -4705,7 +4735,7 @@ object SparkEntry {
            |                  ELSE greatest(item, prev_item) END AS loser
            |      FROM p WHERE prev_item IS NOT NULL AND prev_item <> item),
            |m AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
-           |r AS (SELECT item, rating FROM read_parquet('$path/*.parquet'))
+           |r AS (SELECT item, rating FROM read_parquet('$path'))
            |SELECT m.winner, m.loser, m.n AS n_comparisons,
            |       floor(rw.rating / (rw.rating + rl.rating) * 10000.0 + 0.5) / 10000.0 AS p_win_expected,
            |       floor((rw.rating - rl.rating) * 10000.0 + 0.5) / 10000.0 AS rating_margin
@@ -4730,7 +4760,7 @@ object SparkEntry {
         s"""WITH w AS (
            |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$p')) AS word
            |  FROM documents WHERE doc_id % 5 = 0),
-           |m AS (SELECT word, n_tokens FROM read_parquet('$sp/*.parquet')),
+           |m AS (SELECT word, n_tokens FROM read_parquet('$sp')),
            |a AS (SELECT w.doc_id,
            |             CAST(count(*) AS BIGINT) AS n_pretokens,
            |             CAST(count(CASE WHEN m.n_tokens IS NULL THEN 1 END) AS BIGINT) AS n_oov,
@@ -4746,7 +4776,7 @@ object SparkEntry {
         s"""WITH w AS (
            |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$p')) AS word
            |  FROM documents),
-           |m AS (SELECT word, n_tokens FROM read_parquet('$path/*.parquet'))
+           |m AS (SELECT word, n_tokens FROM read_parquet('$path'))
            |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
            |       CAST(sum(m.n_tokens) AS BIGINT) AS n_bpe_tokens
            |FROM w JOIN m USING (word)
@@ -4760,7 +4790,7 @@ object SparkEntry {
         s"""WITH w AS (
            |  SELECT source, unnest(regexp_extract_all(lower(text), '$p')) AS word
            |  FROM documents),
-           |m AS (SELECT word, n_tokens FROM read_parquet('$path/*.parquet')),
+           |m AS (SELECT word, n_tokens FROM read_parquet('$path')),
            |a AS (SELECT w.source,
            |             CAST(sum(m.n_tokens) AS BIGINT) AS n_bpe_tokens,
            |             CAST(sum(length(w.word)) AS BIGINT) AS n_pretoken_chars,
@@ -4779,7 +4809,7 @@ object SparkEntry {
       "e2e_tokenizer_vocab" ->
         s"""WITH tok AS (
            |  SELECT unnest(tokens) AS token, freq
-           |  FROM read_parquet('$path/*.parquet')),
+           |  FROM read_parquet('$path')),
            |c AS (SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM tok GROUP BY token),
            |p AS (SELECT token, cnt,
            |             CAST(COALESCE(sum(cnt) OVER (ORDER BY cnt DESC, token
@@ -4799,7 +4829,7 @@ object SparkEntry {
         s"""WITH w AS (
            |  SELECT unnest(regexp_extract_all(lower(text), '$p')) AS word FROM documents),
            |c AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
-           |m AS (SELECT word, k, n_tokens FROM read_parquet('$cp/*.parquet'))
+           |m AS (SELECT word, k, n_tokens FROM read_parquet('$cp'))
            |SELECT m.k, CAST(count(*) AS BIGINT) AS n_words,
            |       CAST(sum(c.c) AS BIGINT) AS n_pretokens,
            |       CAST(sum(c.c * m.n_tokens) AS BIGINT) AS total_tokens,
@@ -4817,7 +4847,7 @@ object SparkEntry {
     "s3_zipf_freq" ->
       s"""SELECT "key", cnt FROM (
          |  SELECT "key", count(*) AS cnt
-         |  FROM read_parquet('$path/*.parquet')
+         |  FROM read_parquet('$path')
          |  GROUP BY "key" ORDER BY cnt DESC, "key" LIMIT 50)
          |ORDER BY cnt DESC, "key"""".stripMargin
   }.toMap

@@ -19,7 +19,15 @@ object Verify {
     // the out-dir (VERDICT r15 #4): the dumped oracle_sql.json must replay
     // after this JVM exits — pid-scoped /tmp paths died with the process,
     // so `tools/check_oracle.py` against a committed dump read 9 ORACLE-ERR.
-    SparkEntry.modelExportDir = Some(s"$outDir/_models")
+    // They land as "model_*"-prefixed PLAIN FILES directly in the out-dir
+    // (VERDICT r16 #8): the driver's correctness scan rows every TOP-LEVEL
+    // DIRECTORY, so the old _models/ dir read as a phantom no-oracle row;
+    // files are invisible to that scan. artifacts.json (below) is the
+    // handshake manifest of these non-query artifacts.
+    SparkEntry.modelExportDir = Some(outDir)
+    // drop the pre-r17 directory layout so a reused out-dir stops
+    // producing the phantom row
+    graft.tools.CorpusMaintenance.deleteRecursively(s"$outDir/_models")
     // optional comma-separated filter for local iteration (unset in the
     // driver's per-round run → full dump)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -190,6 +198,17 @@ object Verify {
       tainted.keys.foreach(g => SpliceStore.remove(s"sql:$g"))
       dump(oracles -- tainted.keys)
     }
+    // Handshake manifest of the non-query artifacts in this out-dir
+    // (VERDICT r16 #8): the model exports the dumped oracles read by
+    // absolute path, listed so a consumer never has to infer them from a
+    // directory scan — every DIRECTORY in the out-dir is now a gating
+    // query, full stop.
+    val modelFiles = Option(new java.io.File(outDir).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("model_"))
+      .map(_.getName).sorted
+    Files.writeString(Paths.get(s"$outDir/artifacts.json"),
+      modelFiles.map(q).mkString("{\"model_exports\": [", ", ", "]}"))
     // oracleSql just pushed every live dynamic oracle into the store —
     // persist it for the next (possibly filtered) run, stamped with this
     // builder's version
