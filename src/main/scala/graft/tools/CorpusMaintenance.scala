@@ -73,33 +73,88 @@ object CorpusMaintenance {
     * watermark drain → exactly-once sink commit). */
   final case class EpochResult(epoch: Int, admitted: Long, seconds: Double)
 
-  /** N ingest cycles against ONE long-lived streaming query and checkpoint —
-    * the amortized steady-state form: the per-epoch cost excludes query
-    * startup and checkpoint creation after the first cycle, which is what a
-    * production ingest pays per cycle once the query is standing.
+  /** A LONG-LIVED ingest loop: ONE streaming query + checkpoint + a
+    * persisted corpus index, fed one epoch at a time — the steady-state
+    * form whose per-cycle cost excludes query startup, checkpoint
+    * creation, and (crucially) the per-micro-batch re-signing of the
+    * corpus that the per-query mode ([[runEpoch]], no persisted index)
+    * pays three times per cycle. Production keeps exactly this standing:
+    * a maintained signature table plus one restartable query.
     *
     * The static corpus side is fixed for the query's lifetime (the
     * stream-static join contract), so this measures repeated batches
     * against one corpus snapshot; corpus GROWTH between cycles is
     * [[runEpoch]]'s per-query mode. Event times strictly increase across
     * epochs (batch at (3e+1)·10⁵ s, flushes at (3e+2)/(3e+3)·10⁵ s) so no
-    * batch row ever lands at-or-below the standing watermark.
+    * batch row ever lands at-or-below the standing watermark. Epoch ids
+    * must be unique across epochs and below [[FlushIdBase]].
     *
-    * `batchFor(e)` supplies epoch e's documents; ids must be unique across
-    * epochs and below [[FlushIdBase]]. Returns one [[EpochResult]] per
-    * epoch; admitted counts are read back from the sink after the query
-    * stops, attributed to epochs by the ids `batchFor` issued. */
-  def runEpochs(spark: SparkSession, corpus: DataFrame, epochs: Int,
-      sinkDir: String, k: Int, numHashes: Int, numBands: Int, threshold: Double)(
-      batchFor: Int => Seq[(Long, String)]): Seq[EpochResult] = {
+    * Obtain via [[startStanding]]; feed with [[StandingIngest.epoch]]
+    * (returns that cycle's wall seconds); finish with
+    * [[StandingIngest.finish]] (stops the query, unpersists the index,
+    * and reads admitted ids back from the exactly-once sink). */
+  final class StandingIngest private[CorpusMaintenance] (
+      spark: SparkSession,
+      mem: MemoryStream[(Long, String, java.sql.Timestamp)],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      outPath: String,
+      idxBuckets: DataFrame, idxSets: DataFrame) {
+    private var nextEpoch = 0
+    private val fed = scala.collection.mutable.ArrayBuffer.empty[(Int, Set[Long], Double)]
+    private def ts(stepsOf100k: Long) =
+      new java.sql.Timestamp(stepsOf100k * 100000L * 1000)
+
+    /** Feed one epoch through the standing query; returns wall seconds for
+      * the full cycle (feed → watermark drain → sink commit). */
+    def epoch(batch: Seq[(Long, String)]): Double = {
+      val e = nextEpoch; nextEpoch += 1
+      val t0 = System.nanoTime()
+      mem.addData(batch.map { case (id, t) => (id, t, ts(3L * e + 1)) })
+      q.processAllAvailable()
+      // two strictly later flush rows finalize the epoch's watermarked
+      // aggregation (same two-step drain as runEpoch)
+      mem.addData(Seq((FlushIdBase + e * 2L,
+        s"watermark flush row one for epoch $e of this maintenance run", ts(3L * e + 2))))
+      q.processAllAvailable()
+      mem.addData(Seq((FlushIdBase + e * 2L + 1L,
+        s"watermark flush row two for epoch $e of this maintenance run", ts(3L * e + 3))))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      fed += ((e, batch.map(_._1).toSet, sec))
+      sec
+    }
+
+    /** Error-path teardown: stop the query and release the index without
+      * reading the sink back (the sink may be mid-commit). Idempotent. */
+    def abort(): Unit = {
+      try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      idxBuckets.unpersist(); idxSets.unpersist(); ()
+    }
+
+    /** Stop the query, release the persisted index, and attribute admitted
+      * ids (read back from the sink) to the epochs that fed them. */
+    def finish(): Seq[EpochResult] = {
+      import spark.implicits._
+      q.stop()
+      idxBuckets.unpersist(); idxSets.unpersist()
+      val admittedIds = spark.read.parquet(outPath)
+        .where(col("doc_id") < FlushIdBase)
+        .select("doc_id").as[Long].collect().toSet
+      fed.toSeq.map { case (e, batchIds, sec) =>
+        EpochResult(e, batchIds.count(admittedIds.contains).toLong, sec)
+      }
+    }
+  }
+
+  /** Start the standing ingest loop: build + persist the corpus signature
+    * index ONCE (without it the stream-static join re-signs the whole
+    * corpus every micro-batch — three times per cycle), open the
+    * exactly-once sink and its checkpoint, and return the live handle. */
+  def startStanding(spark: SparkSession, corpus: DataFrame, sinkDir: String,
+      k: Int, numHashes: Int, numBands: Int, threshold: Double): StandingIngest = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
-    // The corpus index is fixed for the query's lifetime, so build it ONCE
-    // and persist: the static side of a stream-static join re-evaluates
-    // every micro-batch, and without this each cycle re-signs the whole
-    // corpus three times (batch + two watermark flushes). Production keeps
-    // this as a maintained signature table on storage.
     val (idxBuckets, idxSets) = StreamingPipelines.dedupIndex(
       corpus, "doc_id", "text", k, numHashes, numBands)
     idxBuckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
@@ -112,34 +167,21 @@ object CorpusMaintenance {
     val q = ExactlyOnceSink.start(
       deduped.where(col("keep")).select("doc_id", "dup_of", "best_jaccard"),
       outPath, s"$sinkDir/ckpt")
-    def ts(stepsOf100k: Long) = new java.sql.Timestamp(stepsOf100k * 100000L * 1000)
-    val timedBatches =
-      try {
-        (0 until epochs).map { e =>
-          val batch = batchFor(e)
-          val t0 = System.nanoTime()
-          mem.addData(batch.map { case (id, t) => (id, t, ts(3L * e + 1)) })
-          q.processAllAvailable()
-          // two strictly later flush rows finalize the epoch's watermarked
-          // aggregation (same two-step drain as runEpoch)
-          mem.addData(Seq((FlushIdBase + e * 2L,
-            s"watermark flush row one for epoch $e of this maintenance run", ts(3L * e + 2))))
-          q.processAllAvailable()
-          mem.addData(Seq((FlushIdBase + e * 2L + 1L,
-            s"watermark flush row two for epoch $e of this maintenance run", ts(3L * e + 3))))
-          q.processAllAvailable()
-          (e, batch.map(_._1).toSet, (System.nanoTime() - t0) / 1e9)
-        }
-      } finally {
-        q.stop()
-        idxBuckets.unpersist()
-        idxSets.unpersist()
-      }
-    val admittedIds = spark.read.parquet(outPath)
-      .where(col("doc_id") < FlushIdBase)
-      .select("doc_id").as[Long].collect().toSet
-    timedBatches.map { case (e, batchIds, sec) =>
-      EpochResult(e, batchIds.count(admittedIds.contains).toLong, sec)
+    new StandingIngest(spark, mem, q, outPath, idxBuckets, idxSets)
+  }
+
+  /** N ingest cycles against one standing query — [[startStanding]] +
+    * [[StandingIngest.epoch]] per cycle + [[StandingIngest.finish]], kept
+    * as the one-call form. `batchFor(e)` supplies epoch e's documents. */
+  def runEpochs(spark: SparkSession, corpus: DataFrame, epochs: Int,
+      sinkDir: String, k: Int, numHashes: Int, numBands: Int, threshold: Double)(
+      batchFor: Int => Seq[(Long, String)]): Seq[EpochResult] = {
+    val standing = startStanding(spark, corpus, sinkDir, k, numHashes, numBands, threshold)
+    try {
+      (0 until epochs).foreach(e => standing.epoch(batchFor(e)))
+      standing.finish()
+    } catch { case scala.util.control.NonFatal(ex) =>
+      standing.abort(); throw ex
     }
   }
 
