@@ -300,6 +300,10 @@ object Bench {
     // memorization_occurrence) is the quality gate; drift protection
     // belongs to entries whose absolute time IS the claim.
     val DriftExempt = Set("memorization_occurrence")
+    // additive slack on the drift threshold (see driftGate below for the
+    // r17 re-calibration evidence); shared by the gate and the
+    // still-out-of-band partition so both speak the same band
+    val DriftAbsMarginSec = 1.0
     /** True (and budget consumed) when `t` is a credible-looking but
       * historically-out-of-band reading that has earned a re-run. */
     def driftGate(name: String, t: Double): Boolean = {
@@ -308,13 +312,19 @@ object Bench {
       // retries would churn; above it a sub-second gate with history (the
       // bench_history.json entries) still earns its drift retry — the old
       // 0.5 s floor left e.g. a 0.45 s reading of a 0.2 s gate unretried
-      // multiplicative factor PLUS an absolute 0.3 s margin: scheduler/GC
+      // multiplicative factor PLUS an absolute margin: scheduler/GC
       // jitter is additive, so a bare 1.5× gate on a 0.4 s entry fires on
       // noise every sweep (r14: half the retry budget went to sub-second
-      // entries within 0.3 s of their minima) while 0.3 s is invisible on
-      // any entry the gate exists to protect
+      // entries within 0.3 s of their minima). The margin was 0.3 s at
+      // r14's ~200-entry suite; at 291 entries the LATE-sweep additive
+      // JVM overhead alone reads ~0.5-1.1 s (r17: six sub-second-minimum
+      // entries flagged at 0.8-1.5 s while a fresh quiet JVM reproduced
+      // their minima-adjacent readings — no regression, pure sweep
+      // position), so the margin is re-calibrated to 1.0 s. Real
+      // regressions on the entries drift protection exists for
+      // (multi-second scale claims) are multiplicative and unaffected.
       val out = t > 0.3 &&
-        histMins.get(name).exists(h => t > h * DriftRetryFactor + 0.3) &&
+        histMins.get(name).exists(h => t > h * DriftRetryFactor + DriftAbsMarginSec) &&
         driftRetries < MaxDriftRetries
       if (out) {
         driftRetries += 1
@@ -1981,7 +1991,7 @@ object Bench {
     // regression). runs_detail keeps every raw sample either way.
     val (stillDrift, coldRecovered) = driftRetried.distinct.partition { n =>
       val ts = runDetail.getOrElse(n, Seq.empty).filter(_ >= 0)
-      ts.isEmpty || histMins.get(n).forall(h => ts.min > h * DriftRetryFactor + 0.3)
+      ts.isEmpty || histMins.get(n).forall(h => ts.min > h * DriftRetryFactor + DriftAbsMarginSec)
     }
     if (stillDrift.nonEmpty) System.err.println(
       s"[bench] DRIFT (still out of band after retry): ${stillDrift.mkString(", ")}")

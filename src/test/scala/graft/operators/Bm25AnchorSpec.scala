@@ -69,6 +69,22 @@ class Bm25AnchorSpec extends AnyFunSuite {
     assert(indexRows(enriched) === indexRows(plain))
   }
 
+  test("maintenance composes: merging an epoch into an enriched index == enriching the union") {
+    import spark.implicits._
+    // anchors target STANDING docs; the epoch is doc-disjoint — the
+    // maintained-index contract under which merge == rebuild holds
+    val standing = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val epoch = Seq((3L, "delta alpha")).toDF("doc_id", "text")
+    val anchors = Seq((1L, "zebra guide")).toDF("target_doc", "anchor")
+    val enr = TextOps.bm25IndexWithAnchors(standing, "doc_id", "text",
+      anchors, "target_doc", "anchor", weight = 2)
+    val merged = TextOps.bm25IndexMerge(enr._1, enr._2, enr._3, enr._4,
+      epoch, "doc_id", "text")
+    val rebuilt = TextOps.bm25IndexWithAnchors(standing.unionByName(epoch),
+      "doc_id", "text", anchors, "target_doc", "anchor", weight = 2)
+    assert(indexRows(merged) === indexRows(rebuilt))
+  }
+
   test("a target absent from the corpus becomes an anchor-only entry") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
