@@ -2548,6 +2548,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BATCHED multi-phrase probe of the positional index (bulk
+    //      decontamination: thousands of phrases, one plan): phrase terms
+    //      join postings by term, a start matches iff all k offsets are
+    //      present (count-distinct-offsets == k — the group-count form of
+    //      positional intersection); no per-phrase driver election, no
+    //      per-phrase job. Four planted phrase shapes: the 3-term quote,
+    //      its 2-term prefix, a single term, and a missing-term phrase
+    //      that must yield nothing ----
+    "q_phrase_multi_search" -> ((s, d) => {
+      import s.implicits._
+      val idx = TextOps.positionalPostingsIndex(
+        Tables.documents(s, d), "doc_id", "text")
+      val phrases = Seq((1L, "slow hash batch"), (2L, "slow hash"),
+        (3L, "batch"), (4L, "batch zz_missing")).toDF("phrase_id", "ptext")
+      TextOps.phraseSearchAll(idx, phrases, "phrase_id", "ptext")
+        .orderBy("phrase_id", "doc_id")
+    }),
+
     // ---- LSH banding auto-tuner: the S-curve (b, r) choice BEFORE a
     //      100 TB dedup run (q_lsh_candidate_quality measures it after);
     //      repeated-multiplication folds + per-term q6, no libm pow ----
@@ -6638,6 +6656,29 @@ object SparkEntry {
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
           |       CAST(min(start) AS BIGINT) AS first_pos
           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the group-count positional intersection replayed: phrase terms
+      // with offsets join document tokens by term; a start matches iff
+      // count(DISTINCT off) == k
+      "q_phrase_multi_search" ->
+        """WITH ph(phrase_id, ptext) AS (VALUES
+          |    (1, 'slow hash batch'), (2, 'slow hash'), (3, 'batch'), (4, 'batch zz_missing')),
+          |pw AS (SELECT phrase_id, list_filter(string_split(ptext, ' '), x -> x <> '') AS toks FROM ph),
+          |pt AS (SELECT phrase_id, CAST(len(toks) AS BIGINT) AS k,
+          |              CAST(i - 1 AS BIGINT) AS off, toks[i] AS term
+          |       FROM pw, unnest(range(1, len(toks) + 1)) AS u(i)),
+          |dw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+          |dt AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS term
+          |       FROM dw, unnest(range(1, len(toks) + 1)) AS u(i)),
+          |cand AS (SELECT pt.phrase_id, pt.k, dt.doc_id, dt.pos - pt.off AS start, pt.off
+          |         FROM pt JOIN dt USING (term)),
+          |m AS (SELECT phrase_id, doc_id, start
+          |      FROM cand GROUP BY phrase_id, k, doc_id, start
+          |      HAVING count(DISTINCT off) = k)
+          |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+          |       CAST(count(*) AS BIGINT) AS n_matches,
+          |       CAST(min(start) AS BIGINT) AS first_pos
+          |FROM m GROUP BY phrase_id, doc_id ORDER BY phrase_id, doc_id""".stripMargin,
 
       // identical midpoint grid, identical LEFT-TO-RIGHT multiplication
       // folds (list_reduce starts at the first element; Spark's fold

@@ -374,6 +374,45 @@ object TextOps {
     phraseProbe(p, phrase).withColumnRenamed("__id", "doc_id")
   }
 
+  /** BATCHED multi-phrase search over a positional index — the bulk form
+    * of [[phraseIndexSearch]] for benchmark decontamination, where the
+    * query set is THOUSANDS of phrases and a per-phrase driver election
+    * (and per-phrase Spark job) is the wrong shape. One plan for the
+    * whole phrase table: phrase terms explode with their offsets, join
+    * the postings BY TERM, and a candidate start position is a match iff
+    * all k offsets of its phrase are present — the group-count form of
+    * positional intersection (count DISTINCT offsets == k). Agrees with
+    * [[phraseSearch]] phrase-for-phrase (spec-pinned on the overlap/
+    * repeat/boundary corpora).
+    *
+    * Trade vs the single-phrase path: no rarest-first bound — candidate
+    * volume is the SUM of the phrase terms' postings (bulk decontam
+    * phrases are quote-like, so this is posting rows for rare quote
+    * vocabulary, not stopword floods; an interactive single phrase
+    * should still take [[phraseIndexSearch]]). Scale shape: ONE term
+    * equi-join (phrase side broadcast at phrase-term cardinality), one
+    * exchange keyed (phrase, doc, start) carrying longs, aggregates at
+    * candidate cardinality; no driver-side work at all.
+    *
+    * Output: (phrase_id, doc_id, n_matches, first_pos), matches only. */
+  def phraseSearchAll(post: DataFrame, phrases: DataFrame,
+      phraseIdCol: String, phraseTextCol: String): DataFrame = {
+    val toks = tokens(col(phraseTextCol))
+    val pt = phrases.select(col(phraseIdCol).as("phrase_id"),
+        size(toks).cast("long").as("__k"),
+        posexplode(toks).as(Seq("__off", "term")))
+      .select(col("phrase_id"), col("__k"),
+        col("__off").cast("long").as("__off"), col("term"))
+    val cand = pt.join(post, Seq("term"))
+      .select(col("phrase_id"), col("__k"), col("doc_id"),
+        (col("pos") - col("__off")).as("__start"), col("__off"))
+    cand.groupBy("phrase_id", "__k", "doc_id", "__start")
+      .agg(countDistinct(col("__off")).as("__n"))
+      .where(col("__n") === col("__k"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("__start")).as("first_pos"))
+  }
+
   /** Index-FREE phrase scan: per-document O(len·k) consecutive-sequence
     * match over the token array — the streaming-ingest form of the
     * phrase family (a stateless projection, so it runs unchanged under

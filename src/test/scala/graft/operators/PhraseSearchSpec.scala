@@ -122,6 +122,29 @@ class PhraseSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("batched multi-phrase probe == per-phrase search, phrase for phrase") {
+    import spark.implicits._
+    for ((docs, phrase) <- trickyCorpora) {
+      val df = docs.toDF("doc_id", "text")
+      val idx = TextOps.positionalPostingsIndex(df, "doc_id", "text")
+      // probe the corpus phrase ALONGSIDE decoys: extra phrases in the
+      // same batch must not perturb each other's results
+      val phrases = Seq((7L, phrase.mkString(" ")),
+        (8L, "zz_decoy_only"), (9L, phrase.head))
+        .toDF("phrase_id", "ptext")
+      val all = TextOps.phraseSearchAll(idx, phrases, "phrase_id", "ptext")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      val batched7 = all.collect { case ((7L, d), v) => d -> v }.toMap
+      assert(batched7 === asMap(TextOps.phraseSearch(df, "doc_id", "text", phrase)),
+        s"phrase=$phrase")
+      val batched9 = all.collect { case ((9L, d), v) => d -> v }.toMap
+      assert(batched9 ===
+        asMap(TextOps.phraseSearch(df, "doc_id", "text", Seq(phrase.head))))
+      assert(!all.keys.exists(_._1 == 8L), "decoy phrase must match nothing")
+    }
+  }
+
   test("probing a MAINTAINED index never re-tokenizes: no Generate in the probe plan") {
     import spark.implicits._
     // materialize the index the way a deployment would (persisted table);
