@@ -708,6 +708,12 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
   }
 
+  test("q_phrase_multi_search: exchanges carry postings and counters — never document text") {
+    val df = SparkEntry.queries("q_phrase_multi_search")(spark, sfDir)
+    for (b <- exchangeBlocks(df))
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+  }
+
   test("e2e_crawl_frontier: fetch rank is the two-phase prefix pass, never a single-task window") {
     val df = SparkEntry.queries("e2e_crawl_frontier")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
