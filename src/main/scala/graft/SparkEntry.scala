@@ -2560,9 +2560,21 @@ object SparkEntry {
       import s.implicits._
       val idx = TextOps.positionalPostingsIndex(
         Tables.documents(s, d), "doc_id", "text")
-      val phrases = Seq((1L, "slow hash batch"), (2L, "slow hash"),
-        (3L, "batch"), (4L, "batch zz_missing")).toDF("phrase_id", "ptext")
-      TextOps.phraseSearchAll(idx, phrases, "phrase_id", "ptext")
+      TextOps.phraseSearchAll(idx, BulkPhrases.toDF("phrase_id", "ptext"),
+          "phrase_id", "ptext")
+        .orderBy("phrase_id", "doc_id")
+    }),
+
+    // ---- the SAME bulk probe as a STATELESS per-row scan (the
+    //      streaming-ingest shape: crossJoin a broadcast phrase table,
+    //      per-row forall over candidate starts — zero state, zero
+    //      aggregation, runs unchanged under append mode). Shares the
+    //      multi-search gate's oracle VERBATIM, so the two hash gates
+    //      together prove scan == postings-join == SQL three ways ----
+    "q_phrase_bulk_scan" -> ((s, d) => {
+      import s.implicits._
+      TextOps.phraseScanMatchesAll(Tables.documents(s, d), "doc_id", "text",
+          BulkPhrases.toDF("phrase_id", "ptext"), "phrase_id", "ptext")
         .orderBy("phrase_id", "doc_id")
     }),
 
@@ -5449,6 +5461,39 @@ object SparkEntry {
       s"('$key', $kind)"
     }.mkString(", ")
 
+  /** The planted phrase table of the two bulk-phrase gates (engine side
+    * mirrors it as a literal DataFrame): the 3-term quote, its 2-term
+    * prefix, a single term, and a missing-term phrase. */
+  private val BulkPhrases: Seq[(Long, String)] = Seq(
+    (1L, "slow hash batch"), (2L, "slow hash"),
+    (3L, "batch"), (4L, "batch zz_missing"))
+
+  /** The group-count positional-intersection oracle shared VERBATIM by
+    * `q_phrase_multi_search` (postings-join engine path) and
+    * `q_phrase_bulk_scan` (stateless per-row scan path): one SQL, two
+    * engine implementations — the driver's hash gates are a three-way
+    * agreement proof. */
+  private def phraseMultiOracleSql: String = {
+    val vals = BulkPhrases.map { case (i, p) => s"($i, '$p')" }.mkString(", ")
+    s"""WITH ph(phrase_id, ptext) AS (VALUES $vals),
+       |pw AS (SELECT phrase_id, list_filter(string_split(ptext, ' '), x -> x <> '') AS toks FROM ph),
+       |pt AS (SELECT phrase_id, CAST(len(toks) AS BIGINT) AS k,
+       |              CAST(i - 1 AS BIGINT) AS off, toks[i] AS term
+       |       FROM pw, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |dw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+       |dt AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS term
+       |       FROM dw, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |cand AS (SELECT pt.phrase_id, pt.k, dt.doc_id, dt.pos - pt.off AS start, pt.off
+       |         FROM pt JOIN dt USING (term)),
+       |m AS (SELECT phrase_id, doc_id, start
+       |      FROM cand GROUP BY phrase_id, k, doc_id, start
+       |      HAVING count(DISTINCT off) = k)
+       |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_matches,
+       |       CAST(min(start) AS BIGINT) AS first_pos
+       |FROM m GROUP BY phrase_id, doc_id ORDER BY phrase_id, doc_id""".stripMargin
+  }
+
   /** The multi-spelling page projection of the `q_domain_stats` pair —
     * (canonical_url, host, n_toks) over the four planted raw-URL arms
     * (www prefix, default port, scheme-less, trailing slash), ONE
@@ -6660,25 +6705,13 @@ object SparkEntry {
       // the group-count positional intersection replayed: phrase terms
       // with offsets join document tokens by term; a start matches iff
       // count(DISTINCT off) == k
-      "q_phrase_multi_search" ->
-        """WITH ph(phrase_id, ptext) AS (VALUES
-          |    (1, 'slow hash batch'), (2, 'slow hash'), (3, 'batch'), (4, 'batch zz_missing')),
-          |pw AS (SELECT phrase_id, list_filter(string_split(ptext, ' '), x -> x <> '') AS toks FROM ph),
-          |pt AS (SELECT phrase_id, CAST(len(toks) AS BIGINT) AS k,
-          |              CAST(i - 1 AS BIGINT) AS off, toks[i] AS term
-          |       FROM pw, unnest(range(1, len(toks) + 1)) AS u(i)),
-          |dw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
-          |dt AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS term
-          |       FROM dw, unnest(range(1, len(toks) + 1)) AS u(i)),
-          |cand AS (SELECT pt.phrase_id, pt.k, dt.doc_id, dt.pos - pt.off AS start, pt.off
-          |         FROM pt JOIN dt USING (term)),
-          |m AS (SELECT phrase_id, doc_id, start
-          |      FROM cand GROUP BY phrase_id, k, doc_id, start
-          |      HAVING count(DISTINCT off) = k)
-          |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
-          |       CAST(count(*) AS BIGINT) AS n_matches,
-          |       CAST(min(start) AS BIGINT) AS first_pos
-          |FROM m GROUP BY phrase_id, doc_id ORDER BY phrase_id, doc_id""".stripMargin,
+      "q_phrase_multi_search" -> phraseMultiOracleSql,
+
+      // the SAME oracle text on purpose: the bulk-scan gate's engine path
+      // is a completely different implementation (stateless per-row array
+      // scan vs postings join), and sharing the oracle makes the driver's
+      // hash gate a three-way agreement proof (scan == join == SQL)
+      "q_phrase_bulk_scan" -> phraseMultiOracleSql,
 
       // identical midpoint grid, identical LEFT-TO-RIGHT multiplication
       // folds (list_reduce starts at the first element; Spark's fold

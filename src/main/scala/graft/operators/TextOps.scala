@@ -413,6 +413,39 @@ object TextOps {
       .agg(count(lit(1)).as("n_matches"), min(col("__start")).as("first_pos"))
   }
 
+  /** BULK index-free scan: every phrase of a (small, broadcast) phrase
+    * table against every document, as ONE stateless projection — the
+    * streaming-INGEST shape of bulk decontamination
+    * ([[graft.streaming.StreamingPipelines.phraseDecontamStreamAll]]):
+    * zero state, zero aggregation, so it runs unchanged under append
+    * mode. Per-row cost O(len · Σk) — right for ingest batches probed by
+    * a benchmark's phrase set; the AT-REST bulk form over a standing
+    * corpus is [[phraseSearchAll]] (postings join, no per-row phrase
+    * loop). Agrees with both (spec-pinned — three independent
+    * implementations meet at the same rows). Empty phrases are dropped.
+    *
+    * Output: (phrase_id, doc_id, n_matches, first_pos), matches only. */
+  def phraseScanMatchesAll(docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame, phraseIdCol: String, phraseTextCol: String): DataFrame = {
+    val pt = broadcast(phrases.select(col(phraseIdCol).as("phrase_id"),
+        tokens(col(phraseTextCol)).as("__pt"))
+      .where(size(col("__pt")) > 0))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .crossJoin(pt)
+      .withColumn("__starts",
+        when(size(col("__toks")) >= size(col("__pt")),
+          filter(sequence(lit(0L),
+              (size(col("__toks")) - size(col("__pt"))).cast("long")),
+            i => forall(sequence(lit(1), size(col("__pt"))),
+              j => element_at(col("__toks"), (i + j.cast("long")).cast("int"))
+                === element_at(col("__pt"), j))))
+        .otherwise(typedlit(Seq.empty[Long])))
+      .where(size(col("__starts")) > 0)
+      .select(col("phrase_id"), col("doc_id"),
+        size(col("__starts")).cast("long").as("n_matches"),
+        element_at(col("__starts"), 1).as("first_pos"))
+  }
+
   /** Index-FREE phrase scan: per-document O(len·k) consecutive-sequence
     * match over the token array — the streaming-ingest form of the
     * phrase family (a stateless projection, so it runs unchanged under

@@ -1262,6 +1262,22 @@ object StreamingPipelines {
       : org.apache.spark.sql.DataFrame =
     graft.operators.TextOps.phraseScanMatches(incoming, idCol, textCol, phrase)
 
+  /** BULK streaming decontamination — [[phraseDecontamStream]] for a
+    * whole (broadcast) phrase table at once, the realistic ingest shape:
+    * a benchmark is thousands of phrases, not one. Delegates to
+    * [[graft.operators.TextOps.phraseScanMatchesAll]], a stateless
+    * crossJoin-projection, so append mode needs no watermark and
+    * stream == batch holds by construction; the at-rest bulk form over a
+    * standing corpus is `phraseSearchAll` (postings join). Emits
+    * (phrase_id, doc_id, n_matches, first_pos) for hits only. */
+  def phraseDecontamStreamAll(incoming: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      phrases: org.apache.spark.sql.DataFrame,
+      phraseIdCol: String, phraseTextCol: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.TextOps.phraseScanMatchesAll(incoming, idCol, textCol,
+      phrases, phraseIdCol, phraseTextCol)
+
   /** Streaming first-occurrence BLOCK dedup — the ingest form of
     * [[graft.operators.Dedup.incrementalBlockDedup]]: incoming documents'
     * 16-token blocks are hashed row-wise (the identical md5-over-slice

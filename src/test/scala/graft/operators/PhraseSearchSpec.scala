@@ -145,6 +145,25 @@ class PhraseSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("stateless bulk scan == batched postings probe, row for row") {
+    import spark.implicits._
+    for ((docs, phrase) <- trickyCorpora) {
+      val df = docs.toDF("doc_id", "text")
+      val phrases = Seq((7L, phrase.mkString(" ")),
+        (8L, "zz_decoy_only"), (9L, phrase.head), (10L, ""))
+        .toDF("phrase_id", "ptext")
+      def rows(out: org.apache.spark.sql.DataFrame) =
+        out.select("phrase_id", "doc_id", "n_matches", "first_pos")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val viaScan = rows(TextOps.phraseScanMatchesAll(
+        df, "doc_id", "text", phrases, "phrase_id", "ptext"))
+      val viaJoin = rows(TextOps.phraseSearchAll(
+        TextOps.positionalPostingsIndex(df, "doc_id", "text"),
+        phrases, "phrase_id", "ptext"))
+      assert(viaScan === viaJoin, s"phrase=$phrase")
+    }
+  }
+
   test("probing a MAINTAINED index never re-tokenizes: no Generate in the probe plan") {
     import spark.implicits._
     // materialize the index the way a deployment would (persisted table);

@@ -1378,6 +1378,33 @@ class StreamingSpec extends AnyFunSuite {
       "stateless scan must be stream/batch identical")
   }
 
+  test("bulk phrase-decontam stream: whole phrase table per batch, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val phrases = Seq((1L, "eval answer key"), (2L, "answer"), (3L, "zz_never"))
+      .toDF("phrase_id", "ptext").cache()
+    val incoming = Seq(
+      (1L, "benign text"),
+      (2L, "leaked eval answer key here"),
+      (3L, "answer answer"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().toSet
+    val batch = hits(StreamingPipelines.phraseDecontamStreamAll(
+      incoming.toDF("doc_id", "text"), "doc_id", "text",
+      phrases, "phrase_id", "ptext"))
+    assert(batch === Set((1L, 2L, 1L, 1L), (2L, 2L, 1L, 2L), (2L, 3L, 2L, 0L)))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipelines.phraseDecontamStreamAll(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        phrases, "phrase_id", "ptext")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("phrasebulk").start()
+    try { mem.addData(incoming); q.processAllAvailable() } finally q.stop()
+    assert(hits(spark.table("phrasebulk")) === batch,
+      "stateless bulk scan must be stream/batch identical")
+    phrases.unpersist(); ()
+  }
+
   test("exact dedup stream: stateless ingest vs the fingerprint index; NFC variants dedup; stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
