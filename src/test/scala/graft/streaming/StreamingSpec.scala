@@ -1378,6 +1378,31 @@ class StreamingSpec extends AnyFunSuite {
       "stateless scan must be stream/batch identical")
   }
 
+  test("positional-postings maintenance: streamed epoch postings == batch epoch index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the index's APPEND side under streaming: postings are a stateless
+    // per-document projection, so the epoch increment the maintenance
+    // sink unions into the standing (term, doc, pos) table can be
+    // produced by the ingest query itself — streamed rows must equal the
+    // batch build of the same epoch exactly (positionalIndexAppend is
+    // then a pure union either way)
+    val incoming = Seq((10L, "slow hash batch"), (11L, ""), (12L, "a slow a"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc_id", "pos")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+    val batch = rows(graft.operators.TextOps.positionalPostingsIndex(
+      incoming.toDF("doc_id", "text"), "doc_id", "text"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.positionalPostingsIndex(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("positional_epoch").start()
+    try { mem.addData(incoming); q.processAllAvailable() } finally q.stop()
+    assert(rows(spark.table("positional_epoch")) === batch,
+      "streamed postings must equal the batch epoch build")
+  }
+
   test("bulk phrase-decontam stream: whole phrase table per batch, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
