@@ -129,7 +129,8 @@ object Bench {
       "hamming_pairs_blocked", "hamming_pairs_allpairs",
       "block_winners_agg", "block_winners_window",
       "memorization_pairs", "memorization_occurrence",
-      "bpe_train_corpus", "bpe_train_local")
+      "bpe_train_corpus", "bpe_train_local",
+      "phrase_bulk_batch", "phrase_per_query_loop")
     // ---- same-sweep interleaved receipts (r12 verdict #3) ----
     // The r12 sweep ran 61/226 entries >1.8x over committed minima while
     // the load gate saw a quiet machine — cross-round ABSOLUTE times
@@ -153,7 +154,8 @@ object Bench {
       Seq("bm25_index_delete_incremental", "bm25_index_rebuild"),
       Seq("hamming_pairs_blocked", "hamming_pairs_allpairs"),
       Seq("block_winners_agg", "block_winners_window"),
-      Seq("memorization_pairs", "memorization_occurrence"))
+      Seq("memorization_pairs", "memorization_occurrence"),
+      Seq("phrase_bulk_batch", "phrase_per_query_loop"))
     /** (faster, slower, metric): the published ordering claims. metric
       * "wall" = median per-lap wall ratio < 1; "shuffle_read_bytes" =
       * profiler byte ratio < 1 (runtime bloom's claim is the WIRE cut —
@@ -184,7 +186,8 @@ object Bench {
       // 1.07 across sweeps while the byte ratio held at 0.838), the same
       // reasoning as runtime_bloom's byte-metric claim
       ("block_winners_agg", "block_winners_window", "shuffle_read_bytes"),
-      ("memorization_pairs", "memorization_occurrence", "wall"))
+      ("memorization_pairs", "memorization_occurrence", "wall"),
+      ("phrase_bulk_batch", "phrase_per_query_loop", "wall"))
     def awaitQuiet(name: String): Unit = {
       val t0 = System.nanoTime()
       externalCpu() // reset the interval so the first probe covers our sleep
@@ -514,6 +517,24 @@ object Bench {
       (tp, dp, n, l)
     }
     var bm25DeleteStats = (-1L, -1L)
+
+    // maintained positional index + a 20-phrase query set for the
+    // bulk-vs-loop phrase A/B, built and materialized OUTSIDE the timed
+    // arms — both arms probe the SAME table (the maintained-index
+    // contract). Phrases = each of the first 20 docs' opening bigram:
+    // deterministic, mixed selectivity (doc-initial tokens range from
+    // rare to corpus-common).
+    lazy val phraseBenchInputs: (DataFrame, Seq[(Long, Seq[String])]) = {
+      val idx = graft.operators.TextOps.positionalPostingsIndex(
+        Tables.documents(spark, sfDir), "doc_id", "text").localCheckpoint()
+      val phrases = Tables.documents(spark, sfDir).orderBy("doc_id").limit(20)
+        .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("t"))
+        .collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[String](1).take(2).toList)
+        .filter(_._2.size == 2)
+      (idx, phrases)
+    }
+    var phraseBulkRows = -1L
 
     // shared frame of the median-filter A/B: 5M rows, 16 groups, md5-derived
     // round4-quantized scores (deterministic, layout-independent)
@@ -1558,6 +1579,36 @@ object Bench {
           s"delete A/B arms disagree: rebuild=($n,$l) incremental=$bm25DeleteStats")
         System.err.println(s"[bench] bm25_index_rebuild stats agree: n=$n dl=$l")
       }),
+      // Bulk-vs-loop phrase probe A/B (r17): ONE phraseSearchAll plan over
+      // the 20-phrase table vs 20 sequential phraseIndexSearch probes of
+      // the SAME materialized index — each loop probe pays a driver-side
+      // df election (its own jobs) plus its own joins, which is exactly
+      // the shape bulk decontamination must NOT take at a thousand
+      // phrases. Match-row counts cross-checked in-entry; bulk runs FIRST
+      // so residual warmup bias lands on our design.
+      "phrase_bulk_batch" -> (() => {
+        val (idx, phrases) = phraseBenchInputs
+        timed("phrase_bulk_batch") {
+          import spark.implicits._
+          val pdf = phrases.map { case (i, p) => (i, p.mkString(" ")) }
+            .toDF("phrase_id", "ptext")
+          phraseBulkRows = graft.operators.TextOps
+            .phraseSearchAll(idx, pdf, "phrase_id", "ptext").count()
+          System.err.println(s"[bench] phrase_bulk_batch rows=$phraseBulkRows")
+        }
+      }),
+      "phrase_per_query_loop" -> (() => {
+        val (idx, phrases) = phraseBenchInputs
+        timed("phrase_per_query_loop") {
+          val n = phrases.map { case (_, p) =>
+            graft.operators.TextOps.phraseIndexSearch(idx, p).count()
+          }.sum
+          require(n == phraseBulkRows,
+            s"phrase A/B arms disagree: loop=$n bulk=$phraseBulkRows")
+          System.err.println(s"[bench] phrase_per_query_loop rows=$n (bulk agrees)")
+        }
+      }),
+
       // Hamming near-dup A/B: the d3b multi-index pigeonhole join (blocked
       // candidates, exact verify at candidate cardinality) vs the naive
       // all-pairs bit_count scan every first implementation writes. Same
