@@ -2406,6 +2406,27 @@ object SparkEntry {
         .orderBy("source", "bucket")
     }),
 
+    // ---- HLL STORED-SKETCH MERGE identity, proven cross-engine (the
+    //      q_link_graph_append pattern): per-partition register sketches
+    //      materialize as a stored sketch table (the daily-sketch shape),
+    //      then merge by per-bucket max — the oracle sketches the UNION
+    //      directly and never sees the split, so the driver's hash match
+    //      IS the mergeability proof. This is the 100 TB accounting
+    //      pattern: monthly distinct = a max-merge of stored daily
+    //      sketch rows, no re-scan of the data ----
+    "q_hll_merge_union" -> ((s, d) => {
+      val words = CoreOps.tokenize(Tables.documents(s, d), "text")
+      val stored = words.groupBy((col("doc_id") % 2).as("part"))
+        .agg(graft.expressions.GraftExpressions
+          .hllRegisters(col("word"), 10).as("regs"))
+        .select(col("part"), posexplode(col("regs")).as(Seq("bucket", "rho")))
+      stored.groupBy("bucket").agg(max(col("rho")).as("rho"))
+        .where(col("rho") > 0)
+        .select(col("bucket").cast("long").as("bucket"),
+          col("rho").cast("long").as("max_rho"))
+        .orderBy("bucket")
+    }),
+
     // ---- streaming link-frontier probe, batch oracle form (the
     //      linkFrontierStream contract): the % 5 == 0 docs arrive as an
     //      ingest epoch; their extracted outlinks probe the STANDING
@@ -6640,6 +6661,22 @@ object SparkEntry {
       // same md5('hll:'||word) 48-bit hash: top 10 bits route, ρ = 39 −
       // bitlength(rest) (rest = 0 → 39) — registers are pure integers
       "q_hll_registers" ->
+        s"""WITH w AS (
+           |  SELECT word FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+           |  WHERE word <> ''),
+           |h AS (SELECT ('0x' || substr(md5('hll:' || word), 1, 12))::BIGINT AS h FROM w),
+           |br AS (SELECT h // ${1L << 38} AS bucket, h % ${1L << 38} AS rest FROM h),
+           |rr AS (SELECT bucket,
+           |              CASE WHEN rest = 0 THEN 39 ELSE 39 - len(bin(rest)) END AS rho FROM br)
+           |SELECT bucket, CAST(max(rho) AS BIGINT) AS max_rho
+           |FROM rr GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      // the UNION's registers directly — the oracle never sees the
+      // engine's per-partition split, so a hash match proves the stored
+      // sketches' max-merge equals sketching the union (merge == rebuild
+      // for the sketch family)
+      "q_hll_merge_union" ->
         s"""WITH w AS (
            |  SELECT word FROM (
            |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
