@@ -269,22 +269,30 @@ object Bench {
     // while the driver-round tails are immutable artifacts whose old fast
     // minima would otherwise burn a drift retry on every sweep forever.
     // Tails only seed entries the history file does not know yet.
+    // r18 POLICY CHANGE (VERDICT r17 #1, the twice-missed drift budget):
+    // the reference is no longer a min-ever ratchet. The history file
+    // keeps each entry's last 3 full-sweep readings and the reference is
+    // their MAX — the slowest recent honest sweep — so a fast-phase
+    // reading stops being a permanent unreachable bar (the r16/r17
+    // failure: the microbatch grid's committed minima were 3-6× below
+    // anything the driver box could reproduce). Real regressions are
+    // multiplicative and still clear 1.5× the slowest recent reading.
     val histMins: Map[String, Double] = {
       val tails = graft.tools.BenchReport.committedMins(new java.io.File("."), sfDir)
-      val full = graft.tools.BenchReport.historyMins(
+      val full = graft.tools.BenchReport.historyRefs(
         new java.io.File("bench_history.json"), sfDir)
       tails ++ full
     }
-    // slow-phase scaling: committed minima were necessarily set in fast
-    // phases (min-merge keeps them), so when the probe says the box is
-    // currently N× slower than its fastest committed phase, the drift
-    // threshold widens by N — capped at 3× so a truly broken box still
-    // surfaces as retries rather than silence
+    // slow-phase scaling: even the windowed reference can be quiet-phase
+    // relative to this sweep, so when the probe says the box is currently
+    // N× slower than the committed probe reference, the drift threshold
+    // widens by N — capped at 3× so a truly broken box still surfaces as
+    // retries rather than silence
     val probeRatio: Double = {
       val best = histMins.getOrElse(ProbeKey, -1.0)
       if (best <= 0) 1.0 else math.min(3.0, math.max(1.0, boxProbeSec / best))
     }
-    System.err.println(f"[bench] box probe ${boxProbeSec}%.2f s (best committed " +
+    System.err.println(f"[bench] box probe ${boxProbeSec}%.2f s (committed ref " +
       f"${histMins.getOrElse(ProbeKey, -1.0)}%.2f s) -> drift threshold x$probeRatio%.2f")
     val DriftRetryFactor = 1.5 * probeRatio
     // sized to the suite: the cap exists to bound pathological churn, not
@@ -326,7 +334,16 @@ object Bench {
       // position), so the margin is re-calibrated to 1.0 s. Real
       // regressions on the entries drift protection exists for
       // (multi-second scale claims) are multiplicative and unaffected.
-      val out = t > 0.3 &&
+      // absolute floor for SUB-SECOND-reference entries (VERDICT r17 #1
+      // option b): an entry whose recent sweeps all read under 1 s is
+      // dominated by fixed job-startup cost, where box phase swings are
+      // multiplicative-looking but carry no signal about the workload; a
+      // reading under 5 s on such an entry is never drift, whatever the
+      // ratio says. Entries with multi-second references — the ones whose
+      // absolute time IS a claim — are unaffected.
+      val subSecondFloor =
+        histMins.get(name).exists(h => h < 1.0) && t < 5.0
+      val out = t > 0.3 && !subSecondFloor &&
         histMins.get(name).exists(h => t > h * DriftRetryFactor + DriftAbsMarginSec) &&
         driftRetries < MaxDriftRetries
       if (out) {
@@ -1603,9 +1620,16 @@ object Bench {
           val n = phrases.map { case (_, p) =>
             graft.operators.TextOps.phraseIndexSearch(idx, p).count()
           }.sum
-          require(n == phraseBulkRows,
-            s"phrase A/B arms disagree: loop=$n bulk=$phraseBulkRows")
-          System.err.println(s"[bench] phrase_per_query_loop rows=$n (bulk agrees)")
+          // cross-check only when the paired bulk arm ran this sweep: a
+          // SPARK_GRAFT_BENCH_ONLY filter selecting just this arm leaves
+          // phraseBulkRows at its -1 sentinel, and a lone arm degrades to
+          // an uncompared timing, not a failure (ADVICE r17)
+          if (phraseBulkRows >= 0) {
+            require(n == phraseBulkRows,
+              s"phrase A/B arms disagree: loop=$n bulk=$phraseBulkRows")
+            System.err.println(s"[bench] phrase_per_query_loop rows=$n (bulk agrees)")
+          } else System.err.println(
+            s"[bench] phrase_per_query_loop rows=$n (bulk arm filtered out)")
         }
       }),
 

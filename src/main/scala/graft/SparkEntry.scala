@@ -4558,10 +4558,17 @@ object SparkEntry {
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     require(parts.length == 1,
       s"expected exactly one part file in $stage, found ${parts.length}")
-    // the stable-name export overwrites in place across runs; an older
-    // run of the PRE-single-file layout may have left a directory here
-    graft.tools.CorpusMaintenance.deleteRecursively(path)
-    java.nio.file.Files.move(parts.head.toPath, java.nio.file.Paths.get(path),
+    // Atomicity (ADVICE r17): a FILE at `path` is replaced by the move's
+    // own REPLACE_EXISTING — no delete-then-move window in the steady
+    // state, so a crash leaves either the old export or the new one. Only
+    // the legacy case (an older PRE-single-file run left a DIRECTORY at
+    // `path`, which a file move cannot replace) still deletes first, and
+    // Verify sweeps `*.stage` leftovers at startup so even a crash inside
+    // that one-time window cannot surface a phantom correctness row.
+    val target = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(target))
+      graft.tools.CorpusMaintenance.deleteRecursively(path)
+    java.nio.file.Files.move(parts.head.toPath, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     graft.tools.CorpusMaintenance.deleteRecursively(stage)
     ()
@@ -5747,11 +5754,11 @@ object SparkEntry {
        |  SELECT r.doc_id, $linkPageSql AS page, c.canonical_url AS base
        |  FROM raw r JOIN rdcanon c USING (doc_id)),
        |tg AS (SELECT doc_id, base,
-       |         regexp_extract_all(page, '(?s)<a\\b[^>]*?href="[^"]*"[^>]*>.*?</a>') AS ls
+       |         regexp_extract_all(page, '(?s)<a\\b[^>]*?\\shref="[^"]*"[^>]*>.*?</a>') AS ls
        |       FROM pg),
        |lk AS (
        |  SELECT doc_id, base, CAST(i - 1 AS BIGINT) AS link_no,
-       |         regexp_extract(ls[i], '<a\\b[^>]*?href="([^"]*)"', 1) AS href,
+       |         regexp_extract(ls[i], '<a\\b[^>]*?\\shref="([^"]*)"', 1) AS href,
        |         trim(regexp_replace(regexp_replace(
        |           regexp_extract(ls[i], '(?s)>(.*)</a>$$', 1),
        |           '<[^>]*>', ' ', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS anchor

@@ -28,6 +28,11 @@ object Verify {
     // drop the pre-r17 directory layout so a reused out-dir stops
     // producing the phantom row
     graft.tools.CorpusMaintenance.deleteRecursively(s"$outDir/_models")
+    // and sweep any `*.stage` staging directory a crashed writeModelParquet
+    // left behind (ADVICE r17) — same phantom-row failure mode
+    Option(new java.io.File(outDir).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.endsWith(".stage"))
+      .foreach(f => graft.tools.CorpusMaintenance.deleteRecursively(f.getPath))
     // optional comma-separated filter for local iteration (unset in the
     // driver's per-round run → full dump)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)

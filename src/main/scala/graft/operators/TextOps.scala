@@ -212,21 +212,25 @@ object TextOps {
     * group extracts — a pure ZERO-SHUFFLE codegen projection (one pass
     * over the page bytes; the explode multiplies rows by the per-page
     * anchor count, never by corpus size). `href` may sit at ANY attribute
-    * position (`<a class="nav" href="/x">` — the lazy `<a\b[^>]*?href="…"`
-    * element match, ADVICE r16); unquoted/single-quoted href attributes
-    * remain out of scope by the same documented-boundary rule as
-    * [[extractHtmlText]]'s entity subset.
+    * position (`<a class="nav" href="/x">` — the lazy `<a\b[^>]*?\shref="…"`
+    * element match, ADVICE r16); the mandatory whitespace BEFORE `href`
+    * anchors it as an attribute NAME, so an attribute merely ENDING in
+    * href (`<a data-href="/decoy" href="/real">`) never captures — the
+    * lazy scan steps past `data-href="/decoy"` to the real attribute
+    * (ADVICE r17). Unquoted/single-quoted href attributes remain out of
+    * scope by the same documented-boundary rule as [[extractHtmlText]]'s
+    * entity subset.
     *
     * Output: input columns of `pages` + (link_no, href, anchor). */
   def extractLinks(pages: DataFrame, htmlCol: String): DataFrame = {
     val tags = regexp_extract_all(col(htmlCol),
-      lit("(?s)<a\\b[^>]*?href=\"[^\"]*\"[^>]*>.*?</a>"), lit(0))
+      lit("(?s)<a\\b[^>]*?\\shref=\"[^\"]*\"[^>]*>.*?</a>"), lit(0))
     val inner = regexp_extract(col("__tag"), "(?s)>(.*)</a>$", 1)
     pages
       .select(col("*"), posexplode(tags).as(Seq("link_no", "__tag")))
       .withColumn("link_no", col("link_no").cast("long"))
       .withColumn("href",
-        regexp_extract(col("__tag"), "<a\\b[^>]*?href=\"([^\"]*)\"", 1))
+        regexp_extract(col("__tag"), "<a\\b[^>]*?\\shref=\"([^\"]*)\"", 1))
       .withColumn("anchor", trim(regexp_replace(
         regexp_replace(inner, "<[^>]*>", " "), "[ \\t\\n\\r\\f]+", " ")))
       .drop("__tag")

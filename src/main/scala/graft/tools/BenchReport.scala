@@ -63,43 +63,67 @@ object BenchReport {
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
 
-  /** Per-entry best times from the committed FULL-history file
-    * (`bench_history.json`). The compact stdout line drops its smallest
-    * entries under the length cap, so [[committedMins]] alone leaves those
-    * entries permanently history-less — re-run as "new" every round and
-    * never drift-protected. This file keeps every entry. Missing/corrupt
-    * file ⇒ empty map (history must never fail a run). */
-  def historyMins(file: java.io.File, sfDir: String): Map[String, Double] = {
+  /** How many recent full-sweep readings `bench_history.json` retains per
+    * entry. Three sweeps ≈ three driver rounds: long enough that one noisy
+    * sweep cannot dominate the reference, short enough that a box slowdown
+    * ages out of the window within a round or two. */
+  val HistoryWindow = 3
+
+  /** Per-entry drift REFERENCE from the committed FULL-history file
+    * (`bench_history.json`): the SLOWEST reading in the entry's
+    * recent-sweeps window (VERDICT r17 #1). The pre-r18 file kept one
+    * min-ever scalar per entry, which only ratcheted DOWN — a fast-phase
+    * reading became a permanent reference the driver box could never
+    * reproduce, burning drift retries on the same entries every round
+    * (r16+r17 both blew the ≤2 budget this way). The file now keeps the
+    * last [[HistoryWindow]] full-sweep readings per entry and the
+    * reference is their MAX: an unreproducibly fast sweep stops being the
+    * bar as soon as slower honest sweeps follow it. Real regressions are
+    * multiplicative (2×+) and still clear a 1.5× gate on the slowest
+    * recent reading; ordering/quality claims never lived here anyway —
+    * they live in the same-sweep interleaved receipts. Legacy scalar
+    * entries read as a one-element window. The compact stdout line drops
+    * its smallest entries under the length cap, so [[committedMins]] alone
+    * leaves those entries permanently history-less — re-run as "new" every
+    * round and never drift-protected. This file keeps every entry.
+    * Missing/corrupt file ⇒ empty map (history must never fail a run). */
+  def historyRefs(file: java.io.File, sfDir: String): Map[String, Double] =
+    historyWindows(file).getOrElse(sfDir, Map.empty)
+      .collect { case (k, vs) if vs.nonEmpty => k -> vs.max }
+
+  /** The raw per-sf windows (name → recent readings, oldest first). */
+  def historyWindows(file: java.io.File)
+      : Map[String, Map[String, Seq[Double]]] = {
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       import scala.jdk.CollectionConverters._
-      om.readTree(file).path(sfDir).properties().asScala.toSeq
-        .filter(_.getValue.isNumber)
-        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      om.readTree(file).properties().asScala.toSeq.map { sfEntry =>
+        sfEntry.getKey -> sfEntry.getValue.properties().asScala.toSeq.map { e =>
+          val v = e.getValue
+          val window: Seq[Double] =
+            if (v.isNumber) Seq(v.asDouble())
+            else if (v.isArray) v.elements().asScala.toSeq
+              .filter(_.isNumber).map(_.asDouble())
+            else Seq.empty
+          e.getKey -> window
+        }.filter(_._2.nonEmpty).toMap
+      }.toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
-  /** Merge this run's successful timings into `bench_history.json`
-    * (sfDir → name → best seconds ever observed). Mins only decrease, so a
-    * noisy round can never RAISE a drift reference; new entries enter at
-    * their first reading. Written with sorted keys for stable diffs. */
+  /** Append this run's successful timings to each entry's recent-sweeps
+    * window in `bench_history.json` (sfDir → name → last
+    * [[HistoryWindow]] readings, oldest first). Old readings age OUT —
+    * the reference self-heals in both directions, unlike the pre-r18
+    * min-ever ratchet (see [[historyRefs]]). Written with sorted keys for
+    * stable diffs. */
   def updateHistory(file: java.io.File, sfDir: String,
       all: Seq[(String, Double)]): Unit = {
     try {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      import scala.jdk.CollectionConverters._
-      val existing: Map[String, Map[String, Double]] =
-        if (!file.exists()) Map.empty
-        else try {
-          om.readTree(file).properties().asScala.toSeq.map { sfEntry =>
-            sfEntry.getKey -> sfEntry.getValue.properties().asScala.toSeq
-              .filter(_.getValue.isNumber)
-              .map(e => e.getKey -> e.getValue.asDouble()).toMap
-          }.toMap
-        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val existing = historyWindows(file)
       val cur = existing.getOrElse(sfDir, Map.empty)
       val merged = all.filter(_._2 >= 0).foldLeft(cur) { case (m, (k, v)) =>
-        m.updated(k, math.min(v, m.getOrElse(k, Double.MaxValue)))
+        m.updated(k, (m.getOrElse(k, Seq.empty) :+ v).takeRight(HistoryWindow))
       }
       val full = existing.updated(sfDir, merged)
       val sb = new StringBuilder("{\n")
@@ -108,7 +132,8 @@ object BenchReport {
         sb.append("  \"").append(sf).append("\": {\n")
         val names = full(sf).keys.toSeq.sorted
         for ((n, j) <- names.zipWithIndex) {
-          sb.append("    \"").append(n).append("\": ").append(r3(full(sf)(n)))
+          sb.append("    \"").append(n).append("\": ")
+            .append(full(sf)(n).map(r3).mkString("[", ", ", "]"))
           sb.append(if (j == names.size - 1) "\n" else ",\n")
         }
         sb.append(if (i == sfs.size - 1) "  }\n" else "  },\n")

@@ -98,7 +98,8 @@ class LinkGraphSpec extends AnyFunSuite {
     val pages = Seq(
       (1L, """<a class="nav" id="l1" href="/x">leading attrs</a>"""),
       (2L, """<a data-h="href=decoy" href="/real">attr-value decoy</a>"""),
-      (3L, """<abbr title="a" href="/not-a-link">abbr</abbr><a href="/ok">ok</a>"""))
+      (3L, """<abbr title="a" href="/not-a-link">abbr</abbr><a href="/ok">ok</a>"""),
+      (4L, """<a data-href="/decoy" href="/real4">attr-name decoy</a>"""))
       .toDF("doc_id", "page")
     val out = TextOps.extractLinks(pages, "page")
       .select("doc_id", "href", "anchor")
@@ -108,7 +109,11 @@ class LinkGraphSpec extends AnyFunSuite {
       // 'href=' inside another attribute's VALUE lacks the opening quote
       // the pattern requires, so the real attribute wins
       (2L, "/real", "attr-value decoy"),
-      (3L, "/ok", "ok")))
+      (3L, "/ok", "ok"),
+      // an attribute NAME merely ending in 'href' (data-href) lacks the
+      // whitespace the pattern requires before 'href' (ADVICE r17), so
+      // the real attribute wins here too
+      (4L, "/real4", "attr-name decoy")))
   }
 
   test("extractLinks is a zero-shuffle projection") {

@@ -151,25 +151,38 @@ class BenchReportSpec extends AnyFunSuite with Matchers {
     BenchReport.committedMins(new java.io.File(dir, "missing"), "x") shouldBe Map.empty
   }
 
-  test("history file round-trips, min-merges, never raises, and fails soft") {
+  test("history file round-trips a rolling window; ref is the slowest recent reading") {
     val f = java.io.File.createTempFile("bench_history", ".json")
     f.delete() // start from absent
     try {
-      BenchReport.historyMins(f, "sfA") shouldBe Map.empty
+      BenchReport.historyRefs(f, "sfA") shouldBe Map.empty
       BenchReport.updateHistory(f, "sfA", Seq("q1" -> 2.0, "q2" -> 0.4, "bad" -> -1.0))
-      BenchReport.historyMins(f, "sfA") shouldBe Map("q1" -> 2.0, "q2" -> 0.4)
-      // a slower later round never raises a min; a faster one lowers it;
-      // failed (-1) entries never enter; other sfs are independent
+      BenchReport.historyRefs(f, "sfA") shouldBe Map("q1" -> 2.0, "q2" -> 0.4)
+      // the reference is the MAX over the window (VERDICT r17 #1): a
+      // slower later sweep RAISES it; failed (-1) entries never enter;
+      // other sfs are independent
       BenchReport.updateHistory(f, "sfA", Seq("q1" -> 5.0, "q2" -> 0.1, "q3" -> 1.0))
       BenchReport.updateHistory(f, "sfB", Seq("q1" -> 9.0))
-      BenchReport.historyMins(f, "sfA") shouldBe Map("q1" -> 2.0, "q2" -> 0.1, "q3" -> 1.0)
-      BenchReport.historyMins(f, "sfB") shouldBe Map("q1" -> 9.0)
-      BenchReport.historyMins(f, "sfC") shouldBe Map.empty
+      BenchReport.historyRefs(f, "sfA") shouldBe Map("q1" -> 5.0, "q2" -> 0.4, "q3" -> 1.0)
+      BenchReport.historyRefs(f, "sfB") shouldBe Map("q1" -> 9.0)
+      BenchReport.historyRefs(f, "sfC") shouldBe Map.empty
+      // the window is bounded: after HistoryWindow more sweeps, the old
+      // 5.0 outlier has aged out and the reference self-heals DOWN too
+      (1 to BenchReport.HistoryWindow).foreach { _ =>
+        BenchReport.updateHistory(f, "sfA", Seq("q1" -> 2.1))
+      }
+      BenchReport.historyRefs(f, "sfA")("q1") shouldBe 2.1
+      BenchReport.historyWindows(f)("sfA")("q1") shouldBe
+        Seq.fill(BenchReport.HistoryWindow)(2.1)
       // corrupt file reads as empty and a subsequent update still works
       val w = new java.io.FileWriter(f); w.write("not json"); w.close()
-      BenchReport.historyMins(f, "sfA") shouldBe Map.empty
+      BenchReport.historyRefs(f, "sfA") shouldBe Map.empty
       BenchReport.updateHistory(f, "sfA", Seq("q9" -> 1.5))
-      BenchReport.historyMins(f, "sfA") shouldBe Map("q9" -> 1.5)
+      BenchReport.historyRefs(f, "sfA") shouldBe Map("q9" -> 1.5)
+      // legacy pre-r18 scalar entries read as a one-element window
+      val w2 = new java.io.FileWriter(f)
+      w2.write("""{"sfA": {"q_old": 3.25, "q_new": [1.0, 4.0]}}"""); w2.close()
+      BenchReport.historyRefs(f, "sfA") shouldBe Map("q_old" -> 3.25, "q_new" -> 4.0)
     } finally { f.delete(); () }
   }
 }
