@@ -2243,6 +2243,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- PER-DOMAIN robots rules as a JOINED dimension (VERDICT r17
+    //      #2): each site's own robots.txt probed per URL — the same
+    //      longest-match/allow-beats-disallow election as the global
+    //      form, but scoped to the URL's registrable domain, with
+    //      CONFLICTING rules planted across domains (/p/1 allowed on
+    //      h1.com, a disallow on h3.com) and no-rule-set / NULL-domain
+    //      URLs implicitly allowed. The rule dim packs to domain
+    //      cardinality and broadcasts (plan spec-pinned); the URL side
+    //      never shuffles ----
+    "q_url_rules_per_domain" -> ((s, d) => {
+      import s.implicits._
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+          TextOps.canonicalizeUrl(crawlPlantUrl).as("url"))
+        .withColumn("host", TextOps.urlHost(col("url")))
+      val dim = TextOps.registrableDomainMap(
+        urls.select("host"), "host", rules = TextOps.PublicSuffixRulesFull)
+      val withDom = urls.join(broadcast(dim), Seq("host"))
+      TextOps.urlRuleFilterPerDomain(withDom, "doc_id", "url",
+          "registrable_domain",
+          CrawlDomainRules.toDF("domain", "rule", "allow"))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-domain crawl BUDGET, steady-state probe form (the batch
     //      oracle of StreamingPipelines.domainBudgetStream): the % 5 == 0
     //      docs arrive as an ingest epoch and probe the standing corpus's
@@ -2518,9 +2541,20 @@ object SparkEntry {
         .where(col("registrable_domain").isNotNull)
         .groupBy("registrable_domain").agg(count(lit(1)).as("__np"))
         .select(col("registrable_domain"), (col("__np") >= 30).as("over_budget"))
+      // admissibility arm: each target domain's OWN robots rules (the
+      // per-domain joined dimension, r18) probed stream-static — packed
+      // rule rows broadcast at domain cardinality, election zero-shuffle
+      val rulesPacked = TextOps.urlRulesPacked {
+        import s.implicits._
+        CrawlDomainRules.toDF("domain", "rule", "allow")
+      }
       val st = perUrl
-        .withColumn("allowed",
-          TextOps.urlRuleDecisionCol(col("url"), CrawlUrlRules).getField("allowed"))
+        .join(broadcast(rulesPacked),
+          col("registrable_domain") === col("domain"), "left")
+        .withColumn("allowed", TextOps
+          .urlRuleDecisionFromPacked(col("url"), col("rules"))
+          .getField("allowed"))
+        .drop("domain", "rules")
         .join(broadcast(budget), Seq("registrable_domain"), "left")
         .withColumn("over_budget", coalesce(col("over_budget"), lit(false)))
       val eligible = st.where(col("allowed") && !col("over_budget"))
@@ -5705,6 +5739,32 @@ object SparkEntry {
     CrawlUrlRules.map { case (p, a) => s"('$p', ${if (a) 1 else 0})" }
       .mkString(", ")
 
+  /** PER-DOMAIN rule dimension of the `q_url_rules_per_domain` gate and
+    * the frontier's admissibility arm (VERDICT r17 #2) — each site's own
+    * robots.txt as (domain, rule, allow) rows. Planted to exercise every
+    * election arm AGAINST the crawl plant's fixed (domain, path) pairs
+    * (doc_id mod 20 determines both):
+    *   - CONFLICT across domains: `/p/1` is allowed on h1.com (its /p/1
+    *     and /p/16 pages) but matches as a DISALLOW on h3.com's /p/13 —
+    *     the same path string, opposite polarity, decided per domain;
+    *   - longest match within h2.com: /p/12 allowed over the /p/1
+    *     disallow; its /p/17 page only matches /p/1 → disallowed;
+    *   - identical pattern both polarities on h2.co.uk's /p/7: allow wins;
+    *   - root disallow on the private-suffix domain h4.blogspot.com;
+    *   - a rule for a domain the corpus never produces (inert);
+    *   - domains with NO rule set (h0.com, h4.com, …) and NULL-domain IP
+    *     literals: implicitly allowed. */
+  val CrawlDomainRules: Seq[(String, String, Boolean)] = Seq(
+    ("h1.com", "/p/1", true), ("h3.com", "/p/1", false),
+    ("h2.com", "/p/1", false), ("h2.com", "/p/12", true),
+    ("h2.co.uk", "/p/7", true), ("h2.co.uk", "/p/7", false),
+    ("h4.blogspot.com", "/", false),
+    ("absent.example", "/", false))
+
+  private def domainRuleValues: String =
+    CrawlDomainRules.map { case (d, p, a) =>
+      s"('$d', '$p', ${if (a) 1 else 0})" }.mkString(", ")
+
   /** SQL mirror of [[crawlPlantHost]] for an arbitrary key expression. */
   private def crawlHostSql(k: String): String =
     s"""CASE WHEN ($k) % 19 = 3 THEN '[2001:db8::1]:8080'
@@ -6410,6 +6470,35 @@ object SparkEntry {
            |FROM p LEFT JOIN (SELECT doc_id, rule, allow FROM m WHERE rn = 1) m USING (doc_id)
            |ORDER BY p.doc_id""".stripMargin,
 
+      // the per-domain joined form: the same crawl + PSL stack resolves
+      // each URL's registrable domain, then the election replays over
+      // ONLY that domain's rows of the (domain, rule, allow) dimension —
+      // longest DESC, allow DESC, rule DESC, no match / no domain ⇒
+      // allowed
+      "q_url_rules_per_domain" ->
+        s"""WITH $crawlPslCtes,
+           |p AS (
+           |  SELECT c.doc_id, c.canonical_url, r.registrable_domain,
+           |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+           |  FROM (SELECT doc_id, canonical_url,
+           |          regexp_replace(regexp_extract(canonical_url,
+           |            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$$', 1), '\\?.*$$', '') AS p0
+           |        FROM rdcanon) c
+           |  JOIN pages pg USING (doc_id)
+           |  JOIN reg r ON r.host = pg.host),
+           |dr(domain, rule, allow) AS (VALUES $domainRuleValues),
+           |m AS (
+           |  SELECT p.doc_id, dr.rule, dr.allow,
+           |         row_number() OVER (PARTITION BY p.doc_id
+           |           ORDER BY len(dr.rule) DESC, dr.allow DESC, dr.rule DESC) AS rn
+           |  FROM p JOIN dr ON p.registrable_domain = dr.domain
+           |    AND starts_with(p.path, dr.rule))
+           |SELECT p.doc_id, p.canonical_url, p.registrable_domain, p.path,
+           |       m.rule AS matched_rule,
+           |       coalesce(m.allow = 1, TRUE) AS allowed
+           |FROM p LEFT JOIN (SELECT doc_id, rule, allow FROM m WHERE rn = 1) m USING (doc_id)
+           |ORDER BY p.doc_id""".stripMargin,
+
       // the same crawl + PSL stack: standing (% 5 <> 0) per-domain counts,
       // then the % 5 = 0 epoch's probe decisions at budget 30
       "q_domain_budget" ->
@@ -6553,12 +6642,14 @@ object SparkEntry {
            |  FROM (SELECT url, regexp_replace(regexp_extract(url,
            |          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$$', 1), '\\?.*$$', '') AS p0
            |        FROM eu)),
-           |urules(rule, allow) AS (VALUES $urlRuleValues),
+           |urules(domain, rule, allow) AS (VALUES $domainRuleValues),
            |um AS (
            |  SELECT upath.url, ru.allow,
            |         row_number() OVER (PARTITION BY upath.url
            |           ORDER BY len(ru.rule) DESC, ru.allow DESC, ru.rule DESC) AS rn
-           |  FROM upath JOIN urules ru ON starts_with(upath.path, ru.rule)),
+           |  FROM upath JOIN pu USING (url)
+           |  JOIN urules ru ON pu.registrable_domain = ru.domain
+           |    AND starts_with(upath.path, ru.rule)),
            |ub AS (
            |  SELECT a.registrable_domain, CAST(count(*) AS BIGINT) AS n_pages
            |  FROM rdcanon c JOIN areg a

@@ -651,13 +651,81 @@ object TextOps {
       struct(lit(p.length.toLong).as("rlen"),
         lit(if (a) 1L else 0L).as("rallow"), lit(p).as("rule"))
     }: _*)
+    urlRuleDecisionFromPacked(canonicalUrl, ruleArr)
+  }
+
+  /** The robots election over a PACKED rule-array column — ONE definition
+    * shared by the literal global form ([[urlRuleDecisionCol]]) and the
+    * per-domain joined form ([[urlRuleFilterPerDomain]]), so the two can
+    * never diverge on precedence. `rulesArr` is an array of
+    * (rlen, rallow, rule) structs; a NULL array (no rule set for this
+    * URL's domain) elects the implicit allow, exactly like a path no
+    * rule matches. Pure codegen projection. */
+  def urlRuleDecisionFromPacked(canonicalUrl: Column, rulesArr: Column): Column = {
     val p0 = regexp_replace(regexp_extract(canonicalUrl,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$", 1), "\\?.*$", "")
     val path = when(p0 === "", lit("/")).otherwise(p0)
-    val w = array_max(filter(ruleArr,
+    val w = array_max(filter(rulesArr,
       r => path.startsWith(r.getField("rule"))))
     struct(path.as("path"), w.getField("rule").as("matched_rule"),
       coalesce(w.getField("rallow") === 1L, lit(true)).as("allowed"))
+  }
+
+  /** A per-domain rule dimension `(domain, rule, allow)` — one row per
+    * robots.txt line per site — packed to ONE row per domain carrying its
+    * whole rule set as the (rlen, rallow, rule) struct array
+    * [[urlRuleDecisionFromPacked]] elects over. Robots files are dozens
+    * of lines, so the packed row is small and the whole dimension is
+    * domain-cardinality: the broadcast side of the probe join. The
+    * aggregation is map-side-combinable at domain cardinality, never
+    * corpus work. */
+  def urlRulesPacked(ruleDim: DataFrame): DataFrame =
+    ruleDim.groupBy(col("domain"))
+      .agg(collect_list(struct(
+        length(col("rule")).cast("long").as("rlen"),
+        when(col("allow").cast("boolean"), lit(1L)).otherwise(lit(0L)).as("rallow"),
+        col("rule").cast("string").as("rule"))).as("rules"))
+
+  /** PER-DOMAIN robots.txt rules as a JOINED dimension (VERDICT r17 #2) —
+    * the form [[urlRuleFilter]]'s scaladoc promises for real crawls: each
+    * site publishes its OWN robots.txt, so admissibility is a probe of a
+    * `(domain, rule, allow)` dimension, not one global literal list. The
+    * election per URL is identical to the global form (longest matching
+    * prefix wins, allow beats disallow on the identical pattern, no
+    * match ⇒ allowed) but runs only over the rules of the URL's OWN
+    * registrable domain; a domain with no rule set — and a URL with a
+    * NULL domain (IP literals) — is implicitly allowed.
+    *
+    * `urls` must carry `domainCol` (the registrable domain, NULL for IP
+    * literals — [[registrableDomainMap]]'s output); `ruleDim` has one
+    * (domain, rule, allow) row per robots line.
+    *
+    * Output: (doc_id, canonical_url, registrable_domain, path,
+    * matched_rule | NULL, allowed).
+    *
+    * Scale shape: the rule dimension aggregates to domain cardinality
+    * ([[urlRulesPacked]]) and BROADCASTS; the URL side takes one
+    * broadcast hash join keyed by domain and a zero-shuffle codegen
+    * election — the corpus is never shuffled, exactly the
+    * [[registrableDomainMap]] candidate pattern. A rule index too big
+    * for one broadcast (hundreds of millions of domains) drops the
+    * broadcast hint and the SAME plan degrades to a shuffled hash join
+    * keyed by domain — still rule-cardinality + URL-cardinality, never a
+    * blowup. */
+  def urlRuleFilterPerDomain(urls: DataFrame, idCol: String, urlCol: String,
+      domainCol: String, ruleDim: DataFrame): DataFrame = {
+    val packed = urlRulesPacked(ruleDim)
+    urls.select(col(idCol).cast("long").as("doc_id"),
+        col(urlCol).as("canonical_url"),
+        col(domainCol).cast("string").as("registrable_domain"))
+      .join(broadcast(packed),
+        col("registrable_domain") === col("domain"), "left")
+      .withColumn("__d",
+        urlRuleDecisionFromPacked(col("canonical_url"), col("rules")))
+      .select(col("doc_id"), col("canonical_url"), col("registrable_domain"),
+        col("__d.path").as("path"),
+        col("__d.matched_rule").as("matched_rule"),
+        col("__d.allowed").as("allowed"))
   }
 
   /** Pure-projection blocklist flag — the ingest-path form of

@@ -2444,6 +2444,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(paths(7L) === "/dup/page", "query must not count as path")
   }
 
+  test("urlRuleFilterPerDomain: per-domain election, cross-domain conflicts, broadcast rule dim") {
+    import spark.implicits._
+    val urls = Seq(
+      // the SAME path, opposite polarity on two domains (VERDICT r17 #2)
+      (1L, "https://a.one.com/p/1", "one.com"),
+      (2L, "https://two.com/p/1", "two.com"),
+      // longest match within one domain's rule set
+      (3L, "https://three.com/p/12", "three.com"),
+      (4L, "https://three.com/p/17", "three.com"),
+      // identical pattern both polarities on one domain: allow wins
+      (5L, "https://four.com/dup/x", "four.com"),
+      // a domain with NO rule set, and a NULL domain (IP literal)
+      (6L, "https://norules.com/p/1", "norules.com"),
+      (7L, "https://192.0.2.1/p/1", null))
+      .toDF("doc_id", "url", "dom")
+    val dim = Seq(
+      ("one.com", "/p/1", true), ("two.com", "/p/1", false),
+      ("three.com", "/p/1", false), ("three.com", "/p/12", true),
+      ("four.com", "/dup", true), ("four.com", "/dup", false),
+      ("unused.example", "/", false)).toDF("domain", "rule", "allow")
+    val out = TextOps.urlRuleFilterPerDomain(urls, "doc_id", "url", "dom", dim)
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(4)), r.getBoolean(5)))).toMap
+    assert(got(1L) === ((Some("/p/1"), true)),
+      "/p/1 is allowed by one.com's OWN robots")
+    assert(got(2L) === ((Some("/p/1"), false)),
+      "…and disallowed by two.com's — the same path, decided per domain")
+    assert(got(3L) === ((Some("/p/12"), true)), "longest match within the domain")
+    assert(got(4L) === ((Some("/p/1"), false)))
+    assert(got(5L) === ((Some("/dup"), true)), "allow beats disallow on the dup pattern")
+    assert(got(6L) === ((None, true)), "no rule set for the domain → implicit allow")
+    assert(got(7L) === ((None, true)), "NULL domain (IP literal) → implicit allow")
+    // plan pin (VERDICT r17 #2): the rule dimension BROADCASTS and the
+    // URL side never shuffles — one broadcast hash join + a codegen
+    // election, nothing else
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the packed rule dim must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the URL side must not shuffle for the rule probe:\n$plan")
+    // identical-election guarantee: the global literal form and the
+    // per-domain form share urlRuleDecisionFromPacked, so a dim holding
+    // ONE domain's rules must reproduce urlRuleFilter on those URLs
+    val oneDomain = Seq((10L, "https://three.com/p/12", "three.com"),
+      (11L, "https://three.com/p/17", "three.com")).toDF("doc_id", "url", "dom")
+    val viaDim = TextOps.urlRuleFilterPerDomain(oneDomain, "doc_id", "url", "dom",
+        Seq(("three.com", "/p/1", false), ("three.com", "/p/12", true))
+          .toDF("domain", "rule", "allow"))
+      .select("doc_id", "path", "matched_rule", "allowed").collect().toSeq
+    val viaLit = TextOps.urlRuleFilter(
+        oneDomain.select("doc_id", "url"), "doc_id", "url",
+        Seq("/p/1" -> false, "/p/12" -> true))
+      .select("doc_id", "path", "matched_rule", "allowed").collect().toSeq
+    assert(viaDim.sortBy(_.getLong(0)).map(_.toString) ===
+      viaLit.sortBy(_.getLong(0)).map(_.toString))
+  }
+
   test("redactCards: only Luhn-valid runs redact; refs, short and overlong runs survive") {
     import spark.implicits._
     val docs = Seq(

@@ -1266,6 +1266,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch, "a stateless projection must be stream/batch identical")
   }
 
+  test("per-domain url rules run unchanged as a streaming stage: stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the per-domain joined form is a stream-static broadcast join + a
+    // zero-shuffle election — no watermark, no state, so the SAME
+    // function runs on a streaming ingest frame (the webIngestStream
+    // stage contract); the rule dim is the maintained static side
+    val urls = Seq(
+      (1L, "https://a.one.com/p/1", "one.com"),
+      (2L, "https://two.com/p/1", "two.com"),
+      (3L, "https://norules.com/x", "norules.com"),
+      (4L, "https://192.0.2.1/p/1", null: String))
+    val dim = Seq(("one.com", "/p/1", true), ("two.com", "/p/1", false))
+      .toDF("domain", "rule", "allow")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.urlRuleFilterPerDomain(
+        df, "doc_id", "url", "dom", dim)
+    val batch = run(urls.toDF("doc_id", "url", "dom"))
+      .select("doc_id", "path", "matched_rule", "allowed")
+      .as[(Long, String, Option[String], Boolean)].collect().toSet
+    assert(batch === Set(
+      (1L, "/p/1", Some("/p/1"), true),
+      (2L, "/p/1", Some("/p/1"), false),
+      (3L, "/x", None, true),
+      (4L, "/p/1", None, true)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = run(mem.toDF().toDF("doc_id", "url", "dom"))
+      .select("doc_id", "path", "matched_rule", "allowed")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("urlrules_perdomain").start()
+    try { mem.addData(urls); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("urlrules_perdomain")
+      .as[(Long, String, Option[String], Boolean)].collect().toSet
+    assert(streamed === batch,
+      "a stream-static join + projection must be stream/batch identical")
+  }
+
   test("domain-budget stream: over-budget domains flagged, new hosts never over, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
