@@ -2266,6 +2266,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- RECRAWL / freshness scheduling (VERDICT r17 #3, Cho &
+    //      Garcia-Molina 2000): per-URL re-fetch priority = age since
+    //      last fetch × observed change rate, exact longs. The planted
+    //      fetch log (standing % 5 != 0 docs; epoch = doc_id) gives each
+    //      URL a fingerprint history with three regimes by path class —
+    //      changes-every-fetch, never-changes, slow epoch-boundary
+    //      changes — plus single-fetch URLs (unknown rate → the 0.5
+    //      prior) and NEVER-FETCHED URLs (the h0.* universe, % 5 == 0
+    //      only), which outrank everything. fetch_rank rides the O(P)
+    //      two-phase prefix pass, never a single-task window ----
+    "q_recrawl_schedule" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val urlC = TextOps.canonicalizeUrl(crawlPlantUrl)
+      val pc = (col("doc_id") % 20) % 3
+      val logd = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), urlC.as("url"))
+        .withColumn("fp", md5(
+          when(pc === 0, concat(col("url"), lit("#"), col("doc_id").cast("string")))
+            .when(pc === 1, col("url"))
+            .otherwise(concat(col("url"), lit("#"),
+              expr("doc_id div 760").cast("string")))))
+      val discovered = docs.select(urlC.as("url")).distinct()
+      // "now" is one bounded aggregate scalar — the engine's documented
+      // driver-collect contract (a real scheduler passes wall time)
+      val now = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val pr = TextOps.recrawlPriority(discovered,
+        TextOps.recrawlStats(logd, "url", "doc_id", "fp"), "url", now)
+      CoreOps.globalPrefixSum(pr.withColumn("__one", lit(1L)),
+          Seq(col("never_fetched").desc, col("priority_q6").desc_nulls_last,
+            col("url")), "__one", "__before")
+        .select(col("url"), col("never_fetched"), col("n_fetches"),
+          col("last_fetch"), col("n_changes"), col("age"),
+          col("change_rate_q6"), col("priority_q6"),
+          (col("__before") + lit(1L)).as("fetch_rank"))
+        .orderBy("url")
+    }),
+
     // ---- per-domain crawl BUDGET, steady-state probe form (the batch
     //      oracle of StreamingPipelines.domainBudgetStream): the % 5 == 0
     //      docs arrive as an ingest epoch and probe the standing corpus's
@@ -6498,6 +6535,52 @@ object SparkEntry {
            |       coalesce(m.allow = 1, TRUE) AS allowed
            |FROM p LEFT JOIN (SELECT doc_id, rule, allow FROM m WHERE rn = 1) m USING (doc_id)
            |ORDER BY p.doc_id""".stripMargin,
+
+      // the freshness replay: the same planted fetch log (md5 fingerprint
+      // regimes by path class), per-URL lag-based change counts, exact
+      // integer rate (// = Spark's div) and priority, rank over
+      // (never_fetched DESC, priority DESC, url)
+      "q_recrawl_schedule" ->
+        s"""WITH $crawlRawCte,
+           |${urlCanonCtes("rc", "raw")},
+           |lg AS (
+           |  SELECT c.doc_id AS epoch, c.canonical_url AS url,
+           |    md5(CASE WHEN (c.doc_id % 20) % 3 = 0
+           |               THEN c.canonical_url || '#' || CAST(c.doc_id AS VARCHAR)
+           |             WHEN (c.doc_id % 20) % 3 = 1 THEN c.canonical_url
+           |             ELSE c.canonical_url || '#' || CAST(c.doc_id // 760 AS VARCHAR)
+           |        END) AS fp
+           |  FROM rccanon c WHERE c.doc_id % 5 <> 0),
+           |ch AS (
+           |  SELECT url, epoch, fp,
+           |         lag(fp) OVER (PARTITION BY url ORDER BY epoch) AS prev
+           |  FROM lg),
+           |st AS (
+           |  SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+           |         CAST(max(epoch) AS BIGINT) AS last_fetch,
+           |         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> fp
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+           |  FROM ch GROUP BY url),
+           |un AS (SELECT DISTINCT canonical_url AS url FROM rccanon),
+           |nw AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS now FROM documents),
+           |p0 AS (
+           |  SELECT u.url, st.url IS NULL AS never_fetched,
+           |         st.n_fetches, st.last_fetch, st.n_changes,
+           |         CASE WHEN st.url IS NULL THEN NULL
+           |              ELSE nw.now - st.last_fetch END AS age,
+           |         CAST(CASE WHEN st.url IS NULL THEN NULL
+           |              WHEN st.n_fetches <= 1 THEN 500000
+           |              ELSE st.n_changes * 1000000 // (st.n_fetches - 1)
+           |         END AS BIGINT) AS change_rate_q6
+           |  FROM un u LEFT JOIN st ON st.url = u.url CROSS JOIN nw),
+           |pr AS (
+           |  SELECT *, CAST(age * change_rate_q6 AS BIGINT) AS priority_q6
+           |  FROM p0)
+           |SELECT url, never_fetched, n_fetches, last_fetch, n_changes,
+           |       CAST(age AS BIGINT) AS age, change_rate_q6, priority_q6,
+           |       CAST(row_number() OVER (ORDER BY never_fetched DESC,
+           |         priority_q6 DESC NULLS LAST, url) AS BIGINT) AS fetch_rank
+           |FROM pr ORDER BY url""".stripMargin,
 
       // the same crawl + PSL stack: standing (% 5 <> 0) per-domain counts,
       // then the % 5 = 0 epoch's probe decisions at budget 30

@@ -728,6 +728,78 @@ object TextOps {
         col("__d.allowed").as("allowed"))
   }
 
+  /** Per-URL fetch-history statistics — the change-detector input of the
+    * RECRAWL scheduler (VERDICT r17 #3): from a fetch log of
+    * (url, epoch, fingerprint) observations, one row per URL with
+    * `n_fetches`, `last_fetch`, and `n_changes` (the count of CONSECUTIVE
+    * fetches whose content fingerprint differs — the observed
+    * change-rate numerator of the classic freshness policy, Cho &
+    * Garcia-Molina 2000). Exact longs throughout.
+    *
+    * Scale shape: ONE exchange keyed by url carrying (epoch, 16-byte
+    * fingerprint) — the lag window's per-url sort and the follow-up
+    * aggregate share that partitioning (no second shuffle; the s4
+    * sessionize pattern), and per-URL history is fetch-log cardinality,
+    * never corpus text. This is the maintained-index builder: a crawl
+    * keeps the (url → stats) table standing and probes it per epoch
+    * ([[recrawlPriority]]). */
+  def recrawlStats(fetchLog: DataFrame, urlCol: String, epochCol: String,
+      fpCol: String): DataFrame = {
+    val w = Window.partitionBy("url").orderBy(col("epoch"))
+    fetchLog.select(col(urlCol).cast("string").as("url"),
+        col(epochCol).cast("long").as("epoch"), col(fpCol).as("fp"))
+      .withColumn("__prev", lag(col("fp"), 1).over(w))
+      .groupBy("url").agg(
+        count(lit(1)).as("n_fetches"),
+        max(col("epoch")).as("last_fetch"),
+        sum(when(col("__prev").isNotNull && col("__prev") =!= col("fp"), 1L)
+          .otherwise(0L)).as("n_changes"))
+  }
+
+  /** RECRAWL priority (freshness scheduling, VERDICT r17 #3): each
+    * discovered URL scored for re-fetch as `age × observed change rate`,
+    * in exact integer arithmetic —
+    *   - `age = now − last_fetch`,
+    *   - `change_rate_q6 = n_changes · 10⁶ ÷ (n_fetches − 1)` (integer
+    *     division over the observation intervals; a single-fetch URL has
+    *     no interval, so it takes `defaultRateQ6`, the scheduler's
+    *     unknown-change-rate prior),
+    *   - `priority_q6 = age · change_rate_q6`.
+    * A URL the log has never seen (`never_fetched`) outranks every
+    * scored URL — the crawler must observe it at least once before any
+    * freshness estimate exists — and carries a NULL priority.
+    *
+    * `discovered` is the URL universe, ALREADY DEDUPED by the caller
+    * (an epoch's novelty arm — a repeated url here scores repeatedly);
+    * `stats` is [[recrawlStats]]'s output — in a crawl, the MAINTAINED
+    * standing table. Keeping dedup out makes this function pure
+    * projections plus one stream-static-shaped equi-join with NO
+    * stateful operator, so it runs unchanged on a streaming epoch frame
+    * (spec-pinned), the [[urlRuleFilterPerDomain]] contract. The global
+    * fetch_rank stays in the batch composition (the gate) via the
+    * two-phase prefix pass, like the frontier's.
+    *
+    * Scale shape: both sides are URL-cardinality; the join is a
+    * broadcast when the stats table fits, a co-partitioned hash join
+    * otherwise — never corpus work. */
+  def recrawlPriority(discovered: DataFrame, stats: DataFrame,
+      urlCol: String, now: Long, defaultRateQ6: Long = 500000L): DataFrame =
+    discovered.select(col(urlCol).cast("string").as("url"))
+      .join(stats, Seq("url"), "left")
+      .withColumn("never_fetched", col("n_fetches").isNull)
+      .withColumn("age",
+        when(!col("never_fetched"), lit(now) - col("last_fetch")))
+      .withColumn("change_rate_q6",
+        when(col("never_fetched"), lit(null).cast("long"))
+          .when(col("n_fetches") <= 1L, lit(defaultRateQ6))
+          // `div` (not `/`): Spark's `/` is ALWAYS double division —
+          // integral `div` is the exact long arithmetic the oracle's
+          // `//` replays bit-for-bit
+          .otherwise(expr("(n_changes * 1000000) div (n_fetches - 1)")))
+      .withColumn("priority_q6",
+        when(col("never_fetched"), lit(null).cast("long"))
+          .otherwise(col("age") * col("change_rate_q6")))
+
   /** Pure-projection blocklist flag — the ingest-path form of
     * [[blocklistHits]]: the terms ride the plan as ONE array literal and
     * the test is a codegen'd `arrays_overlap`, no shuffle and no stateful

@@ -1303,6 +1303,48 @@ class StreamingSpec extends AnyFunSuite {
       "a stream-static join + projection must be stream/batch identical")
   }
 
+  test("recrawl priority probes the maintained fetch-stats table: stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the scheduler's probe stage is pure projections + one
+    // stream-static join against the MAINTAINED (url → stats) table, so
+    // the SAME function scores a streaming epoch of discovered URLs
+    val log = Seq(
+      ("https://a.com/x", 1L, "f1"), ("https://a.com/x", 5L, "f2"),
+      ("https://a.com/x", 9L, "f2"),                     // 2 changes? f1→f2 (1), f2→f2 (0)
+      ("https://b.com/y", 2L, "g1"), ("https://b.com/y", 8L, "g1"),
+      ("https://c.com/z", 4L, "h1"))                     // single fetch → prior
+      .toDF("url", "epoch", "fp")
+    val stats = graft.operators.TextOps.recrawlStats(log, "url", "epoch", "fp")
+    val epoch = Seq(Tuple1("https://a.com/x"), Tuple1("https://b.com/y"),
+      Tuple1("https://c.com/z"), Tuple1("https://new.com/n"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.recrawlPriority(df, stats, "u", now = 10L)
+        .select("url", "never_fetched", "age", "change_rate_q6", "priority_q6")
+    val batch = run(epoch.toDF("u"))
+      .as[(String, Boolean, Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(batch === Set(
+      // 1 change over 2 intervals → rate 500000; age 10-9=1
+      ("https://a.com/x", false, Some(1L), Some(500000L), Some(500000L)),
+      // unchanged → rate 0, priority 0 however stale
+      ("https://b.com/y", false, Some(2L), Some(0L), Some(0L)),
+      // single fetch → the unknown-rate prior
+      ("https://c.com/z", false, Some(6L), Some(500000L), Some(3000000L)),
+      // never fetched → NULL score, must outrank everything in the queue
+      ("https://new.com/n", true, None, None, None)))
+    val mem = MemoryStream[String]
+    val q = run(mem.toDF().toDF("u"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("recrawl_priority").start()
+    try { mem.addData(epoch.map(_._1)); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("recrawl_priority")
+      .as[(String, Boolean, Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    assert(streamed === batch,
+      "a stream-static probe of the stats table must be stream/batch identical")
+  }
+
   test("domain-budget stream: over-budget domains flagged, new hosts never over, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
