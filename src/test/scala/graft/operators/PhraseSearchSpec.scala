@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, input_file_name}
 import org.scalatest.funsuite.AnyFunSuite
+import graft.Tables
 
 /** Positional phrase search: exact consecutive-sequence semantics,
   * overlapping matches, repeated phrase terms, and boundary positions. */
@@ -176,5 +177,66 @@ class PhraseSearchSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"),
       s"index probe must not re-explode the corpus:\n$plan")
     assert(asMap(probe) === Map(1L -> ((2L, 0L))))
+  }
+
+  test("STORED term-bucketed index: probe prunes partitions at the scan, with a read-bytes receipt") {
+    // VERDICT r17 #4: the persisted form of the positional index. The
+    // index is written partitionBy(term_bucket) over a REAL corpus, the
+    // probe plants its phrase's bucket literals, and the scan must list
+    // only those bucket directories — pinned three ways: PartitionFilters
+    // in the plan, input files confined to the phrase's buckets, and an
+    // on-disk byte receipt (pruned bytes ≪ index bytes).
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // a phrase that provably occurs: the first three tokens of doc 0
+    val phrase = docs.where(col("doc_id") === 0L)
+      .select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).take(3).toSeq
+    assert(phrase.size === 3)
+    val idx = TextOps.positionalPostingsIndex(docs, "doc_id", "text")
+    val nBuckets = 64
+    val dir = s"/tmp/graft_phrase_stored_${System.nanoTime()}"
+    try {
+      TextOps.positionalIndexWrite(idx, dir, nBuckets)
+      val stored = spark.read.parquet(dir)
+      // the stored probe equals the in-memory maintained probe row for row
+      val got = asMap(TextOps.phraseStoredSearch(stored, phrase, nBuckets))
+      assert(got === asMap(TextOps.phraseIndexSearch(idx, phrase)))
+      assert(got.nonEmpty, "the planted phrase must match its own document")
+      assert(got.contains(0L))
+      // plan pin: the bucket literals become PartitionFilters (pruned at
+      // LISTING, before any task reads a footer)
+      val buckets = phrase.distinct.map(TextOps.termBucket(_, nBuckets)).toSet
+      val slice = stored.where(col("term_bucket")
+        .isin(buckets.toSeq: _*) && col("term").isin(phrase.distinct: _*))
+      slice.collect()
+      val plan = slice.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"),
+        s"bucket filter did not become a partition filter:\n${plan.take(1500)}")
+      // every file the pruned scan touches lives in a phrase bucket dir
+      val touched = slice.select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      assert(touched.nonEmpty && touched.forall(f =>
+        buckets.exists(b => f.contains(s"term_bucket=$b"))))
+      // read-bytes receipt: bytes in the phrase's bucket dirs vs the
+      // whole index on disk — with 64 buckets and ≤3 distinct terms the
+      // probe should list well under a quarter of the index
+      def bytesUnder(p: java.io.File): Long = {
+        val fs = Option(p.listFiles).getOrElse(Array.empty)
+        fs.map(f => if (f.isDirectory) bytesUnder(f)
+          else if (f.getName.endsWith(".parquet")) f.length else 0L).sum
+      }
+      val root = new java.io.File(dir)
+      val total = bytesUnder(root)
+      val pruned = Option(root.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          buckets.exists(b => f.getName == s"term_bucket=$b"))
+        .map(bytesUnder).sum
+      info(f"stored index $total%d bytes; probe buckets $pruned%d bytes " +
+        f"(${100.0 * pruned / total}%.1f%%)")
+      assert(pruned > 0 && pruned * 4 <= total,
+        s"probe must read a small fraction of the index: $pruned of $total bytes")
+    } finally {
+      graft.tools.CorpusMaintenance.deleteRecursively(dir)
+    }
   }
 }

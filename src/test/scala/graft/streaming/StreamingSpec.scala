@@ -1303,6 +1303,48 @@ class StreamingSpec extends AnyFunSuite {
       "a stream-static join + projection must be stream/batch identical")
   }
 
+  test("STORED positional index maintained per epoch: on-disk tree == from-scratch build; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = s"/tmp/graft_stored_idx_${System.nanoTime()}"
+    val nBuckets = 16
+    val e1 = Seq((1L, "slow hash batch"), (2L, "a b a"))
+    val e2 = Seq((3L, "slow hash"), (4L, ""))
+    val e3 = Seq((5L, "batch slow hash batch"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.TextOps.positionalIndexEpochWrite(
+          b, "doc_id", "text", id, s"$dir/idx", nBuckets))
+      .start()
+    try {
+      Seq(e1, e2, e3).foreach { e => mem.addData(e); q.processAllAvailable() }
+    } finally q.stop()
+    def postings(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc_id", "pos")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+    val stored = spark.read.parquet(s"$dir/idx")
+    val scratch = graft.operators.TextOps.positionalPostingsIndex(
+      (e1 ++ e2 ++ e3).toDF("doc_id", "text"), "doc_id", "text")
+    // append == rebuild ON DISK: the maintained tree holds exactly the
+    // postings a from-scratch build over the unioned epochs produces
+    assert(postings(stored) === postings(scratch))
+    // the streamed tree serves the stored probe unchanged (both partition
+    // columns survive partition discovery; bucket pruning still applies)
+    assert(graft.operators.TextOps
+      .phraseStoredSearch(stored, Seq("slow", "hash"), nBuckets)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap === Map(1L -> ((1L, 0L)), 3L -> ((1L, 0L)), 5L -> ((1L, 1L))))
+    // exactly-once: redelivering epoch 1 (same batchId, same data) must
+    // leave the tree unchanged
+    graft.operators.TextOps.positionalIndexEpochWrite(
+      e2.toDF("doc_id", "text"), "doc_id", "text", 1L, s"$dir/idx", nBuckets)
+    assert(postings(spark.read.parquet(s"$dir/idx")) === postings(scratch),
+      "a replayed epoch duplicated or mutated the stored index")
+    graft.tools.CorpusMaintenance.deleteRecursively(dir)
+  }
+
   test("recrawl priority probes the maintained fetch-stats table: stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
