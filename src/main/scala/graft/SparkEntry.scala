@@ -3677,11 +3677,39 @@ object SparkEntry {
              |ORDER BY query_id, rank""".stripMargin)
     }.toMap
 
+  /** Train-once-per-(JVM, sf) caches for the two staleness measurements
+    * (VERDICT r17 #5): `q_index_rebuild_policy` composes BOTH
+    * measurements verbatim, so a sweep running the two staleness gates
+    * and the policy gate used to pay each arm's PCA/OPQ training TWICE —
+    * the policy gate's wall doubled round over round on pure re-training.
+    * The arms functions are eager at construction (training collects to
+    * the driver; the returned DataFrame replays only the PROBES per
+    * action), so sharing the constructed pair shares exactly the
+    * redundant trains — the x12/q_lr_pr_curve shared-LR-model contract. */
+  @volatile private var lastReducedStaleness: Option[(String, (DataFrame, String))] = None
+  @volatile private var lastPqStaleness: Option[(String, (DataFrame, String))] = None
+
+  private def reducedStalenessArms(s: SparkSession, d: String): (DataFrame, String) =
+    lastReducedStaleness match {
+      case Some((dd, r)) if dd == d => r
+      case _ =>
+        val r = computeReducedStalenessArms(s, d)
+        lastReducedStaleness = Some((d, r)); r
+    }
+
+  private def pqStalenessArms(s: SparkSession, d: String): (DataFrame, String) =
+    lastPqStaleness match {
+      case Some((dd, r)) if dd == d => r
+      case _ =>
+        val r = computePqStalenessArms(s, d)
+        lastPqStaleness = Some((d, r)); r
+    }
+
   /** The q_reduced_index_staleness measurement (frozen-model decay vs a
     * fresh rebuild on a drifted corpus) and its gate-time oracle, shared
     * with [[q_index_rebuild_policy]]: returns (two-arm recall table, the
     * oracle SQL built from both exported models). */
-  private def reducedStalenessArms(s: SparkSession, d: String): (DataFrame, String) = {
+  private def computeReducedStalenessArms(s: SparkSession, d: String): (DataFrame, String) = {
     val emb = Tables.embeddings(s, d)
     val base = emb.where(col("vec_id") % 5 < 3)
     val drifted = emb.where(col("vec_id") % 5 >= 3)
@@ -3714,7 +3742,7 @@ object SparkEntry {
 
   /** The q_pq_index_staleness measurement, the [[reducedStalenessArms]]
     * protocol against the frozen rotation+codebooks index. */
-  private def pqStalenessArms(s: SparkSession, d: String): (DataFrame, String) = {
+  private def computePqStalenessArms(s: SparkSession, d: String): (DataFrame, String) = {
     val emb = Tables.embeddings(s, d)
     val base = emb.where(col("vec_id") % 5 < 3)
     val drifted = emb.where(col("vec_id") % 5 >= 3)
