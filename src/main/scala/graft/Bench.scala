@@ -1490,6 +1490,86 @@ object Bench {
             -1.0
         } finally { urlIdx.unpersist(); cIdx.unpersist() }
       }),
+      "streaming_frontier_epoch" -> (() => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val docs = Tables.documents(spark, sfDir)
+        // one ingest epoch of crawled pages, each carrying an outlink to a
+        // planted h{0-9}.com target and a self link; standing dimensions:
+        // PSL over the target hosts, endorsement for even domains, h1's
+        // own robots disallowing its /p/1x paths, h2 at its crawl budget
+        val epochRows = docs.where(col("doc_id") % 5 === 0)
+          // the epoch's ids are all ≡0 mod 5, so key the planted target on
+          // doc_id/5 to span every host h0-h9 and every /p/0-19 path
+          .select(col("doc_id").cast("long").as("doc_id"),
+            concat(lit("https://src.example/p/"),
+              col("doc_id").cast("string")).as("url"),
+            concat(lit("<a href=\"https://h"),
+              (expr("doc_id div 5") % 10).cast("string"),
+              lit(".com/p/"), (expr("doc_id div 5") % 20).cast("string"),
+              lit("\">t</a> <a href=\"/self/"), (col("doc_id") % 7).cast("string"),
+              lit("\">s</a>")).as("page"))
+          .as[(Long, String, String)].collect().toSeq
+        val dim = graft.operators.TextOps.registrableDomainMap(
+          ((0 until 10).map(i => s"h$i.com") :+ "src.example").toDF("host"),
+          "host").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rank = (0 until 10 by 2).map(i => (s"h$i.com", (i + 1) * 100000L))
+          .toDF("registrable_domain", "pr_q6")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rules = graft.operators.TextOps.urlRulesPacked(
+          Seq(("h1.com", "/p/1", false), ("h3.com", "/p/1", true))
+            .toDF("domain", "rule", "allow"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val counts = Seq(("h2.com", 30L), ("h4.com", 3L))
+          .toDF("registrable_domain", "n_pages")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def run(df: org.apache.spark.sql.DataFrame) =
+          graft.streaming.StreamingPipelines.urlFrontierStream(
+            df, dim, rank, rules, counts, "doc_id", "page", "url", budget = 30L)
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), col("link_no"), col("url"),
+              col("target_rank_q6"), col("allowed"), col("over_budget"),
+              col("eligible"))
+            .as[(Long, Long, String, Long, Boolean, Boolean, Boolean)]
+            .collect().toSet
+        var streamed: Set[(Long, Long, String, Long, Boolean, Boolean, Boolean)] = Set.empty
+        val t = timed("streaming_frontier_epoch") {
+          dim.count(); rank.count(); rules.count(); counts.count()
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String, String)]
+          val qn = s"frontierbench_${System.nanoTime()}"
+          val q = run(mem.toDF().toDF("doc_id", "url", "page"))
+            .writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try {
+            mem.addData(epochRows)
+            q.processAllAvailable()
+            streamed = rows(spark.table(qn))
+          } finally { q.stop(); spark.catalog.dropTempView(qn); () }
+        }
+        def cleanup(): Unit = {
+          dim.unpersist(); rank.unpersist(); rules.unpersist(); counts.unpersist(); ()
+        }
+        if (t < 0) { cleanup(); t }
+        else try {
+          // in-entry agreement: the SAME function on the epoch as a batch
+          // frame, row for row — plus both polarities of each decision arm
+          val batch = rows(run(epochRows.toDF("doc_id", "url", "page")))
+          require(streamed == batch,
+            s"diverged: ${streamed.size} vs ${batch.size} rows")
+          require(streamed.exists(!_._5) && streamed.exists(_._5),
+            "planted robots block/allow must both occur")
+          require(streamed.exists(_._6) && streamed.exists(!_._6),
+            "planted budget over/under must both occur")
+          System.err.println(s"[bench] streaming_frontier_epoch links=${streamed.size} " +
+            s"eligible=${streamed.count(_._7)} (batch agrees)")
+          t
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] streaming_frontier_epoch equality audit failed: ${e.getMessage}")
+            -1.0
+        } finally cleanup()
+      }),
       "streaming_block_epoch" -> (() => {
         import spark.implicits._
         implicit val sqlCtx = spark.sqlContext

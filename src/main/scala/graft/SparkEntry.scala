@@ -2558,42 +2558,39 @@ object SparkEntry {
         .select(col("node").as("registrable_domain"), col("pr_q6"))
       val epoch = docs.where(col("doc_id") % 5 === 0)
         .select(col("doc_id"), crawlPlantUrl.as("base0"), linkPlantPage.as("page"))
-      val probe = graft.streaming.StreamingPipelines.linkFrontierStream(
-        epoch, dim, rank, "doc_id", "page", "base0")
-      // novelty arm: one queue row per discovered url — the FIRST
-      // discoverer (min (doc_id, link_no)) keeps it; domain/rank are
-      // functions of the url, so max() just picks the shared value
-      val perUrl = probe.groupBy("url").agg(
-          min(struct(col("doc_id"), col("link_no"))).as("__d"),
-          max(col("registrable_domain")).as("registrable_domain"),
-          max(col("target_rank_q6")).as("target_rank_q6"),
-          max(col("known_domain")).as("known_domain"),
-          count(lit(1)).as("n_discoveries"))
-        .select(col("url"), col("__d.doc_id").as("src_doc"),
-          col("__d.link_no").as("src_link"), col("registrable_domain"),
-          col("target_rank_q6"), col("known_domain"), col("n_discoveries"))
-      val budget = docs.where(col("doc_id") % 5 =!= 0)
+      val counts = docs.where(col("doc_id") % 5 =!= 0)
         .select(TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"))
         .join(broadcast(dim), Seq("host"))
         .where(col("registrable_domain").isNotNull)
-        .groupBy("registrable_domain").agg(count(lit(1)).as("__np"))
-        .select(col("registrable_domain"), (col("__np") >= 30).as("over_budget"))
-      // admissibility arm: each target domain's OWN robots rules (the
-      // per-domain joined dimension, r18) probed stream-static — packed
-      // rule rows broadcast at domain cardinality, election zero-shuffle
+        .groupBy("registrable_domain").agg(count(lit(1)).as("n_pages"))
       val rulesPacked = TextOps.urlRulesPacked {
         import s.implicits._
         CrawlDomainRules.toDF("domain", "rule", "allow")
       }
-      val st = perUrl
-        .join(broadcast(rulesPacked),
-          col("registrable_domain") === col("domain"), "left")
-        .withColumn("allowed", TextOps
-          .urlRuleDecisionFromPacked(col("url"), col("rules"))
-          .getField("allowed"))
-        .drop("domain", "rules")
-        .join(broadcast(budget), Seq("registrable_domain"), "left")
-        .withColumn("over_budget", coalesce(col("over_budget"), lit(false)))
+      // ALL three per-link decision arms (endorsement probe, per-domain
+      // robots election, budget gate) are the streaming frontier's ONE
+      // definition — the gate composes only the per-EPOCH novelty
+      // election and the global rank on top, so batch == stream for the
+      // decision columns by construction (r18; spec-pinned)
+      val probe = graft.streaming.StreamingPipelines.urlFrontierStream(
+        epoch, dim, rank, rulesPacked, counts, "doc_id", "page", "base0",
+        budget = 30L)
+      // novelty arm: one queue row per discovered url — the FIRST
+      // discoverer (min (doc_id, link_no)) keeps it; domain/rank/rule/
+      // budget columns are functions of the url, so max() just picks the
+      // shared value
+      val st = probe.groupBy("url").agg(
+          min(struct(col("doc_id"), col("link_no"))).as("__d"),
+          max(col("registrable_domain")).as("registrable_domain"),
+          max(col("target_rank_q6")).as("target_rank_q6"),
+          max(col("known_domain")).as("known_domain"),
+          count(lit(1)).as("n_discoveries"),
+          max(col("allowed")).as("allowed"),
+          max(col("over_budget")).as("over_budget"))
+        .select(col("url"), col("__d.doc_id").as("src_doc"),
+          col("__d.link_no").as("src_link"), col("registrable_domain"),
+          col("target_rank_q6"), col("known_domain"), col("n_discoveries"),
+          col("allowed"), col("over_budget"))
       val eligible = st.where(col("allowed") && !col("over_budget"))
         .select(col("url"), col("target_rank_q6"), lit(1L).as("__one"))
       val ranked = CoreOps.globalPrefixSum(eligible,

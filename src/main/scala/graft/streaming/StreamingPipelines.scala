@@ -1242,6 +1242,53 @@ object StreamingPipelines {
         col("pr_q6").isNotNull.as("known_domain"))
   }
 
+  /** Streaming per-URL FRONTIER — the composed ingest form of the crawl
+    * queue (VERDICT r17 #6), one function for all three per-link
+    * decision arms the `e2e_url_frontier` gate consumes:
+    *   1. ENDORSEMENT — [[linkFrontierStream]]'s anchor extraction,
+    *      resolution, canonicalization, and the stream-static PSL +
+    *      standing-PageRank probes;
+    *   2. ADMISSIBILITY — the target domain's OWN robots rules
+    *      ([[graft.operators.TextOps.urlRulesPacked]] dimension,
+    *      broadcast at domain cardinality, zero-shuffle election);
+    *   3. BUDGET — the standing per-domain admitted-page counts vs the
+    *      crawl cap.
+    * Emits one row per EXTRACTED LINK with (doc_id, link_no, url,
+    * dst_host, registrable_domain, target_rank_q6, known_domain,
+    * allowed, over_budget, eligible). The per-EPOCH novelty election
+    * (first discoverer per url) and the global fetch_rank are BATCH
+    * compositions over an epoch's rows — the gate applies them on top of
+    * THIS function's output, so the gate's decision columns equal the
+    * streaming form's by construction (they are the same plan).
+    *
+    * Deliberately STATELESS (the [[domainBudgetStream]] contract): pure
+    * projections + stream-static broadcast-ready joins; links in one
+    * epoch never affect each other; the maintenance sink folds the
+    * epoch's edges/counts into the standing dimensions between cycles.
+    * Works identically on a batch frame (spec-pinned). */
+  def urlFrontierStream(incoming: org.apache.spark.sql.DataFrame,
+      pslDim: org.apache.spark.sql.DataFrame,
+      domainRank: org.apache.spark.sql.DataFrame,
+      rulesPacked: org.apache.spark.sql.DataFrame,
+      domainCounts: org.apache.spark.sql.DataFrame,
+      idCol: String, htmlCol: String, baseUrlCol: String,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    linkFrontierStream(incoming, pslDim, domainRank, idCol, htmlCol, baseUrlCol)
+      .join(broadcast(rulesPacked),
+        col("registrable_domain") === col("domain"), "left")
+      .withColumn("allowed", graft.operators.TextOps
+        .urlRuleDecisionFromPacked(col("url"), col("rules"))
+        .getField("allowed"))
+      .drop("domain", "rules")
+      .join(broadcast(domainCounts
+          .select(col("registrable_domain"), col("n_pages")).distinct()),
+        Seq("registrable_domain"), "left_outer")
+      .withColumn("over_budget", coalesce(col("n_pages") >= budget, lit(false)))
+      .drop("n_pages")
+      .withColumn("eligible", col("allowed") && !col("over_budget"))
+  }
+
   /** Streaming phrase-decontamination probe — the ingest form of the
     * positional phrase family: each incoming document is scanned for a
     * FORBIDDEN exact phrase (benchmark decontamination at ingest — the

@@ -1470,6 +1470,56 @@ class StreamingSpec extends AnyFunSuite {
     dim.unpersist(); rank.unpersist(); ()
   }
 
+  test("url-frontier stream: endorsement + per-domain robots + budget in one pass, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // maintained dimensions: PSL over the standing hosts, the standing
+    // PageRank table, each domain's OWN robots rules (packed), and the
+    // standing per-domain admitted counts
+    val dim = graft.operators.TextOps.registrableDomainMap(
+      Seq("hot.example.com", "example.com", "full.com", "cold.org")
+        .toDF("host"), "host").cache()
+    val rank = Seq(("example.com", 777000L), ("full.com", 5000L))
+      .toDF("registrable_domain", "pr_q6").cache()
+    val rules = graft.operators.TextOps.urlRulesPacked(
+      Seq(("example.com", "/x", false), ("cold.org", "/x", true))
+        .toDF("domain", "rule", "allow")).cache()
+    val counts = Seq(("full.com", 30L), ("example.com", 3L))
+      .toDF("registrable_domain", "n_pages").cache()
+    val incoming = Seq(
+      (1L, "https://src.net/p/1",
+        """<a href="https://HOT.example.com/x?utm_z=1">endorsed but robots-blocked</a> <a href="https://example.com/ok">endorsed, allowed</a>"""),
+      (2L, "https://src.net/p/2",
+        """<a href="//cold.org/xyz">its own robots ALLOW /x</a> <a href="https://full.com/q">over budget</a>"""))
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Set[(String, Option[String], Long, Boolean, Boolean, Boolean)] =
+      df.select("url", "registrable_domain", "target_rank_q6",
+          "allowed", "over_budget", "eligible")
+        .as[(String, Option[String], Long, Boolean, Boolean, Boolean)]
+        .collect().toSet
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      StreamingPipelines.urlFrontierStream(df, dim, rank, rules, counts,
+        "doc_id", "page", "url", budget = 30L)
+    val batch = rows(run(incoming.toDF("doc_id", "url", "page")))
+    assert(batch === Set(
+      // example.com's own robots disallow /x — endorsement can't save it
+      ("https://hot.example.com/x", Some("example.com"), 777000L, false, false, false),
+      ("https://example.com/ok", Some("example.com"), 777000L, true, false, true),
+      // the SAME /x path is allowed by cold.org's OWN rules (per-domain)
+      ("https://cold.org/xyz", Some("cold.org"), 0L, true, false, true),
+      // allowed by (absent) robots but the domain is at its crawl budget
+      ("https://full.com/q", Some("full.com"), 5000L, true, true, false)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = run(mem.toDF().toDF("doc_id", "url", "page"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("urlfrontier").start()
+    try { mem.addData(incoming); q.processAllAvailable() } finally q.stop()
+    val streamed = rows(spark.table("urlfrontier"))
+    assert(streamed === batch,
+      "the composed frontier is stateless — stream == batch must hold")
+    dim.unpersist(); rank.unpersist(); rules.unpersist(); counts.unpersist(); ()
+  }
+
   test("phrase-decontam stream: forbidden sequence flagged at ingest, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
