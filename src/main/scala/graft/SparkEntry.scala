@@ -2820,6 +2820,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- the release summary with the unique-text count as a GROUPED
+    //      HLL SKETCH next to the exact one (VERDICT r17 #7, the
+    //      q_domain_stats_hll receipt pattern on the dataset card): at
+    //      100 TB the exact count-distinct over content fingerprints is
+    //      the card's expensive arm — the register sketch ships one
+    //      m-byte row per (partition, source) and merges by bytewise
+    //      max; est-vs-exact side by side is the in-gate error receipt,
+    //      and the stored-sketch merge identity (q_hll_merge_union)
+    //      means monthly cards fold from daily sketch rows without a
+    //      re-scan ----
+    "q_dataset_card_hll" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("fp"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("fp")).as("exact_unique_texts"),
+          graft.expressions.GraftExpressions
+            .hllRegisters(col("fp"), 10).as("__regs"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("exact_unique_texts"),
+          size(col("__regs")).cast("long").as("m"),
+          size(filter(col("__regs"), r => r > 0)).cast("long").as("n_buckets_hit"),
+          expr("aggregate(__regs, CAST(0 AS BIGINT), " +
+            "(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 39 - r))").as("inv_q39"))
+        .orderBy("source")
+    }),
+
     // ---- end-to-end corpus build: exact dedup + language filter + quality
     //      threshold + token accounting + split, as ONE declarative plan.
     //      Every per-doc signal is a projection over the same scan and the
@@ -8843,6 +8872,36 @@ object SparkEntry {
            |       CAST(sum(q4) AS DOUBLE) / (count(*) * 10000)::DOUBLE AS mean_quality
            |FROM per GROUP BY source ORDER BY source""".stripMargin
       },
+
+      // the card's HLL arm: the q_domain_stats_hll register replay keyed
+      // by source over the content fingerprint, exact distinct alongside
+      "q_dataset_card_hll" ->
+        s"""WITH t AS (
+           |  SELECT source, md5(text) AS fp,
+           |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |hh AS (SELECT source,
+           |         ('0x' || substr(md5('hll:' || fp), 1, 12))::BIGINT AS h FROM t),
+           |hbr AS (SELECT source, h // ${1L << 38} AS bucket, h % ${1L << 38} AS rest FROM hh),
+           |hrr AS (SELECT source, bucket,
+           |          CASE WHEN rest = 0 THEN 39 ELSE 39 - len(bin(rest)) END AS rho FROM hbr),
+           |hmx AS (SELECT source, bucket, max(rho) AS rho FROM hrr GROUP BY 1, 2),
+           |hsrc AS (SELECT DISTINCT source FROM t),
+           |hallb AS (SELECT hsrc.source, CAST(i AS BIGINT) AS bucket
+           |          FROM hsrc, unnest(range(0, 1024)) AS u(i)),
+           |hfr AS (SELECT a.source, a.bucket, coalesce(m.rho, 0) AS rho
+           |        FROM hallb a LEFT JOIN hmx m ON m.source = a.source AND m.bucket = a.bucket),
+           |hex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           |               CAST(count(DISTINCT fp) AS BIGINT) AS exact_unique_texts
+           |        FROM t GROUP BY 1)
+           |SELECT hex.source, hex.n_docs, hex.total_tokens, hex.exact_unique_texts,
+           |       CAST(count(*) AS BIGINT) AS m,
+           |       CAST(sum(CASE WHEN hfr.rho > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+           |       CAST(sum(CAST(1 AS BIGINT) << (39 - hfr.rho)) AS BIGINT) AS inv_q39
+           |FROM hfr JOIN hex ON hex.source = hfr.source
+           |GROUP BY hex.source, hex.n_docs, hex.total_tokens, hex.exact_unique_texts
+           |ORDER BY hex.source""".stripMargin,
 
       "e2e_corpus_build" -> {
         val stopArr = TextOps.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
