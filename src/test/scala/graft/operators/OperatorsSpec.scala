@@ -2501,6 +2501,31 @@ class OperatorsSpec extends AnyFunSuite {
       viaLit.sortBy(_.getLong(0)).map(_.toString))
   }
 
+  test("recrawlStats: change counts from the fetch log; lag window and aggregate share ONE exchange") {
+    import spark.implicits._
+    val log = Seq(
+      ("u1", 1L, "a"), ("u1", 3L, "b"), ("u1", 7L, "b"), ("u1", 9L, "c"),
+      ("u2", 2L, "x"), ("u2", 8L, "x"),
+      ("u3", 5L, "z"))
+      .toDF("url", "epoch", "fp")
+    val stats = TextOps.recrawlStats(log, "url", "epoch", "fp")
+    val got = stats.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("u1") === ((4L, 9L, 2L)), "a→b and b→c change; b→b does not")
+    assert(got("u2") === ((2L, 8L, 0L)))
+    assert(got("u3") === ((1L, 5L, 0L)))
+    // scale pin: the per-url lag window and the follow-up aggregate ride
+    // the SAME url hash partitioning — one exchange total, never two.
+    // Count DISTINCT plan ids: under AQE the executed-plan string prints
+    // the one exchange twice (inside its materialized ShuffleQueryStage
+    // and at its original site, same plan_id)
+    val exchanges = "Exchange hashpartitioning[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(stats.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSet
+    assert(exchanges.size === 1,
+      s"expected the window and aggregate to share one url exchange, got $exchanges")
+  }
+
   test("redactCards: only Luhn-valid runs redact; refs, short and overlong runs survive") {
     import spark.implicits._
     val docs = Seq(
