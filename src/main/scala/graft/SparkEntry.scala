@@ -2278,19 +2278,9 @@ object SparkEntry {
     //      two-phase prefix pass, never a single-task window ----
     "q_recrawl_schedule" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val urlC = TextOps.canonicalizeUrl(crawlPlantUrl)
-      val pc = (col("doc_id") % 20) % 3
-      val logd = docs.where(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id"), urlC.as("url"))
-        .withColumn("fp", md5(
-          when(pc === 0, concat(col("url"), lit("#"), col("doc_id").cast("string")))
-            .when(pc === 1, col("url"))
-            .otherwise(concat(col("url"), lit("#"),
-              expr("doc_id div 760").cast("string")))))
-      val discovered = docs.select(urlC.as("url")).distinct()
-      // "now" is one bounded aggregate scalar — the engine's documented
-      // driver-collect contract (a real scheduler passes wall time)
-      val now = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val (logd, now) = recrawlFetchLog(s, d)
+      val discovered = docs
+        .select(TextOps.canonicalizeUrl(crawlPlantUrl).as("url")).distinct()
       val pr = TextOps.recrawlPriority(discovered,
         TextOps.recrawlStats(logd, "url", "doc_id", "fp"), "url", now)
       CoreOps.globalPrefixSum(pr.withColumn("__one", lit(1L)),
@@ -2550,47 +2540,7 @@ object SparkEntry {
     //      never a single-task window (plan spec-pinned); PSL, rank, and
     //      budget dims all broadcast ----
     "e2e_url_frontier" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val (_, sedges, dim) =
-        linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))
-      val rank = GraphOps.weightedPageRankDirected(sedges,
-          "src_domain", "dst_domain", "n_links", iterations = 4)
-        .select(col("node").as("registrable_domain"), col("pr_q6"))
-      val epoch = docs.where(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), crawlPlantUrl.as("base0"), linkPlantPage.as("page"))
-      val counts = docs.where(col("doc_id") % 5 =!= 0)
-        .select(TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"))
-        .join(broadcast(dim), Seq("host"))
-        .where(col("registrable_domain").isNotNull)
-        .groupBy("registrable_domain").agg(count(lit(1)).as("n_pages"))
-      val rulesPacked = TextOps.urlRulesPacked {
-        import s.implicits._
-        CrawlDomainRules.toDF("domain", "rule", "allow")
-      }
-      // ALL three per-link decision arms (endorsement probe, per-domain
-      // robots election, budget gate) are the streaming frontier's ONE
-      // definition — the gate composes only the per-EPOCH novelty
-      // election and the global rank on top, so batch == stream for the
-      // decision columns by construction (r18; spec-pinned)
-      val probe = graft.streaming.StreamingPipelines.urlFrontierStream(
-        epoch, dim, rank, rulesPacked, counts, "doc_id", "page", "base0",
-        budget = 30L)
-      // novelty arm: one queue row per discovered url — the FIRST
-      // discoverer (min (doc_id, link_no)) keeps it; domain/rank/rule/
-      // budget columns are functions of the url, so max() just picks the
-      // shared value
-      val st = probe.groupBy("url").agg(
-          min(struct(col("doc_id"), col("link_no"))).as("__d"),
-          max(col("registrable_domain")).as("registrable_domain"),
-          max(col("target_rank_q6")).as("target_rank_q6"),
-          max(col("known_domain")).as("known_domain"),
-          count(lit(1)).as("n_discoveries"),
-          max(col("allowed")).as("allowed"),
-          max(col("over_budget")).as("over_budget"))
-        .select(col("url"), col("__d.doc_id").as("src_doc"),
-          col("__d.link_no").as("src_link"), col("registrable_domain"),
-          col("target_rank_q6"), col("known_domain"), col("n_discoveries"),
-          col("allowed"), col("over_budget"))
+      val st = urlFrontierDecisions(s, d)
       val eligible = st.where(col("allowed") && !col("over_budget"))
         .select(col("url"), col("target_rank_q6"), lit(1L).as("__one"))
       val ranked = CoreOps.globalPrefixSum(eligible,
@@ -2601,6 +2551,40 @@ object SparkEntry {
           col("registrable_domain"), col("target_rank_q6"),
           col("known_domain"), col("n_discoveries"), col("allowed"),
           col("over_budget"), col("fetch_rank"))
+        .orderBy("url")
+    }),
+
+    // ---- the UNIFIED fetch queue (r18 — the operationally-complete
+    //      crawl read composing BOTH schedulers): one ranked queue over
+    //      (a) the epoch's eligible DISCOVERIES that the standing fetch
+    //      history has never seen — never-fetched, so they outrank
+    //      everything, ordered by standing-domain endorsement — and
+    //      (b) every KNOWN url scored for re-fetch by the freshness
+    //      policy (age × observed change rate). A discovered url the
+    //      corpus has already fetched is NOT new (broadcast anti-join
+    //      against the stats index): it re-enters through the recrawl
+    //      arm at its own priority. The recrawl arm's robots/budget
+    //      re-check happens at dequeue time by contract (rules can
+    //      change between fetches; recrawls add no pages to the budget).
+    //      Rank rides the O(P) two-phase prefix pass ----
+    "e2e_fetch_queue" -> ((s, d) => {
+      val st = urlFrontierDecisions(s, d)
+      val (logd, now) = recrawlFetchLog(s, d)
+      val stats = TextOps.recrawlStats(logd, "url", "doc_id", "fp")
+      val known = TextOps.recrawlPriority(
+          logd.select("url").distinct(), stats, "url", now)
+        .select(col("url"), lit(false).as("is_new"),
+          col("priority_q6").as("score_q6"))
+      val newArm = st.where(col("allowed") && !col("over_budget"))
+        .join(broadcast(stats.select("url")), Seq("url"), "left_anti")
+        .select(col("url"), lit(true).as("is_new"),
+          col("target_rank_q6").as("score_q6"))
+      val queue = known.unionByName(newArm).withColumn("__one", lit(1L))
+      CoreOps.globalPrefixSum(queue,
+          Seq(col("is_new").desc, col("score_q6").desc, col("url")),
+          "__one", "__before")
+        .select(col("url"), col("is_new"), col("score_q6"),
+          (col("__before") + lit(1L)).as("fetch_rank"))
         .orderBy("url")
     }),
 
@@ -5812,6 +5796,79 @@ object SparkEntry {
     (kept, keptDocs)
   }
 
+  /** The per-URL frontier DECISION table shared by `e2e_url_frontier`
+    * and `e2e_fetch_queue` (one definition, so the queue's discovery arm
+    * IS the frontier gate's rows): standing link graph → PageRank
+    * endorsement + PSL + per-domain robots + budget dims → the
+    * [[graft.streaming.StreamingPipelines.urlFrontierStream]] per-link
+    * pass over the % 5 == 0 ingest epoch → per-epoch novelty election
+    * (first discoverer per url). */
+  private def urlFrontierDecisions(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (_, sedges, dim) =
+      linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))
+    val rank = GraphOps.weightedPageRankDirected(sedges,
+        "src_domain", "dst_domain", "n_links", iterations = 4)
+      .select(col("node").as("registrable_domain"), col("pr_q6"))
+    val epoch = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), crawlPlantUrl.as("base0"), linkPlantPage.as("page"))
+    val counts = docs.where(col("doc_id") % 5 =!= 0)
+      .select(TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"))
+      .join(broadcast(dim), Seq("host"))
+      .where(col("registrable_domain").isNotNull)
+      .groupBy("registrable_domain").agg(count(lit(1)).as("n_pages"))
+    val rulesPacked = TextOps.urlRulesPacked {
+      import s.implicits._
+      CrawlDomainRules.toDF("domain", "rule", "allow")
+    }
+    // ALL three per-link decision arms (endorsement probe, per-domain
+    // robots election, budget gate) are the streaming frontier's ONE
+    // definition — the gates compose only the per-EPOCH novelty
+    // election and the global rank on top, so batch == stream for the
+    // decision columns by construction (r18; spec-pinned)
+    val probe = graft.streaming.StreamingPipelines.urlFrontierStream(
+      epoch, dim, rank, rulesPacked, counts, "doc_id", "page", "base0",
+      budget = 30L)
+    // novelty arm: one queue row per discovered url — the FIRST
+    // discoverer (min (doc_id, link_no)) keeps it; domain/rank/rule/
+    // budget columns are functions of the url, so max() just picks the
+    // shared value
+    probe.groupBy("url").agg(
+        min(struct(col("doc_id"), col("link_no"))).as("__d"),
+        max(col("registrable_domain")).as("registrable_domain"),
+        max(col("target_rank_q6")).as("target_rank_q6"),
+        max(col("known_domain")).as("known_domain"),
+        count(lit(1)).as("n_discoveries"),
+        max(col("allowed")).as("allowed"),
+        max(col("over_budget")).as("over_budget"))
+      .select(col("url"), col("__d.doc_id").as("src_doc"),
+        col("__d.link_no").as("src_link"), col("registrable_domain"),
+        col("target_rank_q6"), col("known_domain"), col("n_discoveries"),
+        col("allowed"), col("over_budget"))
+  }
+
+  /** The planted fetch history shared by `q_recrawl_schedule` and
+    * `e2e_fetch_queue` (one definition; SQL mirror [[recrawlFpSql]]):
+    * standing (% 5 != 0) docs fetch their canonical URL at
+    * epoch = doc_id, with three fingerprint regimes by path class —
+    * changes-every-fetch, never-changes, slow boundary changes. Returns
+    * (log(doc_id, url, fp), now), `now` the one bounded aggregate scalar
+    * (a real scheduler passes wall time). */
+  private def recrawlFetchLog(s: SparkSession, d: String): (DataFrame, Long) = {
+    val docs = Tables.documents(s, d)
+    val urlC = TextOps.canonicalizeUrl(crawlPlantUrl)
+    val pc = (col("doc_id") % 20) % 3
+    val logd = docs.where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), urlC.as("url"))
+      .withColumn("fp", md5(
+        when(pc === 0, concat(col("url"), lit("#"), col("doc_id").cast("string")))
+          .when(pc === 1, col("url"))
+          .otherwise(concat(col("url"), lit("#"),
+            expr("doc_id div 760").cast("string")))))
+    val now = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    (logd, now)
+  }
+
   /** Shared CTE stack for the eTLD+1 crawl gates
     * (`q_registrable_domain_stats`, `q_domain_cap`): the planted
     * multi-suffix URL corpus → canonicalization → host + token count
@@ -6001,6 +6058,63 @@ object SparkEntry {
        |    'https://' ||
        |    ${crawlHostSql("doc_id")} || '/p/' || CAST(doc_id % 20 AS VARCHAR) || '?a=1' AS url
        |  FROM documents)""".stripMargin
+
+  /** SQL mirror of [[recrawlFetchLog]]'s fingerprint regimes for a
+    * canon-CTE alias `c` carrying (doc_id, canonical_url) — ONE
+    * definition under `q_recrawl_schedule` and `e2e_fetch_queue`. */
+  private def recrawlFpSql(c: String): String =
+    s"""md5(CASE WHEN ($c.doc_id % 20) % 3 = 0
+       |            THEN $c.canonical_url || '#' || CAST($c.doc_id AS VARCHAR)
+       |          WHEN ($c.doc_id % 20) % 3 = 1 THEN $c.canonical_url
+       |          ELSE $c.canonical_url || '#' || CAST($c.doc_id // 760 AS VARCHAR)
+       |     END)""".stripMargin
+
+  /** The frontier DECISION stack (through `ust`) shared by the
+    * `e2e_url_frontier` and `e2e_fetch_queue` oracles — the SQL mirror
+    * of [[urlFrontierDecisions]]: link plant → PageRank over the
+    * standing graph → epoch per-url novelty election → endorsement /
+    * per-domain robots / budget decisions. */
+  private def frontierStackCtes: String =
+    s"""${linkPageRankCtes("doc_id % 5 <> 0")},
+       |ep AS (SELECT * FROM lout WHERE doc_id % 5 = 0),
+       |eu AS (
+       |  SELECT url, CAST(min(doc_id * 1024 + link_no) AS BIGINT) AS dk,
+       |         CAST(count(*) AS BIGINT) AS n_discoveries
+       |  FROM ep GROUP BY url),
+       |pu AS (
+       |  SELECT eu.url, CAST(eu.dk // 1024 AS BIGINT) AS src_doc,
+       |         CAST(eu.dk % 1024 AS BIGINT) AS src_link,
+       |         a.registrable_domain,
+       |         CAST(coalesce(r4.r, 0) AS BIGINT) AS target_rank_q6,
+       |         r4.r IS NOT NULL AS known_domain, eu.n_discoveries
+       |  FROM eu
+       |  LEFT JOIN areg a ON a.host =
+       |    regexp_extract(eu.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+       |  LEFT JOIN r4 ON r4.node = a.registrable_domain),
+       |upath AS (
+       |  SELECT url, CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+       |  FROM (SELECT url, regexp_replace(regexp_extract(url,
+       |          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$$', 1), '\\?.*$$', '') AS p0
+       |        FROM eu)),
+       |urules(domain, rule, allow) AS (VALUES $domainRuleValues),
+       |um AS (
+       |  SELECT upath.url, ru.allow,
+       |         row_number() OVER (PARTITION BY upath.url
+       |           ORDER BY len(ru.rule) DESC, ru.allow DESC, ru.rule DESC) AS rn
+       |  FROM upath JOIN pu USING (url)
+       |  JOIN urules ru ON pu.registrable_domain = ru.domain
+       |    AND starts_with(upath.path, ru.rule)),
+       |ub AS (
+       |  SELECT a.registrable_domain, CAST(count(*) AS BIGINT) AS n_pages
+       |  FROM rdcanon c JOIN areg a
+       |    ON a.host = regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
+       |  WHERE c.doc_id % 5 <> 0 AND a.registrable_domain IS NOT NULL GROUP BY 1),
+       |ust AS (
+       |  SELECT pu.*, coalesce(um.allow = 1, TRUE) AS allowed,
+       |         coalesce(ub.n_pages >= 30, FALSE) AS over_budget
+       |  FROM pu
+       |  LEFT JOIN (SELECT url, allow FROM um WHERE rn = 1) um USING (url)
+       |  LEFT JOIN ub ON ub.registrable_domain = pu.registrable_domain)""".stripMargin
 
   private def crawlPslCtes: String =
     s"""$crawlRawCte,
@@ -6599,11 +6713,7 @@ object SparkEntry {
            |${urlCanonCtes("rc", "raw")},
            |lg AS (
            |  SELECT c.doc_id AS epoch, c.canonical_url AS url,
-           |    md5(CASE WHEN (c.doc_id % 20) % 3 = 0
-           |               THEN c.canonical_url || '#' || CAST(c.doc_id AS VARCHAR)
-           |             WHEN (c.doc_id % 20) % 3 = 1 THEN c.canonical_url
-           |             ELSE c.canonical_url || '#' || CAST(c.doc_id // 760 AS VARCHAR)
-           |        END) AS fp
+           |         ${recrawlFpSql("c")} AS fp
            |  FROM rccanon c WHERE c.doc_id % 5 <> 0),
            |ch AS (
            |  SELECT url, epoch, fp,
@@ -6758,46 +6868,7 @@ object SparkEntry {
       // fetch_rank = row_number over the eligible set, the engine's
       // two-phase prefix rank
       "e2e_url_frontier" ->
-        s"""WITH ${linkPageRankCtes("doc_id % 5 <> 0")},
-           |ep AS (SELECT * FROM lout WHERE doc_id % 5 = 0),
-           |eu AS (
-           |  SELECT url, CAST(min(doc_id * 1024 + link_no) AS BIGINT) AS dk,
-           |         CAST(count(*) AS BIGINT) AS n_discoveries
-           |  FROM ep GROUP BY url),
-           |pu AS (
-           |  SELECT eu.url, CAST(eu.dk // 1024 AS BIGINT) AS src_doc,
-           |         CAST(eu.dk % 1024 AS BIGINT) AS src_link,
-           |         a.registrable_domain,
-           |         CAST(coalesce(r4.r, 0) AS BIGINT) AS target_rank_q6,
-           |         r4.r IS NOT NULL AS known_domain, eu.n_discoveries
-           |  FROM eu
-           |  LEFT JOIN areg a ON a.host =
-           |    regexp_extract(eu.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
-           |  LEFT JOIN r4 ON r4.node = a.registrable_domain),
-           |upath AS (
-           |  SELECT url, CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
-           |  FROM (SELECT url, regexp_replace(regexp_extract(url,
-           |          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$$', 1), '\\?.*$$', '') AS p0
-           |        FROM eu)),
-           |urules(domain, rule, allow) AS (VALUES $domainRuleValues),
-           |um AS (
-           |  SELECT upath.url, ru.allow,
-           |         row_number() OVER (PARTITION BY upath.url
-           |           ORDER BY len(ru.rule) DESC, ru.allow DESC, ru.rule DESC) AS rn
-           |  FROM upath JOIN pu USING (url)
-           |  JOIN urules ru ON pu.registrable_domain = ru.domain
-           |    AND starts_with(upath.path, ru.rule)),
-           |ub AS (
-           |  SELECT a.registrable_domain, CAST(count(*) AS BIGINT) AS n_pages
-           |  FROM rdcanon c JOIN areg a
-           |    ON a.host = regexp_extract(c.canonical_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)
-           |  WHERE c.doc_id % 5 <> 0 AND a.registrable_domain IS NOT NULL GROUP BY 1),
-           |ust AS (
-           |  SELECT pu.*, coalesce(um.allow = 1, TRUE) AS allowed,
-           |         coalesce(ub.n_pages >= 30, FALSE) AS over_budget
-           |  FROM pu
-           |  LEFT JOIN (SELECT url, allow FROM um WHERE rn = 1) um USING (url)
-           |  LEFT JOIN ub ON ub.registrable_domain = pu.registrable_domain),
+        s"""WITH $frontierStackCtes,
            |urk AS (
            |  SELECT url, CAST(row_number() OVER (
            |    ORDER BY target_rank_q6 DESC, url) AS BIGINT) AS fetch_rank
@@ -6806,6 +6877,44 @@ object SparkEntry {
            |       ust.target_rank_q6, ust.known_domain, ust.n_discoveries,
            |       ust.allowed, ust.over_budget, urk.fetch_rank
            |FROM ust LEFT JOIN urk USING (url) ORDER BY ust.url""".stripMargin,
+
+      // the unified queue: the SAME frontier stack's eligible rows,
+      // anti-joined against the recrawl stats (a url the corpus has
+      // fetched is not new), unioned with every known url at its
+      // freshness priority; never-fetched first, then priority/endorsement
+      "e2e_fetch_queue" ->
+        s"""WITH $frontierStackCtes,
+           |lg AS (
+           |  SELECT c.doc_id AS epoch, c.canonical_url AS url,
+           |         ${recrawlFpSql("c")} AS fp
+           |  FROM rdcanon c WHERE c.doc_id % 5 <> 0),
+           |lch AS (
+           |  SELECT url, epoch, fp,
+           |         lag(fp) OVER (PARTITION BY url ORDER BY epoch) AS prev
+           |  FROM lg),
+           |lst AS (
+           |  SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+           |         CAST(max(epoch) AS BIGINT) AS last_fetch,
+           |         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> fp
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+           |  FROM lch GROUP BY url),
+           |lnw AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS now FROM documents),
+           |known AS (
+           |  SELECT lst.url, FALSE AS is_new,
+           |         CAST((lnw.now - lst.last_fetch) *
+           |           CAST(CASE WHEN lst.n_fetches <= 1 THEN 500000
+           |                ELSE lst.n_changes * 1000000 // (lst.n_fetches - 1)
+           |           END AS BIGINT) AS BIGINT) AS score_q6
+           |  FROM lst CROSS JOIN lnw),
+           |newarm AS (
+           |  SELECT ust.url, TRUE AS is_new, ust.target_rank_q6 AS score_q6
+           |  FROM ust LEFT JOIN lst ON lst.url = ust.url
+           |  WHERE ust.allowed AND NOT ust.over_budget AND lst.url IS NULL),
+           |uq AS (SELECT * FROM known UNION ALL SELECT * FROM newarm)
+           |SELECT url, is_new, score_q6,
+           |       CAST(row_number() OVER (ORDER BY is_new DESC, score_q6 DESC,
+           |         url) AS BIGINT) AS fetch_rank
+           |FROM uq ORDER BY url""".stripMargin,
 
       // anchor tokens per dst eTLD+1, ranked (count DESC, term) — the
       // engine's window replayed as row_number
