@@ -2554,6 +2554,25 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // ---- MAINTAINED recrawl stats: append == rebuild (r18, the seventh
+    //      maintained-index family): the standing per-URL fetch stats
+    //      absorb a later epoch's log in O(epoch) — per-side sums and
+    //      extremes plus ONE boundary term (standing last_fp vs epoch
+    //      first_fp), which is why the stats carry the boundary
+    //      fingerprints. The oracle rebuilds the stats from the WHOLE
+    //      log and never sees the split, so the hash match proves
+    //      append == rebuild cross-engine (the q_link_graph_append /
+    //      q_phrase_index_search pattern) ----
+    "q_recrawl_stats_append" -> ((s, d) => {
+      val (logd, now) = recrawlFetchLog(s, d)
+      val split = now / 2
+      TextOps.recrawlStatsAppend(
+          TextOps.recrawlStatsFull(
+            logd.where(col("doc_id") < split), "url", "doc_id", "fp"),
+          logd.where(col("doc_id") >= split), "url", "doc_id", "fp")
+        .orderBy("url")
+    }),
+
     // ---- the UNIFIED fetch queue (r18 — the operationally-complete
     //      crawl read composing BOTH schedulers): one ranked queue over
     //      (a) the epoch's eligible DISCOVERIES that the standing fetch
@@ -6877,6 +6896,29 @@ object SparkEntry {
            |       ust.target_rank_q6, ust.known_domain, ust.n_discoveries,
            |       ust.allowed, ust.over_budget, urk.fetch_rank
            |FROM ust LEFT JOIN urk USING (url) ORDER BY ust.url""".stripMargin,
+
+      // the append==rebuild identity: the oracle derives the stats from
+      // the FULL log (arg_min/arg_max = the engine's struct extremes over
+      // distinct epochs) and never sees the engine's standing/epoch split
+      "q_recrawl_stats_append" ->
+        s"""WITH $crawlRawCte,
+           |${urlCanonCtes("rc", "raw")},
+           |lg AS (
+           |  SELECT c.doc_id AS epoch, c.canonical_url AS url,
+           |         ${recrawlFpSql("c")} AS fp
+           |  FROM rccanon c WHERE c.doc_id % 5 <> 0),
+           |ch AS (
+           |  SELECT url, epoch, fp,
+           |         lag(fp) OVER (PARTITION BY url ORDER BY epoch) AS prev
+           |  FROM lg)
+           |SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+           |       CAST(min(epoch) AS BIGINT) AS first_fetch,
+           |       CAST(max(epoch) AS BIGINT) AS last_fetch,
+           |       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> fp
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           |       arg_min(fp, epoch) AS first_fp,
+           |       arg_max(fp, epoch) AS last_fp
+           |FROM ch GROUP BY url ORDER BY url""".stripMargin,
 
       // the unified queue: the SAME frontier stack's eligible rows,
       // anti-joined against the recrawl stats (a url the corpus has

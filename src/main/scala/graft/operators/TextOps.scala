@@ -822,6 +822,72 @@ object TextOps {
           .otherwise(0L)).as("n_changes"))
   }
 
+  /** [[recrawlStats]] extended with the BOUNDARY fingerprints that make
+    * the stats table MERGEABLE — the maintained-index form: change
+    * counting needs consecutive-fetch comparison, so a bare
+    * (count, max, changes) row cannot absorb a later epoch (the change
+    * across the epoch boundary would be lost). Carrying each URL's
+    * `first_fp`/`last_fp` (by epoch order) closes the algebra:
+    * [[recrawlStatsAppend]] folds an epoch in O(epoch), never replaying
+    * the standing log. Output: (url, n_fetches, first_fetch, last_fetch,
+    * n_changes, first_fp, last_fp). Same one-exchange shape as
+    * [[recrawlStats]]. */
+  def recrawlStatsFull(fetchLog: DataFrame, urlCol: String, epochCol: String,
+      fpCol: String): DataFrame = {
+    val w = Window.partitionBy("url").orderBy(col("epoch"))
+    fetchLog.select(col(urlCol).cast("string").as("url"),
+        col(epochCol).cast("long").as("epoch"), col(fpCol).as("fp"))
+      .withColumn("__prev", lag(col("fp"), 1).over(w))
+      .groupBy("url").agg(
+        count(lit(1)).as("n_fetches"),
+        min(col("epoch")).as("first_fetch"),
+        max(col("epoch")).as("last_fetch"),
+        sum(when(col("__prev").isNotNull && col("__prev") =!= col("fp"), 1L)
+          .otherwise(0L)).as("n_changes"),
+        // epochs are distinct per url (a fetch log's key), so the struct
+        // extremes ARE the chronologically first/last fingerprints
+        min(struct(col("epoch"), col("fp"))).getField("fp").as("first_fp"),
+        max(struct(col("epoch"), col("fp"))).getField("fp").as("last_fp"))
+  }
+
+  /** Merge an epoch's fetch log into MAINTAINED recrawl stats WITHOUT
+    * replaying the standing log — the seventh maintained-index family's
+    * append identity (the positionalIndexAppend / bm25IndexMerge
+    * contract): equals [[recrawlStatsFull]] over the concatenated log
+    * exactly (spec-pinned; the `q_recrawl_stats_append` oracle proves it
+    * cross-engine by rebuilding from scratch). Precondition: every epoch
+    * fetch of a url is LATER than the standing `last_fetch` for that url
+    * — true for time-ordered ingest epochs. The only cross-table term is
+    * the BOUNDARY change (standing `last_fp` vs epoch `first_fp`);
+    * everything else is per-side sums/extremes. Increment cost is the
+    * EPOCH's log (one url-keyed exchange at epoch cardinality) plus a
+    * url-keyed outer join against the standing stats — never the
+    * standing fetch history. */
+  def recrawlStatsAppend(standing: DataFrame, epochLog: DataFrame,
+      urlCol: String, epochCol: String, fpCol: String): DataFrame = {
+    val e = recrawlStatsFull(epochLog, urlCol, epochCol, fpCol)
+    val s = standing.select(col("url"), col("n_fetches").as("__sn"),
+      col("first_fetch").as("__sff"), col("last_fetch").as("__slf"),
+      col("n_changes").as("__sch"), col("first_fp").as("__sfp"),
+      col("last_fp").as("__slp"))
+    val en = e.select(col("url"), col("n_fetches").as("__en"),
+      col("first_fetch").as("__eff"), col("last_fetch").as("__elf"),
+      col("n_changes").as("__ech"), col("first_fp").as("__efp"),
+      col("last_fp").as("__elp"))
+    s.join(en, Seq("url"), "full_outer")
+      .select(col("url"),
+        (coalesce(col("__sn"), lit(0L)) + coalesce(col("__en"), lit(0L)))
+          .as("n_fetches"),
+        coalesce(col("__sff"), col("__eff")).as("first_fetch"),
+        coalesce(col("__elf"), col("__slf")).as("last_fetch"),
+        (coalesce(col("__sch"), lit(0L)) + coalesce(col("__ech"), lit(0L)) +
+          when(col("__slp").isNotNull && col("__efp").isNotNull &&
+            col("__slp") =!= col("__efp"), 1L).otherwise(0L))
+          .as("n_changes"),
+        coalesce(col("__sfp"), col("__efp")).as("first_fp"),
+        coalesce(col("__elp"), col("__slp")).as("last_fp"))
+  }
+
   /** RECRAWL priority (freshness scheduling, VERDICT r17 #3): each
     * discovered URL scored for re-fetch as `age × observed change rate`,
     * in exact integer arithmetic —

@@ -2526,6 +2526,48 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected the window and aggregate to share one url exchange, got $exchanges")
   }
 
+  test("recrawlStatsAppend == rebuild: boundary changes counted, per-side changes kept") {
+    import spark.implicits._
+    // standing log (epochs < 10) and a later epoch (epochs >= 10) with
+    // every merge arm planted:
+    //  u1: internal change on BOTH sides + a boundary change (c≠d)
+    //  u2: unchanged throughout — boundary must NOT count (b==b)
+    //  u3: standing-only; u4: epoch-only (with an internal change)
+    val standing = Seq(
+      ("u1", 1L, "a"), ("u1", 5L, "c"),
+      ("u2", 2L, "b"), ("u2", 6L, "b"),
+      ("u3", 3L, "z"))
+    val epoch = Seq(
+      ("u1", 11L, "d"), ("u1", 15L, "d"),
+      ("u2", 12L, "b"),
+      ("u4", 13L, "p"), ("u4", 17L, "q"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "n_fetches", "first_fetch", "last_fetch",
+          "n_changes", "first_fp", "last_fp")
+        .as[(String, Long, Long, Long, Long, String, String)]
+        .collect().toSeq.sorted
+    val appended = TextOps.recrawlStatsAppend(
+      TextOps.recrawlStatsFull(standing.toDF("url", "epoch", "fp"),
+        "url", "epoch", "fp"),
+      epoch.toDF("url", "epoch", "fp"), "url", "epoch", "fp")
+    val rebuilt = TextOps.recrawlStatsFull(
+      (standing ++ epoch).toDF("url", "epoch", "fp"), "url", "epoch", "fp")
+    assert(rows(appended) === rows(rebuilt))
+    val got = rows(appended).map(r => r._1 -> r).toMap
+    // u1: a→c (standing), c→d (BOUNDARY), d→d (epoch) = 2 changes
+    assert(got("u1") === (("u1", 4L, 1L, 15L, 2L, "a", "d")))
+    assert(got("u2") === (("u2", 3L, 2L, 12L, 0L, "b", "b")))
+    assert(got("u3") === (("u3", 1L, 3L, 3L, 0L, "z", "z")))
+    assert(got("u4") === (("u4", 2L, 13L, 17L, 1L, "p", "q")))
+    // and the scheduler consumes the merged table unchanged:
+    // u1 rate = 2 changes over 3 intervals = 666666 q6, age 20-15 = 5
+    assert(TextOps.recrawlPriority(
+        Seq("u1").toDF("u"), appended, "u", now = 20L)
+      .select("url", "age", "change_rate_q6", "priority_q6")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("u1", 5L, 666666L, 3333330L)))
+  }
+
   test("redactCards: only Luhn-valid runs redact; refs, short and overlong runs survive") {
     import spark.implicits._
     val docs = Seq(
