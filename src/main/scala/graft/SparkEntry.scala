@@ -2273,6 +2273,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- robots USER-AGENT GROUPS (VERDICT r18 #2 — RFC 9309 §2.2.1):
+    //      the per-domain dimension gains its agent scope. The crawl
+    //      (CrawlAgent = graftbot/1.0) first elects each site's most
+    //      specific matching agent group — exact token > prefix token >
+    //      `*`, groups REPLACE (never merge with) `*` — then runs the
+    //      SAME longest-match election over only that group's rules.
+    //      Planted cross-agent conflicts: h1.com allows /p/1 for `*` but
+    //      its graftbot group disallows it (same domain, same path,
+    //      flipped by WHO asks); h2.com's graftbot/1.0 group outranks
+    //      its graftbot group; h0.com's otherbot-only group never
+    //      matches → implicit allow. Agent election is domain-cardinality
+    //      dimension prep; the per-URL probe plan is byte-identical to
+    //      the agentless gate's (broadcast join + codegen election) ----
+    "q_url_rules_agent_groups" -> ((s, d) => {
+      import s.implicits._
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+          TextOps.canonicalizeUrl(crawlPlantUrl).as("url"))
+        .withColumn("host", TextOps.urlHost(col("url")))
+      val dim = TextOps.registrableDomainMap(
+        urls.select("host"), "host", rules = TextOps.PublicSuffixRulesFull)
+      val withDom = urls.join(broadcast(dim), Seq("host"))
+      TextOps.urlRuleFilterForAgent(withDom, "doc_id", "url",
+          "registrable_domain",
+          CrawlDomainAgentRules.toDF("domain", "agent", "rule", "allow"),
+          CrawlAgent)
+        .orderBy("doc_id")
+    }),
+
     // ---- RECRAWL / freshness scheduling (VERDICT r17 #3, Cho &
     //      Garcia-Molina 2000): per-URL re-fetch priority = age since
     //      last fetch × observed change rate, exact longs. The planted
@@ -5843,10 +5871,15 @@ object SparkEntry {
       .join(broadcast(dim), Seq("host"))
       .where(col("registrable_domain").isNotNull)
       .groupBy("registrable_domain").agg(count(lit(1)).as("n_pages"))
-    val rulesPacked = TextOps.urlRulesPacked {
+    // the admissibility dimension is AGENT-SCOPED since r19 (VERDICT
+    // r18 #2): the RFC 9309 group election for CrawlAgent runs once at
+    // domain cardinality and packs to the same (domain, rules) shape
+    // the streaming frontier has always consumed — per-URL work
+    // unchanged, who-is-asking decided in dimension prep
+    val rulesPacked = TextOps.urlRulesPackedForAgent({
       import s.implicits._
-      CrawlDomainRules.toDF("domain", "rule", "allow")
-    }
+      CrawlDomainAgentRules.toDF("domain", "agent", "rule", "allow")
+    }, CrawlAgent)
     // ALL three per-link decision arms (endorsement probe, per-domain
     // robots election, budget gate) are the streaming frontier's ONE
     // definition — the gates compose only the per-EPOCH novelty
@@ -5938,6 +5971,65 @@ object SparkEntry {
   private def domainRuleValues: String =
     CrawlDomainRules.map { case (d, p, a) =>
       s"('$d', '$p', ${if (a) 1 else 0})" }.mkString(", ")
+
+  /** The crawl's own user-agent string — the constant the RFC 9309
+    * agent-group election runs against (`q_url_rules_agent_groups` and
+    * the frontier's admissibility arm). */
+  val CrawlAgent: String = "graftbot/1.0"
+
+  /** AGENT-SCOPED per-domain rule dimension (VERDICT r18 #2 — RFC 9309
+    * §2.2.1): [[CrawlDomainRules]] as the `*` groups, plus named-agent
+    * groups planted to exercise every election arm against
+    * [[CrawlAgent]] = "graftbot/1.0":
+    *   - `*` vs NAMED conflict on ONE domain: h1.com's `*` group allows
+    *     /p/1 but its `graftbot` group disallows it — for graftbot the
+    *     named group REPLACES `*` entirely (groups do not merge), so
+    *     /p/1 flips to disallowed while a generic crawler keeps the
+    *     allow;
+    *   - SPECIFICITY between two matching named groups: h2.com carries
+    *     both `graftbot` (all /p disallowed) and `graftbot/1.0`
+    *     (/p/12 allowed) — the longer token wins, so /p/12 is allowed
+    *     and /p/17 (matched only by the LOSING group's rule) falls to
+    *     the implicit allow;
+    *   - NON-MATCHING named group only: h0.com's `otherbot` group never
+    *     matches graftbot and h0.com has no `*` group → every h0.com
+    *     path is implicitly allowed (the RFC default);
+    *   - `*`-group fallback: h2.co.uk / h3.com / h4.blogspot.com have
+    *     only `*` groups, which elect for every agent — the agentless
+    *     gate's polarity/longest-match/root-disallow arms carry over
+    *     verbatim. */
+  val CrawlDomainAgentRules: Seq[(String, String, String, Boolean)] =
+    CrawlDomainRules.map { case (d, p, a) => (d, "*", p, a) } ++ Seq(
+      ("h1.com", "graftbot", "/p/1", false),
+      ("h2.com", "graftbot", "/p", false),
+      ("h2.com", "graftbot/1.0", "/p/12", true),
+      ("h0.com", "otherbot", "/", false))
+
+  private def domainAgentRuleValues: String =
+    CrawlDomainAgentRules.map { case (d, ag, p, a) =>
+      s"('$d', '$ag', '$p', ${if (a) 1 else 0})" }.mkString(", ")
+
+  /** The RFC 9309 agent-group election as a prefixable CTE pair: reads
+    * the (domain, agent, rule, allow) VALUES, keeps groups matching
+    * [[CrawlAgent]] (case-insensitive prefix or `*`), elects the most
+    * specific per domain (token length, `*` = 0; ties merge), and ends
+    * in `${p}rules(domain, rule, allow)` — the shape the agentless
+    * election CTEs consume. ONE definition shared by the
+    * `q_url_rules_agent_groups` oracle and [[frontierStackCtes]]. */
+  private def agentRuleCtes(p: String): String =
+    s"""${p}adr(domain, agent, rule, allow) AS (VALUES $domainAgentRuleValues),
+       |${p}am AS (
+       |  SELECT domain, rule, allow,
+       |         CASE WHEN agent = '*' THEN 0 ELSE len(agent) END AS alen
+       |  FROM ${p}adr
+       |  WHERE agent = '*'
+       |     OR starts_with('${CrawlAgent.toLowerCase(java.util.Locale.ROOT)}',
+       |                    lower(agent))),
+       |${p}rules AS (
+       |  SELECT m.domain, m.rule, m.allow
+       |  FROM ${p}am m
+       |  JOIN (SELECT domain, max(alen) AS best FROM ${p}am GROUP BY domain) b
+       |    ON b.domain = m.domain AND m.alen = b.best)""".stripMargin
 
   /** SQL mirror of [[crawlPlantHost]] for an arbitrary key expression. */
   private def crawlHostSql(k: String): String =
@@ -6122,7 +6214,7 @@ object SparkEntry {
        |  FROM (SELECT url, regexp_replace(regexp_extract(url,
        |          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$$', 1), '\\?.*$$', '') AS p0
        |        FROM eu)),
-       |urules(domain, rule, allow) AS (VALUES $domainRuleValues),
+       |${agentRuleCtes("u")},
        |um AS (
        |  SELECT upath.url, ru.allow,
        |         row_number() OVER (PARTITION BY upath.url
@@ -6723,6 +6815,34 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY p.doc_id
            |           ORDER BY len(dr.rule) DESC, dr.allow DESC, dr.rule DESC) AS rn
            |  FROM p JOIN dr ON p.registrable_domain = dr.domain
+           |    AND starts_with(p.path, dr.rule))
+           |SELECT p.doc_id, p.canonical_url, p.registrable_domain, p.path,
+           |       m.rule AS matched_rule,
+           |       coalesce(m.allow = 1, TRUE) AS allowed
+           |FROM p LEFT JOIN (SELECT doc_id, rule, allow FROM m WHERE rn = 1) m USING (doc_id)
+           |ORDER BY p.doc_id""".stripMargin,
+
+      // the agent-group election replay (one shared CTE definition with
+      // the frontier oracles): groups matching 'graftbot/1.0' (prefix or
+      // *) → most specific per domain → the SAME per-domain longest-match
+      // election over only the elected group's rules
+      "q_url_rules_agent_groups" ->
+        s"""WITH $crawlPslCtes,
+           |p AS (
+           |  SELECT c.doc_id, c.canonical_url, r.registrable_domain,
+           |    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+           |  FROM (SELECT doc_id, canonical_url,
+           |          regexp_replace(regexp_extract(canonical_url,
+           |            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)$$', 1), '\\?.*$$', '') AS p0
+           |        FROM rdcanon) c
+           |  JOIN pages pg USING (doc_id)
+           |  JOIN reg r ON r.host = pg.host),
+           |${agentRuleCtes("g")},
+           |m AS (
+           |  SELECT p.doc_id, dr.rule, dr.allow,
+           |         row_number() OVER (PARTITION BY p.doc_id
+           |           ORDER BY len(dr.rule) DESC, dr.allow DESC, dr.rule DESC) AS rn
+           |  FROM p JOIN grules dr ON p.registrable_domain = dr.domain
            |    AND starts_with(p.path, dr.rule))
            |SELECT p.doc_id, p.canonical_url, p.registrable_domain, p.path,
            |       m.rule AS matched_rule,

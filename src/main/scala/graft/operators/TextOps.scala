@@ -779,8 +779,16 @@ object TextOps {
     * keyed by domain — still rule-cardinality + URL-cardinality, never a
     * blowup. */
   def urlRuleFilterPerDomain(urls: DataFrame, idCol: String, urlCol: String,
-      domainCol: String, ruleDim: DataFrame): DataFrame = {
-    val packed = urlRulesPacked(ruleDim)
+      domainCol: String, ruleDim: DataFrame): DataFrame =
+    urlRuleProbePacked(urls, idCol, urlCol, domainCol, urlRulesPacked(ruleDim))
+
+  /** The shared probe half of the per-domain rule filters: a broadcast
+    * hash join of the PACKED rule dimension (one row per domain) against
+    * the URL side, then the zero-shuffle codegen election — the plan
+    * shape both [[urlRuleFilterPerDomain]] and [[urlRuleFilterForAgent]]
+    * pin. */
+  private def urlRuleProbePacked(urls: DataFrame, idCol: String,
+      urlCol: String, domainCol: String, packed: DataFrame): DataFrame =
     urls.select(col(idCol).cast("long").as("doc_id"),
         col(urlCol).as("canonical_url"),
         col(domainCol).cast("string").as("registrable_domain"))
@@ -792,7 +800,60 @@ object TextOps {
         col("__d.path").as("path"),
         col("__d.matched_rule").as("matched_rule"),
         col("__d.allowed").as("allowed"))
+
+  /** RFC 9309 §2.2.1 USER-AGENT GROUP election over a per-domain rule
+    * dimension (VERDICT r18 #2): a real robots.txt scopes its rule
+    * groups by `User-agent`, and a crawler must first elect the MOST
+    * SPECIFIC matching agent group per site, then obey ONLY that group's
+    * rules — groups do not merge (a named group matching means the `*`
+    * group is ignored entirely). `ruleDim` carries one
+    * (domain, agent, rule, allow) row per robots line; matching follows
+    * the RFC's product-token rule: a group matches when its agent token
+    * is a case-insensitive PREFIX of the crawler's user-agent string,
+    * or is `*`; specificity = token length with `*` at 0 (an exact
+    * full-string token is the longest possible prefix, so exact beats
+    * prefix beats `*` without a separate tier). Two distinct tokens that
+    * tie on length and both match merge their rules — the RFC leaves
+    * ties unspecified and merging is the conservative (more rules seen)
+    * choice, documented here so the oracle replays it.
+    *
+    * The crawler's agent is a CONSTANT for the whole crawl, so the
+    * election runs ONCE at dimension-build time — two aggregations at
+    * domain cardinality — and the output is byte-compatible with
+    * [[urlRulesPacked]]: per-URL work is identical to the agentless
+    * form (one broadcast join + the shared codegen election). A domain
+    * whose groups none match (no `*` group either) packs NO row, which
+    * the probe's left join turns into the implicit allow, exactly the
+    * RFC's default. */
+  def urlRulesPackedForAgent(ruleDim: DataFrame,
+      crawlerAgent: String): DataFrame = {
+    val ua = crawlerAgent.toLowerCase(java.util.Locale.ROOT)
+    val isWild = col("agent") === "*"
+    val m = ruleDim
+      .where(isWild || lit(ua).startsWith(lower(col("agent"))))
+      .withColumn("__alen",
+        when(isWild, lit(0L)).otherwise(length(col("agent")).cast("long")))
+    val best = m.groupBy(col("domain")).agg(max(col("__alen")).as("__best"))
+    m.join(best, Seq("domain"))
+      .where(col("__alen") === col("__best"))
+      .groupBy(col("domain"))
+      .agg(collect_list(struct(
+        length(col("rule")).cast("long").as("rlen"),
+        when(col("allow").cast("boolean"), lit(1L)).otherwise(lit(0L)).as("rallow"),
+        col("rule").cast("string").as("rule"))).as("rules"))
   }
+
+  /** [[urlRuleFilterPerDomain]] with the RFC 9309 agent-group election
+    * in front ([[urlRulesPackedForAgent]]): admissibility for a crawl
+    * identifying as `crawlerAgent` against sites that special-case `*`
+    * vs named agents. Same output contract and the same probe plan —
+    * the agent election is domain-cardinality dimension prep, never
+    * per-URL work. */
+  def urlRuleFilterForAgent(urls: DataFrame, idCol: String, urlCol: String,
+      domainCol: String, ruleDim: DataFrame,
+      crawlerAgent: String): DataFrame =
+    urlRuleProbePacked(urls, idCol, urlCol, domainCol,
+      urlRulesPackedForAgent(ruleDim, crawlerAgent))
 
   /** Per-URL fetch-history statistics — the change-detector input of the
     * RECRAWL scheduler (VERDICT r17 #3): from a fetch log of

@@ -2501,6 +2501,70 @@ class OperatorsSpec extends AnyFunSuite {
       viaLit.sortBy(_.getLong(0)).map(_.toString))
   }
 
+  test("urlRuleFilterForAgent: RFC 9309 agent-group election — named replaces *, specificity, fallback") {
+    import spark.implicits._
+    val urls = Seq(
+      // * allows /p/1 on one.com but the crawl's own group disallows it
+      (1L, "https://one.com/p/1", "one.com"),
+      // …and a path only the REPLACED * group had a rule for: the named
+      // group carries no match → implicit allow (groups do not merge)
+      (2L, "https://one.com/q/1", "one.com"),
+      // specificity: 'mybot/2.0' (exact) beats 'mybot' (prefix)
+      (3L, "https://two.com/p/1", "two.com"),
+      // a domain whose only group never matches → implicit allow
+      (4L, "https://three.com/p/1", "three.com"),
+      // *-group fallback when no named group matches
+      (5L, "https://four.com/p/1", "four.com"))
+      .toDF("doc_id", "url", "dom")
+    val dim = Seq(
+      ("one.com", "*", "/p/1", true), ("one.com", "*", "/q/", false),
+      ("one.com", "mybot", "/p/1", false),
+      ("two.com", "mybot", "/p/1", false),
+      ("two.com", "mybot/2.0", "/p/1", true),
+      ("three.com", "otherbot", "/", false),
+      ("four.com", "*", "/p/1", false),
+      ("four.com", "otherbot", "/p/1", true))
+      .toDF("domain", "agent", "rule", "allow")
+    val out = TextOps.urlRuleFilterForAgent(
+      urls, "doc_id", "url", "dom", dim, "MyBot/2.0")
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(4)), r.getBoolean(5)))).toMap
+    assert(got(1L) === ((Some("/p/1"), false)),
+      "the named group REPLACES * — same domain, same path, flipped by who asks")
+    assert(got(2L) === ((None, true)),
+      "the losing * group's /q/ disallow must not leak into the elected group")
+    assert(got(3L) === ((Some("/p/1"), true)),
+      "exact token beats prefix token (len 9 > 5)")
+    assert(got(4L) === ((None, true)),
+      "no matching group and no * group → RFC default allow")
+    assert(got(5L) === ((Some("/p/1"), false)),
+      "no named match → the * group elects (alen 0)")
+    // agent matching is case-insensitive on both sides (MyBot vs mybot)
+    // — got(1) and got(3) already prove it, both named tokens are lower
+    // case against the mixed-case crawler string.
+    // plan pin: identical probe plan to the agentless form — the agent
+    // election is dimension prep, never per-URL work
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the packed rule dim must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the URL side must not shuffle for the rule probe:\n$plan")
+    // degenerate agreement: over a dimension with ONLY * groups, the
+    // agent form must reproduce the agentless per-domain filter exactly
+    // (the shared urlRuleProbePacked/urlRuleDecisionFromPacked core)
+    val starOnly = Seq(("four.com", "*", "/p/1", false))
+      .toDF("domain", "agent", "rule", "allow")
+    val a = TextOps.urlRuleFilterForAgent(
+        urls.where($"dom" === "four.com"), "doc_id", "url", "dom",
+        starOnly, "anybot")
+      .collect().map(_.toString).sorted
+    val b = TextOps.urlRuleFilterPerDomain(
+        urls.where($"dom" === "four.com"), "doc_id", "url", "dom",
+        starOnly.select("domain", "rule", "allow"))
+      .collect().map(_.toString).sorted
+    assert(a === b)
+  }
+
   test("recrawlStats: change counts from the fetch log; lag window and aggregate share ONE exchange") {
     import spark.implicits._
     val log = Seq(
