@@ -2642,6 +2642,30 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // ---- POLITENESS-aware fetch queue (r19, VERDICT r18 #2/"missing"):
+    //      a dequeuing crawler must not hammer one host back-to-back, so
+    //      the pure-priority order (e2e_fetch_queue, kept as the
+    //      documented contrast) gains a per-site interleave: rank WITHIN
+    //      each politeness key (registrable domain; the raw host for
+    //      IP-literal urls the PSL maps to NULL) by the queue's own
+    //      priority order, then order globally by (within_domain_rank,
+    //      priority) — every site's first url dequeues before any site's
+    //      second, round-robining hosts while preserving priority inside
+    //      each round. The per-key window partitions by domain (bounded
+    //      by per-domain queue depth, never a single task); the global
+    //      rank rides the O(P) prefix pass ----
+    "e2e_fetch_queue_polite" -> ((s, d) => {
+      val queue = politeFetchQueueStage(s, d)
+      CoreOps.globalPrefixSum(queue.withColumn("__one", lit(1L)),
+          Seq(col("within_domain_rank"), col("is_new").desc,
+            col("score_q6").desc, col("url")),
+          "__one", "__before")
+        .select(col("url"), col("politeness_key"), col("is_new"),
+          col("score_q6"), col("within_domain_rank"),
+          (col("__before") + lit(1L)).as("fetch_rank"))
+        .orderBy("url")
+    }),
+
     // ---- exact phrase search via positional postings, rarest-term-first
     //      intersection (the indexed retrieval path BM25 lacks — quote
     //      attribution and exact-sequence decontamination need consecutive
@@ -5906,6 +5930,43 @@ object SparkEntry {
         col("allowed"), col("over_budget"))
   }
 
+  /** The politeness-keyed queue stage of `e2e_fetch_queue_polite`, split
+    * out (the [[crawlCurationStages]] treatment) so PlanShapeSpec can pin
+    * the within-domain rank window BEFORE [[graft.operators.CoreOps.globalPrefixSum]]
+    * materializes the frame and truncates the visible lineage: the two
+    * queue arms of `e2e_fetch_queue`, each carrying its politeness key
+    * (registrable domain; the raw host when the PSL maps it to NULL —
+    * IP literals), ranked WITHIN key by the queue's own priority order.
+    * The window partitions by the key (bounded by per-domain queue
+    * depth, never a single task — spec-pinned). */
+  private[graft] def politeFetchQueueStage(s: SparkSession,
+      d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val st = urlFrontierDecisions(s, d)
+    val (logd, now) = recrawlFetchLog(s, d)
+    val stats = TextOps.recrawlStats(logd, "url", "doc_id", "fp")
+    val dim = linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))._3
+    val known = TextOps.recrawlPriority(
+        logd.select("url").distinct(), stats, "url", now)
+      .withColumn("host", TextOps.urlHost(col("url")))
+      .join(broadcast(dim), Seq("host"), "left")
+      .select(col("url"), lit(false).as("is_new"),
+        col("priority_q6").as("score_q6"),
+        coalesce(col("registrable_domain"), col("host"))
+          .as("politeness_key"))
+    val newArm = st.where(col("allowed") && !col("over_budget"))
+      .join(broadcast(stats.select("url")), Seq("url"), "left_anti")
+      .select(col("url"), lit(true).as("is_new"),
+        col("target_rank_q6").as("score_q6"),
+        coalesce(col("registrable_domain"), TextOps.urlHost(col("url")))
+          .as("politeness_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("politeness_key")
+      .orderBy(col("is_new").desc, col("score_q6").desc, col("url"))
+    known.unionByName(newArm)
+      .withColumn("within_domain_rank", row_number().over(w).cast("long"))
+  }
+
   /** The planted fetch history shared by `q_recrawl_schedule` and
     * `e2e_fetch_queue` (one definition; SQL mirror [[recrawlFpSql]]):
     * standing (% 5 != 0) docs fetch their canonical URL at
@@ -7084,6 +7145,57 @@ object SparkEntry {
            |       CAST(row_number() OVER (ORDER BY is_new DESC, score_q6 DESC,
            |         url) AS BIGINT) AS fetch_rank
            |FROM uq ORDER BY url""".stripMargin,
+
+      // the same two queue arms, each carrying its politeness key
+      // (registrable domain via the shared PSL replay, raw host when the
+      // PSL maps it to NULL), then rank within key by the queue's own
+      // order and globally by (within_domain_rank, priority)
+      "e2e_fetch_queue_polite" ->
+        s"""WITH $frontierStackCtes,
+           |lg AS (
+           |  SELECT c.doc_id AS epoch, c.canonical_url AS url,
+           |         ${recrawlFpSql("c")} AS fp
+           |  FROM rdcanon c WHERE c.doc_id % 5 <> 0),
+           |lch AS (
+           |  SELECT url, epoch, fp,
+           |         lag(fp) OVER (PARTITION BY url ORDER BY epoch) AS prev
+           |  FROM lg),
+           |lst AS (
+           |  SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+           |         CAST(max(epoch) AS BIGINT) AS last_fetch,
+           |         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> fp
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+           |  FROM lch GROUP BY url),
+           |lnw AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS now FROM documents),
+           |known AS (
+           |  SELECT lst.url, FALSE AS is_new,
+           |         CAST((lnw.now - lst.last_fetch) *
+           |           CAST(CASE WHEN lst.n_fetches <= 1 THEN 500000
+           |                ELSE lst.n_changes * 1000000 // (lst.n_fetches - 1)
+           |           END AS BIGINT) AS BIGINT) AS score_q6,
+           |         coalesce(a.registrable_domain,
+           |           regexp_extract(lst.url,
+           |             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)) AS politeness_key
+           |  FROM lst CROSS JOIN lnw
+           |  LEFT JOIN areg a ON a.host =
+           |    regexp_extract(lst.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)),
+           |newarm AS (
+           |  SELECT ust.url, TRUE AS is_new, ust.target_rank_q6 AS score_q6,
+           |         coalesce(ust.registrable_domain,
+           |           regexp_extract(ust.url,
+           |             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]*)', 1)) AS politeness_key
+           |  FROM ust LEFT JOIN lst ON lst.url = ust.url
+           |  WHERE ust.allowed AND NOT ust.over_budget AND lst.url IS NULL),
+           |uq AS (SELECT * FROM known UNION ALL SELECT * FROM newarm),
+           |wdr AS (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY politeness_key
+           |    ORDER BY is_new DESC, score_q6 DESC, url) AS BIGINT)
+           |    AS within_domain_rank
+           |  FROM uq)
+           |SELECT url, politeness_key, is_new, score_q6, within_domain_rank,
+           |       CAST(row_number() OVER (ORDER BY within_domain_rank,
+           |         is_new DESC, score_q6 DESC, url) AS BIGINT) AS fetch_rank
+           |FROM wdr ORDER BY url""".stripMargin,
 
       // anchor tokens per dst eTLD+1, ranked (count DESC, term) — the
       // engine's window replayed as row_number

@@ -739,5 +739,53 @@ class PlanShapeSpec extends AnyFunSuite {
     val rows = df.select("allowed", "over_budget").collect()
     assert(rows.exists(!_.getBoolean(0)) && rows.exists(_.getBoolean(0)))
     assert(rows.exists(_.getBoolean(1)) && rows.exists(!_.getBoolean(1)))
+    // the oracle's novelty key packs (doc_id, link_no) as
+    // doc_id·1024 + link_no (frontierStackCtes `eu`), which diverges
+    // from the engine's min(struct(doc_id, link_no)) for any page with
+    // ≥1024 extracted links — pin the plant's assumption (ADVICE r18)
+    val maxLink = SparkEntry.queries("x20_link_extract")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.max("link_no")).head().getLong(0)
+    assert(maxLink < 1024L,
+      s"planted pages must extract <1024 links/doc for the oracle's key packing (got $maxLink)")
+  }
+
+  test("e2e_fetch_queue_polite: per-key window partitions by domain; global rank rides the prefix pass") {
+    // the window pin reads the pre-prefix-sum stage — globalPrefixSum
+    // materializes the frame, truncating the gate's visible lineage
+    val stage = SparkEntry.politeFetchQueueStage(spark, sfDir)
+    val fmt = stage.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val windows = fmt.split("\n\n").toSeq
+      .filter(_.linesIterator.nextOption().exists(_.matches("""\(\d+\) Window.*""")))
+    // exactly the within-domain rank window survives, and it PARTITIONS
+    // (a partitionless window is the single-task global sort the prefix
+    // pass exists to avoid)
+    assert(windows.nonEmpty, s"within_domain_rank window disappeared:\n$fmt")
+    assert(windows.exists(_.contains("politeness_key#")),
+      s"the rank window must partition by the politeness key:\n$fmt")
+    // every window in the stage (the rank window AND the recrawl-stats
+    // lag window) must carry a non-empty partition spec — a partitionless
+    // window is the single-task global sort the prefix pass exists to
+    // avoid (an empty partition list prints as ", [], [" in Arguments)
+    windows.foreach { b =>
+      assert(!b.contains(", [], ["),
+        s"a window runs partitionless (single task):\n$b")
+    }
+    for (b <- exchangeBlocks(stage)) {
+      assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
+      assert(!b.contains("page#"), s"an exchange carries page HTML:\n$b")
+    }
+    // interleave property: EVERY site's first url dequeues before ANY
+    // site's second — with one domain holding most of the queue, the
+    // pure-priority order would violate this immediately
+    val df = SparkEntry.queries("e2e_fetch_queue_polite")(spark, sfDir)
+    val rows = df.select("within_domain_rank", "fetch_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val maxFirst = rows.filter(_._1 == 1L).map(_._2).max
+    val minSecond = rows.filter(_._1 == 2L).map(_._2).min
+    assert(rows.exists(_._1 >= 2L), "plant lost its one-domain-dominant arm")
+    assert(maxFirst < minSecond,
+      s"round-robin broken: a second-of-domain url (rank $minSecond) " +
+        s"dequeues before some first-of-domain url (rank $maxFirst)")
   }
 }
