@@ -2608,6 +2608,36 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // ---- recrawl stats DELETE == REBUILD (r19, VERDICT r18 missing #3):
+    //      a purged url's whole fetch history leaves the maintained
+    //      index via a broadcast anti-join — EXACT by construction
+    //      because the stats table is one row per url. The removal set
+    //      (urls fetched by % 7 == 2 docs — which includes urls OTHER
+    //      docs also fetched, so survivors keep their full history) is
+    //      planted; the oracle rebuilds from the log minus those urls
+    //      and never sees the delete path, so the hash match proves
+    //      delete == rebuild cross-engine ----
+    "q_recrawl_stats_delete" -> ((s, d) => {
+      val (logd, _) = recrawlFetchLog(s, d)
+      val standing = TextOps.recrawlStatsFull(logd, "url", "doc_id", "fp")
+      val rm = logd.where(col("doc_id") % 7 === 2).select("url")
+      TextOps.recrawlStatsDelete(standing, rm, "url").orderBy("url")
+    }),
+
+    // ---- link graph DELETE == REBUILD (r19, VERDICT r18 missing #3):
+    //      removing documents subtracts their edge contributions — the
+    //      append's sum-merge mirrored with negative multiplicities
+    //      (edges reaching zero drop; exceeding the standing
+    //      multiplicity raises). The oracle rebuilds the graph over the
+    //      complement corpus and never sees the subtraction ----
+    "q_link_graph_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val standing = linkGraphStagesFrom(docs)._2
+      val removed = linkGraphStagesFrom(docs.where(col("doc_id") % 7 === 2))._2
+      GraphOps.linkGraphDelete(standing, removed)
+        .orderBy("src_domain", "dst_domain")
+    }),
+
     // ---- the UNIFIED fetch queue (r18 — the operationally-complete
     //      crawl read composing BOTH schedulers): one ranked queue over
     //      (a) the epoch's eligible DISCOVERIES that the standing fetch
@@ -7107,6 +7137,40 @@ object SparkEntry {
            |       arg_min(fp, epoch) AS first_fp,
            |       arg_max(fp, epoch) AS last_fp
            |FROM ch GROUP BY url ORDER BY url""".stripMargin,
+
+      // delete == rebuild: the oracle filters the PURGED urls out of the
+      // raw log and rebuilds from scratch — it never sees the engine's
+      // anti-join, so the hash match is the proof
+      "q_recrawl_stats_delete" ->
+        s"""WITH $crawlRawCte,
+           |${urlCanonCtes("rc", "raw")},
+           |lg AS (
+           |  SELECT c.doc_id AS epoch, c.canonical_url AS url,
+           |         ${recrawlFpSql("c")} AS fp
+           |  FROM rccanon c WHERE c.doc_id % 5 <> 0),
+           |keep AS (
+           |  SELECT * FROM lg
+           |  WHERE url NOT IN (SELECT url FROM lg WHERE epoch % 7 = 2)),
+           |ch AS (
+           |  SELECT url, epoch, fp,
+           |         lag(fp) OVER (PARTITION BY url ORDER BY epoch) AS prev
+           |  FROM keep)
+           |SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+           |       CAST(min(epoch) AS BIGINT) AS first_fetch,
+           |       CAST(max(epoch) AS BIGINT) AS last_fetch,
+           |       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> fp
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           |       arg_min(fp, epoch) AS first_fp,
+           |       arg_max(fp, epoch) AS last_fp
+           |FROM ch GROUP BY url ORDER BY url""".stripMargin,
+
+      // delete == rebuild for the edge list: the oracle's docFilter
+      // keeps only the complement corpus and rebuilds from scratch —
+      // it never sees the engine's negative-multiplicity subtraction
+      "q_link_graph_delete" ->
+        s"""WITH ${linkEdgeCtes("doc_id % 7 <> 2")}
+           |SELECT src_domain, dst_domain, w AS n_links
+           |FROM ledges ORDER BY src_domain, dst_domain""".stripMargin,
 
       // the unified queue: the SAME frontier stack's eligible rows,
       // anti-joined against the recrawl stats (a url the corpus has

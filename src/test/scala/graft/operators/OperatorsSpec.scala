@@ -2632,6 +2632,77 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(("u1", 5L, 666666L, 3333330L)))
   }
 
+  test("recrawlStatsAppend GUARD: an interleaved or replayed epoch raises instead of corrupting") {
+    import spark.implicits._
+    val standing = TextOps.recrawlStatsFull(
+      Seq(("u1", 5L, "a"), ("u2", 6L, "b")).toDF("url", "epoch", "fp"),
+      "url", "epoch", "fp")
+    // epoch fetch at 5 for u1 — NOT strictly later than standing
+    // last_fetch 5 (a replay); u2's 9 is fine
+    val bad = Seq(("u1", 5L, "a"), ("u2", 9L, "b")).toDF("url", "epoch", "fp")
+    val ex = intercept[Exception] {
+      TextOps.recrawlStatsAppend(standing, bad, "url", "epoch", "fp").collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+      Option(c.getMessage).getOrElse(t.toString)
+    }
+    assert(rootMsg(ex).contains("out-of-order or replayed epoch"),
+      s"wrong failure: ${rootMsg(ex)}")
+    // …and a clean later epoch still merges (the guard costs nothing)
+    val ok = Seq(("u1", 7L, "c")).toDF("url", "epoch", "fp")
+    assert(TextOps.recrawlStatsAppend(standing, ok, "url", "epoch", "fp")
+      .where($"url" === "u1").select("n_fetches", "n_changes")
+      .as[(Long, Long)].head() === ((2L, 1L)))
+  }
+
+  test("recrawlStatsDelete == rebuild: the purged url's whole history leaves; absent urls are no-ops") {
+    import spark.implicits._
+    val log = Seq(
+      ("u1", 1L, "a"), ("u1", 5L, "b"),
+      ("u2", 2L, "x"), ("u3", 3L, "z")).toDF("url", "epoch", "fp")
+    val standing = TextOps.recrawlStatsFull(log, "url", "epoch", "fp")
+    val out = TextOps.recrawlStatsDelete(standing,
+      Seq("u1", "u_absent").toDF("url"), "url")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "n_fetches", "n_changes")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+    // delete == rebuild over the filtered log, exactly (one row per url)
+    assert(rows(out) === rows(TextOps.recrawlStatsFull(
+      log.where($"url" =!= "u1"), "url", "epoch", "fp")))
+    // the removal set broadcasts (anti-join, never an index shuffle)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "removal set must broadcast")
+  }
+
+  test("linkGraphDelete: subtract == rebuild over the complement; zero edges drop; over-removal raises") {
+    import spark.implicits._
+    val standing = Seq(
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L))
+      .toDF("src_domain", "dst_domain", "n_links")
+    val removed = Seq(
+      ("a", "b", 1L),   // partial: multiplicity drops 3 → 2
+      ("a", "c", 1L))   // full: edge reaches zero and DROPS
+      .toDF("src_domain", "dst_domain", "n_links")
+    val got = graft.operators.GraphOps.linkGraphDelete(standing, removed)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(got === Seq(("a", "b", 2L), ("b", "c", 2L)))
+    // a removal exceeding the standing multiplicity (or an edge the
+    // graph never had) must raise, never emit a negative edge
+    val over = Seq(("a", "b", 9L)).toDF("src_domain", "dst_domain", "n_links")
+    val ex = intercept[Exception] {
+      graft.operators.GraphOps.linkGraphDelete(standing, over).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+      Option(c.getMessage).getOrElse(t.toString)
+    }
+    assert(rootMsg(ex).contains("removal exceeds standing multiplicity"),
+      s"wrong failure: ${rootMsg(ex)}")
+  }
+
   test("redactCards: only Luhn-valid runs redact; refs, short and overlong runs survive") {
     import spark.implicits._
     val docs = Seq(

@@ -1345,6 +1345,65 @@ class StreamingSpec extends AnyFunSuite {
     graft.tools.CorpusMaintenance.deleteRecursively(dir)
   }
 
+  test("DURABLE recrawl stats maintained per epoch: on-disk fold == from-scratch rebuild; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = s"/tmp/graft_recrawl_idx_${System.nanoTime()}"
+    // three time-disjoint ingest epochs over two urls: u1 changes at the
+    // e1→e2 boundary (a→b) and inside e3 (b→c), u2 never changes, u3
+    // appears only in the last epoch (one-sided)
+    val e1 = Seq(("u1", 1L, "a"), ("u2", 2L, "x"))
+    val e2 = Seq(("u1", 4L, "b"), ("u2", 5L, "x"))
+    val e3 = Seq(("u1", 7L, "b"), ("u1", 9L, "c"), ("u3", 8L, "z"))
+    val mem = MemoryStream[(String, Long, String)]
+    val q = mem.toDF().toDF("url", "epoch", "fp").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.TextOps.recrawlStatsEpochWrite(
+          b, "url", "epoch", "fp", id, s"$dir/stats"))
+      .start()
+    try {
+      Seq(e1, e2, e3).foreach { e => mem.addData(e); q.processAllAvailable() }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "n_fetches", "first_fetch", "last_fetch",
+          "n_changes", "first_fp", "last_fp")
+        .as[(String, Long, Long, Long, Long, String, String)]
+        .collect().toSeq.sorted
+    val folded = graft.operators.TextOps.recrawlStatsFromEpochs(
+      spark.read.parquet(s"$dir/stats"))
+    val scratch = graft.operators.TextOps.recrawlStatsFull(
+      (e1 ++ e2 ++ e3).toDF("url", "epoch", "fp"), "url", "epoch", "fp")
+    // append == rebuild ON DISK: the folded tree equals a from-scratch
+    // build over the unioned raw log (boundary changes counted across
+    // epoch files, internal changes within them)
+    assert(rows(folded) === rows(scratch))
+    assert(rows(folded).find(_._1 == "u1").get ===
+      (("u1", 4L, 1L, 9L, 2L, "a", "c")))
+    // exactly-once: REDELIVERING epoch 1 (same batchId, same data) must
+    // leave the folded table unchanged — the overwrite-by-batchId sink
+    // replaces the epoch's own output (contrast recrawlStatsAppend,
+    // whose in-memory replay guard can only fail loudly)
+    graft.operators.TextOps.recrawlStatsEpochWrite(
+      e2.toDF("url", "epoch", "fp"), "url", "epoch", "fp", 1L, s"$dir/stats")
+    // re-read: the replay rewrote batch_id=1's files, so the pre-replay
+    // frame's file listing is stale by design (overwrite semantics)
+    val refolded = graft.operators.TextOps.recrawlStatsFromEpochs(
+      spark.read.parquet(s"$dir/stats"))
+    assert(rows(refolded) === rows(scratch),
+      "a replayed epoch double-counted the stored stats")
+    // the folded standing table serves the scheduler unchanged
+    val pr = graft.operators.TextOps.recrawlPriority(
+      Seq("u1", "u2").toDF("u"),
+      refolded.drop("first_fetch", "first_fp", "last_fp"),
+      "u", now = 10L)
+    val got = pr.select("url", "priority_q6")
+      .as[(String, Long)].collect().toMap
+    assert(got("u1") === (10L - 9L) * (2L * 1000000L / 3L))
+    assert(got("u2") === 0L)
+    graft.tools.CorpusMaintenance.deleteRecursively(dir)
+  }
+
   test("recrawl priority probes the maintained fetch-stats table: stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
