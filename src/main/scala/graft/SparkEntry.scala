@@ -2194,6 +2194,13 @@ object SparkEntry {
     //      operator decision and co.uk exercises a multi-label suffix.
     //      The PSL mapping is a DISTINCT-host-cardinality dimension
     //      broadcast back to the page stats. ----
+    //      Since r19 (VERDICT r18 #4) the distinct-host count also ships
+    //      as a GROUPED HLL SKETCH next to the exact one — the
+    //      q_domain_stats_hll est+exact pattern on the LARGER (eTLD+1)
+    //      groups, where the exact countDistinct is the expensive arm at
+    //      100 TB: p=10 registers per domain, q39 harmonic denominator
+    //      as exact longs, exact distinct riding along as the in-gate
+    //      error receipt.
     "q_registrable_domain_stats" -> ((s, d) => {
       val raw = crawlPlantUrl
       val pages = Tables.documents(s, d)
@@ -2208,7 +2215,15 @@ object SparkEntry {
         .groupBy("registrable_domain")
         .agg(countDistinct(col("host")).as("n_hosts"),
           count(lit(1)).as("n_pages"),
-          sum(col("n_toks")).as("n_tokens"))
+          sum(col("n_toks")).as("n_tokens"),
+          graft.expressions.GraftExpressions
+            .hllRegisters(col("host"), 10).as("__regs"))
+        .select(col("registrable_domain"), col("n_hosts"), col("n_pages"),
+          col("n_tokens"),
+          size(col("__regs")).cast("long").as("m"),
+          size(filter(col("__regs"), r => r > 0)).cast("long").as("n_buckets_hit"),
+          expr("aggregate(__regs, CAST(0 AS BIGINT), " +
+            "(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 39 - r))").as("inv_q39"))
         .orderBy("registrable_domain")
     }),
 
@@ -6850,14 +6865,39 @@ object SparkEntry {
       // (kind tiebreak mirrored from the engine); public suffix = matched
       // labels (minus the leftmost for an exception), default bare TLD;
       // registrable = suffix + one label, NULL when the host IS a suffix
+      // …plus the p=10 register replay PER DOMAIN over the host values
+      // (the q_domain_stats_hll contract; IS NOT DISTINCT FROM joins so
+      // the NULL-domain group — IP literals — reconstructs too)
       "q_registrable_domain_stats" ->
-        s"""WITH $crawlPslCtes
-           |SELECT r.registrable_domain,
-           |       CAST(count(DISTINCT p.host) AS BIGINT) AS n_hosts,
-           |       CAST(count(*) AS BIGINT) AS n_pages,
-           |       CAST(sum(p.n_toks) AS BIGINT) AS n_tokens
-           |FROM pages p JOIN reg r USING (host)
-           |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+        s"""WITH $crawlPslCtes,
+           |base AS (
+           |  SELECT r.registrable_domain,
+           |         CAST(count(DISTINCT p.host) AS BIGINT) AS n_hosts,
+           |         CAST(count(*) AS BIGINT) AS n_pages,
+           |         CAST(sum(p.n_toks) AS BIGINT) AS n_tokens
+           |  FROM pages p JOIN reg r USING (host)
+           |  GROUP BY 1),
+           |hh AS (SELECT r.registrable_domain AS dom,
+           |         ('0x' || substr(md5('hll:' || p.host), 1, 12))::BIGINT AS h
+           |       FROM pages p JOIN reg r USING (host)),
+           |hbr AS (SELECT dom, h // ${1L << 38} AS bucket, h % ${1L << 38} AS rest FROM hh),
+           |hrr AS (SELECT dom, bucket,
+           |          CASE WHEN rest = 0 THEN 39 ELSE 39 - len(bin(rest)) END AS rho FROM hbr),
+           |hmx AS (SELECT dom, bucket, max(rho) AS rho FROM hrr GROUP BY 1, 2),
+           |hdoms AS (SELECT DISTINCT dom FROM hh),
+           |hallb AS (SELECT hdoms.dom, CAST(i AS BIGINT) AS bucket
+           |          FROM hdoms, unnest(range(0, 1024)) AS u(i)),
+           |hfr AS (SELECT a.dom, a.bucket, coalesce(m.rho, 0) AS rho
+           |        FROM hallb a LEFT JOIN hmx m
+           |          ON m.dom IS NOT DISTINCT FROM a.dom AND m.bucket = a.bucket),
+           |hagg AS (SELECT dom, CAST(count(*) AS BIGINT) AS m,
+           |                CAST(sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+           |                CAST(sum(CAST(1 AS BIGINT) << (39 - rho)) AS BIGINT) AS inv_q39
+           |         FROM hfr GROUP BY 1)
+           |SELECT b.registrable_domain, b.n_hosts, b.n_pages, b.n_tokens,
+           |       h.m, h.n_buckets_hit, h.inv_q39
+           |FROM base b JOIN hagg h ON h.dom IS NOT DISTINCT FROM b.registrable_domain
+           |ORDER BY 1 NULLS FIRST""".stripMargin,
 
       // robots precedence replay: same canonical chain, same prefix rules
       // as VALUES, winner by (len DESC, allow DESC, rule DESC) — the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 // bit-reproducible transcendentals (StrictMath in BOTH eval paths) for
@@ -383,9 +383,46 @@ object TextOps {
     * buckets suits the test corpora; a 100 TB deployment sizes buckets
     * so each is a few GB (thousands of buckets). */
   def positionalIndexWrite(post: DataFrame, path: String,
-      nBuckets: Int = 64): Unit =
+      nBuckets: Int = 64): Unit = {
     post.withColumn("term_bucket", termBucketCol(col("term"), nBuckets))
       .write.partitionBy("term_bucket").mode("overwrite").parquet(path)
+    writeNBucketsMarker(post.sparkSession, path, nBuckets)
+  }
+
+  /** Persist the index's bucket count next to the data (`_graft_nbuckets`
+    * — underscore-prefixed, so parquet readers ignore it like _SUCCESS;
+    * ADVICE r18): the write-time and probe-time `nBuckets` are otherwise
+    * independent parameters, and a probe computed with the WRONG count
+    * filters on the wrong buckets and silently returns FALSE NEGATIVES —
+    * a missed match in a decontamination read, with no error.
+    * [[phraseStoredSearchAt]] reads this marker, making the stored value
+    * authoritative. */
+  private[graft] def writeNBucketsMarker(spark: SparkSession, path: String,
+      nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_nbuckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nBuckets.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The bucket count a stored index was WRITTEN with, from its
+    * `_graft_nbuckets` marker — None for a pre-marker tree. */
+  def storedIndexNBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_nbuckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      } finally in.close()
+    }
+  }
 
   /** Column form of [[termBucket]] (Spark `crc32` == `java.util.zip.CRC32`
     * bit for bit — the portability that lets the probe plant literals). */
@@ -407,23 +444,41 @@ object TextOps {
     * `stream.writeStream.foreachBatch(positionalIndexEpochWrite(…))`. */
   def positionalIndexEpochWrite(epoch: DataFrame, idCol: String,
       textCol: String, batchId: Long, path: String,
-      nBuckets: Int = 64): Unit =
+      nBuckets: Int = 64): Unit = {
     positionalPostingsIndex(epoch, idCol, textCol)
       .withColumn("term_bucket", termBucketCol(col("term"), nBuckets))
       .write.partitionBy("term_bucket").mode("overwrite")
       .parquet(s"$path/batch_id=$batchId")
+    // the marker lives at the TREE root (idempotent under epoch replay —
+    // every epoch of one stream writes the same constant)
+    writeNBucketsMarker(epoch.sparkSession, path, nBuckets)
+  }
 
   /** Probe a STORED index ([[positionalIndexWrite]] layout) for a
     * phrase: plants the phrase's bucket literals so the scan lists only
     * those partitions, then runs the exact [[phraseIndexSearch]] probe
     * core — index == scan == stored agree by construction. `stored` is
-    * `spark.read.parquet(path)`; `nBuckets` must match the write. */
+    * `spark.read.parquet(path)`; `nBuckets` MUST match the write — a
+    * mismatch filters on the wrong buckets and silently returns false
+    * negatives, which is why [[phraseStoredSearchAt]] (the path-based
+    * form that reads the index's own `_graft_nbuckets` marker) is the
+    * API a caller should reach for. */
   def phraseStoredSearch(stored: DataFrame, phrase: Seq[String],
       nBuckets: Int = 64): DataFrame = {
     val buckets = phrase.distinct.map(termBucket(_, nBuckets)).distinct
     phraseIndexSearch(
       stored.where(col("term_bucket").isin(buckets: _*)), phrase)
   }
+
+  /** [[phraseStoredSearch]] with the bucket count read from the index's
+    * OWN `_graft_nbuckets` marker (ADVICE r18): the stored value is
+    * authoritative, so the caller cannot mis-bucket the probe; a
+    * pre-marker tree falls back to `nBucketsDefault` (the historical
+    * write default). */
+  def phraseStoredSearchAt(spark: SparkSession, path: String,
+      phrase: Seq[String], nBucketsDefault: Int = 64): DataFrame =
+    phraseStoredSearch(spark.read.parquet(path), phrase,
+      storedIndexNBuckets(spark, path).getOrElse(nBucketsDefault))
 
   /** [[phraseSearch]] against a MAINTAINED (term, doc_id, pos) index
     * instead of the corpus: filters the index to the phrase's terms,

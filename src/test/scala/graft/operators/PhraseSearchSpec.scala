@@ -239,4 +239,48 @@ class PhraseSearchSpec extends AnyFunSuite {
       graft.tools.CorpusMaintenance.deleteRecursively(dir)
     }
   }
+
+  test("stored-index nBuckets marker: the tree's own bucket count is authoritative at probe time") {
+    // ADVICE r18: write-time and probe-time nBuckets were independent
+    // params — a mismatched probe filters on the WRONG buckets and
+    // silently misses matches. The index now persists _graft_nbuckets
+    // and phraseStoredSearchAt reads it, so a caller cannot mis-bucket.
+    import spark.implicits._
+    val docs = Seq((1L, "slow hash batch"), (2L, "slow hash"),
+      (3L, "other words only")).toDF("doc_id", "text")
+    val idx = TextOps.positionalPostingsIndex(docs, "doc_id", "text")
+    val dir = s"/tmp/graft_nbuckets_${System.nanoTime()}"
+    try {
+      // written with a NON-default bucket count
+      TextOps.positionalIndexWrite(idx, dir, nBuckets = 32)
+      assert(TextOps.storedIndexNBuckets(spark, dir) === Some(32))
+      val expect = asMap(TextOps.phraseIndexSearch(idx, Seq("slow", "hash")))
+      assert(expect.keySet === Set(1L, 2L))
+      // the path-based probe needs no count — the marker decides, even
+      // against a WRONG caller default
+      assert(asMap(TextOps.phraseStoredSearchAt(
+        spark, dir, Seq("slow", "hash"), nBucketsDefault = 64)) === expect)
+      // the failure mode the marker closes: probing the raw frame with
+      // the wrong count CAN silently miss (demonstrated only if the
+      // phrase's buckets actually differ between 32 and 64 — true here
+      // for at least one term or the assertion below is vacuous)
+      val differs = Seq("slow", "hash").exists(t =>
+        TextOps.termBucket(t, 32) != TextOps.termBucket(t, 64))
+      if (differs) {
+        val wrong = asMap(TextOps.phraseStoredSearch(
+          spark.read.parquet(dir), Seq("slow", "hash"), 64))
+        assert(wrong !== expect,
+          "expected the mis-bucketed probe to miss — the hazard the marker exists for")
+      }
+      // the streaming epoch writer stamps the same marker at the root
+      val dir2 = s"${dir}_epochs"
+      TextOps.positionalIndexEpochWrite(docs, "doc_id", "text", 0L, dir2, 16)
+      assert(TextOps.storedIndexNBuckets(spark, dir2) === Some(16))
+      assert(asMap(TextOps.phraseStoredSearchAt(
+        spark, dir2, Seq("slow", "hash"))) === expect)
+      graft.tools.CorpusMaintenance.deleteRecursively(dir2)
+    } finally {
+      graft.tools.CorpusMaintenance.deleteRecursively(dir)
+    }
+  }
 }
