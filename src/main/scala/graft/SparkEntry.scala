@@ -1240,6 +1240,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- UNIGRAM-LM (SentencePiece-style) tokenizer TRAINING (r19,
+    //      VERDICT r18 #9 — Kudo 2018): the LM-based trainer next to
+    //      x13's merges-based BPE, completing the tokenizer-design
+    //      family. Pieces are a unigram distribution trained by
+    //      deterministic hard EM over the SAME word-frequency table
+    //      (substring seeding → one E-step → prune to the vocab budget →
+    //      fixed-vocab EM with Viterbi segmentation; likelihood monotone,
+    //      spec-asserted); the exported (word, n_tokens, freq, tokens)
+    //      model is the x13 SCHEMA, so the apply path (broadcast model
+    //      join, per-doc token accounting) and the DuckDB oracle replay
+    //      are the shared shapes. Training cost: the corpus collapses to
+    //      (word, freq) in ONE distributed aggregate; EM runs driver-side
+    //      at word-table cardinality (the bpeTrainAuto local-arm
+    //      contract — single-node is where real tokenizer trainers run) ----
+    "x21_unigram_train" -> ((s, d) => {
+      val path = ensureUnigramModel(s, d)
+      val words = Tables.documents(s, d).select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(TextOps.BpePretokenPattern), lit(0))).as("word"))
+      words.join(broadcast(s.read.parquet(path).select("word", "n_tokens")), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pretokens"),
+          sum("n_tokens").as("n_unigram_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-source tokenizer fertility under the TRAINED merges: BPE
     //      tokens per pre-token and chars per BPE token, by source — the
     //      balance metric multilingual/multisource corpus builds read
@@ -4839,6 +4865,33 @@ object SparkEntry {
     path
   }
 
+  /** Vocabulary budget of the x21 unigram-LM training gate (shared by
+    * gate + specs). */
+  val X21VocabSize = 400
+
+  /** Where the x21 gate exported its trained unigram word model, plus the
+    * piece table and likelihood trace for spec introspection. */
+  @volatile private var lastX21ModelPath: Option[String] = None
+  @volatile private[graft] var lastX21Trace: Option[Seq[Double]] = None
+
+  /** Train-once-per-(JVM, sf) unigram-LM model export (the
+    * [[ensureBpeModel]] contract for the x21 gate): hard-EM unigram
+    * training over the SAME word-frequency table the BPE family trains
+    * on, exporting the (word, n_tokens, freq, tokens) model in the x13
+    * schema so the apply path and the DuckDB oracle are shared shapes. */
+  private def ensureUnigramModel(s: SparkSession, d: String): String = {
+    val path = modelExportPath("x21_unigram_model", d)
+    if (!lastX21ModelPath.contains(path)) {
+      val (_, model, trace) = TextOps.unigramTrain(
+        TextOps.bpeWordFreq(Tables.documents(s, d), "text"),
+        vocabSize = X21VocabSize)
+      writeModelParquet(model, path)
+      lastX21Trace = Some(trace)
+      lastX21ModelPath = Some(path)
+    }
+    path
+  }
+
   /** Held-out variant for the OOV gate: the model trains on doc_id % 5 ≠ 0
     * ONLY, so the held-out fifth genuinely contains unseen words. Same
     * per-(JVM, sf) export contract as [[ensureBpeModel]] (its sweep covers
@@ -5060,7 +5113,20 @@ object SparkEntry {
            |       floor(n_oov::DOUBLE / n_pretokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS oov_frac
            |FROM a ORDER BY doc_id""".stripMargin
     }
-    (oov ++ lastX13ModelPath.toSeq.flatMap { path =>
+    // the unigram gate's replay: the SAME pre-tokenizer and model-join
+    // as x13's, against the x21 export (shared schema by design)
+    val unigram = lastX21ModelPath.toSeq.map { up =>
+      "x21_unigram_train" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$p')) AS word
+           |  FROM documents),
+           |m AS (SELECT word, n_tokens FROM read_parquet('$up'))
+           |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+           |       CAST(sum(m.n_tokens) AS BIGINT) AS n_unigram_tokens
+           |FROM w JOIN m USING (word)
+           |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+    }
+    (oov ++ unigram ++ lastX13ModelPath.toSeq.flatMap { path =>
     Seq(
       "x13_bpe_train" ->
         s"""WITH w AS (

@@ -2375,6 +2375,174 @@ object TextOps {
         col("n_oov").cast("double") / col("n_pretokens").cast("double")))
   }
 
+  // -------------------------------------------------------------------------
+  // x21: UNIGRAM-LM (SentencePiece-style) tokenizer training — the
+  // probabilistic alternative to x13's merges-based BPE (Kudo 2018,
+  // "Subword Regularization"): pieces are a unigram distribution and a
+  // word segments to its maximum-likelihood piece sequence (Viterbi),
+  // trained by hard EM over the word-frequency table. Completes the
+  // tokenizer-design family: BPE train / size curve / OOV / fertility /
+  // coverage are merge-based; this is the LM-based trainer the same
+  // corpora choose between.
+  // -------------------------------------------------------------------------
+
+  /** The "unused but required" log-probability stand-in: a single-char
+    * piece whose count is zero stays in the vocabulary (full character
+    * coverage keeps every word segmentable) at effectively -∞ — chosen
+    * only when forced, without perturbing the M-step's MLE on the
+    * supported pieces (a Laplace floor would). */
+  private val UnigramLogFloor = -1e9
+
+  /** Viterbi segmentation of one word under piece log-probabilities:
+    * maximize Σ log p(piece); ties break to the LONGEST final piece at
+    * each position (deterministic — candidates at one end position have
+    * distinct lengths). Single-char coverage guarantees a path. Returns
+    * (pieces, score). */
+  private[graft] def unigramViterbi(word: String,
+      logp: java.util.HashMap[String, java.lang.Double],
+      maxPieceLen: Int): (Array[String], Double) = {
+    val n = word.length
+    val score = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    score(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      val maxL = math.min(i, maxPieceLen)
+      var L = 1
+      while (L <= maxL) {
+        val lp = logp.get(word.substring(i - L, i))
+        if (lp != null) {
+          val cand = score(i - L) + lp.doubleValue()
+          if (cand > score(i) || (cand == score(i) && L > back(i))) {
+            score(i) = cand; back(i) = L
+          }
+        }
+        L += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = n
+    while (j > 0) { out += word.substring(j - back(j), j); j -= back(j) }
+    (out.reverseIterator.toArray, score(n))
+  }
+
+  /** Driver-side unigram-LM tokenizer training (Kudo 2018, the
+    * deterministic hard-EM variant) over a word-frequency table — the
+    * [[bpeTrainLocal]] contract: the CORPUS-sized step (the word-freq
+    * aggregate) is distributed by the caller; training then runs
+    * single-node over the collapsed vocabulary, exactly where real
+    * tokenizer trainers run (SentencePiece is single-node), with driver
+    * state at word-table cardinality.
+    *
+    * Algorithm:
+    *   1. SEED: every substring of every word up to `maxPieceLen`,
+    *      occurrence-counted × word freq; all single chars kept, the
+    *      multi-char tail capped at 4×`vocabSize` by (count DESC, piece
+    *      ASC) — the deterministic total order used everywhere here.
+    *   2. One E-step under the seed distribution, then PRUNE to
+    *      `vocabSize` (all single chars + the top multi-char pieces by
+    *      segmentation count) — after this the vocabulary is FIXED.
+    *   3. `emIters` hard-EM rounds: M (piece prob = count/total, log via
+    *      StrictMath; zero-count single chars pinned at the -1e9 floor)
+    *      then E (Viterbi re-segmentation, freq-weighted counts). Each
+    *      round's corpus log-likelihood Σ freq·score is recorded; over
+    *      the fixed vocabulary hard EM is monotone non-decreasing in
+    *      this objective (E maximizes segmentations given params, M
+    *      maximizes params given segmentations) — spec-asserted.
+    *
+    * Fully deterministic: counts are exact longs, probs/logs are fixed
+    * IEEE ops in sorted word order, every selection uses the total
+    * order, Viterbi ties break to the longest piece. Returns (pieces
+    * (piece, count, logp), word segmentations (word, n_tokens, freq,
+    * tokens) — the x13 model shape, so the SAME apply/oracle path
+    * consumes either tokenizer — and the likelihood trace). */
+  def unigramTrainLocal(wordFreq: Seq[(String, Long)], vocabSize: Int,
+      maxPieceLen: Int = 8, emIters: Int = 3)
+      : (Seq[(String, Long, Double)], Seq[(String, Long, Long, Seq[String])], Seq[Double]) = {
+    import scala.collection.mutable
+    require(vocabSize > 0 && maxPieceLen > 0 && emIters >= 1)
+    val words = wordFreq.sortBy(_._1)
+    // ---- 1. seed counts: substring occurrences × freq ----
+    val seed = mutable.HashMap.empty[String, Long]
+    for ((w, f) <- words; i <- 0 until w.length;
+         L <- 1 to math.min(maxPieceLen, w.length - i)) {
+      val s = w.substring(i, i + L)
+      seed(s) = seed.getOrElse(s, 0L) + f
+    }
+    val chars: Set[String] = words.iterator.flatMap(_._1.map(_.toString)).toSet
+    def topBy(m: Iterable[(String, Long)], k: Int): Seq[(String, Long)] =
+      m.toSeq.sortBy { case (p, c) => (-c, p) }.take(k)
+    val seedVocab: Map[String, Long] =
+      chars.map(c => c -> seed.getOrElse(c, 0L)).toMap ++
+        topBy(seed.filter { case (p, _) => p.length > 1 }, vocabSize * 4)
+    // ---- shared E/M machinery ----
+    def mStep(counts: Map[String, Long]): java.util.HashMap[String, java.lang.Double] = {
+      val total = counts.valuesIterator.sum.toDouble
+      val lp = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
+      for ((p, c) <- counts)
+        lp.put(p, if (c > 0L) StrictMath.log(c.toDouble / total)
+          else UnigramLogFloor)
+      lp
+    }
+    def eStep(lp: java.util.HashMap[String, java.lang.Double])
+        : (Map[String, Long], Seq[(String, Array[String])], Double) = {
+      val counts = mutable.HashMap.empty[String, Long]
+      val segs = mutable.ArrayBuffer.empty[(String, Array[String])]
+      var ll = 0.0
+      for ((w, f) <- words) {
+        val (pieces, score) = unigramViterbi(w, lp, maxPieceLen)
+        segs += ((w, pieces))
+        ll += f * score
+        for (p <- pieces) counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      (counts.toMap, segs.toSeq, ll)
+    }
+    // ---- 2. seed E-step + prune to the final vocabulary ----
+    val (c1, _, ll1) = eStep(mStep(seedVocab))
+    val kept: Set[String] = chars ++
+      topBy(c1.filter { case (p, c) => p.length > 1 && c > 0L },
+        math.max(0, vocabSize - chars.size)).map(_._1)
+    var counts: Map[String, Long] =
+      kept.map(p => p -> c1.getOrElse(p, 0L)).toMap
+    // ---- 3. fixed-vocab hard EM ----
+    val trace = mutable.ArrayBuffer[Double](ll1)
+    var lastLp = mStep(counts)
+    var lastSegs: Seq[(String, Array[String])] = Seq.empty
+    for (_ <- 1 to emIters) {
+      lastLp = mStep(counts)
+      val (c, segs, ll) = eStep(lastLp)
+      trace += ll
+      // vocab is fixed: pieces the new segmentation dropped keep count 0
+      counts = kept.map(p => p -> c.getOrElse(p, 0L)).toMap
+      lastSegs = segs
+    }
+    val freqOf = words.toMap
+    val pieces = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => (p, c, lastLp.get(p).doubleValue()) }
+    val model = lastSegs.map { case (w, ss) =>
+      (w, ss.length.toLong, freqOf(w), ss.toSeq) }
+    (pieces, model, trace.toSeq)
+  }
+
+  /** DataFrame wrapper for [[unigramTrainLocal]]: collects the word-freq
+    * table in sorted order (the documented driver-scalars contract at
+    * word-table cardinality — the [[bpeTrainAuto]] local arm's shape) and
+    * returns (pieces, word-model) frames, the model in the exact x13
+    * export schema. */
+  def unigramTrain(wordFreq: DataFrame, vocabSize: Int,
+      maxPieceLen: Int = 8, emIters: Int = 3)
+      : (DataFrame, DataFrame, Seq[Double]) = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val local = wordFreq.select(col("word"), col("freq").cast("long"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val (pieces, model, trace) =
+      unigramTrainLocal(local, vocabSize, maxPieceLen, emIters)
+    (pieces.toDF("piece", "count", "logp"),
+      model.toDF("word", "n_tokens", "freq", "tokens"), trace)
+  }
+
   /** Tokenize documents under an exported merge list: per-doc BPE token
     * count from pre-tokens segmented by [[bpeSegment]]. A pure map over the
     * corpus (the ranked merge list rides the closure — model cardinality,
