@@ -1404,6 +1404,44 @@ class StreamingSpec extends AnyFunSuite {
     graft.tools.CorpusMaintenance.deleteRecursively(dir)
   }
 
+  test("DURABLE link graph maintained per epoch: on-disk sum-fold == rebuild; replay idempotent; delete composes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = s"/tmp/graft_linkgraph_idx_${System.nanoTime()}"
+    // three ingest epochs' edge lists; (a,b) accumulates across epochs
+    val e1 = Seq(("a", "b", 2L), ("a", "c", 1L))
+    val e2 = Seq(("a", "b", 3L), ("b", "c", 1L))
+    val e3 = Seq(("c", "a", 4L))
+    val mem = MemoryStream[(String, String, Long)]
+    val q = mem.toDF().toDF("src_domain", "dst_domain", "n_links").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.GraphOps.linkGraphEpochWrite(b, id, s"$dir/graph"))
+      .start()
+    try {
+      Seq(e1, e2, e3).foreach { e => mem.addData(e); q.processAllAvailable() }
+    } finally q.stop()
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("src_domain", "dst_domain", "n_links")
+        .as[(String, String, Long)].collect().toSeq.sorted
+    val want = Seq(("a", "b", 5L), ("a", "c", 1L), ("b", "c", 1L), ("c", "a", 4L))
+    assert(edges(graft.operators.GraphOps.linkGraphFromEpochs(
+      spark.read.parquet(s"$dir/graph"))) === want)
+    // exactly-once: redelivering epoch 1 (same batchId) is a no-op
+    graft.operators.GraphOps.linkGraphEpochWrite(
+      e2.toDF("src_domain", "dst_domain", "n_links"), 1L, s"$dir/graph")
+    val refolded = graft.operators.GraphOps.linkGraphFromEpochs(
+      spark.read.parquet(s"$dir/graph"))
+    assert(edges(refolded) === want,
+      "a replayed epoch double-counted the stored graph")
+    // the durable fold composes with the delete step (the full lifecycle)
+    assert(edges(graft.operators.GraphOps.linkGraphDelete(refolded,
+      Seq(("a", "b", 5L), ("a", "c", 1L))
+        .toDF("src_domain", "dst_domain", "n_links"))) ===
+      Seq(("b", "c", 1L), ("c", "a", 4L)))
+    graft.tools.CorpusMaintenance.deleteRecursively(dir)
+  }
+
   test("recrawl priority probes the maintained fetch-stats table: stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
