@@ -1266,6 +1266,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- TOKENIZER-DESIGN comparison (r19): the two trained tokenizers
+    //      — x13's merges-based BPE and x21's unigram LM — side by side
+    //      per source: token cost and fertility under EACH model over
+    //      the same pre-tokens. THE read a tokenizer-design run ends on:
+    //      which trainer compresses this corpus mix better, and is the
+    //      answer uniform across sources or does one source favor one
+    //      model (the multilingual-balance question). Both vocabulary
+    //      models broadcast; ONE pre-token explode feeds both joins; the
+    //      aggregate lands at source cardinality map-side ----
+    "q_tokenizer_compare" -> ((s, d) => {
+      val bpePath = ensureBpeModel(s, d)
+      val uniPath = ensureUnigramModel(s, d)
+      val words = Tables.documents(s, d).select(col("source"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(TextOps.BpePretokenPattern), lit(0))).as("word"))
+      words
+        .join(broadcast(s.read.parquet(bpePath)
+          .select(col("word"), col("n_tokens").as("__bpe"))), "word")
+        .join(broadcast(s.read.parquet(uniPath)
+          .select(col("word"), col("n_tokens").as("__uni"))), "word")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pretokens"),
+          sum("__bpe").as("n_bpe_tokens"),
+          sum("__uni").as("n_unigram_tokens"))
+        .withColumn("bpe_fertility", TextOps.round4(
+          col("n_bpe_tokens").cast("double") / col("n_pretokens").cast("double")))
+        .withColumn("unigram_fertility", TextOps.round4(
+          col("n_unigram_tokens").cast("double") / col("n_pretokens").cast("double")))
+        .orderBy("source")
+    }),
+
     // ---- per-source tokenizer fertility under the TRAINED merges: BPE
     //      tokens per pre-token and chars per BPE token, by source — the
     //      balance metric multilingual/multisource corpus builds read
@@ -5126,7 +5157,25 @@ object SparkEntry {
            |FROM w JOIN m USING (word)
            |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
     }
-    (oov ++ unigram ++ lastX13ModelPath.toSeq.flatMap { path =>
+    // the side-by-side replay needs BOTH exports: one pre-token unnest,
+    // both model joins, per-source sums and the shared round4 ratios
+    val compare = for (bp <- lastX13ModelPath.toSeq; up <- lastX21ModelPath.toSeq)
+      yield "q_tokenizer_compare" ->
+        s"""WITH w AS (
+           |  SELECT source, unnest(regexp_extract_all(lower(text), '$p')) AS word
+           |  FROM documents),
+           |mb AS (SELECT word, n_tokens AS bpe FROM read_parquet('$bp')),
+           |mu AS (SELECT word, n_tokens AS uni FROM read_parquet('$up')),
+           |a AS (SELECT w.source, CAST(count(*) AS BIGINT) AS n_pretokens,
+           |             CAST(sum(mb.bpe) AS BIGINT) AS n_bpe_tokens,
+           |             CAST(sum(mu.uni) AS BIGINT) AS n_unigram_tokens
+           |      FROM w JOIN mb USING (word) JOIN mu USING (word)
+           |      GROUP BY w.source)
+           |SELECT source, n_pretokens, n_bpe_tokens, n_unigram_tokens,
+           |       floor(n_bpe_tokens::DOUBLE / n_pretokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS bpe_fertility,
+           |       floor(n_unigram_tokens::DOUBLE / n_pretokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS unigram_fertility
+           |FROM a ORDER BY source""".stripMargin
+    (oov ++ unigram ++ compare ++ lastX13ModelPath.toSeq.flatMap { path =>
     Seq(
       "x13_bpe_train" ->
         s"""WITH w AS (
