@@ -1614,6 +1614,36 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = rows(spark.table("urlfrontier"))
     assert(streamed === batch,
       "the composed frontier is stateless — stream == batch must hold")
+    // AGENT-SCOPED admissibility streams through the SAME frontier
+    // (r19): the RFC 9309 group election happens at dimension-build
+    // time, so swapping in urlRulesPackedForAgent changes ONLY the
+    // packed rows — here example.com's `mybot` group REPLACES its `*`
+    // group (the /x disallow vanishes, a /ok disallow appears), and the
+    // decisions flip accordingly, stream == batch
+    val agentRules = graft.operators.TextOps.urlRulesPackedForAgent(
+      Seq(("example.com", "*", "/x", false),
+        ("example.com", "mybot", "/ok", false),
+        ("cold.org", "*", "/x", true))
+        .toDF("domain", "agent", "rule", "allow"), "mybot/1.0").cache()
+    val runAgent = (df: org.apache.spark.sql.DataFrame) =>
+      StreamingPipelines.urlFrontierStream(df, dim, rank, agentRules, counts,
+        "doc_id", "page", "url", budget = 30L)
+    val agentBatch = rows(runAgent(incoming.toDF("doc_id", "url", "page")))
+    assert(agentBatch === Set(
+      // the * group's /x disallow no longer applies to mybot…
+      ("https://hot.example.com/x", Some("example.com"), 777000L, true, false, true),
+      // …and its own group's /ok disallow does
+      ("https://example.com/ok", Some("example.com"), 777000L, false, false, false),
+      ("https://cold.org/xyz", Some("cold.org"), 0L, true, false, true),
+      ("https://full.com/q", Some("full.com"), 5000L, true, true, false)))
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = runAgent(mem2.toDF().toDF("doc_id", "url", "page"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("urlfrontier_agent").start()
+    try { mem2.addData(incoming); q2.processAllAvailable() } finally q2.stop()
+    assert(rows(spark.table("urlfrontier_agent")) === agentBatch,
+      "agent-scoped admissibility must stream identically")
+    agentRules.unpersist()
     dim.unpersist(); rank.unpersist(); rules.unpersist(); counts.unpersist(); ()
   }
 
