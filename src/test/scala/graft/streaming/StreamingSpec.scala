@@ -1392,6 +1392,13 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/stats"))
     assert(rows(refolded) === rows(scratch),
       "a replayed epoch double-counted the stored stats")
+    // the delete step composes on the folded table (the full lifecycle:
+    // durable epochs → fold → url purge == rebuild over the filtered log)
+    assert(rows(graft.operators.TextOps.recrawlStatsDelete(
+      refolded, Seq("u1").toDF("url"), "url")) ===
+      rows(graft.operators.TextOps.recrawlStatsFull(
+        (e1 ++ e2 ++ e3).filterNot(_._1 == "u1").toDF("url", "epoch", "fp"),
+        "url", "epoch", "fp")))
     // the folded standing table serves the scheduler unchanged
     val pr = graft.operators.TextOps.recrawlPriority(
       Seq("u1", "u2").toDF("u"),
