@@ -2768,6 +2768,36 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // ---- seen-URL BLOOM filter (r19): the frontier novelty test's
+    //      scale path — at 100 TB the seen-set outgrows the broadcast
+    //      anti-join, and the classical crawler answer is a packed
+    //      Bloom seen-test: "definitely new" is CERTAIN (no false
+    //      negatives, spec-asserted), maybe-seen falls back to the
+    //      exact index at FP cardinality. The filter is built as the
+    //      bit_or MERGE of two half blooms (split by crc32 parity), and
+    //      the oracle builds from the WHOLE standing set — the hash
+    //      match proves merge == rebuild cross-engine. All md5-derived
+    //      exact integers; 62-bit words so no shift overflows a signed
+    //      long on either engine; the exact membership rides along as
+    //      the in-gate receipt (the est+exact pattern) ----
+    "q_url_seen_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val urlC = TextOps.canonicalizeUrl(crawlPlantUrl)
+      val standing = docs.where(col("doc_id") % 5 =!= 0)
+        .select(urlC.as("url")).distinct()
+      val half = (p: Int) => standing
+        .where(pmod(crc32(col("url").cast("binary")), lit(2L)) === p)
+      val bloom = TextOps.urlBloomMerge(
+        TextOps.urlBloomBuild(half(0), "url", UrlBloomBits, UrlBloomK),
+        TextOps.urlBloomBuild(half(1), "url", UrlBloomBits, UrlBloomK))
+      val candidates = docs.select(urlC.as("url")).distinct()
+      TextOps.urlBloomProbe(candidates, "url", bloom, UrlBloomBits, UrlBloomK)
+        .join(standing.withColumn("__seen", lit(true)), Seq("url"), "left")
+        .select(col("url"), col("maybe_seen"),
+          coalesce(col("__seen"), lit(false)).as("actually_seen"))
+        .orderBy("url")
+    }),
+
     // ---- exact phrase search via positional postings, rarest-term-first
     //      intersection (the indexed retrieval path BM25 lacks — quote
     //      attribution and exact-sequence decontamination need consecutive
@@ -6198,6 +6228,13 @@ object SparkEntry {
     * the frontier's admissibility arm). */
   val CrawlAgent: String = "graftbot/1.0"
 
+  /** Seen-URL bloom sizing of `q_url_seen_bloom` (shared with specs):
+    * 1024 bits / 3 hashes over the ~65-url standing set at sf0.01 —
+    * ~0.2 bits-set density, so false positives are possible but rare,
+    * and the gate's exact arm records whichever occurred. */
+  val UrlBloomBits = 1024
+  val UrlBloomK = 3
+
   /** AGENT-SCOPED per-domain rule dimension (VERDICT r18 #2 — RFC 9309
     * §2.2.1): [[CrawlDomainRules]] as the `*` groups, plus named-agent
     * groups planted to exercise every election arm against
@@ -7318,6 +7355,42 @@ object SparkEntry {
            |       arg_min(fp, epoch) AS first_fp,
            |       arg_max(fp, epoch) AS last_fp
            |FROM ch GROUP BY url ORDER BY url""".stripMargin,
+
+      // the packed-bloom replay: same md5 bit positions, same 62-bit
+      // bit_or words, same all-k probe — built from the WHOLE standing
+      // set (the engine built it as a merge of halves, so the hash
+      // match proves merge == rebuild), exact membership alongside
+      "q_url_seen_bloom" ->
+        s"""WITH $crawlRawCte,
+           |${urlCanonCtes("sb", "raw")},
+           |su AS (SELECT DISTINCT canonical_url AS url FROM sbcanon
+           |       WHERE doc_id % 5 <> 0),
+           |cu AS (SELECT DISTINCT canonical_url AS url FROM sbcanon),
+           |pos AS (
+           |  SELECT url,
+           |         ('0x' || substr(md5('bloom' || j || ':' || url), 1, 12))::BIGINT
+           |           % $UrlBloomBits AS bit
+           |  FROM su, unnest(range(0, $UrlBloomK)) AS u(j)),
+           |words AS (
+           |  SELECT bit // 62 AS word_idx,
+           |         bit_or(1::BIGINT << CAST(bit % 62 AS INTEGER)) AS bits
+           |  FROM pos GROUP BY 1),
+           |cpos AS (
+           |  SELECT url,
+           |         ('0x' || substr(md5('bloom' || j || ':' || url), 1, 12))::BIGINT
+           |           % $UrlBloomBits AS bit
+           |  FROM cu, unnest(range(0, $UrlBloomK)) AS u(j)),
+           |probe AS (
+           |  SELECT c.url,
+           |         CAST(sum(CASE WHEN w.bits IS NOT NULL AND
+           |           (w.bits & (1::BIGINT << CAST(c.bit % 62 AS INTEGER))) != 0
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS hits
+           |  FROM cpos c LEFT JOIN words w ON w.word_idx = c.bit // 62
+           |  GROUP BY c.url)
+           |SELECT p.url, p.hits = $UrlBloomK AS maybe_seen,
+           |       su.url IS NOT NULL AS actually_seen
+           |FROM probe p LEFT JOIN su ON su.url = p.url
+           |ORDER BY p.url""".stripMargin,
 
       // delete == rebuild for the edge list: the oracle's docFilter
       // keeps only the complement corpus and rebuilds from scratch —

@@ -1099,6 +1099,73 @@ object TextOps {
           .getField("last_fp").as("last_fp"))
   }
 
+  // -------------------------------------------------------------------------
+  // Seen-URL BLOOM filter (r19) — the frontier novelty test's scale path.
+  // The unified fetch queue decides "have we ever fetched this url?" by a
+  // broadcast anti-join against the stats index; at 100 TB the seen-set
+  // outgrows any broadcast, and the classical crawler answer (Heritrix/
+  // Nutch lineage) is a Bloom seen-test: "definitely new" is CERTAIN (a
+  // bloom has no false negatives), and only the maybe-seen minority falls
+  // back to the exact index probe — at bloom-FP cardinality, not corpus
+  // cardinality. Bits are md5-derived and the filter packs to 62-bit
+  // words by bit_or, so the whole artifact is exact integers both
+  // engines reproduce (the HLL md5 contract's sibling). 62-bit words —
+  // not 64 — keep every mask shift ≤ 61, so `1 << shift` never overflows
+  // a signed long on EITHER engine (DuckDB raises on << overflow).
+  // -------------------------------------------------------------------------
+
+  /** The k deterministic bit positions of a url: position_j =
+    * md5("bloom<j>:" || url)'s first 48 bits mod `mBits` — pure codegen
+    * built-ins, replayable in SQL verbatim. */
+  def urlBloomPositions(url: Column, mBits: Int, k: Int): Column =
+    array((0 until k).map { j =>
+      pmod(conv(substring(md5(concat(lit(s"bloom$j:"), url)), 1, 12),
+        16, 10).cast("long"), lit(mBits.toLong))
+    }: _*)
+
+  /** Build a packed seen-URL bloom: one (word_idx, bits) row per
+    * occupied 62-bit word — at most ⌈mBits/62⌉ rows however large the
+    * url set, the compression that makes the seen-test shippable. ONE
+    * map-side-combinable aggregate over the urls; the merge identity is
+    * [[urlBloomMerge]]'s bit_or (union of url sets == merge of blooms —
+    * the maintained-index append algebra, trivially). */
+  def urlBloomBuild(urls: DataFrame, urlCol: String, mBits: Int,
+      k: Int): DataFrame =
+    urls.select(explode(urlBloomPositions(col(urlCol), mBits, k)).as("bit"))
+      .select(expr("bit div 62").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 62 AS INT))").as("__m"))
+      .groupBy("word_idx").agg(expr("bit_or(__m)").as("bits"))
+
+  /** Merge packed blooms — per-word bit_or. Equals a from-scratch build
+    * over the unioned url sets exactly (bit_or is the set union on
+    * words; proven cross-engine by `q_url_seen_bloom`, whose oracle
+    * builds from the whole set and never sees the engine's halves). */
+  def urlBloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+
+  /** Probe candidates against a packed bloom: a url is `maybe_seen` iff
+    * ALL k of its bits are set — so `NOT maybe_seen` is a CERTAIN
+    * "never fetched" (no false negatives; the bloom guarantee the spec
+    * asserts), while `maybe_seen` carries the documented false-positive
+    * rate and falls back to the exact index probe.
+    *
+    * Scale shape: k rows per candidate join the packed words on
+    * word_idx. The bloom BROADCASTS when sized for executor memory (the
+    * point of packing — 10 bits/url = ~1.2 GB per 10⁹ urls); a filter
+    * too big for one broadcast shards by url-hash range and each probe
+    * partition joins its shard — never corpus work either way. */
+  def urlBloomProbe(candidates: DataFrame, urlCol: String,
+      bloom: DataFrame, mBits: Int, k: Int): DataFrame =
+    candidates.select(col(urlCol).as("url"))
+      .withColumn("__pos", explode(urlBloomPositions(col("url"), mBits, k)))
+      .select(col("url"), expr("__pos div 62").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 62 AS INT))").as("__m"))
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .groupBy("url")
+      .agg((sum(when(col("bits").isNotNull &&
+          (col("bits").bitwiseAND(col("__m")) =!= 0L), 1L).otherwise(0L)) ===
+        lit(k.toLong)).as("maybe_seen"))
+
   /** RECRAWL priority (freshness scheduling, VERDICT r17 #3): each
     * discovered URL scored for re-fetch as `age × observed change rate`,
     * in exact integer arithmetic —

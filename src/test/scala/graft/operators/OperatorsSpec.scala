@@ -2703,6 +2703,42 @@ class OperatorsSpec extends AnyFunSuite {
       s"wrong failure: ${rootMsg(ex)}")
   }
 
+  test("seen-URL bloom: no false negatives, merge == rebuild, saturation yields the documented FPs") {
+    import spark.implicits._
+    val seen = (0 until 20).map(i => s"https://h$i.com/p/$i").toDF("url")
+    val m = 64
+    val k = 3
+    // merge of arbitrary halves == one build over the whole set — the
+    // packed words are a set union under bit_or
+    def words(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSeq.sorted
+    val whole = TextOps.urlBloomBuild(seen, "url", m, k)
+    val merged = TextOps.urlBloomMerge(
+      TextOps.urlBloomBuild(seen.limit(7), "url", m, k),
+      TextOps.urlBloomBuild(seen.except(seen.limit(7)), "url", m, k))
+    assert(words(merged) === words(whole))
+    // probe seen ∪ novel candidates: every seen url MUST read maybe_seen
+    // (a bloom has no false negatives — the crawler's "definitely new"
+    // certainty), and at 20 urls × 3 hashes in 64 bits the filter is
+    // saturated enough that some novel url reads maybe_seen (the
+    // documented FP arm — if none did, the probe would be vacuous)
+    val novel = (0 until 50).map(i => s"https://novel$i.org/x").toDF("url")
+    val got = TextOps.urlBloomProbe(seen.union(novel), "url", whole, m, k)
+      .as[(String, Boolean)].collect().toMap
+    assert(seen.as[String].collect().forall(got(_)),
+      "false negative: a seen url read definitely-new")
+    val fps = novel.as[String].collect().count(got(_))
+    assert(fps > 0, "saturated 64-bit filter produced no FP — probe is vacuous")
+    assert(fps < 50, "every novel url read seen — filter carries no signal")
+    // a roomy filter on the same sets: same zero-false-negative
+    // guarantee, and the novel set now reads overwhelmingly new
+    val big = TextOps.urlBloomBuild(seen, "url", 4096, k)
+    val got2 = TextOps.urlBloomProbe(seen.union(novel), "url", big, 4096, k)
+      .as[(String, Boolean)].collect().toMap
+    assert(seen.as[String].collect().forall(got2(_)))
+    assert(novel.as[String].collect().count(got2(_)) < 5)
+  }
+
   test("redactCards: only Luhn-valid runs redact; refs, short and overlong runs survive") {
     import spark.implicits._
     val docs = Seq(
