@@ -2768,6 +2768,34 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // ---- SITEMAP ingestion (r19 — sitemaps.org protocol, the crawl's
+    //      SECOND discovery arm): each % 5 == 0 doc publishes a urlset;
+    //      <url> entries extract at scan speed (loc required — the
+    //      loc-less entry drops per protocol; <lastmod> optional), locs
+    //      run the SHARED canonicalization chain, and each entry probes
+    //      the standing fetch-stats index: known_url + the freshness
+    //      read a sitemap exists for — modified_since_fetch = the
+    //      published lastmod epoch-day vs OUR last fetch of that url
+    //      (both polarities planted; NULL when the url is unknown or
+    //      lastmod absent). Extraction is zero-shuffle codegen; the
+    //      stats index broadcasts ----
+    "q_sitemap_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (logd, _) = recrawlFetchLog(s, d)
+      val stats = TextOps.recrawlStats(logd, "url", "doc_id", "fp")
+      val sm = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), sitemapPlantXml.as("xml"))
+      TextOps.extractSitemapUrls(sm, "xml")
+        .withColumn("url", TextOps.canonicalizeUrl(col("loc")))
+        .join(broadcast(stats.select(col("url"), col("last_fetch"))),
+          Seq("url"), "left")
+        .select(col("doc_id"), col("url_no"), col("url"), col("lastmod_day"),
+          col("last_fetch").isNotNull.as("known_url"),
+          when(col("last_fetch").isNotNull && col("lastmod_day").isNotNull,
+            col("lastmod_day") > col("last_fetch")).as("modified_since_fetch"))
+        .orderBy("doc_id", "url_no")
+    }),
+
     // ---- seen-URL BLOOM filter (r19): the frontier novelty test's
     //      scale path — at 100 TB the seen-set outgrows the broadcast
     //      anti-join, and the classical crawler answer is a packed
@@ -5991,6 +6019,35 @@ object SparkEntry {
       a3, lit("</body></html>"))
   }
 
+  /** The sitemap plant of `q_sitemap_ingest` (SQL mirror inline in its
+    * oracle): each % 5 == 0 doc "publishes" a sitemaps.org urlset with
+    * (a) its OWN canonical url WITHOUT `<lastmod>` — the crawl-plant
+    *     CRT classes put every %5==0 doc's (host, path) outside the
+    *     standing fetch log (path % 5 == 0 never standing-fetched), so
+    *     this is the DISCOVERY arm: known_url false, lastmod NULL;
+    * (b) the link plant's k1 target in its CANONICAL '?a=1' spelling —
+    *     k1 % 5 == 1, a STANDING-fetched class — carrying a `<lastmod>`
+    *     planted at epoch-day `doc_id + (doc_id % 3 − 1)·200`: far
+    *     enough either side of the url's standing last fetch that
+    *     modified_since_fetch exercises BOTH polarities;
+    * (c) a loc-less entry the protocol drops.
+    * Epoch-days keep the freshness algebra in exact longs: `<lastmod>`
+    * is the ISO date of epoch-day e, and parsing it back yields exactly
+    * e on both engines. */
+  private def sitemapPlantXml: Column = {
+    val d = col("doc_id")
+    val k1 = d * 3 + 1
+    val lmDay = (d + (d % 3 - 1) * 200).cast("int")
+    val own = concat(lit("<url><loc>https://"), crawlPlantHost(d), lit("/p/"),
+      (d % 20).cast("string"), lit("?a=1</loc></url>"))
+    val other = concat(lit("<url><loc>https://"), crawlPlantHost(k1),
+      lit("/p/"), (k1 % 20).cast("string"), lit("?a=1</loc><lastmod>"),
+      date_format(date_add(to_date(lit("1970-01-01")), lmDay), "yyyy-MM-dd"),
+      lit("</lastmod></url>"))
+    concat(lit("<?xml version=\"1.0\"?><urlset>"), own, other,
+      lit("<url><lastmod>1999-12-31</lastmod></url></urlset>"))
+  }
+
   /** The link-graph family's two shared stages: `links` — every planted
     * anchor extracted, resolved against the doc's own canonical base, and
     * canonicalized (doc_id, link_no, href, url, dst_host, anchor, base);
@@ -7355,6 +7412,55 @@ object SparkEntry {
            |       arg_min(fp, epoch) AS first_fp,
            |       arg_max(fp, epoch) AS last_fp
            |FROM ch GROUP BY url ORDER BY url""".stripMargin,
+
+      // the sitemap replay: rebuild the planted urlset XML, extract the
+      // <url> blocks with ordinality (loc-less entries drop AFTER
+      // numbering, like the engine's posexplode-then-filter), run the
+      // shared canon chain on loc, parse lastmod back to its epoch-day,
+      // and probe the shared fetch-stats replay
+      "q_sitemap_ingest" ->
+        s"""WITH $crawlRawCte,
+           |${urlCanonCtes("rc", "raw")},
+           |lg AS (
+           |  SELECT c.doc_id AS epoch, c.canonical_url AS url,
+           |         ${recrawlFpSql("c")} AS fp
+           |  FROM rccanon c WHERE c.doc_id % 5 <> 0),
+           |st AS (SELECT url, CAST(max(epoch) AS BIGINT) AS last_fetch
+           |       FROM lg GROUP BY url),
+           |smraw AS (
+           |  SELECT doc_id,
+           |    '<?xml version="1.0"?><urlset><url><loc>https://' ||
+           |    ${crawlHostSql("doc_id")} || '/p/' || CAST(doc_id % 20 AS VARCHAR) ||
+           |    '?a=1</loc></url><url><loc>https://' ||
+           |    ${crawlHostSql("doc_id * 3 + 1")} || '/p/' || CAST((doc_id * 3 + 1) % 20 AS VARCHAR) ||
+           |    '?a=1</loc><lastmod>' ||
+           |    strftime(DATE '1970-01-01' + CAST(doc_id + (doc_id % 3 - 1) * 200 AS INTEGER), '%Y-%m-%d') ||
+           |    '</lastmod></url><url><lastmod>1999-12-31</lastmod></url></urlset>' AS xml
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |smblk AS (
+           |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS url_no, b[i] AS blk
+           |  FROM (SELECT doc_id, regexp_extract_all(xml, '(?s)<url>.*?</url>') AS b
+           |        FROM smraw), unnest(range(1, len(b) + 1)) AS u(i)),
+           |smee AS (
+           |  SELECT doc_id, url_no,
+           |         regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+           |         regexp_extract(blk, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1) AS lm
+           |  FROM smblk
+           |  WHERE regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''),
+           |ku AS (SELECT doc_id * 1024 + url_no AS doc_id, loc AS url FROM smee),
+           |${urlCanonCtes("sm", "ku")}
+           |SELECT e.doc_id, e.url_no, x.canonical_url AS url,
+           |       CAST(CASE WHEN e.lm = '' THEN NULL
+           |            ELSE CAST(substr(e.lm, 1, 10) AS DATE) - DATE '1970-01-01'
+           |       END AS BIGINT) AS lastmod_day,
+           |       st.url IS NOT NULL AS known_url,
+           |       CASE WHEN st.url IS NOT NULL AND e.lm <> ''
+           |            THEN (CAST(substr(e.lm, 1, 10) AS DATE) - DATE '1970-01-01') > st.last_fetch
+           |       END AS modified_since_fetch
+           |FROM smee e
+           |JOIN smcanon x ON x.doc_id = e.doc_id * 1024 + e.url_no
+           |LEFT JOIN st ON st.url = x.canonical_url
+           |ORDER BY e.doc_id, e.url_no""".stripMargin,
 
       // the packed-bloom replay: same md5 bit positions, same 62-bit
       // bit_or words, same all-k probe — built from the WHOLE standing

@@ -236,6 +236,35 @@ object TextOps {
       .drop("__tag")
   }
 
+  /** Extract the `<url>` entries of a sitemaps.org `<urlset>` document
+    * (r19 — the crawl's SECOND discovery arm: real crawlers consume
+    * sitemaps alongside extracted anchors, and a sitemap's `<lastmod>`
+    * is a freshness signal the recrawl scheduler reads directly —
+    * sitemaps.org protocol, public spec): one row per `<url>` block
+    * with `url_no` (document order), `loc` (required; entries without a
+    * `<loc>` are dropped per protocol), and `lastmod_day` — the
+    * `<lastmod>` date's epoch-day as an exact long (the first 10 chars
+    * of the W3C datetime form are the date), NULL when absent. Pure
+    * zero-shuffle codegen regexp projections, the [[extractLinks]]
+    * shape; `loc` feeds the shared resolution/canonicalization chain. */
+  def extractSitemapUrls(sitemaps: DataFrame, xmlCol: String): DataFrame = {
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?s)<url>.*?</url>"), lit(0))
+    sitemaps
+      .select(col("*"), posexplode(blocks).as(Seq("url_no", "__blk")))
+      .withColumn("url_no", col("url_no").cast("long"))
+      .withColumn("loc",
+        regexp_extract(col("__blk"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))
+      .where(col("loc") =!= "")
+      .withColumn("__lm",
+        regexp_extract(col("__blk"), "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1))
+      .withColumn("lastmod_day",
+        when(col("__lm") === "", lit(null).cast("long"))
+          .otherwise(datediff(to_date(substring(col("__lm"), 1, 10)),
+            to_date(lit("1970-01-01"))).cast("long")))
+      .drop("__blk", "__lm")
+  }
+
   /** Exact phrase search over whitespace tokens via POSITIONAL POSTINGS —
     * the indexed-retrieval companion of the BM25 family (BM25 ranks by
     * bag-of-terms; decontamination and quote-attribution checks need the
