@@ -2454,7 +2454,10 @@ object SparkEntry {
     //      per dst eTLD+1 via one count + ranked window at (domain, term)
     //      cardinality ----
     "q_anchor_topterms" -> ((s, d) => {
-      val (links, _, dim0) = linkGraphStages(s, d)
+      // checkpoint the extracted links (r19): the anchor-term rollup and
+      // the PSL dim both read them — one extraction pass, not two
+      val links0 = extractedLinksFrom(Tables.documents(s, d)).localCheckpoint()
+      val (links, dim0) = (links0, linkHostDim(links0))
       val dim = dim0.toDF("dst_host", "registrable_domain")
       val terms = links.join(broadcast(dim), Seq("dst_host"))
         .where(col("registrable_domain").isNotNull)
@@ -2522,9 +2525,16 @@ object SparkEntry {
     //      append==rebuild proof. Increment cost is the epoch's edges,
     //      never the standing graph ----
     "q_link_graph_append" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val standing = linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))._2
-      val epoch = linkGraphStagesFrom(docs.where(col("doc_id") % 5 === 0))._2
+      // r19 optimization (guide §2.4): ONE extraction pass + ONE PSL dim
+      // over the full corpus, split AFTER extraction by the doc_id
+      // predicate the links row already carries — the old form re-ran the
+      // whole extract/canonicalize/PSL chain once per split. Row-identical:
+      // the host→domain map is a pure per-host function, so a shared dim
+      // built over the superset of hosts elects the same domain per host.
+      val links = extractedLinksFrom(Tables.documents(s, d)).localCheckpoint()
+      val dim = linkHostDim(links).localCheckpoint()
+      val standing = linkEdgesFrom(links.where(col("doc_id") % 5 =!= 0), dim)
+      val epoch = linkEdgesFrom(links.where(col("doc_id") % 5 === 0), dim)
       standing.unionByName(epoch)
         .groupBy("src_domain", "dst_domain").agg(sum(col("n_links")).as("n_links"))
         .orderBy("src_domain", "dst_domain")
@@ -2537,7 +2547,11 @@ object SparkEntry {
     //      and how many are reciprocated. One self-join of the edge list
     //      on the reversed pair, at domain-pair cardinality ----
     "q_link_reciprocity" -> ((s, d) => {
-      val edges = linkGraphStages(s, d)._2
+      // localCheckpoint (r19): the edge list feeds BOTH sides of the
+      // reversed-pair self-join — without it the whole extraction + PSL +
+      // edge-aggregation lineage runs twice (guide §2.4). Domain-pair
+      // cardinality, so the materialization is tiny at any scale.
+      val edges = linkGraphStages(s, d)._2.localCheckpoint()
       val rev = edges.select(col("dst_domain").as("src_domain"),
         col("src_domain").as("dst_domain"), lit(1L).as("__rec"))
       edges.join(rev, Seq("src_domain", "dst_domain"), "left")
@@ -2592,8 +2606,12 @@ object SparkEntry {
     //      unseen/IP targets probe to rank 0 (the cold-start arm) ----
     "q_link_frontier_probe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val (_, sedges, dim) =
-        linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))
+      // r19: one standing extraction pass; the dim is broadcast by the
+      // probe and would otherwise recompute the extraction per consumer
+      val standingLinks =
+        extractedLinksFrom(docs.where(col("doc_id") % 5 =!= 0)).localCheckpoint()
+      val dim = linkHostDim(standingLinks).localCheckpoint()
+      val sedges = linkEdgesFrom(standingLinks, dim)
       val rank = GraphOps.weightedPageRankDirected(sedges,
           "src_domain", "dst_domain", "n_links", iterations = 4)
         .select(col("node").as("registrable_domain"), col("pr_q6"))
@@ -2612,7 +2630,13 @@ object SparkEntry {
     //      the O(P) two-phase prefix pass, never a single-task window;
     //      everything else is broadcast dims + domain-cardinality rows ----
     "e2e_crawl_frontier" -> ((s, d) => {
-      val (_, edges, dim) = linkGraphStages(s, d)
+      // r19: one extraction pass (links feed the edge rollup AND the PSL
+      // dim), dim checkpointed for its two consumers, and the composed
+      // (budget, endorsement) table checkpointed for ITS two consumers
+      // (the eligible rank arm + the final join) — guide §2.4
+      val links = extractedLinksFrom(Tables.documents(s, d)).localCheckpoint()
+      val dim = linkHostDim(links).localCheckpoint()
+      val edges = linkEdgesFrom(links, dim)
       val pages = Tables.documents(s, d).select(
         TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"))
       val counts = pages.join(broadcast(dim), Seq("host"))
@@ -2625,6 +2649,7 @@ object SparkEntry {
         .select(col("registrable_domain").as("domain"), col("n_pages"),
           coalesce(col("pr_q6"), lit(0L)).as("pr_q6"),
           (col("n_pages") >= 30).as("over_budget"))
+        .localCheckpoint()
       val under = st.where(!col("over_budget"))
         .select(col("domain"), col("pr_q6"), lit(1L).as("__one"))
       val ranked = CoreOps.globalPrefixSum(under,
@@ -2647,7 +2672,11 @@ object SparkEntry {
     //      never a single-task window (plan spec-pinned); PSL, rank, and
     //      budget dims all broadcast ----
     "e2e_url_frontier" -> ((s, d) => {
-      val st = urlFrontierDecisions(s, d)
+      // localCheckpoint (r19): the decision table feeds BOTH the eligible
+      // rank arm and the final left join — without it the whole standing
+      // pipeline (extraction, PSL, PageRank, probe, novelty) runs twice
+      // (guide §2.4). URL cardinality, narrow columns.
+      val st = urlFrontierDecisions(s, d).localCheckpoint()
       val eligible = st.where(col("allowed") && !col("over_budget"))
         .select(col("url"), col("target_rank_q6"), lit(1L).as("__one"))
       val ranked = CoreOps.globalPrefixSum(eligible,
@@ -2703,9 +2732,11 @@ object SparkEntry {
     //      multiplicity raises). The oracle rebuilds the graph over the
     //      complement corpus and never sees the subtraction ----
     "q_link_graph_delete" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val standing = linkGraphStagesFrom(docs)._2
-      val removed = linkGraphStagesFrom(docs.where(col("doc_id") % 7 === 2))._2
+      // same one-extraction/one-dim treatment as q_link_graph_append (r19)
+      val links = extractedLinksFrom(Tables.documents(s, d)).localCheckpoint()
+      val dim = linkHostDim(links).localCheckpoint()
+      val standing = linkEdgesFrom(links, dim)
+      val removed = linkEdgesFrom(links.where(col("doc_id") % 7 === 2), dim)
       GraphOps.linkGraphDelete(standing, removed)
         .orderBy("src_domain", "dst_domain")
     }),
@@ -2726,7 +2757,10 @@ object SparkEntry {
     "e2e_fetch_queue" -> ((s, d) => {
       val st = urlFrontierDecisions(s, d)
       val (logd, now) = recrawlFetchLog(s, d)
+      // checkpoint (r19): the stats index feeds BOTH queue arms (priority
+      // join + novelty anti-join); one row per url
       val stats = TextOps.recrawlStats(logd, "url", "doc_id", "fp")
+        .localCheckpoint()
       val known = TextOps.recrawlPriority(
           logd.select("url").distinct(), stats, "url", now)
         .select(col("url"), lit(false).as("is_new"),
@@ -6070,28 +6104,52 @@ object SparkEntry {
     * re-deriving its own copy (review r16). */
   private[graft] def linkGraphStagesFrom(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
+    val links = extractedLinksFrom(docs)
+    val dim = linkHostDim(links)
+    (links, linkEdgesFrom(links, dim), dim)
+  }
+
+  /** Extraction stage of [[linkGraphStagesFrom]]: every planted anchor
+    * extracted, resolved, canonicalized — a zero-shuffle codegen
+    * projection over the documents scan. Split out (r19 optimization)
+    * so queries that need the SAME extracted links under several
+    * doc-split predicates can run the extraction once and filter the
+    * (doc_id-carrying) result, instead of re-running the whole regex/
+    * canonicalization chain per split. */
+  private[graft] def extractedLinksFrom(docs: DataFrame): DataFrame = {
     val pages = docs.select(col("doc_id"),
       TextOps.canonicalizeUrl(crawlPlantUrl).as("base"),
       linkPlantPage.as("page"))
-    val links = TextOps.extractLinks(pages, "page")
+    TextOps.extractLinks(pages, "page")
       .withColumn("url",
         TextOps.canonicalizeUrl(TextOps.resolveLink(col("base"), col("href"))))
       .withColumn("dst_host", TextOps.urlHost(col("url")))
       .select("doc_id", "link_no", "href", "url", "dst_host", "anchor", "base")
-    val srcHost = TextOps.urlHost(col("base"))
+  }
+
+  /** PSL dimension over BOTH endpoints' hosts of an extracted link table —
+    * the (host, registrable_domain) map every consumer joins. */
+  private[graft] def linkHostDim(links: DataFrame): DataFrame = {
     val hosts = links.select(col("dst_host").as("host"))
-      .union(links.select(srcHost.as("host")))
-    val dim = TextOps.registrableDomainMap(hosts, "host",
+      .union(links.select(TextOps.urlHost(col("base")).as("host")))
+    TextOps.registrableDomainMap(hosts, "host",
       rules = TextOps.PublicSuffixRulesFull)
-    val edges = links
-      .select(srcHost.as("src_host"), col("dst_host"))
+  }
+
+  /** Edge-aggregation stage of [[linkGraphStagesFrom]] over an already-
+    * extracted link table and an already-built PSL dimension: the eTLD+1
+    * (src → dst, multiplicity) rollup, self-domain and NULL-domain
+    * endpoints excluded. The host→domain map is a pure per-host function,
+    * so building edges for a doc-split from a SHARED dim built over the
+    * full corpus's hosts is row-identical to rebuilding the dim per split. */
+  private[graft] def linkEdgesFrom(links: DataFrame, dim: DataFrame): DataFrame =
+    links
+      .select(TextOps.urlHost(col("base")).as("src_host"), col("dst_host"))
       .join(broadcast(dim.toDF("src_host", "src_domain")), Seq("src_host"))
       .join(broadcast(dim.toDF("dst_host", "dst_domain")), Seq("dst_host"))
       .where(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
         col("src_domain") =!= col("dst_domain"))
       .groupBy("src_domain", "dst_domain").agg(count(lit(1)).as("n_links"))
-    (links, edges, dim)
-  }
 
   /** The cap and post-cap stages of the `e2e_crawl_curation` gate, split
     * out so PlanShapeSpec can pin the pre-audit join shape (the
@@ -6128,10 +6186,25 @@ object SparkEntry {
     * [[graft.streaming.StreamingPipelines.urlFrontierStream]] per-link
     * pass over the % 5 == 0 ingest epoch → per-epoch novelty election
     * (first discoverer per url). */
-  private def urlFrontierDecisions(s: SparkSession, d: String): DataFrame = {
+  private def urlFrontierDecisions(s: SparkSession, d: String): DataFrame =
+    urlFrontierDecisionStages(s, d)._1
+
+  /** [[urlFrontierDecisions]] plus the standing PSL dimension it built —
+    * returned so `politeFetchQueueStage` joins the SAME dimension instead
+    * of re-running the standing link extraction to derive its own copy
+    * (r19 optimization; the mapping is a pure per-host function, so
+    * sharing is row-identical). The extracted standing links and the dim
+    * are localCheckpointed: the links feed the edge rollup AND the dim,
+    * and the dim is broadcast by three consumers (budget counts, frontier
+    * probe, politeness key) — each broadcast would otherwise recompute
+    * the whole extraction + PSL election lineage (guide §2.4). */
+  private def urlFrontierDecisionStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
-    val (_, sedges, dim) =
-      linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))
+    val standingLinks =
+      extractedLinksFrom(docs.where(col("doc_id") % 5 =!= 0)).localCheckpoint()
+    val dim = linkHostDim(standingLinks).localCheckpoint()
+    val sedges = linkEdgesFrom(standingLinks, dim)
     val rank = GraphOps.weightedPageRankDirected(sedges,
         "src_domain", "dst_domain", "n_links", iterations = 4)
       .select(col("node").as("registrable_domain"), col("pr_q6"))
@@ -6163,7 +6236,7 @@ object SparkEntry {
     // discoverer (min (doc_id, link_no)) keeps it; domain/rank/rule/
     // budget columns are functions of the url, so max() just picks the
     // shared value
-    probe.groupBy("url").agg(
+    val st = probe.groupBy("url").agg(
         min(struct(col("doc_id"), col("link_no"))).as("__d"),
         max(col("registrable_domain")).as("registrable_domain"),
         max(col("target_rank_q6")).as("target_rank_q6"),
@@ -6175,6 +6248,7 @@ object SparkEntry {
         col("__d.link_no").as("src_link"), col("registrable_domain"),
         col("target_rank_q6"), col("known_domain"), col("n_discoveries"),
         col("allowed"), col("over_budget"))
+    (st, dim)
   }
 
   /** The politeness-keyed queue stage of `e2e_fetch_queue_polite`, split
@@ -6188,11 +6262,15 @@ object SparkEntry {
     * depth, never a single task — spec-pinned). */
   private[graft] def politeFetchQueueStage(s: SparkSession,
       d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val st = urlFrontierDecisions(s, d)
+    // r19 optimization: take the SAME PSL dim the frontier decisions
+    // built (it is a pure per-host map — sharing is row-identical) instead
+    // of re-running the standing link extraction to derive a second copy;
+    // checkpoint the stats index, which is consumed by BOTH queue arms
+    // (priority join + novelty anti-join) and is one row per url.
+    val (st, dim) = urlFrontierDecisionStages(s, d)
     val (logd, now) = recrawlFetchLog(s, d)
     val stats = TextOps.recrawlStats(logd, "url", "doc_id", "fp")
-    val dim = linkGraphStagesFrom(docs.where(col("doc_id") % 5 =!= 0))._3
+      .localCheckpoint()
     val known = TextOps.recrawlPriority(
         logd.select("url").distinct(), stats, "url", now)
       .withColumn("host", TextOps.urlHost(col("url")))

@@ -601,7 +601,17 @@ object CoreOps {
     * Catalyst optimization to preserve below it). */
   def globalRowIndex(df: DataFrame, order: Seq[String], idxCol: String = "idx"): DataFrame = {
     val cols = order.map(col)
-    val sorted = df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+    // Materialize the input ONCE before the range exchange (guide §2.4 /
+    // §1.2: remove redundant passes): RangePartitioning SAMPLES its child
+    // to pick bounds, so an un-materialized upstream is computed twice
+    // (sample pass + exchange map pass) — and `sorted` is consumed twice
+    // more below (zipWithIndex's count job + the data pass). Checkpointing
+    // the narrow (order ∪ value columns) input and the sorted frame bounds
+    // the whole op at ONE upstream computation + one sort, at the cost of
+    // storing id/long rows — the side this op is documented to keep narrow.
+    val snap = df.localCheckpoint()
+    val sorted = snap.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      .localCheckpoint()
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(idxCol,
         org.apache.spark.sql.types.LongType, nullable = false))
@@ -886,7 +896,15 @@ object CoreOps {
   def globalPrefixSumWithTotal(df: DataFrame, order: Seq[Column], valueCol: String,
       outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    // Same single-materialization treatment as [[globalRowIndex]] (guide
+    // §2.4): without it the upstream runs once for the range sampler and
+    // once for the exchange, and `sorted` is re-fetched/re-sorted for each
+    // of its two passes (offsets job + data job) plus every downstream
+    // action. One checkpoint of the narrow input + one of the sorted frame
+    // caps the op at ONE upstream computation and ONE sort.
+    val snap = df.localCheckpoint()
+    val sorted = snap.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      .localCheckpoint()
     val vIdx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(vIdx).dataType == org.apache.spark.sql.types.LongType,
       s"$valueCol must be LONG, got ${sorted.schema(vIdx).dataType}")

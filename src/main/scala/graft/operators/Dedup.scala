@@ -425,6 +425,10 @@ object Dedup {
       n: Int): DataFrame = {
     val pairs = containmentPairs(docs, idCol, textCol, k,
       containmentThreshold, maxDocFrequency)
+    // localCheckpoint (r19, guide §2.4): the oriented pair table feeds BOTH
+    // the excerpt-window join and the host flag — without it the whole
+    // containmentPairs lineage (rare-shingle candidates + two shingle-set
+    // verification joins) runs twice. Pair cardinality, two longs per row.
     val oriented = pairs.select(
       when(col("cont_a") > col("cont_b"), col("doc_b"))
         .when(col("cont_b") > col("cont_a"), col("doc_a"))
@@ -432,6 +436,7 @@ object Dedup {
       when(col("cont_a") > col("cont_b"), col("doc_a"))
         .when(col("cont_b") > col("cont_a"), col("doc_b"))
         .otherwise(least(col("doc_a"), col("doc_b"))).as("excerpt_id"))
+      .localCheckpoint()
     val wins = windowHashes(docs, idCol, textCol, n)
     val exWins = wins.select(col("doc_id").as("excerpt_id"), col("h")).distinct()
     val hostHot = oriented.join(exWins, Seq("excerpt_id"))

@@ -68,7 +68,10 @@ object GraphOps {
         .otherwise(expr("array()"))).as("t"))
       .select(col("t.v").as("v"), col("t.w").as("w"))
     val sym = trans.union(trans.select(col("w").as("v"), col("v").as("w")))
-    val cvw = sym.groupBy("v", "w").agg(count(lit(1)).as("c"))
+    // checkpoint the pair-count table (r19): it feeds the marginal table,
+    // the total-mass aggregate AND the PPMI join — each would otherwise
+    // re-run the tokenize/explode/symmetrize/count lineage (guide §2.4)
+    val cvw = sym.groupBy("v", "w").agg(count(lit(1)).as("c")).localCheckpoint()
     val cv = cvw.groupBy("v").agg(sum(col("c")).as("cv")).localCheckpoint()
     val n = cvw.agg(sum(col("c"))).head().getLong(0)
     val ppmi = cvw
@@ -140,8 +143,13 @@ object GraphOps {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
+    // checkpoint the symmetrized (long, long) edge list (r19, guide §2.4):
+    // it feeds BOTH the degree table and the adjacency join — without it
+    // the caller's whole pair-generation lineage (e.g. the rare-shingle
+    // candidate pass) runs twice
     val sym = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = deg.count()
     require(n > 0, "pairs must contain at least one edge")

@@ -2143,16 +2143,24 @@ object TextOps {
       addK: Double = 0.5, tag: String = "dsir"): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       targetPred.as("__target"), tokens(col(textCol)).as("toks"))
+    // localCheckpoint (r19, guide §2.4): the hashed-bigram occurrence table
+    // feeds BOTH the λ-table aggregate and the per-doc weight aggregate —
+    // un-materialized, each consumer re-runs the upstream filter chain +
+    // tokenize + per-bigram md5 over the text. The stored rows are three
+    // scalars ((doc_id, bool, bucket) — never text), the narrow-proxy
+    // materialization the §8 worked example prescribes.
     val trans = base.select(col("doc_id"), col("__target"),
         explode(when(size(col("toks")) >= 2,
             expr("transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"))
           .otherwise(expr("array()"))).as("bg"))
       .select(col("doc_id"), col("__target"),
         (conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("long") % numBuckets).as("f"))
-    val table = trans.groupBy("f").agg(count(lit(1)).as("cr"))
-      .join(trans.where(col("__target")).groupBy("f").agg(count(lit(1)).as("ct")),
-        Seq("f"), "left")
-      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .localCheckpoint()
+    // one pass for BOTH distributions (r19; was a groupBy + a filtered
+    // groupBy + a left join): ct = conditional count in the same aggregate,
+    // identical to the joined form (absent target buckets read 0 either way)
+    val table = trans.groupBy("f").agg(count(lit(1)).as("cr"),
+      count(when(col("__target"), lit(1))).as("ct"))
     val totals = table.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))
     val denom = addK * numBuckets
     val lam = table.crossJoin(broadcast(totals))
@@ -2735,8 +2743,15 @@ object TextOps {
     * the shared tail of [[bm25Index]] and [[bm25IndexWithAnchors]], so
     * the enriched index differs from the plain one ONLY in how tf is
     * assembled. */
-  private def bm25FromTf(tf: DataFrame): (DataFrame, DataFrame, Long, Long) = {
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+  private def bm25FromTf(tf0: DataFrame): (DataFrame, DataFrame, Long, Long) = {
+    // checkpoint the finished (doc_id, th, tf) posting table (r19, guide
+    // §2.4): THREE consumers (doc-length aggregate, the tfdl join, the df
+    // aggregate) would otherwise each re-run the corpus tokenize + per-term
+    // md5 + tf shuffle; the stored rows are three longs — this IS the
+    // "materializable index" the scaladoc promises. dl likewise feeds the
+    // join AND the stats aggregate.
+    val tf = tf0.localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")).localCheckpoint()
     val tfdl = tf.join(dl, Seq("doc_id"))
     val dfreq = tf.groupBy("th").agg(count(lit(1)).as("df"))
     val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
