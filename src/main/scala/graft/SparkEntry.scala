@@ -3239,8 +3239,13 @@ object SparkEntry {
     //      signature) rows shuffle; payloads never leave their scan
     //      partitions (plan-spec-pinned). ----
     "e2e_asset_dedup" -> ((s, d) => {
+      // localCheckpoint (r19, guide §2.4): the signature table feeds BOTH
+      // the canonical-pick aggregate and the final join — without it the
+      // payload DECODE (the expensive stage) runs twice. (id, kind, hash)
+      // rows only; payloads never persist.
       val sigs = Multimodal.assetSignature(
         Multimodal.syntheticMixedAssets(s, Tables.documents(s, d)))
+        .localCheckpoint()
       val groups = sigs.groupBy("sig")
         .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("__canon"))
       sigs.join(groups, Seq("sig"))
@@ -3257,8 +3262,11 @@ object SparkEntry {
     //      the id formula. Dedup shuffles (id, 8-byte hash), never
     //      samples. ----
     "mm_audio_fingerprint_dedup" -> ((s, d) => {
+      // localCheckpoint (r19): two consumers — the real PCM decode +
+      // envelope fingerprint would otherwise run twice (guide §2.4)
       val hashes = Multimodal.audioFingerprint(
         Multimodal.syntheticPatternAudioAssets(s, Tables.documents(s, d)))
+        .localCheckpoint()
       val groups = hashes.groupBy("ahash")
         .agg(count(lit(1)).as("group_n"), min(col("doc_id")).as("__canon"))
       hashes.join(groups, Seq("ahash"))
@@ -6171,9 +6179,13 @@ object SparkEntry {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("registrable_domain")
       .orderBy(col("n_toks").desc, col("doc_id"))
+    // localCheckpoint (r19, guide §2.4): `kept` feeds the broadcast id set
+    // AND the gate's final join — without it the pages+PSL+cap-window
+    // chain runs once per consumer. (domain, rank, id, n_toks, host) rows.
     val kept = pages.join(broadcast(dim), Seq("host"))
       .withColumn("rank_in_domain", row_number().over(w).cast("long"))
       .where(col("rank_in_domain") <= 8)
+      .localCheckpoint()
     val keptDocs = docs.join(broadcast(kept.select("doc_id")),
       Seq("doc_id"), "left_semi")
     (kept, keptDocs)

@@ -673,7 +673,11 @@ object Similarity {
 
   def semanticDedup(corpus: DataFrame, threshold: Double,
       dim: Int = 64, nlist: Int = 16, seed: Long = 42L): DataFrame = {
-    val assigned = clusterAssigned(corpus, dim, nlist, seed)
+    // localCheckpoint (r19, guide §2.4): the assignment feeds both sides
+    // of the within-cluster pair join AND the survivor join — without it
+    // the centroid-distance projection over the embeddings runs once per
+    // consumer. (vec_id, cluster, nemb): the semanticIndex shape.
+    val assigned = clusterAssigned(corpus, dim, nlist, seed).localCheckpoint()
     val pairs = pairsWithinClusters(assigned, threshold)
     val comp = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
     // min-label propagation converges to the component's min id, so the
@@ -744,8 +748,14 @@ object Similarity {
         round(col("best").getField("d") + dot(col("emb"), col("emb")), 6).as("dist2"),
         normalized(col("emb")).as("nemb"))
     val w = Window.partitionBy(col("cluster")).orderBy(col("dist2").desc, col("vec_id"))
+    // localCheckpoint (r19, guide §2.4): `kept` feeds the within-cluster
+    // pair join (both sides) AND the survivor join — without it the
+    // centroid-distance assignment + outlier window run once per consumer.
+    // (cluster, vec_id, nemb) rows: the same maintained-index shape
+    // semanticIndex materializes.
     val kept = assigned.withColumn("__r", row_number().over(w))
       .where(col("__r") > outlierK).drop("__r", "dist2")
+      .localCheckpoint()
     val pairs = pairsWithinClusters(kept, threshold)
     val comp = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
     val survivors = kept
