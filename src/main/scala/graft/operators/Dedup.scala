@@ -257,8 +257,11 @@ object Dedup {
     * candidate volume is independent of shingle document frequency. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxDocFrequency: Long): DataFrame = {
-    verifyCandidatesJaccard(docs, idCol, textCol, k,
-      rareShingleCandidatePairs(docs, idCol, textCol, k, maxDocFrequency), threshold)
+    // ONE shared set-table materialization (r19) for candidate generation
+    // AND verification — composing the public entry points would build two
+    val sets = shingleHashSets(docs, idCol, textCol, k).localCheckpoint()
+    verifyJaccardOnSets(sets, sets,
+      rareShinglePairsFromSets(sets, maxDocFrequency), threshold)
   }
 
   /** Candidate pairs of documents sharing at least one RARE shingle (df ≤
@@ -270,13 +273,29 @@ object Dedup {
     * df², so candidates are bounded by |shingles| · maxDocFrequency² —
     * never corpus². Only (long, long) pairs reach any shuffle. */
   def rareShingleCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDocFrequency: Long): DataFrame = {
-    // the native set expression hashes AND dedups per document in one
-    // codegen'd call, so exploding it needs no distinct shuffle at all, and
-    // nothing but (long, long) pairs ever reaches a shuffle. Matches
-    // verifyCandidatesJaccard's hash-set semantics exactly, at every scale.
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(graft.expressions.GraftExpressions.shingleHashSet(col(textCol), k)).as("h"))
+      k: Int, maxDocFrequency: Long): DataFrame =
+    // checkpoint the per-doc set table (r19, guide §2.4): the exploded
+    // stream feeds both the df aggregate and the rare join — one corpus
+    // pass instead of two
+    rareShinglePairsFromSets(
+      shingleHashSets(docs, idCol, textCol, k).localCheckpoint(),
+      maxDocFrequency)
+
+  /** The (doc_id, distinct shingle-hash set) table every shingle-family
+    * stage derives from — the native set expression hashes AND dedups per
+    * document in one codegen'd call. Split out (r19) so composed pipelines
+    * (d29/d29b: candidates + Jaccard verify + containment verify) build it
+    * ONCE and share the materialization instead of re-scanning the corpus
+    * per stage. */
+  private[graft] def shingleHashSets(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.expressions.GraftExpressions.shingleHashSet(col(textCol), k).as("hs"))
+
+  /** [[rareShingleCandidatePairs]] over an already-built set table. */
+  private[graft] def rareShinglePairsFromSets(sets: DataFrame,
+      maxDocFrequency: Long): DataFrame = {
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = sh.join(docFreq.where(col("df") <= maxDocFrequency), "h")
       .select("doc_id", "h")
@@ -301,17 +320,28 @@ object Dedup {
   def verifyCandidatesJaccardTwoSided(docsA: DataFrame, docsB: DataFrame,
       idCol: String, textCol: String, k: Int,
       candidates: DataFrame, threshold: Double): DataFrame = {
-    def sets(docs: DataFrame) = docs.select(col(idCol).cast("long").as("doc_id"),
-      graft.expressions.GraftExpressions.shingleHashSet(col(textCol), k).as("hs"))
+    // localCheckpoint (r19, guide §2.4): in the self-dedup form (docsA eq
+    // docsB — every d10/d4/d29 caller) the SAME per-doc shingle-set
+    // projection fed both join sides and ran twice over the corpus; build
+    // it once. (doc_id, hash set) is the signature-index shape
+    // StreamingPipelines.dedupIndex already materializes.
+    val setsA = shingleHashSets(docsA, idCol, textCol, k).localCheckpoint()
+    val setsB = if (docsA eq docsB) setsA
+      else shingleHashSets(docsB, idCol, textCol, k).localCheckpoint()
+    verifyJaccardOnSets(setsA, setsB, candidates, threshold)
+  }
+
+  /** Jaccard verification over already-built set tables. */
+  private[graft] def verifyJaccardOnSets(setsA: DataFrame, setsB: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(sets(docsA).select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sets(docsB).select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .join(setsA.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(setsB.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** Shingle CONTAINMENT verification over candidate pairs — the asymmetric
     * companion to [[verifyCandidatesJaccard]] (Broder 1997 defines both
@@ -329,9 +359,16 @@ object Dedup {
     * no shingle-level self-join, and only (long, long, array) rows in the
     * candidate-bounded join. */
   def verifyCandidatesContainment(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, candidates: DataFrame, threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).cast("long").as("doc_id"),
-      graft.expressions.GraftExpressions.shingleHashSet(col(textCol), k).as("hs"))
+      k: Int, candidates: DataFrame, threshold: Double): DataFrame =
+    // same one-materialization treatment as verifyCandidatesJaccardTwoSided
+    // (r19): the set projection fed both join sides
+    verifyContainmentOnSets(
+      shingleHashSets(docs, idCol, textCol, k).localCheckpoint(),
+      candidates, threshold)
+
+  /** Containment verification over an already-built set table. */
+  private[graft] def verifyContainmentOnSets(sets: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -341,14 +378,22 @@ object Dedup {
       .withColumn("cont_b", round(col("inter").cast("double") / size(col("hs_b")).cast("double"), 6))
       .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
       .select("doc_a", "doc_b", "cont_a", "cont_b")
-  }
 
   /** [[rareShingleCandidatePairs]] recall + [[verifyCandidatesContainment]]
-    * precision in one call — the containment analogue of [[jaccardPairs]]. */
+    * precision in one call — the containment analogue of [[jaccardPairs]].
+    * The set table is built ONCE (r19) and shared by candidate generation
+    * and verification — one corpus pass where the composed form paid three. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double, maxDocFrequency: Long): DataFrame =
-    verifyCandidatesContainment(docs, idCol, textCol, k,
-      rareShingleCandidatePairs(docs, idCol, textCol, k, maxDocFrequency), threshold)
+    containmentPairsFromSets(
+      shingleHashSets(docs, idCol, textCol, k).localCheckpoint(),
+      threshold, maxDocFrequency)
+
+  /** [[containmentPairs]] over an already-built (checkpointed) set table. */
+  private[graft] def containmentPairsFromSets(sets: DataFrame,
+      threshold: Double, maxDocFrequency: Long): DataFrame =
+    verifyContainmentOnSets(sets,
+      rareShinglePairsFromSets(sets, maxDocFrequency), threshold)
 
   /** Survivor selection with CONTAINMENT edges in the closure — the
     * remediation step [[containmentPairs]] was missing (VERDICT r13 missing
@@ -372,14 +417,19 @@ object Dedup {
       k: Int, numHashes: Int, numBands: Int, jaccardThreshold: Double,
       containmentThreshold: Double, maxDocFrequency: Long,
       includeContainment: Boolean = true): DataFrame = {
-    val jpairs = verifyCandidatesJaccard(docs, idCol, textCol, k,
+    // ONE shared set table (r19, guide §2.4): the Jaccard verify (both
+    // sides), the containment candidate generation, and the containment
+    // verify (both sides) all read the same checkpointed (doc_id, set)
+    // rows — the composed form previously re-scanned the corpus per stage.
+    val sets = shingleHashSets(docs, idCol, textCol, k).localCheckpoint()
+    val jpairs = verifyJaccardOnSets(sets, sets,
         lshCandidatePairs(minHashSignatures(docs, idCol, textCol, k, numHashes),
           numHashes, numBands), jaccardThreshold)
       .select("doc_a", "doc_b")
     val edges =
       if (includeContainment)
         jpairs.unionByName(
-          containmentPairs(docs, idCol, textCol, k, containmentThreshold,
+          containmentPairsFromSets(sets, containmentThreshold,
             maxDocFrequency).select("doc_a", "doc_b")).distinct()
       else jpairs
     val comp = connectedComponents(edges, "doc_a", "doc_b")
