@@ -2630,26 +2630,7 @@ object SparkEntry {
     //      the O(P) two-phase prefix pass, never a single-task window;
     //      everything else is broadcast dims + domain-cardinality rows ----
     "e2e_crawl_frontier" -> ((s, d) => {
-      // r19: one extraction pass (links feed the edge rollup AND the PSL
-      // dim), dim checkpointed for its two consumers, and the composed
-      // (budget, endorsement) table checkpointed for ITS two consumers
-      // (the eligible rank arm + the final join) — guide §2.4
-      val links = extractedLinksFrom(Tables.documents(s, d)).localCheckpoint()
-      val dim = linkHostDim(links).localCheckpoint()
-      val edges = linkEdgesFrom(links, dim)
-      val pages = Tables.documents(s, d).select(
-        TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"))
-      val counts = pages.join(broadcast(dim), Seq("host"))
-        .where(col("registrable_domain").isNotNull)
-        .groupBy("registrable_domain").agg(count(lit(1)).as("n_pages"))
-      val pr = GraphOps.weightedPageRankDirected(edges,
-          "src_domain", "dst_domain", "n_links", iterations = 4)
-        .select(col("node").as("registrable_domain"), col("pr_q6"))
-      val st = counts.join(pr, Seq("registrable_domain"), "left")
-        .select(col("registrable_domain").as("domain"), col("n_pages"),
-          coalesce(col("pr_q6"), lit(0L)).as("pr_q6"),
-          (col("n_pages") >= 30).as("over_budget"))
-        .localCheckpoint()
+      val st = crawlFrontierStage(s, d)
       val under = st.where(!col("over_budget"))
         .select(col("domain"), col("pr_q6"), lit(1L).as("__one"))
       val ranked = CoreOps.globalPrefixSum(under,
@@ -6191,6 +6172,33 @@ object SparkEntry {
     (kept, keptDocs)
   }
 
+  /** The composed (budget, endorsement) per-domain decision table of
+    * `e2e_crawl_frontier` (r19: one extraction pass — links feed the edge
+    * rollup AND the PSL dim; dim checkpointed for its two consumers; the
+    * composed table checkpointed for ITS two consumers, the eligible rank
+    * arm + the final join — guide §2.4). `materialize = false` is the
+    * PlanShapeSpec full-lineage view (see [[urlFrontierDecisionStages]]);
+    * queries always run materialized. */
+  private[graft] def crawlFrontierStage(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    def ck(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    val links = ck(extractedLinksFrom(Tables.documents(s, d)))
+    val dim = ck(linkHostDim(links))
+    val edges = linkEdgesFrom(links, dim)
+    val pages = Tables.documents(s, d).select(
+      TextOps.urlHost(TextOps.canonicalizeUrl(crawlPlantUrl)).as("host"))
+    val counts = pages.join(broadcast(dim), Seq("host"))
+      .where(col("registrable_domain").isNotNull)
+      .groupBy("registrable_domain").agg(count(lit(1)).as("n_pages"))
+    val pr = GraphOps.weightedPageRankDirected(edges,
+        "src_domain", "dst_domain", "n_links", iterations = 4)
+      .select(col("node").as("registrable_domain"), col("pr_q6"))
+    ck(counts.join(pr, Seq("registrable_domain"), "left")
+      .select(col("registrable_domain").as("domain"), col("n_pages"),
+        coalesce(col("pr_q6"), lit(0L)).as("pr_q6"),
+        (col("n_pages") >= 30).as("over_budget")))
+  }
+
   /** The per-URL frontier DECISION table shared by `e2e_url_frontier`
     * and `e2e_fetch_queue` (one definition, so the queue's discovery arm
     * IS the frontier gate's rows): standing link graph → PageRank
@@ -6209,13 +6217,22 @@ object SparkEntry {
     * are localCheckpointed: the links feed the edge rollup AND the dim,
     * and the dim is broadcast by three consumers (budget counts, frontier
     * probe, politeness key) — each broadcast would otherwise recompute
-    * the whole extraction + PSL election lineage (guide §2.4). */
-  private def urlFrontierDecisionStages(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+    * the whole extraction + PSL election lineage (guide §2.4).
+    *
+    * `materialize = false` skips the checkpoints so PlanShapeSpec can pin
+    * the FULL standing-pipeline plan (extraction → PSL → probe → novelty)
+    * — the checkpoints truncate the visible lineage, which made the
+    * gate-level "no text/page in any exchange" guards vacuous for
+    * everything upstream of them (ADVICE r19). Queries always run with
+    * materialize = true; the flag changes physical evaluation only, never
+    * rows. */
+  private[graft] def urlFrontierDecisionStages(s: SparkSession, d: String,
+      materialize: Boolean = true): (DataFrame, DataFrame) = {
+    def ck(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     val docs = Tables.documents(s, d)
     val standingLinks =
-      extractedLinksFrom(docs.where(col("doc_id") % 5 =!= 0)).localCheckpoint()
-    val dim = linkHostDim(standingLinks).localCheckpoint()
+      ck(extractedLinksFrom(docs.where(col("doc_id") % 5 =!= 0)))
+    val dim = ck(linkHostDim(standingLinks))
     val sedges = linkEdgesFrom(standingLinks, dim)
     val rank = GraphOps.weightedPageRankDirected(sedges,
         "src_domain", "dst_domain", "n_links", iterations = 4)
@@ -6273,16 +6290,18 @@ object SparkEntry {
     * The window partitions by the key (bounded by per-domain queue
     * depth, never a single task — spec-pinned). */
   private[graft] def politeFetchQueueStage(s: SparkSession,
-      d: String): DataFrame = {
+      d: String, materialize: Boolean = true): DataFrame = {
     // r19 optimization: take the SAME PSL dim the frontier decisions
     // built (it is a pure per-host map — sharing is row-identical) instead
     // of re-running the standing link extraction to derive a second copy;
     // checkpoint the stats index, which is consumed by BOTH queue arms
     // (priority join + novelty anti-join) and is one row per url.
-    val (st, dim) = urlFrontierDecisionStages(s, d)
+    // `materialize = false` is the PlanShapeSpec full-lineage view (see
+    // urlFrontierDecisionStages).
+    val (st, dim) = urlFrontierDecisionStages(s, d, materialize)
     val (logd, now) = recrawlFetchLog(s, d)
-    val stats = TextOps.recrawlStats(logd, "url", "doc_id", "fp")
-      .localCheckpoint()
+    val stats0 = TextOps.recrawlStats(logd, "url", "doc_id", "fp")
+    val stats = if (materialize) stats0.localCheckpoint() else stats0
     val known = TextOps.recrawlPriority(
         logd.select("url").distinct(), stats, "url", now)
       .withColumn("host", TextOps.urlHost(col("url")))

@@ -489,9 +489,32 @@ object CoreOps {
     * (key, epoch) with ≤ T+1 entries each. Replaces the collect_set design
     * whose hot-key row held every user string. */
   def preAggregatePrevEpoch(df: DataFrame, keyCol: String, epochCol: String, userCol: String, valueCol: String): DataFrame = {
+    // r20 (guide §2.4 — share exchanges keyed the same way): the per-user
+    // aggregate and the lag window used to pay SEPARATE exchanges
+    // ((key, epoch, user) then (key, user)) whenever the input was not
+    // already user-partitioned. One explicit repartition on (key, user)
+    // serves BOTH — HashPartitioning satisfies ClusteredDistribution when
+    // its expressions are a SUBSET of the required clustering keys — so
+    // the head of the chain crosses the wire once instead of twice and a
+    // stage barrier disappears. The trade is the per-user aggregate's
+    // map-side combine (the repartition ships raw projections), which for
+    // this operator's contract is ~nothing: contributions are already
+    // per-user-bounded upstream (B1), so (key, epoch, user) is near-
+    // distinct in the raw rows and partial aggregation had nothing to
+    // fold (measured at the utility workloads: equal rows either side).
+    // The TAIL aggregates keep their own exchanges deliberately: their
+    // map-side partial aggregation is the skew guard — a Zipf-hot
+    // (key, epoch) cell collapses to one row per map partition BEFORE the
+    // exchange, where a bare repartition would funnel that cell's every
+    // per-user row into one reduce task (guide §2.5). Row content is
+    // IDENTICAL — only physical partitioning moved; every shuffle still
+    // runs at (key, user) or finer, or ships map-side partials.
     val perUser = df
-      .groupBy(col(keyCol).as("key"), col(epochCol).cast("int").as("epoch"), col(userCol).as("user"))
-      .agg(sum(col(valueCol)).as("user_sum"))
+      .select(col(keyCol).as("key"), col(epochCol).cast("int").as("epoch"),
+        col(userCol).as("user"), col(valueCol).as("__v"))
+      .repartition(col("key"), col("user"))
+      .groupBy(col("key"), col("epoch"), col("user"))
+      .agg(sum(col("__v")).as("user_sum"))
     val w = Window.partitionBy(col("key"), col("user")).orderBy(col("epoch"))
     perUser
       .withColumn("prev", coalesce(lag(col("epoch"), 1).over(w), lit(-1)))
@@ -588,6 +611,36 @@ object CoreOps {
       .select(col("query_id"), col("slot"), col("neg_id"))
   }
 
+  /** Drop the persisted blocks of an eagerly `localCheckpoint()`ed frame
+    * whose only purpose was deduplicating an extra upstream pass. Safe ONLY
+    * when every derivative of the frame is itself fully materialized (the
+    * checkpointed RDD's lineage is truncated, so a later recomputation
+    * attempt fails rather than silently re-running the upstream). */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
+  /** The "keep narrow" contract of the two-phase global-order operators,
+    * ENFORCED (ADVICE r19): their input is eagerly materialized into
+    * executor storage, so payload columns (token arrays, embeddings, raw
+    * bytes) must never ride through — project to order/id/value columns
+    * first and join payloads back on the id. Scalar strings (urls, split
+    * names) are legitimate order keys and stay allowed. */
+  private def requireNarrowRows(df: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, BinaryType, StructType}
+    val wide = df.schema.fields.filter(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+      case _ => false
+    })
+    require(wide.isEmpty,
+      s"$op materializes its input: payload columns " +
+        s"${wide.map(_.name).mkString(", ")} must be projected away first " +
+        "(join them back on the id after the pass)")
+  }
+
   /** Deterministic contiguous global row index (0..n−1) in `order` sort
     * order WITHOUT a single-partition global sort: range repartitioning plus
     * local sort establishes a total order across partitions, and
@@ -601,6 +654,7 @@ object CoreOps {
     * Catalyst optimization to preserve below it). */
   def globalRowIndex(df: DataFrame, order: Seq[String], idxCol: String = "idx"): DataFrame = {
     val cols = order.map(col)
+    requireNarrowRows(df, "globalRowIndex")
     // Materialize the input ONCE before the range exchange (guide §2.4 /
     // §1.2: remove redundant passes): RangePartitioning SAMPLES its child
     // to pick bounds, so an un-materialized upstream is computed twice
@@ -609,9 +663,14 @@ object CoreOps {
     // the narrow (order ∪ value columns) input and the sorted frame bounds
     // the whole op at ONE upstream computation + one sort, at the cost of
     // storing id/long rows — the side this op is documented to keep narrow.
+    // The input snapshot exists only to dedupe the range-sampler's extra
+    // pass, so its storage is RELEASED as soon as the sorted frame is
+    // materialized (ADVICE r19: keeping both pinned two copies of the
+    // caller's rows in non-replayable executor storage for the JVM's life).
     val snap = df.localCheckpoint()
     val sorted = snap.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
       .localCheckpoint()
+    releaseLocalCheckpoint(snap)
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(idxCol,
         org.apache.spark.sql.types.LongType, nullable = false))
@@ -896,15 +955,18 @@ object CoreOps {
   def globalPrefixSumWithTotal(df: DataFrame, order: Seq[Column], valueCol: String,
       outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
+    requireNarrowRows(df, "globalPrefixSum")
     // Same single-materialization treatment as [[globalRowIndex]] (guide
     // §2.4): without it the upstream runs once for the range sampler and
     // once for the exchange, and `sorted` is re-fetched/re-sorted for each
     // of its two passes (offsets job + data job) plus every downstream
     // action. One checkpoint of the narrow input + one of the sorted frame
-    // caps the op at ONE upstream computation and ONE sort.
+    // caps the op at ONE upstream computation and ONE sort; the input
+    // snapshot is released once the sorted frame exists (ADVICE r19).
     val snap = df.localCheckpoint()
     val sorted = snap.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
       .localCheckpoint()
+    releaseLocalCheckpoint(snap)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(vIdx).dataType == org.apache.spark.sql.types.LongType,
       s"$valueCol must be LONG, got ${sorted.schema(vIdx).dataType}")

@@ -1055,12 +1055,23 @@ object Dedup {
     * consumers (df aggregate + join left side) never recompute the
     * tokenize-and-hash lineage. n_windows/n_hot re-derive from the
     * occurrence counts, so the output contract is unchanged. Text never
-    * shuffles. */
+    * shuffles.
+    *
+    * r20 (guide §2.4 / §1.1 — measured): the audit is ONE action, so the
+    * two consumers of the pair table share its (doc_id, h) exchange via
+    * Spark's exchange reuse — the tokenize-and-hash lineage runs exactly
+    * once on the map side and both consumers FETCH the same shuffle
+    * output. The r15-era localCheckpoint double-paid for that guarantee:
+    * an extra materialization job plus GBs of checkpoint-block re-reads
+    * (2.3 GB of storage input at sf0.1) for lineage the exchange already
+    * deduplicates inside a single query. (A repartition(h)+persist
+    * variant was measured too: AQE compiles cached/checkpointed plans
+    * with unknown output partitioning, so downstream operators re-shuffle
+    * anyway — it only ADDED an exchange.) */
   def memorizationRisk(docs: DataFrame, idCol: String, textCol: String,
       n: Int, hotDf: Long): DataFrame = {
     val pairs = windowHashes(docs, idCol, textCol, n)
       .groupBy("doc_id", "h").agg(count(lit(1)).as("occ"))
-      .localCheckpoint()
     val df = pairs.groupBy("h").agg(count(lit(1)).as("df"))
     pairs.join(df, "h")
       .groupBy("doc_id")

@@ -700,6 +700,15 @@ class PlanShapeSpec extends AnyFunSuite {
     for (b <- exchangeBlocks(df))
       assert(!b.contains("page#") && !b.contains("text#"),
         s"an exchange carries page/text:\n$b")
+    // the gate checkpoints its extracted links (one extraction for the
+    // rollup AND the PSL dim), hiding the extraction lineage from the
+    // plan above — pin the extraction stage's OWN plan: a zero-shuffle
+    // codegen projection, page bytes never in an exchange (ADVICE r19)
+    val links = SparkEntry.extractedLinksFrom(
+      Tables.documents(spark, sfDir))
+    val ex = exchangeBlocks(links)
+    assert(ex.isEmpty,
+      s"link extraction stopped being a pure projection:\n${ex.mkString("\n---\n")}")
   }
 
   test("q_phrase_search: exchanges carry (id, position) longs — never text") {
@@ -722,6 +731,21 @@ class PlanShapeSpec extends AnyFunSuite {
     for (b <- exchangeBlocks(df)) {
       assert(!b.contains("text#"), s"an exchange carries document text:\n$b")
       assert(!b.contains("page#"), s"an exchange carries page HTML:\n$b")
+    }
+    // The gate's localCheckpoints truncate the plan above, hiding the
+    // standing pipeline (extraction → PSL → PageRank join) behind
+    // LogicalRDD leaves — so the guards above were vacuous for it (ADVICE
+    // r19). Pin the UN-materialized stage directly: same invariants over
+    // the full visible lineage (PageRank's own per-iteration checkpoint
+    // still truncates its iterations, but its input is the (domain,
+    // domain, n_links) edge rollup pinned by the link-graph test below).
+    val st = SparkEntry.crawlFrontierStage(spark, sfDir, materialize = false)
+    val stPlan = st.queryExecution.executedPlan.toString
+    assert(!stPlan.contains("Window"),
+      s"the standing stage grew a window:\n${stPlan.take(4000)}")
+    for (b <- exchangeBlocks(st)) {
+      assert(!b.contains("text#"), s"a standing-stage exchange carries text:\n$b")
+      assert(!b.contains("page#"), s"a standing-stage exchange carries page HTML:\n$b")
     }
   }
 
@@ -747,12 +771,30 @@ class PlanShapeSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("link_no")).head().getLong(0)
     assert(maxLink < 1024L,
       s"planted pages must extract <1024 links/doc for the oracle's key packing (got $maxLink)")
+    // The decision table's localCheckpoint truncates the gate plan above
+    // the prefix pass, so the text/page/window guards were vacuous for
+    // the standing pipeline (extraction, PSL, probe, novelty) — pin the
+    // UN-materialized decision stage directly (ADVICE r19)
+    val st = SparkEntry.urlFrontierDecisionStages(spark, sfDir,
+      materialize = false)._1
+    val stPlan = st.queryExecution.executedPlan.toString
+    assert(!stPlan.contains("Window"),
+      s"the frontier decision stage grew a window:\n${stPlan.take(4000)}")
+    for (b <- exchangeBlocks(st)) {
+      assert(!b.contains("text#"), s"a decision-stage exchange carries text:\n$b")
+      assert(!b.contains("page#"), s"a decision-stage exchange carries page HTML:\n$b")
+    }
   }
 
   test("e2e_fetch_queue_polite: per-key window partitions by domain; global rank rides the prefix pass") {
     // the window pin reads the pre-prefix-sum stage — globalPrefixSum
-    // materializes the frame, truncating the gate's visible lineage
-    val stage = SparkEntry.politeFetchQueueStage(spark, sfDir)
+    // materializes the frame, truncating the gate's visible lineage.
+    // materialize = false additionally skips the stage's OWN checkpoints
+    // (frontier decisions, PSL dim, recrawl stats), so the assertions
+    // below see the FULL standing lineage — including the recrawl-stats
+    // lag window — instead of post-checkpoint stubs (ADVICE r19)
+    val stage = SparkEntry.politeFetchQueueStage(spark, sfDir,
+      materialize = false)
     val fmt = stage.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val windows = fmt.split("\n\n").toSeq
